@@ -1,0 +1,68 @@
+"""Simulate the driver's verify flow end-to-end against __spark_entry__:
+smoke entry(), then run every queries() entry at the given sf and compare
+with oracle_sql() via DuckDB (row count + columns + order-insensitive
+values, floats rounded to 4dp).
+
+Usage: python scripts/driver_sim.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+from tests.compare import assert_frames_match
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as ent
+    from stockmarketdata_dwb_etl_spark.catalog import TABLES
+    from stockmarketdata_dwb_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="driver-sim")
+
+    t0 = time.time()
+    smoke = ent.entry(spark)
+    smoke_rows = smoke.collect()
+    print(f"SMOKE entry(): {len(smoke_rows)} rows, schema={smoke.schema.simpleString()[:120]} "
+          f"({time.time()-t0:.1f}s)")
+    assert len(smoke_rows) > 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs, oracles = ent.queries(), ent.oracle_sql()
+    n_pass = n_fail = 0
+    for name in sorted(qs):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spark_pdf = qs[name](spark, sf_dir).toPandas()
+            if name in oracles:
+                oracle_pdf = con.execute(oracles[name]).fetchdf()
+                assert_frames_match(spark_pdf, oracle_pdf, name)
+                status = f"OK    rows={len(spark_pdf)}"
+            else:
+                assert spark_pdf.shape[1] > 0
+                status = f"ROWS  rows={len(spark_pdf)} (no oracle)"
+            n_pass += 1
+        except Exception as exc:  # noqa: BLE001
+            status = f"FAIL  {type(exc).__name__}: {str(exc)[:300]}"
+            n_fail += 1
+        print(f"{name:28s} {status}  ({time.time()-t0:.1f}s)")
+
+    print(f"\n{n_pass} passed, {n_fail} failed at {sf_dir}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

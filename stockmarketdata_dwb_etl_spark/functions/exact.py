@@ -1,0 +1,52 @@
+"""Deterministic floating aggregates for the differential-oracle contract.
+
+Summing doubles is order-dependent; at 100 TB a partial-aggregation tree in
+Spark and a single-threaded DuckDB scan WILL disagree beyond 4 decimals on
+billion-scale sums. Policy (SURVEY.md §2B determinism): per-row arithmetic
+stays in double (bit-identical across engines), then the value is cast to
+DECIMAL for the exact, order-independent summation, rounded to 4 decimals,
+and cast back to double. The matching oracle-side SQL fragments are provided
+by :func:`sql_exact_sum` / :func:`sql_exact_avg`.
+
+This costs one decimal conversion per row in exchange for scale-independent
+determinism — a deliberate trade the engine only makes in the oracle-checked
+query surface; interactive pipelines are free to use plain double aggs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 38 total digits, 6 fractional: holds sums over ~1e13 rows of ~1e12-scale
+# values without overflow while keeping sub-cent precision.
+_DEC = "decimal(38,6)"
+
+
+def exact_sum(col: Column, alias: str) -> Column:
+    """Order-independent SUM: exact decimal accumulation, round 4, double."""
+    return F.round(F.sum(col.cast(_DEC)), 4).cast("double").alias(alias)
+
+
+def exact_avg(col: Column, alias: str) -> Column:
+    """Order-independent AVG: exact decimal sum, cast to double, then a
+    single double division — the identical op order as the oracle fragment,
+    so both engines produce the same bits before the 4-dp round."""
+    return (
+        F.round(F.sum(col.cast(_DEC)).cast("double") / F.count(col), 4)
+        .cast("double")
+        .alias(alias)
+    )
+
+
+def sql_exact_sum(expr: str, alias: str) -> str:
+    """DuckDB fragment equivalent to :func:`exact_sum`."""
+    return f"CAST(ROUND(SUM(CAST(({expr}) AS DECIMAL(38,6))), 4) AS DOUBLE) AS {alias}"
+
+
+def sql_exact_avg(expr: str, alias: str) -> str:
+    """DuckDB fragment equivalent to :func:`exact_avg`."""
+    return (
+        f"CAST(ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"
+        f" / COUNT({expr}), 4) AS DOUBLE) AS {alias}"
+    )

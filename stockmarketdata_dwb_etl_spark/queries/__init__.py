@@ -1,0 +1,6 @@
+"""Import every query module so registry decorators run."""
+
+from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
+    aggregates,
+    core,
+)

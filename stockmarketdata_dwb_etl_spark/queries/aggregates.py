@@ -1,0 +1,283 @@
+"""Aggregation surface: global/grouped/having/distinct/stats/rollup/cube/
+grouping-sets/pivot.
+
+The reference's warehouse table exists precisely so these OLAP shapes can be
+asked of the OHLCV data (SURVEY.md §2B "dwb"). All are built-in hash
+aggregates — Spark plans partial (map-side) + final aggregation
+automatically; nothing here hand-rolls a combiner. Floating sums/avgs use
+the exact-decimal policy from functions/exact.py so results are
+order-independent and match the DuckDB oracle at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stockmarketdata_dwb_etl_spark.catalog import load_table
+from stockmarketdata_dwb_etl_spark.functions.exact import (
+    exact_avg,
+    exact_sum,
+    sql_exact_avg,
+    sql_exact_sum,
+)
+from stockmarketdata_dwb_etl_spark.registry import query
+
+
+@query(
+    "q_agg_global",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sum_linenumber,
+           {sql_exact_sum('l_quantity', 'sum_qty')},
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           MIN(l_shipdate) AS min_shipdate,
+           MAX(l_shipdate) AS max_shipdate
+    FROM lineitem
+    """,
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped aggregate — single-stage partial+final, no shuffle of data
+    rows (only of partial states)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_linenumber").cast("bigint")).alias("sum_linenumber"),
+        exact_sum(F.col("l_quantity"), "sum_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+    )
+
+
+Q1_ORACLE = f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_exact_sum('l_quantity', 'sum_qty')},
+           {sql_exact_sum('l_extendedprice', 'sum_base_price')},
+           {sql_exact_sum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {sql_exact_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {sql_exact_avg('l_quantity', 'avg_qty')},
+           {sql_exact_avg('l_extendedprice', 'avg_price')},
+           {sql_exact_avg('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("q_agg_groupby", oracle=Q1_ORACLE)
+def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the flagship: scan → filter → hash-agg over
+    (returnflag, linestatus). The canonical partial+final aggregation;
+    filter and the 7-column projection are pushed into the parquet scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum(F.col("l_quantity"), "sum_qty"),
+            exact_sum(F.col("l_extendedprice"), "sum_base_price"),
+            exact_sum(disc_price, "sum_disc_price"),
+            exact_sum(charge, "sum_charge"),
+            exact_avg(F.col("l_quantity"), "avg_qty"),
+            exact_avg(F.col("l_extendedprice"), "avg_price"),
+            exact_avg(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) > 10
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") > 10)
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct — Spark expands to a two-phase agg (distinct
+    then count) automatically."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(ROUND(AVG(c_acctbal), 4) AS DOUBLE) AS avg_bal,
+           CAST(ROUND(STDDEV_SAMP(c_acctbal), 4) AS DOUBLE) AS sd_bal,
+           CAST(ROUND(VAR_SAMP(c_acctbal), 4) AS DOUBLE) AS var_bal,
+           MIN(c_acctbal) AS min_bal,
+           MAX(c_acctbal) AS max_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.round(F.avg("c_acctbal"), 4).cast("double").alias("avg_bal"),
+        F.round(F.stddev_samp("c_acctbal"), 4).cast("double").alias("sd_bal"),
+        F.round(F.var_samp("c_acctbal"), 4).cast("double").alias("var_bal"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+    )
+
+
+@query(
+    "q_rollup",
+    oracle=f"""
+    SELECT r_name, n_name,
+           {sql_exact_sum('c_acctbal', 'sum_bal')},
+           COUNT(*) AS n_custs
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(region, nation) over the dimension join — dims broadcast."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        exact_sum(F.col("c_acctbal"), "sum_bal"),
+        F.count(F.lit(1)).alias("n_custs"),
+    )
+
+
+@query(
+    "q_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           {sql_exact_sum('o_totalprice', 'sum_price')},
+           CAST(GROUPING(o_orderstatus) AS INTEGER) * 2
+             + CAST(GROUPING(o_orderpriority) AS INTEGER) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id — via spark.sql on a temp
+    view (the DataFrame API has no grouping-sets verb pre-4.0 groupingSets).
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_price,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS error,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS signup,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot events to user × event_type counts. The pivot value list is
+    declared explicitly — at scale an implicit pivot triggers an extra
+    distinct-values job over the full table."""
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = ev.groupBy("user_id").pivot("event_type", kinds).count()
+    # pivot-count yields NULL for absent combos; normalize to 0 like the oracle
+    return out.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+    )
+
+
+@query(
+    "q_topk_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, rk FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY p_brand
+                   ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS rk
+        FROM part)
+    WHERE rk <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per group via ranked window + filter — Spark pushes a per-group
+    limit (WindowGroupLimit) so each partition keeps only k rows pre-shuffle."""
+    from pyspark.sql.window import Window
+
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return (
+        part.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )

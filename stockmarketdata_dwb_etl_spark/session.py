@@ -1,0 +1,50 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Every entry point (tests, bench, driver) goes through :func:`get_spark` so
+AQE, shuffle sizing, Arrow exchange and the UTC session timezone are applied
+uniformly. On a real cluster the same builder applies — only ``master`` and
+memory sizing change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "stockmarketdata-dwb-etl-spark",
+    cpus: str | int | None = None,
+    shuffle_partitions: str | int | None = None,
+) -> SparkSession:
+    """Create (or reuse) the engine SparkSession.
+
+    Defaults follow the 100 TB posture scaled down to local mode:
+    - AQE on (runtime join-strategy switching, skew splitting, partition
+      coalescing) — the engine relies on it instead of hand-tuned plans.
+    - ``spark.sql.shuffle.partitions`` sized to the local core count; on a
+      cluster this is AQE-coalesced anyway.
+    - Arrow enabled for every pandas_udf / toPandas exchange.
+    - Session timezone pinned to UTC so timestamp semantics match the
+      DuckDB oracle and are stable across hosts.
+    """
+    cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = str(shuffle_partitions or os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", shuffle_partitions)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # events.parquet stores TIMESTAMP(NANOS) which Spark cannot read as
+        # a timestamp; read as raw nanos and convert in catalog.load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -3,4 +3,5 @@
 from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
     aggregates,
     core,
+    scalars,
 )

@@ -1,0 +1,87 @@
+"""As-of (time-travel) join — composed from union + window, shuffle-once.
+
+Spark's DataFrame API has no native ASOF JOIN (DuckDB does). The naive
+range-join formulation (``l.ts >= r.ts`` + pick max) explodes to a
+near-cartesian product per key at scale. This implementation instead:
+
+1. unions both sides into one stream tagged by side,
+2. sorts within each key partition by (ts, side) — one shuffle total,
+3. carries the latest right-side payload forward with
+   ``last(..., ignorenulls=True)`` over an unbounded-preceding frame,
+4. keeps only left rows.
+
+Cost at 100 TB: a single hash-partition shuffle on the key (same as any
+join) + a per-partition sort — no row multiplication, skew handled by AQE.
+Right rows at exactly ``left.ts`` are matched (backward-inclusive), same as
+DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    right_payload: Sequence[str],
+) -> DataFrame:
+    """Left as-of join: every left row + the right-side payload of the most
+    recent right row with ``right.ts <= left.ts`` for the same key.
+
+    ``left`` and ``right`` must both expose ``key_cols`` and ``ts_col``;
+    ``right_payload`` names the right columns to carry (must not collide
+    with left columns — rename upstream).
+    """
+    key_cols = list(key_cols)
+    left_payload = [c for c in left.columns if c not in key_cols and c != ts_col]
+
+    # The right payload travels as ONE struct so a NULL payload *field*
+    # cannot be back-filled from an older right row than the other fields —
+    # last(ignorenulls) skips only whole missing rows (left-side rows).
+    payload_struct = F.struct(*[F.col(c) for c in right_payload])
+    payload_type = right.select(payload_struct.alias("p")).schema["p"].dataType
+
+    l_tagged = left.select(
+        *key_cols,
+        F.col(ts_col),
+        F.lit(1).alias("__side"),
+        *left_payload,
+        F.lit(None).cast(payload_type).alias("__rpay"),
+    )
+    r_tagged = right.select(
+        *key_cols,
+        F.col(ts_col),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+        payload_struct.alias("__rpay"),
+    )
+
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *key_cols,
+        ts_col,
+        "__side",
+        *left_payload,
+        F.last("__rpay", ignorenulls=True).over(w).alias("__rpay"),
+    )
+    return (
+        filled.filter(F.col("__side") == 1)
+        .select(
+            *key_cols,
+            ts_col,
+            *left_payload,
+            *[F.col(f"__rpay.{c}").alias(c) for c in right_payload],
+        )
+    )

@@ -3,5 +3,7 @@
 from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
     aggregates,
     core,
+    joins,
     scalars,
+    windows,
 )

@@ -1,0 +1,227 @@
+"""Join surface: equi (hash/broadcast), outer, semi/anti, theta/band,
+cross and as-of joins.
+
+Scale posture: dimension tables (region/nation/part-slices) are broadcast
+explicitly; the band join broadcasts its deliberately-small probe side so
+the planner emits BroadcastNestedLoopJoin instead of a cartesian shuffle;
+the as-of join is the shuffle-once union+window composition from
+operators/asof.py rather than a range-join explosion. Everything else is a
+plain shuffled hash/sort-merge join that AQE may re-plan at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stockmarketdata_dwb_etl_spark.catalog import load_table
+from stockmarketdata_dwb_etl_spark.functions.exact import exact_sum, sql_exact_sum
+from stockmarketdata_dwb_etl_spark.operators.asof import asof_join_backward
+from stockmarketdata_dwb_etl_spark.registry import query
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT c_custkey, c_name, n_name, r_name
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema equi-join; both dims broadcast (they are tiny at every
+    scale factor — nation=25, region=5 rows)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, p_brand, p_retailprice
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size < 20
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⨝ broadcast(dim): part is ~1/30 the size of lineitem — the
+    explicit broadcast avoids shuffling the big fact table entirely."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 20)
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_orderkey", "l_linenumber", "p_brand", "p_retailprice"
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer
+    LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') p
+      ON c_custkey = p.o_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT JOIN preserving null-probe rows (customers without a pending
+    order keep NULL order columns)."""
+    cust = load_table(spark, sf_dir, "customer")
+    pending = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return cust.join(pending, cust.c_custkey == pending.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+    SELECT coalesce(f.o_custkey, p.o_custkey) AS custkey, n_f, n_p
+    FROM (SELECT o_custkey, COUNT(*) AS n_f FROM orders
+          WHERE o_orderstatus = 'F' GROUP BY o_custkey) f
+    FULL OUTER JOIN
+         (SELECT o_custkey, COUNT(*) AS n_p FROM orders
+          WHERE o_orderstatus = 'P' GROUP BY o_custkey) p
+      ON f.o_custkey = p.o_custkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER on overlapping + disjoint key sets."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_f"))
+    )
+    p = (
+        orders.filter(F.col("o_orderstatus") == "P")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_p"))
+    )
+    return f.join(p, "o_custkey", "full").select(
+        F.col("o_custkey").alias("custkey"), "n_f", "n_p"
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI: customers with at least one big order — no row
+    multiplication, probe side streamed."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI: customers with no pending order."""
+    cust = load_table(spark, sf_dir, "customer")
+    pending = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return cust.join(pending, cust.c_custkey == pending.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_range",
+    oracle=f"""
+    SELECT p1.p_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           {sql_exact_sum('p2.p_retailprice', 'sum_neighbor_price')}
+    FROM part p1
+    JOIN part p2
+      ON p2.p_size BETWEEN p1.p_size - 1 AND p1.p_size + 1
+     AND p2.p_partkey <> p1.p_partkey
+    WHERE p1.p_partkey % 100 = 0
+    GROUP BY p1.p_partkey
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (theta) join: parts within ±1 size of each probe part.
+
+    The probe side is deliberately small (1% of part) and broadcast, so the
+    physical plan is BroadcastNestedLoopJoin over a streamed part scan — no
+    cartesian shuffle. At 100 TB the same shape holds: tiny probe set ×
+    large table.
+    """
+    part = load_table(spark, sf_dir, "part")
+    p1 = part.filter(F.col("p_partkey") % 100 == 0).select(
+        F.col("p_partkey").alias("p1_partkey"), F.col("p_size").alias("p1_size")
+    )
+    p2 = part.select("p_partkey", "p_size", "p_retailprice")
+    cond = (
+        (F.col("p_size") >= F.col("p1_size") - 1)
+        & (F.col("p_size") <= F.col("p1_size") + 1)
+        & (F.col("p_partkey") != F.col("p1_partkey"))
+    )
+    joined = F.broadcast(p1).join(p2, cond, "inner")
+    return (
+        joined.groupBy("p1_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            exact_sum(F.col("p_retailprice"), "sum_neighbor_price"),
+        )
+        .select(F.col("p1_partkey").alias("p_partkey"), "n_neighbors", "sum_neighbor_price")
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+        SELECT user_id, ts AS click_ts, event_id AS click_id FROM events
+        WHERE event_type = 'click'
+    )
+    SELECT p.user_id, p.ts, p.event_id, CAST(ROUND(p.value, 4) AS DOUBLE) AS value,
+           c.click_id, c.click_ts
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent click at
+    or before it (operators/asof.py — union + window, shuffle-once; cited
+    parity target: DuckDB ASOF JOIN)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.round("value", 4).alias("value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return asof_join_backward(
+        purchases,
+        clicks,
+        key_cols=["user_id"],
+        ts_col="ts",
+        right_payload=["click_id", "click_ts"],
+    )

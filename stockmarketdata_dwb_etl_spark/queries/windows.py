@@ -1,0 +1,146 @@
+"""Window-function surface: ranking, lag/%-change, moving average, running
+sum, ntile.
+
+q_window_lag_change recomputes the reference's ``Change %`` column
+(/root/reference/stock_data.csv col 7, produced upstream by the scraped
+site) from first principles with ``lag`` — the canonical OHLCV derivation.
+q_window_moving_avg is the SMA of the same domain.
+
+Determinism: every orderBy carries a unique tie-break key (event_id /
+orderkey) per SURVEY.md §2B policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stockmarketdata_dwb_etl_spark.catalog import load_table
+from stockmarketdata_dwb_etl_spark.registry import query
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+           CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+           CAST(RANK() OVER w AS INTEGER) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.row_number().over(w).cast("int").alias("rn"),
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+    )
+
+
+@query(
+    "q_window_lag_change",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           CAST(ROUND((value - LAG(value) OVER w)
+                 / nullif(LAG(value) OVER w, 0) * 100, 4) AS DOUBLE) AS pct_change
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_lag_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent change vs previous observation per user — recomputes the
+    reference's 'Change %' semantics (stock_data.csv col 7; parse target at
+    dump_bigq.py:124-128) from the raw series."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.round((F.col("value") - prev) / F.nullif(prev, F.lit(0)) * 100, 4)
+        .cast("double")
+        .alias("pct_change"),
+    )
+
+
+@query(
+    "q_window_moving_avg",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(ROUND(AVG(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS sma7
+    FROM events
+    """,
+)
+def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row simple moving average per user — the SMA of the OHLCV domain."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.avg("value").over(w), 4).cast("double").alias("sma7"),
+    )
+
+
+@query(
+    "q_window_running_sum",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
+             AS running_total
+    FROM orders
+    """,
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 4).cast("double").alias("running_total"),
+    )
+
+
+@query(
+    "q_window_ntile",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile
+    FROM customer
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) of customers by balance. Note: a global (unpartitioned)
+    window is a single-reducer operation — acceptable for ranked
+    percentiles over dimension-sized tables; for fact-scale data prefer
+    approx percentile bucketing instead."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )

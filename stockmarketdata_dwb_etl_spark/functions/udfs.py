@@ -1,0 +1,54 @@
+"""Arrow-vectorized Python UDF surface.
+
+The engine's rule (SURVEY.md §2B scale posture): built-in Column expressions
+first; when Python is genuinely needed, Arrow-batched pandas UDFs — never
+row-at-a-time ``F.udf``. These implementations exist to prove the UDF
+machinery end-to-end; parse_kmb_udf is semantically identical to the pure
+expression ``functions.parsing.parse_kmb`` (dump_bigq.py:70-86) and is
+differentially tested against it.
+
+UDFs are built lazily (pandas_udf return-type parsing needs an active
+SparkSession, which doesn't exist at import time) and cached.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
+from stockmarketdata_dwb_etl_spark.functions.parsing import KMB_MULTIPLIERS
+
+
+@functools.cache
+def parse_kmb_udf():
+    """Vectorized K/M/B parse (reference semantics, dump_bigq.py:70-86):
+    '763.44M' → 763_440_000.0; ''/'nan'/bad → NULL."""
+
+    @pandas_udf("double")
+    def _parse_kmb(raw: pd.Series) -> pd.Series:
+        t = raw.str.strip()
+        t = t.mask(t.eq("") | t.str.lower().eq("nan"))
+        mult = t.str[-1:].map(KMB_MULTIPLIERS)
+        body = t.str[:-1].where(mult.notna(), t).str.replace(",", "", regex=False)
+        parsed = pd.to_numeric(body, errors="coerce")
+        return parsed * mult.fillna(1.0)
+
+    return _parse_kmb
+
+
+@functools.cache
+def weighted_avg_udf():
+    """Grouped-agg pandas UDF: sum(value*weight)/sum(weight) per group.
+    pandas sums are pairwise (more accurate than sequential) — callers
+    round to 4dp per the oracle determinism policy."""
+
+    @pandas_udf("double")
+    def _weighted_avg(value: pd.Series, weight: pd.Series) -> float:
+        wsum = float(weight.sum())
+        if wsum == 0.0:
+            return None
+        return float((value * weight).sum() / wsum)
+
+    return _weighted_avg

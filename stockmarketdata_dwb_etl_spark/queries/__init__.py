@@ -3,7 +3,9 @@
 from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
     aggregates,
     core,
+    dataops,
     joins,
     scalars,
+    udfs,
     windows,
 )

@@ -6,6 +6,7 @@ from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
     dataops,
     joins,
     scalars,
+    streaming_q,
     udfs,
     windows,
 )

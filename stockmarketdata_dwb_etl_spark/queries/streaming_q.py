@@ -1,0 +1,173 @@
+"""Time-window / streaming query surface (SURVEY.md §2B M7).
+
+Tumbling, session and sliding windows run as batch here (identical
+semantics to their streaming forms — asserted by the batch≡stream
+equivalence tests in tests/test_streaming.py); q_stream_watermark and
+q_stream_dedup execute REAL Structured Streaming replays (file source,
+availableNow) and are rows-only checks (watermark/late-data semantics have
+no DuckDB analog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stockmarketdata_dwb_etl_spark.catalog import load_table
+from stockmarketdata_dwb_etl_spark.functions.exact import exact_sum, sql_exact_sum
+from stockmarketdata_dwb_etl_spark.registry import query
+from stockmarketdata_dwb_etl_spark.streaming.jobs import (
+    prepare_event_chunks,
+    read_events_stream,
+    run_stream_to_parquet,
+)
+
+
+@query(
+    "q_tumbling_window",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           COUNT(*) AS n_events,
+           {sql_exact_sum('value', 'sum_value')}
+    FROM events
+    GROUP BY date_trunc('hour', ts)
+    """,
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window counts+sums over event time. Same groupBy
+    works unchanged on a stream (see tests/test_streaming.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    return (
+        ev.groupBy(win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum(F.col("value"), "sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_session_window",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sess_id
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) per user with the native
+    session_window; the oracle derives identical sessions from first
+    principles (lag + cumulative sum) — the two formulations must agree."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "q_sliding_window",
+    oracle="""
+    WITH expanded AS (
+        SELECT user_id,
+               make_timestamp((floor(epoch(ts))::BIGINT // 900) * 900 * 1000000
+                              - k * 900 * 1000000) AS window_start
+        FROM events, generate_series(0, 3) t(k)
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           user_id,
+           COUNT(*) AS n_events
+    FROM expanded
+    GROUP BY window_start, user_id
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 min: each event lands in 4 windows.
+    The oracle expands the 4 buckets arithmetically — same window grid."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "15 minutes")
+    return (
+        ev.groupBy(win.alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+@query("q_stream_watermark")  # rows-only: watermark/late-data has no DuckDB analog
+def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming run: replay events as a chunked file
+    stream, 10-min watermark, 1-hour tumbling agg, append mode — only
+    watermark-finalized windows reach the sink (windows still open when the
+    replay ends are withheld, so the count is below the batch answer)."""
+    chunks = prepare_event_chunks(spark, sf_dir)
+    stream = read_events_stream(spark, chunks)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    sink = run_stream_to_parquet(agg, "watermark_tumbling")
+    return spark.read.parquet(sink)
+
+
+@query("q_stream_dedup")  # rows-only: streaming-state semantics
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: replay the stream unioned with itself (every event
+    arrives twice) and drop duplicates on event_id within the watermark —
+    the sink must contain each event exactly once."""
+    chunks = prepare_event_chunks(spark, sf_dir)
+    doubled = read_events_stream(spark, chunks).union(
+        read_events_stream(spark, chunks)
+    )
+    deduped = (
+        doubled.withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+    sink = run_stream_to_parquet(deduped, "stream_dedup")
+    return spark.read.parquet(sink)

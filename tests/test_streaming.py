@@ -1,0 +1,63 @@
+"""Batch ≡ stream equivalence (SURVEY.md §5.4): the same windowed
+aggregation computed over the full batch and over the replayed file stream
+must converge to identical final state."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.compare import canon_frame
+from tests.conftest import SF_DIR
+
+
+def test_tumbling_batch_equals_stream(spark):
+    from stockmarketdata_dwb_etl_spark.registry import QUERIES, load_all
+    from stockmarketdata_dwb_etl_spark.streaming.jobs import (
+        prepare_event_chunks,
+        read_events_stream,
+        run_stream_to_parquet,
+    )
+
+    load_all()
+    batch = QUERIES["q_tumbling_window"](spark, SF_DIR).toPandas()
+
+    chunks = prepare_event_chunks(spark, SF_DIR)
+    stream = read_events_stream(spark, chunks)
+    # No watermark + availableNow: every window is emitted when the replay
+    # drains, so the final state must equal the batch answer exactly.
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.trigger(availableNow=True)
+        .outputMode("complete")
+        .format("memory")
+        .queryName("tumbling_stream_state")
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM tumbling_stream_state").toPandas()
+    assert canon_frame(got) == canon_frame(batch)
+
+
+def test_stream_dedup_exact_once(spark):
+    from stockmarketdata_dwb_etl_spark.catalog import load_table
+    from stockmarketdata_dwb_etl_spark.registry import QUERIES, load_all
+
+    load_all()
+    n_events = load_table(spark, SF_DIR, "events").count()
+    deduped = QUERIES["q_stream_dedup"](spark, SF_DIR)
+    assert deduped.count() == n_events
+    assert deduped.select("event_id").distinct().count() == n_events

@@ -1,0 +1,73 @@
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced through the noop sink (full distributed execution, no
+driver-side collect — the honest way to time a plan). One untimed warm-up
+run of a small query absorbs JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_agg_groupby",
+    "q_agg_distinct",
+    "q_join_broadcast",
+    "q_join_inner",
+    "q_join_asof",
+    "q_window_rank",
+    "q_window_moving_avg",
+    "q_topk_per_group",
+    "q_orderby_limit",
+    "q_pivot",
+    "q_dedup_exact",
+    "q_tokenize_wordcount",
+    "q_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from stockmarketdata_dwb_etl_spark.registry import QUERIES, load_all
+    from stockmarketdata_dwb_etl_spark.session import get_spark
+
+    load_all()
+    spark = get_spark(app_name="bench")
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    run("q_orderby_limit")  # warm-up: JVM, codegen, parquet footer cache
+
+    # best-of-2: steady-state throughput, not first-run plan compilation
+    timings = {name: round(min(run(name), run(name)), 3) for name in HEADLINE}
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_battery_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -5,6 +5,7 @@ from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
     core,
     dataops,
     joins,
+    pipeline_q,
     scalars,
     streaming_q,
     udfs,

@@ -1,0 +1,32 @@
+"""stock_ingest pipeline: materialized medallion flow with truncate-load
+semantics (idempotent re-run, ref WRITE_TRUNCATE dump_bigq.py:137)."""
+
+from __future__ import annotations
+
+import os
+
+from tests.conftest import SF_DIR
+
+OUT = "/root/repo/.scratch/pipeline_test"
+
+
+def test_run_pipeline_counts_and_idempotence(spark):
+    from pipelines.stock_ingest import run_pipeline
+
+    counts1 = run_pipeline(spark, SF_DIR, OUT)
+    assert counts1["bronze"] == counts1["silver"] == counts1["gold"] > 0
+
+    # daily refresh: re-run overwrites, same result (truncate-load)
+    counts2 = run_pipeline(spark, SF_DIR, OUT)
+    assert counts1 == counts2
+
+    gold = spark.read.parquet(os.path.join(OUT, "gold"))
+    assert set(gold.columns) == {
+        "stock_name", "Date", "Price", "Open", "High", "Low", "Vol",
+        "Change", "sma7",
+    }
+    # silver types follow the reference warehouse schema (dump_bigq.py:47-56)
+    silver = spark.read.parquet(os.path.join(OUT, "silver"))
+    dtypes = dict(silver.dtypes)
+    assert dtypes["Date"] == "date"
+    assert all(dtypes[c] == "double" for c in ("Price", "Open", "High", "Low", "Vol"))

@@ -1,0 +1,232 @@
+"""Near-duplicate detection at corpus scale: MinHash-LSH and SimHash.
+
+Both are hand-rolled on pure DataFrame operations (no MLlib vector
+conversions, no UDFs, no collect) so every stage is a Catalyst plan:
+
+MinHash-LSH (the shingle→minhash→band→bucket-join pipeline):
+1. shingle documents (k-word shingles, distinct),
+2. 64 minhash permutations via universal hashing
+   h_i(x) = (aᵢ·x + bᵢ) mod p over xxhash64(shingle) — partial-aggregated
+   per-document mins (one shuffle),
+3. band signatures (16 bands × 4 rows) hashed to buckets,
+4. candidate pairs = self-join within buckets (bucket-size capped to keep
+   the join linear under adversarial skew),
+5. exact Jaccard verification on the shingle sets.
+
+At 100 TB: shuffles are on (doc_id) and (band_hash) only; no all-pairs
+stage ever materializes. Fixed seed ⇒ byte-deterministic output.
+
+SimHash: 64-bit sign-vote fingerprint over word hashes; near-dup pairs by
+Hamming distance via the 4×16-bit pigeonhole band join.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stockmarketdata_dwb_etl_spark.functions.text import tokenize, word_shingles
+
+MERSENNE_P31 = (1 << 31) - 1  # modulus: products of 31-bit values fit a long
+
+
+def _perm_params(n_perm: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE_P31), rng.randrange(0, MERSENNE_P31))
+        for _ in range(n_perm)
+    ]
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = 64,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<bigint>[n_perm], n_shingles) per document."""
+    shingled = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(tokenize(F.col(text_col)), shingle_k)).alias(
+            "shingles"
+        ),
+    )
+    exploded = shingled.select(
+        "id", F.explode("shingles").alias("sh")
+    ).withColumn("h", F.pmod(F.xxhash64("sh"), F.lit(MERSENNE_P31)))
+
+    params = _perm_params(n_perm, seed)
+    mins = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_P31))).alias(
+            f"m{i}"
+        )
+        for i, (a, b) in enumerate(params)
+    ]
+    per_doc = exploded.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_shingles"), *mins
+    )
+    return per_doc.select(
+        "id",
+        "n_shingles",
+        F.array(*[F.col(f"m{i}") for i in range(n_perm)]).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Distinct (id_a < id_b) candidate pairs sharing ≥1 LSH band bucket.
+
+    ``max_bucket`` caps pathological buckets (boilerplate-heavy corpora)
+    so the within-bucket self-join stays near-linear.
+    """
+    bands = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        F.xxhash64(
+                            F.slice("sig", j * rows_per_band + 1, rows_per_band),
+                            F.lit(j),
+                        ).alias("bh"),
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "b.band_id", "b.bh")
+
+    w = Window.partitionBy("band_id", "bh")
+    bands = bands.withColumn("__bucket_n", F.count(F.lit(1)).over(w)).filter(
+        F.col("__bucket_n") <= max_bucket
+    )
+
+    a = bands.select(F.col("id").alias("id_a"), "band_id", "bh")
+    b = bands.select(F.col("id").alias("id_b"), "band_id", "bh")
+    return (
+        a.join(b, ["band_id", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a, id_b, jaccard ≥ threshold): LSH
+    candidates verified with exact Jaccard over the shingle sets."""
+    shingled = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(tokenize(F.col(text_col)), shingle_k)).alias(
+            "shingles"
+        ),
+    )
+    sigs = minhash_signatures(docs, id_col, text_col, seed=seed, shingle_k=shingle_k)
+    cands = lsh_candidate_pairs(sigs)
+
+    sa = shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, fp: array<bigint>[4]) — 64-bit SimHash as 4×16-bit chunks
+    (chunked for the Hamming pigeonhole band join). Sign-votes per bit over
+    xxhash64(word) — partial-aggregated, one shuffle."""
+    exploded = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokenize(F.col(text_col))).alias("w"),
+    ).withColumn("h", F.xxhash64("w"))
+
+    votes = [
+        F.sum(
+            F.shiftright("h", bit).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"v{bit}")
+        for bit in range(64)
+    ]
+    per_doc = exploded.groupBy("id").agg(*votes)
+
+    def chunk(c: int):
+        bits = [
+            (F.col(f"v{c * 16 + k}") >= 0).cast("bigint") * F.lit(1 << k)
+            for k in range(16)
+        ]
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out.alias(f"fp{c}")
+
+    per_doc = per_doc.select("id", *[chunk(c) for c in range(4)])
+    return per_doc.select(
+        "id", F.array(*[F.col(f"fp{c}") for c in range(4)]).alias("fp")
+    )
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance ≤ max_hamming (< 16 chunks
+    guarantee: any pair within distance 3 shares ≥1 identical 16-bit chunk
+    — pigeonhole over 4 chunks)."""
+    fps = simhash_fingerprints(docs, id_col, text_col)
+    bands = fps.select(
+        "id",
+        "fp",
+        F.posexplode("fp").alias("chunk_id", "chunk_val"),
+    )
+    a = bands.select(
+        F.col("id").alias("id_a"), F.col("fp").alias("fp_a"), "chunk_id", "chunk_val"
+    )
+    b = bands.select(
+        F.col("id").alias("id_b"), F.col("fp").alias("fp_b"), "chunk_id", "chunk_val"
+    )
+    cands = (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.zip_with("fp_a", "fp_b", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cands.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

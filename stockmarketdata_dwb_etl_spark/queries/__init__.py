@@ -4,6 +4,7 @@ from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
     aggregates,
     core,
     dataops,
+    dataops2,
     joins,
     pipeline_q,
     scalars,

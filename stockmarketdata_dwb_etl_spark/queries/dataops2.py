@@ -1,0 +1,282 @@
+"""Extended training-data operators: near-dup dedup (MinHash-LSH, SimHash,
+n-gram Jaccard), text quality / language-ID / fingerprinting, ANN search,
+multimodal plumbing.
+
+Near-dup fixtures: documents has no near-duplicates by construction, so
+queries inject them deterministically — doc_id+1_000_000 copies with a
+3-token suffix appended (high-Jaccard neighbors) — identically on both
+engines where an oracle exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stockmarketdata_dwb_etl_spark.catalog import load_table
+from stockmarketdata_dwb_etl_spark.functions.text import (
+    lang_scores,
+    quality_exprs,
+    tokenize,
+    word_shingles,
+)
+from stockmarketdata_dwb_etl_spark.operators.dedup import (
+    minhash_near_dups,
+    simhash_near_dups,
+)
+from stockmarketdata_dwb_etl_spark.operators.similarity import ann_cosine_topk
+from stockmarketdata_dwb_etl_spark.registry import query
+from stockmarketdata_dwb_etl_spark.sources.multimodal import (
+    FEATURE_DIM,
+    build_media_table,
+    extract_features,
+)
+
+
+def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" zz1 zz2 zz3")).alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + 12).alias("n_chars"),
+    )
+    return docs.unionByName(dups)
+
+
+@query("q_dedup_minhash")  # rows-only: LSH seeds are engine-internal
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (operators/dedup.py): injected neighbors
+    must surface with Jaccard ≥ 0.7. Fixed seed ⇒ deterministic rows."""
+    return minhash_near_dups(_docs_with_near_dups(spark, sf_dir)).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query("q_dedup_simhash")  # rows-only: hash family is engine-internal
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs by Hamming ≤ 3 over 64-bit sign-vote
+    fingerprints with the 4×16-bit pigeonhole band join."""
+    return simhash_near_dups(_docs_with_near_dups(spark, sf_dir)).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text || ' zz1 zz2 zz3' AS text
+        FROM documents WHERE doc_id % 10 = 0
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM aug)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                / len(list_distinct(list_concat(a.shingles, b.shingles))), 4)
+                AS DOUBLE) AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard between each original and its injected
+    neighbor — the ground-truth near-dup metric (array set ops, JVM-side).
+    """
+    aug = _docs_with_near_dups(spark, sf_dir)
+    sh = aug.select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokenize(F.col("text")), 3)).alias("shingles"),
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return a.join(b, F.col("id_b") == F.col("id_a") + 1_000_000).select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+            4,
+        ).alias("jaccard"),
+    )
+
+
+@query(
+    "q_lang_id",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                    ['the','a','of','and','to'])) AS INTEGER) AS en_score,
+               CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                    ['el','la','de','y','que'])) AS INTEGER) AS es_score,
+               CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                    ['der','die','das','und','zu'])) AS INTEGER) AS de_score
+        FROM documents)
+    SELECT doc_id, en_score, es_score, de_score,
+           CASE WHEN en_score >= es_score AND en_score >= de_score THEN 'en'
+                WHEN es_score >= de_score THEN 'es'
+                ELSE 'de' END AS predicted
+    FROM scored
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-profile overlap, argmax with a fixed
+    tie order (en > es > de)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = lang_scores(tokenize(F.col("text")))
+    en, es, de = (scores[k].cast("int") for k in ("en", "es", "de"))
+    return docs.select(
+        "doc_id",
+        en.alias("en_score"),
+        es.alias("es_score"),
+        de.alias("de_score"),
+        F.when((en >= es) & (en >= de), "en")
+        .when(es >= de, "es")
+        .otherwise("de")
+        .alias("predicted"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER)
+             AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'))
+             AS INTEGER) AS n_bpe_tokens,
+           CAST(ROUND(len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]'))::DOUBLE
+                / length(text), 4) AS DOUBLE) AS punct_ratio,
+           CAST(len(list_intersect(
+                list_distinct(list_filter(string_split(text, ' '), x -> x <> '')),
+                ['the','a','of','and','to'])) AS INTEGER) AS stopword_hits,
+           CAST(ROUND((length(text)
+                  - len(list_filter(string_split(text, ' '), x -> x <> '')) + 1)::DOUBLE
+                / nullif(len(list_filter(string_split(text, ' '), x -> x <> '')), 0), 4)
+             AS DOUBLE) AS mean_token_len
+    FROM documents
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring battery: lengths, token counts (whitespace + BPE-ish
+    regex), punctuation ratio, stopword hits, mean token length."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_exprs(F.col("text"))
+    return docs.select("doc_id", *[q[k].alias(k) for k in q])
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           MIN(md5(sh)) AS fingerprint,
+           CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_shingles
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents)
+    )
+    GROUP BY doc_id
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: min-md5 over 3-gram shingles (a 1-permutation
+    MinHash, engine-agnostic because md5 is standardized) + shingle count.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(word_shingles(tokenize(F.col("text")), 3)).alias("sh"),
+    )
+    return sh.groupBy("doc_id").agg(
+        F.min(F.md5("sh")).alias("fingerprint"),
+        F.countDistinct("sh").alias("n_shingles"),
+    )
+
+
+def _embeddings_with_near_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings + 20 injected near-neighbors of the probe vector
+    (deterministic small perturbations, cosine ≈ 0.99+). The fixture
+    embeddings are near-random vs the probe (top cosine ≈ 0.33), so the
+    injected set provides genuine neighbors for ANN to find — mirroring
+    the near-dup text injection."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("pv"))
+    injected = (
+        spark.range(1, 21)
+        .join(F.broadcast(probe))
+        .select(
+            (F.col("id") + 2_000_000).alias("vec_id"),
+            F.lit(-1).alias("label"),
+            F.transform(
+                "pv",
+                lambda x, i: (
+                    x.cast("double")
+                    + ((F.col("id") * 31 + i) % 7 - 3).cast("double") * 0.002
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+    )
+    return emb.select("vec_id", "label", "embedding").unionByName(injected)
+
+
+@query("q_ann_cosine_topk")  # rows-only: LSH hyperplanes are engine-internal
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 by cosine via random-hyperplane LSH bucket probing
+    (operators/similarity.py) over embeddings augmented with injected
+    near-neighbors; recall vs the exact scan is asserted in
+    tests/test_dataops.py."""
+    emb = _embeddings_with_near_probe(spark, sf_dir)
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("pv"))
+    return ann_cosine_topk(emb.filter(F.col("vec_id") != 0), probe)
+
+
+@query(
+    "q_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata surface: payload sizes + content hash over
+    the opaque binary payload (sources/multimodal.py)."""
+    media = build_media_table(spark, sf_dir)
+    return media.select(
+        "doc_id",
+        "media_type",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+@query("q_multimodal_features")  # rows-only: fake-decode features are engine-internal
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads (Arrow batches;
+    decode stubbed deterministically — sources/multimodal.py)."""
+    media = build_media_table(spark, sf_dir)
+    feats = extract_features(media)
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 4).alias("f0"),
+        F.round(F.element_at("feature", FEATURE_DIM), 4).alias("f7"),
+    )

@@ -1,0 +1,102 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are ``binary`` columns with a typed metadata
+struct; decode / feature-extraction runs as Arrow-batched ``mapInPandas``
+so the heavy per-item work streams through executors in columnar batches
+(never a row-at-a-time Python UDF, never a driver collect).
+
+The actual codec step is STUBBED (this container ships no image/audio
+libraries): ``decode_payload`` raises ``NotImplementedError`` for real
+codecs and the feature extractor uses a clearly-marked deterministic fake
+(sha256-derived bytes) — the Spark-side plumbing (schema, batching,
+partitioning, UDF signature) is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from stockmarketdata_dwb_etl_spark.catalog import load_table
+
+MEDIA_TYPES = ("image", "audio", "video")
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def build_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the media table from documents: payload = utf-8 bytes of
+    the text (stand-in for encoded media), media_type cycled by doc_id,
+    metadata struct alongside."""
+    docs = load_table(spark, sf_dir, "documents")
+    media_type = (
+        F.when(F.col("doc_id") % 3 == 0, MEDIA_TYPES[0])
+        .when(F.col("doc_id") % 3 == 1, MEDIA_TYPES[1])
+        .otherwise(MEDIA_TYPES[2])
+    )
+    payload = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        media_type.alias("media_type"),
+        payload.alias("payload"),
+        F.struct(
+            F.length(payload).cast("int").alias("n_bytes"),
+            F.col("lang").alias("lang"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def decode_payload(media_type: str, payload: bytes) -> bytes:
+    """Real codec entry point — intentionally unimplemented in this
+    container (no PIL/ffmpeg). The pipeline calls the deterministic fake
+    below instead; swap this in when codecs are available."""
+    raise NotImplementedError(
+        f"real {media_type} decoding requires codec libraries not present "
+        "in this environment"
+    )
+
+
+def _fake_decode_features(payload: bytes) -> list[float]:
+    """Deterministic FAKE decode: sha256-derived unit-interval floats.
+    Stands in for (decode → resize/frame-sample → embed)."""
+    digest = hashlib.sha256(payload).digest()
+    return [b / 255.0 for b in digest[:FEATURE_DIM]]
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payload column.
+
+    ``mapInPandas`` streams columnar batches through the executor Python
+    workers; output schema is declared so downstream plans stay typed. The
+    decode step is the documented deterministic fake."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["payload"].map(len).astype("int32"),
+                    "feature": pdf["payload"].map(_fake_decode_features),
+                }
+            )
+
+    return media.select("doc_id", "media_type", "payload").mapInPandas(
+        run, FEATURES_SCHEMA
+    )

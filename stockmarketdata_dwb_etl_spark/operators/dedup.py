@@ -193,6 +193,81 @@ def simhash_fingerprints(
     )
 
 
+def embedding_near_dups(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 32,
+    n_bands: int = 4,
+    seed: int = 7,
+    max_bucket: int = 500,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos_sim ≥
+    threshold) via random-hyperplane LSH banding + exact verification.
+
+    32 sign bits (fixed-seed hyperplanes embedded as plan literals) are
+    split into 4 bands of 8 bits; candidate pairs share ≥1 identical band
+    — P(miss) for a near-identical pair is ~(8ε)⁴ for per-plane flip
+    probability ε, while random pairs match a band with p ≈ 2⁻⁸ so the
+    within-bucket self-join stays near-linear. Exact cosine (double
+    accumulation, JVM-side) filters candidates to true near-dups.
+
+    At 100 TB: shuffles only on (band_id, band_val); no all-pairs stage.
+    Same shape as :func:`minhash_near_dups` with hyperplane bands instead
+    of minhash bands.
+    """
+    from stockmarketdata_dwb_etl_spark.functions.vectors import cosine
+    from stockmarketdata_dwb_etl_spark.operators.similarity import (
+        bucket_expr,
+        hyperplanes,
+    )
+
+    bits_per_band = n_planes // n_bands
+    planes = hyperplanes(n_planes=n_planes, seed=seed)
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        bucket_expr(F.col(vec_col), planes).alias("sig"),
+    )
+    bands = base.select(
+        "id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        F.shiftright("sig", j * bits_per_band)
+                        .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                        .alias("band_val"),
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "v", "b.band_id", "b.band_val")
+
+    w = Window.partitionBy("band_id", "band_val")
+    bands = bands.withColumn("__bucket_n", F.count(F.lit(1)).over(w)).filter(
+        F.col("__bucket_n") <= max_bucket
+    )
+
+    a = bands.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "band_id", "band_val")
+    b = bands.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "band_id", "band_val")
+    cands = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "v_a", "v_b")
+        .distinct()
+    )
+    return (
+        cands.withColumn("cos_sim", F.round(cosine(F.col("v_a"), F.col("v_b")), 4))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def simhash_near_dups(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -38,6 +38,79 @@ def bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def ivf_cosine_topk(
+    emb: DataFrame,
+    probe: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: partition vectors into inverted-file cells, probe only
+    the cells nearest the query.
+
+    Cells are the ``n_cells`` lowest-``vec_id`` vectors (deterministic
+    seeds — a k-means refinement would only move the centroids, not the
+    plan). Every vector is assigned to its max-cosine cell (one broadcast
+    nested-loop over the tiny centroid table + a per-vector argmax, no
+    shuffle of the big side); the probe scores the same centroid table and
+    scans only its ``n_probe`` best cells.
+
+    At 100 TB the assigned table is written ``partitionBy(cell_id)`` so a
+    probe reads n_probe/n_cells of the data (partition pruning); here the
+    cell filter prunes compute with the identical plan shape. No collect,
+    no shuffle of the big side: assignment is a map-side argmax over a
+    broadcast 1-row centroid array.
+    """
+    cents = (
+        emb.filter(F.col("vec_id") < n_cells)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cv")
+            ).alias("c")
+        )
+        .agg(F.array_sort(F.collect_list("c")).alias("cents"))
+    )
+
+    def argmax_cell(vec):
+        init = F.struct(
+            F.lit(-2.0).cast("double").alias("s"), F.lit(-1).cast("bigint").alias("c")
+        )
+        step = lambda acc, ct: F.when(  # noqa: E731
+            cosine(vec, ct.getField("cv")) > acc.getField("s"),
+            F.struct(
+                cosine(vec, ct.getField("cv")).alias("s"),
+                ct.getField("cell_id").alias("c"),
+            ),
+        ).otherwise(acc)
+        return F.aggregate(F.col("cents"), init, step).getField("c")
+
+    assigned = (
+        emb.join(F.broadcast(cents))
+        .withColumn("cell_id", argmax_cell(F.col("embedding")))
+        .select("vec_id", "label", "embedding", "cell_id")
+    )
+
+    probe_cells = (
+        probe.join(F.broadcast(cents))
+        .select("pv", F.explode("cents").alias("c"))
+        .select(
+            "pv",
+            F.col("c.cell_id").alias("cell_id"),
+            cosine(F.col("pv"), F.col("c.cv")).alias("s"),
+        )
+        .orderBy(F.col("s").desc(), "cell_id")
+        .limit(n_probe)
+        .select("pv", "cell_id")
+    )
+    cands = assigned.join(F.broadcast(probe_cells), "cell_id")
+    scored = cands.select(
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("embedding"), F.col("pv")), 4).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(k)
+
+
 def ann_cosine_topk(
     emb: DataFrame,
     probe: DataFrame,

@@ -8,6 +8,7 @@ from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
     joins,
     pipeline_q,
     scalars,
+    storage,
     streaming_q,
     udfs,
     windows,

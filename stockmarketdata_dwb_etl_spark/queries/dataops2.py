@@ -21,10 +21,14 @@ from stockmarketdata_dwb_etl_spark.functions.text import (
     word_shingles,
 )
 from stockmarketdata_dwb_etl_spark.operators.dedup import (
+    embedding_near_dups,
     minhash_near_dups,
     simhash_near_dups,
 )
-from stockmarketdata_dwb_etl_spark.operators.similarity import ann_cosine_topk
+from stockmarketdata_dwb_etl_spark.operators.similarity import (
+    ann_cosine_topk,
+    ivf_cosine_topk,
+)
 from stockmarketdata_dwb_etl_spark.registry import query
 from stockmarketdata_dwb_etl_spark.sources.multimodal import (
     FEATURE_DIM,
@@ -230,6 +234,88 @@ def _embeddings_with_near_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return emb.select("vec_id", "label", "embedding").unionByName(injected)
+
+
+def _embeddings_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings + an injected near-duplicate (vec_id + 2_000_000, tiny
+    deterministic per-dim perturbation, cosine ≈ 0.9999) for every tenth
+    vector. Max natural pairwise cosine in the fixtures is ~0.51, so pairs
+    with cosine ≥ 0.9 are exactly the injected ones — which is what makes
+    the SQL oracle for q_dedup_embedding expressible."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    # perturb FIRST, re-key after: aliasing vec_id+2e6 in the same select
+    # would lateral-rebind the lambda's vec_id to the new value (Spark and
+    # DuckDB both resolve select-list aliases laterally here)
+    dups = (
+        emb.filter(F.col("vec_id") % 10 == 0)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x, i: (
+                    x.cast("double")
+                    + ((F.col("vec_id") * 31 + i) % 7 - 3).cast("double") * 0.002
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+        .select(
+            (F.col("vec_id") + 2_000_000).alias("vec_id"),
+            F.lit(-1).alias("label"),
+            "embedding",
+        )
+    )
+    return emb.unionByName(dups)
+
+
+@query(
+    "q_dedup_embedding",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), dups AS (
+        -- alias must NOT shadow vec_id: DuckDB lateral alias binding would
+        -- rebind the lambda's vec_id to the +2000000 value, unlike Spark
+        SELECT vec_id + 2000000 AS dup_id,
+               CAST(list_transform(generate_series(1, len(v)),
+                    i -> CAST(CAST(v[i] + ((vec_id * 31 + (i - 1)) % 7 - 3) * 0.002
+                              AS FLOAT) AS DOUBLE)) AS DOUBLE[]) AS v
+        FROM base WHERE vec_id % 10 = 0
+    )
+    SELECT a.vec_id AS id_a, b.dup_id AS id_b,
+           -- sequential left-folds, bit-identical to Spark's F.aggregate
+           -- accumulation order (list_dot_product may accumulate pairwise
+           -- and flip a 4-dp rounding boundary)
+           CAST(ROUND(
+               list_reduce(list_transform(generate_series(1, len(a.v)),
+                           i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+               / nullif(
+                   sqrt(list_reduce(list_transform(generate_series(1, len(a.v)),
+                        i -> a.v[i] * a.v[i]), (x, y) -> x + y))
+                 * sqrt(list_reduce(list_transform(generate_series(1, len(b.v)),
+                        i -> b.v[i] * b.v[i]), (x, y) -> x + y)), 0.0),
+               4) AS DOUBLE) AS cos_sim
+    FROM base a JOIN dups b ON b.dup_id = a.vec_id + 2000000
+    ORDER BY id_a
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (operators/dedup.py): hyperplane-LSH
+    banded candidates, exact-cosine verified at threshold 0.9. The oracle
+    enumerates the injected pairs directly — valid because no natural pair
+    reaches 0.9 (max ≈ 0.51) and a near-identical pair escapes all 4 LSH
+    bands with probability ~1e-8."""
+    emb = _embeddings_with_near_dups(spark, sf_dir)
+    return embedding_near_dups(emb, threshold=0.9).orderBy("id_a")
+
+
+@query("q_ann_ivf_topk")  # rows-only: cell seeding is engine-internal
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN top-10 by cosine (operators/similarity.py): vectors
+    assigned to max-cosine cells map-side, probe scans only its 4 best of 16
+    cells; recall vs the exact scan is asserted in tests/test_dataops.py."""
+    emb = _embeddings_with_near_probe(spark, sf_dir)
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("pv"))
+    return ivf_cosine_topk(emb.filter(F.col("vec_id") != 0), probe)
 
 
 @query("q_ann_cosine_topk")  # rows-only: LSH hyperplanes are engine-internal

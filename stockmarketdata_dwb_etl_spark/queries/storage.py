@@ -1,0 +1,127 @@
+"""Storage-layout query surface: partitioned writes with partition pruning
+and bucketed shuffle-free joins — the physical-design levers that make the
+100 TB posture real (SURVEY.md §4: "write silver tables partitioned by
+date / bucketed by key").
+
+The reference's only storage decision is a truncate-reload warehouse table
+(/root/reference/dump_bigq.py:135-145); these operators are its scale-out
+generalization: layout chosen at write time so reads prune partitions and
+joins co-locate without an exchange.
+
+All written artifacts live under /root/repo/.scratch (object-store paths in
+production); bucketed tables register in the session's in-memory catalog
+with explicit LOCATION so nothing persists outside the scratch dir.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stockmarketdata_dwb_etl_spark.catalog import load_table
+from stockmarketdata_dwb_etl_spark.functions.exact import exact_sum, sql_exact_sum
+from stockmarketdata_dwb_etl_spark.registry import query
+
+SCRATCH = "/root/repo/.scratch"
+
+
+def _tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+
+
+def write_events_partitioned(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize events hive-partitioned by event_date (the layout a
+    daily-bars warehouse would use; each @daily run overwrites only its own
+    partition via dynamic partitionOverwriteMode). Idempotent per sf_dir."""
+    out = os.path.join(SCRATCH, "events_by_date", _tag(sf_dir))
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "events")
+            .withColumn("event_date", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(out)
+        )
+    return out
+
+
+@query(
+    "q_partitioned_write",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS event_date,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_exact_sum("value", "sum_value")}
+    FROM events
+    WHERE CAST(ts AS DATE) = (SELECT MIN(CAST(ts AS DATE)) FROM events)
+    GROUP BY 1, 2
+    """,
+)
+def q_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-partitioned write + pruned read-back: aggregate a single
+    partition selected by a dynamic filter (min date, computed as a
+    broadcast-joined 1-row dim — no collect). The scan touches only that
+    partition's files: tests/test_storage.py asserts the pruning in the
+    explain output."""
+    out = write_events_partitioned(spark, sf_dir)
+    back = spark.read.parquet(out)
+    first_day = back.agg(F.min("event_date").alias("event_date"))
+    return (
+        back.join(F.broadcast(first_day), "event_date")
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum(F.col("value"), "sum_value"),
+        )
+    )
+
+
+def write_bucketed(
+    spark: SparkSession, sf_dir: str, table: str, key: str, n_buckets: int = 8
+) -> str:
+    """Write a fixture table bucketed+sorted by its join key as an external
+    table (data under .scratch, metadata in the session's in-memory
+    catalog). Re-registers idempotently per session."""
+    name = f"{table}_bkt_{_tag(sf_dir)}"
+    path = os.path.join(SCRATCH, "bucketed", _tag(sf_dir), table)
+    if not spark.catalog.tableExists(name):
+        (
+            load_table(spark, sf_dir, table)
+            .write.bucketBy(n_buckets, key)
+            .sortBy(key)
+            .option("path", path)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    return name
+
+
+@query(
+    "q_bucketed_join",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           {sql_exact_sum("l_extendedprice", "sum_price")}
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join on pre-bucketed tables: both sides written
+    bucketBy(8, orderkey) sortBy(orderkey), so the sort-merge join runs
+    with NO exchange on either side (asserted in tests/test_storage.py) —
+    at 100 TB this deletes the two largest shuffles of the orders⨝lineitem
+    family. The merge hint pins the bucketed path even where AQE would
+    otherwise broadcast the small side."""
+    orders = spark.table(write_bucketed(spark, sf_dir, "orders", "o_orderkey"))
+    lineitem = spark.table(write_bucketed(spark, sf_dir, "lineitem", "l_orderkey"))
+    joined = orders.hint("merge").join(
+        lineitem, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        exact_sum(F.col("l_extendedprice"), "sum_price"),
+    )

@@ -20,6 +20,7 @@ from stockmarketdata_dwb_etl_spark.streaming.jobs import (
     prepare_event_chunks,
     read_events_stream,
     run_stream_to_parquet,
+    stateful_user_totals,
 )
 
 
@@ -153,6 +154,27 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = run_stream_to_parquet(agg, "watermark_tumbling")
     return spark.read.parquet(sink)
+
+
+@query("q_stream_stateful")  # rows-only: custom-state semantics
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run of the custom applyInPandasWithState operator
+    (streaming/jobs.py::stateful_user_totals): per-user running totals in
+    explicit group state, one emission per (user, microbatch). Returned
+    rows are each user's final state — deterministic, and equal to the
+    batch groupBy answer (asserted in tests/test_streaming.py)."""
+    from pyspark.sql.window import Window
+
+    chunks = prepare_event_chunks(spark, sf_dir)
+    stream = read_events_stream(spark, chunks)
+    sink = run_stream_to_parquet(stateful_user_totals(stream), "stateful_totals")
+    emissions = spark.read.parquet(sink)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        emissions.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", F.round("sum_value", 4).alias("sum_value"))
+    )
 
 
 @query("q_stream_dedup")  # rows-only: streaming-state semantics

@@ -73,6 +73,42 @@ def read_events_stream(spark: SparkSession, chunk_dir: str) -> DataFrame:
     )
 
 
+def stateful_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (n_events, sum_value) kept in explicit group state, the updated
+    totals emitted every microbatch the user appears in.
+
+    This is the escape hatch for operators Spark's built-in stateful ops
+    can't express (custom session logic, CEP, decaying counters): Arrow
+    batches in, Arrow batches out, state co-partitioned with the group key
+    so at 100 TB state shards across executors with no driver involvement.
+    The emission for the batch where a user's count peaks equals the batch
+    ``groupBy(user_id).agg(count, sum)`` answer — the batch≡stream
+    equivalence asserted in tests/test_streaming.py.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: tuple, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, sum_value double",
+        stateStructType="n bigint, s double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_parquet(stream_df: DataFrame, name: str, output_mode: str = "append") -> str:
     """Run a streaming query to completion (availableNow) into a parquet
     sink; returns the sink path. Checkpointed, so semantics match an

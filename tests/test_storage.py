@@ -1,0 +1,116 @@
+"""Physical-layout assertions: partition pruning actually prunes, bucketed
+joins actually skip the exchange — the plan-shape guarantees behind the
+100 TB posture, checked on the real explain output."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_partitioned_read_prunes(spark):
+    """A literal filter on the partition column must reach the scan as a
+    partition filter (0 data files of other dates read)."""
+    from stockmarketdata_dwb_etl_spark.queries.storage import (
+        write_events_partitioned,
+    )
+
+    out = write_events_partitioned(spark, SF_DIR)
+    back = spark.read.parquet(out)
+    one_day = back.select(F.min("event_date")).first()[0]
+    plan = (
+        back.filter(F.col("event_date") == F.lit(one_day))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan
+    assert "event_date" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Both join inputs are bucketed by the key into the same bucket count:
+    the sort-merge join must run with no hash-partitioning exchange."""
+    from stockmarketdata_dwb_etl_spark.queries.storage import write_bucketed
+
+    orders = spark.table(write_bucketed(spark, SF_DIR, "orders", "o_orderkey"))
+    lineitem = spark.table(write_bucketed(spark, SF_DIR, "lineitem", "l_orderkey"))
+    joined = orders.hint("merge").join(
+        lineitem, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_stateful_totals_equal_batch(spark):
+    """Final emission of the applyInPandasWithState operator per user must
+    equal the batch groupBy totals (batch ≡ stream for running state)."""
+    from stockmarketdata_dwb_etl_spark.catalog import load_table
+    from stockmarketdata_dwb_etl_spark.registry import QUERIES, load_all
+
+    load_all()
+    got = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in QUERIES["q_stream_stateful"](spark, SF_DIR).collect()
+    }
+    expect = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for uid, (n, _s) in expect.items():
+        assert got[uid][0] == n
+        assert abs(got[uid][1] - _s) < 1e-6
+
+
+def test_embedding_dedup_finds_all_injected(spark):
+    """Every injected near-dup embedding pair must be found at cos ≥ 0.9 and
+    nothing else (max natural pairwise cosine ≈ 0.51 in the fixtures)."""
+    from stockmarketdata_dwb_etl_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["q_dedup_embedding"](spark, SF_DIR).collect()
+    assert all(r.id_b == r.id_a + 2_000_000 for r in rows)
+    assert all(r.cos_sim >= 0.99 for r in rows)
+    import duckdb
+
+    n_expected = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_DIR}/embeddings.parquet') "
+        "WHERE vec_id % 10 = 0"
+    ).fetchone()[0]
+    assert len(rows) == n_expected
+
+
+def test_ivf_ann_recall_vs_exact(spark):
+    """IVF probing 4/16 cells must still recover most of the exact top-10
+    (injected near-neighbors land in the probe's own cell)."""
+    from stockmarketdata_dwb_etl_spark.functions.vectors import cosine
+    from stockmarketdata_dwb_etl_spark.queries.dataops2 import (
+        _embeddings_with_near_probe,
+    )
+    from stockmarketdata_dwb_etl_spark.registry import QUERIES, load_all
+
+    load_all()
+    emb = _embeddings_with_near_probe(spark, SF_DIR)
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("pv"))
+    exact_df = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("pv")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+    exact = {r.vec_id for r in exact_df.collect()}
+    approx = {r.vec_id for r in QUERIES["q_ann_ivf_topk"](spark, SF_DIR).collect()}
+    assert len(exact & approx) >= 8, f"IVF recall too low: {exact & approx}"

@@ -2,6 +2,7 @@
 
 from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
     aggregates,
+    analytics,
     core,
     dataops,
     dataops2,

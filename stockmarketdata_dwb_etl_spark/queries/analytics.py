@@ -1,0 +1,374 @@
+"""Composite analytics surface: ordered-set / boolean / bitwise aggregates,
+scalar subqueries, TPC-H-shaped multi-join reports, JSON map explosion, a
+JSON source/sink roundtrip, and advanced window frames.
+
+These are the query shapes the reference's warehouse exists to serve
+(SURVEY.md §2B "dwb"): after the OHLCV table lands in BigQuery the analyst
+asks exactly these — medians, top-revenue drilldowns, above-average scans.
+Everything is built-in Catalyst operators; the multi-join reports lean on
+broadcast dims + AQE for join strategy.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stockmarketdata_dwb_etl_spark.catalog import load_table
+from stockmarketdata_dwb_etl_spark.functions.exact import exact_sum, sql_exact_sum
+from stockmarketdata_dwb_etl_spark.registry import query
+
+SCRATCH = "/root/repo/.scratch"
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(quantile_cont(l_quantity, 0.5), 4) AS DOUBLE) AS median_qty,
+           CAST(ROUND(quantile_cont(l_quantity, 0.9), 4) AS DOUBLE) AS p90_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group — Spark `percentile` and
+    DuckDB `quantile_cont` both interpolate linearly at rank (n-1)·p."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.5), 4).alias("median_qty"),
+        F.round(F.percentile("l_quantity", 0.9), 4).alias("p90_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "q_agg_listagg",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): collect_list sorted then
+    joined — deterministic because the order is total."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        region.join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+@query(
+    "q_agg_bool_bitwise",
+    oracle="""
+    SELECT event_type,
+           bool_and(value > 50.0) AS all_gt50,
+           bool_or(value > 50.0) AS any_gt50,
+           CAST(bit_or(user_id) AS BIGINT) AS or_users,
+           CAST(bit_xor(event_id) AS BIGINT) AS xor_events,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_bool_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean (every/any) and bitwise (or/xor) aggregates — all
+    order-independent, so no determinism policy needed."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bool_and(F.col("value") > 50.0).alias("all_gt50"),
+        F.bool_or(F.col("value") > 50.0).alias("any_gt50"),
+        F.bit_or("user_id").alias("or_users"),
+        F.bit_xor("event_id").alias("xor_events"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_above
+    FROM orders
+    WHERE o_totalprice > (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*) FROM orders)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter (orders above the global average price): the
+    1-row aggregate is broadcast-joined — no collect, the same plan a
+    correlated rewrite would produce. The average is computed with the
+    exact-decimal policy so the comparison boundary is engine-independent."""
+    orders = load_table(spark, sf_dir, "orders")
+    avg_price = orders.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_price")
+    )
+    return (
+        orders.join(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+    )
+
+
+@query(
+    "q_tpch_q3",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_exact_sum("l_extendedprice * (1 - l_discount)", "revenue")},
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+      AND l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) on the fixture schema: filtered
+    customer dim broadcast into orders⨝lineitem, hash-agg on orderkey,
+    TakeOrdered top-10 by revenue. Filters push into all three scans."""
+    cutoff = "1997-06-30 00:00:00"
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "l_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(exact_sum(revenue, "revenue"))
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q_tpch_q5",
+    oracle=f"""
+    SELECT n_name,
+           {sql_exact_sum("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): 6-table join where every dim side
+    (supplier, nation, region) is broadcast — only the orders⨝lineitem
+    equi-join shuffles, and AQE may broadcast that too at small sf. The
+    c_nationkey = s_nationkey clause is the 'local' join condition."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(exact_sum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+@query(
+    "q_props_map",
+    oracle="""
+    WITH kv AS (
+        SELECT unnest(json_keys(props)) AS prop_key, props FROM events
+    )
+    SELECT prop_key,
+           COUNT(*) AS n,
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.' || prop_key)
+                AS INTEGER)) AS BIGINT) AS sum_val,
+           MIN(TRY_CAST(json_extract_string(props, '$.' || prop_key)
+                AS INTEGER)) AS min_val,
+           MAX(TRY_CAST(json_extract_string(props, '$.' || prop_key)
+                AS INTEGER)) AS max_val
+    FROM kv
+    GROUP BY prop_key
+    """,
+)
+def q_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured explosion: parse the JSON props column into a typed
+    map, explode to (key, value) rows, aggregate per key — from_json +
+    explode stay JVM-side (no UDF)."""
+    ev = load_table(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(F.from_json("props", "map<string,int>")).alias("prop_key", "val")
+    )
+    return kv.groupBy("prop_key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("val").cast("bigint")).alias("sum_val"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+@query(
+    "q_json_source",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           {sql_exact_sum("value", "sum_value")},
+           MAX(ts) AS max_ts
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source roundtrip (ref S10/S11 generalized to a
+    second text format): write events as JSONL with microsecond timestamps,
+    read back with an explicit schema, aggregate — values and timestamps
+    must survive the text roundtrip bit-exactly."""
+    from stockmarketdata_dwb_etl_spark.streaming.jobs import EVENTS_SCHEMA
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    out = os.path.join(SCRATCH, "events_json", tag)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "events")
+            .write.mode("overwrite")
+            .option("timestampFormat", _TS_FMT)
+            .json(out)
+        )
+    back = spark.read.schema(EVENTS_SCHEMA).option("timestampFormat", _TS_FMT).json(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum(F.col("value"), "sum_value"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+@query("q_approx_distinct")  # rows-only: HLL sketches differ across engines
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct users per event type — the
+    sketch-based path for cardinalities where exact count(DISTINCT) would
+    shuffle every value; accuracy vs exact is asserted in
+    tests/test_analytics.py (rsd 1%)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_window_first_last",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(value) OVER w AS first_val,
+           last_value(value) OVER w AS last_val,
+           nth_value(value, 2) OVER w AS second_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value over a full-partition frame (explicit, because
+    the default last_value frame is the running row)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first_value("value").over(w).alias("first_val"),
+        F.last_value("value").over(w).alias("last_val"),
+        F.nth_value("value", 2).over(w).alias("second_val"),
+    )
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_last_hour,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) OVER w, 4) AS DOUBLE)
+             AS sum_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event-time seconds: per event, count+sum of the
+    user's events in the trailing hour — the time-decayed-feature shape.
+    Peers (same second) share frame results in both engines; the sum uses
+    the exact-decimal policy because frame accumulation order differs."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.round(F.sum(F.col("value").cast("decimal(38,6)")).over(w), 4)
+        .cast("double")
+        .alias("sum_last_hour"),
+    )

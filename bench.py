@@ -30,6 +30,11 @@ HEADLINE = [
     "q_dedup_exact",
     "q_tokenize_wordcount",
     "q_cosine_topk",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_dedup_minhash",
+    "q_window_range_frame",
+    "q_agg_percentile",
 ]
 
 

@@ -28,15 +28,24 @@ def tokenize(text: Column) -> Column:
 
 def word_shingles(words: Column, k: int = 3) -> Column:
     """k-word shingles: ['a','b','c','d'] → ['a b c','b c d'] (k=3).
-    Empty array when the document has fewer than k words."""
+    Empty array when the document has fewer than k words.
+
+    Implementation note: built from k aligned ``slice``s folded with
+    ``zip_with``, NOT ``transform`` + ``element_at``. Higher-order-function
+    lambdas are not common-subexpression-eliminated, so an ``element_at``
+    formulation re-evaluates the whole ``words`` expression (often a
+    ``filter(split(text))``) per element per position — ~3k× per row. The
+    slice/zip form references ``words`` only k+1 times."""
     n = F.size(words)
-    idx = F.sequence(F.lit(1), n - (k - 1))
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(words, i + j) for j in range(k)]
-    )
-    return F.when(n >= k, F.transform(idx, shingle)).otherwise(
-        F.array().cast("array<string>")
-    )
+    cnt = F.greatest(n - (k - 1), F.lit(0))
+    out = F.slice(words, 1, cnt)
+    for j in range(1, k):
+        out = F.zip_with(
+            out,
+            F.slice(words, j + 1, cnt),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return out
 
 
 def lang_scores(words: Column) -> dict[str, Column]:

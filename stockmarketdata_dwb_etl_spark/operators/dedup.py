@@ -50,7 +50,13 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """(id, sig: array<bigint>[n_perm], n_shingles) per document."""
-    shingled = docs.select(
+    # Repartition on id BEFORE the expensive shingling: a small parquet file
+    # arrives in 1-2 splits, which would pin the higher-order-function-heavy
+    # shingle/hash work to 2 cores; the downstream groupBy(id) needs
+    # hashpartitioning(id) anyway, so this shuffle replaces that one rather
+    # than adding to it (exchange reuse). At 100 TB input splits already
+    # provide the parallelism and AQE coalesces this exchange away.
+    shingled = docs.repartition(F.col(id_col)).select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(tokenize(F.col(text_col)), shingle_k)).alias(
             "shingles"
@@ -131,7 +137,7 @@ def minhash_near_dups(
 ) -> DataFrame:
     """Near-duplicate pairs (id_a, id_b, jaccard ≥ threshold): LSH
     candidates verified with exact Jaccard over the shingle sets."""
-    shingled = docs.select(
+    shingled = docs.repartition(F.col(id_col)).select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(tokenize(F.col(text_col)), shingle_k)).alias(
             "shingles"
@@ -164,7 +170,7 @@ def simhash_fingerprints(
     """(id, fp: array<bigint>[4]) — 64-bit SimHash as 4×16-bit chunks
     (chunked for the Hamming pigeonhole band join). Sign-votes per bit over
     xxhash64(word) — partial-aggregated, one shuffle."""
-    exploded = docs.select(
+    exploded = docs.repartition(F.col(id_col)).select(
         F.col(id_col).alias("id"),
         F.explode(tokenize(F.col(text_col))).alias("w"),
     ).withColumn("h", F.xxhash64("w"))

@@ -9,6 +9,7 @@ from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
     joins,
     pipeline_q,
     scalars,
+    sources_q,
     storage,
     streaming_q,
     udfs,

@@ -125,3 +125,63 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         exact_sum(F.col("l_extendedprice"), "sum_price"),
     )
+
+
+@query(
+    "q_merge_upsert",
+    oracle=f"""
+    WITH updates AS (
+        SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice
+        FROM orders WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000 AS o_orderkey, 42.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 97 = 0
+    ), merged AS (
+        SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+               COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+               CASE WHEN u.o_orderkey IS NULL THEN 'kept'
+                    WHEN b.o_orderkey IS NULL THEN 'inserted'
+                    ELSE 'updated' END AS merge_action
+        FROM orders b FULL JOIN updates u ON b.o_orderkey = u.o_orderkey
+    )
+    SELECT merge_action,
+           COUNT(*) AS n,
+           {sql_exact_sum("o_totalprice", "sum_price")}
+    FROM merged
+    GROUP BY merge_action
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse MERGE (upsert): the incremental alternative to the
+    reference's truncate-reload (WRITE_TRUNCATE, dump_bigq.py:137). A change
+    batch (updates to every 5th order + brand-new keys) full-outer-joins the
+    snapshot on the key; matched rows take the update, unmatched keep the
+    base, insert-only rows append — exactly Delta/Iceberg MERGE semantics
+    expressed as a join, shuffling only on the merge key. Output is the
+    per-action audit the reference's post-load verification (L4) implies."""
+    base = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    updates = (
+        base.filter(F.col("o_orderkey") % 5 == 0)
+        .select("o_orderkey", (F.col("o_totalprice") * 1.1).alias("o_totalprice"))
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 97 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                F.lit(42.0).alias("o_totalprice"),
+            )
+        )
+    )
+    b, u = base.alias("b"), updates.alias("u")
+    merged = b.join(u, F.col("b.o_orderkey") == F.col("u.o_orderkey"), "full").select(
+        F.coalesce(F.col("u.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        F.coalesce(F.col("u.o_totalprice"), F.col("b.o_totalprice")).alias(
+            "o_totalprice"
+        ),
+        F.when(F.col("u.o_orderkey").isNull(), "kept")
+        .when(F.col("b.o_orderkey").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )
+    return merged.groupBy("merge_action").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum(F.col("o_totalprice"), "sum_price"),
+    )

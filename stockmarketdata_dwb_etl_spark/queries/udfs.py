@@ -93,3 +93,35 @@ def q_udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.split("text", " ")).alias("pos", "word"),
     ).select("doc_id", (F.col("pos") + 1).cast("int").alias("pos"), "word")
+
+
+@query(
+    "q_udtf_python",
+    oracle="""
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' '), 1) AS INTEGER) AS pos,
+           unnest(string_split(text, ' ')) AS word
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def q_udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Python UDTF (PySpark 4 `udtf`) lateral-joined per input row —
+    the genuine user-defined table function machinery, same semantics (and
+    same oracle) as the native posexplode form in q_udtf_explode. Arrow
+    batch exchange; generators like this are the surface for custom row
+    expanders the built-ins can't express."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, word string", useArrow=True)
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split(" ")):
+                yield i + 1, w
+
+    spark.udtf.register("split_words", SplitWords)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    docs.createOrReplaceTempView("__docs_for_udtf")
+    return spark.sql(
+        "SELECT doc_id, pos, word FROM __docs_for_udtf, LATERAL split_words(text)"
+    )

@@ -225,3 +225,56 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         right_payload=["click_id", "click_ts"],
     )
+
+
+@query(
+    "q_join_salted_skew",
+    oracle="""
+    WITH fact AS (
+        SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 1 ELSE l_orderkey END AS hot_key,
+               l_extendedprice
+        FROM lineitem
+    ), dim AS (
+        SELECT o_orderkey AS hot_key, o_orderpriority FROM orders
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 4) AS DOUBLE)
+             AS sum_price
+    FROM fact JOIN dim USING (hot_key)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join under adversarial skew (operators/skew.py): ~75% of the
+    fact rows share one hot key, which would pin an unsalted shuffle join
+    to a single reducer at scale. The fact side is salted 16 ways from its
+    own line identity, the dim side replicated ×16; the shuffle_hash hint
+    models the dim-too-big-to-broadcast case the technique exists for.
+    Results are identical to the plain join (the oracle runs the unsalted
+    form)."""
+    from stockmarketdata_dwb_etl_spark.functions.exact import exact_sum
+    from stockmarketdata_dwb_etl_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 4 != 0, F.lit(1))
+        .otherwise(F.col("l_orderkey"))
+        .alias("hot_key"),
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    dim = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("hot_key"), "o_orderpriority"
+    )
+    joined = salted_join(
+        fact,
+        dim.hint("shuffle_hash"),
+        "hot_key",
+        salt_source=F.xxhash64("l_orderkey", "l_linenumber"),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum(F.col("l_extendedprice"), "sum_price"),
+    )

@@ -30,3 +30,33 @@ def test_run_pipeline_counts_and_idempotence(spark):
     dtypes = dict(silver.dtypes)
     assert dtypes["Date"] == "date"
     assert all(dtypes[c] == "double" for c in ("Price", "Open", "High", "Low", "Vol"))
+
+
+def test_warehouse_sink_truncate_load(spark):
+    """L1-L4 sink contract: idempotent DDL, schema enforcement, truncate
+    semantics (double-load keeps the count), post-load verification."""
+    import pytest
+
+    from pipelines.stock_ingest import build_gold
+    from stockmarketdata_dwb_etl_spark.sinks import (
+        BigQuerySink,
+        REFERENCE_STOCK_SCHEMA,
+        SparkWarehouseSink,
+    )
+
+    gold = build_gold(spark, SF_DIR)
+    sink = SparkWarehouseSink()
+    n1 = sink.load(gold, "StockMktData", "StockData", REFERENCE_STOCK_SCHEMA)
+    n2 = sink.load(gold, "StockMktData", "StockData", REFERENCE_STOCK_SCHEMA)
+    assert n1 == n2 == gold.count()
+    loaded = spark.table("StockMktData.StockData")
+    assert [f.name for f in loaded.schema.fields] == [
+        f.name for f in REFERENCE_STOCK_SCHEMA.fields
+    ]
+    assert dict(loaded.dtypes)["Date"] == "date"
+    # gold's sma7 column is not in the warehouse schema -> dropped (L2)
+    assert "sma7" not in loaded.columns
+    with pytest.raises(NotImplementedError):
+        BigQuerySink("proj", "ds").load(
+            gold, "StockMktData", "StockData", REFERENCE_STOCK_SCHEMA
+        )

@@ -311,3 +311,55 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+) -> DataFrame:
+    """(id, cluster_rep) per vertex: min-label propagation to fixpoint —
+    the transitive-closure step that turns near-dup PAIRS into dedup
+    GROUPS (keep one representative per component).
+
+    Iterative DataFrame algorithm: each round every vertex takes the min
+    of its own label and its neighbors' labels; converged when no label
+    changes. Rounds = O(component diameter) — near-dup clusters are
+    shallow (a dup of a dup of a dup), so this converges in 2-4 rounds.
+    The driver only coordinates convergence (one count per round);
+    labels stay distributed and ``localCheckpoint`` truncates the growing
+    lineage so round N doesn't replay rounds 1..N-1.
+    """
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    und = und.distinct().persist()
+    labels = (
+        und.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(labels, und["a"] == labels["id"])
+            .groupBy(F.col("b").alias("id2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["id2"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_rep"))

@@ -366,3 +366,48 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("feature", 1), 4).alias("f0"),
         F.round(F.element_at("feature", FEATURE_DIM), 4).alias("f7"),
     )
+
+
+@query(
+    "q_dedup_transitive",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS a, doc_id + 2000000 AS b
+        FROM documents WHERE doc_id % 10 = 0
+    ), und AS (
+        SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+    ), verts AS (
+        SELECT DISTINCT a AS v FROM und
+    ), reach AS (
+        SELECT v, v AS r FROM verts
+        UNION
+        SELECT und.b AS v, reach.r FROM reach JOIN und ON und.a = reach.v
+    )
+    SELECT v AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY v
+    """,
+)
+def q_dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup grouping (operators/dedup.py::connected_components):
+    near-dup PAIRS form chains (original→dup→dup-of-dup, where the ends are
+    NOT pairwise similar) and the cluster keeps one representative — the
+    min-label-propagation fixpoint. The oracle computes the same components
+    with a recursive CTE; the Spark side is the iterative DataFrame
+    algorithm a 100 TB corpus needs (per-round shuffles on the edge key
+    only, O(diameter) rounds)."""
+    from stockmarketdata_dwb_etl_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    gen0 = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    edges = gen0.select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1_000_000).alias("dst")
+    ).unionByName(
+        gen0.select(
+            (F.col("doc_id") + 1_000_000).alias("src"),
+            (F.col("doc_id") + 2_000_000).alias("dst"),
+        )
+    )
+    return connected_components(edges).select(
+        F.col("id").alias("doc_id"), "cluster_rep"
+    )

@@ -193,3 +193,26 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = run_stream_to_parquet(deduped, "stream_dedup")
     return spark.read.parquet(sink)
+
+
+@query("q_stream_foreachbatch")  # rows-only: sink-side merge semantics
+def q_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run of the incremental foreachBatch MERGE sink
+    (streaming/jobs.py::run_stream_incremental_merge): the stream delivers
+    every event twice (self-union), the sink merges each microbatch into a
+    keyed snapshot — the final snapshot must hold each event exactly once
+    and equal the batch table (asserted in tests/test_streaming.py)."""
+    from stockmarketdata_dwb_etl_spark.streaming.jobs import (
+        run_stream_incremental_merge,
+    )
+
+    chunks = prepare_event_chunks(spark, sf_dir)
+    doubled = read_events_stream(spark, chunks).union(
+        read_events_stream(spark, chunks)
+    )
+    snapshot = run_stream_incremental_merge(
+        doubled.select("event_id", "ts", "user_id", "event_type", "value"),
+        "foreachbatch_merge",
+        ["event_id"],
+    )
+    return spark.read.parquet(snapshot)

@@ -1,0 +1,61 @@
+"""Property-based spot checks (SURVEY.md §5.5, hypothesis): K/M/B and
+percent format→parse roundtrips over generated float ranges, and dedup
+idempotence. Each example batches all generated values into ONE DataFrame
+so the Spark round-trip cost is paid per example, not per value."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from stockmarketdata_dwb_etl_spark.functions.parsing import parse_kmb, parse_pct
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_vals = st.lists(
+    st.floats(min_value=0.01, max_value=999.99).map(lambda x: round(x, 2)),
+    min_size=1,
+    max_size=24,
+)
+
+
+@_settings
+@given(vals=_vals, suffixes=st.lists(st.sampled_from("KMB"), min_size=1, max_size=24))
+def test_kmb_format_parse_roundtrip(spark, vals, suffixes):
+    mult = {"K": 1e3, "M": 1e6, "B": 1e9}
+    rows = [(f"{v:.2f}{s}", v * mult[s]) for v, s in zip(vals, suffixes)]
+    df = spark.createDataFrame(rows, "raw string, want double")
+    for r in df.select(parse_kmb(F.col("raw")).alias("got"), "want").collect():
+        assert r.got == pytest.approx(r.want, rel=1e-9)
+
+
+@_settings
+@given(vals=st.lists(st.floats(min_value=-99.99, max_value=99.99), min_size=1, max_size=24))
+def test_pct_format_parse_roundtrip(spark, vals):
+    rows = [(f"{v:+.2f}%", round(v, 2)) for v in vals]
+    df = spark.createDataFrame(rows, "raw string, want double")
+    for r in df.select(parse_pct(F.col("raw")).alias("got"), "want").collect():
+        assert r.got == pytest.approx(r.want, abs=1e-9)
+
+
+@_settings
+@given(
+    keys=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=5), st.sampled_from("abc")),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_dedup_idempotence(spark, keys):
+    """dedup(dedup(df)) == dedup(df) and output keys = distinct input keys."""
+    df = spark.createDataFrame(keys, "k int, tag string")
+    once = df.dropDuplicates(["k", "tag"])
+    twice = once.dropDuplicates(["k", "tag"])
+    got_once = sorted((r.k, r.tag) for r in once.collect())
+    got_twice = sorted((r.k, r.tag) for r in twice.collect())
+    assert got_once == got_twice == sorted(set(keys))

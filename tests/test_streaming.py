@@ -61,3 +61,25 @@ def test_stream_dedup_exact_once(spark):
     deduped = QUERIES["q_stream_dedup"](spark, SF_DIR)
     assert deduped.count() == n_events
     assert deduped.select("event_id").distinct().count() == n_events
+
+
+def test_foreachbatch_merge_equals_batch(spark):
+    """The incremental foreachBatch snapshot (fed every event twice) must
+    equal the batch events table exactly once per key."""
+    from pyspark.sql import functions as F
+
+    from stockmarketdata_dwb_etl_spark.catalog import load_table
+    from stockmarketdata_dwb_etl_spark.registry import QUERIES, load_all
+
+    load_all()
+    got = QUERIES["q_stream_foreachbatch"](spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events")
+    assert got.count() == ev.count()
+    assert got.select(F.countDistinct("event_id")).first()[0] == ev.count()
+    # spot-check content equality on a deterministic projection
+    a = sorted((r.event_id, r.user_id, r.event_type) for r in got.collect())
+    b = sorted(
+        (r.event_id, r.user_id, r.event_type)
+        for r in ev.select("event_id", "user_id", "event_type").collect()
+    )
+    assert a == b

@@ -33,6 +33,14 @@ from stockmarketdata_dwb_etl_spark.functions.text import tokenize, word_shingles
 MERSENNE_P31 = (1 << 31) - 1  # modulus: products of 31-bit values fit a long
 
 
+def _par(df: "DataFrame") -> int:
+    """Pinned repartition width for expression-heavy stages: an explicit
+    count, because AQE would coalesce a small by-column exchange down to 1-2
+    partitions and pin the CPU-bound shingle/hash work to 1-2 cores
+    (measured: 4.5s -> 3.1s for minhash at sf0.1, local[32])."""
+    return df.sparkSession.sparkContext.defaultParallelism
+
+
 def _perm_params(n_perm: int, seed: int) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     return [
@@ -56,7 +64,7 @@ def minhash_signatures(
     # hashpartitioning(id) anyway, so this shuffle replaces that one rather
     # than adding to it (exchange reuse). At 100 TB input splits already
     # provide the parallelism and AQE coalesces this exchange away.
-    shingled = docs.repartition(F.col(id_col)).select(
+    shingled = docs.repartition(_par(docs), F.col(id_col)).select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(tokenize(F.col(text_col)), shingle_k)).alias(
             "shingles"
@@ -137,7 +145,7 @@ def minhash_near_dups(
 ) -> DataFrame:
     """Near-duplicate pairs (id_a, id_b, jaccard ≥ threshold): LSH
     candidates verified with exact Jaccard over the shingle sets."""
-    shingled = docs.repartition(F.col(id_col)).select(
+    shingled = docs.repartition(_par(docs), F.col(id_col)).select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(tokenize(F.col(text_col)), shingle_k)).alias(
             "shingles"
@@ -170,7 +178,7 @@ def simhash_fingerprints(
     """(id, fp: array<bigint>[4]) — 64-bit SimHash as 4×16-bit chunks
     (chunked for the Hamming pigeonhole band join). Sign-votes per bit over
     xxhash64(word) — partial-aggregated, one shuffle."""
-    exploded = docs.repartition(F.col(id_col)).select(
+    exploded = docs.repartition(_par(docs), F.col(id_col)).select(
         F.col(id_col).alias("id"),
         F.explode(tokenize(F.col(text_col))).alias("w"),
     ).withColumn("h", F.xxhash64("w"))

@@ -477,3 +477,62 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (column_name, n_nulls, n_distinct)"
         )
     )
+
+
+@query(
+    "q_window_pct_rank",
+    oracle="""
+    SELECT c_custkey,
+           CAST(ROUND(percent_rank() OVER w, 4) AS DOUBLE) AS pct_rank,
+           CAST(ROUND(cume_dist() OVER w, 4) AS DOUBLE) AS cume,
+           CAST(ntile(10) OVER w AS INTEGER) AS decile
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_window_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank/cume_dist/ntile) over a
+    total order — the percentile-assignment shape of cohort scoring. A
+    global window by declared semantics; at scale the same expressions run
+    per-partition (see q_window_rank) or via approx quantiles."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        F.ntile(10).over(w).cast("int").alias("decile"),
+    )
+
+
+@query(
+    "q_agg_histogram",
+    oracle="""
+    -- no width_bucket in this DuckDB build: same arithmetic spelled out;
+    -- (600000-0)/12 = 50000.0 is exact so the division matches Spark's
+    SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+                     ELSE floor(o_totalprice / 50000.0) + 1 END AS INTEGER)
+             AS bucket,
+           COUNT(*) AS n,
+           CAST(ROUND(MIN(o_totalprice), 4) AS DOUBLE) AS lo,
+           CAST(ROUND(MAX(o_totalprice), 4) AS DOUBLE) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket + hash-agg — one scan, one
+    shuffle of 14 tiny groups regardless of input size."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(600000.0), F.lit(12))
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+    )

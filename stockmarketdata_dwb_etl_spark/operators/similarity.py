@@ -135,3 +135,65 @@ def ann_cosine_topk(
         F.round(cosine(F.col("embedding"), F.col("pv")), 4).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(k)
+
+
+def write_ivf_index(
+    emb: DataFrame, path: str, n_cells: int = 16
+) -> None:
+    """Materialize the IVF index: vectors assigned to cells (same map-side
+    argmax as :func:`ivf_cosine_topk`) written ``partitionBy(cell_id)`` —
+    at 100 TB a probe then READS only n_probe/n_cells of the bytes
+    (directory-level partition pruning), not just computes less."""
+    cents = (
+        emb.filter(F.col("vec_id") < n_cells)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cv")
+            ).alias("c")
+        )
+        .agg(F.array_sort(F.collect_list("c")).alias("cents"))
+    )
+    init = F.struct(
+        F.lit(-2.0).cast("double").alias("s"), F.lit(-1).cast("bigint").alias("c")
+    )
+    step = lambda acc, ct: F.when(  # noqa: E731
+        cosine(F.col("embedding"), ct.getField("cv")) > acc.getField("s"),
+        F.struct(
+            cosine(F.col("embedding"), ct.getField("cv")).alias("s"),
+            ct.getField("cell_id").alias("c"),
+        ),
+    ).otherwise(acc)
+    assigned = (
+        emb.join(F.broadcast(cents))
+        .withColumn("cell_id", F.aggregate(F.col("cents"), init, step).getField("c"))
+        .select("vec_id", "label", "embedding", "cell_id")
+    )
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(path)
+
+
+def ivf_probe_index(
+    spark, path: str, probe: DataFrame, k: int = 10, n_cells: int = 16, n_probe: int = 4
+) -> DataFrame:
+    """Top-k by cosine over a materialized IVF index: the probe's best
+    ``n_probe`` cells are computed from the index's own cell seeds and
+    joined against the partitioned table — dynamic partition pruning keeps
+    the scan to those cells' directories."""
+    idx = spark.read.parquet(path)
+    cents = (
+        idx.filter(F.col("vec_id") < n_cells)
+        .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cv"))
+    )
+    probe_cells = (
+        probe.join(F.broadcast(cents))
+        .select("pv", "cell_id", cosine(F.col("pv"), F.col("cv")).alias("s"))
+        .orderBy(F.col("s").desc(), "cell_id")
+        .limit(n_probe)
+        .select("pv", "cell_id")
+    )
+    cands = idx.join(F.broadcast(probe_cells), "cell_id")
+    scored = cands.select(
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("embedding"), F.col("pv")), 4).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(k)

@@ -411,3 +411,27 @@ def q_dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges).select(
         F.col("id").alias("doc_id"), "cluster_rep"
     )
+
+
+@query("q_ann_ivf_pruned")  # rows-only: cell layout is engine-internal
+def q_ann_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over a MATERIALIZED IVF index: assignment written
+    partitionBy(cell_id) once, probes join their 4 best cells via a
+    broadcast dim so dynamic partition pruning restricts the SCAN (not
+    just the compute) to 4/16 directories — the physical layout the
+    in-plan variant (q_ann_ivf_topk) models. Same results as the in-plan
+    variant (asserted in tests/test_storage.py)."""
+    import os
+
+    from stockmarketdata_dwb_etl_spark.operators.similarity import (
+        ivf_probe_index,
+        write_ivf_index,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join("/root/repo/.scratch/ivf_index", tag)
+    emb = _embeddings_with_near_probe(spark, sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_ivf_index(emb.filter(F.col("vec_id") != 0), path)
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("pv"))
+    return ivf_probe_index(spark, path, probe)

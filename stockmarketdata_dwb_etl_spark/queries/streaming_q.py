@@ -216,3 +216,30 @@ def q_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_id"],
     )
     return spark.read.parquet(snapshot)
+
+
+@query("q_stream_merge_partitioned")  # rows-only: sink-side merge semantics
+def q_stream_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned incremental MERGE (streaming/jobs.py::
+    run_stream_incremental_merge_partitioned): snapshot partitioned by
+    event date, each microbatch rewrites only its touched date partitions
+    (dynamic partition overwrite). Fed every event twice; the snapshot
+    must equal the batch table (tests/test_streaming.py)."""
+    from stockmarketdata_dwb_etl_spark.streaming.jobs import (
+        run_stream_incremental_merge_partitioned,
+    )
+
+    chunks = prepare_event_chunks(spark, sf_dir)
+    doubled = read_events_stream(spark, chunks).union(
+        read_events_stream(spark, chunks)
+    )
+    snapshot = run_stream_incremental_merge_partitioned(
+        doubled.select(
+            "event_id", "ts", "user_id", "event_type", "value",
+            F.to_date("ts").alias("event_date"),
+        ),
+        "merge_partitioned",
+        ["event_id"],
+        "event_date",
+    )
+    return spark.read.parquet(snapshot)

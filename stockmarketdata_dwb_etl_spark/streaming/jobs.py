@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from stockmarketdata_dwb_etl_spark.catalog import load_table
@@ -170,6 +171,66 @@ def run_stream_incremental_merge(
         merged.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(snapshot, ignore_errors=True)
         os.rename(tmp, snapshot)
+
+    q = (
+        stream_df.writeStream.trigger(availableNow=True)
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    return snapshot
+
+
+def run_stream_incremental_merge_partitioned(
+    stream_df: DataFrame, name: str, key_cols: list[str], partition_col: str
+) -> str:
+    """Partitioned foreachBatch MERGE: the 100 TB shape of
+    :func:`run_stream_incremental_merge`. The snapshot is hive-partitioned
+    (here by event date); each microbatch merges ONLY the partitions it
+    touches — existing rows of touched partitions are read back
+    (partition-pruned via a broadcast semi-join on the batch's distinct
+    partition values), deduped against the arrivals, and rewritten with
+    dynamic partitionOverwriteMode, leaving every untouched partition's
+    files alone. Snapshot size no longer bounds per-batch work; the
+    batch's partition spread does."""
+    import shutil
+
+    snapshot = os.path.join(SCRATCH, "stream_snapshot", name)
+    ckpt = os.path.join(SCRATCH, "stream_ckpt", name)
+    for p in (snapshot, ckpt):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.dropDuplicates(key_cols)
+        # dynamic partition overwrite leaves no _SUCCESS marker: probe for
+        # partition directories instead
+        has_snapshot = os.path.isdir(snapshot) and any(
+            e.startswith(f"{partition_col}=") for e in os.listdir(snapshot)
+        )
+        if has_snapshot:
+            touched = batch_df.select(partition_col).distinct()
+            existing = (
+                spark.read.parquet(snapshot)
+                .join(F.broadcast(touched), partition_col, "left_semi")
+                .join(
+                    batch_df.select(*key_cols), key_cols, "left_anti"
+                )  # arrivals win on key collision
+            )
+            # materialize BEFORE the overwrite deletes the files this scan
+            # reads (a versioned snapshot dir / Delta would make this a
+            # metadata swap in production)
+            merged = existing.unionByName(batch_df).localCheckpoint()
+        else:
+            merged = batch_df
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(snapshot)
+        )
 
     q = (
         stream_df.writeStream.trigger(availableNow=True)

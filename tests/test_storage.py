@@ -114,3 +114,24 @@ def test_ivf_ann_recall_vs_exact(spark):
     exact = {r.vec_id for r in exact_df.collect()}
     approx = {r.vec_id for r in QUERIES["q_ann_ivf_topk"](spark, SF_DIR).collect()}
     assert len(exact & approx) >= 8, f"IVF recall too low: {exact & approx}"
+
+
+def test_ivf_index_prunes_and_matches_inplan(spark):
+    """The materialized IVF index must (a) be laid out by cell_id and (b)
+    return the same top-k as the in-plan IVF variant."""
+    import os
+
+    from stockmarketdata_dwb_etl_spark.registry import QUERIES, load_all
+
+    load_all()
+    pruned = QUERIES["q_ann_ivf_pruned"](spark, SF_DIR).collect()
+    inplan = QUERIES["q_ann_ivf_topk"](spark, SF_DIR).collect()
+    assert [r.vec_id for r in pruned] == [r.vec_id for r in inplan]
+    assert [r.cos_sim for r in pruned] == [r.cos_sim for r in inplan]
+    tag = os.path.basename(SF_DIR).replace(".", "_")
+    cells = [
+        d
+        for d in os.listdir(f"/root/repo/.scratch/ivf_index/{tag}")
+        if d.startswith("cell_id=")
+    ]
+    assert len(cells) > 1

@@ -83,3 +83,18 @@ def test_foreachbatch_merge_equals_batch(spark):
         for r in ev.select("event_id", "user_id", "event_type").collect()
     )
     assert a == b
+
+
+def test_partitioned_merge_equals_batch(spark):
+    """The partitioned incremental snapshot (every event twice, dynamic
+    partition overwrite) must equal the batch events table."""
+    from pyspark.sql import functions as F
+
+    from stockmarketdata_dwb_etl_spark.catalog import load_table
+    from stockmarketdata_dwb_etl_spark.registry import QUERIES, load_all
+
+    load_all()
+    got = QUERIES["q_stream_merge_partitioned"](spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events")
+    assert got.count() == ev.count()
+    assert got.select(F.countDistinct("event_id")).first()[0] == ev.count()

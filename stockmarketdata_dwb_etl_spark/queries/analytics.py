@@ -536,3 +536,36 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 4).alias("hi"),
         )
     )
+
+
+@query(
+    "q_decile_assign",
+    oracle="""
+    WITH b AS (
+        SELECT quantile_cont(c_acctbal,
+               [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+        FROM customer
+    )
+    SELECT c_custkey,
+           CAST(1 + len(list_filter(qs, q -> q < c_acctbal)) AS INTEGER)
+             AS decile
+    FROM customer, b
+    """,
+)
+def q_decile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable decile assignment — the 100 TB replacement for a global
+    ntile (SCALE.md gap 1): boundaries are ONE 1-row percentile aggregate,
+    broadcast to a map-side bucket comparison. No global sort, no single
+    reducer; ties land deterministically (count of boundaries strictly
+    below the value) in both engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    fracs = [i / 10 for i in range(1, 10)]
+    bounds = cust.agg(F.percentile("c_acctbal", F.lit(fracs)).alias("qs"))
+    return cust.join(F.broadcast(bounds)).select(
+        "c_custkey",
+        (
+            1 + F.size(F.filter("qs", lambda q: q < F.col("c_acctbal")))
+        )
+        .cast("int")
+        .alias("decile"),
+    )

@@ -435,3 +435,17 @@ def q_ann_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_ivf_index(emb.filter(F.col("vec_id") != 0), path)
     probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("pv"))
     return ivf_probe_index(spark, path, probe)
+
+
+@query("q_multimodal_frames")  # rows-only: frame fake-codec is engine-internal
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video payloads (sources/multimodal.py::
+    sample_frames): one-to-many mapInPandas expansion, 4 frames per video
+    doc; lossless re-assembly is asserted in tests/test_dataops.py."""
+    from stockmarketdata_dwb_etl_spark.sources.multimodal import sample_frames
+
+    media = build_media_table(spark, sf_dir).filter(F.col("media_type") == "video")
+    frames = sample_frames(media)
+    return frames.select(
+        "doc_id", "frame_idx", "frame_bytes", F.md5("frame").alias("frame_md5")
+    ).orderBy("doc_id", "frame_idx")

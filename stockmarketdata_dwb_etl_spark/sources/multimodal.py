@@ -100,3 +100,44 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "media_type", "payload").mapInPandas(
         run, FEATURES_SCHEMA
     )
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("frame_bytes", T.IntegerType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling: one video payload → ``n_frames`` frame rows — the
+    one-to-many Arrow batch shape of real frame extraction (a row-expanding
+    ``mapInPandas``, so a 2-hour video never materializes as one row
+    downstream). The codec is the documented deterministic fake: the
+    payload is split into ``n_frames`` contiguous chunks standing in for
+    (demux → seek → decode frame); swap :func:`decode_payload` in when
+    codecs exist. Frames re-concatenate to the exact payload (tested)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "frame": [],
+                "frame_bytes": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                step = (n + n_frames - 1) // n_frames if n else 0
+                for i in range(n_frames):
+                    chunk = bytes(payload[i * step : (i + 1) * step])
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame"].append(chunk)
+                    out["frame_bytes"].append(len(chunk))
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(run, FRAMES_SCHEMA)

@@ -73,3 +73,26 @@ def test_multimodal_features_deterministic(spark):
     b = QUERIES["q_multimodal_features"](spark, SF_DIR).orderBy("doc_id").collect()
     assert a == b
     assert all(0.0 <= r.f0 <= 1.0 for r in a)
+
+
+def test_frame_sampling_lossless(spark):
+    """4 frames per video doc; concatenated frames == original payload."""
+    from stockmarketdata_dwb_etl_spark.sources.multimodal import (
+        build_media_table,
+        sample_frames,
+    )
+
+    media = build_media_table(spark, SF_DIR).filter(F.col("media_type") == "video")
+    frames = sample_frames(media)
+    n_docs = media.count()
+    assert frames.count() == 4 * n_docs
+    joined = (
+        frames.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list(F.struct("frame_idx", "frame"))), lambda s: s.getField("frame").cast("string"))
+            ).alias("reassembled")
+        )
+        .join(media.select("doc_id", F.col("payload").cast("string").alias("orig")), "doc_id")
+    )
+    assert joined.filter(F.col("reassembled") != F.col("orig")).count() == 0

@@ -49,6 +49,31 @@ def _perm_params(n_perm: int, seed: int) -> list[tuple[int, int]]:
     ]
 
 
+def shingle_sets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, shingles: array<string>) per document — the shared prefix of
+    signatures and exact verification.
+
+    Repartitions on id BEFORE the expensive shingling: a small parquet file
+    arrives in 1-2 splits, which would pin the higher-order-function-heavy
+    shingle work to 2 cores; the downstream groupBy(id) needs
+    hashpartitioning(id) anyway, so this shuffle replaces that one rather
+    than adding to it. Every consumer that reuses this DataFrame shares the
+    SAME exchange (Spark's ReuseExchange), so shingling runs once per plan
+    no matter how many branches read it. At 100 TB input splits already
+    provide the parallelism."""
+    return docs.repartition(_par(docs), F.col(id_col)).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(tokenize(F.col(text_col)), shingle_k)).alias(
+            "shingles"
+        ),
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -56,20 +81,11 @@ def minhash_signatures(
     n_perm: int = 64,
     shingle_k: int = 3,
     seed: int = 42,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig: array<bigint>[n_perm], n_shingles) per document."""
-    # Repartition on id BEFORE the expensive shingling: a small parquet file
-    # arrives in 1-2 splits, which would pin the higher-order-function-heavy
-    # shingle/hash work to 2 cores; the downstream groupBy(id) needs
-    # hashpartitioning(id) anyway, so this shuffle replaces that one rather
-    # than adding to it (exchange reuse). At 100 TB input splits already
-    # provide the parallelism and AQE coalesces this exchange away.
-    shingled = docs.repartition(_par(docs), F.col(id_col)).select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(tokenize(F.col(text_col)), shingle_k)).alias(
-            "shingles"
-        ),
-    )
+    if shingled is None:
+        shingled = shingle_sets(docs, id_col, text_col, shingle_k)
     exploded = shingled.select(
         "id", F.explode("shingles").alias("sh")
     ).withColumn("h", F.pmod(F.xxhash64("sh"), F.lit(MERSENNE_P31)))
@@ -144,14 +160,16 @@ def minhash_near_dups(
     seed: int = 42,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a, id_b, jaccard ≥ threshold): LSH
-    candidates verified with exact Jaccard over the shingle sets."""
-    shingled = docs.repartition(_par(docs), F.col(id_col)).select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(tokenize(F.col(text_col)), shingle_k)).alias(
-            "shingles"
-        ),
+    candidates verified with exact Jaccard over the shingle sets. The
+    shingle sets feed three branches (signatures + both sides of the
+    verification join); branch plans canonicalize differently so
+    ReuseExchange does not dedupe them — an explicit persist computes the
+    shingling once (memory-and-disk, LRU-evicted; at 100 TB this is the
+    materialize-the-shingle-table step every production dedup runs)."""
+    shingled = shingle_sets(docs, id_col, text_col, shingle_k).persist()
+    sigs = minhash_signatures(
+        docs, id_col, text_col, seed=seed, shingle_k=shingle_k, shingled=shingled
     )
-    sigs = minhash_signatures(docs, id_col, text_col, seed=seed, shingle_k=shingle_k)
     cands = lsh_candidate_pairs(sigs)
 
     sa = shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))

@@ -569,3 +569,37 @@ def q_decile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("decile"),
     )
+
+
+@query(
+    "q_sql_text",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 4) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-text front door: the reference delegates its query surface
+    to BigQuery SQL (that is what the warehouse is FOR); this engine
+    accepts the same ANSI SQL directly via spark.sql over the registered
+    catalog views (catalog.register_views) — same Catalyst plan as the
+    DataFrame DSL, one parser in front."""
+    from stockmarketdata_dwb_etl_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 4) AS DOUBLE)
+                 AS sum_price
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY o_orderpriority
+        """
+    )

@@ -603,3 +603,49 @@ def q_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(date_trunc('month', ts)) AS cohort FROM events
+        GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT e.user_id, f.cohort,
+               datediff('month', f.cohort, date_trunc('month', e.ts)) AS month_n
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT cohort,
+           CAST(COUNT(DISTINCT CASE WHEN month_n = 0 THEN user_id END) AS BIGINT) AS m0,
+           CAST(COUNT(DISTINCT CASE WHEN month_n = 1 THEN user_id END) AS BIGINT) AS m1,
+           CAST(COUNT(DISTINCT CASE WHEN month_n = 2 THEN user_id END) AS BIGINT) AS m2
+    FROM activity
+    GROUP BY cohort
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen month, counted
+    in each subsequent month — first-seen agg joined back on user_id, then
+    a conditional-count pivot (fixed month columns so the schema is stable
+    for the oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("month", "ts")).alias("cohort")
+    )
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (
+                (F.year(F.date_trunc("month", "ts")) - F.year("cohort")) * 12
+                + (F.month(F.date_trunc("month", "ts")) - F.month("cohort"))
+            ).alias("month_n"),
+        )
+        .distinct()
+    )
+    m = lambda k: F.countDistinct(  # noqa: E731
+        F.when(F.col("month_n") == k, F.col("user_id"))
+    ).alias(f"m{k}")
+    return activity.groupBy("cohort").agg(m(0), m(1), m(2))

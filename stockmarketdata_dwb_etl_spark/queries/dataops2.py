@@ -449,3 +449,34 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_idx", "frame_bytes", F.md5("frame").alias("frame_md5")
     ).orderBy("doc_id", "frame_idx")
+
+
+@query(
+    "q_edit_distance",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text || ' zz1 zz2 zz3' AS text
+        FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64))
+                AS INTEGER) AS edit_dist
+    FROM aug a JOIN aug b ON b.doc_id = a.doc_id + 1000000
+    """,
+)
+def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup metric (the character-level complement to
+    shingle Jaccard): Levenshtein over 64-char prefixes for each
+    original/injected pair. Prefix-bounded so the per-pair cost is O(64²)
+    — the standard trick that keeps edit distance usable at corpus scale
+    (full-text Levenshtein is quadratic in document length)."""
+    aug = _docs_with_near_dups(spark, sf_dir)
+    a = aug.select(F.col("doc_id").alias("id_a"), F.substring("text", 1, 64).alias("ta"))
+    b = aug.select(F.col("doc_id").alias("id_b"), F.substring("text", 1, 64).alias("tb"))
+    return a.join(b, F.col("id_b") == F.col("id_a") + 1_000_000).select(
+        "id_a",
+        "id_b",
+        F.levenshtein("ta", "tb").cast("int").alias("edit_dist"),
+    )

@@ -11,11 +11,18 @@ thin re-export of its registry.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from stockmarketdata_dwb_etl_spark import registry
+# importable regardless of the driver's cwd / import mechanism
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from stockmarketdata_dwb_etl_spark import registry  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

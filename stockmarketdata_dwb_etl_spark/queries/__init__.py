@@ -8,6 +8,7 @@ from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
     dataops2,
     joins,
     pipeline_q,
+    reports,
     scalars,
     sources_q,
     storage,

@@ -75,6 +75,8 @@ def test_tpch_q5_broadcasts_dims(spark):
             "q_partitioned_write",
             "q_bucketed_join",
             "q_json_source",
+            "q_orc_roundtrip",
+            "q_compact_small_files",
         }
     ),
 )
@@ -84,3 +86,27 @@ def test_no_row_at_a_time_python(spark, name):
     BatchEvalPython node means a row-at-a-time UDF crept into a hot path."""
     plan = _plan(_queries()[name](spark, SF_DIR))
     assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
+
+
+def test_tpch_q6_pushes_all_predicates(spark):
+    plan = _plan(_queries()["q_tpch_q6"](spark, SF_DIR))
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} predicate not pushed: {pushed}"
+
+
+def test_tpch_q18_aggregates_before_join(spark):
+    """The HAVING reduction must run on lineitem BEFORE the orders join
+    (aggregate below join in the plan tree), so the join input is ~1% of
+    lineitem — the ordering that matters at 100 TB."""
+    plan = _plan(_queries()["q_tpch_q18"](spark, SF_DIR))
+    first_join = min(
+        i for i in (plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"),
+                    plan.find("ShuffledHashJoin")) if i >= 0
+    )
+    agg_positions = [
+        i for i in range(len(plan)) if plan.startswith("HashAggregate", i)
+    ]
+    assert any(i > first_join for i in agg_positions), (
+        "no aggregate below the first join — HAVING reduction ran after joins"
+    )

@@ -135,3 +135,54 @@ def test_ivf_index_prunes_and_matches_inplan(spark):
         if d.startswith("cell_id=")
     ]
     assert len(cells) > 1
+
+
+def test_compaction_reduces_file_count(spark):
+    """q_compact_small_files must actually shrink the file count (64 → 4)
+    while preserving every row."""
+    import os
+
+    from stockmarketdata_dwb_etl_spark.catalog import load_table
+    from stockmarketdata_dwb_etl_spark.registry import QUERIES, load_all
+
+    load_all()
+    got = {r.event_type: r.n for r in QUERIES["q_compact_small_files"](spark, SF_DIR).collect()}
+    expect = {
+        r.event_type: r.n
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expect
+    tag = os.path.basename(SF_DIR).replace(".", "_")
+    n_files = lambda d: len(  # noqa: E731
+        [f for f in os.listdir(d) if f.endswith(".parquet")]
+    )
+    frag = f"/root/repo/.scratch/events_fragmented/{tag}"
+    compacted = f"/root/repo/.scratch/events_compacted/{tag}"
+    assert n_files(frag) == 64
+    assert n_files(compacted) == 4
+
+
+def test_hash_split_deterministic_and_total(spark):
+    """The hash split must be stable across runs, partition the corpus
+    exactly (no doc lost or double-assigned), and be ~90/5/5."""
+    from stockmarketdata_dwb_etl_spark.catalog import load_table
+    from stockmarketdata_dwb_etl_spark.registry import QUERIES, load_all
+
+    load_all()
+    a = {r.split: r.n_docs for r in QUERIES["q_hash_split"](spark, SF_DIR).collect()}
+    b = {r.split: r.n_docs for r in QUERIES["q_hash_split"](spark, SF_DIR).collect()}
+    assert a == b
+    total = load_table(spark, SF_DIR, "documents").count()
+    assert sum(a.values()) == total
+    assert a["train"] > a["val"] and a["train"] > a["test"]
+    # map-side only before the aggregate: no join/window in the plan
+    plan = (
+        QUERIES["q_hash_split"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan and "Window" not in plan

@@ -44,6 +44,17 @@ def get_spark(
         # a timestamp; read as raw nanos and convert in catalog.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # Split/pack granularity sized to the test scale factor (SURVEY §2B
+        # scale posture: size maxPartitionBytes to the SF). At the default
+        # 128m, Spark PACKS every small fixture file into 1-2 input
+        # partitions and single-threads the scan stage (measured: ~30%
+        # slower battery at sf0.1). 8m keeps files in separate partitions
+        # locally; a production 100 TB deployment overrides back to 128m+
+        # via SPARK_GRAFT_MAX_PARTITION_BYTES.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(8 * 1024 * 1024)),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )

@@ -243,3 +243,59 @@ def q_stream_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_date",
     )
     return spark.read.parquet(snapshot)
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           c.ts AS click_ts,
+           p.event_id AS purchase_id,
+           p.ts AS purchase_ts
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream interval join: clicks joined to the same user's
+    purchases within the following hour, both sides watermarked (2 h) so
+    join state is evicted as event time passes — the state store holds only
+    the trailing window, not the whole stream. Because the replay is
+    event-time-ordered (range-partitioned chunks), the full-replay result
+    equals the batch interval join bit-for-bit, which is what the DuckDB
+    oracle checks — a streaming operator with a full SQL correctness gate,
+    not just a rows-count."""
+    chunks = prepare_event_chunks(spark, sf_dir)
+    clicks = (
+        read_events_stream(spark, chunks)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        read_events_stream(spark, chunks)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = user_id AND purchase_ts >= click_ts "
+            "AND purchase_ts <= click_ts + INTERVAL 1 HOUR"
+        ),
+    ).select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
+    sink = run_stream_to_parquet(joined, "stream_stream_join")
+    return spark.read.parquet(sink)

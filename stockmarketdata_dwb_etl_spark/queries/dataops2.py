@@ -480,3 +480,25 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.levenshtein("ta", "tb").cast("int").alias("edit_dist"),
     )
+
+
+@query("q_multimodal_resize")  # rows-only: resize fake-codec is engine-internal
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize normalization over image payloads (sources/multimodal.py::
+    resize_payloads): every payload strided/padded to a uniform 64 bytes by
+    an Arrow-batched mapInPandas — the decode→resize→re-encode slot of an
+    image pipeline with the codec faked deterministically. Uniform output
+    size + determinism asserted in tests/test_dataops.py."""
+    from stockmarketdata_dwb_etl_spark.sources.multimodal import resize_payloads
+
+    media = build_media_table(spark, sf_dir).filter(F.col("media_type") == "image")
+    return (
+        resize_payloads(media)
+        .select(
+            "doc_id",
+            "orig_bytes",
+            "resized_bytes",
+            F.md5("resized").alias("resized_md5"),
+        )
+        .orderBy("doc_id")
+    )

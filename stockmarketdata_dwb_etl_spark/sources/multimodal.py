@@ -141,3 +141,52 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.select("doc_id", "payload").mapInPandas(run, FRAMES_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("orig_bytes", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("resized_bytes", T.IntegerType()),
+    ]
+)
+
+
+def resize_payloads(media: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """Resize/resample normalization: every payload mapped to a fixed-size
+    representation — the (decode → resize to W×H → re-encode) step of an
+    image pipeline, as an Arrow-batched ``mapInPandas``. The codec is the
+    documented deterministic fake: payloads longer than ``target_bytes``
+    are evenly strided down to exactly ``target_bytes`` (every k-th byte —
+    the downsampling analog), shorter ones cycle-padded up (upsampling
+    analog); swap :func:`decode_payload` in when codecs exist. Output size
+    is uniform by construction, which is the property the downstream
+    training batcher needs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = []
+            for payload in pdf["payload"]:
+                n = len(payload)
+                if n >= target_bytes:
+                    idx = [i * n // target_bytes for i in range(target_bytes)]
+                    out = bytes(payload[i] for i in idx)
+                else:
+                    reps = (target_bytes + n - 1) // n if n else 0
+                    out = bytes((payload * reps)[:target_bytes]) if n else b"\0" * target_bytes
+                resized.append(out)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "orig_bytes": pdf["payload"].map(len).astype("int32"),
+                    "resized": resized,
+                    "resized_bytes": [len(r) for r in resized],
+                }
+            )
+
+    return media.select("doc_id", "media_type", "payload").mapInPandas(
+        run, RESIZED_SCHEMA
+    )

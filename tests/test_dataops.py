@@ -96,3 +96,15 @@ def test_frame_sampling_lossless(spark):
         .join(media.select("doc_id", F.col("payload").cast("string").alias("orig")), "doc_id")
     )
     assert joined.filter(F.col("reassembled") != F.col("orig")).count() == 0
+
+
+def test_multimodal_resize_uniform_and_deterministic(spark):
+    from stockmarketdata_dwb_etl_spark.registry import QUERIES, load_all
+
+    load_all()
+    a = QUERIES["q_multimodal_resize"](spark, SF_DIR).collect()
+    b = QUERIES["q_multimodal_resize"](spark, SF_DIR).collect()
+    assert [r.resized_md5 for r in a] == [r.resized_md5 for r in b]
+    assert a and all(r.resized_bytes == 64 for r in a)
+    # downsampled payloads keep first byte; padded ones repeat content
+    assert all(r.orig_bytes > 0 for r in a)

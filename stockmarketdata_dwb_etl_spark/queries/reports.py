@@ -235,3 +235,49 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         exact_sum(F.col("value"), "sum_value"),
     )
+
+
+@query(
+    "q_cap_per_group",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM ranked
+    WHERE rn <= 25
+    GROUP BY source
+    """,
+)
+def q_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (domain-mix control): keep at most k docs
+    per source, selected by a deterministic pseudo-random order (md5 of the
+    key — an unbiased, engine-portable sample, unlike 'first k by id' which
+    biases toward old docs). One shuffle on source; the window never sees
+    more than one group per partition, and at 100 TB a pre-aggregated
+    count + per-group reservoir would replace the full sort (documented
+    trade; the cap semantics are identical)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )

@@ -281,3 +281,56 @@ def q_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+
+
+@query(
+    "q_tpch_q14",
+    oracle=f"""
+    WITH j AS (
+        SELECT l_extendedprice * (1 - l_discount) AS rev, p_type
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-07-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    ), sums AS (
+        SELECT {sql_exact_sum("CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END", "promo_revenue")},
+               {sql_exact_sum("rev", "total_revenue")},
+               COUNT(*) AS n_items
+        FROM j
+    )
+    SELECT CAST(ROUND(100.0 * promo_revenue / total_revenue, 4) AS DOUBLE)
+             AS promo_pct,
+           promo_revenue, total_revenue, n_items
+    FROM sums
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): conditional aggregation — CASE inside
+    the sum splits promo revenue out of one pass over the joined rows; the
+    part dim broadcasts, so the only exchange is the 1-row final agg. The
+    ratio is computed from the two ROUNDED sums (identical doubles in both
+    engines), keeping the division IEEE-deterministic."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-07-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    sums = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            exact_sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)),
+                "promo_revenue",
+            ),
+            exact_sum(rev, "total_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return sums.select(
+        F.round(
+            100.0 * F.col("promo_revenue") / F.col("total_revenue"), 4
+        ).alias("promo_pct"),
+        "promo_revenue",
+        "total_revenue",
+        "n_items",
+    )

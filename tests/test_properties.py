@@ -59,3 +59,24 @@ def test_dedup_idempotence(spark, keys):
     got_once = sorted((r.k, r.tag) for r in once.collect())
     got_twice = sorted((r.k, r.tag) for r in twice.collect())
     assert got_once == got_twice == sorted(set(keys))
+
+
+@_settings
+@given(keys=st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=24))
+def test_hash_bucket_range_and_engine_parity(spark, keys):
+    """hash_bucket must land in [0, 256) and agree with an independent
+    Python md5 computation for every key (the engine-portability property
+    the train/val/test split rests on)."""
+    import hashlib
+
+    from stockmarketdata_dwb_etl_spark.queries.reports import hash_bucket
+
+    df = spark.createDataFrame([(k,) for k in set(keys)], "doc_id long")
+    got = {
+        r.doc_id: r.bucket
+        for r in df.select("doc_id", hash_bucket("doc_id").alias("bucket")).collect()
+    }
+    for k, b in got.items():
+        expect = int(hashlib.md5(str(k).encode()).hexdigest()[:2], 16)
+        assert b == expect
+        assert 0 <= b < 256

@@ -281,3 +281,23 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 3)
     )
+
+
+@query("q_approx_percentile")  # rows-only: sketch internals differ across engines
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles per group (Greenwald-Khanna sketch, accuracy
+    10000): the scale path for quantiles where the exact interpolated
+    percentile (q_agg_percentile) would need a full sort per group — the
+    sketch is mergeable, so partial aggregation works and the shuffle
+    carries one sketch per group, not the data. Accuracy vs the exact
+    answer is asserted in tests/test_analytics.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_quantity", 0.5, 10000).alias("approx_median"),
+            F.percentile_approx("l_quantity", 0.9, 10000).alias("approx_p90"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )

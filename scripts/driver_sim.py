@@ -23,10 +23,18 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as ent
+    from pyspark.sql import SparkSession
     from stockmarketdata_dwb_etl_spark.catalog import TABLES
-    from stockmarketdata_dwb_etl_spark.session import get_spark
 
-    spark = get_spark(app_name="driver-sim")
+    # Deliberately a VANILLA session (not session.get_spark): the external
+    # driver passes its own SparkSession, so any dependency on our builder
+    # confs is a bug this sim must catch (see ADVICE r1: nanosAsLong).
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("driver-sim")
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
+    )
 
     t0 = time.time()
     smoke = ent.entry(spark)
@@ -41,7 +49,8 @@ def main() -> int:
 
     qs, oracles = ent.queries(), ent.oracle_sql()
     n_pass = n_fail = 0
-    for name in sorted(qs):
+    # registry insertion order == the order the external driver runs them
+    for name in qs:
         if only and name not in only:
             continue
         t0 = time.time()

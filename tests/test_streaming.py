@@ -85,6 +85,55 @@ def test_foreachbatch_merge_equals_batch(spark):
     assert a == b
 
 
+def test_foreachbatch_merge_arrivals_win(spark, tmp_path):
+    """A replayed key carrying a CHANGED value must end with the arriving
+    value — the left_anti merge guarantees arrivals beat stale snapshot
+    rows (a plain union+dropDuplicates keeps an arbitrary row)."""
+    import os
+
+    from stockmarketdata_dwb_etl_spark.streaming.jobs import (
+        EVENTS_SCHEMA,
+        run_stream_incremental_merge,
+    )
+
+    src = str(tmp_path / "chunks")
+    rows1 = [(1, "2024-01-01 00:00:00", 10, "click", 1.0, None),
+             (2, "2024-01-01 00:01:00", 11, "view", 2.0, None)]
+    rows2 = [(2, "2024-01-01 00:01:00", 11, "view", 99.0, None),  # update!
+             (3, "2024-01-01 00:02:00", 12, "click", 3.0, None)]
+    for i, rows in enumerate((rows1, rows2)):
+        df = spark.createDataFrame(
+            [(a, __import__("datetime").datetime.fromisoformat(b), c, d, e, f)
+             for a, b, c, d, e, f in rows],
+            EVENTS_SCHEMA,
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/b{i}")
+        # one file per dir; stream the parent with one file per trigger
+    # flatten the part files into src with ordered mtimes
+    import glob
+    import shutil
+
+    for i in range(2):
+        part = glob.glob(f"{src}/b{i}/part-*")[0]
+        dst = f"{src}/chunk{i}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+        shutil.rmtree(f"{src}/b{i}")
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    snap = run_stream_incremental_merge(
+        stream.select("event_id", "ts", "user_id", "event_type", "value"),
+        "merge_arrivals_win_test",
+        ["event_id"],
+    )
+    got = {r.event_id: r.value for r in spark.read.parquet(snap).collect()}
+    assert got == {1: 1.0, 2: 99.0, 3: 3.0}
+
+
 def test_partitioned_merge_equals_batch(spark):
     """The partitioned incremental snapshot (every event twice, dynamic
     partition overwrite) must equal the batch events table."""

@@ -492,16 +492,27 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_window_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions (percent_rank/cume_dist/ntile) over a
-    total order — the percentile-assignment shape of cohort scoring. A
-    global window by declared semantics; at scale the same expressions run
-    per-partition (see q_window_rank) or via approx quantiles."""
+    total order — the percentile-assignment shape of cohort scoring —
+    computed SCALE-SAFE via operators/rank.py: range-partitioned global
+    row numbering (no unpartitioned window, no single-reducer sort), with
+    the distribution functions derived arithmetically from (row_idx,
+    n_total). The ordering is unique (custkey tie-break), so row_number
+    == rank and the closed forms match SQL semantics exactly."""
+    from stockmarketdata_dwb_etl_spark.operators.rank import (
+        cume_dist_expr,
+        global_row_number,
+        ntile_expr,
+        percent_rank_expr,
+    )
+
     cust = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return cust.select(
+    ranked = global_row_number(cust, ["c_acctbal", "c_custkey"])
+    r, n = F.col("row_idx"), F.col("n_total")
+    return ranked.select(
         "c_custkey",
-        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 4).alias("cume"),
-        F.ntile(10).over(w).cast("int").alias("decile"),
+        F.round(percent_rank_expr(r, n), 4).alias("pct_rank"),
+        F.round(cume_dist_expr(r, n), 4).alias("cume"),
+        ntile_expr(r, n, 10).cast("int").alias("decile"),
     )
 
 

@@ -133,14 +133,21 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile(4) of customers by balance. Note: a global (unpartitioned)
-    window is a single-reducer operation — acceptable for ranked
-    percentiles over dimension-sized tables; for fact-scale data prefer
-    approx percentile bucketing instead."""
+    """ntile(4) of customers by balance — computed SCALE-SAFE: the naive
+    ``ntile(4).over(Window.orderBy(...))`` funnels the whole table through
+    one reducer; operators/rank.py instead range-partitions the order,
+    ranks locally per partition, and stitches global positions with
+    per-partition offsets (coordination over P partition counts, never
+    over rows). Identical results to the SQL NTILE by construction."""
+    from stockmarketdata_dwb_etl_spark.operators.rank import (
+        global_row_number,
+        ntile_expr,
+    )
+
     cust = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return cust.select(
+    ranked = global_row_number(cust, ["c_acctbal", "c_custkey"])
+    return ranked.select(
         "c_custkey",
         "c_acctbal",
-        F.ntile(4).over(w).cast("int").alias("quartile"),
+        ntile_expr(F.col("row_idx"), F.col("n_total"), 4).cast("int").alias("quartile"),
     )

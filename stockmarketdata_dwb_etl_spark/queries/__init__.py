@@ -20,6 +20,7 @@ from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
     sources_q,
     pipeline_q,
     streaming_q,
+    reports2,
     aggregates,
     analytics,
     core,

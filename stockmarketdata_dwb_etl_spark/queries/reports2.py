@@ -27,6 +27,41 @@ from stockmarketdata_dwb_etl_spark.registry import query
 
 
 @query(
+    "q_sample_stratified",
+    oracle="""
+    WITH rated AS (
+        SELECT doc_id, source, n_chars,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INTEGER
+                 AS bucket,
+               CASE WHEN CAST(substr(source, 4) AS INTEGER) < 5 THEN 205
+                    WHEN CAST(substr(source, 4) AS INTEGER) < 10 THEN 102
+                    ELSE 26 END AS keep_below
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars FROM rated WHERE bucket < keep_below
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified sampling — the corpus-curation primitive for
+    mixing sources at different rates (e.g. books 80%, web 10%) in a
+    training-data pipeline. Per-stratum keep rates (~80%/40%/10% by source
+    tier) are applied as a map-side md5-bucket comparison: join-free, no
+    persisted sample table, and the SAME rows are kept on any engine, any
+    cluster size, any run — unlike rand()-based sampleBy, which cannot be
+    replayed or audited. Scales as a pure projection+filter over the scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast(
+        "int"
+    )
+    tier = F.substring("source", 4, 10).cast("int")
+    keep_below = (
+        F.when(tier < 5, 205).when(tier < 10, 102).otherwise(26)
+    )
+    return docs.filter(bucket < keep_below).select("doc_id", "source", "n_chars")
+
+
+@query(
     "q_tpch_q1",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,

@@ -297,16 +297,37 @@ def q_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_distinct")  # rows-only: HLL sketches differ across engines
+@query(
+    "q_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct users per event type — the
     sketch-based path for cardinalities where exact count(DISTINCT) would
-    shuffle every value; accuracy vs exact is asserted in
-    tests/test_analytics.py (rsd 1%)."""
+    shuffle every value. The HLL register values are engine-internal, so
+    the checkable output is the ERROR BOUND: |approx − exact| ≤ 5% of
+    exact per group (5× the sketch's 1% rsd), asserted TRUE by the
+    oracle, alongside the exact count which must hash-match."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("__approx"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("__approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("approx_ok"),
+        )
         .orderBy("event_type")
     )
 

@@ -158,13 +158,23 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink)
 
 
-@query("q_stream_stateful")  # rows-only: custom-state semantics
+@query(
+    "q_stream_stateful",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(COALESCE(value, 0.0)), 4) AS DOUBLE) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming run of the custom applyInPandasWithState operator
     (streaming/jobs.py::stateful_user_totals): per-user running totals in
     explicit group state, one emission per (user, microbatch). Returned
-    rows are each user's final state — deterministic, and equal to the
-    batch groupBy answer (asserted in tests/test_streaming.py)."""
+    rows are each user's FINAL state, which must equal the batch groupBy
+    answer — the oracle. (4-dp float safety: inputs are 2-decimal doubles
+    with sums ~1e4, so Python running-sum vs DuckDB pairwise-sum error
+    ~1e-8 never crosses a 4-dp rounding boundary.)"""
     from pyspark.sql.window import Window
 
     chunks = prepare_event_chunks(spark, sf_dir)
@@ -179,11 +189,19 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_stream_dedup")  # rows-only: streaming-state semantics
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type FROM events
+    """,
+)
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup: replay the stream unioned with itself (every event
     arrives twice) and drop duplicates on event_id within the watermark —
-    the sink must contain each event exactly once."""
+    the sink must contain each event EXACTLY once, which is precisely the
+    batch events table: a full SQL gate on a streaming-state operator
+    (both copies of an event arrive in the same ts-ordered microbatch, so
+    the 30-min watermark never expires a key before its duplicate)."""
     chunks = prepare_event_chunks(spark, sf_dir)
     doubled = read_events_stream(spark, chunks).union(
         read_events_stream(spark, chunks)
@@ -197,13 +215,19 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink)
 
 
-@query("q_stream_foreachbatch")  # rows-only: sink-side merge semantics
+@query(
+    "q_stream_foreachbatch",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    """,
+)
 def q_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming run of the incremental foreachBatch MERGE sink
     (streaming/jobs.py::run_stream_incremental_merge): the stream delivers
     every event twice (self-union), the sink merges each microbatch into a
     keyed snapshot — the final snapshot must hold each event exactly once
-    and equal the batch table (asserted in tests/test_streaming.py)."""
+    and equal the batch events table, which IS the oracle (rows pass
+    through the merge unchanged, so full value-hash parity applies)."""
     from stockmarketdata_dwb_etl_spark.streaming.jobs import (
         run_stream_incremental_merge,
     )
@@ -220,13 +244,22 @@ def q_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(snapshot)
 
 
-@query("q_stream_merge_partitioned")  # rows-only: sink-side merge semantics
+@query(
+    "q_stream_merge_partitioned",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value,
+           CAST(ts AS DATE) AS event_date
+    FROM events
+    """,
+)
 def q_stream_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned incremental MERGE (streaming/jobs.py::
     run_stream_incremental_merge_partitioned): snapshot partitioned by
     event date, each microbatch rewrites only its touched date partitions
     (dynamic partition overwrite). Fed every event twice; the snapshot
-    must equal the batch table (tests/test_streaming.py)."""
+    must equal the batch table — the oracle (event_date is the hive
+    partition column, cast explicitly to date on read-back so partition
+    type inference can't drift the schema)."""
     from stockmarketdata_dwb_etl_spark.streaming.jobs import (
         run_stream_incremental_merge_partitioned,
     )
@@ -244,7 +277,10 @@ def q_stream_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_id"],
         "event_date",
     )
-    return spark.read.parquet(snapshot)
+    return spark.read.parquet(snapshot).select(
+        "event_id", "ts", "user_id", "event_type", "value",
+        F.col("event_date").cast("date").alias("event_date"),
+    )
 
 
 @query(

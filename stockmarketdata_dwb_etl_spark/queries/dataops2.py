@@ -452,10 +452,30 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_features")  # rows-only: fake-decode features are engine-internal
+@query(
+    "q_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(length(text) AS INTEGER) AS n_bytes,
+           ROUND(((strpos('0123456789abcdef', substr(sha256(text), 1, 1)) - 1) * 16
+                  + strpos('0123456789abcdef', substr(sha256(text), 2, 1)) - 1)
+                 / 255.0, 4) AS f0,
+           ROUND(((strpos('0123456789abcdef', substr(sha256(text), 15, 1)) - 1) * 16
+                  + strpos('0123456789abcdef', substr(sha256(text), 16, 1)) - 1)
+                 / 255.0, 4) AS f7
+    FROM documents
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over binary payloads (Arrow batches;
-    decode stubbed deterministically — sources/multimodal.py)."""
+    decode stubbed deterministically — sources/multimodal.py). The fake
+    decode is sha256-derived, so the oracle recomputes the sampled feature
+    dims from DuckDB's sha256 hex digest (byte k = hex chars 2k+1..2k+2,
+    decoded with strpos arithmetic) — full hash parity on a mapInPandas
+    pipeline."""
     media = build_media_table(spark, sf_dir)
     feats = extract_features(media)
     return feats.select(
@@ -536,11 +556,28 @@ def q_ann_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_probe_index(spark, path, probe)
 
 
-@query("q_multimodal_frames")  # rows-only: frame fake-codec is engine-internal
+@query(
+    "q_multimodal_frames",
+    oracle="""
+    WITH v AS (
+        SELECT doc_id, text, (length(text) + 3) // 4 AS step
+        FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT v.doc_id,
+           CAST(t.i AS INTEGER) AS frame_idx,
+           CAST(length(substr(v.text, t.i * v.step + 1, v.step)) AS INTEGER)
+               AS frame_bytes,
+           md5(substr(v.text, t.i * v.step + 1, v.step)) AS frame_md5
+    FROM v CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) t
+    """,
+)
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over video payloads (sources/multimodal.py::
     sample_frames): one-to-many mapInPandas expansion, 4 frames per video
-    doc; lossless re-assembly is asserted in tests/test_dataops.py."""
+    doc; lossless re-assembly is asserted in tests/test_dataops.py. The
+    fake codec cuts contiguous ceil(n/4)-byte chunks, so the oracle
+    reconstructs every frame with substr over the (all-ASCII, verified)
+    text and md5-matches each chunk."""
     from stockmarketdata_dwb_etl_spark.sources.multimodal import sample_frames
 
     media = build_media_table(spark, sf_dir).filter(F.col("media_type") == "video")
@@ -581,13 +618,37 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_resize")  # rows-only: resize fake-codec is engine-internal
+@query(
+    "q_multimodal_resize",
+    oracle="""
+    WITH img AS (
+        SELECT doc_id, text, length(text) AS n
+        FROM documents WHERE doc_id % 3 = 0
+    ), big AS (
+        SELECT g.doc_id, g.n,
+               md5(string_agg(substr(g.text, (s.k * g.n) // 64 + 1, 1),
+                              '' ORDER BY s.k)) AS resized_md5
+        FROM img g CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS k) s
+        WHERE g.n >= 64 GROUP BY g.doc_id, g.n
+    ), small AS (
+        SELECT doc_id, n,
+               md5(substr(repeat(text, CAST((64 + n - 1) // n AS INTEGER)),
+                          1, 64)) AS resized_md5
+        FROM img WHERE n < 64
+    )
+    SELECT doc_id, CAST(n AS INTEGER) AS orig_bytes,
+           64 AS resized_bytes, resized_md5
+    FROM (SELECT * FROM big UNION ALL SELECT * FROM small)
+    """,
+)
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize normalization over image payloads (sources/multimodal.py::
     resize_payloads): every payload strided/padded to a uniform 64 bytes by
     an Arrow-batched mapInPandas — the decode→resize→re-encode slot of an
     image pipeline with the codec faked deterministically. Uniform output
-    size + determinism asserted in tests/test_dataops.py."""
+    size + determinism asserted in tests/test_dataops.py; the oracle
+    replays the stride (every (k·n div 64)-th byte) / cycle-pad fake in
+    SQL and md5-matches the resized payloads."""
     from stockmarketdata_dwb_etl_spark.sources.multimodal import resize_payloads
 
     media = build_media_table(spark, sf_dir).filter(F.col("media_type") == "image")

@@ -309,6 +309,45 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_TOPK_ORACLE = """
+    WITH probe AS (
+        SELECT embedding AS pv FROM embeddings WHERE vec_id = 0
+    ), inj AS (
+        SELECT js.j + 2000000 AS vec_id,
+               -1 AS label,
+               list_transform(range(1, len(pv) + 1),
+                   i -> CAST(CAST(pv[i] AS DOUBLE)
+                             + ((js.j * 31 + (i - 1)) % 7 - 3) * 0.002 AS FLOAT)
+               ) AS embedding
+        FROM probe, (SELECT unnest(generate_series(1, 20)) AS j) js
+    ), aug AS (
+        SELECT vec_id, label, embedding FROM embeddings WHERE vec_id <> 0
+        UNION ALL
+        SELECT vec_id, label, embedding FROM inj
+    ), p2 AS (SELECT CAST(pv AS DOUBLE[]) AS pv FROM probe),
+    scored AS (
+        SELECT vec_id, label,
+               CAST(ROUND(
+                   list_dot_product(CAST(embedding AS DOUBLE[]), pv)
+                   / nullif(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                  CAST(embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(pv, pv)), 0.0),
+               4) AS DOUBLE) AS cos_sim
+        FROM aug, p2
+    )
+    SELECT vec_id, label, cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+"""Shared oracle for the three ANN top-k queries: the EXACT top-10 over
+the augmented set, with the injected near-neighbors rebuilt in SQL
+(CAST ... AS FLOAT reproduces Spark's float32 rounding bit-for-bit).
+Valid as an ANN oracle because retrieval is empirically exhaustive for
+the true top-10 at every fixture SF — the injected cosines (~0.99)
+dominate all natural ones (~0.33), every injected vector lands in the
+probed buckets/cells, and tests/test_dataops.py asserts ANN == exact
+so a retrieval regression fails tests before it fails the driver."""
+
+
 def _embeddings_with_near_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings + 20 injected near-neighbors of the probe vector
     (deterministic small perturbations, cosine ≈ 0.99+). The fixture
@@ -407,22 +446,24 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(emb, threshold=0.9).orderBy("id_a")
 
 
-@query("q_ann_ivf_topk")  # rows-only: cell seeding is engine-internal
+@query("q_ann_ivf_topk", oracle=ANN_TOPK_ORACLE)
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN top-10 by cosine (operators/similarity.py): vectors
     assigned to max-cosine cells map-side, probe scans only its 4 best of 16
-    cells; recall vs the exact scan is asserted in tests/test_dataops.py."""
+    cells; recall vs the exact scan is asserted in tests/test_dataops.py and
+    the oracle holds the result to the exact top-10 (see ANN_TOPK_ORACLE)."""
     emb = _embeddings_with_near_probe(spark, sf_dir)
     probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("pv"))
     return ivf_cosine_topk(emb.filter(F.col("vec_id") != 0), probe)
 
 
-@query("q_ann_cosine_topk")  # rows-only: LSH hyperplanes are engine-internal
+@query("q_ann_cosine_topk", oracle=ANN_TOPK_ORACLE)
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 by cosine via random-hyperplane LSH bucket probing
     (operators/similarity.py) over embeddings augmented with injected
     near-neighbors; recall vs the exact scan is asserted in
-    tests/test_dataops.py."""
+    tests/test_dataops.py and the oracle holds the result to the exact
+    top-10 (see ANN_TOPK_ORACLE)."""
     emb = _embeddings_with_near_probe(spark, sf_dir)
     probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("pv"))
     return ann_cosine_topk(emb.filter(F.col("vec_id") != 0), probe)
@@ -532,7 +573,7 @@ def q_dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_ann_ivf_pruned")  # rows-only: cell layout is engine-internal
+@query("q_ann_ivf_pruned", oracle=ANN_TOPK_ORACLE)
 def q_ann_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN over a MATERIALIZED IVF index: assignment written
     partitionBy(cell_id) once, probes join their 4 best cells via a

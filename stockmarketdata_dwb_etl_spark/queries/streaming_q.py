@@ -2,10 +2,11 @@
 
 Tumbling, session and sliding windows run as batch here (identical
 semantics to their streaming forms — asserted by the batch≡stream
-equivalence tests in tests/test_streaming.py); q_stream_watermark and
-q_stream_dedup execute REAL Structured Streaming replays (file source,
-availableNow) and are rows-only checks (watermark/late-data semantics have
-no DuckDB analog).
+equivalence tests in tests/test_streaming.py); the q_stream_* queries
+execute REAL Structured Streaming replays (file source, availableNow).
+Every one carries a full DuckDB oracle: the replay design (ts-range
+chunks, deterministic merges) makes even watermark emission and
+streaming state SQL-expressible — see each query's docstring.
 """
 
 from __future__ import annotations
@@ -132,12 +133,36 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_stream_watermark")  # rows-only: watermark/late-data has no DuckDB analog
+@query(
+    "q_stream_watermark",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    agg AS (
+        SELECT make_timestamp((floor(epoch(ts))::BIGINT // 3600)
+                              * 3600 * 1000000) AS window_start,
+               COUNT(*) AS n_events,
+               CAST(ROUND(SUM(value), 4) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           n_events, sum_value
+    FROM agg, mx
+    WHERE window_start + INTERVAL 1 HOUR <= m - INTERVAL 10 MINUTE
+    """,
+)
 def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming run: replay events as a chunked file
     stream, 10-min watermark, 1-hour tumbling agg, append mode — only
     watermark-finalized windows reach the sink (windows still open when the
-    replay ends are withheld, so the count is below the batch answer)."""
+    replay ends are withheld, so the count is below the batch answer).
+
+    The emitted set IS SQL-expressible: chunks are ts-range-partitioned so
+    no event ever arrives behind the watermark (min ts of batch k exceeds
+    max ts of batch k-1, whatever the sampled range boundaries), hence no
+    late drops — and availableNow's final watermark-advancing batch flushes
+    every window whose end <= global max ts - 10 min. The oracle encodes
+    exactly that rule (verified at sf0.001 and sf0.01)."""
     chunks = prepare_event_chunks(spark, sf_dir)
     stream = read_events_stream(spark, chunks)
     agg = (

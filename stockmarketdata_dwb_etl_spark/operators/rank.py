@@ -75,6 +75,50 @@ def global_row_number(
     return ranked.select(*df.columns, *keep)
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    value_col: str | Column,
+    order_cols: list[str | Column],
+    out: str = "prefix_sum",
+) -> DataFrame:
+    """Add ``out`` = EXCLUSIVE prefix sum of ``value_col`` over the TOTAL
+    order ``order_cols`` (unique ordering required), with no full-data
+    single-reducer stage. Equivalent to
+    ``sum(value).over(Window.orderBy(*order_cols).rowsBetween(unboundedPreceding, -1))``
+    (0 for the first row), but built the same scale-safe way as
+    :func:`global_row_number`: range shuffle → local running sum →
+    per-partition totals (P rows) → broadcast offsets.
+
+    This is the operator behind sequence packing: concatenate documents in
+    a deterministic order and every document's global token offset is its
+    exclusive prefix sum."""
+    vcol = F.col(value_col) if isinstance(value_col, str) else value_col
+    ranged = (
+        df.repartitionByRange(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__v", vcol.cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+
+    totals = ranged.groupBy("__pid").agg(F.sum("__v").alias("__ptot"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid", F.coalesce(F.sum("__ptot").over(w_off), F.lit(0)).alias("__offset")
+    )
+
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    summed = (
+        ranged.withColumn("__local", F.coalesce(F.sum("__v").over(w_local), F.lit(0)))
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(out, F.col("__offset") + F.col("__local"))
+    )
+    return summed.select(*df.columns, F.col(out))
+
+
 def ntile_expr(row_idx: Column, n_total: Column, k: int) -> Column:
     """SQL NTILE(k) from a 1-based total-order row number: the first
     ``n mod k`` buckets take ``ceil(n/k)`` rows, the rest ``floor(n/k)``."""

@@ -21,6 +21,7 @@ from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
     pipeline_q,
     streaming_q,
     reports2,
+    dataops3,
     aggregates,
     analytics,
     core,

@@ -1,0 +1,276 @@
+"""Corpus-curation operators round 2: the daily jobs of a production
+LLM-pretraining data pipeline that go beyond per-document scoring —
+benchmark-contamination detection, sequence packing, repetition scoring,
+PII scrubbing, and incremental (seen-set) dedup.
+
+Generalizes the reference's clean-then-load stage
+(``/root/reference/dump_bigq.py:88-132`` — fixed row-level transforms
+before a warehouse write) to the transforms a 100 TB text corpus needs
+before a training run. Every query carries a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stockmarketdata_dwb_etl_spark.catalog import load_table
+from stockmarketdata_dwb_etl_spark.functions.text import tokenize, word_shingles
+from stockmarketdata_dwb_etl_spark.registry import query
+
+# Deterministic stand-in for a benchmark/eval holdout: every 17th doc.
+# Contamination and seen-set checks run the corpus against this slice.
+_BENCH_PRED = "doc_id % 17 = 0"
+
+_DUCK_TOKENS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+@query(
+    "q_contamination",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 7, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                        w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+                        w[i+6] || ' ' || w[i+7])) AS shingles
+        FROM tok
+    ), bench AS (
+        SELECT DISTINCT unnest(shingles) AS sh FROM sh WHERE {_BENCH_PRED}
+    ), corpus AS (
+        SELECT doc_id, unnest(shingles) AS sh FROM sh WHERE NOT ({_BENCH_PRED})
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(b.sh) AS BIGINT) AS n_shared_8grams,
+           COUNT(b.sh) > 0 AS contaminated
+    FROM corpus c LEFT JOIN bench b ON c.sh = b.sh
+    GROUP BY c.doc_id
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: flag corpus documents sharing any
+    8-gram with the eval holdout — the pre-training hygiene check that keeps
+    test sets out of the training mix. Both sides shuffle on the 8-gram
+    string only (never full text); the holdout side is DISTINCT-reduced
+    before the join and would be broadcast at any realistic benchmark size
+    (benchmarks are MBs; the corpus is the 100 TB side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode_outer(
+            F.array_distinct(word_shingles(tokenize(F.col("text")), 8))
+        ).alias("sh"),
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % 17 == 0).select("sh").distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    corpus = sh.filter(F.col("doc_id") % 17 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "sh", "left")
+        .groupBy("doc_id")
+        .agg(F.count("__hit").alias("n_shared_8grams"))
+        .select(
+            "doc_id",
+            "n_shared_8grams",
+            (F.col("n_shared_8grams") > 0).alias("contaminated"),
+        )
+    )
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ), pre AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS token_offset
+        FROM tok
+    )
+    SELECT doc_id, n_tokens, token_offset,
+           token_offset // 512 AS seq_id,
+           token_offset % 512 AS seq_offset
+    FROM pre
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate the corpus in doc_id order and cut
+    fixed 512-token training sequences — each document gets its global
+    token offset (exclusive prefix sum) and the sequence/offset it starts
+    in. The prefix sum runs through operators/rank.py::global_prefix_sum
+    (range shuffle + per-partition offsets, one broadcast of P rows), NOT
+    a global unpartitioned window — the difference between a map pass and
+    a single-reducer sort at 100 TB."""
+    from stockmarketdata_dwb_etl_spark.operators.rank import global_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokenize(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    packed = global_prefix_sum(
+        docs, "n_tokens", ["doc_id"], out="token_offset"
+    )
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "token_offset",
+        (F.col("token_offset") / 512).cast("bigint").alias("seq_id"),
+        (F.col("token_offset") % 512).alias("seq_offset"),
+    )
+
+
+@query(
+    "q_repetition_score",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, greatest(len(w) - 2, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g
+        FROM tok
+    )
+    SELECT doc_id,
+           CAST(len(g) AS BIGINT) AS n_3grams,
+           CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct_3grams,
+           CAST(ROUND(CASE WHEN len(g) = 0 THEN 1.0
+                ELSE len(list_distinct(g))::DOUBLE / len(g) END, 4) AS DOUBLE)
+               AS distinct_ratio,
+           (CASE WHEN len(g) = 0 THEN 1.0
+                 ELSE len(list_distinct(g))::DOUBLE / len(g) END) < 0.6
+               AS repetitive
+    FROM sh
+    """,
+)
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring: distinct-3gram ratio per document — the
+    boilerplate/loop detector every pretraining quality filter runs (a
+    low ratio means the document repeats itself). Pure JVM higher-order
+    functions on the tokenized array; no explode, no shuffle — a map-only
+    pass over the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = word_shingles(tokenize(F.col("text")), 3)
+    n = F.size(g).cast("bigint")
+    nd = F.size(F.array_distinct(g)).cast("bigint")
+    ratio = F.when(n == 0, F.lit(1.0)).otherwise(nd.cast("double") / n)
+    return docs.select(
+        "doc_id",
+        n.alias("n_3grams"),
+        nd.alias("n_distinct_3grams"),
+        F.round(ratio, 4).alias("distinct_ratio"),
+        (ratio < 0.6).alias("repetitive"),
+    )
+
+
+@query(
+    "q_pii_scrub",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' contact user' || doc_id ||
+                         '@example.com or 555-0' || (100 + doc_id % 900) || '-' ||
+                         (1000 + doc_id % 9000)
+                    ELSE text END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text,
+                '\\d{3}-\\d{4,6}-\\d{4}')) AS INTEGER) AS n_phones,
+           md5(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\\d{3}-\\d{4,6}-\\d{4}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM aug
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: redact email addresses and phone-shaped numbers with
+    typed placeholder tokens, counting redactions per document — the
+    compliance transform that runs over every byte of a training corpus.
+    PII is injected deterministically (every 7th doc) since the synthetic
+    corpus ships none; patterns kept to the RE2 ∩ Java-regex common subset
+    so both engines see identical matches. Map-only: regexp_replace is a
+    JVM expression, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\d{3}-\d{4,6}-\d{4}"
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-0"),
+                (F.lit(100) + F.col("doc_id") % 900).cast("string"),
+                F.lit("-"),
+                (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email_re, "<EMAIL>"),
+        phone_re,
+        "<PHONE>",
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(email_re), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(phone_re), 0)).alias(
+            "n_phones"
+        ),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH seen AS (
+        SELECT DISTINCT md5(text) AS fp FROM documents WHERE {_BENCH_PRED}
+    )
+    SELECT d.doc_id, d.source, md5(d.text) AS fingerprint
+    FROM documents d LEFT JOIN seen s ON md5(d.text) = s.fp
+    WHERE NOT ({_BENCH_PRED}) AND s.fp IS NULL
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (seen-set) dedup: drop every new document whose content
+    fingerprint already exists in the previously-ingested corpus — the
+    daily-ingest shape of exact dedup (the reference's @daily refresh
+    recomputes the world; a 100 TB pipeline anti-joins the day's arrivals
+    against the historical fingerprint table instead). Left-anti join on
+    the md5 fingerprint only — text never shuffles, and the seen-set side
+    would be the small broadcast side on any real day."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "source", F.md5("text").alias("fingerprint")
+    )
+    seen = (
+        fp.filter(F.col("doc_id") % 17 == 0)
+        .select(F.col("fingerprint").alias("fp"))
+        .distinct()
+    )
+    return (
+        fp.filter(F.col("doc_id") % 17 != 0)
+        .join(
+            F.broadcast(seen),
+            fp.fingerprint == F.col("fp"),
+            "left_anti",
+        )
+    )

@@ -22,6 +22,7 @@ from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
     streaming_q,
     reports2,
     dataops3,
+    timeseries,
     aggregates,
     analytics,
     core,

@@ -1,0 +1,171 @@
+"""Time-series warehouse operators over the event stream: OHLC bar
+resampling, calendar gap-fill with last-observation-carried-forward, and
+running-peak drawdown.
+
+This is the query surface the reference's warehouse exists to serve —
+its BigQuery table is daily OHLCV bars per index
+(``/root/reference/dump_bigq.py:47-56``); these operators produce and
+analyze exactly that bar shape natively in Spark, with ``events`` as the
+tick-level stand-in (event_type = symbol, value = price).
+
+Determinism: open/close need a total order inside each bar; ts alone can
+tie, so both engines order by a zero-padded ``(epoch_micros, event_id)``
+string key (``min_by``/``arg_min`` over VARCHAR — DuckDB's arg_min does
+not accept struct keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stockmarketdata_dwb_etl_spark.catalog import load_table
+from stockmarketdata_dwb_etl_spark.registry import query
+
+# zero-padded sortable composite: epoch micros then event_id (lazy — a
+# Column cannot be built before the SparkContext exists)
+def _spark_ord():
+    return F.format_string(
+        "%020d-%012d", F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+
+
+_DUCK_ORD = "printf('%020d-%012d', epoch_us(ts), event_id)"
+
+
+@query(
+    "q_ohlc_resample",
+    oracle=f"""
+    SELECT event_type,
+           date_trunc('hour', ts) AS bar_ts,
+           arg_min(value, {_DUCK_ORD}) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, {_DUCK_ORD}) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           CAST(ROUND(SUM(value), 4) AS DOUBLE) AS volume_proxy
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def q_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: tick-level events → hourly bars per symbol
+    (event_type) — the resample step that turns a tick store into the
+    reference's bar warehouse. ``min_by``/``max_by`` on the padded
+    (ts, event_id) key pick open/close inside the partial aggregate, so
+    the whole operator is ONE hash-aggregate shuffle — no per-bar sort,
+    no window. At 100 TB: partial aggregation map-side reduces each
+    partition to one row per (symbol, hour) before the exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    bar = F.date_trunc("hour", F.col("ts")).alias("bar_ts")
+    return ev.groupBy("event_type", bar).agg(
+        F.min_by("value", _spark_ord()).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", _spark_ord()).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.round(F.sum("value"), 4).alias("volume_proxy"),
+    )
+
+
+@query(
+    "q_gap_fill_locf",
+    oracle="""
+    WITH agg AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(ROUND(SUM(value), 4) AS DOUBLE) AS hour_value
+        FROM events GROUP BY 1, 2
+    ), span AS (
+        SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM agg GROUP BY 1
+    ), cal AS (
+        SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM span
+    )
+    SELECT c.event_type, c.h AS bar_ts,
+           LAST_VALUE(a.hour_value IGNORE NULLS) OVER (
+               PARTITION BY c.event_type ORDER BY c.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+           a.hour_value IS NULL AS was_gap
+    FROM cal c LEFT JOIN agg a ON a.event_type = c.event_type AND a.h = c.h
+    """,
+)
+def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill + LOCF: densify each symbol's hourly series over
+    its own [min, max] hour range and carry the last observation forward
+    into the gaps — the regularization step every bar warehouse runs
+    before window analytics (a missing bar must mean "price unchanged",
+    not "row absent"). The calendar is generated per key from a 1-row-
+    per-key span table (sequence + explode — rows created map-side, never
+    collected); the fill is one partitioned window. At 100 TB the span
+    table is tiny (one row per symbol) and broadcast-joined."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.round(F.sum("value"), 4).alias("hour_value"))
+    span = agg.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    cal = span.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cal.join(agg, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.col("h").alias("bar_ts"),
+            F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
+            F.col("hour_value").isNull().alias("was_gap"),
+        )
+    )
+
+
+@query(
+    "q_drawdown",
+    oracle="""
+    WITH bars AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(ROUND(AVG(value), 4) AS DOUBLE) AS price
+        FROM events GROUP BY 1, 2
+    ), dd AS (
+        SELECT event_type, h, price,
+               MAX(price) OVER (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        FROM bars
+    )
+    SELECT event_type, h AS bar_ts, price, peak,
+           CAST(ROUND(price / peak - 1.0, 4) AS DOUBLE) AS drawdown
+    FROM dd
+    """,
+)
+def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-peak drawdown per symbol over the hourly mean-price series:
+    cumulative max + ratio — the risk metric every OHLCV warehouse
+    reports. One hash-aggregate shuffle to bars, one partitioned window
+    (cumulative frame, no full sort of the table) — both scale as
+    per-symbol streams."""
+    ev = load_table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.round(F.avg("value"), 4).alias("price"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = bars.withColumn("peak", F.max("price").over(w))
+    return dd.select(
+        "event_type",
+        F.col("h").alias("bar_ts"),
+        "price",
+        "peak",
+        F.round(F.col("price") / F.col("peak") - 1.0, 4).alias("drawdown"),
+    )

@@ -83,7 +83,15 @@ def minhash_signatures(
     seed: int = 42,
     shingled: DataFrame | None = None,
 ) -> DataFrame:
-    """(id, sig: array<bigint>[n_perm], n_shingles) per document."""
+    """(id, sig: array<bigint>[n_perm], n_shingles) per document.
+
+    Shape note (measured): a shuffle-free alternative — one
+    ``aggregate(hash_array, [P]*64, zip_with(least(...)))`` fold per doc —
+    produces identical signatures but ran ~10% SLOWER at sf0.1 (the fold
+    allocates a fresh 64-element array per shingle, while this explode +
+    64-column min groupBy stays in codegen'd aggregate buffers, and
+    map-side partial aggregation already collapses the exploded rows to
+    one row per doc before any exchange). Keeping the aggregate form."""
     if shingled is None:
         shingled = shingle_sets(docs, id_col, text_col, shingle_k)
     exploded = shingled.select(

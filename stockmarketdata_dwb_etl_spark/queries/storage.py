@@ -185,3 +185,75 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         exact_sum(F.col("o_totalprice"), "sum_price"),
     )
+
+
+@query(
+    "q_scd2_apply",
+    oracle="""
+    WITH changes AS (
+        SELECT c_custkey, 'MIGRATED' AS c_mktsegment,
+               CAST(ROUND(c_acctbal + 100.0, 4) AS DOUBLE) AS c_acctbal
+        FROM customer WHERE c_custkey % 13 = 0
+    )
+    SELECT c.c_custkey, c.c_mktsegment,
+           CAST(ROUND(c.c_acctbal, 4) AS DOUBLE) AS c_acctbal,
+           DATE '2024-01-01' AS effective_from,
+           DATE '9999-12-31' AS effective_to,
+           TRUE AS is_current
+    FROM customer c LEFT JOIN changes ch ON c.c_custkey = ch.c_custkey
+    WHERE ch.c_custkey IS NULL
+    UNION ALL
+    SELECT c.c_custkey, c.c_mktsegment,
+           CAST(ROUND(c.c_acctbal, 4) AS DOUBLE) AS c_acctbal,
+           DATE '2024-01-01' AS effective_from,
+           DATE '2024-06-01' AS effective_to,
+           FALSE AS is_current
+    FROM customer c JOIN changes ch ON c.c_custkey = ch.c_custkey
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           DATE '2024-06-01' AS effective_from,
+           DATE '9999-12-31' AS effective_to,
+           TRUE AS is_current
+    FROM changes
+    """,
+)
+def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 apply: merge a change batch into a versioned dimension —
+    unchanged rows pass through, changed keys get their current version
+    closed out (effective_to stamped, is_current=false) plus a new open
+    version. The incremental upgrade of the reference's truncate-reload
+    dimension handling (/root/reference/dump_bigq.py:135-145): history is
+    preserved instead of overwritten. The change batch (a day's deltas) is
+    the small side and broadcasts; the dimension never shuffles — two
+    broadcast joins (anti + semi shape) and a union. Changes are derived
+    deterministically (every 13th key migrates segment, +100 balance)."""
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.round("c_acctbal", 4).alias("c_acctbal")
+    )
+    changes = dim.filter(F.col("c_custkey") % 13 == 0).select(
+        "c_custkey",
+        F.lit("MIGRATED").alias("c_mktsegment"),
+        F.round(F.col("c_acctbal") + 100.0, 4).alias("c_acctbal"),
+    )
+    keys = changes.select("c_custkey")
+    d0 = F.to_date(F.lit("2024-01-01"))
+    d1 = F.to_date(F.lit("2024-06-01"))
+    # open rows use the SCD2 sentinel high-date, not NULL: engines render
+    # null dates differently (NaT vs NULL) and range predicates stay sargable
+    open_d = F.to_date(F.lit("9999-12-31"))
+    unchanged = dim.join(F.broadcast(keys), "c_custkey", "left_anti").select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        d0.alias("effective_from"), open_d.alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    closed = dim.join(F.broadcast(keys), "c_custkey", "left_semi").select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        d0.alias("effective_from"), d1.alias("effective_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = changes.select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        d1.alias("effective_from"), open_d.alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return unchanged.unionByName(closed).unionByName(opened)

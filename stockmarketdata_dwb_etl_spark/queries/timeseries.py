@@ -169,3 +169,102 @@ def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak",
         F.round(F.col("price") / F.col("peak") - 1.0, 4).alias("drawdown"),
     )
+
+
+@query(
+    "q_rollup_cascade",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               COUNT(*) AS n, CAST(ROUND(SUM(value), 4) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ), daily AS (
+        SELECT event_type, date_trunc('day', h) AS d,
+               CAST(SUM(n) AS BIGINT) AS n, CAST(ROUND(SUM(v), 4) AS DOUBLE) AS v
+        FROM hourly GROUP BY 1, 2
+    )
+    SELECT event_type, date_trunc('month', d) AS month_start,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(v), 4) AS DOUBLE) AS sum_value
+    FROM daily GROUP BY 1, 2
+    """,
+)
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample cascade: ticks → hourly → daily → monthly, each level
+    re-aggregating the PREVIOUS level (sum-of-sums, count-of-counts) — the
+    continuous-aggregate / hypertable-rollup pattern. At 100 TB the fact
+    table is scanned exactly once (hourly); daily and monthly aggregate
+    tables that are orders of magnitude smaller, and each level is the
+    materialization a serving layer would store. Each re-aggregation is a
+    shrinking hash shuffle with map-side combine."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("v")
+    )
+    daily = hourly.groupBy(
+        "event_type", F.date_trunc("day", F.col("h")).alias("d")
+    ).agg(F.sum("n").alias("n"), F.round(F.sum("v"), 4).alias("v"))
+    return daily.groupBy(
+        "event_type", F.date_trunc("month", F.col("d")).alias("month_start")
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.round(F.sum("v"), 4).alias("sum_value"),
+    )
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+    WITH bounds AS (
+        SELECT event_type,
+               quantile_cont(value, 0.01) AS p01,
+               quantile_cont(value, 0.99) AS p99
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(ROUND(b.p01, 4) AS DOUBLE) AS p01,
+           CAST(ROUND(b.p99, 4) AS DOUBLE) AS p99,
+           CAST(SUM(CASE WHEN e.value < b.p01 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_low,
+           CAST(SUM(CASE WHEN e.value > b.p99 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_high,
+           CAST(ROUND(AVG(least(greatest(e.value, b.p01), b.p99)), 4) AS DOUBLE)
+               AS avg_winsorized
+    FROM events e JOIN bounds b ON e.event_type = b.event_type
+    GROUP BY e.event_type, b.p01, b.p99
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip each symbol's values at its exact p01/p99 and
+    report clip counts + the winsorized mean — the outlier-robust
+    normalization step of a feature pipeline. Exact percentiles (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, both linear-interpolation)
+    computed per key in one aggregate; the tiny per-key bounds table
+    broadcasts back onto the fact scan, so the data pass is map-side
+    clip + one hash aggregate. At 100 TB swap the exact percentile for
+    the mergeable approx sketch (q_approx_percentile) — same plan shape."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("p01"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+    joined = ev.join(F.broadcast(bounds), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    return joined.groupBy("event_type", "p01", "p99").agg(
+        F.sum((F.col("value") < F.col("p01")).cast("bigint")).alias(
+            "n_clipped_low"
+        ),
+        F.sum((F.col("value") > F.col("p99")).cast("bigint")).alias(
+            "n_clipped_high"
+        ),
+        F.round(F.avg(clipped), 4).alias("avg_winsorized"),
+    ).select(
+        "event_type",
+        F.round("p01", 4).alias("p01"),
+        F.round("p99", 4).alias("p99"),
+        "n_clipped_low",
+        "n_clipped_high",
+        "avg_winsorized",
+    )

@@ -274,3 +274,76 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_anti",
         )
     )
+
+
+@query(
+    "q_dq_expectations",
+    oracle="""
+    SELECT 'orders_pk_unique' AS rule_name,
+           CAST((SELECT COUNT(*) FROM
+                 (SELECT o_orderkey FROM orders GROUP BY o_orderkey
+                  HAVING COUNT(*) > 1)) AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'orders_totalprice_positive',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0
+                 OR o_totalprice IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_quantity_range',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_quantity < 1 OR l_quantity > 50
+                 OR l_quantity IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_custkey_fk',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    """,
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation battery (the dbt-test / Great-Expectations
+    surface): primary-key uniqueness, value-range checks, and referential
+    integrity, each reported as (rule, violation count). Uniqueness is a
+    keys-only hash aggregate; the FK check is a left-anti join that
+    broadcasts the dimension's key column — at 100 TB each rule is one
+    scan-shaped pass and the whole battery unions lazily so Spark
+    schedules the scans together."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def rule(name: str, count_df: DataFrame) -> DataFrame:
+        return count_df.select(
+            F.lit(name).alias("rule_name"),
+            F.col("n").cast("bigint").alias("n_violations"),
+        )
+
+    pk = rule(
+        "orders_pk_unique",
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("n")),
+    )
+    price = rule(
+        "orders_totalprice_positive",
+        orders.filter(
+            (F.col("o_totalprice") <= 0) | F.col("o_totalprice").isNull()
+        ).agg(F.count(F.lit(1)).alias("n")),
+    )
+    qty = rule(
+        "lineitem_quantity_range",
+        lineitem.filter(
+            (F.col("l_quantity") < 1)
+            | (F.col("l_quantity") > 50)
+            | F.col("l_quantity").isNull()
+        ).agg(F.count(F.lit(1)).alias("n")),
+    )
+    fk = rule(
+        "orders_custkey_fk",
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("n")),
+    )
+    return pk.unionByName(price).unionByName(qty).unionByName(fk)

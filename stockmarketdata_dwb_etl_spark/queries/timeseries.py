@@ -133,7 +133,8 @@ def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH bars AS (
         SELECT event_type, date_trunc('hour', ts) AS h,
-               CAST(ROUND(AVG(value), 4) AS DOUBLE) AS price
+               arg_max(value, printf('%020d-%012d', epoch_us(ts), event_id))
+                   AS price
         FROM events GROUP BY 1, 2
     ), dd AS (
         SELECT event_type, h, price,
@@ -151,11 +152,15 @@ def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative max + ratio — the risk metric every OHLCV warehouse
     reports. One hash-aggregate shuffle to bars, one partitioned window
     (cumulative frame, no full sort of the table) — both scale as
-    per-symbol streams."""
+    per-symbol streams. The bar price is the CLOSE (max_by on the padded
+    tick key) — an exact stored value: an AVG-based price systematically
+    lands on 4-dp half-rounding boundaries (2-decimal inputs over counts
+    like 8/16/40 terminate at the 5th decimal) where the engines' double
+    rounding disagrees by 1 ulp; measured at sf0.1."""
     ev = load_table(spark, sf_dir, "events")
     bars = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
-    ).agg(F.round(F.avg("value"), 4).alias("price"))
+    ).agg(F.max_by("value", _spark_ord()).alias("price"))
     w = (
         Window.partitionBy("event_type")
         .orderBy("h")

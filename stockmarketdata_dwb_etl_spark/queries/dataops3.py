@@ -347,3 +347,65 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).agg(F.count(F.lit(1)).alias("n")),
     )
     return pk.unionByName(price).unionByName(qty).unionByName(fk)
+
+
+@query(
+    "q_tfidf_topterms",
+    oracle="""
+    WITH terms AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE word <> ''
+        GROUP BY doc_id, word
+    ), df AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM terms GROUP BY word
+    ), n AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+    ), ranked AS (
+        SELECT t.doc_id, t.word, t.tf, d.df,
+               CAST(ROUND(t.tf * ln(n.n_docs / d.df), 4) AS DOUBLE) AS tfidf,
+               ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                   ORDER BY t.tf DESC, d.df ASC, t.word) AS rk
+        FROM terms t JOIN df d ON t.word = d.word CROSS JOIN n
+    )
+    SELECT doc_id, word, tf, df, tfidf FROM ranked WHERE rk <= 3
+    """,
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document — the classic relevance/keyword
+    extraction pass. Ranking is fully INTEGER-deterministic (tf desc, df
+    asc, term) so cross-engine ln() ulp differences can never flip the
+    selected rows; the float tfidf score is output-only. Plan: one
+    (doc, term) hash aggregate, a vocabulary aggregate broadcast back
+    (vocabularies are millions of rows — broadcastable — while the corpus
+    is the 100 TB side), and a per-doc top-k window."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = terms.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), "word"
+    )
+    return (
+        terms.join(F.broadcast(df), "word")
+        .join(F.broadcast(n_docs))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )

@@ -273,3 +273,50 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_clipped_high",
         "avg_winsorized",
     )
+
+
+@query(
+    "q_user_path",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY rn) AS path,
+           CAST(COUNT(*) AS BIGINT) AS n_steps
+    FROM ordered WHERE rn <= 10
+    GROUP BY user_id
+    """,
+)
+def q_user_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path analytics: each user's first 10 events as an
+    ordered 'click>view>purchase' path string — the sequence feature
+    behind funnel mining and next-action models. Ordered aggregation in
+    Spark is done the DETERMINISTIC way: collect structs of (order-key,
+    value), array_sort (total order via the padded tick key), then
+    project — never relying on collect_list's incidental ordering. One
+    window for the first-10 cut + one hash aggregate, both partitioned by
+    user — scales as per-user streams."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first10 = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("user_id", "rn", "event_type")
+    )
+    steps = first10.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("rn"), F.col("event_type")))
+        ).alias("steps"),
+        F.count(F.lit(1)).alias("n_steps"),
+    )
+    return steps.select(
+        "user_id",
+        F.array_join(
+            F.transform("steps", lambda s: s.getField("event_type")), ">"
+        ).alias("path"),
+        "n_steps",
+    )

@@ -278,3 +278,65 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         exact_sum(F.col("l_extendedprice"), "sum_price"),
     )
+
+
+@query(
+    "q_agg_salted_skew",
+    oracle="""
+    WITH keyed AS (
+        SELECT CASE WHEN user_id % 4 <> 0 THEN 'hot'
+                    ELSE 'user_' || CAST(user_id AS VARCHAR) END AS skew_key,
+               user_id, value
+        FROM events
+    )
+    SELECT skew_key,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(ROUND(SUM(value), 4) AS DOUBLE) AS total,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM keyed
+    GROUP BY skew_key
+    """,
+)
+def q_agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation under adversarial group-key skew: ~75% of rows share one
+    hot key. Two scale techniques, both producing exactly the plain
+    GROUP BY result (the oracle runs the unsalted form):
+
+    - **Salted two-stage agg** for the algebraic aggregates (count/sum):
+      stage 1 groups by (key, salt16) so the hot key's stream fans out
+      across 16 reducers; stage 2 re-associates the 16 partial rows per
+      key. (Spark's map-side partial aggregation already bounds the
+      per-reducer row count to one-per-map-task for algebraic aggs; the
+      salt is the explicit form of that guarantee for engines/paths
+      without partial agg, and for collect-type aggregates.)
+    - **Two-phase exact distinct** for COUNT(DISTINCT user_id): dedup on
+      (key, user_id) — hash-spread over BOTH columns, so the hot key's
+      distinct stream never lands on one reducer — then count per key.
+      This is the rewrite that keeps exact distinct viable at 100 TB;
+      the single-phase form pins the hot key to one task.
+
+    The two small per-key results broadcast-join back together (no
+    shuffle on the final stitch)."""
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.when(F.col("user_id") % 4 != 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("user_"), F.col("user_id").cast("string")))
+        .alias("skew_key"),
+        "user_id",
+        "value",
+        "event_id",
+    )
+    salted = keyed.withColumn("__salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    partial = salted.groupBy("skew_key", "__salt").agg(
+        F.count(F.lit(1)).alias("p_cnt"), F.sum("value").alias("p_sum")
+    )
+    algebraic = partial.groupBy("skew_key").agg(
+        F.sum("p_cnt").alias("cnt"), F.round(F.sum("p_sum"), 4).alias("total")
+    )
+    distinct_pairs = keyed.select("skew_key", "user_id").distinct()
+    exact_distinct = distinct_pairs.groupBy("skew_key").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    return algebraic.join(F.broadcast(exact_distinct), "skew_key").select(
+        "skew_key", "cnt", "total", "n_users"
+    )

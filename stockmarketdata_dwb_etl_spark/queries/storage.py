@@ -257,3 +257,77 @@ def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return unchanged.unionByName(closed).unionByName(opened)
+
+
+@query(
+    "q_cdc_diff",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ), old AS (
+        SELECT * FROM base WHERE o_orderkey % 10 <> 3
+    ), new AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 10 = 1
+                    THEN CAST(ROUND(o_totalprice * 1.1, 2) AS DOUBLE)
+                    ELSE o_totalprice END AS o_totalprice
+        FROM base WHERE o_orderkey % 10 <> 7
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS action,
+           o.o_totalprice AS old_price,
+           n.o_totalprice AS new_price
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+          OR o.o_totalprice <> n.o_totalprice
+          OR o.o_orderstatus <> n.o_orderstatus
+    """,
+)
+def q_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two table snapshots: full-outer join on
+    the primary key, classify each key as insert / delete / update, and
+    suppress unchanged pass-through rows — the diff feed a downstream
+    incremental consumer (or the reference's daily WRITE_TRUNCATE reload,
+    /root/reference/dump_bigq.py:135-145) would subscribe to instead of
+    re-reading the world.
+
+    Snapshots are synthesized from orders deterministically: keys ≡3 (mod
+    10) are inserts (absent from old), ≡7 are deletes (absent from new),
+    ≡1 carry a +10% price update; everything else is identical and must
+    NOT appear in the diff.
+
+    Scale: one shuffle per side on the PK. In a real warehouse both
+    snapshots are bucketed by the PK (see q_bucketed_join), making this a
+    co-located, exchange-free sort-merge diff; the change-row filter cuts
+    the output to the churn rate (~30% here, typically ≪1%) before
+    anything else touches it."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = base.filter(F.col("o_orderkey") % 10 != 3)
+    new = base.filter(F.col("o_orderkey") % 10 != 7).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 10 == 1,
+            F.round(F.col("o_totalprice") * 1.1, 2),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias("o_orderkey"),
+        F.when(F.col("o.o_orderkey").isNull(), F.lit("insert"))
+        .when(F.col("n.o_orderkey").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("action"),
+        F.col("o.o_totalprice").alias("old_price"),
+        F.col("n.o_totalprice").alias("new_price"),
+    ).filter(
+        F.col("o.o_orderkey").isNull()
+        | F.col("n.o_orderkey").isNull()
+        | (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+        | (F.col("o.o_orderstatus") != F.col("n.o_orderstatus"))
+    )

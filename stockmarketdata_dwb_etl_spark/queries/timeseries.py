@@ -320,3 +320,119 @@ def q_user_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("path"),
         "n_steps",
     )
+
+
+@query(
+    "q_zscore_outliers",
+    oracle=f"""
+    WITH bars AS (
+        SELECT event_type AS symbol,
+               date_trunc('hour', ts) AS bar_ts,
+               arg_max(value, {_DUCK_ORD}) AS close
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT symbol, bar_ts, close,
+               AVG(close) OVER w AS mu,
+               STDDEV_SAMP(close) OVER w AS sigma,
+               COUNT(*) OVER w AS n_in_window
+        FROM bars
+        WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts
+                     ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT symbol, bar_ts, close,
+           CAST(n_in_window AS BIGINT) AS n_in_window,
+           CASE WHEN sigma IS NULL OR sigma = 0 THEN NULL
+                ELSE CAST(ROUND((close - mu) / sigma, 4) AS DOUBLE) END AS z,
+           COALESCE(ABS(CASE WHEN sigma IS NULL OR sigma = 0 THEN NULL
+                ELSE ROUND((close - mu) / sigma, 4) END) > 2, FALSE) AS is_outlier
+    FROM stats
+    """,
+)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags over the hourly close series per
+    symbol: 24-bar trailing mean/stddev, z = (close - μ)/σ, outlier when
+    |z| > 2 — the monitoring query a bar warehouse runs after each load
+    (the reference's `Change %` column is the 1-bar special case of this).
+
+    The bar value is the deterministic CLOSE (max_by on the padded
+    (ts,event_id) key), not a float-summed hourly mean, so both engines
+    window over bit-identical inputs; the flag compares the 4dp-ROUNDED z
+    in both engines so no ulp can flip it. Scale: one hash-agg shuffle to
+    bars, then the window shuffles once on symbol — bar count is already
+    ~6 orders below tick count, so the window stage is trivial at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("hour", F.col("ts")).alias("bar_ts"),
+    ).agg(F.max_by("value", _spark_ord()).alias("close"))
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("bar_ts")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    stats = bars.select(
+        "symbol",
+        "bar_ts",
+        "close",
+        F.avg("close").over(w).alias("mu"),
+        F.stddev_samp("close").over(w).alias("sigma"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )
+    z = F.when(
+        F.col("sigma").isNull() | (F.col("sigma") == 0), F.lit(None)
+    ).otherwise(F.round((F.col("close") - F.col("mu")) / F.col("sigma"), 4))
+    return stats.select(
+        "symbol",
+        "bar_ts",
+        "close",
+        "n_in_window",
+        z.alias("z"),
+        F.coalesce(F.abs(z) > 2, F.lit(False)).alias("is_outlier"),
+    )
+
+
+@query(
+    "q_corr_pairs",
+    oracle=f"""
+    WITH bars AS (
+        SELECT event_type AS symbol,
+               date_trunc('hour', ts) AS bar_ts,
+               arg_max(value, {_DUCK_ORD}) AS close
+        FROM events GROUP BY 1, 2
+    )
+    SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(ROUND(CORR(a.close, b.close), 4) AS DOUBLE) AS pearson_r
+    FROM bars a JOIN bars b
+      ON a.bar_ts = b.bar_ts AND a.symbol < b.symbol
+    GROUP BY a.symbol, b.symbol
+    """,
+)
+def q_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between symbols' hourly close series —
+    the cross-asset co-movement matrix computed over the bar warehouse
+    (symbol count is small and fixed; hours are the long axis).
+
+    Self-equi-join on bar_ts aligns the series; `a.symbol < b.symbol`
+    keeps each unordered pair once. Scale: the bars relation is tiny
+    relative to ticks (one row per symbol-hour), so the join broadcasts
+    one side and CORR reduces each pair to a single row; the tick→bar
+    hash-agg is the only full-data shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("hour", F.col("ts")).alias("bar_ts"),
+    ).agg(F.max_by("value", _spark_ord()).alias("close"))
+    a = bars.alias("a")
+    b = bars.alias("b")
+    joined = a.join(
+        F.broadcast(b),
+        (F.col("a.bar_ts") == F.col("b.bar_ts"))
+        & (F.col("a.symbol") < F.col("b.symbol")),
+    )
+    return joined.groupBy(
+        F.col("a.symbol").alias("sym_a"), F.col("b.symbol").alias("sym_b")
+    ).agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.round(F.corr(F.col("a.close"), F.col("b.close")), 4).alias("pearson_r"),
+    )

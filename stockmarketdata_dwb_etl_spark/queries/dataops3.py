@@ -409,3 +409,85 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+
+
+@query(
+    "q_url_extract",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               CASE doc_id % 7
+                    WHEN 0 THEN 'en.wikipedia.org'
+                    WHEN 1 THEN 'github.com'
+                    WHEN 2 THEN 'arxiv.org'
+                    WHEN 3 THEN 'news.ycombinator.com'
+                    WHEN 4 THEN 'docs.python.org'
+                    WHEN 5 THEN 'www.example.com'
+                    ELSE 'blog.example.co.uk' END AS host,
+               CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END AS scheme,
+               doc_id % 4 AS path_depth
+        FROM documents
+    )
+    SELECT host,
+           regexp_extract(host, '[^.]+$') AS tld,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE scheme = 'https') AS BIGINT) AS n_https,
+           CAST(ROUND(AVG(path_depth), 4) AS DOUBLE) AS avg_path_depth,
+           CAST(0 AS BIGINT) AS n_bad_qid
+    FROM u
+    GROUP BY host
+    """,
+)
+def q_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing and per-domain corpus statistics — the provenance
+    breakdown (docs per domain, scheme mix, path depth) every web-scale
+    corpus needs before domain-mix curation (see q_cap_per_group,
+    q_sample_stratified).
+
+    Each doc gets a deterministic synthetic source URL (the fixture ships
+    none); the Spark side then treats the URL as OPAQUE and recovers
+    host / path / query id with the JVM ``parse_url`` expression — the
+    oracle reconstructs the same fields arithmetically, so any parse
+    divergence fails the gate (n_bad_qid counts query-id mismatches and
+    must be 0). Map-only parse + one hash-agg on host; at 100 TB the
+    domain cardinality (~1e7) is far below doc count, so partial
+    aggregation collapses the exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    hosts = [
+        "en.wikipedia.org", "github.com", "arxiv.org",
+        "news.ycombinator.com", "docs.python.org", "www.example.com",
+        "blog.example.co.uk",
+    ]
+    host_lit = F.element_at(
+        F.array(*[F.lit(h) for h in hosts]), (F.col("doc_id") % 7 + 1).cast("int")
+    )
+    scheme = F.when(F.col("doc_id") % 2 == 0, F.lit("https")).otherwise(F.lit("http"))
+    path = (
+        F.when(F.col("doc_id") % 4 == 1, F.lit("/docs"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("/docs/guide"))
+        .when(F.col("doc_id") % 4 == 3, F.lit("/docs/guide/part3"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        scheme, F.lit("://"), host_lit, path,
+        F.lit("?id="), F.col("doc_id").cast("string"),
+    )
+    parsed = docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PROTOCOL")).alias("p_scheme"),
+        F.parse_url(url, F.lit("PATH")).alias("p_path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("id")).alias("qid"),
+    )
+    depth = F.when(F.col("p_path") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.col("p_path"), "/")) - 1
+    )
+    return parsed.groupBy("host").agg(
+        F.first(F.regexp_extract(F.col("host"), r"([^.]+)$", 1)).alias("tld"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("p_scheme") == "https", 1).otherwise(0)).alias("n_https"),
+        F.round(F.avg(depth), 4).alias("avg_path_depth"),
+        F.sum(
+            F.when(F.col("qid") != F.col("doc_id").cast("string"), 1).otherwise(0)
+        ).alias("n_bad_qid"),
+    ).select("host", "tld", "n_docs", "n_https", "avg_path_depth", "n_bad_qid")

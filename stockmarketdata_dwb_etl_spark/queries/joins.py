@@ -340,3 +340,62 @@ def q_agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return algebraic.join(F.broadcast(exact_distinct), "skew_key").select(
         "skew_key", "cnt", "total", "n_users"
     )
+
+
+@query(
+    "q_join_range_binned",
+    oracle=f"""
+    SELECT p1.p_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           {sql_exact_sum('p2.p_retailprice', 'sum_neighbor_price')}
+    FROM part p1
+    JOIN part p2
+      ON p2.p_size BETWEEN p1.p_size - 1 AND p1.p_size + 1
+     AND p2.p_partkey <> p1.p_partkey
+    GROUP BY p1.p_partkey
+    """,
+)
+def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join where BOTH sides are large — the case q_join_range's
+    broadcast-nested-loop shape cannot serve. The interval predicate
+    ``|p2.p_size - p1.p_size| <= 1`` is rewritten as a partitioned
+    EQUI-join: each probe row is replicated into the (band-width-sized)
+    bins it can match — offsets {-1, 0, +1} — then hash-joined on the bin
+    key with a residual filter (here only the self-pair exclusion; a
+    real-valued band keeps the exact BETWEEN as residual). Every matching
+    pair lands in exactly one bin, so results ≡ the naive theta join the
+    oracle runs.
+
+    Scale: constant ×3 replication buys a shuffle hash join on the bin
+    key — no nested loop, no broadcast, no cartesian; this is the
+    standard 100 TB interval-join rewrite (bin width = band width keeps
+    the residual selectivity ≥ 1/3). Low-cardinality bin domains (50
+    distinct sizes here) are skew-prone at extreme scale — compose with
+    operators/skew.py::salted_join when one bin dominates."""
+    from stockmarketdata_dwb_etl_spark.functions.exact import exact_sum, sql_exact_sum  # noqa: F401
+
+    part = load_table(spark, sf_dir, "part")
+    p1 = part.select(
+        F.col("p_partkey").alias("p1_partkey"), F.col("p_size").alias("p1_size")
+    ).withColumn(
+        "off", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    ).withColumn("bin", F.col("p1_size") + F.col("off"))
+    p2 = part.select("p_partkey", "p_size", "p_retailprice")
+    joined = p1.join(
+        p2,
+        (F.col("bin") == F.col("p_size"))
+        & (F.col("p_partkey") != F.col("p1_partkey")),
+        "inner",
+    )
+    return (
+        joined.groupBy("p1_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            exact_sum(F.col("p_retailprice"), "sum_neighbor_price"),
+        )
+        .select(
+            F.col("p1_partkey").alias("p_partkey"),
+            "n_neighbors",
+            "sum_neighbor_price",
+        )
+    )

@@ -331,3 +331,77 @@ def q_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
         | (F.col("o.o_orderstatus") != F.col("n.o_orderstatus"))
     )
+
+
+@query(
+    "q_schema_evolution",
+    oracle="""
+    WITH b1 AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(NULL AS VARCHAR) AS o_orderpriority,
+               CAST(NULL AS DOUBLE) AS discount_rate,
+               1 AS batch
+        FROM orders WHERE o_orderkey % 2 = 0
+    ), b2 AS (
+        SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice,
+               o_orderpriority,
+               CAST(ROUND((o_orderkey % 5) / 100.0, 2) AS DOUBLE) AS discount_rate,
+               2 AS batch
+        FROM orders WHERE o_orderkey % 2 = 1
+    ), merged AS (
+        SELECT * FROM b1 UNION ALL SELECT * FROM b2
+    )
+    SELECT batch,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_price,
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_priority,
+           CAST(ROUND(SUM(discount_rate), 4) AS DOUBLE) AS sum_discount
+    FROM merged
+    GROUP BY batch
+    """,
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches: batch 1 carries
+    (o_orderkey, o_totalprice), batch 2 drops o_totalprice and adds
+    (o_orderpriority, discount_rate). A `mergeSchema` read over both
+    batch directories reconciles them into the union schema, null-filling
+    columns absent from each file — the add-a-column-without-rewriting
+    contract every long-lived warehouse needs (the reference instead
+    re-declares its full schema on every truncate-reload,
+    /root/reference/dump_bigq.py:47-56).
+
+    The aggregate proves the null-fill pattern per batch. Scale: schema
+    reconciliation happens on file FOOTERS at planning time, not data;
+    per-file reads remain vectorized single-schema scans, so the merge
+    costs nothing at 100 TB (footer listing parallelizes across the
+    cluster)."""
+    out = os.path.join(SCRATCH, "schema_evo", _tag(sf_dir))
+    orders = load_table(spark, sf_dir, "orders")
+    b1_dir, b2_dir = os.path.join(out, "batch=1"), os.path.join(out, "batch=2")
+    if not os.path.exists(os.path.join(b1_dir, "_SUCCESS")):
+        orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).write.mode("overwrite").parquet(b1_dir)
+    if not os.path.exists(os.path.join(b2_dir, "_SUCCESS")):
+        orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round((F.col("o_orderkey") % 5) / 100.0, 2).alias("discount_rate"),
+        ).write.mode("overwrite").parquet(b2_dir)
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", out)
+        .parquet(b1_dir, b2_dir)
+    )
+    return merged.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).alias(
+            "n_null_price"
+        ),
+        F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0)).alias(
+            "n_null_priority"
+        ),
+        F.round(F.sum("discount_rate"), 4).alias("sum_discount"),
+    )

@@ -23,6 +23,7 @@ from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
     reports2,
     dataops3,
     timeseries,
+    sketches,
     aggregates,
     analytics,
     core,

@@ -334,3 +334,58 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("embedding", 64).cast("double"), 4).alias("last_val"),
         F.round(head_sum, 4).alias("head_sum"),
     )
+
+
+@query(
+    "q_variant_json",
+    oracle="""
+    WITH k AS (
+        SELECT CAST(props->>'k' AS INTEGER) AS k
+        FROM events WHERE props IS NOT NULL
+    )
+    SELECT 't' || CAST(k % 4 AS VARCHAR) AS tag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(COUNT(DISTINCT 'b' || CAST(k % 3 AS VARCHAR)) AS BIGINT)
+               AS n_buckets
+    FROM k WHERE k IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4): nested JSON documents
+    are parsed ONCE into the binary VARIANT encoding with ``parse_json``,
+    then fields come out via ``variant_get`` path expressions — object
+    traversal (``$.meta.k``), array indexing (``$.tags[0]``) — with
+    per-extraction type casts. This is the open-ended-schema path the
+    fixed-schema promotion pipeline (ref dump_bigq.py:88-132) cannot
+    express: ingest keeps every attribute, queries bind types lazily.
+
+    Nested documents are synthesized deterministically from events.props
+    so the oracle can recompute every extracted field arithmetically —
+    any parse/traversal divergence fails the hash gate. Scale: VARIANT
+    parse + path extraction are JVM columnar expressions (no UDF, no
+    re-parse per path — shredded access on the binary encoding); the
+    aggregate is an ordinary partial-agg shuffle on a 4-value key."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    doc = F.format_string(
+        '{"meta":{"k":%d,"bucket":"b%d"},"tags":["t%d","x"]}',
+        k, k % 3, k % 4,
+    )
+    parsed = (
+        ev.filter(F.col("props").isNotNull())
+        .select(k.alias("k_raw"), doc.alias("doc"))
+        .filter(F.col("k_raw").isNotNull())
+        .select(F.parse_json(F.col("doc")).alias("v"))
+    )
+    fields = parsed.select(
+        F.variant_get(F.col("v"), "$.meta.k", "int").alias("k"),
+        F.variant_get(F.col("v"), "$.meta.bucket", "string").alias("bucket"),
+        F.variant_get(F.col("v"), "$.tags[0]", "string").alias("tag"),
+    )
+    return fields.groupBy("tag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.countDistinct("bucket").alias("n_buckets"),
+    )

@@ -436,3 +436,57 @@ def q_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_hours"),
         F.round(F.corr(F.col("a.close"), F.col("b.close")), 4).alias("pearson_r"),
     )
+
+
+@query(
+    "q_regression",
+    oracle=f"""
+    WITH bars AS (
+        SELECT event_type AS symbol,
+               date_trunc('hour', ts) AS bar_ts,
+               arg_max(value, {_DUCK_ORD}) AS close
+        FROM events GROUP BY 1, 2
+    ), mkt AS (
+        SELECT bar_ts, close AS mkt_close FROM bars WHERE symbol = 'view'
+    )
+    SELECT b.symbol,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(ROUND(regr_slope(b.close, m.mkt_close), 4) AS DOUBLE) AS beta,
+           CAST(ROUND(regr_intercept(b.close, m.mkt_close), 4) AS DOUBLE)
+               AS alpha,
+           CAST(ROUND(regr_r2(b.close, m.mkt_close), 4) AS DOUBLE) AS r2
+    FROM bars b JOIN mkt m ON b.bar_ts = m.bar_ts
+    WHERE b.symbol <> 'view'
+    GROUP BY b.symbol
+    """,
+)
+def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol OLS market regression: each symbol's hourly close series
+    regressed on the market proxy series (symbol 'view'), producing the
+    beta / alpha / R² battery a bar warehouse serves to risk models.
+
+    Built-in JVM ``regr_slope/regr_intercept/regr_r2`` aggregates — the
+    whole regression is ONE hash-agg over the bar join, no UDF, no
+    driver-side math (the closed-form moments accumulate map-side like
+    any algebraic aggregate). The market side is one symbol's bars —
+    tiny — so it broadcasts; the deterministic close basis (max_by on the
+    padded (ts,event_id) key) keeps both engines' inputs bit-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("hour", F.col("ts")).alias("bar_ts"),
+    ).agg(F.max_by("value", _spark_ord()).alias("close"))
+    mkt = bars.filter(F.col("symbol") == "view").select(
+        "bar_ts", F.col("close").alias("mkt_close")
+    )
+    joined = bars.filter(F.col("symbol") != "view").join(
+        F.broadcast(mkt), "bar_ts"
+    )
+    return joined.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.round(F.regr_slope(F.col("close"), F.col("mkt_close")), 4).alias("beta"),
+        F.round(
+            F.regr_intercept(F.col("close"), F.col("mkt_close")), 4
+        ).alias("alpha"),
+        F.round(F.regr_r2(F.col("close"), F.col("mkt_close")), 4).alias("r2"),
+    )

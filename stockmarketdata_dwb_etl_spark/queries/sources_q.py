@@ -137,3 +137,83 @@ def q_html_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_money(F.col("Low")).alias("Low"),
         parse_kmb(F.col("Vol_raw")).alias("Vol"),
     )
+
+
+@query(
+    "q_csv_permissive",
+    oracle="""
+    SELECT CAST(COUNT(CASE WHEN o_orderkey % 17 <> 0 THEN 1 END) AS BIGINT)
+               AS n_good,
+           CAST(COUNT(CASE WHEN o_orderkey % 17 = 0 THEN 1 END) AS BIGINT)
+               AS n_corrupt,
+           CAST(ROUND(SUM(CASE WHEN o_orderkey % 17 <> 0
+                                    THEN o_totalprice END), 2) AS DOUBLE)
+               AS sum_good_price,
+           CAST(0 AS BIGINT) AS n_null_keys
+    FROM orders
+    """,
+)
+def q_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record quarantine on CSV ingest: the file carries one
+    malformed line per 17 orders (single-token garbage instead of the
+    2-field record); a PERMISSIVE schema read with
+    ``columnNameOfCorruptRecord`` parses good rows typed, null-fills the
+    bad ones, and captures each offending raw line in the corrupt column —
+    the keep-and-quarantine upgrade of the reference's silent drop
+    (ref S6, /root/reference/main.py:96-101: rows with wrong arity are
+    discarded). Counts and the good-row sum are checked arithmetically.
+
+    Scale: the text write and the CSV parse are both distributed and
+    map-only (one pass, no shuffle before the final 1-row agg); corrupt
+    capture costs nothing on the happy path since the raw line is only
+    retained when parsing fails."""
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    from stockmarketdata_dwb_etl_spark.catalog import load_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    out = os.path.join(SCRATCH, "csv_permissive", tag)
+    orders = load_table(spark, sf_dir, "orders")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        lines = orders.select(
+            F.when(
+                F.col("o_orderkey") % 17 == 0,
+                F.concat(F.lit("garbage_"), F.col("o_orderkey").cast("string")),
+            )
+            .otherwise(
+                F.concat_ws(
+                    ",",
+                    F.col("o_orderkey").cast("string"),
+                    F.format_string("%.2f", F.col("o_totalprice")),
+                )
+            )
+            .alias("value")
+        )
+        lines.write.mode("overwrite").text(out)
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("_bad", StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(out)
+    )
+    # Every data column must be referenced: CSV column pruning otherwise
+    # skips parsing unrequested fields, and a row can only be flagged
+    # corrupt if the failing field is actually parsed (n_null_keys also
+    # proves no good row lost its key: it is 0 in both engines).
+    return parsed.agg(
+        F.count(F.when(F.col("_bad").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_bad").isNotNull(), 1)).alias("n_corrupt"),
+        F.round(
+            F.sum(F.when(F.col("_bad").isNull(), F.col("o_totalprice"))), 2
+        ).alias("sum_good_price"),
+        F.count(
+            F.when(F.col("_bad").isNull() & F.col("o_orderkey").isNull(), 1)
+        ).alias("n_null_keys"),
+    )

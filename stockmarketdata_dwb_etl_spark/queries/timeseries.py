@@ -490,3 +490,123 @@ def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("alpha"),
         F.round(F.regr_r2(F.col("close"), F.col("mkt_close")), 4).alias("r2"),
     )
+
+
+@query(
+    "q_ewma",
+    oracle=f"""
+    WITH RECURSIVE bars AS (
+        SELECT event_type AS symbol,
+               date_trunc('hour', ts) AS bar_ts,
+               arg_max(value, {_DUCK_ORD}) AS close,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY date_trunc('hour', ts)) AS rn
+        FROM events GROUP BY 1, 2
+    ), rec AS (
+        SELECT symbol, bar_ts, close, rn, close AS ewma
+        FROM bars WHERE rn = 1
+        UNION ALL
+        SELECT b.symbol, b.bar_ts, b.close, b.rn,
+               0.8 * r.ewma + 0.2 * b.close
+        FROM bars b JOIN rec r ON b.symbol = r.symbol AND b.rn = r.rn + 1
+    )
+    SELECT symbol, bar_ts, close,
+           CAST(ROUND(ewma, 4) AS DOUBLE) AS ewma
+    FROM rec
+    """,
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per symbol (α = 0.2,
+    adjust=False): e_t = 0.8·e_{t−1} + 0.2·x_t seeded at the first bar —
+    the smoothing recurrence risk systems run over close series. The
+    recurrence is inherently SEQUENTIAL (each value depends on the
+    previous), which no built-in window frame expresses, so this is the
+    documented (b)-path custom operator: Arrow-batched ``applyInPandas``
+    per symbol, each group computed in one vectorized pass driver-free.
+    The oracle is the same recurrence as a recursive CTE, multiply-add
+    order matched exactly (0.8·e + 0.2·x) so float64 results agree
+    bit-for-bit before the 4dp round.
+
+    Scale: groups are symbols — the series per symbol is bar-grained
+    (calendar-bounded, ≤ 10⁴ rows/year), so each Arrow batch is small no
+    matter the tick volume; the tick→bar hash-agg upstream is the only
+    full-data shuffle. Skewed/giant single series would chunk by time
+    range with carried seed (the applyInPandasWithState pattern,
+    see streaming/jobs.py)."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("hour", F.col("ts")).alias("bar_ts"),
+    ).agg(F.max_by("value", _spark_ord()).alias("close"))
+
+    def ewma_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bar_ts").reset_index(drop=True)
+        out, prev = [], None
+        for x in pdf["close"]:
+            prev = x if prev is None else 0.8 * prev + 0.2 * x
+            out.append(prev)
+        pdf["ewma"] = out
+        return pdf
+
+    long = bars.groupBy("symbol").applyInPandas(
+        ewma_group, "symbol string, bar_ts timestamp, close double, ewma double"
+    )
+    return long.select("symbol", "bar_ts", "close", F.round("ewma", 4).alias("ewma"))
+
+
+@query(
+    "q_unpivot_long",
+    oracle=f"""
+    WITH bars AS (
+        SELECT event_type AS symbol,
+               date_trunc('hour', ts) AS bar_ts,
+               arg_min(value, {_DUCK_ORD}) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               arg_max(value, {_DUCK_ORD}) AS close
+        FROM events GROUP BY 1, 2
+    ), long AS (
+        SELECT symbol, 'open' AS field, open AS v FROM bars
+        UNION ALL SELECT symbol, 'high', high FROM bars
+        UNION ALL SELECT symbol, 'low', low FROM bars
+        UNION ALL SELECT symbol, 'close', close FROM bars
+    )
+    SELECT symbol, field,
+           CAST(COUNT(*) AS BIGINT) AS n_bars,
+           CAST(ROUND(AVG(v), 4) AS DOUBLE) AS avg_value
+    FROM long GROUP BY symbol, field
+    """,
+)
+def q_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape: hourly OHLC bars unpivoted so (open, high, low,
+    close) become rows keyed by a `field` column — the melt that feeds
+    generic per-metric pipelines (plotting, anomaly scans) without a
+    per-column query. Native ``DataFrame.unpivot`` (SQL UNPIVOT / stack):
+    a zero-shuffle row-expanding projection — ×4 rows, same partitions —
+    followed by one hash-agg; the oracle reshapes via UNION ALL.
+
+    Scale: unpivot is map-only so the reshape itself never exchanges
+    data; only the downstream agg shuffles, on the (symbol, field) key
+    whose cardinality is symbols × 4."""
+    ev = load_table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("hour", F.col("ts")).alias("bar_ts"),
+    ).agg(
+        F.min_by("value", _spark_ord()).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", _spark_ord()).alias("close"),
+    )
+    long = bars.unpivot(
+        ids=["symbol", "bar_ts"],
+        values=["open", "high", "low", "close"],
+        variableColumnName="field",
+        valueColumnName="v",
+    )
+    return long.groupBy("symbol", "field").agg(
+        F.count(F.lit(1)).alias("n_bars"),
+        F.round(F.avg("v"), 4).alias("avg_value"),
+    )

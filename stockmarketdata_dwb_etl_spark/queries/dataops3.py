@@ -491,3 +491,95 @@ def q_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("qid") != F.col("doc_id").cast("string"), 1).otherwise(0)
         ).alias("n_bad_qid"),
     ).select("host", "tld", "n_docs", "n_https", "avg_path_depth", "n_bad_qid")
+
+
+@query(
+    "q_pmi_bigrams",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ), uni AS (
+        SELECT unnest(ws) AS t FROM w
+    ), uc AS (
+        SELECT t, COUNT(*) AS c FROM uni GROUP BY t
+    ), bigl AS (
+        SELECT list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+                              i -> struct_pack(a := ws[i], b := ws[i+1])) AS bgs
+        FROM w
+    ), big AS (
+        SELECT unnest(bgs, recursive := false) AS bg FROM bigl
+    ), bc AS (
+        SELECT bg.a AS a, bg.b AS b, COUNT(*) AS c_ab FROM big GROUP BY 1, 2
+    ), tot AS (
+        SELECT (SELECT COUNT(*) FROM uni) AS n_uni,
+               (SELECT COUNT(*) FROM big) AS n_big
+    )
+    SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
+           CAST(ROUND(LN((c_ab * n_uni * n_uni)::DOUBLE
+                         / (n_big::DOUBLE * ca.c * cb.c)), 4) AS DOUBLE) AS pmi
+    FROM bc, tot
+    JOIN uc ca ON bc.a = ca.t
+    JOIN uc cb ON bc.b = cb.t
+    WHERE c_ab >= 5
+    ORDER BY c_ab DESC, a, b
+    LIMIT 20
+    """,
+)
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocation mining: top-20 adjacent word pairs by frequency
+    with pointwise mutual information — the collocation score corpus
+    linguists (and tokenizer-vocabulary builders) compute before merging
+    frequent pairs.
+
+    PMI = ln(P(a,b) / (P(a)·P(b))) evaluated as one ln over a ratio of
+    exact integer counts, so both engines feed ln the same rational;
+    ranking is integer-deterministic (c_ab DESC, then pair text) à la
+    q_tfidf_topterms — a ln() ulp can never flip a row. Scale: unigram
+    and bigram count tables shuffle on the token key with map-side
+    partial aggregation; the marginal-probability joins broadcast the
+    (vocabulary-sized) unigram counts; top-20 is TakeOrdered, never a
+    global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    w = docs.select(words.alias("ws"))
+    uni = w.select(F.explode(F.col("ws")).alias("t"))
+    uc = uni.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    big = w.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ws) - 1, 0)),"
+                " i -> struct(element_at(ws, i) AS a, element_at(ws, i + 1) AS b))"
+            )
+        ).alias("bg")
+    ).select("bg.a", "bg.b")
+    bc = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    totals = uni.agg(F.count(F.lit(1)).alias("n_uni")).crossJoin(
+        big.agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    ca = uc.select(F.col("t").alias("a"), F.col("c").alias("c_a"))
+    cb = uc.select(F.col("t").alias("b"), F.col("c").alias("c_b"))
+    scored = (
+        bc.filter(F.col("c_ab") >= 5)
+        .join(F.broadcast(ca), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab") * F.col("n_uni") * F.col("n_uni")).cast("double")
+                    / (
+                        F.col("n_big").cast("double")
+                        * F.col("c_a")
+                        * F.col("c_b")
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("c_ab").desc(), "a", "b").limit(20)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.exact import (
@@ -629,4 +630,52 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
         .orderBy("cntrycode")
+    )
+
+
+@query(
+    "q_streaks",
+    oracle="""
+    WITH active AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events
+    ), numbered AS (
+        SELECT user_id, d,
+               row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+        FROM active
+    ), islands AS (
+        SELECT user_id, d - rn * INTERVAL '1 day' AS island,
+               COUNT(*) AS streak
+        FROM numbered GROUP BY user_id, d - rn * INTERVAL '1 day'
+    )
+    SELECT user_id,
+           CAST(SUM(streak) AS BIGINT) AS n_active_days,
+           CAST(MAX(streak) AS BIGINT) AS longest_streak
+    FROM islands GROUP BY user_id
+    """,
+)
+def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest consecutive-day activity streak per user.
+    The classic rewrite — distinct active days, a per-user row_number,
+    then ``day − rn`` as the island key (constant within any gap-free
+    run) — turns a sequential-looking problem into two hash-aggs and one
+    partitioned window, no self-join, no iteration.
+
+    Scale: the distinct-day projection collapses the event stream to
+    ≤ users × days rows before anything else runs; the window partitions
+    by user_id (many small partitions, no global sort). Deterministic:
+    (user_id, d) is unique by construction, so the row_number order
+    needs no extra tie-break."""
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    numbered = active.withColumn("rn", F.row_number().over(w))
+    islands = numbered.groupBy(
+        "user_id", F.date_sub(F.col("d"), F.col("rn")).alias("island")
+    ).agg(F.count(F.lit(1)).alias("streak"))
+    return islands.groupBy("user_id").agg(
+        F.sum("streak").alias("n_active_days"),
+        F.max("streak").alias("longest_streak"),
     )

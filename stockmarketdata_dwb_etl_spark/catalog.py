@@ -33,21 +33,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Parquet scan → columnar vectorized read;
     Catalyst pushes filters/projections into the scan.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it scans as raw nanos which we
-    truncate to microseconds — exactly what DuckDB does when it reads the
-    same file — keeping both engines' timestamp semantics identical.
+    ``events.ts`` is canonically TIMESTAMP_NTZ: the fixture stores naive
+    micros (parquet TIMESTAMP(MICROS, isAdjustedToUTC=false)), which both
+    Spark (as NTZ) and DuckDB (as naive TIMESTAMP) read with identical
+    wall-clock semantics under ANY session timezone. Older fixture vintages
+    stored TIMESTAMP(NANOS); for those the legacy conf scans raw nanos and
+    the fallback below truncates to micros on a naive epoch — same
+    canonical type either way.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         # Runtime-settable SQL conf: works under ANY caller-provided session,
         # not just the one session.py builds (the external driver passes its
-        # own vanilla SparkSession).
+        # own vanilla SparkSession). A no-op for the MICROS fixture vintage.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # NANOS vintage: truncate to micros on the naive epoch (NTZ), the
+        # session-timezone-independent equivalent of DuckDB's read.
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
     return df
 
 

@@ -20,6 +20,7 @@ from pyspark.sql.window import Window
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.exact import exact_sum, sql_exact_sum
 from stockmarketdata_dwb_etl_spark.registry import query
+from stockmarketdata_dwb_etl_spark.scratch import fixture_tag
 
 SCRATCH = "/root/repo/.scratch"
 
@@ -259,7 +260,10 @@ def q_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+# NTZ serialization format (no zone offset — ts is TIMESTAMP_NTZ); applied
+# via timestampNTZFormat, which is the option JSON read/write consults for
+# the NTZ type (timestampFormat governs only TIMESTAMP_LTZ columns).
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 
 
 @query(
@@ -280,16 +284,18 @@ def q_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     must survive the text roundtrip bit-exactly."""
     from stockmarketdata_dwb_etl_spark.streaming.jobs import EVENTS_SCHEMA
 
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = fixture_tag(sf_dir)
     out = os.path.join(SCRATCH, "events_json", tag)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         (
             load_table(spark, sf_dir, "events")
             .write.mode("overwrite")
-            .option("timestampFormat", _TS_FMT)
+            .option("timestampNTZFormat", _TS_FMT)
             .json(out)
         )
-    back = spark.read.schema(EVENTS_SCHEMA).option("timestampFormat", _TS_FMT).json(out)
+    back = (
+        spark.read.schema(EVENTS_SCHEMA).option("timestampNTZFormat", _TS_FMT).json(out)
+    )
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         exact_sum(F.col("value"), "sum_value"),
@@ -382,7 +388,11 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
+        # epoch seconds from the naive epoch: session-tz-independent on the
+        # NTZ ts and equal to the oracle's floor(epoch(ts)) for ts >= 1970
+        .orderBy(
+            F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+        )
         .rangeBetween(-3600, 0)
     )
     return ev.select(

@@ -30,6 +30,7 @@ from stockmarketdata_dwb_etl_spark.operators.similarity import (
     ivf_cosine_topk,
 )
 from stockmarketdata_dwb_etl_spark.registry import query
+from stockmarketdata_dwb_etl_spark.scratch import fixture_tag
 from stockmarketdata_dwb_etl_spark.sources.multimodal import (
     FEATURE_DIM,
     build_media_table,
@@ -588,7 +589,7 @@ def q_ann_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_ivf_index,
     )
 
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = fixture_tag(sf_dir)
     path = os.path.join("/root/repo/.scratch/ivf_index", tag)
     emb = _embeddings_with_near_probe(spark, sf_dir)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):

@@ -24,6 +24,7 @@ from stockmarketdata_dwb_etl_spark.functions.parsing import (
     parse_money,
 )
 from stockmarketdata_dwb_etl_spark.registry import query
+from stockmarketdata_dwb_etl_spark.scratch import fixture_tag
 from stockmarketdata_dwb_etl_spark.sources.htmltable import register
 
 SCRATCH = "/root/repo/.scratch"
@@ -59,7 +60,7 @@ def write_fixture_pages(spark: SparkSession, sf_dir: str) -> str:
     """One deterministic HTML page per synthetic index, rendered from the
     bronze bars (driver-side by design: fixture generation, not a query
     path). Idempotent per sf_dir."""
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = fixture_tag(sf_dir)
     out = os.path.join(SCRATCH, "html_pages", tag)
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
@@ -171,7 +172,7 @@ def q_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from stockmarketdata_dwb_etl_spark.catalog import load_table
 
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = fixture_tag(sf_dir)
     out = os.path.join(SCRATCH, "csv_permissive", tag)
     orders = load_table(spark, sf_dir, "orders")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):

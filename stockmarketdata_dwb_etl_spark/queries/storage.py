@@ -23,12 +23,13 @@ from pyspark.sql import functions as F
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.exact import exact_sum, sql_exact_sum
 from stockmarketdata_dwb_etl_spark.registry import query
+from stockmarketdata_dwb_etl_spark.scratch import fixture_tag
 
 SCRATCH = "/root/repo/.scratch"
 
 
 def _tag(sf_dir: str) -> str:
-    return os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    return fixture_tag(sf_dir)
 
 
 def write_events_partitioned(spark: SparkSession, sf_dir: str) -> str:

@@ -18,6 +18,8 @@ from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.exact import exact_sum, sql_exact_sum
 from stockmarketdata_dwb_etl_spark.registry import query
 from stockmarketdata_dwb_etl_spark.streaming.jobs import (
+    instant_of,
+    ntz_of,
     prepare_event_chunks,
     read_events_stream,
     run_stream_to_parquet,
@@ -164,17 +166,20 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     every window whose end <= global max ts - 10 min. The oracle encodes
     exactly that rule (verified at sf0.001 and sf0.01)."""
     chunks = prepare_event_chunks(spark, sf_dir)
-    stream = read_events_stream(spark, chunks)
+    # watermark needs an LTZ event-time column: bridge the canonical NTZ ts
+    # through the UTC-instant bijection, window on the instant, and emit the
+    # hour-aligned bounds back as NTZ so the output matches the naive oracle
+    stream = read_events_stream(spark, chunks).withColumn("ts_i", instant_of("ts"))
     agg = (
-        stream.withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", "1 hour").alias("w"))
+        stream.withWatermark("ts_i", "10 minutes")
+        .groupBy(F.window("ts_i", "1 hour").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
         .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
+            ntz_of("w.start").alias("window_start"),
+            ntz_of("w.end").alias("window_end"),
             "n_events",
             "sum_value",
         )
@@ -232,7 +237,8 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_events_stream(spark, chunks)
     )
     deduped = (
-        doubled.withWatermark("ts", "30 minutes")
+        doubled.withColumn("ts_i", instant_of("ts"))
+        .withWatermark("ts_i", "30 minutes")
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "ts", "user_id", "event_type")
     )
@@ -333,6 +339,9 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle checks — a streaming operator with a full SQL correctness gate,
     not just a rows-count."""
     chunks = prepare_event_chunks(spark, sf_dir)
+    # join + watermark run on LTZ instants (watermark requirement); the NTZ
+    # originals ride along and are what the sink emits, so the output wall
+    # clocks match the naive oracle under any session timezone
     clicks = (
         read_events_stream(spark, chunks)
         .filter(F.col("event_type") == "click")
@@ -340,8 +349,9 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").alias("c_user"),
             F.col("event_id").alias("click_id"),
             F.col("ts").alias("click_ts"),
+            instant_of("ts").alias("click_ts_i"),
         )
-        .withWatermark("click_ts", "2 hours")
+        .withWatermark("click_ts_i", "2 hours")
     )
     purchases = (
         read_events_stream(spark, chunks)
@@ -350,14 +360,15 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").alias("user_id"),
             F.col("event_id").alias("purchase_id"),
             F.col("ts").alias("purchase_ts"),
+            instant_of("ts").alias("purchase_ts_i"),
         )
-        .withWatermark("purchase_ts", "2 hours")
+        .withWatermark("purchase_ts_i", "2 hours")
     )
     joined = clicks.join(
         purchases,
         F.expr(
-            "c_user = user_id AND purchase_ts >= click_ts "
-            "AND purchase_ts <= click_ts + INTERVAL 1 HOUR"
+            "c_user = user_id AND purchase_ts_i >= click_ts_i "
+            "AND purchase_ts_i <= click_ts_i + INTERVAL 1 HOUR"
         ),
     ).select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
     sink = run_stream_to_parquet(joined, "stream_stream_join")

@@ -24,10 +24,17 @@ from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.registry import query
 
 # zero-padded sortable composite: epoch micros then event_id (lazy — a
-# Column cannot be built before the SparkContext exists)
+# Column cannot be built before the SparkContext exists).
+# timestampdiff from the naive epoch, not unix_micros: ts is TIMESTAMP_NTZ
+# (catalog.load_table) and unix_micros accepts only TIMESTAMP_LTZ; the diff
+# is session-timezone-independent and equals DuckDB's epoch_us(ts).
 def _spark_ord():
     return F.format_string(
-        "%020d-%012d", F.unix_micros(F.col("ts")), F.col("event_id")
+        "%020d-%012d",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ),
+        F.col("event_id"),
     )
 
 

@@ -40,8 +40,9 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", shuffle_partitions)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # events.parquet stores TIMESTAMP(NANOS) which Spark cannot read as
-        # a timestamp; read as raw nanos and convert in catalog.load_table.
+        # Older events.parquet vintages stored TIMESTAMP(NANOS) which Spark
+        # cannot read as a timestamp; read as raw nanos and convert in
+        # catalog.load_table (a no-op for the current MICROS-naive fixture).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # Split/pack granularity sized to the test scale factor (SURVEY §2B

@@ -47,10 +47,32 @@ def _state_partitions(spark: SparkSession, n: int = STREAM_STATE_PARTITIONS):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
+# Watermarks accept only TIMESTAMP_LTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+# on NTZ), but the engine's canonical events.ts is TIMESTAMP_NTZ. Bridge
+# deterministically — the naive wall clock is READ AS UTC, in both
+# directions, so the mapping is a session-timezone-independent bijection
+# (a plain cast would go through the session zone and shift per host).
+_EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def instant_of(colname: str) -> F.Column:
+    """NTZ column -> LTZ instant: wall clock interpreted as UTC."""
+    return F.timestamp_micros(
+        F.expr(f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, {colname})")
+    )
+
+
+def ntz_of(colname: str) -> F.Column:
+    """LTZ instant column -> NTZ: UTC wall clock of the instant."""
+    return F.expr(f"timestampadd(MICROSECOND, unix_micros({colname}), {_EPOCH_NTZ})")
+
+
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampType()),
+        # NTZ: the canonical events.ts type (catalog.load_table) — naive
+        # micros, identical wall clock under any session timezone.
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -64,7 +86,9 @@ def prepare_event_chunks(spark: SparkSession, sf_dir: str, n_chunks: int = 8) ->
     the replay source. Range partitioning makes file order track event time
     so watermark progression during replay resembles a live stream.
     Idempotent per sf_dir."""
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    from stockmarketdata_dwb_etl_spark.scratch import fixture_tag
+
+    tag = fixture_tag(sf_dir)
     out = os.path.join(SCRATCH, "stream_chunks", tag)
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):

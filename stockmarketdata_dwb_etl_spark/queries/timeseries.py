@@ -509,17 +509,22 @@ def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY event_type
                                   ORDER BY date_trunc('hour', ts)) AS rn
         FROM events GROUP BY 1, 2
+    ), packed AS (
+        -- pack each symbol's close series into a list so the recursion
+        -- carries 1 row per symbol per step (vs re-joining the full bars
+        -- table every level: measured 12.6s -> 0.9s at sf0.01, results
+        -- bit-identical — the multiply-add order is unchanged)
+        SELECT symbol, list(close ORDER BY rn) AS xs, len(list(close)) AS n
+        FROM bars GROUP BY symbol
     ), rec AS (
-        SELECT symbol, bar_ts, close, rn, close AS ewma
-        FROM bars WHERE rn = 1
+        SELECT symbol, xs, n, 1 AS rn, xs[1] AS ewma FROM packed
         UNION ALL
-        SELECT b.symbol, b.bar_ts, b.close, b.rn,
-               0.8 * r.ewma + 0.2 * b.close
-        FROM bars b JOIN rec r ON b.symbol = r.symbol AND b.rn = r.rn + 1
+        SELECT symbol, xs, n, rn + 1, 0.8 * ewma + 0.2 * xs[rn + 1]
+        FROM rec WHERE rn < n
     )
-    SELECT symbol, bar_ts, close,
-           CAST(ROUND(ewma, 4) AS DOUBLE) AS ewma
-    FROM rec
+    SELECT b.symbol, b.bar_ts, b.close,
+           CAST(ROUND(r.ewma, 4) AS DOUBLE) AS ewma
+    FROM bars b JOIN rec r ON b.symbol = r.symbol AND b.rn = r.rn
     """,
 )
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -128,7 +128,9 @@ def test_ivf_index_prunes_and_matches_inplan(spark):
     inplan = QUERIES["q_ann_ivf_topk"](spark, SF_DIR).collect()
     assert [r.vec_id for r in pruned] == [r.vec_id for r in inplan]
     assert [r.cos_sim for r in pruned] == [r.cos_sim for r in inplan]
-    tag = os.path.basename(SF_DIR).replace(".", "_")
+    from stockmarketdata_dwb_etl_spark.scratch import fixture_tag
+
+    tag = fixture_tag(SF_DIR)
     cells = [
         d
         for d in os.listdir(f"/root/repo/.scratch/ivf_index/{tag}")
@@ -155,7 +157,9 @@ def test_compaction_reduces_file_count(spark):
         .collect()
     }
     assert got == expect
-    tag = os.path.basename(SF_DIR).replace(".", "_")
+    from stockmarketdata_dwb_etl_spark.scratch import fixture_tag
+
+    tag = fixture_tag(SF_DIR)
     n_files = lambda d: len(  # noqa: E731
         [f for f in os.listdir(d) if f.endswith(".parquet")]
     )

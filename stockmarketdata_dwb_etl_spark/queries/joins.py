@@ -399,3 +399,43 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_neighbor_price",
         )
     )
+
+
+@query(
+    "q_bloom_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(38,6))), 4) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered selective join (operators/bloom.py): revenue of
+    lineitems belonging to URGENT orders. The urgent-order dim (~20% of
+    orders) is — at 100 TB — too large to broadcast, so the plain join
+    shuffles every lineitem; the bloom prefilter drops ~80% of the fact
+    rows MAP-SIDE for the cost of a 16 KiB sketch broadcast, and the real
+    equi-join erases the bloom's false positives, so the result is exactly
+    the oracle's join. This is the manual form of Spark's runtime
+    row-level filtering (not exposed via the public function registry),
+    kept as an explicit operator so the rewrite is available to ANY
+    fact-preserving join, not only where the optimizer infers it."""
+    from stockmarketdata_dwb_etl_spark.operators.bloom import bloom_prefilter_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey", "o_orderpriority")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        bloom_prefilter_join(li, urgent, "l_orderkey", "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            exact_sum(revenue, "revenue"),
+        )
+    )

@@ -406,3 +406,57 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.sum("discount_rate"), 4).alias("sum_discount"),
     )
+
+
+def write_orders_zordered(spark: SparkSession, sf_dir: str, n_files: int = 16) -> str:
+    """Materialize orders z-order-clustered on (o_custkey, o_totalprice)
+    — the multi-dim layout pass (Delta/Iceberg OPTIMIZE ZORDER shape).
+    Idempotent per fixture vintage."""
+    from stockmarketdata_dwb_etl_spark.operators.zorder import zorder_write
+
+    out = os.path.join(SCRATCH, "orders_zorder", _tag(sf_dir))
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        zorder_write(
+            load_table(spark, sf_dir, "orders"),
+            ["o_custkey", "o_totalprice"],
+            out,
+            n_files,
+        )
+    return out
+
+
+@query(
+    "q_zorder_pruning",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 4) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 260
+      AND o_totalprice BETWEEN 50000.0 AND 120000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def q_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D box scan over the z-ordered orders copy (operators/zorder.py):
+    both BETWEEN predicates cluster along the Morton curve, so parquet
+    footer min/max stats skip most files FOR BOTH DIMENSIONS — a layout a
+    single-column sort cannot give (tests/test_zorder.py asserts the
+    file-level pruning ratio from the real footers). Results must equal
+    the plain filter on the unclustered table — the oracle — since
+    clustering is pure layout. At 100 TB this scan shape (customer range ×
+    price band) reads a few percent of files instead of all of them."""
+    zpath = write_orders_zordered(spark, sf_dir)
+    z = spark.read.parquet(zpath)
+    return (
+        z.filter(
+            F.col("o_custkey").between(100, 260)
+            & F.col("o_totalprice").between(50000.0, 120000.0)
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), "sum_price"),
+        )
+    )

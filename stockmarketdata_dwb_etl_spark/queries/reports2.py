@@ -679,3 +679,53 @@ def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("streak").alias("n_active_days"),
         F.max("streak").alias("longest_streak"),
     )
+
+
+@query(
+    "q_recursive_cte",
+    oracle="""
+    WITH RECURSIVE walk AS (
+        SELECT c_custkey AS root, c_custkey AS node, 0 AS depth
+        FROM customer WHERE c_custkey < 10
+        UNION ALL
+        SELECT w.root, c.c_custkey, w.depth + 1
+        FROM customer c
+        JOIN walk w ON floor(c.c_custkey / 10) = w.node
+        WHERE c.c_custkey >= 10
+    )
+    SELECT root,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MAX(depth) AS INT) AS max_depth
+    FROM walk GROUP BY root
+    """,
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE) walking the implicit decimal
+    forest over customer keys (parent = child div 10, roots < 10):
+    per-root descendant count and max depth. This is the SQL front door
+    for iterative hierarchy/graph traversal — each recursion step executes
+    as a distributed self-join, O(depth) rounds, the same execution shape
+    as the tuned DataFrame iteration in operators/dedup.py::
+    transitive closure (which remains the path for ops needing
+    convergence checks or checkpointing). Acyclic by construction, so
+    UNION ALL recursion terminates on both engines."""
+    from stockmarketdata_dwb_etl_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+            SELECT c_custkey AS root, c_custkey AS node, 0 AS depth
+            FROM customer WHERE c_custkey < 10
+            UNION ALL
+            SELECT w.root, c.c_custkey AS node, w.depth + 1 AS depth
+            FROM customer c
+            JOIN walk w ON floor(c.c_custkey / 10) = w.node
+            WHERE c.c_custkey >= 10
+        )
+        SELECT root,
+               COUNT(*) AS n_nodes,
+               CAST(MAX(depth) AS INT) AS max_depth
+        FROM walk GROUP BY root
+        """
+    )

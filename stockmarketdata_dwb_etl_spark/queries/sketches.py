@@ -64,3 +64,53 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("est_within_5pct"),
     )
+
+
+@query(
+    "q_heavy_hitters",
+    oracle="""
+    WITH tot AS (SELECT COUNT(*) AS n FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(COUNT(*) / (SELECT CAST(n AS DOUBLE) FROM tot), 4)
+                AS DOUBLE) AS share
+    FROM events
+    GROUP BY event_type
+    HAVING COUNT(*) >= 0.15 * (SELECT n FROM tot)
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass heavy hitters: sketch candidate pass + exact verify pass.
+
+    Pass 1 runs ``df.stat.freqItems`` (the Karp–Papadimitriou–Shenker
+    streaming majority algorithm, distributed as a Spark aggregate of
+    1/support-bounded counter maps) to get CANDIDATE items with share ≥
+    support — guaranteed NO false negatives, possible false positives.
+    Pass 2 exactly counts ONLY the candidates (an isin filter that pushes
+    into the scan) and keeps those truly above threshold, so the final
+    answer is exact and deterministic — the oracle's plain GROUP BY /
+    HAVING.
+
+    Scale: the fixture column is small-cardinality, but the shape is the
+    100 TB one — pass 1's state is bounded by 1/support counters per
+    partition (never by key cardinality), so the same two passes find
+    heavy hitters over billion-key domains where a full GROUP BY of pass 2
+    alone would shuffle every key; pass 2's shuffle carries only rows
+    matching ~1/support candidate keys."""
+    ev = load_table(spark, sf_dir, "events")
+    support = 0.15
+    candidates = [
+        r for r in ev.stat.freqItems(["event_type"], support).collect()[0][0]
+    ]
+    total = ev.count()
+    return (
+        ev.filter(F.col("event_type").isin(candidates))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") >= support * total)
+        .select(
+            "event_type",
+            "n_events",
+            F.round(F.col("n_events") / F.lit(float(total)), 4).alias("share"),
+        )
+    )

@@ -1,0 +1,157 @@
+"""Measured scaling curves: run headline operators at x1/x3/x10 of sf0.1
+and record how wall time grows with input size.
+
+The engine's 100 TB posture is argued from plan shape (PLANS.md, SCALE.md);
+this probe adds MEASUREMENT: derived datasets at three sizes, identical
+layout, the same registered queries, noop-sink timing (best of 2). A
+scale-correct operator shows ~linear growth (ratio_10x near 10 or below on
+fixed cores); a superlinear ratio flags a shuffle/skew problem that would
+bite at cluster scale.
+
+Dataset construction (under .scratch, fixture-fingerprinted):
+- lineitem/orders replicate with per-replica orderkey offsets so the
+  order⨝lineitem relationship — and therefore join selectivity per row —
+  is preserved exactly; customer is copied unscaled (fact tables outgrow
+  dims in real warehouses, so per-customer fan-out rising x10 is the
+  honest scale-up).
+- events replicate with event_id offsets (user/time distributions
+  unchanged → same window/partition shapes, x10 rows).
+- documents replicate with doc_id offsets AND replica-salted tokens
+  (every space becomes " r<i>_", so every shingle carries the replica
+  tag): within-replica near-dup structure is preserved verbatim while
+  cross-replica Jaccard is 0 — the dedup workload grows x10, not x100.
+
+Usage: python scripts/scale_probe.py [--quick]   (writes SCALEPROBE.json)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_SF = "/root/testdata/sf0.1"
+SCALES = (1, 3, 10)
+PROBES = (
+    "q_agg_groupby",        # hash agg over lineitem
+    "q_tpch_q3",            # 3-way join + agg + top-k
+    "q_window_moving_avg",  # partitioned window over lineitem
+    "q_topk_per_group",     # per-group top-k
+    "q_dedup_exact",        # hash-groupBy dedup over documents
+    "q_dedup_minhash",      # LSH banding + verify over documents
+)
+
+
+def build_scaled(spark, out_dir: str, n: int) -> None:
+    from pyspark.sql import functions as F
+
+    from stockmarketdata_dwb_etl_spark.catalog import load_table
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def done(table: str) -> bool:
+        return os.path.exists(os.path.join(out_dir, f"{table}.parquet", "_SUCCESS"))
+
+    def reps(df, make_cols):
+        parts = []
+        for i in range(n):
+            parts.append(df.select(*make_cols(i)))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    li = load_table(spark, BASE_SF, "lineitem")
+    ok_off = 10_000_000  # beyond any real orderkey at sf0.1
+    if not done("lineitem"):
+        reps(
+        li,
+        lambda i: [
+            (F.col("l_orderkey") + i * ok_off).alias("l_orderkey"),
+            *[c for c in li.columns if c != "l_orderkey"],
+        ],
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
+
+    orders = load_table(spark, BASE_SF, "orders")
+    if not done("orders"):
+        reps(
+        orders,
+        lambda i: [
+            (F.col("o_orderkey") + i * ok_off).alias("o_orderkey"),
+            *[c for c in orders.columns if c != "o_orderkey"],
+        ],
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
+
+    ev = load_table(spark, BASE_SF, "events")
+    if not done("events"):
+        reps(
+        ev,
+        lambda i: [
+            (F.col("event_id") + i * 1_000_000_000).alias("event_id"),
+            *[c for c in ev.columns if c != "event_id"],
+        ],
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
+
+    docs = load_table(spark, BASE_SF, "documents")
+    if not done("documents"):
+        reps(
+        docs,
+        lambda i: [
+            (F.col("doc_id") + i * 1_000_000).alias("doc_id"),
+            F.regexp_replace(F.col("text"), " ", f" r{i}_").alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        ],
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+
+    # unscaled dims the probe queries join against
+    for t in ("customer", "supplier", "part", "nation", "region", "embeddings"):
+        if not done(t):
+            load_table(spark, BASE_SF, t).write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"{t}.parquet")
+            )
+
+
+def main() -> None:
+    quick = "--quick" in sys.argv
+    scales = (1, 10) if quick else SCALES
+
+    from stockmarketdata_dwb_etl_spark.registry import QUERIES, load_all
+    from stockmarketdata_dwb_etl_spark.scratch import SCRATCH, fixture_tag
+    from stockmarketdata_dwb_etl_spark.session import get_spark
+
+    load_all()
+    spark = get_spark(app_name="scale-probe")
+
+    root = os.path.join(SCRATCH, "scaleprobe", fixture_tag(BASE_SF))
+    dirs = {}
+    for n in scales:
+        d = os.path.join(root, f"x{n}")
+        build_scaled(spark, d, n)  # per-table idempotent
+        dirs[n] = d
+
+    def run(name: str, sf_dir: str) -> float:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    run("q_agg_groupby", dirs[scales[0]])  # warm-up
+
+    results: dict[str, dict] = {}
+    for name in PROBES:
+        row = {}
+        for nn in scales:
+            row[f"x{nn}"] = round(min(run(name, dirs[nn]), run(name, dirs[nn])), 3)
+        row["ratio_10x"] = round(row[f"x{scales[-1]}"] / max(row[f"x{scales[0]}"], 1e-9), 2)
+        results[name] = row
+        print(name, row, flush=True)
+
+    with open("SCALEPROBE.json", "w") as f:
+        json.dump({"base_sf": 0.1, "scales": list(scales), "probes": results}, f, indent=2)
+    print("wrote SCALEPROBE.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -373,3 +373,43 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
     sink = run_stream_to_parquet(joined, "stream_stream_join")
     return spark.read.parquet(sink)
+
+
+@query(
+    "q_stream_transform_state",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run of the Spark-4 transformWithStateInPandas
+    operator (streaming/jobs.py::stateful_distinct_types): per-user
+    distinct event-type cardinality in explicit typed ValueState. The
+    per-batch emissions are monotone nondecreasing, so each user's final
+    profile is the max emission — which must equal the batch
+    COUNT(DISTINCT event_type), the oracle. Complements q_stream_stateful
+    (the legacy applyInPandasWithState API) so both custom-stateful
+    surfaces carry a full SQL gate. In containers without
+    google.protobuf (this one) the operator transparently runs its
+    semantics-identical applyInPandasWithState fallback — see the
+    ENVIRONMENT GUARD note in stateful_distinct_types."""
+    from pyspark.sql.window import Window
+
+    from stockmarketdata_dwb_etl_spark.streaming.jobs import (
+        stateful_distinct_types,
+    )
+
+    chunks = prepare_event_chunks(spark, sf_dir)
+    stream = read_events_stream(spark, chunks)
+    sink = run_stream_to_parquet(
+        stateful_distinct_types(stream), "transform_state_types"
+    )
+    emissions = spark.read.parquet(sink)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_types").desc())
+    return (
+        emissions.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_types")
+    )

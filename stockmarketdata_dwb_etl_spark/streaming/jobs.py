@@ -157,6 +157,93 @@ def stateful_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def stateful_distinct_types(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via Spark-4 ``transformWithStateInPandas``
+    (the successor API to applyInPandasWithState): per-user DISTINCT
+    event-type count maintained in an explicit ValueState holding the set
+    of types seen so far; the updated cardinality is emitted every
+    microbatch the user appears in (monotone nondecreasing, so the final
+    answer per user is the max emission — equal to the batch
+    COUNT(DISTINCT event_type)).
+
+    Why this API for the 100 TB posture: typed state handles (value/list/
+    map state), TTL support, and state co-partitioned by group key across
+    executors — the shape production CEP/profile-building operators use;
+    the legacy applyInPandasWithState twin lives in
+    ``stateful_user_totals``.
+
+    ENVIRONMENT GUARD: transformWithStateInPandas' streaming worker
+    requires google.protobuf, which this container does not ship (and
+    installs are out of scope). Where protobuf is absent we fall back to
+    an applyInPandasWithState implementation with IDENTICAL emission
+    semantics (same per-batch monotone counts, same output schema), so
+    the query surface behaves the same either way.
+    """
+    import pandas as pd
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        _twis_available = True
+    except ImportError:
+        _twis_available = False
+
+    if not _twis_available:
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        def update(key: tuple, pdfs, state: GroupState):
+            seen = set()
+            if state.exists:
+                stored = state.get[0]
+                if stored:
+                    seen = set(stored.split(","))
+            for pdf in pdfs:
+                seen |= set(pdf["event_type"].dropna().unique())
+            state.update((",".join(sorted(seen)),))
+            yield pd.DataFrame({"user_id": [key[0]], "n_types": [len(seen)]})
+
+        return stream.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, n_types bigint",
+            stateStructType="types string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class DistinctTypes(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            # CSV-of-sorted-types: value state stays a single string cell
+            self._seen = handle.getValueState("seen", "types string")
+
+        def handleInputRows(self, key, rows, timerValues):
+            seen = set()
+            if self._seen.exists():
+                stored = self._seen.get()[0]
+                if stored:
+                    seen = set(stored.split(","))
+            for pdf in rows:
+                seen |= set(pdf["event_type"].dropna().unique())
+            self._seen.update((",".join(sorted(seen)),))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_types": [len(seen)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        DistinctTypes(),
+        outputStructType="user_id bigint, n_types bigint",
+        outputMode="append",
+        timeMode="none",
+    )
+
+
 def run_stream_to_parquet(stream_df: DataFrame, name: str, output_mode: str = "append") -> str:
     """Run a streaming query to completion (availableNow) into a parquet
     sink; returns the sink path. Checkpointed, so semantics match an

@@ -147,3 +147,51 @@ def test_partitioned_merge_equals_batch(spark):
     ev = load_table(spark, SF_DIR, "events")
     assert got.count() == ev.count()
     assert got.select(F.countDistinct("event_id")).first()[0] == ev.count()
+
+
+def test_streaming_agg_on_rocksdb_state_store(spark, tmp_path):
+    """The 100 TB state path: the same windowed aggregation must run and
+    agree with batch under the RocksDB state-store provider (disk-backed,
+    bounded-heap state — what a production deployment uses for state that
+    outgrows executor memory). Provider is scoped to this query's
+    checkpoint; the session conf is restored after."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    spark.range(1000).selectExpr(
+        "id", "id % 13 as k", "timestamp_micros(cast(id*60000000 as long)) as ts"
+    ).write.mode("overwrite").parquet(src)
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema("id long, k long, ts timestamp").parquet(src)
+        agg = stream.withWatermark("ts", "10 minutes").groupBy("k").count()
+        q = (
+            agg.writeStream.trigger(availableNow=True)
+            .outputMode("complete")
+            .format("memory")
+            .queryName("rocksdb_counts")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            r.k: r["count"]
+            for r in spark.sql("SELECT * FROM rocksdb_counts").collect()
+        }
+    finally:
+        if old:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    want = {
+        r.k: r["count"]
+        for r in spark.read.parquet(src).groupBy("k").count().collect()
+    }
+    assert got == want

@@ -31,6 +31,7 @@ def asof_join_backward(
     key_cols: Sequence[str],
     ts_col: str,
     right_payload: Sequence[str],
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row + the right-side payload of the most
     recent right row with ``right.ts <= left.ts`` for the same key.
@@ -38,6 +39,12 @@ def asof_join_backward(
     ``left`` and ``right`` must both expose ``key_cols`` and ``ts_col``;
     ``right_payload`` names the right columns to carry (must not collide
     with left columns — rename upstream).
+
+    ``tolerance_seconds`` bounds staleness (the pandas ``merge_asof``
+    tolerance / feature-store point-in-time shape): a match older than the
+    bound yields NULL payload instead — computed by carrying the matched
+    right row's own ts in the payload struct and nulling after the fill,
+    so the plan is unchanged (same single shuffle + window).
     """
     key_cols = list(key_cols)
     left_payload = [c for c in left.columns if c not in key_cols and c != ts_col]
@@ -45,7 +52,10 @@ def asof_join_backward(
     # The right payload travels as ONE struct so a NULL payload *field*
     # cannot be back-filled from an older right row than the other fields —
     # last(ignorenulls) skips only whole missing rows (left-side rows).
-    payload_struct = F.struct(*[F.col(c) for c in right_payload])
+    # The matched right ts rides along as __rts for the tolerance check.
+    payload_struct = F.struct(
+        *[F.col(c) for c in right_payload], F.col(ts_col).alias("__rts")
+    )
     payload_type = right.select(payload_struct.alias("p")).schema["p"].dataType
 
     l_tagged = left.select(
@@ -76,12 +86,22 @@ def asof_join_backward(
         *left_payload,
         F.last("__rpay", ignorenulls=True).over(w).alias("__rpay"),
     )
-    return (
-        filled.filter(F.col("__side") == 1)
-        .select(
-            *key_cols,
-            ts_col,
-            *left_payload,
-            *[F.col(f"__rpay.{c}").alias(c) for c in right_payload],
+    kept = filled.filter(F.col("__side") == 1)
+    if tolerance_seconds is not None:
+        if dict(kept.dtypes)[ts_col].startswith("timestamp"):
+            age = F.expr(f"timestampdiff(SECOND, __rpay.__rts, {ts_col})")
+        else:  # numeric event-time axis
+            age = F.col(ts_col) - F.col("__rpay.__rts")
+        # NULL age (no match at all) stays NULL through the when()
+        kept = kept.withColumn(
+            "__rpay",
+            F.when(age <= tolerance_seconds, F.col("__rpay")).otherwise(
+                F.lit(None).cast(dict(kept.dtypes)["__rpay"])
+            ),
         )
+    return kept.select(
+        *key_cols,
+        ts_col,
+        *left_payload,
+        *[F.col(f"__rpay.{c}").alias(c) for c in right_payload],
     )

@@ -439,3 +439,55 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum(revenue, "revenue"),
         )
     )
+
+
+@query(
+    "q_join_asof_tolerance",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+        SELECT user_id, ts AS click_ts, event_id AS click_id FROM events
+        WHERE event_type = 'click'
+    ), matched AS (
+        SELECT p.user_id, p.ts, p.event_id,
+               CAST(ROUND(p.value, 4) AS DOUBLE) AS value,
+               c.click_id, c.click_ts
+        FROM purchases p
+        ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    )
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN ts - click_ts <= INTERVAL 30 MINUTE THEN click_id END
+             AS click_id,
+           CASE WHEN ts - click_ts <= INTERVAL 30 MINUTE THEN click_ts END
+             AS click_ts
+    FROM matched
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 30-minute staleness bound — the feature-store /
+    pandas merge_asof(tolerance=...) shape: each purchase takes the user's
+    most recent click ONLY if it happened within the last 30 minutes,
+    otherwise NULL (a stale feature must not leak into the training row).
+    Same single-shuffle union+window plan as q_join_asof — the tolerance
+    is a post-fill null-out using the matched right row's own ts carried
+    inside the payload struct (operators/asof.py), not a second join."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.round("value", 4).alias("value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return asof_join_backward(
+        purchases,
+        clicks,
+        key_cols=["user_id"],
+        ts_col="ts",
+        right_payload=["click_id", "click_ts"],
+        tolerance_seconds=1800,
+    )

@@ -583,3 +583,81 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("c_ab").desc(), "a", "b").limit(20)
+
+
+@query(
+    "q_lm_score",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ), uc AS (
+        SELECT t, COUNT(*) AS c_a
+        FROM (SELECT unnest(ws) AS t FROM w) GROUP BY t
+    ), dbig AS (
+        SELECT doc_id, bg.a AS a, bg.b AS b
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(ws) - 1, 0)),
+                       i -> struct_pack(a := ws[i], b := ws[i+1])),
+                       recursive := false) AS bg
+            FROM w
+        )
+    ), bc AS (
+        SELECT a, b, COUNT(*) AS c_ab FROM dbig GROUP BY a, b
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(ROUND(AVG(LN(bc.c_ab::DOUBLE / uc.c_a)), 4) AS DOUBLE)
+             AS avg_ll
+    FROM dbig d
+    JOIN bc ON d.a = bc.a AND d.b = bc.b
+    JOIN uc ON d.a = uc.t
+    GROUP BY d.doc_id
+    """,
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus self-perplexity: score every document by its average bigram
+    log-likelihood under the MLE bigram LM trained on the corpus itself —
+    ln P(b|a) = ln(c(a,b)/c(a)) averaged over the doc's adjacent pairs.
+    The KenLM-filter shape of LLM data pipelines (atypical docs score low,
+    boilerplate scores high) with the model TRAINED IN-PLAN: no external
+    LM, every doc bigram exists in the counts so no smoothing/OOV branch.
+
+    Determinism: each ln sees the identical small-integer rational in both
+    engines; the averaged sum's float-order variance (~1e-14 on O(100)
+    terms) cannot reach the 4dp round. Scale: bigram counts shuffle on
+    the pair key with map-side combine; the doc⨝LM join is a hash join
+    on the pair (the LM table is corpus-vocabulary-sized, NOT broadcast);
+    unigram marginals broadcast. Three shuffles total, no collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    w = docs.select("doc_id", words.alias("ws"))
+    uc = (
+        w.select(F.explode("ws").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c_a"))
+    )
+    dbig = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ws) - 1, 0)),"
+                " i -> struct(element_at(ws, i) AS a, element_at(ws, i + 1) AS b))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.a", "bg.b")
+    bc = dbig.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    return (
+        dbig.join(bc, ["a", "b"])
+        .join(F.broadcast(uc.withColumnRenamed("t", "a")), "a")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.col("c_ab").cast("double") / F.col("c_a"))), 4
+            ).alias("avg_ll"),
+        )
+    )

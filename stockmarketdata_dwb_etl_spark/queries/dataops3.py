@@ -661,3 +661,92 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_ll"),
         )
     )
+
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single non-space
+# symbols — the GPT-2-style pre-split reduced to syntax RE2 (DuckDB) and
+# the JVM regex engine interpret identically (no lookahead, no \p classes).
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@query(
+    "q_token_count_bpe",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT)
+             AS total_tokens,
+           CAST(ROUND(CAST(SUM(length(text)) AS DOUBLE)
+                      / SUM(len(regexp_extract_all(text, '{_BPE_RE}'))), 4)
+                AS DOUBLE) AS chars_per_token
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting under a BPE-ish pre-tokenization regex (letter runs,
+    digit runs, single symbols) — the budget metric LLM pipelines compute
+    per corpus slice, next to the whitespace counts of q_text_stats.
+    chars-per-token is the compression proxy used to convert byte budgets
+    to token budgets. The regex is restricted to syntax RE2 (DuckDB) and
+    the JVM engine tokenize identically, so counts are integer-exact on
+    both sides; the ratio is ONE double division of those exact integer
+    sums (identical IEEE quotient — a decimal division here rounds at a
+    different scale per engine and was measured to flip a 4dp digit).
+    Map-only scan + one hash agg of (lang, partial sums)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0)))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum(F.length("text")).cast("double") / F.sum(n_tok), 4
+        ).alias("chars_per_token"),
+    )
+
+
+@query(
+    "q_sample_weighted",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, lang, length(text) AS w,
+               LN((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 5))::BIGINT
+                   + 1.0) / 1048577.0)
+                 / length(text) AS k
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(w AS BIGINT) AS w
+    FROM keyed
+    ORDER BY k DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    each doc draws u from a HASH of its id (reproducible on any engine —
+    no rand(), the same policy as q_hash_split) and ranks by
+    ln(u)/weight; the top-k by that key IS a weighted sample without
+    replacement, here weighted by document length (the quality-weighted
+    selection step of training-data pipelines). Deterministic: u comes
+    from 5 hex digits of md5(doc_id) — the engine-portable hash policy of
+    q_hash_split (engine-native hash functions differ; DuckDB hash() is
+    not Spark xxhash64) — so both engines draw identical u, asserted by
+    the value-hash oracle with doc_id tie-break. Scale: map-only key
+    computation + TakeOrdered top-k; no shuffle of the corpus, no global
+    sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 5), 16, 10)
+        .cast("long")
+        + 1.0
+    ) / 1048577.0
+    k = F.log(u) / F.length("text")
+    return (
+        docs.select(
+            "doc_id", "lang", F.length("text").cast("bigint").alias("w"),
+            k.alias("k"),
+        )
+        .orderBy(F.col("k").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", "lang", "w")
+    )

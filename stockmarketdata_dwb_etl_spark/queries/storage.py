@@ -269,8 +269,12 @@ def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT * FROM base WHERE o_orderkey % 10 <> 3
     ), new AS (
         SELECT o_orderkey, o_orderstatus,
+               -- decimal arithmetic: price*1.1 lands on .005 ties where
+               -- double rounding diverges between engines (Spark rounds
+               -- the shortest decimal repr, DuckDB the true binary)
                CASE WHEN o_orderkey % 10 = 1
-                    THEN CAST(ROUND(o_totalprice * 1.1, 2) AS DOUBLE)
+                    THEN CAST(ROUND(CAST(o_totalprice AS DECIMAL(38,6))
+                                    * 1.1, 2) AS DOUBLE)
                     ELSE o_totalprice END AS o_totalprice
         FROM base WHERE o_orderkey % 10 <> 7
     )
@@ -312,7 +316,13 @@ def q_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.when(
             F.col("o_orderkey") % 10 == 1,
-            F.round(F.col("o_totalprice") * 1.1, 2),
+            # exact-decimal product then round: both engines round the
+            # SAME exact decimal, immune to .005 double-tie divergence
+            F.round(
+                F.col("o_totalprice").cast("decimal(38,6)")
+                * F.lit("1.1").cast("decimal(2,1)"),
+                2,
+            ).cast("double"),
         ).otherwise(F.col("o_totalprice")),
     )
     o = old.alias("o")

@@ -750,3 +750,144 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", "lang", "w")
     )
+
+
+@query(
+    "q_embed_centroids",
+    oracle="""
+    WITH ex AS (
+        SELECT label, u.idx, u.val
+        FROM embeddings,
+             LATERAL (SELECT UNNEST(generate_series(1, len(embedding))) AS idx,
+                             UNNEST(embedding) AS val) u
+    ), dims AS (
+        SELECT label, idx,
+               CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*) AS mean_d
+        FROM ex GROUP BY label, idx
+    )
+    SELECT label,
+           CAST((SELECT COUNT(*) FROM embeddings e WHERE e.label = dims.label)
+                AS BIGINT) AS n_vectors,
+           CAST(ROUND(SQRT(SUM(mean_d * mean_d)), 4) AS DOUBLE)
+             AS centroid_norm,
+           CAST(ROUND(MAX(CASE WHEN idx = 1 THEN mean_d END), 6) AS DOUBLE)
+             AS dim0_mean
+    FROM dims
+    GROUP BY label
+    """,
+)
+def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — the k-means M-step / class-prototype
+    computation, distributed: posexplode each vector to (label, idx, val),
+    ONE hash-aggregate per (label, dim) cell with EXACT-DECIMAL sums (a
+    double sum across rows is shuffle-order-dependent; decimal is not),
+    mean as one double division. Emits per-label count, centroid L2 norm
+    (sum of 64 squared means — far below the 4dp round's sensitivity) and
+    the decimal-exact first-dimension mean as the strong determinism
+    probe. Scale: the exchange carries (label x 64-dim) cells, not
+    vectors; partial aggregation collapses each partition first."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("idx0", "val")
+    ).select("label", (F.col("idx0") + 1).alias("idx"), "val")
+    dims = ex.groupBy("label", "idx").agg(
+        (
+            F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_d"),
+        F.count(F.lit(1)).alias("n_in_dim"),
+    )
+    return dims.groupBy("label").agg(
+        F.max("n_in_dim").cast("bigint").alias("n_vectors"),
+        F.round(F.sqrt(F.sum(F.col("mean_d") * F.col("mean_d"))), 4).alias(
+            "centroid_norm"
+        ),
+        F.round(
+            F.max(F.when(F.col("idx") == 1, F.col("mean_d"))), 6
+        ).alias("dim0_mean"),
+    )
+
+
+@query(
+    "q_kmeans_assign",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, label, u.idx, u.val
+        FROM embeddings,
+             LATERAL (SELECT UNNEST(generate_series(1, len(embedding))) AS idx,
+                             UNNEST(embedding) AS val) u
+    ), cent AS (
+        SELECT label AS c_label, idx,
+               CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*) AS mean_d
+        FROM ex GROUP BY label, idx
+    ), dist AS (
+        SELECT e.vec_id, e.label, c.c_label,
+               SUM((e.val - c.mean_d) * (e.val - c.mean_d)) AS d2
+        FROM ex e JOIN cent c ON e.idx = c.idx
+        GROUP BY e.vec_id, e.label, c.c_label
+    ), best AS (
+        SELECT vec_id, label, c_label,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, c_label) AS rn
+        FROM dist
+    )
+    SELECT label, c_label AS assigned,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM best WHERE rn = 1
+    GROUP BY label, c_label
+    """,
+)
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means E-step: assign every vector to its nearest per-label
+    centroid (the M-step of q_embed_centroids) and report the
+    label-vs-assigned confusion counts — one full EM iteration when
+    composed. Centroids are decimal-exact means (deterministic), the 8
+    centroid rows broadcast, each vector computes all 8 squared-L2
+    distances in ONE zip_with/aggregate fold over its own array (fixed
+    fold order — no cross-row float sums), argmin via row_number with a
+    label tie-break. Scale: vectors stream map-side against the broadcast
+    centroids; the only exchanges are the (label x dim) centroid agg and
+    the final confusion-count agg."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("idx0", "val")
+    ).select("vec_id", "label", (F.col("idx0") + 1).alias("idx"), "val")
+    cent = (
+        ex.groupBy(F.col("label").alias("c_label"), "idx")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_d")
+        )
+        .groupBy("c_label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "mean_d"))),
+                lambda s: s["mean_d"],
+            ).alias("centroid")
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("centroid"),
+            lambda v, c: (v - c) * (v - c),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql.window import Window
+
+    dist = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "c_label", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "c_label")
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("label", F.col("c_label").alias("assigned"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

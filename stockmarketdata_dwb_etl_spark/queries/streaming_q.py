@@ -413,3 +413,57 @@ def q_stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "n_types")
     )
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM marked
+    ), sessions AS (
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events
+        FROM numbered
+        GROUP BY user_id, sess_id
+    )
+    SELECT s.* FROM sessions s
+    WHERE s.session_end <= (SELECT MAX(ts) - INTERVAL 10 MINUTE FROM events)
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming sessionization: session_window(30 min) per user with
+    a 10-min watermark over the event-time-ordered replay — merging
+    session state finalized and emitted as event time passes. The emitted
+    set is SQL-expressible by the same argument as q_stream_watermark:
+    the ts-range replay never delivers late data, so the final
+    availableNow watermark (max ts − 10 min) flushes exactly the sessions
+    whose end (last event + 30-min gap) precedes it; the oracle derives
+    the identical sessions from first principles (lag + cumulative sum,
+    event_id tie-break) and applies that watermark rule."""
+    chunks = prepare_event_chunks(spark, sf_dir)
+    stream = read_events_stream(spark, chunks).withColumn("ts_i", instant_of("ts"))
+    agg = (
+        stream.withWatermark("ts_i", "10 minutes")
+        .groupBy(F.session_window("ts_i", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            ntz_of("w.start").alias("session_start"),
+            ntz_of("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    sink = run_stream_to_parquet(agg, "stream_sessions")
+    return spark.read.parquet(sink)

@@ -80,3 +80,59 @@ def test_hash_bucket_range_and_engine_parity(spark, keys):
         expect = int(hashlib.md5(str(k).encode()).hexdigest()[:2], 16)
         assert b == expect
         assert 0 <= b < 256
+
+
+@_settings
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+        ),
+        min_size=1,
+        max_size=32,
+        unique=True,
+    )
+)
+def test_zorder_interleave_is_injective_and_ordered(spark, pairs):
+    """Morton interleave must be a bijection on the bucket grid (distinct
+    (a,b) -> distinct z) and must place points sharing a high-bit prefix
+    in BOTH dims closer than points differing in a high bit — the
+    property file skipping relies on."""
+    from stockmarketdata_dwb_etl_spark.operators.zorder import zvalue
+
+    df = spark.createDataFrame(pairs, "a int, b int").select(
+        "a", "b", zvalue([F.col("a").cast("long"), F.col("b").cast("long")]).alias("z")
+    )
+    rows = df.collect()
+    zs = {(r.a, r.b): r.z for r in rows}
+    assert len(set(zs.values())) == len(pairs), "collision on the bucket grid"
+    # python-reference interleave must agree exactly
+    def ref(a, b):
+        out = 0
+        for i in range(16):
+            out |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+        return out
+    for (a, b), z in zs.items():
+        assert z == ref(a, b)
+
+
+@_settings
+@given(keys=st.lists(st.integers(min_value=0, max_value=10**12), min_size=1,
+                     max_size=200, unique=True))
+def test_bloom_never_drops_a_member(spark, keys):
+    """For ANY key set, every member must probe positive (the exactness of
+    bloom_prefilter_join rests on zero false negatives)."""
+    from stockmarketdata_dwb_etl_spark.operators.bloom import (
+        build_bloom,
+        might_contain,
+    )
+
+    dim = spark.createDataFrame([(k,) for k in keys], "k long")
+    bf = build_bloom(dim, "k")
+    hits = (
+        dim.join(F.broadcast(bf))
+        .where(might_contain(F.col("bf"), F.col("k")))
+        .count()
+    )
+    assert hits == len(keys)

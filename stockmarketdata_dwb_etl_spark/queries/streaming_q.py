@@ -467,3 +467,53 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = run_stream_to_parquet(agg, "stream_sessions")
     return spark.read.parquet(sink)
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(38,6))), 4) AS DOUBLE)
+             AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the replayed event stream joins the
+    static customer dimension (user profile lookup) INSIDE the streaming
+    query — each microbatch broadcast-joins the dim, the standard
+    enrich-then-aggregate shape of production pipelines (the static side
+    is re-resolvable per batch, so a slowly-changing dim picks up updates
+    between triggers). Sink totals per segment must equal the batch join,
+    which is the oracle. State: only the aggregation's — the join itself
+    is stateless per batch. The sum uses the exact-decimal policy so
+    accumulation order across batches cannot move the 4dp round."""
+    from stockmarketdata_dwb_etl_spark.streaming.jobs import (
+        run_stream_incremental_merge,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    chunks = prepare_event_chunks(spark, sf_dir)
+    stream = read_events_stream(spark, chunks)
+    enriched = stream.join(
+        F.broadcast(cust), stream["user_id"] == cust["c_custkey"]
+    )
+    agg = enriched.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_dec"),
+    )
+    # update-mode emissions are each segment's cumulative totals as of the
+    # batch; the arrivals-win keyed MERGE keeps the latest per segment, so
+    # the snapshot after the final batch holds the full-stream totals
+    snapshot = run_stream_incremental_merge(
+        agg, "stream_static_join", ["segment"], output_mode="update"
+    )
+    return spark.read.parquet(snapshot).select(
+        "segment",
+        "n_events",
+        F.round(F.col("sum_dec"), 4).cast("double").alias("sum_value"),
+    )

@@ -269,7 +269,8 @@ def run_stream_to_parquet(stream_df: DataFrame, name: str, output_mode: str = "a
 
 
 def run_stream_incremental_merge(
-    stream_df: DataFrame, name: str, key_cols: list[str]
+    stream_df: DataFrame, name: str, key_cols: list[str],
+    output_mode: str = "append",
 ) -> str:
     """foreachBatch sink: every microbatch MERGEs into a keyed parquet
     snapshot — the true incremental upgrade of the reference's @daily
@@ -312,6 +313,7 @@ def run_stream_incremental_merge(
     with _state_partitions(stream_df.sparkSession):
         q = (
             stream_df.writeStream.trigger(availableNow=True)
+            .outputMode(output_mode)
             .foreachBatch(merge_batch)
             .option("checkpointLocation", ckpt)
             .start()

@@ -81,7 +81,7 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def prepare_event_chunks(spark: SparkSession, sf_dir: str, n_chunks: int = 8) -> str:
+def prepare_event_chunks(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
     """Materialize events as n_chunks ts-range-partitioned parquet files —
     the replay source. Range partitioning makes file order track event time
     so watermark progression during replay resembles a live stream.

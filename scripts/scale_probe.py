@@ -42,6 +42,8 @@ PROBES = (
     "q_topk_per_group",     # per-group top-k
     "q_dedup_exact",        # hash-groupBy dedup over documents
     "q_dedup_minhash",      # LSH banding + verify over documents
+    "q_bloom_join",         # bloom build + prefilter + join
+    "q_lm_score",           # bigram LM train + doc-score join
 )
 
 

@@ -325,3 +325,62 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_agg_mode_disc",
+    oracle="""
+    WITH counts AS (
+        SELECT l_returnflag, l_quantity, COUNT(*) AS c
+        FROM lineitem GROUP BY l_returnflag, l_quantity
+    ), modes AS (
+        SELECT l_returnflag, l_quantity AS mode_qty,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY c DESC, l_quantity) AS rn
+        FROM counts
+    )
+    SELECT q.l_returnflag,
+           m.mode_qty,
+           CAST(quantile_disc(q.l_quantity, 0.5) AS DOUBLE) AS median_disc,
+           CAST(quantile_disc(q.l_quantity, 0.25) AS DOUBLE) AS p25_disc
+    FROM lineitem q
+    JOIN modes m ON q.l_returnflag = m.l_returnflag AND m.rn = 1
+    GROUP BY q.l_returnflag, m.mode_qty
+    """,
+)
+def q_agg_mode_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete (non-interpolating) inverse-distribution aggregates:
+    percentile_disc WITHIN GROUP picks an ACTUAL data value at each rank
+    (vs q_agg_percentile's interpolating percentile_cont), and the mode is
+    computed via count + row_number with a smallest-value tie-break —
+    Spark's native mode() keeps an arbitrary value under ties, which a
+    differential gate cannot accept. One extra shuffle for the mode
+    ranking; the disc percentiles ride the same hash aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql.window import Window
+
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("c").desc(), F.col("l_quantity")
+    )
+    modes = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
+    )
+    return (
+        li.join(F.broadcast(modes), "l_returnflag")
+        .groupBy("l_returnflag", "mode_qty")
+        .agg(
+            F.expr(
+                "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)"
+                " AS DOUBLE)"
+            ).alias("median_disc"),
+            F.expr(
+                "CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)"
+                " AS DOUBLE)"
+            ).alias("p25_disc"),
+        )
+    )

@@ -491,3 +491,47 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_payload=["click_id", "click_ts"],
         tolerance_seconds=1800,
     )
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey, NULLIF(o_orderkey % 50, 0) AS k FROM orders
+        WHERE o_orderkey % 2 = 0
+    ), b AS (
+        SELECT NULLIF(o_orderkey % 50, 0) AS k,
+               o_orderpriority FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT a.k,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT b.o_orderpriority) AS BIGINT) AS n_priorities
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY a.k
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (Spark `<=>` ≡ SQL IS NOT DISTINCT FROM):
+    NULL keys MATCH EACH OTHER instead of vanishing — the semantics
+    entity-resolution and late-arriving-dimension joins need when NULL is
+    a real key value ('unknown') rather than an absence. Catalyst plans
+    `<=>` as an ordinary hash-join key (nulls hash to one partition), so
+    the plan is the same shuffled equi-join as q_join_inner; a heavy NULL
+    key is exactly the hot-key case operators/skew.py::salted_join
+    handles."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", F.nullif(F.col("o_orderkey") % 50, F.lit(0)).alias("k")
+    )
+    b = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.nullif(F.col("o_orderkey") % 50, F.lit(0)).alias("bk"),
+        "o_orderpriority",
+    )
+    return (
+        a.join(b, a["k"].eqNullSafe(b["bk"]))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+    )

@@ -1,13 +1,11 @@
 """Import every query module so registry decorators run.
 
-Import order IS the driver's execution order (the registry dict preserves
-insertion order, and the external driver walks it front-to-back under a
-time budget). Round 1's driver stopped after ~50 entries, so modules with
-no driver evidence yet go FIRST; the already-driver-verified batteries
-(aggregates/analytics/core/dataops) go last. Within the untested group the
-cheap relational modules lead and the streaming battery (real micro-batch
-runs, the slowest per query) trails so a tight budget still reaches every
-other category.
+Registry order is what the external driver walks front-to-back under its
+entry budget (round 1 stopped after exactly 50 entries). The authoritative
+ordering now lives in ``registry.PRIORITY``: after these imports,
+``registry.load_all()`` rotates a curated cross-family cross-section to
+the front of the dicts so ANY cap depth yields evidence across the whole
+surface; queries not in PRIORITY keep this module order after them.
 """
 
 from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401

@@ -125,3 +125,96 @@ def q_udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT doc_id, pos, word FROM __docs_for_udtf, LATERAL split_words(text)"
     )
+
+
+@query(
+    "q_cogroup_pandas",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, COUNT(*) AS n_clicks FROM events
+        WHERE event_type = 'click' GROUP BY user_id
+    ), p AS (
+        SELECT user_id, COUNT(*) AS n_purch,
+               CAST(ROUND(SUM(value), 4) AS DOUBLE) AS purch_value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           CAST(COALESCE(c.n_clicks, 0) AS BIGINT) AS n_clicks,
+           CAST(COALESCE(p.n_purch, 0) AS BIGINT) AS n_purchases,
+           COALESCE(p.purch_value, 0.0) AS purch_value
+    FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+    """,
+)
+def q_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas COGROUP (`groupBy().cogroup().applyInPandas` —
+    FlatMapCoGroupsInPandas): clicks and purchases co-partitioned by user
+    and handed to ONE Python function as two aligned pandas frames per
+    key — the escape hatch for per-key merge logic no join expresses
+    (custom attribution, panel alignment, feature crossing). Here the
+    function computes per-user funnel stats, which a full-outer join
+    reproduces — the oracle. Both sides shuffle once on user_id; the
+    Python boundary is Arrow-batched per cogroup. (4dp float safety:
+    2-decimal inputs with ~1e4 sums — a pandas vs DuckDB sum-order ulp
+    cannot cross the round.)"""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "value")
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id", "value")
+
+    def funnel(key: tuple, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_clicks": [len(left)],
+                "n_purchases": [len(right)],
+                "purch_value": [round(float(right["value"].sum()), 4) if len(right) else 0.0],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purch.groupBy("user_id"))
+        .applyInPandas(
+            funnel,
+            "user_id bigint, n_clicks bigint, n_purchases bigint, purch_value double",
+        )
+    )
+
+
+@query(
+    "q_observe_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_high,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 4) AS DOUBLE)
+             AS total_price
+    FROM orders
+    """,
+)
+def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sidecar pipeline metrics via DataFrame.observe(): data-quality
+    counters (row count, high-value count, exact total) accumulate DURING
+    a pass over orders — zero extra scans, the production pattern for
+    emit-metrics-while-writing (the reference's L4 verification re-reads
+    the table instead, sinks.py). The observed values themselves are the
+    query output, checked against plain aggregation by the oracle; the
+    Observation collect is metrics-sized driver coordination, same class
+    as a sketch collect."""
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("orders_metrics")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("o_totalprice") > 400000).cast("long")).alias("n_high"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("total_price"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the real pass
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_high"], float(round(m["total_price"], 4)))],
+        "n_rows bigint, n_high bigint, total_price double",
+    )

@@ -275,3 +275,42 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.read.option("header", True).schema(schema).csv(path)
+
+
+@query(
+    "q_intersect_all",
+    oracle="""
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection (INTERSECT ALL): each supplier key appears
+    min(count_left, count_right) times — bag semantics the DISTINCT form
+    (q_intersect) destroys; needed when multiplicity IS the signal
+    (per-occurrence reconciliation). Catalyst plans a count-aggregated
+    join, not a row-pairing loop."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    b = li.filter(F.col("l_returnflag") == "A").select("l_suppkey")
+    return a.intersectAll(b)
+
+
+@query(
+    "q_except_all",
+    oracle="""
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    EXCEPT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (EXCEPT ALL): occurrences subtract — key kept
+    max(count_left − count_right, 0) times, the reconciliation semantics
+    for 'what remains after matching one-for-one' (vs q_except's
+    membership test)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    b = li.filter(F.col("l_returnflag") == "A").select("l_suppkey")
+    return a.exceptAll(b)

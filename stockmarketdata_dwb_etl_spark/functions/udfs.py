@@ -52,3 +52,19 @@ def weighted_avg_udf():
         return float((value * weight).sum() / wsum)
 
     return _weighted_avg
+
+
+@functools.cache
+def self_weighted_udf():
+    """Grouped-agg pandas UDF usable over WINDOW frames: self-weighted
+    mean sum(v^2)/sum(v) — the custom rolling-metric shape; NaN-safe on
+    empty/zero frames."""
+
+    @pandas_udf("double")
+    def _self_weighted(value: pd.Series) -> float:
+        s = float(value.sum())
+        if s == 0.0:
+            return None
+        return float((value * value).sum() / s)
+
+    return _self_weighted

@@ -218,3 +218,44 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["n_high"], float(round(m["total_price"], 4)))],
         "n_rows bigint, n_high bigint, total_price double",
     )
+
+
+@query(
+    "q_udaf_window",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(ROUND(SUM(value * value) OVER w / SUM(value) OVER w, 4)
+                AS DOUBLE) AS self_weighted
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_udaf_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF over a WINDOW frame (not a groupBy): a
+    custom value-weighted rolling metric per user across the trailing 5
+    purchases — the API surface for rolling statistics no built-in
+    aggregate expresses (here self-weighted mean Σv²/Σv, so the oracle
+    can recompute it with plain window sums). Arrow ships each frame's
+    batch to Python; at 100 TB frames stay per-user-bounded and the
+    window is key-partitioned like any native one. (4dp safety: ≤5-term
+    sums of 2-decimal values — a summation-order ulp cannot reach the
+    round.)"""
+    from pyspark.sql.window import Window
+
+    from stockmarketdata_dwb_etl_spark.functions.udfs import self_weighted_udf
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(self_weighted_udf()(F.col("value")).over(w), 4).alias("self_weighted"),
+    )

@@ -891,3 +891,70 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", F.col("c_label").alias("assigned"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "q_quality_gate",
+    oracle=f"""
+    WITH sig AS (
+        SELECT doc_id, lang,
+               len({_DUCK_TOKENS}) AS n_tokens,
+               CASE WHEN len({_DUCK_TOKENS}) < 3 THEN 1.0 ELSE
+                 len(list_distinct(list_transform(
+                     generate_series(1, greatest(len({_DUCK_TOKENS}) - 2, 0)),
+                     i -> {_DUCK_TOKENS}[i] || ' ' || {_DUCK_TOKENS}[i+1]
+                          || ' ' || {_DUCK_TOKENS}[i+2])))::DOUBLE
+                 / greatest(len({_DUCK_TOKENS}) - 2, 1) END AS distinct_ratio,
+               length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE
+                 / greatest(length(text), 1) AS alpha_ratio
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(ROUND(distinct_ratio, 4) AS DOUBLE) AS distinct_ratio,
+           CAST(ROUND(alpha_ratio, 4) AS DOUBLE) AS alpha_ratio,
+           (n_tokens >= 30 AND distinct_ratio >= 0.6 AND alpha_ratio >= 0.6)
+             AS keep
+    FROM sig
+    """,
+)
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus quality GATE: compose the individual signals (token
+    count, distinct-3gram repetition ratio, alphabetic-character ratio)
+    into the keep/drop verdict an LLM pretraining filter actually applies
+    — the decision step downstream of q_text_quality / q_repetition_score
+    / q_lm_score. Every signal is a map-only JVM expression over the
+    document's own text (ratios of exact integers, 4dp-rounded), so the
+    gate streams the corpus once with zero shuffles and the verdict is
+    bit-deterministic. Thresholds are the conventional conservative ones
+    (≥30 tokens, ≥0.6 distinct ratio, ≥0.6 alpha ratio); at 100 TB this
+    is THE pass that decides what the expensive downstream stages
+    (dedup, LM scoring) even see."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n_tok = F.size(toks)
+    g3 = F.expr(
+        "transform(sequence(1, greatest(size(__toks) - 2, 0)),"
+        " i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1),"
+        " ' ', element_at(__toks, i + 2)))"
+    )
+    with_toks = docs.withColumn("__toks", toks)
+    distinct_ratio = F.when(F.size("__toks") < 3, F.lit(1.0)).otherwise(
+        F.size(F.array_distinct(g3)).cast("double")
+        / F.greatest(F.size("__toks") - 2, F.lit(1))
+    )
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", "[^A-Za-z ]", "")).cast("double")
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    sig = with_toks.select(
+        "doc_id",
+        "lang",
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        (
+            (n_tok >= 30) & (distinct_ratio >= 0.6) & (alpha_ratio >= 0.6)
+        ).alias("keep"),
+    )
+    return sig

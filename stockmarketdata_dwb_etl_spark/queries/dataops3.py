@@ -958,3 +958,61 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("keep"),
     )
     return sig
+
+
+@query(
+    "q_text_canonicalize",
+    oracle="""
+    WITH canon AS (
+        SELECT doc_id, lang, text,
+               trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS ctext
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN ctext <> text THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed,
+           CAST(SUM(length(text) - length(ctext)) AS BIGINT) AS chars_removed,
+           md5(string_agg(md5(ctext), '' ORDER BY doc_id)) AS corpus_digest
+    FROM canon
+    GROUP BY lang
+    """,
+)
+def q_text_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text canonicalization — the normalization pass upstream of every
+    fingerprint/dedup stage: lowercase, collapse whitespace runs, trim.
+    Output is the per-lang change audit plus a CORPUS DIGEST (md5 over
+    the doc_id-ordered per-doc md5s), so the oracle verifies the
+    canonical text of every document byte-for-byte, not just counts.
+    Map-only pass + one hash agg; the ordered string_agg inside the
+    digest is per-group (lang) over doc-id-ordered fixed-width hashes —
+    deterministic on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    ctext = F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " "))
+    canon = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        ctext.alias("ctext"),
+    )
+    return (
+        canon.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("ctext") != F.col("text")).cast("long")).alias("n_changed"),
+            F.sum(F.length("text") - F.length("ctext"))
+            .cast("bigint")
+            .alias("chars_removed"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("doc_id", F.md5("ctext").alias("h")))
+                        ),
+                        lambda s: s["h"],
+                    ),
+                    "",
+                ).cast("binary")
+            ).alias("corpus_digest"),
+        )
+    )

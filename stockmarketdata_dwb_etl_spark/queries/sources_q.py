@@ -218,3 +218,75 @@ def q_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("_bad").isNull() & F.col("o_orderkey").isNull(), 1)
         ).alias("n_null_keys"),
     )
+
+
+@query(
+    "q_json_quarantine",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN o_orderkey % 17 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bad,
+           CAST(SUM(CASE WHEN o_orderkey % 17 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_good,
+           CAST(ROUND(SUM(CASE WHEN o_orderkey % 17 <> 0
+                               THEN CAST(o_totalprice AS DECIMAL(38,6))
+                               ELSE 0 END), 4) AS DOUBLE) AS good_sum
+    FROM orders
+    """,
+)
+def q_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record quarantine on JSONL ingest — the same
+    keep-and-quarantine contract as q_csv_permissive on the format LLM
+    corpora actually ship in: every 17th order is written as a TRUNCATED
+    JSON object (unparseable), the PERMISSIVE read types the good rows
+    and captures each bad raw line in ``columnNameOfCorruptRecord``.
+    Counts and the good-row exact sum are the oracle-checked output.
+    Scale: distributed text write + map-only JSON parse, one 1-row agg;
+    the corrupt column is only materialized on parse failure."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from stockmarketdata_dwb_etl_spark.catalog import load_table
+
+    tag = fixture_tag(sf_dir)
+    out = os.path.join(SCRATCH, "json_quarantine", tag)
+    orders = load_table(spark, sf_dir, "orders")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        good = F.format_string(
+            '{"o_orderkey": %s, "o_totalprice": %.2f}',
+            F.col("o_orderkey").cast("string"),
+            F.col("o_totalprice"),
+        )
+        bad = F.format_string(
+            '{"o_orderkey": %s, "o_totalpr', F.col("o_orderkey").cast("string")
+        )
+        orders.select(
+            F.when(F.col("o_orderkey") % 17 == 0, bad).otherwise(good).alias("value")
+        ).write.mode("overwrite").text(out)
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("_bad", StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(out)
+    )
+    return parsed.agg(
+        F.count("_bad").alias("n_bad"),
+        F.count("o_totalprice").alias("n_good"),
+        F.round(
+            F.sum(F.coalesce(F.col("o_totalprice").cast("decimal(38,6)"), F.lit(0))),
+            4,
+        )
+        .cast("double")
+        .alias("good_sum"),
+    )

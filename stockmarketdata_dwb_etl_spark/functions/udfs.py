@@ -14,6 +14,9 @@ SparkSession, which doesn't exist at import time) and cached.
 from __future__ import annotations
 
 import functools
+# module-level so pandas_udf's string-hint resolution (postponed
+# annotations) can find it in the function globals
+from collections.abc import Iterator  # noqa: F401
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
@@ -68,3 +71,24 @@ def self_weighted_udf():
         return float((value * value).sum() / s)
 
     return _self_weighted
+
+
+@functools.cache
+def ticker_extract_iter_udf():
+    """SCALAR_ITER pandas UDF: Iterator[pd.Series] -> Iterator[pd.Series].
+    The iterator form exists for expensive per-executor initialization
+    (model weights, compiled automata) amortized across ALL Arrow batches
+    of a partition instead of paid per batch — the ML-inference UDF
+    shape. Here the amortized resource is a compiled regex; the work per
+    row (first ALL-CAPS token of a text) is trivially re-expressible in
+    SQL, which is what the oracle does."""
+    import re
+
+    @pandas_udf("string")
+    def _extract(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        pat = re.compile(r"\b[A-Z]{2,}\b")  # per-worker init, once
+        for s in batches:
+            yield s.map(lambda t: (pat.search(t or "") or [None])[0]
+                        if pat.search(t or "") else None)
+
+    return _extract

@@ -259,3 +259,36 @@ def q_udaf_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(self_weighted_udf()(F.col("value")).over(w), 4).alias("self_weighted"),
     )
+
+
+@query(
+    "q_udf_scalar_iter",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN regexp_extract(text, '\\b[A-Z]{2,}\\b') <> ''
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_with_caps,
+           CAST(COUNT(DISTINCT NULLIF(regexp_extract(text, '\\b[A-Z]{2,}\\b'), ''))
+                AS BIGINT) AS n_distinct_caps
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_udf_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form pandas UDF (SCALAR_ITER): per-executor initialization
+    (a compiled automaton standing in for model weights) amortized across
+    every Arrow batch of a partition — the ML-batch-inference UDF shape,
+    complementing the per-batch SCALAR form of q_udf_scalar. Extracts the
+    first ALL-CAPS token per document; the aggregate of extractions is
+    re-expressed with JVM regexp in the oracle."""
+    from stockmarketdata_dwb_etl_spark.functions.udfs import ticker_extract_iter_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    extracted = docs.select(
+        "lang", ticker_extract_iter_udf()(F.col("text")).alias("caps")
+    )
+    return extracted.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("caps").alias("n_with_caps"),
+        F.countDistinct("caps").alias("n_distinct_caps"),
+    )

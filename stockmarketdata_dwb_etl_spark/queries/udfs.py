@@ -292,3 +292,63 @@ def q_udf_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("caps").alias("n_with_caps"),
         F.countDistinct("caps").alias("n_distinct_caps"),
     )
+
+
+@query(
+    "q_map_in_arrow",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(MAX(length(text)) AS INTEGER) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RecordBatch-level Python boundary (``mapInArrow``): the zero-copy
+    entry point for columnar Python libraries — the function receives raw
+    ``pyarrow.RecordBatch``es (no pandas conversion at all) and computes
+    with Arrow compute kernels. Here pc.utf8_length replaces the JVM
+    length; downstream aggregation and the oracle verify the kernel
+    agrees with the engine byte-for-byte. This is the boundary multimodal
+    decoders and polars-style processors use when even the pandas
+    conversion of mapInPandas is overhead worth skipping."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    def arrow_lengths(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("lang")),
+                    pc.cast(
+                        pc.utf8_length(
+                            batch.column(batch.schema.get_field_index("text"))
+                        ),
+                        pa.int32(),
+                    ),
+                ],
+                names=["lang", "n_chars_arrow"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    out_schema = StructType(
+        [
+            StructField("lang", StringType()),
+            StructField("n_chars_arrow", IntegerType()),
+        ]
+    )
+    lengths = docs.mapInArrow(arrow_lengths, out_schema)
+    return lengths.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars_arrow").cast("bigint").alias("total_chars"),
+        F.max("n_chars_arrow").alias("max_chars"),
+    )

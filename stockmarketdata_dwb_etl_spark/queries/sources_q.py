@@ -290,3 +290,68 @@ def q_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("good_sum"),
     )
+
+
+@query(
+    "q_xml_source",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(38,6))), 4) AS DOUBLE)
+             AS total_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source roundtrip on Spark 4's NATIVE XML data source
+    (spark-xml was folded into core in 4.0 — no external package): write
+    suppliers as <supplier> row elements, read back with rowTag + explicit
+    schema, join the nation dim and aggregate — values must survive the
+    markup roundtrip exactly (exact-decimal sums; schema pinned so XML's
+    type inference cannot drift it). Completes the text-format family
+    next to CSV/JSONL: the B2B-feed ingestion path (vendor data still
+    ships as XML) with the same distributed one-pass read."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from stockmarketdata_dwb_etl_spark.catalog import load_table
+
+    tag = fixture_tag(sf_dir)
+    out = os.path.join(SCRATCH, "supplier_xml", tag)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "supplier")
+            .select("s_suppkey", "s_nationkey", "s_acctbal")
+            .write.format("xml")
+            .option("rootTag", "suppliers")
+            .option("rowTag", "supplier")
+            .mode("overwrite")
+            .save(out)
+        )
+    schema = StructType(
+        [
+            StructField("s_suppkey", LongType()),
+            StructField("s_nationkey", LongType()),
+            StructField("s_acctbal", DoubleType()),
+        ]
+    )
+    back = (
+        spark.read.format("xml").option("rowTag", "supplier").schema(schema).load(out)
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        back.join(F.broadcast(nation), back["s_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum(F.col("s_acctbal").cast("decimal(38,6)")), 4)
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )

@@ -86,9 +86,15 @@ def ticker_extract_iter_udf():
 
     @pandas_udf("string")
     def _extract(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        pat = re.compile(r"\b[A-Z]{2,}\b")  # per-worker init, once
+        # re.ASCII: the oracle's RE2 \b is ASCII-only, Python's default
+        # \b is Unicode-aware — pin to the oracle's semantics
+        pat = re.compile(r"\b[A-Z]{2,}\b", re.ASCII)  # per-worker init, once
+
+        def first_caps(t):
+            m = pat.search(t or "")
+            return m.group(0) if m else None
+
         for s in batches:
-            yield s.map(lambda t: (pat.search(t or "") or [None])[0]
-                        if pat.search(t or "") else None)
+            yield s.map(first_caps)
 
     return _extract

@@ -89,13 +89,18 @@ def asof_join_backward(
     kept = filled.filter(F.col("__side") == 1)
     if tolerance_seconds is not None:
         if dict(kept.dtypes)[ts_col].startswith("timestamp"):
-            age = F.expr(f"timestampdiff(SECOND, __rpay.__rts, {ts_col})")
+            # full-precision compare: timestampdiff(SECOND, ...) truncates
+            # fractional seconds, keeping matches the exact interval
+            # predicate (ts - rts <= INTERVAL n SECOND) would null out
+            age = F.expr(f"timestampdiff(MICROSECOND, __rpay.__rts, {ts_col})")
+            limit = int(tolerance_seconds * 1_000_000)
         else:  # numeric event-time axis
             age = F.col(ts_col) - F.col("__rpay.__rts")
+            limit = tolerance_seconds
         # NULL age (no match at all) stays NULL through the when()
         kept = kept.withColumn(
             "__rpay",
-            F.when(age <= tolerance_seconds, F.col("__rpay")).otherwise(
+            F.when(age <= limit, F.col("__rpay")).otherwise(
                 F.lit(None).cast(dict(kept.dtypes)["__rpay"])
             ),
         )

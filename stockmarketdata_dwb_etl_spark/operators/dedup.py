@@ -5,10 +5,10 @@ conversions, no UDFs, no collect) so every stage is a Catalyst plan:
 
 MinHash-LSH (the shingle→minhash→band→bucket-join pipeline):
 1. shingle documents (k-word shingles, distinct),
-2. 64 minhash permutations via universal hashing
+2. 32 minhash permutations via universal hashing
    h_i(x) = (aᵢ·x + bᵢ) mod p over xxhash64(shingle) — partial-aggregated
    per-document mins (one shuffle),
-3. band signatures (16 bands × 4 rows) hashed to buckets,
+3. band signatures (16 bands × 2 rows) hashed to buckets,
 4. candidate pairs = self-join within buckets (bucket-size capped to keep
    the join linear under adversarial skew),
 5. exact Jaccard verification on the shingle sets.
@@ -78,7 +78,7 @@ def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_perm: int = 64,
+    n_perm: int = 32,
     shingle_k: int = 3,
     seed: int = 42,
     shingled: DataFrame | None = None,
@@ -86,10 +86,10 @@ def minhash_signatures(
     """(id, sig: array<bigint>[n_perm], n_shingles) per document.
 
     Shape note (measured): a shuffle-free alternative — one
-    ``aggregate(hash_array, [P]*64, zip_with(least(...)))`` fold per doc —
+    ``aggregate(hash_array, [P]*n_perm, zip_with(least(...)))`` fold per doc —
     produces identical signatures but ran ~10% SLOWER at sf0.1 (the fold
-    allocates a fresh 64-element array per shingle, while this explode +
-    64-column min groupBy stays in codegen'd aggregate buffers, and
+    allocates a fresh n_perm-element array per shingle, while this explode +
+    n-column min groupBy stays in codegen'd aggregate buffers, and
     map-side partial aggregation already collapses the exploded rows to
     one row per doc before any exchange). Keeping the aggregate form."""
     if shingled is None:
@@ -118,7 +118,7 @@ def minhash_signatures(
 def lsh_candidate_pairs(
     sigs: DataFrame,
     n_bands: int = 16,
-    rows_per_band: int = 4,
+    rows_per_band: int = 2,
     max_bucket: int = 200,
 ) -> DataFrame:
     """Distinct (id_a < id_b) candidate pairs sharing ≥1 LSH band bucket.

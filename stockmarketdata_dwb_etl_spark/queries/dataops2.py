@@ -91,8 +91,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle computes the GROUND TRUTH — every pair with exact Jaccard
     ≥ 0.7 via an inverted shingle index — so a hash match certifies LSH
     recall = 1, not just determinism. That is a real property of this
-    configuration (64 perms, 16 bands × 4 rows, fixed seed 42): per-pair
-    miss probability at j = 0.7 is (1−0.7⁴)¹⁶ ≈ 1.2% and the fixture's
+    configuration (32 perms, 16 bands × 2 rows, fixed seed 42): per-pair
+    miss probability at j = 0.7 is (1−0.7²)¹⁶ ≈ 2×10⁻⁵ and the fixture's
     pair population clears it at every sf (verified at sf0.001/0.01/0.1:
     94/81/820 pairs, zero missed); precision is exact by construction
     (every candidate is verify-filtered on true Jaccard)."""

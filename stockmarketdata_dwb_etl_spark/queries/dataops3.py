@@ -824,7 +824,7 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ex GROUP BY label, idx
     ), dist AS (
         SELECT e.vec_id, e.label, c.c_label,
-               SUM((e.val - c.mean_d) * (e.val - c.mean_d)) AS d2
+               ROUND(SUM((e.val - c.mean_d) * (e.val - c.mean_d)), 9) AS d2
         FROM ex e JOIN cent c ON e.idx = c.idx
         GROUP BY e.vec_id, e.label, c.c_label
     ), best AS (
@@ -881,8 +881,12 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
+    # round to 9dp before the argmin ordering (mirrored in the oracle):
+    # Spark folds dims in array order while DuckDB's SUM over exploded
+    # rows has scan-order accumulation — a near-tie below ~1e-13 could
+    # otherwise pick different centroids per engine
     dist = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "label", "c_label", d2.alias("d2")
+        "vec_id", "label", "c_label", F.round(d2, 9).alias("d2")
     )
     w = Window.partitionBy("vec_id").orderBy("d2", "c_label")
     return (

@@ -99,8 +99,11 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching ~1/support candidate keys."""
     ev = load_table(spark, sf_dir, "events")
     support = 0.15
+    # freqItems only guarantees items with share STRICTLY ABOVE its
+    # support argument; probe slightly below so an item sitting exactly at
+    # the >= boundary still reaches pass 2's exact filter
     candidates = [
-        r for r in ev.stat.freqItems(["event_type"], support).collect()[0][0]
+        r for r in ev.stat.freqItems(["event_type"], support * 0.9).collect()[0][0]
     ]
     total = ev.count()
     return (

@@ -33,54 +33,69 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-#: Registry iteration order for a budget-capped driver: round 1's driver
-#: evaluated exactly the FIRST 50 registry entries, so the front of the
-#: dict must be a cross-section of EVERY operator family (its cheapest
-#: representatives), not whole module batteries in sequence — a cap at any
-#: depth then still yields evidence across the full surface. Everything
-#: not listed keeps module order after these.
+#: Registry iteration order for a budget-capped driver: the driver
+#: evaluates the FIRST ~50 registry entries each round, so the front of
+#: the dict must be the queries with the LEAST driver evidence. Round 3
+#: ordering (per VERDICT r02 "Next round" #1-2): positions 1-10 are the
+#: ten queries that ERRORED in round 1 (nanos-read / no_oracle
+#: casualties, all since fixed in the builder suite but never driver
+#: re-confirmed); positions 11-50 are a cross-family breadth slice of
+#: the 97 never-driver-tested queries; after that the remaining
+#: never-tested, and the 74 queries already driver-green across
+#: r01+r02 come LAST (re-testing them buys nothing under the cap).
 PRIORITY = (
-    # core relational
-    "q_scan_project", "q_filter_pred", "q_union_all",
+    # --- 1-10: failed in r1 (err), fixed, need a driver-green row ---
+    "q_pivot", "q_dedup_keys", "q_props_map", "q_agg_bool_bitwise",
+    "q_approx_distinct", "q_window_first_last", "q_sql_text",
+    "q_cohort_retention", "q_approx_percentile", "q_dedup_simhash",
+    # --- 11-50: breadth slice of the never-driver-tested surface ---
     # joins
-    "q_join_inner", "q_join_broadcast", "q_join_asof", "q_bloom_join",
+    "q_join_left", "q_join_semi", "q_join_anti", "q_join_range",
+    "q_join_null_safe", "q_join_asof_tolerance", "q_join_salted_skew",
     # windows
-    "q_window_rank", "q_window_moving_avg",
-    # scalars / parsing (the reference's own transform surface)
-    "q_kmb_parse", "q_date_parse", "q_json_extract",
-    # reports / TPC-H
-    "q_tpch_q1", "q_tpch_q3", "q_tpch_q6",
-    # SQL front door
-    "q_recursive_cte",
-    # time series (the reference's headline semantics)
-    "q_ohlc_resample", "q_ewma",
-    # sketches
-    "q_sketch_rollup", "q_heavy_hitters",
-    # multimodal
-    "q_binary_meta",
-    # storage / warehouse
-    "q_partitioned_write", "q_bucketed_join", "q_zorder_pruning",
-    "q_cdc_diff", "q_merge_upsert",
-    # UDF machinery
-    "q_udf_scalar", "q_udtf_python",
-    # sources / sinks
-    "q_html_source", "q_csv_roundtrip", "q_json_source",
-    # pipeline
-    "q_stock_pipeline",
-    # time windows (batch) + real streaming runs
-    "q_tumbling_window", "q_session_window",
-    "q_stream_watermark", "q_stream_stateful",
-    # aggregation battery
-    "q_agg_groupby", "q_rollup", "q_agg_percentile", "q_agg_mode_disc",
-    # analytics
-    "q_scalar_subquery", "q_window_range_frame", "q_funnel",
-    # dedup / text / similarity (LLM-pipeline core)
-    "q_dedup_exact", "q_dedup_minhash", "q_tokenize_wordcount",
-    "q_cosine_topk", "q_lang_id", "q_text_quality", "q_ann_cosine_topk",
-    # corpus curation
+    "q_window_lag_change", "q_window_running_sum", "q_window_ntile",
+    # scalars battery
+    "q_pct_parse", "q_cast_comma_numeric", "q_string_funcs",
+    "q_math_funcs", "q_array_funcs",
+    # set ops
+    "q_intersect_all",
+    # TPC-H spread
+    "q_tpch_q4", "q_tpch_q12", "q_tpch_q17", "q_tpch_q19", "q_tpch_q22",
+    # timeseries
+    "q_gap_fill_locf", "q_drawdown", "q_winsorize", "q_zscore_outliers",
+    "q_corr_pairs",
+    # corpus / LLM-pipeline (cut at positions 51-55 in r2)
     "q_contamination", "q_pack_sequences", "q_lm_score",
-    # second representatives past the 50-mark, still ahead of the batteries
-    "q_tpch_q7", "q_token_count_bpe",
+    "q_token_count_bpe", "q_quality_gate", "q_pii_scrub",
+    # storage / warehouse
+    "q_schema_evolution", "q_scd2_apply",
+    # streaming (real availableNow runs)
+    "q_stream_dedup", "q_sliding_window", "q_stream_session",
+    # UDF machinery
+    "q_udaf_grouped", "q_udtf_explode",
+    # sources
+    "q_xml_source",
+    # --- 51+: the rest of the never-driver-tested, families interleaved,
+    # so a driver that gets past 50 keeps producing fresh evidence ---
+    "q_join_full", "q_tpch_q8", "q_rollup_cascade", "q_dedup_incremental",
+    "q_udaf_window", "q_csv_permissive", "q_stream_foreachbatch",
+    "q_agg_salted_skew", "q_tpch_q10", "q_user_path", "q_tfidf_topterms",
+    "q_cogroup_pandas", "q_json_quarantine", "q_stream_stream_join",
+    "q_join_range_binned", "q_tpch_q13", "q_regression", "q_url_extract",
+    "q_observe_metrics", "q_orc_roundtrip", "q_stream_transform_state",
+    "q_date_funcs", "q_tpch_q14", "q_unpivot_long", "q_dq_expectations",
+    "q_udf_scalar_iter", "q_hash_split", "q_stream_static_join",
+    "q_case_null", "q_tpch_q15", "q_tpch_q7", "q_variant_json",
+    "q_tpch_q18", "q_compact_small_files", "q_cap_per_group",
+    "q_map_in_arrow", "q_stream_merge_partitioned", "q_sample_stratified",
+    "q_tpch_q21", "q_streaks", "q_repetition_score", "q_pmi_bigrams",
+    "q_sample_weighted", "q_embed_centroids", "q_kmeans_assign",
+    "q_text_canonicalize", "q_except_all", "q_ngram_jaccard",
+    "q_doc_fingerprint", "q_dedup_embedding", "q_ann_ivf_topk",
+    "q_multimodal_features", "q_dedup_transitive", "q_ann_ivf_pruned",
+    "q_multimodal_frames", "q_edit_distance", "q_multimodal_resize",
+    # (the 74 queries already driver-green in r01/r02 follow in module
+    # order — deliberately last under the driver's ~50-entry budget)
 )
 
 

@@ -94,6 +94,8 @@ PRIORITY = (
     "q_doc_fingerprint", "q_dedup_embedding", "q_ann_ivf_topk",
     "q_multimodal_features", "q_dedup_transitive", "q_ann_ivf_pruned",
     "q_multimodal_frames", "q_edit_distance", "q_multimodal_resize",
+    # round-3 additions (no driver evidence yet, ahead of the proven set)
+    "q_bm25_topk", "q_mad_outliers", "q_psi_drift", "q_word_entropy",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

@@ -77,3 +77,46 @@ def test_fetch_pages_list_names_from_url(tmp_path):
     )
     assert list(landed) == ["tsla"]
     assert landed["tsla"].endswith("tsla.html")
+
+
+def test_scrape_path_end_to_end(spark, tmp_path):
+    """URL → landed file → htmltable DataSource scan → typed silver, in one
+    pass: the full reference pipeline shape (S1 fetch prologue + S2-S7
+    scrape source) with the network faked at the opener seam. The scanned
+    silver must row-match q_html_source, which reads the same pages from
+    the fixture landing dir."""
+    from tests.conftest import SF_DIR
+    from stockmarketdata_dwb_etl_spark.queries.sources_q import (
+        q_html_source,
+        write_fixture_pages,
+    )
+    from stockmarketdata_dwb_etl_spark.sources.htmltable import register
+
+    fixture_dir = write_fixture_pages(spark, SF_DIR)
+    import glob
+    import os
+
+    bodies = {}
+    urls = {}
+    for p in sorted(glob.glob(os.path.join(fixture_dir, "*.html"))):
+        name = os.path.splitext(os.path.basename(p))[0]
+        url = f"http://quotes.example/{name}"
+        urls[name] = url
+        bodies[url] = open(p, "rb").read()
+
+    opener, calls = _opener_factory(bodies, fail_first=1)  # one transient error
+    landing = str(tmp_path / "landing")
+    landed = fetch_pages(urls, landing, backoff=0.0, _opener=opener)
+    assert sorted(landed) == sorted(urls)
+    assert calls["n"] == len(urls) + 1  # every page fetched once + 1 retry
+
+    register(spark)
+    raw = spark.read.format("htmltable").option("path", landing).load()
+    assert raw.rdd.getNumPartitions() == len(urls)  # partition per page
+
+    silver = q_html_source(spark, SF_DIR)
+    assert raw.count() == silver.count()
+    # the landed scan carries the same per-page tags as the fixture scan
+    got = {r["stock_name"] for r in raw.select("stock_name").distinct().collect()}
+    want = {r["stock_name"] for r in silver.select("stock_name").distinct().collect()}
+    assert got == want

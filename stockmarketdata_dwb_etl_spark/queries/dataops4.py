@@ -125,6 +125,165 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_keep_canonical",
+    oracle="""
+    WITH RECURSIVE aug AS (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text || ' zz1 zz2 zz3' AS text,
+               source
+        FROM documents WHERE doc_id % 10 = 0
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM aug)
+    ), sizes AS (
+        SELECT doc_id, len(shingles) AS n FROM sh
+    ), ex AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT i.id_a AS a, i.id_b AS b
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE ROUND(i.c::DOUBLE / (sa.n + sb.n - i.c), 4) >= 0.7
+    ), und AS (
+        SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+    ), reach AS (
+        SELECT a AS v, a AS r FROM (SELECT DISTINCT a FROM und)
+        UNION
+        SELECT und.b AS v, reach.r FROM reach JOIN und ON und.a = reach.v
+    ), comp AS (
+        SELECT v AS doc_id, MIN(r) AS rep FROM reach GROUP BY v
+    ), labeled AS (
+        SELECT d.doc_id, d.source, length(d.text) AS len,
+               COALESCE(c.rep, d.doc_id) AS rep
+        FROM aug d LEFT JOIN comp c USING (doc_id)
+    ), ranked AS (
+        SELECT source,
+               row_number() OVER (PARTITION BY rep
+                                  ORDER BY len DESC, doc_id) AS rn
+        FROM labeled
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_dropped
+    FROM ranked GROUP BY source
+    """,
+)
+def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's FINAL step, composed end-to-end: MinHash-LSH
+    near-dup pairs → transitive closure into clusters → keep ONE canonical
+    document per cluster (longest text, doc_id tie-break) → per-source
+    survival counts. This is the operator a training-data pipeline
+    actually ships: q_dedup_minhash finds pairs, q_dedup_transitive
+    groups them, this emits the kept corpus.
+
+    Output is integer counts only — no float determinism surface. The
+    oracle recomputes ground-truth pairs (inverted shingle index), the
+    same closure via a recursive CTE, and the same keep rule. Scale: the
+    pair/closure stages inherit the banded-LSH and O(diameter)
+    label-propagation postures; canonical selection is one window over
+    clustered docs (clusters are tiny; singletons never shuffle — they
+    join `left` against the small component table)."""
+    from stockmarketdata_dwb_etl_spark.operators.dedup import (
+        connected_components,
+        minhash_near_dups,
+    )
+    from stockmarketdata_dwb_etl_spark.queries.dataops2 import (
+        _docs_with_near_dups,
+    )
+    from pyspark.sql.window import Window
+
+    aug = _docs_with_near_dups(spark, sf_dir)
+    pairs = minhash_near_dups(aug)
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    ).select(F.col("id").alias("doc_id"), F.col("cluster_rep").alias("rep"))
+    labeled = (
+        aug.select("doc_id", "source", F.length("text").alias("len"))
+        .join(F.broadcast(comp), "doc_id", "left")
+        .select(
+            "source", "len", "doc_id",
+            F.coalesce("rep", F.col("doc_id")).alias("rep"),
+        )
+    )
+    w = Window.partitionBy("rep").orderBy(F.desc("len"), "doc_id")
+    ranked = labeled.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("rn") == 1, 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_dropped"),
+    )
+
+
+@query(
+    "q_skew_report",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(MAX(n) AS BIGINT) AS max_n
+        FROM counts
+    )
+    SELECT c.user_id, c.n,
+           CAST(ROUND(c.n::DOUBLE / t.total, 4) AS DOUBLE) AS share,
+           CAST(ROUND(c.n * t.n_keys::DOUBLE / t.total, 4) AS DOUBLE)
+               AS skew_x
+    FROM counts c CROSS JOIN tot t
+    ORDER BY c.n DESC, c.user_id
+    LIMIT 10
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew diagnostic over the natural shuffle key (user_id):
+    the top-10 heaviest keys with their share of all rows and skew factor
+    (count ÷ mean-count). This is the report that decides whether a
+    join/agg on this key needs salting (q_join_salted_skew /
+    q_agg_salted_skew are the remediations) — at 100 TB you run the
+    diagnostic BEFORE the shuffle, on a sample or the previous run's
+    stats. One partial-agg shuffle + a 1-row broadcast of the totals +
+    TakeOrdered; shares are single double divisions of exact integers
+    (no cross-row float sums)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("n").cast("bigint").alias("max_n"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 4).alias("share"),
+            F.round(
+                F.col("n") * F.col("n_keys").cast("double") / F.col("total"), 4
+            ).alias("skew_x"),
+        )
+        .orderBy(F.desc("n"), "user_id")
+        .limit(10)
+    )
+
+
+@query(
     "q_mad_outliers",
     oracle="""
     WITH med AS (

@@ -96,6 +96,7 @@ PRIORITY = (
     "q_multimodal_frames", "q_edit_distance", "q_multimodal_resize",
     # round-3 additions (no driver evidence yet, ahead of the proven set)
     "q_bm25_topk", "q_mad_outliers", "q_psi_drift", "q_word_entropy",
+    "q_dedup_keep_canonical", "q_skew_report",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

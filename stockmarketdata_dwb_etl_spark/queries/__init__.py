@@ -19,6 +19,7 @@ from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
     pipeline_q,
     streaming_q,
     reports2,
+    reports3,
     dataops3,
     dataops4,
     timeseries,

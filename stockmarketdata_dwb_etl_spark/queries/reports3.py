@@ -1,0 +1,326 @@
+"""Fourth report battery: the five TPC-H queries whose official form needs
+the ``partsupp`` table the fixtures lack (Q2/Q9/Q11/Q16/Q20), rebased onto
+the part-supplier relation DERIVABLE from lineitem: supplier *s* supplies
+part *p* iff some line item links them, with the observed unit price
+(l_extendedprice / l_quantity) standing in for ps_supplycost and shipped
+volume standing in for ps_availqty. Each keeps the optimizer-stressing
+STRUCTURE of the official query — correlated min subquery (Q2), star join
++ profit expression (Q9), scalar-subquery HAVING over a grouped value
+(Q11), NOT-IN anti-join + COUNT DISTINCT (Q16), nested IN subquery with a
+quantity threshold (Q20) — and the docstring states the adaptation.
+
+This completes 22/22 TPC-H coverage alongside reports.py / reports2.py /
+analytics.py; like those, these are the analyst shapes the reference
+delegates to BigQuery after load (/root/reference/dump_bigq.py:135-149).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stockmarketdata_dwb_etl_spark.catalog import load_table
+from stockmarketdata_dwb_etl_spark.functions.exact import sql_exact_sum
+from stockmarketdata_dwb_etl_spark.registry import query
+
+_DEC = "decimal(38,6)"
+
+
+def _supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lineitem-derived part-supplier catalog: one row per observed
+    (partkey, suppkey) pair with the minimum observed unit price. MIN over
+    per-row double divisions is order-independent, so it is exact on both
+    engines with no decimal detour. One hash-agg shuffle on the pair key;
+    at 100 TB this is the same partial-agg tree as any distinct-pairs agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+
+
+_SUPPLY_SQL = """
+    SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+           MIN(l_extendedprice / l_quantity) AS unit_cost
+    FROM lineitem GROUP BY 1, 2
+"""
+
+
+@query(
+    "q_tpch_q2",
+    oracle=f"""
+    WITH supply AS ({_SUPPLY_SQL}),
+    eur AS (
+        SELECT partkey, suppkey, unit_cost, s_acctbal, s_name, n_name
+        FROM supply
+        JOIN supplier ON s_suppkey = suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+    FROM eur
+    JOIN part ON p_partkey = partkey
+    WHERE p_size <= 10 AND p_type = 'ECONOMY'
+      AND unit_cost = (SELECT MIN(e2.unit_cost) FROM eur e2
+                       WHERE e2.partkey = eur.partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), partsupp rebased onto the lineitem
+    supply catalog. The official correlated MIN subquery is expressed as a
+    per-part window MIN over the region-filtered catalog — one window pass
+    instead of a rescan per outer row, the plan a 100 TB engine wants. All
+    dimensions (supplier/nation/region/part) broadcast; the only shuffles
+    are the catalog agg and the partkey window. Ref behavior: the analyst
+    query surface of /root/reference/dump_bigq.py:135-149."""
+    supply = _supply(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "ECONOMY")
+    )
+    eur = (
+        supply.join(F.broadcast(supp), F.col("s_suppkey") == F.col("suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("partkey", "suppkey", "unit_cost", "s_acctbal", "s_name", "n_name")
+    )
+    w = Window.partitionBy("partkey")
+    best = eur.withColumn("__min_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("__min_cost")
+    )
+    return (
+        best.join(F.broadcast(part), F.col("p_partkey") == F.col("partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q9",
+    oracle=f"""
+    SELECT nation, o_year, {sql_exact_sum("amount", "sum_profit")}
+    FROM (
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity AS amount
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%'
+    )
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit by nation and year), ps_supplycost
+    rebased to a fixed 60% of p_retailprice (deterministic, join-free
+    proxy). The profit expression stays per-row double — bit-identical
+    across engines — then exact-decimal summed. part filter (~1/7 of
+    p_name) broadcasts into lineitem first so the orders join carries only
+    widget lines; nation/supplier broadcast; single fact shuffle on
+    o_orderkey."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    joined = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            amount.alias("amount"),
+        )
+    )
+    return (
+        joined.groupBy("nation", "o_year")
+        .agg(F.round(F.sum(F.col("amount").cast(_DEC)), 4).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "q_tpch_q11",
+    oracle="""
+    WITH val AS (
+        SELECT l_partkey AS ps_partkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+                 AS value_dec
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_regionkey = 1
+        GROUP BY 1
+    )
+    SELECT ps_partkey, CAST(ROUND(value_dec, 4) AS DOUBLE) AS part_value
+    FROM val
+    WHERE 200 * value_dec > (SELECT SUM(value_dec) FROM val)
+    ORDER BY part_value DESC, ps_partkey
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification): grouped value per part
+    with a scalar-subquery threshold (value > 0.5% of the national total).
+    partsupp value is rebased to discounted lineitem revenue through the
+    region-1 suppliers. Both sides of the HAVING compare stay exact
+    DECIMAL — the threshold is `200 * value > total` (integer-scaled
+    decimal multiply, exact on both engines) so no float boundary can
+    flip a row. Spark plan: one hash-agg on partkey, then the scalar total
+    broadcast back over the grouped rows (no second scan of lineitem)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 1)
+    val = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+            ).alias("value_dec")
+        )
+    )
+    total = val.agg(F.sum("value_dec").alias("__total"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("value_dec") * 200 > F.col("__total"))
+        .select(
+            "ps_partkey",
+            F.round("value_dec", 4).cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "ps_partkey")
+    )
+
+
+@query(
+    "q_tpch_q16",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34, 39, 49)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): COUNT DISTINCT suppliers
+    per (brand, type, size) bucket, excluding flagged suppliers through a
+    NOT-IN subquery. The partsupp relation is the lineitem link; the
+    'complaints' supplier set is rebased to s_acctbal < 1000 (the fixture
+    has no comment column). The NOT IN becomes a broadcast ANTI join
+    (s_suppkey is non-null, so anti-join and NOT IN agree); part filter
+    broadcasts; one distinct-agg shuffle on the 3-part group key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34, 39, 49))
+    )
+    flagged = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 1000)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(flagged),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q_tpch_q20",
+    oracle="""
+    WITH shipped AS (
+        SELECT l_suppkey, l_partkey,
+               SUM(CAST(l_quantity AS DECIMAL(38,6))) AS pair_qty
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE '%bolt%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1, 2
+    ),
+    dominant AS (
+        SELECT DISTINCT l_suppkey FROM (
+            SELECT l_suppkey, pair_qty,
+                   SUM(pair_qty) OVER (PARTITION BY l_partkey) AS part_qty
+            FROM shipped
+        ) WHERE 5 * pair_qty > part_qty
+    )
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_regionkey IN (1, 2)
+      AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+    ORDER BY s_name
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): nested IN subqueries with a
+    quantity threshold. ps_availqty is rebased to dominance: a supplier
+    qualifies if it shipped MORE than 20% of some bolt part's 1997 volume
+    (`5 * pair_qty > part_qty`, exact-decimal on both sides so the
+    boundary cannot flip). Plan: part filter broadcasts into the lineitem
+    scan (shipdate pushdown), pair agg shuffles on (suppkey, partkey), the
+    per-part total is one window pass on the already-grouped rows, and the
+    supplier list applies as a broadcast SEMI join — no rescan of fact."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    shipped = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("pair_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        shipped.withColumn("part_qty", F.sum("pair_qty").over(w))
+        .filter(F.col("pair_qty") * 5 > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_regionkey").isin(1, 2)
+    )
+    return (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(dominant),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_name")
+    )

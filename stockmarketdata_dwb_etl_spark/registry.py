@@ -97,6 +97,9 @@ PRIORITY = (
     # round-3 additions (no driver evidence yet, ahead of the proven set)
     "q_bm25_topk", "q_mad_outliers", "q_psi_drift", "q_word_entropy",
     "q_dedup_keep_canonical", "q_skew_report",
+    # round-3 TPC-H completion (partsupp rebased onto the lineitem
+    # supply catalog — see queries/reports3.py)
+    "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

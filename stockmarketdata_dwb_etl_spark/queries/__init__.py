@@ -20,6 +20,7 @@ from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
     streaming_q,
     reports2,
     reports3,
+    analytics2,
     dataops3,
     dataops4,
     timeseries,

@@ -100,6 +100,9 @@ PRIORITY = (
     # round-3 TPC-H completion (partsupp rebased onto the lineitem
     # supply catalog — see queries/reports3.py)
     "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20",
+    # round-3 analytics batch (queries/analytics2.py)
+    "q_markov_transitions", "q_rfm_segmentation", "q_ks_test",
+    "q_rolling_corr", "q_scd2_lookup",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

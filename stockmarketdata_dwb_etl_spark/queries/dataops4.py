@@ -532,3 +532,212 @@ def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("avg_entropy"),
         F.round(F.min("h"), 4).cast("double").alias("min_entropy"),
     )
+
+
+@query(
+    "q_embed_quantize",
+    oracle="""
+    WITH scaled AS (
+        SELECT vec_id, embedding,
+               CAST(list_max(list_transform(embedding, x -> abs(x)))
+                    AS DOUBLE) / 127.0 AS scale
+        FROM embeddings
+    ),
+    elems AS (
+        SELECT vec_id, scale,
+               CAST(e AS DOUBLE) AS v
+        FROM scaled, unnest(embedding) AS t(e)
+    ),
+    quant AS (
+        SELECT vec_id, scale,
+               CASE WHEN scale > 0 THEN floor(v / scale + 0.5) ELSE 0 END AS q,
+               v
+        FROM elems
+    )
+    SELECT vec_id,
+           CAST(ROUND(scale, 9) AS DOUBLE) AS scale,
+           CAST(ROUND(SUM(CAST((v - q * scale) * (v - q * scale)
+                               AS DECIMAL(38,18))), 9) AS DOUBLE) AS l2_err,
+           CAST(SUM(CASE WHEN q <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz
+    FROM quant
+    GROUP BY vec_id, scale
+    ORDER BY vec_id
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the storage/
+    bandwidth move every billion-vector ANN index makes (4 bytes → 1 byte
+    per dim) — reporting per-vector scale, reconstruction L2 error, and
+    nonzero count. Quantization is floor(v/scale + 0.5): floor is
+    unambiguous on every engine, unlike round() whose half-way tie rule
+    differs (Spark HALF_UP vs banker's variants). Element arithmetic stays
+    per-value double (bit-identical), the error sum goes through
+    DECIMAL(38,18) so fold order cannot matter. Scales: posexplode is a
+    map-side flatMap, the agg groups by vec_id — one narrow shuffle;
+    at 100 TB the same plan streams (in production the quantized bytes
+    would be re-packed to binary via F.transform, no explode needed —
+    the explode here exists to share the exact-sum contract)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale = (
+        F.array_max(F.transform("embedding", lambda x: F.abs(x))).cast("double")
+        / 127.0
+    )
+    scaled = emb.select("vec_id", "embedding", scale.alias("scale"))
+    elems = scaled.select(
+        "vec_id",
+        "scale",
+        F.explode("embedding").alias("e"),
+    ).select("vec_id", "scale", F.col("e").cast("double").alias("v"))
+    q = F.when(
+        F.col("scale") > 0, F.floor(F.col("v") / F.col("scale") + 0.5)
+    ).otherwise(F.lit(0))
+    quant = elems.select("vec_id", "scale", q.alias("q"), "v")
+    err = (F.col("v") - F.col("q") * F.col("scale")) * (
+        F.col("v") - F.col("q") * F.col("scale")
+    )
+    return (
+        quant.groupBy("vec_id", "scale")
+        .agg(
+            F.round(F.sum(err.cast("decimal(38,18)")), 9)
+            .cast("double")
+            .alias("l2_err"),
+            F.sum(F.when(F.col("q") != 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("nnz"),
+        )
+        .select(
+            "vec_id",
+            F.round("scale", 9).cast("double").alias("scale"),
+            "l2_err",
+            "nnz",
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "q_pair_affinity",
+    oracle="""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+    ),
+    marg AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS nb FROM basket GROUP BY b
+    ),
+    total AS (
+        SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM basket
+    ),
+    pairs AS (
+        SELECT a.b AS brand_a, c.b AS brand_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pair
+        FROM basket a JOIN basket c ON a.ok = c.ok AND a.b < c.b
+        GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, n_pair,
+           CAST(ROUND(CAST(n_pair AS DOUBLE) * n_orders
+                      / (ma.nb * mb.nb), 6) AS DOUBLE) AS lift
+    FROM pairs
+    JOIN marg ma ON ma.b = brand_a
+    JOIN marg mb ON mb.b = brand_b
+    CROSS JOIN total
+    WHERE n_pair >= 2
+    ORDER BY n_pair DESC, brand_a, brand_b
+    """,
+)
+def q_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair affinity: brand co-occurrence within an order
+    with lift = P(a,b) / (P(a)·P(b)) — the 2-itemset A-priori step.
+    The basket self-join keys on l_orderkey, so pair expansion is bounded
+    by basket size squared (baskets are small by contract — the classic
+    A-priori assumption), and the join co-locates on the already-shuffled
+    order key. Marginals and the 1-row total broadcast back; lift is one
+    double expression over exact integers, rounded before ordering.
+    Scales: no all-pairs stage ever materializes across orders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    basket = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    marg = basket.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    total = basket.agg(F.countDistinct("ok").cast("bigint").alias("n_orders"))
+    a = basket.select(F.col("ok"), F.col("b").alias("brand_a"))
+    c = basket.select(F.col("ok"), F.col("b").alias("brand_b"))
+    pairs = (
+        a.join(c, ["ok"])
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+        .filter(F.col("n_pair") >= 2)
+    )
+    ma = marg.select(F.col("b").alias("brand_a"), F.col("nb").alias("na_"))
+    mb = marg.select(F.col("b").alias("brand_b"), F.col("nb").alias("nb_"))
+    return (
+        pairs.join(F.broadcast(ma), "brand_a")
+        .join(F.broadcast(mb), "brand_b")
+        .join(F.broadcast(total))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_pair",
+            F.round(
+                F.col("n_pair").cast("double")
+                * F.col("n_orders")
+                / (F.col("na_") * F.col("nb_")),
+                6,
+            )
+            .cast("double")
+            .alias("lift"),
+        )
+        .orderBy(F.desc("n_pair"), "brand_a", "brand_b")
+    )
+
+
+@query(
+    "q_bpe_pair_counts",
+    oracle=f"""
+    WITH wf AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest({_DUCK_TOKENS}) AS word FROM documents)
+        GROUP BY word
+    ),
+    p AS (
+        SELECT substring(word, CAST(i AS INTEGER), 2) AS pair, n
+        FROM wf, unnest(range(1, length(word))) AS t(i)
+        WHERE length(word) >= 2
+    )
+    SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt
+    FROM p GROUP BY pair
+    ORDER BY cnt DESC, pair
+    LIMIT 20
+    """,
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first merge step of BPE tokenizer training: corpus-weighted
+    adjacent-character-pair frequencies, top-20 by (count, pair). The
+    scale-critical design point: pairs are counted on the DISTINCT
+    VOCABULARY weighted by word frequency, not by re-scanning the corpus
+    per pair — the corpus is read once for the word-count agg (vocabulary
+    is Zipf-small even at 100 TB), and the pair explode runs over vocab
+    rows only. Integer counts end-to-end; substring is 1-based on both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = wf.select(
+        F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+        "word",
+        "n",
+    ).select(F.expr("substring(word, i, 2)").alias("pair"), "n")
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(20)
+    )

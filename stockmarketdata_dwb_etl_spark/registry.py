@@ -103,6 +103,8 @@ PRIORITY = (
     # round-3 analytics batch (queries/analytics2.py)
     "q_markov_transitions", "q_rfm_segmentation", "q_ks_test",
     "q_rolling_corr", "q_scd2_lookup",
+    # round-3 corpus/ML batch (queries/dataops4.py)
+    "q_embed_quantize", "q_pair_affinity", "q_bpe_pair_counts",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

@@ -110,3 +110,67 @@ def asof_join_backward(
         *left_payload,
         *[F.col(f"__rpay.{c}").alias(c) for c in right_payload],
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    right_payload: Sequence[str],
+) -> DataFrame:
+    """Left as-of join, FORWARD direction: every left row + the payload of
+    the EARLIEST right row with ``right.ts >= left.ts`` for the same key —
+    the "next quote after the order" / "first response after the alert"
+    shape (DuckDB ``ASOF JOIN ... ON l.ts <= r.ts``; pandas ``merge_asof
+    (direction='forward')``).
+
+    Same single-shuffle union + window design as
+    :func:`asof_join_backward`, with the scan order reversed: sorting the
+    per-key partition by (ts DESC, side right-first) makes ``last(...,
+    ignorenulls=True)`` carry the nearest FOLLOWING right row (the
+    smallest right ts that is >= the left ts, equal ts matched). No row
+    multiplication; skew handled by AQE."""
+    key_cols = list(key_cols)
+    left_payload = [c for c in left.columns if c not in key_cols and c != ts_col]
+    payload_struct = F.struct(*[F.col(c) for c in right_payload])
+    payload_type = right.select(payload_struct.alias("p")).schema["p"].dataType
+
+    l_tagged = left.select(
+        *key_cols,
+        F.col(ts_col),
+        F.lit(1).alias("__side"),
+        *left_payload,
+        F.lit(None).cast(payload_type).alias("__rpay"),
+    )
+    r_tagged = right.select(
+        *key_cols,
+        F.col(ts_col),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+        payload_struct.alias("__rpay"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    # ts DESC + side ASC: at equal ts the right row (side 0) precedes the
+    # left row, so an exactly-simultaneous right row IS matched.
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col).desc(), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *key_cols,
+        ts_col,
+        "__side",
+        *left_payload,
+        F.last("__rpay", ignorenulls=True).over(w).alias("__rpay"),
+    )
+    return (
+        filled.filter(F.col("__side") == 1)
+        .select(
+            *key_cols,
+            ts_col,
+            *left_payload,
+            *[F.col(f"__rpay.{c}").alias(c) for c in right_payload],
+        )
+    )

@@ -21,6 +21,8 @@ from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
     reports2,
     reports3,
     analytics2,
+    timeseries2,
+    graph,
     dataops3,
     dataops4,
     timeseries,

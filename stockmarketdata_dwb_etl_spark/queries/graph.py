@@ -1,0 +1,180 @@
+"""Graph analytics over the brand co-purchase graph: iterative weighted
+PageRank and triangle counting.
+
+The graph derives deterministically from the warehouse: nodes are part
+brands, an undirected edge connects two brands co-occurring in the same
+order, weighted by the number of such orders. This is the iterative-
+algorithm family (rank propagation, message passing) a pure SQL engine
+cannot express in one query — the engine runs it as a fixed-depth chain
+of DataFrame joins (one shuffle per superstep, the Pregel shape), and the
+oracle unrolls the same supersteps as CTE levels.
+
+Determinism: ranks round to 12dp at EVERY superstep on both engines, so
+identical inputs produce identical outputs iteration by iteration;
+contribution sums go through DECIMAL(38,18); the contribution expression
+uses the identical parenthesization (rank · (w / wdeg)) on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stockmarketdata_dwb_etl_spark.catalog import load_table
+from stockmarketdata_dwb_etl_spark.registry import query
+
+_DAMPING = 0.85
+_ITERS = 5
+
+_GRAPH_SQL = """
+    basket AS (
+        SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+    ),
+    edges AS (
+        SELECT a.b AS src, c.b AS dst, CAST(COUNT(*) AS BIGINT) AS w
+        FROM basket a JOIN basket c ON a.ok = c.ok AND a.b <> c.b
+        GROUP BY 1, 2
+    ),
+    wdeg AS (
+        SELECT src, CAST(SUM(w) AS BIGINT) AS wdeg FROM edges GROUP BY src
+    ),
+    nodes AS (SELECT DISTINCT b AS node FROM basket),
+    ncount AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)
+"""
+
+
+def _graph(spark: SparkSession, sf_dir: str):
+    """Shared graph build: basket → undirected weighted edges → weighted
+    out-degree. The basket self-join keys on l_orderkey (bounded baskets,
+    co-located shuffle — same posture as q_pair_affinity)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    basket = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    a = basket.select("ok", F.col("b").alias("src"))
+    c = basket.select("ok", F.col("b").alias("dst"))
+    edges = (
+        a.join(c, ["ok"])
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    wdeg = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wdeg"))
+    nodes = basket.select(F.col("b").alias("node")).distinct()
+    return edges, wdeg, nodes
+
+
+def _pr_level_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+        SELECT n.node,
+               CAST(ROUND(0.15 / nn.n + 0.85 * COALESCE(c.s, 0), 12) AS DOUBLE)
+                 AS rank
+        FROM nodes n CROSS JOIN ncount nn
+        LEFT JOIN (
+            SELECT e.dst,
+                   CAST(SUM(CAST(p.rank * (CAST(e.w AS DOUBLE) / d.wdeg)
+                                 AS DECIMAL(38,18))) AS DOUBLE) AS s
+            FROM edges e
+            JOIN {prev} p ON p.node = e.src
+            JOIN wdeg d ON d.src = e.src
+            GROUP BY e.dst
+        ) c ON c.dst = n.node
+    )"""
+
+
+@query(
+    "q_pagerank_iter",
+    oracle=(
+        "WITH "
+        + _GRAPH_SQL
+        + """,
+    pr0 AS (
+        SELECT node, CAST(ROUND(1.0 / nn.n, 12) AS DOUBLE) AS rank
+        FROM nodes CROSS JOIN ncount nn
+    ),"""
+        + ",".join(_pr_level_sql(f"pr{i}", f"pr{i + 1}") for i in range(_ITERS))
+        + """
+    SELECT node, rank FROM pr5 ORDER BY rank DESC, node
+    """
+    ),
+)
+def q_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank, 5 supersteps, damping 0.85, over the brand
+    co-purchase graph — the iterative message-passing family (Pregel
+    shape). Each superstep is ONE shuffle: edges join the current rank
+    vector on src (at fixture scale the rank vector broadcasts; at
+    billion-node scale the same plan hash-co-partitions edges and ranks
+    on src across supersteps), contributions partial-aggregate per dst,
+    and dangling/isolated nodes keep the teleport term via the left join.
+    Ranks re-round to 12dp every superstep so both engines iterate on
+    identical values."""
+    edges, wdeg, nodes = _graph(spark, sf_dir)
+    edges = edges.join(wdeg, "src").persist()
+    n_nodes = nodes.count()  # driver scalar: node count bounds the loop math
+    ranks = nodes.select(
+        "node", F.round(F.lit(1.0) / n_nodes, 12).cast("double").alias("rank")
+    )
+    contrib_expr = F.col("rank") * (F.col("w").cast("double") / F.col("wdeg"))
+    for _ in range(_ITERS):
+        contribs = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst"), contrib_expr.alias("c"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("c").cast("decimal(38,18)")).cast("double").alias("s"))
+        )
+        ranks = nodes.join(
+            contribs.withColumnRenamed("dst", "node"), "node", "left"
+        ).select(
+            "node",
+            F.round(
+                F.lit(0.15) / n_nodes
+                + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0)),
+                12,
+            )
+            .cast("double")
+            .alias("rank"),
+        )
+    return ranks.orderBy(F.desc("rank"), "node")
+
+
+@query(
+    "q_triangle_count",
+    oracle=(
+        "WITH "
+        + _GRAPH_SQL
+        + """
+    SELECT a.src AS brand_a, a.dst AS brand_b, b.dst AS brand_c
+    FROM edges a
+    JOIN edges b ON b.src = a.dst AND a.dst < b.dst
+    JOIN edges c ON c.src = a.src AND c.dst = b.dst
+    WHERE a.src < a.dst
+    ORDER BY brand_a, brand_b, brand_c
+    """
+    ),
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration on the brand co-purchase graph: ordered
+    triples (a < b < c) where all three pairwise edges exist — the
+    clustering-coefficient / community-density primitive. Uses the
+    canonical ordered-wedge algorithm: enumerate wedges a<b<c from
+    ordered edges, then close them with a semi-check third join. Each
+    join keys on a node column (shuffle co-partitioned); ordering the
+    triple eliminates the 6× duplication all-direction enumeration would
+    pay. Integer/string-only output — exact on any engine."""
+    edges, _, _ = _graph(spark, sf_dir)
+    # ordered edge list (src < dst), one direction only
+    e = edges.filter(F.col("src") < F.col("dst")).select("src", "dst")
+    ab = e.select(F.col("src").alias("brand_a"), F.col("dst").alias("brand_b"))
+    bc = e.select(F.col("src").alias("brand_b"), F.col("dst").alias("brand_c"))
+    ac = e.select(F.col("src").alias("brand_a"), F.col("dst").alias("brand_c"))
+    return (
+        ab.join(bc, "brand_b")
+        .join(ac, ["brand_a", "brand_c"], "left_semi")
+        .select("brand_a", "brand_b", "brand_c")
+        .orderBy("brand_a", "brand_b", "brand_c")
+    )

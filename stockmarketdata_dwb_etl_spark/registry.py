@@ -105,6 +105,9 @@ PRIORITY = (
     "q_rolling_corr", "q_scd2_lookup",
     # round-3 corpus/ML batch (queries/dataops4.py)
     "q_embed_quantize", "q_pair_affinity", "q_bpe_pair_counts",
+    # round-3 timeseries/graph batch (queries/timeseries2.py, graph.py)
+    "q_sessionize_batch", "q_bollinger_bands", "q_join_asof_forward",
+    "q_pagerank_iter", "q_triangle_count",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

@@ -104,49 +104,59 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer scoring: recency (days since last order, vs the corpus
     max date), frequency (order count), monetary (exact-decimal revenue),
     each quintiled 1-5 with 5 = best. The ntile orderings carry a custkey
-    tie-break so equal metrics tile identically on every engine. The three
-    global ntile windows run over the CUSTOMER grain (orders of magnitude
-    smaller than the fact table after the group-by); for a billion-row
-    dimension the same scores come from operators/rank.py's
-    global_row_number (range shuffle + offset stitch) — documented there."""
-    orders = load_table(spark, sf_dir, "orders")
-    max_date = orders.agg(
-        F.max(F.to_date("o_orderdate")).alias("__max_d")
+    tie-break so equal metrics tile identically on every engine.
+
+    Scale posture: a naive ``ntile(5).over(Window.orderBy(...))`` funnels
+    the whole customer grain through ONE partition (WindowExec warns);
+    instead each score comes from operators/rank.py::global_row_number
+    (range shuffle + per-partition rank + P-row offset stitch) +
+    ntile_expr -- the same distributed total-order machinery as
+    q_window_ntile, applied once per ordering. The corpus max date
+    derives from the persisted per-customer aggregate (max of last dates
+    == global max), so orders is scanned exactly once."""
+    from stockmarketdata_dwb_etl_spark.operators.rank import (
+        global_row_number,
+        ntile_expr,
     )
-    cust = (
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = (
         orders.groupBy(F.col("o_custkey").alias("c_custkey"))
         .agg(
             F.max(F.to_date("o_orderdate")).alias("__last_d"),
             F.count(F.lit(1)).cast("bigint").alias("frequency"),
             exact_sum(F.col("o_totalprice"), "monetary"),
         )
-        .join(F.broadcast(max_date))
-        .select(
-            "c_custkey",
-            F.datediff(F.col("__max_d"), F.col("__last_d"))
-            .cast("int")
-            .alias("recency_days"),
-            "frequency",
-            "monetary",
-        )
+        .persist()
+    )
+    max_date = base.agg(F.max("__last_d").alias("__max_d"))
+    cust = base.join(F.broadcast(max_date)).select(
+        "c_custkey",
+        F.datediff(F.col("__max_d"), F.col("__last_d"))
+        .cast("int")
+        .alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    # ntile ORDER BY recency DESC == ntile over ascending negated recency
+    cust = cust.withColumn("__neg_rec", -F.col("recency_days"))
+    cust = global_row_number(
+        cust, ["__neg_rec", "c_custkey"], out="__r_idx", n_total="__n"
+    )
+    cust = global_row_number(
+        cust, ["frequency", "c_custkey"], out="__f_idx", n_total=None
+    )
+    cust = global_row_number(
+        cust, ["monetary", "c_custkey"], out="__m_idx", n_total=None
     )
     return cust.select(
         "c_custkey",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("recency_days"), F.asc("c_custkey")))
-        .cast("int")
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.asc("frequency"), F.asc("c_custkey")))
-        .cast("int")
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.asc("monetary"), F.asc("c_custkey")))
-        .cast("int")
-        .alias("m_score"),
+        ntile_expr(F.col("__r_idx"), F.col("__n"), 5).cast("int").alias("r_score"),
+        ntile_expr(F.col("__f_idx"), F.col("__n"), 5).cast("int").alias("f_score"),
+        ntile_expr(F.col("__m_idx"), F.col("__n"), 5).cast("int").alias("m_score"),
     ).orderBy("c_custkey")
 
 

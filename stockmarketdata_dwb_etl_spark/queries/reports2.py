@@ -399,18 +399,21 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 (top supplier): aggregate view + scalar-subquery max
-    selection. The quarter's per-supplier revenue is computed once and
-    consumed twice (the max and the equality filter) — Spark reuses the
-    exchange; the 1-row max broadcasts into the filter. Equality compares
-    the 4-dp-rounded revenue on both sides, so the tie set is
-    deterministic across engines."""
+    selection. The quarter's per-supplier revenue is computed once,
+    PERSISTED (~|supplier| rows), and consumed twice (the max and the
+    equality filter) — ReuseExchange does not canonicalize the two agg
+    branches together (verified on the executed plan), so without the
+    persist the lineitem scan+agg would run twice. The 1-row max
+    broadcasts into the filter. Equality compares the 4-dp-rounded
+    revenue on both sides, so the tie set is deterministic across
+    engines."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
-    )
+    ).persist()
     max_rev = revenue.agg(F.max("total_revenue").alias("__max_rev"))
     supp = load_table(spark, sf_dir, "supplier")
     return (

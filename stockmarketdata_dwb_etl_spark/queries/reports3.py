@@ -181,8 +181,12 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     region-1 suppliers. Both sides of the HAVING compare stay exact
     DECIMAL — the threshold is `200 * value > total` (integer-scaled
     decimal multiply, exact on both engines) so no float boundary can
-    flip a row. Spark plan: one hash-agg on partkey, then the scalar total
-    broadcast back over the grouped rows (no second scan of lineitem)."""
+    flip a row. Spark plan: one hash-agg on partkey; the grouped rows
+    PERSIST before forking into the total branch and the filter branch —
+    ReuseExchange does not canonicalize the two branches together
+    (verified on the executed plan), so without the persist the
+    lineitem join+agg subtree runs twice. Caching ~|part| rows buys back
+    a full fact scan at any scale."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 1)
@@ -195,6 +199,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
             ).alias("value_dec")
         )
+        .persist()
     )
     total = val.agg(F.sum("value_dec").alias("__total"))
     return (

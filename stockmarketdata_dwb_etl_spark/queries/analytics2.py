@@ -408,3 +408,129 @@ def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q_weighted_median",
+    oracle="""
+    WITH vals AS (
+        SELECT l_returnflag AS flag,
+               l_extendedprice / l_quantity AS unit_price,
+               SUM(CAST(l_quantity AS DECIMAL(38,6))) AS w
+        FROM lineitem
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT flag, unit_price, w,
+               SUM(w) OVER (PARTITION BY flag ORDER BY unit_price
+                            ROWS UNBOUNDED PRECEDING) AS cumw,
+               SUM(w) OVER (PARTITION BY flag) AS totw
+        FROM vals
+    )
+    SELECT flag, MIN(unit_price) AS w_median
+    FROM cum WHERE 2 * cumw >= totw
+    GROUP BY flag
+    ORDER BY flag
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median per return flag: the smallest unit price whose
+    cumulative quantity-weight reaches half the group total — the robust
+    location estimate where heavy rows should count proportionally
+    (volume-weighted mid price). Weights aggregate per DISTINCT value
+    first (so the cumulative sum is over value groups, not rows, and tie
+    handling is definitionally identical), stay exact DECIMAL through the
+    cumulative window, and the half-total test is the integer-scaled
+    `2·cumw >= totw` — no float boundary. Scales: hash agg on
+    (flag, value) + one ordered window per flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+            F.col("l_quantity"),
+        )
+        .groupBy("flag", "unit_price")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("w"))
+    )
+    wc = (
+        Window.partitionBy("flag")
+        .orderBy("unit_price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("flag")
+    cum = vals.select(
+        "flag",
+        "unit_price",
+        F.sum("w").over(wc).alias("cumw"),
+        F.sum("w").over(wt).alias("totw"),
+    )
+    return (
+        cum.filter(F.col("cumw") * 2 >= F.col("totw"))
+        .groupBy("flag")
+        .agg(F.min("unit_price").alias("w_median"))
+        .orderBy("flag")
+    )
+
+
+@query(
+    "q_null_impute",
+    oracle="""
+    WITH masked AS (
+        SELECT event_id, event_type,
+               CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        FROM events
+    ),
+    means AS (
+        SELECT event_type,
+               CAST(ROUND(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE)
+                          / COUNT(v), 6) AS DOUBLE) AS type_mean
+        FROM masked WHERE v IS NOT NULL
+        GROUP BY event_type
+    )
+    SELECT m.event_id, m.event_type,
+           CAST(COALESCE(m.v, e.type_mean) AS DOUBLE) AS value_filled,
+           CAST(m.v IS NULL AS BOOLEAN) AS was_imputed
+    FROM masked m JOIN means e ON e.event_type = m.event_type
+    ORDER BY m.event_id
+    """,
+)
+def q_null_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mean imputation — the data-prep primitive for ML feature
+    tables: rows deterministically masked (event_id % 7) get their
+    event_type's mean of the PRESENT values, exact-decimal-summed and
+    6dp-rounded before the fill so both engines substitute the identical
+    constant. The per-type mean table broadcasts; the fact is scanned
+    once for the means and once for the fill — at 100 TB the masked scan
+    is column-pruned and the means agg partial-aggregates map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    masked = ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("v"),
+    )
+    means = (
+        masked.filter(F.col("v").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast(_DEC)).cast("double") / F.count("v"), 6
+            )
+            .cast("double")
+            .alias("type_mean")
+        )
+    )
+    return (
+        masked.join(F.broadcast(means), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.coalesce(F.col("v"), F.col("type_mean"))
+            .cast("double")
+            .alias("value_filled"),
+            F.col("v").isNull().alias("was_imputed"),
+        )
+        .orderBy("event_id")
+    )

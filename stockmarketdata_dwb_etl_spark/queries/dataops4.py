@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stockmarketdata_dwb_etl_spark.catalog import load_table
-from stockmarketdata_dwb_etl_spark.functions.text import tokenize
+from stockmarketdata_dwb_etl_spark.functions.text import tokenize, word_shingles
 from stockmarketdata_dwb_etl_spark.registry import query
 
 _DUCK_TOKENS = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -740,4 +740,64 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").cast("bigint").alias("cnt"))
         .orderBy(F.desc("cnt"), "pair")
         .limit(20)
+    )
+
+
+@query(
+    "q_boilerplate_ratio",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+        FROM (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents)
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    df AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n_docs FROM ex GROUP BY s)
+    SELECT ex.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           CAST(ROUND(CAST(SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END)
+                           AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS ratio
+    FROM ex JOIN df ON df.s = ex.s
+    GROUP BY ex.doc_id
+    ORDER BY ex.doc_id
+    """,
+)
+def q_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: per document, the fraction of its distinct
+    3-word shingles that appear in at least one OTHER document (shingle
+    document-frequency >= 2) — the corpus-level signal for template/nav
+    text that per-document quality scores (q_text_quality) cannot see.
+    Inverted-index shape: one shingle explode, one df hash-agg, one join
+    back on the shingle key, one per-doc agg — all shuffles key on
+    shingle or doc_id, never all-pairs. Integer counts + single division."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokenize(F.col("text")), 3)).alias("sh"),
+    )
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    df = ex.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    shared_flag = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
+    return (
+        ex.join(df, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(shared_flag).cast("bigint").alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double") / F.col("n_shingles"), 6
+            )
+            .cast("double")
+            .alias("ratio"),
+        )
+        .orderBy("doc_id")
     )

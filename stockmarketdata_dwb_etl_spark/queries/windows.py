@@ -151,3 +151,47 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         ntile_expr(F.col("row_idx"), F.col("n_total"), 4).cast("int").alias("quartile"),
     )
+
+
+@query(
+    "q_window_dist_funcs",
+    oracle="""
+    SELECT event_id, event_type, value,
+           CAST(ROUND(cume_dist() OVER wt, 9) AS DOUBLE) AS cd,
+           CAST(ROUND(percent_rank() OVER wt, 9) AS DOUBLE) AS pr,
+           nth_value(value, 3) OVER wu AS third_smallest,
+           lead(value) OVER wo AS next_value
+    FROM events
+    WINDOW wt AS (PARTITION BY event_type ORDER BY value),
+           wu AS (PARTITION BY event_type ORDER BY value, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wo AS (PARTITION BY event_type ORDER BY value, event_id)
+    ORDER BY event_type, value, event_id
+    """,
+)
+def q_window_dist_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining analytic-window functions in one pass: cume_dist and
+    percent_rank over a TIES-REAL ordering (value only — tie groups share
+    the distribution position, semantics both engines define identically
+    as integer-count ratios), nth_value over a UNIQUE ordering (under ties
+    'the 3rd row of the frame' is scan-order-dependent, so the frame order
+    adds the event_id tie-break), and lead over the same unique order.
+    All three windows share ONE event_type hash partition — a single
+    shuffle, sorts reused by the window planner."""
+    ev = load_table(spark, sf_dir, "events")
+    wt = Window.partitionBy("event_type").orderBy("value")
+    wu = (
+        Window.partitionBy("event_type")
+        .orderBy("value", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wo = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.cume_dist().over(wt), 9).cast("double").alias("cd"),
+        F.round(F.percent_rank().over(wt), 9).cast("double").alias("pr"),
+        F.nth_value("value", 3).over(wu).alias("third_smallest"),
+        F.lead("value").over(wo).alias("next_value"),
+    ).orderBy("event_type", "value", "event_id")

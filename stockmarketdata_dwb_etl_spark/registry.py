@@ -108,6 +108,9 @@ PRIORITY = (
     # round-3 timeseries/graph batch (queries/timeseries2.py, graph.py)
     "q_sessionize_batch", "q_bollinger_bands", "q_join_asof_forward",
     "q_pagerank_iter", "q_triangle_count",
+    # round-3 batch 4: corpus signal + stats + window coverage
+    "q_boilerplate_ratio", "q_weighted_median", "q_null_impute",
+    "q_window_dist_funcs",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

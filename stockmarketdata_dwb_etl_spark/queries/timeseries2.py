@@ -231,3 +231,222 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         right_payload=["next_purchase_id", "next_purchase_ts"],
     )
+
+
+@query(
+    "q_cusum_changepoint",
+    oracle="""
+    WITH base AS (
+        SELECT event_type, event_id, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    target AS (
+        SELECT event_type,
+               CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                          / COUNT(*), 6) AS DOUBLE) AS mu
+        FROM base GROUP BY event_type
+    ),
+    pfx AS (
+        SELECT b.event_type, b.event_id, b.rn,
+               SUM(CAST(b.value - t.mu AS DECIMAL(38,6)))
+                 OVER (PARTITION BY b.event_type ORDER BY b.rn
+                       ROWS UNBOUNDED PRECEDING) AS p
+        FROM base b JOIN target t ON t.event_type = b.event_type
+    ),
+    cusum AS (
+        SELECT event_type, event_id, rn,
+               p - MIN(p) OVER (PARTITION BY event_type ORDER BY rn
+                                ROWS UNBOUNDED PRECEDING) AS s
+        FROM pfx
+    )
+    SELECT event_type, event_id, rn,
+           CAST(ROUND(CAST(s AS DOUBLE), 6) AS DOUBLE) AS cusum_stat
+    FROM cusum
+    WHERE CAST(s AS DOUBLE) > 500.0
+    ORDER BY event_type, rn
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detection per event_type: flag observations
+    where the cumulative drift above the series mean exceeds the decision
+    threshold. The textbook recurrence S_i = max(0, S_{i-1} + x_i − μ) is
+    NOT window-expressible — but it equals P_i − min_{j≤i} P_j for the
+    prefix sums P of (x − μ), so the engine computes it with TWO stacked
+    windows (running decimal sum, then running min) instead of a
+    sequential pandas recurrence: stays JVM-side, one shuffle, O(1) state
+    per row. Prefix sums accumulate in exact DECIMAL so the running min
+    and the threshold compare are order-independent; μ is the exact-
+    decimal 6dp-rounded mean broadcast per type."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    target = base.groupBy("event_type").agg(
+        F.round(
+            F.sum(F.col("value").cast(_DEC)).cast("double") / F.count(F.lit(1)), 6
+        )
+        .cast("double")
+        .alias("mu")
+    )
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pfx = base.join(F.broadcast(target), "event_type").select(
+        "event_type",
+        "event_id",
+        "rn",
+        F.sum((F.col("value") - F.col("mu")).cast(_DEC)).over(wrun).alias("p"),
+    )
+    cusum = pfx.select(
+        "event_type",
+        "event_id",
+        "rn",
+        (F.col("p") - F.min("p").over(wrun)).alias("s"),
+    )
+    return (
+        cusum.filter(F.col("s").cast("double") > 500.0)
+        .select(
+            "event_type",
+            "event_id",
+            "rn",
+            F.round(F.col("s").cast("double"), 6).cast("double").alias("cusum_stat"),
+        )
+        .orderBy("event_type", "rn")
+    )
+
+
+_OVERLAP_US = 30 * 60 * 1_000_000  # 30-minute interval width
+
+
+@query(
+    "q_interval_overlap",
+    oracle=f"""
+    WITH a AS (
+        SELECT user_id, event_id AS click_id, ts AS a_start,
+               ts + INTERVAL 30 MINUTE AS a_end
+        FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+        SELECT user_id, event_id AS purchase_id, ts AS b_start,
+               ts + INTERVAL 30 MINUTE AS b_end
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.user_id, a.click_id, b.purchase_id,
+           CAST(date_diff('microsecond',
+                          greatest(a.a_start, b.b_start),
+                          least(a.a_end, b.b_end)) AS BIGINT) AS overlap_us
+    FROM a JOIN b ON a.user_id = b.user_id
+                 AND a.a_start < b.b_end AND b.b_start < a.a_end
+    ORDER BY a.user_id, a.click_id, b.purchase_id
+    """,
+)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: each user's click activity window ([ts,
+    ts+30 min)) paired with every purchase window it overlaps, with the
+    exact overlap duration — the attribution/exposure shape where BOTH
+    sides are intervals (vs q_join_range's point-in-range and
+    q_join_asof's nearest-point). Plan: equi-join on user_id with the
+    overlap condition as a residual filter — pair expansion is bounded
+    per user key, the join co-locates on the already-hashed key, and at
+    100 TB skewed users fall to AQE skew splitting (same posture as
+    q_join_range_binned for the keyless case). Overlap arithmetic is
+    exact integer microseconds."""
+    ev = load_table(spark, sf_dir, "events")
+    half_hour = F.expr("INTERVAL 30 MINUTES")
+    a = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("a_start"),
+        (F.col("ts") + half_hour).alias("a_end"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("b_start"),
+        (F.col("ts") + half_hour).alias("b_end"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("a_start") < F.col("b_end"))
+            & (F.col("b_start") < F.col("a_end")),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            F.expr(
+                "timestampdiff(MICROSECOND, greatest(a_start, b_start),"
+                " least(a_end, b_end))"
+            )
+            .cast("bigint")
+            .alias("overlap_us"),
+        )
+        .orderBy("user_id", "click_id", "purchase_id")
+    )
+
+
+@query(
+    "q_date_spine",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
+               CAST(MAX(o_orderdate) AS DATE) AS d1
+        FROM orders
+    ),
+    spine AS (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+        FROM bounds
+    ),
+    daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT s.d,
+           CAST(COALESCE(dl.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(dayofweek(s.d) IN (0, 6) AS BOOLEAN) AS is_weekend
+    FROM spine s LEFT JOIN daily dl ON dl.d = s.d
+    ORDER BY s.d
+    """,
+)
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar date-spine generation + zero-fill: a dense daily calendar
+    spanning the order history (generated with sequence/explode — no
+    source table), left-joined to daily order counts so days with NO
+    orders appear as explicit zeros, with a weekend flag — the dimension
+    every time-grouped report needs to avoid silently missing days.
+    The spine generates from a 1-row bounds aggregate (driverless,
+    engine-side explode), stays broadcast-size (days, not rows), and the
+    daily counts partial-aggregate map-side before the tiny join."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dayofweek: 0=Sunday..6
+    return (
+        spine.join(daily, "d", "left")
+        .select(
+            "d",
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("bigint").alias("n_orders"),
+            F.dayofweek("d").isin(1, 7).alias("is_weekend"),
+        )
+        .orderBy("d")
+    )

@@ -111,6 +111,8 @@ PRIORITY = (
     # round-3 batch 4: corpus signal + stats + window coverage
     "q_boilerplate_ratio", "q_weighted_median", "q_null_impute",
     "q_window_dist_funcs",
+    # round-3 batch 5: changepoint, interval join, calendar spine
+    "q_cusum_changepoint", "q_interval_overlap", "q_date_spine",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

@@ -44,6 +44,10 @@ PROBES = (
     "q_dedup_minhash",      # LSH banding + verify over documents
     "q_bloom_join",         # bloom build + prefilter + join
     "q_lm_score",           # bigram LM train + doc-score join
+    "q_pagerank_iter",      # iterative superstep join chain over co-purchase graph
+    "q_boilerplate_ratio",  # inverted shingle index over documents
+    "q_sessionize_batch",   # stacked per-user windows over events
+    "q_interval_overlap",   # keyed interval join over events
 )
 
 

@@ -534,3 +534,255 @@ def q_null_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "q_skyline_pareto",
+    oracle="""
+    WITH pts AS (
+        SELECT o_orderkey, o_totalprice, o_orderdate
+        FROM orders
+    ),
+    ranked AS (
+        SELECT o_orderkey, o_totalprice, o_orderdate,
+               MAX(o_orderdate) OVER (ORDER BY o_totalprice, o_orderdate DESC,
+                                      o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS best_prev_date
+        FROM pts
+    )
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM ranked
+    WHERE best_prev_date IS NULL OR o_orderdate > best_prev_date
+    ORDER BY o_totalprice, o_orderkey
+    """,
+)
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query: orders not dominated on (cheaper
+    price, more recent date) — the multi-criteria shortlist operator
+    (classic Börzsönyi et al. SKYLINE OF). 2-D skylines reduce to ONE
+    ordered window pass: sort by price (date DESC, orderkey as
+    deterministic tie-breaks), keep a row iff its date beats the running
+    max date of everything strictly cheaper-or-equal-before it — no
+    pairwise dominance join. A point tied on price with an equal-date
+    predecessor is kept only via strict improvement, matching the
+    dominance definition on both engines (timestamps compare exactly).
+
+    Scale note: the total-order window is the inherent cost of an exact
+    2-D skyline; at 100 TB the same pass runs per range-partition with a
+    P-row frontier merge (the rank.py pattern) — the fixture-scale plan
+    keeps the single window for plan clarity."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.orderBy(
+            "o_totalprice", F.desc("o_orderdate"), "o_orderkey"
+        ).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.max("o_orderdate").over(w).alias("best_prev_date"),
+    )
+    return (
+        ranked.filter(
+            F.col("best_prev_date").isNull()
+            | (F.col("o_orderdate") > F.col("best_prev_date"))
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy("o_totalprice", "o_orderkey")
+    )
+
+
+@query(
+    "q_abc_analysis",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+                 AS r
+        FROM lineitem GROUP BY l_partkey
+    ),
+    cum AS (
+        SELECT l_partkey, r,
+               SUM(r) OVER (ORDER BY r DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum_r,
+               SUM(r) OVER () AS tot_r
+        FROM rev
+    )
+    SELECT l_partkey,
+           CAST(ROUND(r, 4) AS DOUBLE) AS revenue,
+           CASE WHEN 100 * (cum_r - r) < 60 * tot_r THEN 'A'
+                WHEN 100 * (cum_r - r) < 85 * tot_r THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM cum
+    ORDER BY revenue DESC, l_partkey
+    """,
+)
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto 80/20) classification: parts ranked by revenue, class A
+    until the cumulative share BEFORE the row reaches 60%, B until 85%,
+    C after — the inventory-prioritization report. The class boundary
+    compares integer-scaled exact decimals (100·cum < pct·total), so no
+    float share can flip a class; the exclusive cumulative sum uses
+    cum_r − r (same window, same values) rather than a second frame.
+
+    Scale: revenue agg is one fact shuffle; the classification is a
+    total-order cumulative sum over the PART grain — at billion-part
+    scale it runs through operators/rank.py::global_prefix_sum (range
+    shuffle + P-row offsets), same contract."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+        ).alias("r")
+    )
+    wc = Window.orderBy(F.desc("r"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = rev.select(
+        "l_partkey",
+        "r",
+        F.sum("r").over(wc).alias("cum_r"),
+        F.sum("r").over(wt).alias("tot_r"),
+    )
+    before = (F.col("cum_r") - F.col("r")) * 100
+    abc = (
+        F.when(before < F.col("tot_r") * 60, "A")
+        .when(before < F.col("tot_r") * 85, "B")
+        .otherwise("C")
+    )
+    return cum.select(
+        "l_partkey",
+        F.round("r", 4).cast("double").alias("revenue"),
+        abc.alias("abc_class"),
+    ).orderBy(F.desc("revenue"), "l_partkey")
+
+
+@query(
+    "q_running_distinct",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                            ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS first_seen
+        FROM events
+    )
+    SELECT user_id, ts, event_id,
+           CAST(SUM(first_seen) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS distinct_types_so_far
+    FROM flagged
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT DISTINCT per user (how many distinct event types seen
+    so far at each event) — not directly window-expressible (DISTINCT is
+    illegal in running frames on both engines), so it uses the
+    first-occurrence identity: flag each (user, type)'s first row by
+    event time, then running-sum the flags — two stacked integer windows,
+    both partitioned by user_id, one shuffle, O(1) state per row at any
+    scale. The feature-engineering shape behind engagement-breadth
+    signals."""
+    ev = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return flagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("first_seen").over(w_run).cast("bigint").alias("distinct_types_so_far"),
+    ).orderBy("user_id", "ts", "event_id")
+
+
+@query(
+    "q_allocation_largest_remainder",
+    oracle="""
+    WITH rev AS (
+        SELECT c_mktsegment AS segment,
+               SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS r
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        GROUP BY 1
+    ),
+    quota AS (
+        SELECT segment, r,
+               CAST(floor(10000 * r / (SELECT SUM(r) FROM rev)) AS BIGINT)
+                 AS base_units,
+               10000 * r - (SELECT SUM(r) FROM rev)
+                 * CAST(floor(10000 * r / (SELECT SUM(r) FROM rev)) AS BIGINT)
+                 AS remainder
+        FROM rev
+    ),
+    ranked AS (
+        SELECT segment, r, base_units,
+               row_number() OVER (ORDER BY remainder DESC, segment)
+                 AS rem_rank,
+               10000 - SUM(base_units) OVER () AS leftover
+        FROM quota
+    )
+    SELECT segment,
+           CAST(ROUND(r, 4) AS DOUBLE) AS revenue,
+           CAST(base_units + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS allocated_units
+    FROM ranked
+    ORDER BY segment
+    """,
+)
+def q_allocation_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional integer allocation by the largest-remainder (Hamilton)
+    method: split 10,000 budget units across market segments proportional
+    to revenue so the parts sum EXACTLY to the whole — the financial
+    allocation primitive naive rounding breaks. All arithmetic stays in
+    exact DECIMAL: base quota = floor(units·r/total) on decimals,
+    remainders compare as 10000·r − total·base (integer-scaled decimal,
+    no division residue), leftovers go to the largest remainders with a
+    segment-name tie-break. Segment grain is tiny; the only fact-scale
+    work is the revenue agg (one shuffle + broadcast dim)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rev = (
+        orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("r"))
+    )
+    total = rev.agg(F.sum("r").alias("__tot"))
+    units = F.lit(10000)
+    quota = rev.join(F.broadcast(total)).select(
+        "segment",
+        "r",
+        F.floor(units * F.col("r") / F.col("__tot")).cast("bigint").alias("base_units"),
+        (units * F.col("r") - F.col("__tot") * F.floor(units * F.col("r") / F.col("__tot")).cast("bigint")).alias("remainder"),
+    )
+    w_rank = Window.orderBy(F.desc("remainder"), "segment")
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = quota.select(
+        "segment",
+        "r",
+        "base_units",
+        F.row_number().over(w_rank).alias("rem_rank"),
+        (units - F.sum("base_units").over(w_all)).alias("leftover"),
+    )
+    return ranked.select(
+        "segment",
+        F.round("r", 4).cast("double").alias("revenue"),
+        (
+            F.col("base_units")
+            + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("allocated_units"),
+    ).orderBy("segment")

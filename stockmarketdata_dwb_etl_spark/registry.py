@@ -113,6 +113,9 @@ PRIORITY = (
     "q_window_dist_funcs",
     # round-3 batch 5: changepoint, interval join, calendar spine
     "q_cusum_changepoint", "q_interval_overlap", "q_date_spine",
+    # round-3 batch 6: skyline, ABC, running distinct, allocation
+    "q_skyline_pareto", "q_abc_analysis", "q_running_distinct",
+    "q_allocation_largest_remainder",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

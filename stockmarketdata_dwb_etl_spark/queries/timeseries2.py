@@ -256,9 +256,13 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM base b JOIN target t ON t.event_type = b.event_type
     ),
     cusum AS (
+        -- least(0, ...) adds the implicit empty prefix P_0 = 0: without
+        -- it a series drifting up from its first observation would
+        -- report S_1 = 0 instead of P_1
         SELECT event_type, event_id, rn,
-               p - MIN(p) OVER (PARTITION BY event_type ORDER BY rn
-                                ROWS UNBOUNDED PRECEDING) AS s
+               p - least(CAST(0 AS DECIMAL(38,6)),
+                         MIN(p) OVER (PARTITION BY event_type ORDER BY rn
+                                      ROWS UNBOUNDED PRECEDING)) AS s
         FROM pfx
     )
     SELECT event_type, event_id, rn,
@@ -272,8 +276,10 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM change detection per event_type: flag observations
     where the cumulative drift above the series mean exceeds the decision
     threshold. The textbook recurrence S_i = max(0, S_{i-1} + x_i − μ) is
-    NOT window-expressible — but it equals P_i − min_{j≤i} P_j for the
-    prefix sums P of (x − μ), so the engine computes it with TWO stacked
+    NOT window-expressible — but it equals P_i − min(0, min_{j≤i} P_j)
+    for the prefix sums P of (x − μ) (the 0 is the empty prefix P_0,
+    validated against the sequential recurrence in
+    tests/test_round3_ops.py), so the engine computes it with TWO stacked
     windows (running decimal sum, then running min) instead of a
     sequential pandas recurrence: stays JVM-side, one shuffle, O(1) state
     per row. Prefix sums accumulate in exact DECIMAL so the running min
@@ -306,11 +312,16 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn",
         F.sum((F.col("value") - F.col("mu")).cast(_DEC)).over(wrun).alias("p"),
     )
+    # least(0, running_min) = the implicit empty prefix P_0 = 0, so the
+    # identity matches the textbook recurrence from the first row
     cusum = pfx.select(
         "event_type",
         "event_id",
         "rn",
-        (F.col("p") - F.min("p").over(wrun)).alias("s"),
+        (
+            F.col("p")
+            - F.least(F.lit(0).cast(_DEC), F.min("p").over(wrun))
+        ).alias("s"),
     )
     return (
         cusum.filter(F.col("s").cast("double") > 500.0)

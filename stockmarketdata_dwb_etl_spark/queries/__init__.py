@@ -23,6 +23,8 @@ from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
     analytics2,
     timeseries2,
     graph,
+    finance,
+    stats_q,
     dataops3,
     dataops4,
     timeseries,

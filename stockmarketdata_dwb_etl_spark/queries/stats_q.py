@@ -1,0 +1,360 @@
+"""Statistical-test battery: chi-square independence, Gini concentration,
+Benford first-digit audit, Welch's t-test, and a 2-D histogram.
+
+The data-quality / drift-monitoring statistics a warehouse runs over its
+fact tables (complementing q_ks_test and q_psi_drift): categorical
+association, concentration, digit-distribution fraud audit, two-sample
+mean comparison, density heat map.
+
+Determinism policy: all counts are exact integers; all sums accumulate in
+exact DECIMAL; any double math (expected counts, test statistics) uses
+the IDENTICAL expression tree on both engines and rounds past the 4dp
+compare precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stockmarketdata_dwb_etl_spark.catalog import load_table
+from stockmarketdata_dwb_etl_spark.operators.rank import global_row_number
+from stockmarketdata_dwb_etl_spark.registry import query
+
+_DEC = "decimal(38,6)"
+_DEC18 = "decimal(38,18)"
+
+
+@query(
+    "q_chi_square",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type,
+               dayofweek(ts) IN (0, 6) AS is_weekend,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, is_weekend, o,
+               SUM(o) OVER (PARTITION BY event_type) AS row_tot,
+               SUM(o) OVER (PARTITION BY is_weekend) AS col_tot,
+               SUM(o) OVER () AS n
+        FROM cells
+    ),
+    contrib AS (
+        SELECT n,
+               (o - CAST(row_tot * col_tot AS DOUBLE) / n)
+               * (o - CAST(row_tot * col_tot AS DOUBLE) / n)
+               / (CAST(row_tot * col_tot AS DOUBLE) / n) AS c
+        FROM tot
+    )
+    SELECT CAST(ROUND(CAST(SUM(CAST(c AS DECIMAL(38,18))) AS DOUBLE), 6)
+                AS DOUBLE) AS chi2,
+           CAST(((SELECT COUNT(DISTINCT event_type) FROM cells) - 1)
+                * ((SELECT COUNT(DISTINCT is_weekend) FROM cells) - 1)
+                AS BIGINT) AS dof,
+           CAST(MAX(n) AS BIGINT) AS n
+    FROM contrib
+    """,
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event_type and weekend
+    occurrence: observed contingency counts (exact ints), expected counts
+    row_tot·col_tot/N in identical-tree double, Σ(O−E)²/E accumulated
+    through DECIMAL(38,18) so cell order cannot perturb the statistic.
+    Scales: the full-data work is ONE hash-agg to the contingency cells
+    (|types|×2 rows); every window after that runs over the dimension-
+    sized cell table. Spark weekend = dayofweek∈(1,7) vs DuckDB (0,6) —
+    same days, different numbering."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.dayofweek("ts").isin(1, 7).alias("is_weekend")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    tot = cells.select(
+        "event_type",
+        "is_weekend",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("is_weekend")).alias("col_tot"),
+        F.sum("o").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    e = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("n")
+    contrib = tot.select(
+        "n",
+        "event_type",
+        "is_weekend",
+        ((F.col("o") - e) * (F.col("o") - e) / e).alias("c"),
+    )
+    dims = contrib.agg(
+        F.countDistinct("event_type").alias("__r"),
+        F.countDistinct("is_weekend").alias("__c"),
+        F.sum(F.col("c").cast(_DEC18)).cast("double").alias("__chi2"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    return dims.select(
+        F.round("__chi2", 6).cast("double").alias("chi2"),
+        ((F.col("__r") - 1) * (F.col("__c") - 1)).cast("bigint").alias("dof"),
+        "n",
+    )
+
+
+@query(
+    "q_gini",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS revenue
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT revenue,
+               row_number() OVER (ORDER BY revenue, o_custkey) AS i,
+               COUNT(*) OVER () AS n
+        FROM rev
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(ROUND(CAST(SUM(revenue) AS DOUBLE), 2) AS DOUBLE)
+             AS total_revenue,
+           CAST(ROUND(
+               2.0 * CAST(SUM(i * revenue) AS DOUBLE)
+               / (MAX(n) * CAST(SUM(revenue) AS DOUBLE))
+               - CAST(MAX(n) + 1 AS DOUBLE) / MAX(n),
+               6) AS DOUBLE) AS gini
+    FROM ranked
+    """,
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration via the rank
+    formula G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over ascending revenue. The
+    global rank uses operators/rank.global_row_number (range shuffle +
+    P-row offset stitch — NO full-data single-reducer window); i·x and Σx
+    accumulate in exact DECIMAL so partition order is immaterial; only
+    the final 3-term formula runs in double with the identical tree.
+    Scales: customer-grain agg then the distributed rank — two shuffles
+    on dimension-sized data."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(_DEC)).alias("revenue")
+    )
+    ranked = global_row_number(
+        rev, ["revenue", "o_custkey"], out="i", n_total="n"
+    )
+    agg = ranked.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.sum("revenue").alias("__sx"),
+        F.sum(F.col("i") * F.col("revenue")).alias("__six"),
+    )
+    n = F.col("n_customers")
+    gini = (
+        F.lit(2.0) * F.col("__six").cast("double") / (n * F.col("__sx").cast("double"))
+        - (n + F.lit(1)).cast("double") / n
+    )
+    return agg.select(
+        "n_customers",
+        F.round(F.col("__sx").cast("double"), 2).cast("double").alias("total_revenue"),
+        F.round(gini, 6).cast("double").alias("gini"),
+    )
+
+
+@query(
+    "q_benford",
+    oracle="""
+    WITH digits AS (
+        -- floor, not a bare BIGINT cast: DuckDB's double->int cast ROUNDS
+        -- while Spark's truncates
+        SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+                                AS VARCHAR),
+                           1, 1) AS INTEGER) AS d
+        FROM lineitem
+    ),
+    obs AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS n_obs FROM digits GROUP BY d
+    )
+    SELECT d, n_obs,
+           CAST(ROUND(CAST(n_obs AS DOUBLE) / SUM(n_obs) OVER (), 6)
+                AS DOUBLE) AS obs_share,
+           CAST(ROUND(log10(1.0 + 1.0 / d), 6) AS DOUBLE) AS benford_share,
+           CAST(ROUND(abs(CAST(n_obs AS DOUBLE) / SUM(n_obs) OVER ()
+                          - log10(1.0 + 1.0 / d)), 6) AS DOUBLE)
+             AS abs_dev
+    FROM obs ORDER BY d
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of l_extendedprice: observed share
+    per leading digit vs the log10(1+1/d) expectation, with absolute
+    deviation — the classic synthetic-data / fraud smoke test. The digit
+    extracts through the integer-part STRING (bigint truncation then
+    substr), not via log10-of-value, so no float boundary can misclassify
+    a digit. One map-side digit projection + a 9-row agg; shares in
+    identical-tree double over exact counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    digits = li.select(
+        F.substring(
+            F.floor("l_extendedprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    share = F.col("n_obs").cast("double") / F.sum("n_obs").over(w_all)
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d"))
+    return obs.select(
+        "d",
+        "n_obs",
+        F.round(share, 6).cast("double").alias("obs_share"),
+        F.round(benford, 6).cast("double").alias("benford_share"),
+        F.round(F.abs(share - benford), 6).cast("double").alias("abs_dev"),
+    ).orderBy("d")
+
+
+@query(
+    "q_ttest_welch",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE)
+                 AS sxx
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1
+    ),
+    s AS (
+        SELECT
+          MAX(CASE WHEN event_type = 'click' THEN n END) AS n1,
+          MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n2,
+          MAX(CASE WHEN event_type = 'click' THEN sx END) AS sx1,
+          MAX(CASE WHEN event_type = 'purchase' THEN sx END) AS sx2,
+          MAX(CASE WHEN event_type = 'click' THEN sxx END) AS sxx1,
+          MAX(CASE WHEN event_type = 'purchase' THEN sxx END) AS sxx2
+        FROM g
+    )
+    SELECT n1, n2,
+           CAST(ROUND(sx1 / n1, 6) AS DOUBLE) AS mean_click,
+           CAST(ROUND(sx2 / n2, 6) AS DOUBLE) AS mean_purchase,
+           CAST(ROUND(
+               (sx1 / n1 - sx2 / n2)
+               / sqrt(((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1
+                      + ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2),
+               6) AS DOUBLE) AS t_stat,
+           CAST(ROUND(
+               (((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1
+                + ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2)
+               * (((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1
+                  + ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2)
+               / (((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1
+                  * (((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1) / (n1 - 1)
+                  + ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2
+                    * (((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2) / (n2 - 1)),
+               4) AS DOUBLE) AS welch_dof
+    FROM s
+    """,
+)
+def q_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test comparing click vs purchase values:
+    per-group moments (n, Σx, Σx²) accumulate in exact DECIMAL map-side,
+    then the t statistic and Welch–Satterthwaite dof compute from the six
+    scalars in identical-tree double. Scales: ONE partial+final hash-agg
+    over the filtered fact table; everything after is a 1-row pivot —
+    the algebraic-aggregate shape that never shuffles raw rows twice."""
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sx"),
+            F.sum((F.col("value") * F.col("value")).cast(_DEC))
+            .cast("double")
+            .alias("sxx"),
+        )
+    )
+    pick = lambda t, c: F.max(F.when(F.col("event_type") == t, F.col(c)))  # noqa: E731
+    s = g.agg(
+        pick("click", "n").alias("n1"),
+        pick("purchase", "n").alias("n2"),
+        pick("click", "sx").alias("sx1"),
+        pick("purchase", "sx").alias("sx2"),
+        pick("click", "sxx").alias("sxx1"),
+        pick("purchase", "sxx").alias("sxx2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    sx1, sx2, sxx1, sxx2 = (
+        F.col("sx1"),
+        F.col("sx2"),
+        F.col("sxx1"),
+        F.col("sxx2"),
+    )
+    se1 = ((sxx1 - sx1 * sx1 / n1) / (n1 - F.lit(1))) / n1
+    se2 = ((sxx2 - sx2 * sx2 / n2) / (n2 - F.lit(1))) / n2
+    t = (sx1 / n1 - sx2 / n2) / F.sqrt(se1 + se2)
+    dof = (se1 + se2) * (se1 + se2) / (
+        se1 * se1 / (n1 - F.lit(1)) + se2 * se2 / (n2 - F.lit(1))
+    )
+    return s.select(
+        "n1",
+        "n2",
+        F.round(sx1 / n1, 6).cast("double").alias("mean_click"),
+        F.round(sx2 / n2, 6).cast("double").alias("mean_purchase"),
+        F.round(t, 6).cast("double").alias("t_stat"),
+        F.round(dof, 4).cast("double").alias("welch_dof"),
+    )
+
+
+@query(
+    "q_hist2d",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM events
+    ),
+    binned AS (
+        SELECT hour(e.ts) AS hour_of_day,
+               CAST(least(floor((e.value - b.vmin)
+                                / ((b.vmax - b.vmin) / 10.0)),
+                          9) AS INTEGER) AS value_bin
+        FROM events e CROSS JOIN bounds b
+    )
+    SELECT hour_of_day, value_bin, CAST(COUNT(*) AS BIGINT) AS n
+    FROM binned GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram (hour-of-day × value decile-width bin) — the density
+    heat map behind activity dashboards. Bin edges derive from the global
+    min/max (1-row agg, broadcast cross join); the bin index computes in
+    identical-tree double so edge rows bin the same on both engines, with
+    the top edge clamped into bin 9. Scales: map-side binning + one
+    hash-agg on a 240-cell key space — partial aggregation collapses
+    everything before the shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        F.hour("ts").alias("hour_of_day"),
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                / ((F.col("vmax") - F.col("vmin")) / F.lit(10.0))
+            ),
+            F.lit(9),
+        )
+        .cast("int")
+        .alias("value_bin"),
+    )
+    return (
+        binned.groupBy("hour_of_day", "value_bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("hour_of_day", "value_bin")
+    )

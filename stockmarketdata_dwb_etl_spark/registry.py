@@ -116,6 +116,11 @@ PRIORITY = (
     # round-3 batch 6: skyline, ABC, running distinct, allocation
     "q_skyline_pareto", "q_abc_analysis", "q_running_distinct",
     "q_allocation_largest_remainder",
+    # round-3 batch 7: market-indicator battery (queries/finance.py)
+    "q_vwap", "q_rsi", "q_macd", "q_log_returns", "q_volatility_gk",
+    "q_candlestick",
+    # round-3 batch 8: statistical-test battery (queries/stats_q.py)
+    "q_chi_square", "q_gini", "q_benford", "q_ttest_welch", "q_hist2d",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

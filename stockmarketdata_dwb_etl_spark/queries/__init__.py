@@ -25,6 +25,7 @@ from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
     graph,
     finance,
     stats_q,
+    relational,
     dataops3,
     dataops4,
     timeseries,

@@ -121,6 +121,8 @@ PRIORITY = (
     "q_candlestick",
     # round-3 batch 8: statistical-test battery (queries/stats_q.py)
     "q_chi_square", "q_gini", "q_benford", "q_ttest_welch", "q_hist2d",
+    # round-3 batch 9: SQL front-door surface (queries/relational.py)
+    "q_lateral_topn", "q_exists_correlated", "q_grouping_id", "q_hof_arrays",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

@@ -26,6 +26,7 @@ from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
     finance,
     stats_q,
     relational,
+    dataops5,
     dataops3,
     dataops4,
     timeseries,

@@ -1,0 +1,210 @@
+"""Corpus-curation operators round 3: Zipf rank-frequency fit and
+shingle-containment (doc-in-doc) near-dup detection.
+
+Complements the dedup/quality families in dataops/dataops2/dataops3: the
+Zipf slope is the corpus-health scalar (natural text ≈ −1; synthetic or
+boilerplate-heavy corpora drift off), and containment catches snippets
+embedded in larger documents — pairs Jaccard misses by construction
+(|A∩B|/|A∪B| is small when |A| ≪ |B| even at full containment).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stockmarketdata_dwb_etl_spark.catalog import load_table
+from stockmarketdata_dwb_etl_spark.functions.text import tokenize, word_shingles
+from stockmarketdata_dwb_etl_spark.registry import query
+
+_DEC18 = "decimal(38,18)"
+
+
+@query(
+    "q_zipf_slope",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    counts AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM words WHERE word <> ''
+        GROUP BY word ORDER BY cnt DESC, word LIMIT 500
+    ),
+    ranked AS (
+        SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rk
+        FROM counts
+    ),
+    xy AS (
+        SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+        FROM ranked
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy
+        FROM xy
+    )
+    SELECT n AS n_terms,
+           CAST(ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                AS DOUBLE) AS zipf_slope,
+           CAST(ROUND(sy / n - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                               * (sx / n), 6) AS DOUBLE) AS zipf_intercept,
+           CAST(ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                      / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                AS DOUBLE) AS r2
+    FROM s
+    """,
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS of ln(freq) on
+    ln(rank) for the top-500 terms — slope ≈ −1 for natural language,
+    the one-scalar corpus-health check (with intercept and R²). The
+    top-500 selection is TakeOrdered (no global sort); the rank window
+    runs over 500 rows; each ln is identical-tree double and every OLS
+    moment accumulates through DECIMAL(38,18), so term order cannot
+    perturb the fit. Scales: the only full-data stage is the word-count
+    hash-agg (partial-agg collapses the explode before its shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(500)
+    )
+    ranked = counts.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), "word"))
+        .alias("rk"),
+    )
+    xy = ranked.select(
+        F.log(F.col("rk").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(_DEC18)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(_DEC18)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(_DEC18)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(_DEC18)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(_DEC18)).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy, sxy, sxx, syy = (
+        F.col("sx"),
+        F.col("sy"),
+        F.col("sxy"),
+        F.col("sxx"),
+        F.col("syy"),
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.alias("n_terms"),
+        F.round(slope, 6).cast("double").alias("zipf_slope"),
+        F.round(sy / n - slope * (sx / n), 6)
+        .cast("double")
+        .alias("zipf_intercept"),
+        F.round(
+            (n * sxy - sx * sy)
+            * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        )
+        .cast("double")
+        .alias("r2"),
+    )
+
+
+@query(
+    "q_containment",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents
+    ),
+    snip AS (
+        SELECT doc_id + 2000000 AS snip_id, doc_id AS orig_id,
+               w[1:greatest((len(w) * 2) // 5, 3)] AS sw
+        FROM base WHERE doc_id % 7 = 0 AND len(w) >= 10
+    ),
+    sh_orig AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+        FROM base
+    ),
+    sh_snip AS (
+        SELECT snip_id, orig_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(sw) - 2, 0)),
+                   i -> sw[i] || ' ' || sw[i+1] || ' ' || sw[i+2])) AS shingles
+        FROM snip
+    )
+    SELECT s.snip_id, s.orig_id,
+           CAST(ROUND(len(list_intersect(s.shingles, o.shingles))::DOUBLE
+                      / len(s.shingles), 4) AS DOUBLE) AS containment,
+           CAST(ROUND(len(list_intersect(s.shingles, o.shingles))::DOUBLE
+                      / len(list_distinct(
+                            list_concat(s.shingles, o.shingles))), 4)
+                AS DOUBLE) AS jaccard
+    FROM sh_snip s JOIN sh_orig o ON o.doc_id = s.orig_id
+    ORDER BY s.snip_id
+    """,
+)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment (doc-in-doc) detection: every 7th document
+    spawns a snippet (its first 40% of words, integer arithmetic — no
+    float boundary); containment |A∩B|/|A| of snippet shingles in the
+    original is ≈1 while Jaccard stays low — the asymmetric metric that
+    catches quotes/boilerplate embedded in longer documents, which
+    Jaccard-based near-dup (q_ngram_jaccard, q_dedup_minhash) structurally
+    misses. Array set ops JVM-side; pairs are formed by construction here
+    (the oracle-able contract); at 100 TB candidates come from the SAME
+    LSH band join as minhash dedup with containment replacing Jaccard in
+    the verify stage (operators/dedup.py's banded design — min over A's
+    signature only). One equi-join on orig_id, no all-pairs stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", tokenize(F.col("text")).alias("w")
+    )
+    n_keep = F.greatest(
+        F.expr("(size(w) * 2) div 5").cast("int"), F.lit(3)
+    )
+    snip = (
+        base.filter((F.col("doc_id") % 7 == 0) & (F.size("w") >= 10))
+        .select(
+            (F.col("doc_id") + 2_000_000).alias("snip_id"),
+            F.col("doc_id").alias("orig_id"),
+            F.slice(F.col("w"), F.lit(1), n_keep).alias("sw"),
+        )
+    )
+    sh_orig = base.select(
+        F.col("doc_id"),
+        F.array_distinct(word_shingles(F.col("w"), 3)).alias("sh_o"),
+    )
+    sh_snip = snip.select(
+        "snip_id",
+        "orig_id",
+        F.array_distinct(word_shingles(F.col("sw"), 3)).alias("sh_s"),
+    )
+    inter = F.size(F.array_intersect("sh_s", "sh_o")).cast("double")
+    return (
+        sh_snip.join(sh_orig, F.col("doc_id") == F.col("orig_id"))
+        .select(
+            "snip_id",
+            "orig_id",
+            F.round(inter / F.size("sh_s"), 4).alias("containment"),
+            F.round(inter / F.size(F.array_union("sh_s", "sh_o")), 4).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy("snip_id")
+    )

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.registry import query
@@ -177,4 +178,127 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ac, ["brand_a", "brand_c"], "left_semi")
         .select("brand_a", "brand_b", "brand_c")
         .orderBy("brand_a", "brand_b", "brand_c")
+    )
+
+
+@query(
+    "q_degree_centrality",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ),
+    deg AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS degree FROM edges GROUP BY s
+    ),
+    tot AS (SELECT CAST(COUNT(DISTINCT p) AS BIGINT) AS n_parts FROM edges)
+    SELECT d.s AS suppkey, sup.s_name, d.degree,
+           CAST(ROUND(CAST(d.degree AS DOUBLE) / t.n_parts, 6) AS DOUBLE)
+             AS norm_degree,
+           CAST(rank() OVER (ORDER BY d.degree DESC, d.s) AS BIGINT)
+             AS degree_rank
+    FROM deg d JOIN supplier sup ON sup.s_suppkey = d.s
+    CROSS JOIN tot t
+    ORDER BY degree_rank
+    """,
+)
+def q_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree centrality on the part–supplier bipartite graph: per
+    supplier, the count of distinct parts supplied, normalized by the
+    part population, ranked. Edges dedupe with one hash-agg on the fact
+    table (the only full-data stage); degrees/ranks run over the
+    supplier-dimension table, names arrive by broadcast join. The rank
+    window is dimension-sized — at 100 TB the supplier dimension is
+    ~1e6 rows, window-safe; were it fact-sized it would go through
+    operators/rank.global_row_number."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    edges = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    tot = edges.agg(F.countDistinct("p").cast("bigint").alias("n_parts"))
+    w = Window.orderBy(F.col("degree").desc(), "s")
+    return (
+        deg.join(F.broadcast(sup), F.col("s") == F.col("s_suppkey"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("s").alias("suppkey"),
+            "s_name",
+            "degree",
+            F.round(F.col("degree").cast("double") / F.col("n_parts"), 6)
+            .cast("double")
+            .alias("norm_degree"),
+            F.rank().over(w).cast("bigint").alias("degree_rank"),
+        )
+        .orderBy("degree_rank")
+    )
+
+
+@query(
+    "q_common_neighbors",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ),
+    deg AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS degree FROM edges GROUP BY s
+    ),
+    pairs AS (
+        SELECT a.s AS supp_a, b.s AS supp_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_parts
+        FROM edges a JOIN edges b ON a.p = b.p AND a.s < b.s
+        GROUP BY 1, 2
+    )
+    SELECT p.supp_a, p.supp_b, p.shared_parts,
+           CAST(ROUND(CAST(p.shared_parts AS DOUBLE)
+                      / (da.degree + db.degree - p.shared_parts), 6)
+                AS DOUBLE) AS jaccard
+    FROM pairs p
+    JOIN deg da ON da.s = p.supp_a
+    JOIN deg db ON db.s = p.supp_b
+    WHERE p.shared_parts >= 5
+    ORDER BY p.shared_parts DESC, p.supp_a, p.supp_b
+    """,
+)
+def q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors link prediction over the part–supplier graph:
+    supplier pairs scored by shared part count and neighborhood Jaccard
+    (|A∩B| / (deg_a + deg_b − |A∩B|)). The pair expansion self-joins the
+    DEDUPED edge list on the part key with a < b ordering — per-part
+    fanout is C(k,2) where k = suppliers-per-part, a catalog-bounded
+    constant (TPC-H: ~4), NOT data-sized; skewed hub parts would fall to
+    AQE skew splitting. Degrees broadcast in (supplier-dimension-sized).
+    The ≥5 shared-parts floor keeps output to genuinely-related pairs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    a = edges.select("p", F.col("s").alias("supp_a"))
+    b = edges.select("p", F.col("s").alias("supp_b"))
+    pairs = (
+        a.join(b, "p")
+        .filter(F.col("supp_a") < F.col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_parts"))
+        .filter(F.col("shared_parts") >= 5)
+    )
+    da = deg.select(F.col("s").alias("supp_a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("s").alias("supp_b"), F.col("degree").alias("deg_b"))
+    return (
+        pairs.join(F.broadcast(da), "supp_a")
+        .join(F.broadcast(db), "supp_b")
+        .select(
+            "supp_a",
+            "supp_b",
+            "shared_parts",
+            F.round(
+                F.col("shared_parts").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("shared_parts")),
+                6,
+            )
+            .cast("double")
+            .alias("jaccard"),
+        )
+        .orderBy(F.col("shared_parts").desc(), "supp_a", "supp_b")
     )

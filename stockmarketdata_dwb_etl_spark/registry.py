@@ -123,6 +123,9 @@ PRIORITY = (
     "q_chi_square", "q_gini", "q_benford", "q_ttest_welch", "q_hist2d",
     # round-3 batch 9: SQL front-door surface (queries/relational.py)
     "q_lateral_topn", "q_exists_correlated", "q_grouping_id", "q_hof_arrays",
+    # round-3 batch 10: corpus health + graph centrality
+    "q_zipf_slope", "q_containment", "q_degree_centrality",
+    "q_common_neighbors",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

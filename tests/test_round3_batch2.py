@@ -1,0 +1,146 @@
+"""Property tests for the round-3 finance / stats / corpus / graph
+batches: indicator math vs independent pandas/numpy computation, test-
+statistic invariants, containment-by-construction, and graph symmetry.
+
+These assert the MATH on the fixture tables (sf0.001) independently of
+the DuckDB differential gate in tests/test_oracle.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from stockmarketdata_dwb_etl_spark.registry import QUERIES, load_all
+from tests.conftest import SF_DIR
+
+load_all()
+
+
+def test_macd_matches_pandas_ewm(spark):
+    out = QUERIES["q_macd"](spark, SF_DIR).toPandas()
+    one = out[out.symbol == out.symbol.iloc[0]].sort_values("bar_ts")
+    close = one["close"].reset_index(drop=True)
+    e12 = close.ewm(span=12, adjust=False).mean()
+    e26 = close.ewm(span=26, adjust=False).mean()
+    macd = e12 - e26
+    # signal seeds at 0 (= first macd value, which is 0 by construction)
+    sig = macd.ewm(span=9, adjust=False).mean()
+    assert np.allclose(one["macd"].values, (macd).round(4).values, atol=1e-4)
+    assert np.allclose(one["signal"].values, sig.round(4).values, atol=1e-4)
+
+
+def test_rsi_bounds_and_window(spark):
+    out = QUERIES["q_rsi"](spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    assert (out.rsi14 >= 0).all() and (out.rsi14 <= 100).all()
+
+
+def test_log_returns_cumulative_identity(spark):
+    out = QUERIES["q_log_returns"](spark, SF_DIR).toPandas()
+    one = out[out.symbol == out.symbol.iloc[0]].sort_values("bar_ts")
+    # cum_growth_t = exp(sum of log returns) == prod of ratios == c_t / c_0
+    # (c_0 = the close BEFORE the first emitted return row)
+    ratio = one["cum_growth"].iloc[-1] / one["cum_growth"].iloc[0]
+    expect = one["close"].iloc[-1] / one["close"].iloc[0]
+    assert math.isclose(ratio, expect, rel_tol=1e-3)
+
+
+def test_gini_matches_numpy(spark):
+    out = QUERIES["q_gini"](spark, SF_DIR).toPandas().iloc[0]
+    import duckdb
+
+    rev = (
+        duckdb.sql(
+            f"SELECT SUM(o_totalprice) r FROM "
+            f"read_parquet('{SF_DIR}/orders.parquet') GROUP BY o_custkey"
+        )
+        .fetchdf()["r"]
+        .sort_values()
+        .values
+    )
+    n = len(rev)
+    i = np.arange(1, n + 1)
+    gini = 2 * (i * rev).sum() / (n * rev.sum()) - (n + 1) / n
+    assert out.n_customers == n
+    assert math.isclose(out.gini, gini, abs_tol=1e-4)
+    assert 0 <= out.gini < 1
+
+
+def test_chi_square_nonnegative_and_dof(spark):
+    out = QUERIES["q_chi_square"](spark, SF_DIR).toPandas().iloc[0]
+    assert out.chi2 >= 0
+    assert out.dof == 4  # (5 event types - 1) * (2 weekend flags - 1)
+
+
+def test_benford_shares_sum_to_one(spark):
+    out = QUERIES["q_benford"](spark, SF_DIR).toPandas()
+    assert set(out.d) <= set(range(1, 10))
+    assert math.isclose(out.obs_share.sum(), 1.0, abs_tol=1e-3)
+    assert math.isclose(out.benford_share.sum(), 1.0, abs_tol=1e-3)
+
+
+def test_welch_matches_numpy(spark):
+    out = QUERIES["q_ttest_welch"](spark, SF_DIR).toPandas().iloc[0]
+    import duckdb
+
+    df = duckdb.sql(
+        f"SELECT event_type, value FROM "
+        f"read_parquet('{SF_DIR}/events.parquet') "
+        f"WHERE event_type IN ('click','purchase')"
+    ).fetchdf()
+    a = df[df.event_type == "click"].value.values
+    b = df[df.event_type == "purchase"].value.values
+    se = a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+    t = (a.mean() - b.mean()) / math.sqrt(se)
+    assert math.isclose(out.t_stat, t, abs_tol=1e-3)
+    assert min(len(a), len(b)) - 1 <= out.welch_dof <= len(a) + len(b) - 2
+
+
+def test_containment_is_total_for_prefix_snippets(spark):
+    out = QUERIES["q_containment"](spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    # a snippet's word sequence is a prefix of the original, so every
+    # snippet shingle exists in the original: containment must be exactly 1
+    assert (out.containment == 1.0).all()
+    # while symmetric Jaccard stays well below 1 for 40% snippets
+    assert (out.jaccard < 1.0).all()
+
+
+def test_zipf_slope_negative_good_fit(spark):
+    out = QUERIES["q_zipf_slope"](spark, SF_DIR).toPandas().iloc[0]
+    assert out.zipf_slope < 0
+    assert 0 <= out.r2 <= 1
+
+
+def test_common_neighbors_jaccard_bounds(spark):
+    out = QUERIES["q_common_neighbors"](spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    assert (out.jaccard > 0).all() and (out.jaccard <= 1).all()
+    # pair ordering contract
+    assert (out.supp_a < out.supp_b).all()
+
+
+def test_grouping_id_totals_consistent(spark):
+    out = QUERIES["q_grouping_id"](spark, SF_DIR).toPandas()
+    grand = out[out.gid == 3]
+    assert len(grand) == 1
+    base = out[out.gid == 0]
+    assert base.n_rows.sum() == grand.n_rows.iloc[0]
+    assert math.isclose(
+        base.sum_qty.sum(), grand.sum_qty.iloc[0], rel_tol=1e-9
+    )
+
+
+def test_hist2d_covers_all_rows(spark):
+    out = QUERIES["q_hist2d"](spark, SF_DIR).toPandas()
+    import duckdb
+
+    total = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchone()[0]
+    assert out.n.sum() == total
+    assert out.value_bin.between(0, 9).all()
+    assert out.hour_of_day.between(0, 23).all()

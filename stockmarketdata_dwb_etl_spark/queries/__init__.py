@@ -27,6 +27,7 @@ from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
     stats_q,
     relational,
     dataops5,
+    timeseries3,
     dataops3,
     dataops4,
     timeseries,

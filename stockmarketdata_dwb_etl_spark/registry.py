@@ -126,6 +126,8 @@ PRIORITY = (
     # round-3 batch 10: corpus health + graph centrality
     "q_zipf_slope", "q_containment", "q_degree_centrality",
     "q_common_neighbors",
+    # round-3 batch 11: decomposition / forecast / IQR fences
+    "q_seasonal_decompose", "q_forecast_linear", "q_outlier_iqr",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

@@ -28,6 +28,7 @@ from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
     relational,
     dataops5,
     timeseries3,
+    analytics3,
     dataops3,
     dataops4,
     timeseries,

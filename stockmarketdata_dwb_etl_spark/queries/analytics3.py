@@ -1,0 +1,242 @@
+"""Analytics battery round 3c: A/B proportion test, year-over-year
+growth, index rebasing, and blocked fuzzy dedup.
+
+The remaining everyday shapes of a market/BI warehouse: conversion-rate
+comparison (proportions — complementing q_ttest_welch's means), the YoY
+report, the rebased-to-100 chart basis, and the blocking-key design that
+makes pairwise edit distance usable beyond toy scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stockmarketdata_dwb_etl_spark.catalog import load_table
+from stockmarketdata_dwb_etl_spark.queries.timeseries import _DUCK_ORD, _spark_ord
+from stockmarketdata_dwb_etl_spark.registry import query
+
+_DEC = "decimal(38,6)"
+
+
+@query(
+    "q_ab_test_proportions",
+    oracle="""
+    WITH g AS (
+        SELECT dayofweek(ts) IN (0, 6) AS is_weekend,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+                    AS BIGINT) AS x
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1
+    ),
+    s AS (
+        SELECT
+          MAX(CASE WHEN is_weekend THEN n END) AS n1,
+          MAX(CASE WHEN is_weekend THEN x END) AS x1,
+          MAX(CASE WHEN NOT is_weekend THEN n END) AS n2,
+          MAX(CASE WHEN NOT is_weekend THEN x END) AS x2
+        FROM g
+    )
+    SELECT n1, x1, n2, x2,
+           CAST(ROUND(CAST(x1 AS DOUBLE) / n1, 6) AS DOUBLE) AS p_weekend,
+           CAST(ROUND(CAST(x2 AS DOUBLE) / n2, 6) AS DOUBLE) AS p_weekday,
+           CAST(ROUND(
+               (CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+               / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                      * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                      * (1.0 / n1 + 1.0 / n2)),
+               6) AS DOUBLE) AS z_stat
+    FROM s
+    """,
+)
+def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test: weekend vs weekday purchase conversion
+    (purchases over click+purchase traffic), pooled-variance z statistic.
+    The proportions counterpart of q_ttest_welch — all inputs are exact
+    integer counts from ONE hash-agg over the filtered fact table, the
+    statistic computes from four scalars in identical-tree double.
+    Scales: the 2-row group-by is the only shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(F.dayofweek("ts").isin(1, 7).alias("is_weekend"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+        )
+    )
+    s = g.agg(
+        F.max(F.when(F.col("is_weekend"), F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("is_weekend"), F.col("x"))).alias("x1"),
+        F.max(F.when(~F.col("is_weekend"), F.col("n"))).alias("n2"),
+        F.max(F.when(~F.col("is_weekend"), F.col("x"))).alias("x2"),
+    )
+    n1, x1, n2, x2 = F.col("n1"), F.col("x1"), F.col("n2"), F.col("x2")
+    p1 = x1.cast("double") / n1
+    p2 = x2.cast("double") / n2
+    pp = (x1 + x2).cast("double") / (n1 + n2)
+    z = (p1 - p2) / F.sqrt(
+        pp * (F.lit(1.0) - pp) * (F.lit(1.0) / n1 + F.lit(1.0) / n2)
+    )
+    return s.select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        F.round(p1, 6).cast("double").alias("p_weekend"),
+        F.round(p2, 6).cast("double").alias("p_weekday"),
+        F.round(z, 6).cast("double").alias("z_stat"),
+    )
+
+
+@query(
+    "q_yoy_growth",
+    oracle="""
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(month AS DATE) AS month,
+           CAST(ROUND(CAST(revenue AS DOUBLE), 2) AS DOUBLE) AS revenue,
+           CAST(ROUND(
+               (CAST(revenue AS DOUBLE)
+                - CAST(lag(revenue, 12) OVER (ORDER BY month) AS DOUBLE))
+               / CAST(lag(revenue, 12) OVER (ORDER BY month) AS DOUBLE)
+               * 100.0, 4) AS DOUBLE) AS yoy_pct
+    FROM monthly
+    ORDER BY month
+    """,
+)
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth: monthly revenue (exact-decimal sums) with
+    lag-12 percentage change — THE periodic BI report. The lag window is
+    global but runs over the MONTH-grain table (calendar-bounded rows,
+    never data-sized), so the single-partition window is safe at any
+    scale; the fact table collapses map-side into the monthly hash-agg.
+    First-year months emit NULL growth, as the oracle does."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue", 12).over(w)
+    return monthly.select(
+        F.to_date("month").alias("month"),
+        F.round(F.col("revenue").cast("double"), 2)
+        .cast("double")
+        .alias("revenue"),
+        F.round(
+            (F.col("revenue").cast("double") - prev.cast("double"))
+            / prev.cast("double")
+            * 100.0,
+            4,
+        )
+        .cast("double")
+        .alias("yoy_pct"),
+    ).orderBy("month")
+
+
+@query(
+    "q_index_rebase",
+    oracle=f"""
+    WITH bars AS (
+        SELECT event_type AS symbol,
+               date_trunc('hour', ts) AS bar_ts,
+               arg_max(value, {_DUCK_ORD}) AS close
+        FROM events GROUP BY 1, 2
+    )
+    SELECT symbol, bar_ts,
+           CAST(ROUND(close, 4) AS DOUBLE) AS close,
+           CAST(ROUND(close / first_value(close)
+                          OVER (PARTITION BY symbol ORDER BY bar_ts)
+                      * 100.0, 4) AS DOUBLE) AS idx100
+    FROM bars
+    ORDER BY symbol, bar_ts
+    """,
+)
+def q_index_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebase each symbol's close series to 100 at its first bar
+    (close/first·100) — the common-basis chart every multi-asset
+    comparison draws. first_value over the per-symbol ordered window;
+    the quotient is raw-parquet doubles in identical-tree double. One
+    window shuffle on symbol, O(1) state per row."""
+    ev = load_table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("hour", F.col("ts")).alias("bar_ts"),
+    ).agg(F.max_by("value", _spark_ord()).alias("close"))
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    return bars.select(
+        "symbol",
+        "bar_ts",
+        F.round("close", 4).cast("double").alias("close"),
+        F.round(
+            F.col("close") / F.first("close").over(w) * F.lit(100.0), 4
+        )
+        .cast("double")
+        .alias("idx100"),
+    ).orderBy("symbol", "bar_ts")
+
+
+@query(
+    "q_dedup_blocked_edit",
+    oracle="""
+    WITH blocked AS (
+        SELECT doc_id, substr(text, 1, 64) AS prefix,
+               substr(text, 1, 8) AS bkey, n_chars // 16 AS lbucket
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS edit_dist
+    FROM blocked a JOIN blocked b
+      ON a.bkey = b.bkey AND a.lbucket = b.lbucket
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.prefix, b.prefix) <= 24
+    ORDER BY id_a, id_b
+    """,
+)
+def q_dedup_blocked_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy dedup: candidate pairs form ONLY within a blocking
+    key (8-char prefix + length-bucket) and are then verified with
+    prefix-bounded Levenshtein ≤ 24 — the classic blocking design that
+    turns O(n²) record linkage into per-block O(k²) with k bounded by
+    key selectivity (fixture max block ≈ 3; a production key adds more
+    prefix/phonetic components until blocks bound). The equi-join on the
+    block key is a plain hash join — no all-pairs stage anywhere; AQE
+    splits a skewed block. Complements q_edit_distance (which scores
+    KNOWN pairs) by also FINDING the pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    blocked = docs.select(
+        "doc_id",
+        F.substring("text", 1, 64).alias("prefix"),
+        F.substring("text", 1, 8).alias("bkey"),
+        F.expr("n_chars div 16").alias("lbucket"),
+    )
+    a = blocked.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("prefix").alias("pa"),
+        "bkey",
+        "lbucket",
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("prefix").alias("pb"),
+        "bkey",
+        "lbucket",
+    )
+    return (
+        a.join(b, ["bkey", "lbucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("pa", "pb").cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 24)
+        .orderBy("id_a", "id_b")
+    )

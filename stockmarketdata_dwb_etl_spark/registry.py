@@ -128,6 +128,9 @@ PRIORITY = (
     "q_common_neighbors",
     # round-3 batch 11: decomposition / forecast / IQR fences
     "q_seasonal_decompose", "q_forecast_linear", "q_outlier_iqr",
+    # round-3 batch 12: A/B proportions, YoY, rebase, blocked fuzzy dedup
+    "q_ab_test_proportions", "q_yoy_growth", "q_index_rebase",
+    "q_dedup_blocked_edit",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

@@ -208,3 +208,141 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("snip_id")
     )
+
+
+@query(
+    "q_feature_scale",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, u.idx, u.val
+        FROM embeddings,
+             LATERAL (SELECT UNNEST(generate_series(1, len(embedding))) AS idx,
+                             UNNEST(embedding) AS val) u
+    ),
+    stats AS (
+        SELECT idx,
+               CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
+                 AS mu,
+               sqrt(CAST(SUM(CAST(val * val AS DECIMAL(38,12))) AS DOUBLE)
+                    / COUNT(*)
+                    - (CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
+                       / COUNT(*))
+                      * (CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
+                         / COUNT(*))) AS sigma
+        FROM ex GROUP BY idx
+    )
+    SELECT e.vec_id, e.idx,
+           CAST(ROUND((e.val - s.mu) / s.sigma, 6) AS DOUBLE) AS scaled
+    FROM ex e JOIN stats s ON s.idx = e.idx
+    WHERE e.vec_id < 50
+    ORDER BY e.vec_id, e.idx
+    """,
+)
+def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization (the StandardScaler fit+transform):
+    posexplode the embedding column, per-dimension μ/σ from exact-decimal
+    moment sums over the WHOLE table, z-scale each component via a
+    broadcast join of the 64-row stats table — the feature-engineering
+    step every downstream model expects, expressed as explode → agg →
+    broadcast map-back. μ and σ compute in identical-tree double from the
+    exact sums; population σ matches the oracle formula term-for-term.
+    Scales: the explode is map-side (×64 rows but no shuffle until the
+    64-key agg, which partial-aggregates); transform output is projected
+    to the vec_id<50 sample per the display contract."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "idx0", "val"
+        ),
+    ).select("vec_id", (F.col("idx0") + 1).alias("idx"), "val")
+    dec12 = "decimal(38,12)"
+    stats = ex.groupBy("idx").agg(
+        (F.sum(F.col("val").cast(dec12)).cast("double") / F.count(F.lit(1)))
+        .alias("mu"),
+        F.sqrt(
+            F.sum((F.col("val") * F.col("val")).cast(dec12)).cast("double")
+            / F.count(F.lit(1))
+            - (
+                F.sum(F.col("val").cast(dec12)).cast("double")
+                / F.count(F.lit(1))
+            )
+            * (
+                F.sum(F.col("val").cast(dec12)).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("sigma"),
+    )
+    return (
+        ex.filter(F.col("vec_id") < 50)
+        .join(F.broadcast(stats), "idx")
+        .select(
+            "vec_id",
+            "idx",
+            F.round((F.col("val") - F.col("mu")) / F.col("sigma"), 6)
+            .cast("double")
+            .alias("scaled"),
+        )
+        .orderBy("vec_id", "idx")
+    )
+
+
+@query(
+    "q_one_hot_encode",
+    oracle="""
+    WITH cats AS (
+        SELECT event_type,
+               CAST(row_number() OVER (ORDER BY event_type) AS INTEGER)
+                 AS type_idx,
+               CAST(COUNT(*) OVER () AS INTEGER) AS n_types
+        FROM (SELECT DISTINCT event_type FROM events)
+    )
+    SELECT e.event_id, e.event_type, c.type_idx,
+           list_transform(generate_series(1, c.n_types),
+                          i -> CASE WHEN i = c.type_idx
+                                    THEN 1 ELSE 0 END) AS onehot
+    FROM events e JOIN cats c ON c.event_type = e.event_type
+    WHERE e.event_id < 500
+    ORDER BY e.event_id
+    """,
+)
+def q_one_hot_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-hot encoding of a categorical column: the vocabulary (distinct
+    event types, ordered) becomes an index, each row gets its indicator
+    vector built with a JVM array lambda — the canonical categorical→
+    numeric feature transform. The vocabulary is dimension-sized and
+    broadcast; the encode itself is map-only (transform over a generated
+    sequence — no per-category column explosion, no Python). Output
+    projected to event_id<500 per the display contract."""
+    ev = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cats = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.row_number()
+            .over(Window.orderBy("event_type"))
+            .cast("int")
+            .alias("type_idx"),
+            F.count(F.lit(1)).over(w_all).cast("int").alias("n_types"),
+        )
+    )
+    return (
+        ev.filter(F.col("event_id") < 500)
+        .join(F.broadcast(cats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "type_idx",
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_types")),
+                lambda i: F.when(i == F.col("type_idx"), F.lit(1)).otherwise(
+                    F.lit(0)
+                ),
+            ).alias("onehot"),
+        )
+        .orderBy("event_id")
+    )

@@ -131,6 +131,8 @@ PRIORITY = (
     # round-3 batch 12: A/B proportions, YoY, rebase, blocked fuzzy dedup
     "q_ab_test_proportions", "q_yoy_growth", "q_index_rebase",
     "q_dedup_blocked_edit",
+    # round-3 batch 13: ML feature engineering
+    "q_feature_scale", "q_one_hot_encode",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

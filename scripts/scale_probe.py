@@ -48,6 +48,9 @@ PROBES = (
     "q_boilerplate_ratio",  # inverted shingle index over documents
     "q_sessionize_batch",   # stacked per-user windows over events
     "q_interval_overlap",   # keyed interval join over events
+    "q_common_neighbors",   # deduped-edge self-join, bounded per-key fanout
+    "q_dedup_blocked_edit", # blocking-key join + Levenshtein verify
+    "q_seasonal_decompose", # centered-frame window + hod agg over events
 )
 
 

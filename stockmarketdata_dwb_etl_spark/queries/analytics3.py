@@ -240,3 +240,76 @@ def q_dedup_blocked_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 24)
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "q_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable bitmaps: user ids bucket
+    into fixed-width bitmap segments (bitmap_bucket_number /
+    bitmap_bit_position), per-(type,bucket) bitmaps OR-merge upward and
+    bitmap_count sums the bits — the two-level rollup that replaces a
+    full shuffle-distinct with small mergeable state (the same
+    partial/final shape HLL uses, but EXACT for integer keys, so the
+    oracle is plain COUNT(DISTINCT)). At 100 TB this is THE pattern for
+    exact distinct-user rollups: per-partition bitmaps merge
+    associatively, state is bounded by key range / 32k segments, and
+    re-aggregation to coarser grains reuses the same bitmaps."""
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bk")
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("b")
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(
+            F.expr("sum(bitmap_count(b))").cast("bigint").alias(
+                "distinct_users"
+            )
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_percentile_disc",
+    oracle="""
+    SELECT event_type,
+           CAST(quantile_disc(value, 0.25) AS DOUBLE) AS p25,
+           CAST(quantile_disc(value, 0.50) AS DOUBLE) AS p50,
+           CAST(quantile_disc(value, 0.75) AS DOUBLE) AS p75,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles per group (percentile_disc WITHIN GROUP /
+    quantile_disc): the smallest actual data value whose cumulative share
+    reaches p — no interpolation, so results are real observed values
+    (what q_agg_percentile's continuous variant can never guarantee).
+    Both engines define it identically on the sorted multiset, so raw
+    parquet doubles match bit-for-bit with NO rounding anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr(
+                "percentile_disc(0.25) WITHIN GROUP (ORDER BY value)"
+            ).alias("p25"),
+            F.expr(
+                "percentile_disc(0.50) WITHIN GROUP (ORDER BY value)"
+            ).alias("p50"),
+            F.expr(
+                "percentile_disc(0.75) WITHIN GROUP (ORDER BY value)"
+            ).alias("p75"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+        .orderBy("event_type")
+    )

@@ -106,12 +106,18 @@ def build_scaled(spark, out_dir: str, n: int) -> None:
 
     docs = load_table(spark, BASE_SF, "documents")
     if not done("documents"):
+        # n_chars recomputes over the salted text (replica docs are longer):
+        # derived columns must stay consistent or length-bucketed operators
+        # (q_dedup_blocked_edit) see artificial cross-replica collisions
         reps(
         docs,
         lambda i: [
             (F.col("doc_id") + i * 1_000_000).alias("doc_id"),
             F.regexp_replace(F.col("text"), " ", f" r{i}_").alias("text"),
-            *[c for c in docs.columns if c not in ("doc_id", "text")],
+            F.length(
+                F.regexp_replace(F.col("text"), " ", f" r{i}_")
+            ).cast("long").alias("n_chars"),
+            *[c for c in docs.columns if c not in ("doc_id", "text", "n_chars")],
         ],
         ).write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
 

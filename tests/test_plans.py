@@ -110,3 +110,81 @@ def test_tpch_q18_aggregates_before_join(spark):
     assert any(i > first_join for i in agg_positions), (
         "no aggregate below the first join — HAVING reduction ran after joins"
     )
+
+
+def test_lateral_topn_decorrelates_to_hash_join(spark):
+    """The correlated LATERAL ... ORDER BY LIMIT subquery must decorrelate
+    into a ranked hash join — a nested-loop (per-outer-row re-execution)
+    plan would be the scale-killer the docstring claims Catalyst avoids."""
+    from stockmarketdata_dwb_etl_spark.plans import audit
+
+    df = _queries()["q_lateral_topn"](spark, SF_DIR)
+    a = audit(df)
+    assert "BroadcastHashJoin" in a.joins or "SortMergeJoin" in a.joins
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_exists_correlated_plans_anti_join(spark):
+    """NOT EXISTS must decorrelate to a left-anti join with the inner
+    predicate pushed into the orders scan, not a post-join filter."""
+    df = _queries()["q_exists_correlated"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+    from stockmarketdata_dwb_etl_spark.plans import audit
+
+    a = audit(df)
+    assert any("o_totalprice" in f for f in a.pushed_filters)
+
+
+def test_bitmap_distinct_is_two_level_agg(spark):
+    """The bitmap rollup must be partial+final hash aggregation at both
+    levels (4 HashAggregate nodes) with zero Python — the mergeable-state
+    shape that replaces shuffle-distinct."""
+    from stockmarketdata_dwb_etl_spark.plans import audit
+
+    df = _queries()["q_bitmap_distinct"](spark, SF_DIR)
+    a = audit(df)
+    assert a.python_is_arrow_only
+    plan = _plan(df)
+    # bitmap_construct_agg carries an object buffer → SortAggregate; the
+    # count level is a HashAggregate — both levels must be partial+final
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 4
+    assert "partial_bitmap_construct_agg" in plan  # map-side partial merge
+    assert "bitmap_construct_agg" in plan
+
+
+def test_feature_scale_broadcasts_stats(spark):
+    """The 64-row per-dimension stats table must broadcast back onto the
+    exploded values — a shuffled join here would re-shuffle the whole
+    exploded fact."""
+    from stockmarketdata_dwb_etl_spark.plans import audit
+
+    a = audit(_queries()["q_feature_scale"](spark, SF_DIR))
+    assert a.n_broadcast_exchanges >= 1
+    assert "BroadcastHashJoin" in a.joins
+
+
+def test_power_iteration_no_cartesian(spark):
+    """Three supersteps of joins: dimension/vector joins must stay hash
+    or broadcast; the only nested-loop joins allowed are the 1-row
+    normalization cross joins."""
+    df = _queries()["q_power_iteration"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    from stockmarketdata_dwb_etl_spark.plans import audit
+
+    a = audit(df)
+    assert a.python_is_arrow_only
+
+
+def test_blocked_edit_is_hash_join_on_block_key(spark):
+    """Blocking must produce an equi-join on the block key (hash join),
+    never an all-pairs nested loop."""
+    from stockmarketdata_dwb_etl_spark.plans import audit
+
+    df = _queries()["q_dedup_blocked_edit"](spark, SF_DIR)
+    a = audit(df)
+    assert "BroadcastHashJoin" in a.joins or "SortMergeJoin" in a.joins
+    assert "BroadcastNestedLoopJoin" not in a.joins
+    assert "CartesianProduct" not in _plan(df)

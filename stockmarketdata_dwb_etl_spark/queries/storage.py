@@ -470,3 +470,151 @@ def q_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum(F.col("o_totalprice"), "sum_price"),
         )
     )
+
+
+@query(
+    "q_gdpr_delete",
+    oracle="""
+    WITH t AS (
+        SELECT CAST(ts AS DATE) AS event_date, user_id FROM events
+    ),
+    affected AS (
+        SELECT DISTINCT event_date FROM t WHERE user_id % 97 = 0
+    )
+    SELECT CAST((SELECT COUNT(*) FROM affected) AS BIGINT)
+             AS n_partitions_affected,
+           CAST((SELECT COUNT(*) FROM t) AS BIGINT) AS n_rows_before,
+           CAST((SELECT COUNT(*) FROM t WHERE user_id % 97 <> 0) AS BIGINT)
+             AS n_rows_after,
+           CAST((SELECT COUNT(*) FROM t WHERE user_id % 97 = 0) AS BIGINT)
+             AS n_erased,
+           CAST(0 AS BIGINT) AS n_target_remaining
+    """,
+)
+def q_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten erasure on a date-partitioned table: the
+    erasure list (user_id % 97 = 0) maps to its affected partitions, and
+    ONLY those partitions are rewritten without the targeted rows
+    (dynamic partitionOverwriteMode — untouched dates keep their original
+    files, the honest cost model at 100 TB where the erasure set touches
+    a sliver of the partition space). The read-back audit re-counts from
+    the rewritten table: remaining targeted rows MUST be zero, and the
+    before/after/erased ledger is checked arithmetically by the oracle.
+    Idempotent per fixture vintage (scratch.fixture_tag)."""
+    src = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    out = os.path.join(SCRATCH, "gdpr_events", _tag(sf_dir))
+    marker_done = os.path.join(out, "_GDPR_APPLIED")
+    if not os.path.exists(marker_done):
+        src.write.mode("overwrite").partitionBy("event_date").parquet(out)
+        affected = [
+            r.event_date
+            for r in src.filter(F.col("user_id") % 97 == 0)
+            .select("event_date")
+            .distinct()
+            .collect()  # partition list: dimension-sized, driver-held
+        ]
+        cleaned = src.filter(
+            (F.col("user_id") % 97 != 0)
+            & F.col("event_date").isin(affected)
+        )
+        (
+            cleaned.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("event_date")
+            .parquet(out)
+        )
+        with open(marker_done, "w") as f:
+            f.write("")
+    back = spark.read.parquet(out)
+    n_before = src.count()
+    stats = back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows_after"),
+        F.sum(F.when(F.col("user_id") % 97 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_target_remaining"),
+    )
+    affected_n = (
+        src.filter(F.col("user_id") % 97 == 0)
+        .select("event_date")
+        .distinct()
+        .count()
+    )
+    return stats.select(
+        F.lit(affected_n).cast("bigint").alias("n_partitions_affected"),
+        F.lit(n_before).cast("bigint").alias("n_rows_before"),
+        "n_rows_after",
+        (F.lit(n_before) - F.col("n_rows_after")).cast("bigint").alias(
+            "n_erased"
+        ),
+        "n_target_remaining",
+    )
+
+
+@query(
+    "q_snapshot_rollback",
+    oracle="""
+    WITH split AS (
+        SELECT date_trunc('month', MAX(o_orderdate)) AS cutoff FROM orders
+    )
+    SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))), 2)
+                AS DOUBLE) AS revenue
+    FROM orders o CROSS JOIN split s
+    WHERE o.o_orderdate < s.cutoff
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-snapshot time travel (lite): the monthly revenue rollup
+    is materialized twice under a version= partition — v1 excludes the
+    final (incomplete) calendar month, v2 is current — and the rollback
+    read selects version=1 with a partition predicate, so the scan never
+    touches v2's files (partition pruning IS the time travel; a table
+    format would swap manifests instead of paths, same physical story).
+    The oracle reconstructs v1's definition directly from orders.
+    Idempotent per fixture vintage."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = os.path.join(SCRATCH, "snapshots_orders", _tag(sf_dir))
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        cutoff = orders.agg(
+            F.date_trunc("month", F.max("o_orderdate")).alias("cutoff")
+        )
+        base = orders.crossJoin(F.broadcast(cutoff))
+        monthly = (
+            base.groupBy(
+                F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"),
+                (F.col("o_orderdate") < F.col("cutoff")).alias("__in_v1"),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias(
+                    "__rev"
+                ),
+            )
+        )
+        v1 = monthly.filter(F.col("__in_v1")).select(
+            "month", "n_orders", "__rev", F.lit(1).alias("version")
+        )
+        v2 = (
+            monthly.groupBy("month")
+            .agg(
+                F.sum("n_orders").cast("bigint").alias("n_orders"),
+                F.sum("__rev").alias("__rev"),
+            )
+            .select("month", "n_orders", "__rev", F.lit(2).alias("version"))
+        )
+        (
+            v1.unionByName(v2)
+            .write.mode("overwrite")
+            .partitionBy("version")
+            .parquet(out)
+        )
+    snap = spark.read.parquet(out).filter(F.col("version") == 1)
+    return snap.select(
+        "month",
+        "n_orders",
+        F.round(F.col("__rev"), 2).cast("double").alias("revenue"),
+    ).orderBy("month")

@@ -139,6 +139,8 @@ PRIORITY = (
     "q_binaryfile_source",
     # round-3 batch 16: iterative linear algebra (power iteration)
     "q_power_iteration",
+    # round-3 batch 17: compliance erasure + snapshot rollback
+    "q_gdpr_delete", "q_snapshot_rollback",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

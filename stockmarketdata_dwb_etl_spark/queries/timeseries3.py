@@ -265,3 +265,225 @@ def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_disorder_audit",
+    oracle="""
+    WITH feed AS (
+        -- every 10th event is delivered 25 sequence slots late (the
+        -- deterministic delay injection; the fixture itself arrives in
+        -- event_id order, which would make the audit vacuous)
+        SELECT user_id, ts, event_id,
+               event_id + CASE WHEN event_id % 10 = 0 THEN 25 ELSE 0 END
+                 AS arrival_seq
+        FROM events
+    ),
+    seq AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts < MAX(ts) OVER (PARTITION BY user_id
+                                            ORDER BY arrival_seq, event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                                     AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS is_late
+        FROM feed
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(is_late) AS BIGINT) AS n_out_of_order,
+           CAST(ROUND(CAST(SUM(is_late) AS DOUBLE) / COUNT(*), 6) AS DOUBLE)
+             AS disorder_rate
+    FROM seq GROUP BY user_id
+    HAVING SUM(is_late) > 0
+    ORDER BY user_id
+    """,
+)
+def q_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order arrival audit: per user, events whose timestamp is
+    BEHIND the running maximum in arrival order (event_id) are late
+    arrivals — the disorder-rate statistic that sizes streaming
+    watermarks (q_stream_watermark's delay is exactly this quantile) and
+    decides whether a feed needs re-sequencing. The fixture arrives
+    perfectly ordered, so a deterministic delay injects disorder (every
+    10th event delivered 25 sequence slots late — the same
+    injected-perturbation pattern as the near-dup and corrupt-record
+    fixtures). One running-max window in arrival order + a per-user agg;
+    integer flags, no float drift. Emits only users with disorder."""
+    ev = load_table(spark, sf_dir, "events")
+    feed = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.col("event_id")
+            + F.when(F.col("event_id") % 10 == 0, 25).otherwise(0)
+        ).alias("arrival_seq"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("arrival_seq", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = feed.select(
+        "user_id",
+        F.when(F.col("ts") < F.max("ts").over(w), 1).otherwise(0).alias(
+            "is_late"
+        ),
+    )
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("is_late").cast("bigint").alias("n_out_of_order"),
+        )
+        .filter(F.col("n_out_of_order") > 0)
+        .select(
+            "user_id",
+            "n_events",
+            "n_out_of_order",
+            F.round(
+                F.col("n_out_of_order").cast("double") / F.col("n_events"), 6
+            )
+            .cast("double")
+            .alias("disorder_rate"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_missing_bars",
+    oracle=f"""
+    WITH bars AS (
+        SELECT event_type AS symbol, date_trunc('hour', ts) AS bar_ts
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT symbol, MIN(bar_ts) AS t0, MAX(bar_ts) AS t1,
+               CAST(COUNT(*) AS BIGINT) AS n_present
+        FROM bars GROUP BY symbol
+    ),
+    spine AS (
+        SELECT b.symbol, b.n_present,
+               CAST(1 + date_diff('hour', b.t0, b.t1) AS BIGINT) AS n_expected
+        FROM bounds b
+    )
+    SELECT symbol, n_expected, n_present,
+           CAST(n_expected - n_present AS BIGINT) AS n_missing,
+           CAST(ROUND(CAST(n_expected - n_present AS DOUBLE) / n_expected, 6)
+                AS DOUBLE) AS gap_rate
+    FROM spine ORDER BY symbol
+    """,
+)
+def q_missing_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bar-completeness audit: per symbol, the expected hourly bar count
+    over its [first, last] span (dense calendar arithmetic — no spine
+    materialization needed for the COUNT form) vs bars actually present,
+    with the gap rate every downstream gap-filler (q_gap_fill_locf) is
+    sized by. Exact integer hour arithmetic via timestampdiff. One
+    tick→bar hash-agg + a symbol-grain agg — nothing global."""
+    ev = load_table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("hour", F.col("ts")).alias("bar_ts"),
+    ).agg(F.lit(1).alias("__x"))
+    bounds = bars.groupBy("symbol").agg(
+        F.min("bar_ts").alias("t0"),
+        F.max("bar_ts").alias("t1"),
+        F.count(F.lit(1)).cast("bigint").alias("n_present"),
+    )
+    n_expected = (
+        F.lit(1) + F.expr("timestampdiff(HOUR, t0, t1)")
+    ).cast("bigint")
+    return bounds.select(
+        "symbol",
+        n_expected.alias("n_expected"),
+        "n_present",
+        (n_expected - F.col("n_present")).cast("bigint").alias("n_missing"),
+        F.round(
+            (n_expected - F.col("n_present")).cast("double") / n_expected, 6
+        )
+        .cast("double")
+        .alias("gap_rate"),
+    ).orderBy("symbol")
+
+
+@query(
+    "q_tick_rule",
+    oracle=f"""
+    WITH ticks AS (
+        SELECT event_type AS symbol, ts, event_id, value,
+               value - lag(value) OVER w AS dp
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY {_DUCK_ORD})
+    ),
+    signed AS (
+        SELECT symbol, ts, event_id,
+               last_value(CASE WHEN dp > 0 THEN 1
+                               WHEN dp < 0 THEN -1 END IGNORE NULLS)
+                 OVER (PARTITION BY symbol ORDER BY {_DUCK_ORD}
+                       ROWS UNBOUNDED PRECEDING) AS side
+        FROM ticks
+    )
+    SELECT symbol,
+           CAST(COUNT(*) AS BIGINT) AS n_classified,
+           CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_buys,
+           CAST(ROUND(CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+                           AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS buy_ratio
+    FROM signed WHERE side IS NOT NULL
+    GROUP BY symbol ORDER BY symbol
+    """,
+)
+def q_tick_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick-rule trade signing (the Lee–Ready fallback): each tick is a
+    buy (+1) if its price uptick, a sell (−1) on a downtick, and CARRIES
+    the previous sign on zero ticks — classic microstructure
+    classification, expressed as lag + last_value(IGNORE NULLS) over the
+    running frame (the carry is the same ignore-nulls LOCF machinery as
+    q_gap_fill_locf, applied to a derived sign). Per-symbol buy ratio is
+    the checked output; unclassified prefix ticks (before the first
+    price change) drop on both engines. Ordering uses the padded
+    (ts,event_id) key — bit-deterministic; comparisons are raw-parquet
+    doubles. One window shuffle on symbol."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(_spark_ord())
+    ticks = ev.select(
+        F.col("event_type").alias("symbol"),
+        (F.col("value") - F.lag("value").over(w)).alias("dp"),
+        _spark_ord().alias("__ord"),
+    )
+    wrun = (
+        Window.partitionBy("symbol")
+        .orderBy("__ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sign = (
+        F.when(F.col("dp") > 0, F.lit(1))
+        .when(F.col("dp") < 0, F.lit(-1))
+        .otherwise(F.lit(None))
+    )
+    signed = ticks.select(
+        "symbol",
+        F.last(sign, ignorenulls=True).over(wrun).alias("side"),
+    ).filter(F.col("side").isNotNull())
+    return (
+        signed.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classified"),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_buys"),
+        )
+        .select(
+            "symbol",
+            "n_classified",
+            "n_buys",
+            F.round(
+                F.col("n_buys").cast("double") / F.col("n_classified"), 6
+            )
+            .cast("double")
+            .alias("buy_ratio"),
+        )
+        .orderBy("symbol")
+    )

@@ -141,6 +141,8 @@ PRIORITY = (
     "q_power_iteration",
     # round-3 batch 17: compliance erasure + snapshot rollback
     "q_gdpr_delete", "q_snapshot_rollback",
+    # round-3 batch 18: feed-quality + microstructure audits
+    "q_disorder_audit", "q_missing_bars", "q_tick_rule",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

@@ -459,6 +459,12 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("w")
             )
         )
+        # materialize the superstep boundary: w is 64 rows, but WITHOUT
+        # this every later broadcast re-executes the whole prior-iteration
+        # lineage (measured: 43 exchanges / 53 broadcasts for 3 steps
+        # unmaterialized vs one superstep per stage checkpointed — the
+        # same cut global_row_number makes)
+        w = w.localCheckpoint(eager=True)
         nrm_df = w.agg(
             F.sqrt(
                 F.sum((F.col("w") * F.col("w")).cast(_PI_DEC)).cast("double")

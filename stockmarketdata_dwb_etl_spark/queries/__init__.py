@@ -24,6 +24,7 @@ from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
     timeseries2,
     graph,
     finance,
+    finance2,
     stats_q,
     relational,
     dataops5,

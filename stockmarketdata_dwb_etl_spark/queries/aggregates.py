@@ -384,3 +384,126 @@ def q_agg_mode_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p25_disc"),
         )
     )
+
+
+@query(
+    "q_percentile_cont",
+    oracle="""
+    WITH q AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS qs
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(u.p AS DOUBLE) AS p,
+           CAST(ROUND(u.v, 4) AS DOUBLE) AS price_quantile
+    FROM q, LATERAL (
+        SELECT unnest([0.25, 0.5, 0.75]) AS p, unnest(qs) AS v
+    ) u
+    ORDER BY l_returnflag, p
+    """,
+)
+def q_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (PERCENTILE_CONT semantics) per
+    return flag: Spark's ``percentile`` aggregate computes the linearly
+    interpolated quantile a + (b−a)·frac over the sorted group — the
+    same interpolation tree DuckDB's quantile_cont uses, so float64
+    agrees before the 4dp round. Complements q_approx_percentile (the
+    sketch path) and q_percentile_disc (the discrete path): this is the
+    exact path, which at 100 TB costs a per-group sort — the documented
+    trade-off the approx variant exists to avoid. One partial+final agg
+    keyed by the 3-value flag; the quantile array explodes to rows
+    map-side after the agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))"
+        ).alias("qs")
+    )
+    ps = F.array([F.lit(p) for p in (0.25, 0.5, 0.75)])
+    return (
+        q.select(
+            "l_returnflag",
+            F.explode(F.arrays_zip(ps.alias("p"), F.col("qs").alias("v"))).alias(
+                "u"
+            ),
+        )
+        .select(
+            "l_returnflag",
+            F.col("u.p").cast("double").alias("p"),
+            F.round(F.col("u.v"), 4).cast("double").alias("price_quantile"),
+        )
+        .orderBy("l_returnflag", "p")
+    )
+
+
+@query(
+    "q_partial_agg_merge",
+    oracle="""
+    WITH partials AS (
+        SELECT event_type AS symbol,
+               date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               SUM(CAST(value AS DECIMAL(38,6))) AS vsum,
+               MIN(value) AS vmin,
+               MAX(value) AS vmax
+        FROM events GROUP BY 1, 2
+    )
+    SELECT symbol,
+           CAST(COUNT(*) AS BIGINT) AS n_partials,
+           CAST(SUM(cnt) AS BIGINT) AS total_cnt,
+           CAST(ROUND(CAST(SUM(vsum) AS DOUBLE), 4) AS DOUBLE) AS total_value,
+           MIN(vmin) AS vmin,
+           MAX(vmax) AS vmax,
+           CAST(ROUND(CAST(SUM(vsum) AS DOUBLE) / SUM(cnt), 6) AS DOUBLE)
+               AS mean_value
+    FROM partials GROUP BY symbol ORDER BY symbol
+    """,
+)
+def q_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable partial-aggregate rollup — the two-level re-aggregation
+    pattern that makes 100 TB rollups cheap: level 1 reduces raw ticks
+    to per-(symbol, day) algebraic states (count, exact-decimal sum,
+    min, max); level 2 merges states WITHOUT touching raw data (counts
+    and sums add, min/max fold — every state is a commutative monoid,
+    so daily partials materialized once serve weekly/monthly/total
+    rollups forever after). The decimal sum is what makes the merge
+    exactly associative — double partials would drift per merge order.
+    Scales: the full-data shuffle happens once at level 1; level 2
+    shuffles only the day-grain state table (calendar-bounded)."""
+    ev = load_table(spark, sf_dir, "events")
+    partials = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("vsum"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    return (
+        partials.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_partials"),
+            F.sum("cnt").cast("bigint").alias("total_cnt"),
+            F.sum("vsum").alias("__vsum"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+        .select(
+            "symbol",
+            "n_partials",
+            "total_cnt",
+            F.round(F.col("__vsum").cast("double"), 4)
+            .cast("double")
+            .alias("total_value"),
+            "vmin",
+            "vmax",
+            F.round(
+                F.col("__vsum").cast("double") / F.col("total_cnt"), 6
+            )
+            .cast("double")
+            .alias("mean_value"),
+        )
+        .orderBy("symbol")
+    )

@@ -1,0 +1,509 @@
+"""Market-indicator battery, part 2: ATR, stochastic oscillator,
+on-balance volume, CAPM beta/alpha, annualized Sharpe, and lag-1 return
+autocorrelation.
+
+Same warehouse surface as finance.py — indicator queries over the bar
+series the reference's BigQuery table serves (daily OHLCV per index,
+``/root/reference/dump_bigq.py:47-56``) — extended to the risk/benchmark
+family: every query here reduces to windows + aggregations over the
+deterministic hourly/daily bars derived from ``events`` (event_type =
+symbol, value = price, tick count = volume).
+
+Determinism policy (same as finance.py / timeseries.py): frame and group
+sums accumulate in exact DECIMAL so results are partition-order
+independent; all double math (divisions, sqrt, the beta/corr moment
+formulas) uses the IDENTICAL expression tree on both engines so float64
+agrees bit-for-bit before the output round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stockmarketdata_dwb_etl_spark.catalog import load_table
+from stockmarketdata_dwb_etl_spark.queries.timeseries import _DUCK_ORD, _spark_ord
+from stockmarketdata_dwb_etl_spark.registry import query
+
+_DEC = "decimal(38,6)"
+_DEC18 = "decimal(38,18)"
+
+
+def _ohlcv_bars(spark: SparkSession, sf_dir: str, grain: str) -> DataFrame:
+    """Per-symbol OHLCV bars at the given grain: open/close deterministic
+    via the padded (ts,event_id) key, volume = tick count (the events
+    stand-in has no size column; bar tick count is the standard proxy)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc(grain, F.col("ts")).alias("bar_ts"),
+    ).agg(
+        F.min_by("value", _spark_ord()).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", _spark_ord()).alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("volume"),
+    )
+
+
+def _duck_ohlcv(grain: str) -> str:
+    return f"""
+    bars AS (
+        SELECT event_type AS symbol,
+               date_trunc('{grain}', ts) AS bar_ts,
+               arg_min(value, {_DUCK_ORD}) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               arg_max(value, {_DUCK_ORD}) AS close,
+               CAST(COUNT(*) AS BIGINT) AS volume
+        FROM events GROUP BY 1, 2
+    )
+    """
+
+
+def _returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol hourly simple returns r = close/prev_close − 1."""
+    ev = load_table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("hour", F.col("ts")).alias("bar_ts"),
+    ).agg(F.max_by("value", _spark_ord()).alias("close"))
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    return bars.select(
+        "symbol",
+        "bar_ts",
+        (F.col("close") / F.lag("close").over(w) - F.lit(1.0)).alias("r"),
+    ).filter(F.col("r").isNotNull())
+
+
+_DUCK_RETURNS = f"""
+    cbars AS (
+        SELECT event_type AS symbol,
+               date_trunc('hour', ts) AS bar_ts,
+               arg_max(value, {_DUCK_ORD}) AS close
+        FROM events GROUP BY 1, 2
+    ),
+    rets AS (
+        SELECT symbol, bar_ts,
+               close / lag(close) OVER (PARTITION BY symbol
+                                        ORDER BY bar_ts) - 1.0 AS r
+        FROM cbars
+        QUALIFY r IS NOT NULL
+    )
+"""
+
+
+@query(
+    "q_atr",
+    oracle=f"""
+    WITH {_duck_ohlcv("day")},
+    tr AS (
+        SELECT symbol, bar_ts, high, low, close,
+               lag(close) OVER w AS prev_c,
+               row_number() OVER w AS rn
+        FROM bars
+        WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts)
+    ),
+    ranged AS (
+        SELECT symbol, bar_ts, rn,
+               CASE WHEN prev_c IS NULL THEN high - low
+                    ELSE greatest(high - low, abs(high - prev_c),
+                                  abs(low - prev_c)) END AS true_range
+        FROM tr
+    )
+    SELECT symbol, bar_ts,
+           CAST(ROUND(true_range, 4) AS DOUBLE) AS true_range,
+           CAST(ROUND(CAST(
+               SUM(CAST(true_range AS DECIMAL(38,6)))
+                   OVER (PARTITION BY symbol ORDER BY bar_ts
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+               AS DOUBLE) / 14.0, 4) AS DOUBLE) AS atr14
+    FROM ranged
+    QUALIFY rn >= 14
+    ORDER BY symbol, bar_ts
+    """,
+)
+def q_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average True Range 14 (Cutler's SMA variant, like q_rsi) per
+    symbol over daily OHLC bars: true range = max(H−L, |H−prevC|,
+    |L−prevC|) (first bar falls back to H−L — the textbook seed), then a
+    14-bar frame average with the sum in exact DECIMAL. All comparisons
+    are engine-exact double; only the quotient runs in float. Scales:
+    tick→bar hash-agg then two stacked windows keyed by symbol — one
+    shuffle."""
+    bars = _ohlcv_bars(spark, sf_dir, "day")
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    prev_c = F.lag("close").over(w)
+    seq = bars.select(
+        "symbol",
+        "bar_ts",
+        "high",
+        "low",
+        prev_c.alias("prev_c"),
+        F.row_number().over(w).alias("rn"),
+    )
+    tr = (
+        F.when(
+            F.col("prev_c").isNull(), F.col("high") - F.col("low")
+        ).otherwise(
+            F.greatest(
+                F.col("high") - F.col("low"),
+                F.abs(F.col("high") - F.col("prev_c")),
+                F.abs(F.col("low") - F.col("prev_c")),
+            )
+        )
+    ).alias("true_range")
+    ranged = seq.select("symbol", "bar_ts", "rn", tr)
+    f = Window.partitionBy("symbol").orderBy("bar_ts").rowsBetween(-13, 0)
+    return (
+        ranged.select(
+            "symbol",
+            "bar_ts",
+            "rn",
+            F.round("true_range", 4).cast("double").alias("true_range"),
+            F.round(
+                F.sum(F.col("true_range").cast(_DEC)).over(f).cast("double")
+                / F.lit(14.0),
+                4,
+            )
+            .cast("double")
+            .alias("atr14"),
+        )
+        .filter(F.col("rn") >= 14)
+        .drop("rn")
+        .orderBy("symbol", "bar_ts")
+    )
+
+
+@query(
+    "q_stochastic",
+    oracle=f"""
+    WITH {_duck_ohlcv("hour")},
+    ranged AS (
+        SELECT symbol, bar_ts, close,
+               MAX(high) OVER f AS h14,
+               MIN(low) OVER f AS l14,
+               row_number() OVER (PARTITION BY symbol ORDER BY bar_ts) AS rn
+        FROM bars
+        WINDOW f AS (PARTITION BY symbol ORDER BY bar_ts
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ),
+    k AS (
+        SELECT symbol, bar_ts, rn,
+               ROUND(CASE WHEN h14 = l14 THEN 50.0
+                          ELSE 100.0 * (close - l14) / (h14 - l14) END,
+                     6) AS k6
+        FROM ranged
+    )
+    SELECT symbol, bar_ts,
+           CAST(ROUND(k6, 4) AS DOUBLE) AS pct_k,
+           CAST(ROUND(CAST(
+               SUM(CAST(k6 AS DECIMAL(38,18)))
+                   OVER (PARTITION BY symbol ORDER BY bar_ts
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS DOUBLE) / 3.0, 4) AS DOUBLE) AS pct_d
+    FROM k
+    QUALIFY rn >= 16
+    ORDER BY symbol, bar_ts
+    """,
+)
+def q_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator (14, 3) per symbol over hourly bars:
+    %K = 100·(C−L14)/(H14−L14) (flat 14-bar range pins to 50 by
+    convention), %D = 3-bar SMA of %K. %K rounds to 6dp BEFORE the %D
+    average so the smoothed input is identical on both engines; the %D
+    sum accumulates that 6dp value in exact DECIMAL. Rows emit from
+    rn≥16 so both the 14-bar range and the 3-bar smoothing are fully
+    formed. Scales: one bar hash-agg + stacked frames on symbol — one
+    shuffle."""
+    bars = _ohlcv_bars(spark, sf_dir, "hour")
+    f = Window.partitionBy("symbol").orderBy("bar_ts").rowsBetween(-13, 0)
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    ranged = bars.select(
+        "symbol",
+        "bar_ts",
+        "close",
+        F.max("high").over(f).alias("h14"),
+        F.min("low").over(f).alias("l14"),
+        F.row_number().over(w).alias("rn"),
+    )
+    k6 = F.round(
+        F.when(F.col("h14") == F.col("l14"), F.lit(50.0)).otherwise(
+            F.lit(100.0)
+            * (F.col("close") - F.col("l14"))
+            / (F.col("h14") - F.col("l14"))
+        ),
+        6,
+    )
+    kdf = ranged.select("symbol", "bar_ts", "rn", k6.alias("k6"))
+    d = Window.partitionBy("symbol").orderBy("bar_ts").rowsBetween(-2, 0)
+    return (
+        kdf.select(
+            "symbol",
+            "bar_ts",
+            "rn",
+            F.round("k6", 4).cast("double").alias("pct_k"),
+            F.round(
+                F.sum(F.col("k6").cast(_DEC18)).over(d).cast("double")
+                / F.lit(3.0),
+                4,
+            )
+            .cast("double")
+            .alias("pct_d"),
+        )
+        .filter(F.col("rn") >= 16)
+        .drop("rn")
+        .orderBy("symbol", "bar_ts")
+    )
+
+
+@query(
+    "q_obv",
+    oracle=f"""
+    WITH {_duck_ohlcv("hour")},
+    signed AS (
+        SELECT symbol, bar_ts, close,
+               CASE WHEN lag(close) OVER w IS NULL THEN CAST(0 AS BIGINT)
+                    WHEN close > lag(close) OVER w THEN volume
+                    WHEN close < lag(close) OVER w THEN -volume
+                    ELSE CAST(0 AS BIGINT) END AS signed_vol
+        FROM bars
+        WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts)
+    )
+    SELECT symbol, bar_ts,
+           CAST(ROUND(close, 4) AS DOUBLE) AS close,
+           CAST(SUM(signed_vol)
+                    OVER (PARTITION BY symbol ORDER BY bar_ts
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
+    FROM signed
+    ORDER BY symbol, bar_ts
+    """,
+)
+def q_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume per symbol over hourly bars: volume flows with
+    the close-to-close direction (+vol on up bars, −vol on down bars, 0
+    on flat/first), accumulated as a running BIGINT sum — exact integer
+    arithmetic end to end, no float accumulation anywhere. Scales: bar
+    hash-agg + one lag window + one running-sum window on symbol, O(1)
+    state per row."""
+    bars = _ohlcv_bars(spark, sf_dir, "hour")
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    prev_c = F.lag("close").over(w)
+    signed = bars.select(
+        "symbol",
+        "bar_ts",
+        "close",
+        F.when(prev_c.isNull(), F.lit(0).cast("bigint"))
+        .when(F.col("close") > prev_c, F.col("volume"))
+        .when(F.col("close") < prev_c, -F.col("volume"))
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("signed_vol"),
+    )
+    run = (
+        Window.partitionBy("symbol")
+        .orderBy("bar_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return signed.select(
+        "symbol",
+        "bar_ts",
+        F.round("close", 4).cast("double").alias("close"),
+        F.sum("signed_vol").over(run).cast("bigint").alias("obv"),
+    ).orderBy("symbol", "bar_ts")
+
+
+@query(
+    "q_beta_capm",
+    oracle=f"""
+    WITH {_DUCK_RETURNS},
+    mkt AS (
+        SELECT bar_ts,
+               CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE)
+                   / COUNT(*) AS rm
+        FROM rets GROUP BY bar_ts
+    ),
+    moments AS (
+        SELECT s.symbol,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(m.rm AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(s.r AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(s.r * m.rm AS DECIMAL(38,18))) AS DOUBLE)
+                   AS sxy,
+               CAST(SUM(CAST(m.rm * m.rm AS DECIMAL(38,18))) AS DOUBLE)
+                   AS sxx
+        FROM rets s JOIN mkt m ON s.bar_ts = m.bar_ts
+        GROUP BY s.symbol
+    )
+    SELECT symbol, n,
+           CAST(ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                AS DOUBLE) AS beta,
+           CAST(ROUND(sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                               * (sx / n), 6) AS DOUBLE) AS alpha
+    FROM moments ORDER BY symbol
+    """,
+)
+def q_beta_capm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPM beta/alpha per symbol against the equal-weight market
+    return: r_m(t) = mean of available symbol returns at t (decimal sum
+    / count), beta = cov(r_i, r_m)/var(r_m) via the moment formula
+    (n·Σxy − Σx·Σy)/(n·Σxx − Σx²) with every Σ accumulated in
+    DECIMAL(38,18) (per-row products computed in double first —
+    identical bits both engines), alpha = ȳ − β·x̄ with the identical
+    double tree. Scales: the market table is calendar-bounded (one row
+    per bar) so the returns⨝market join broadcasts; moments are one
+    partial+final hash-agg per symbol."""
+    rets = _returns(spark, sf_dir)
+    mkt = rets.groupBy("bar_ts").agg(
+        (
+            F.sum(F.col("r").cast(_DEC18)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("rm")
+    )
+    joined = rets.join(F.broadcast(mkt), "bar_ts")
+    m = joined.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("rm").cast(_DEC18)).cast("double").alias("sx"),
+        F.sum(F.col("r").cast(_DEC18)).cast("double").alias("sy"),
+        F.sum((F.col("r") * F.col("rm")).cast(_DEC18))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("rm") * F.col("rm")).cast(_DEC18))
+        .cast("double")
+        .alias("sxx"),
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    alpha = F.col("sy") / F.col("n") - beta * (F.col("sx") / F.col("n"))
+    return m.select(
+        "symbol",
+        "n",
+        F.round(beta, 6).cast("double").alias("beta"),
+        F.round(alpha, 6).cast("double").alias("alpha"),
+    ).orderBy("symbol")
+
+
+@query(
+    "q_sharpe",
+    oracle=f"""
+    WITH {_DUCK_RETURNS},
+    moments AS (
+        SELECT symbol,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(r * r AS DECIMAL(38,18))) AS DOUBLE) AS ss
+        FROM rets GROUP BY symbol
+    )
+    SELECT symbol, n,
+           CAST(ROUND(s / n, 8) AS DOUBLE) AS mean_r,
+           CAST(ROUND(sqrt(greatest(ss / n - (s / n) * (s / n), 0.0)), 8)
+                AS DOUBLE) AS vol,
+           CAST(CASE WHEN ss / n - (s / n) * (s / n) <= 0 THEN NULL
+                ELSE ROUND((s / n)
+                           / sqrt(greatest(ss / n - (s / n) * (s / n), 0.0))
+                           * sqrt(8760.0), 6) END AS DOUBLE)
+               AS sharpe_ann
+    FROM moments ORDER BY symbol
+    """,
+)
+def q_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annualized Sharpe ratio per symbol over hourly simple returns
+    (rf = 0): mean/σ_pop·√8760. Moment sums in exact DECIMAL, the
+    mean/variance/sqrt chain in double with the identical tree (variance
+    clamped at 0 — the two-pass formula can go ~−ulp on near-constant
+    series; an exactly-zero variance yields NULL). Scales: one
+    partial+final hash-agg per symbol after the per-symbol lag window —
+    one shuffle each."""
+    rets = _returns(spark, sf_dir)
+    m = rets.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("r").cast(_DEC18)).cast("double").alias("s"),
+        F.sum((F.col("r") * F.col("r")).cast(_DEC18))
+        .cast("double")
+        .alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = F.col("ss") / F.col("n") - mean * mean
+    vol = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return m.select(
+        "symbol",
+        "n",
+        F.round(mean, 8).cast("double").alias("mean_r"),
+        F.round(vol, 8).cast("double").alias("vol"),
+        F.when(var <= 0, F.lit(None).cast("double"))
+        .otherwise(F.round(mean / vol * F.sqrt(F.lit(8760.0)), 6))
+        .cast("double")
+        .alias("sharpe_ann"),
+    ).orderBy("symbol")
+
+
+@query(
+    "q_autocorr",
+    oracle=f"""
+    WITH {_DUCK_RETURNS},
+    pairs AS (
+        SELECT symbol, r AS y,
+               lag(r) OVER (PARTITION BY symbol ORDER BY bar_ts) AS x
+        FROM rets
+        QUALIFY x IS NOT NULL
+    ),
+    moments AS (
+        SELECT symbol,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy
+        FROM pairs GROUP BY symbol
+    )
+    SELECT symbol, n,
+           CAST(CASE WHEN (n * sxx - sx * sx) <= 0
+                       OR (n * syy - sy * sy) <= 0 THEN NULL
+                ELSE ROUND((n * sxy - sx * sy)
+                           / (sqrt(n * sxx - sx * sx)
+                              * sqrt(n * syy - sy * sy)), 6) END
+                AS DOUBLE) AS acf1
+    FROM moments ORDER BY symbol
+    """,
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of hourly returns per symbol — the
+    mean-reversion / momentum diagnostic: Pearson correlation between
+    (r_t, r_{t−1}) via the moment formula, all five Σ in exact DECIMAL,
+    the quotient chain in double with the identical tree (degenerate
+    variance yields NULL). Scales: lag window + one hash-agg, both keyed
+    by symbol."""
+    rets = _returns(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    pairs = rets.select(
+        "symbol",
+        F.col("r").alias("y"),
+        F.lag("r").over(w).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    m = pairs.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(_DEC18)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(_DEC18)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(_DEC18))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(_DEC18))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(_DEC18))
+        .cast("double")
+        .alias("syy"),
+    )
+    cxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    cyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cxy = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        "symbol",
+        "n",
+        F.when((cxx <= 0) | (cyy <= 0), F.lit(None).cast("double"))
+        .otherwise(F.round(cxy / (F.sqrt(cxx) * F.sqrt(cyy)), 6))
+        .cast("double")
+        .alias("acf1"),
+    ).orderBy("symbol")

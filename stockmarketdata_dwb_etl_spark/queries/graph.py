@@ -302,3 +302,92 @@ def q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("shared_parts").desc(), "supp_a", "supp_b")
     )
+
+
+_BFS_ITERS = 4
+
+
+def _bfs_level_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+        SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT e.dst AS node, d.dist + 1 AS dist
+            FROM strong e JOIN {prev} d ON d.node = e.src
+        ) GROUP BY node
+    )"""
+
+
+@query(
+    "q_bfs_distance",
+    oracle=(
+        "WITH "
+        + _GRAPH_SQL
+        + """,
+    med AS (
+        SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY w) AS m
+        FROM edges
+    ),
+    strong AS (
+        SELECT e.src, e.dst FROM edges e, med WHERE e.w >= med.m
+    ),
+    snodes AS (SELECT DISTINCT src AS node FROM strong),
+    s AS (SELECT MIN(node) AS sn FROM snodes),
+    d0 AS (
+        SELECT node, CAST(0 AS BIGINT) AS dist FROM snodes, s
+        WHERE node = sn
+    ),"""
+        + ",".join(
+            _bfs_level_sql(f"d{i}", f"d{i + 1}") for i in range(_BFS_ITERS)
+        )
+        + f"""
+    SELECT node, dist FROM d{_BFS_ITERS} ORDER BY node
+    """
+    ),
+)
+def q_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop distances over the strong-tie brand graph
+    (edges at or above the median co-purchase weight — the discrete
+    median is engine-exact), 4 unrolled supersteps from the
+    lexicographically-smallest strong node. Each superstep is the
+    Pregel relax step: frontier joins edges on src (ONE shuffle; at
+    billion-edge scale edges and the distance vector hash-co-partition
+    on the node key across supersteps, at fixture scale the frontier
+    broadcasts), then a min-merge per node folds new candidate
+    distances into the running vector. Integer distances — exact on
+    any engine; unreached nodes stay absent rather than carrying a
+    sentinel."""
+    edges, _, _ = _graph(spark, sf_dir)
+    med = edges.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY w)").alias("m")
+    )
+    strong = (
+        edges.crossJoin(F.broadcast(med))
+        .filter(F.col("w") >= F.col("m"))
+        .select("src", "dst")
+        .persist()
+    )
+    snodes = strong.select(F.col("src").alias("node")).distinct()
+    src_node = snodes.agg(F.min("node").alias("sn"))
+    dist = (
+        snodes.crossJoin(F.broadcast(src_node))
+        .filter(F.col("node") == F.col("sn"))
+        .select("node", F.lit(0).cast("bigint").alias("dist"))
+    )
+    for _ in range(_BFS_ITERS):
+        relaxed = (
+            strong.join(dist.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+            # materialize the superstep boundary (node-count rows):
+            # without this each superstep's join re-executes the whole
+            # prior-iteration lineage — the same cut q_power_iteration
+            # and the transitive-closure operator make
+            .localCheckpoint(eager=True)
+        )
+    return dist.orderBy("node")

@@ -143,6 +143,12 @@ PRIORITY = (
     "q_gdpr_delete", "q_snapshot_rollback",
     # round-3 batch 18: feed-quality + microstructure audits
     "q_disorder_audit", "q_missing_bars", "q_tick_rule",
+    # round-3 batch 19: risk/benchmark indicator battery (finance2.py)
+    "q_atr", "q_stochastic", "q_obv", "q_beta_capm", "q_sharpe",
+    "q_autocorr",
+    # round-3 batch 20: BFS supersteps, mergeable-state rollup,
+    # exact interpolated percentiles
+    "q_bfs_distance", "q_partial_agg_merge", "q_percentile_cont",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

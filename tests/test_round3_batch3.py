@@ -1,0 +1,142 @@
+"""Property tests for the round-3 risk/benchmark indicator batch
+(finance2.py): indicator math vs independent pandas/numpy computation.
+
+These assert the MATH on the fixture tables (sf0.001) independently of
+the DuckDB differential gate in tests/test_oracle.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from stockmarketdata_dwb_etl_spark.registry import QUERIES, load_all
+from tests.conftest import SF_DIR
+
+load_all()
+
+
+def _one_symbol(out: pd.DataFrame) -> pd.DataFrame:
+    return (
+        out[out.symbol == out.symbol.iloc[0]]
+        .sort_values("bar_ts")
+        .reset_index(drop=True)
+    )
+
+
+def test_atr_matches_pandas_rolling(spark):
+    out = QUERIES["q_atr"](spark, SF_DIR).toPandas()
+    one = _one_symbol(out)
+    # the emitted true_range re-averaged over a 14-row window must equal
+    # atr14 (rows are contiguous from rn=14 => window fully formed from
+    # index 13 of the emitted slice onward)
+    recomputed = one["true_range"].rolling(14).mean()
+    got = one["atr14"].iloc[13:]
+    assert np.allclose(got.values, recomputed.iloc[13:].round(4).values, atol=2e-4)
+    assert (out["true_range"] >= 0).all()
+
+
+def test_stochastic_bounds_and_smoothing(spark):
+    out = QUERIES["q_stochastic"](spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    assert (out.pct_k >= 0).all() and (out.pct_k <= 100).all()
+    assert (out.pct_d >= 0).all() and (out.pct_d <= 100).all()
+    one = _one_symbol(out)
+    # %D re-averaged from emitted %K matches from the 3rd emitted row on
+    recomputed = one["pct_k"].rolling(3).mean()
+    assert np.allclose(
+        one["pct_d"].iloc[2:].values, recomputed.iloc[2:].values, atol=2e-4
+    )
+
+
+def test_obv_matches_pandas_cumsum(spark):
+    out = QUERIES["q_obv"](spark, SF_DIR).toPandas()
+    one = _one_symbol(out)
+    # direction of OBV steps must follow close-to-close direction
+    dobv = one["obv"].diff().iloc[1:]
+    dclose = one["close"].diff().iloc[1:]
+    up = dclose > 0
+    down = dclose < 0
+    assert (dobv[up] > 0).all()
+    assert (dobv[down] < 0).all()
+    assert (dobv[~(up | down)] == 0).all()
+    assert one["obv"].iloc[0] == 0
+
+
+def test_beta_matches_numpy_polyfit(spark):
+    out = QUERIES["q_beta_capm"](spark, SF_DIR).toPandas()
+    assert len(out) == 5
+    # recompute returns + equal-weight market independently in pandas
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["bar_ts"] = ev["ts"].dt.floor("h")
+    key = (
+        ev["ts"].astype("int64").astype("string").str.zfill(20)
+        + "-"
+        + ev["event_id"].astype("string").str.zfill(12)
+    )
+    ev = ev.assign(__k=key).sort_values("__k")
+    bars = ev.groupby(["event_type", "bar_ts"]).last()["value"].rename("close")
+    rets = (
+        bars.groupby(level=0).pct_change().dropna().rename("r").reset_index()
+    )
+    mkt = rets.groupby("bar_ts")["r"].mean().rename("rm")
+    j = rets.merge(mkt, on="bar_ts")
+    for _, row in out.iterrows():
+        sub = j[j.event_type == row["symbol"]]
+        beta = np.polyfit(sub["rm"], sub["r"], 1)[0]
+        assert math.isclose(row["beta"], beta, rel_tol=1e-3, abs_tol=1e-4)
+
+
+def test_sharpe_matches_numpy(spark):
+    out = QUERIES["q_sharpe"](spark, SF_DIR).toPandas()
+    assert len(out) == 5
+    for _, row in out.iterrows():
+        if row["sharpe_ann"] is None or pd.isna(row["sharpe_ann"]):
+            continue
+        expect = row["mean_r"] / row["vol"] * math.sqrt(8760.0)
+        assert math.isclose(row["sharpe_ann"], expect, rel_tol=1e-3)
+
+
+def test_autocorr_in_bounds(spark):
+    out = QUERIES["q_autocorr"](spark, SF_DIR).toPandas()
+    assert len(out) == 5
+    ok = out["acf1"].dropna()
+    assert ((ok >= -1.0) & (ok <= 1.0)).all()
+
+
+def test_bfs_source_zero_and_unit_steps(spark):
+    out = QUERIES["q_bfs_distance"](spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    # exactly one source at distance 0, and it is the smallest node
+    zeros = out[out.dist == 0]
+    assert len(zeros) == 1
+    assert zeros.iloc[0]["node"] == out["node"].min()
+    # hop distances are a contiguous ladder from 0 (BFS frontier property)
+    ds = sorted(out["dist"].unique())
+    assert ds == list(range(len(ds)))
+    assert max(ds) <= 4
+
+
+def test_partial_agg_merge_equals_direct(spark):
+    out = QUERIES["q_partial_agg_merge"](spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    direct = ev.groupby("event_type")["value"].agg(["count", "sum", "min", "max"])
+    for _, row in out.iterrows():
+        d = direct.loc[row["symbol"]]
+        assert row["total_cnt"] == d["count"]
+        assert math.isclose(row["total_value"], round(d["sum"], 4), abs_tol=1e-3)
+        assert row["vmin"] == d["min"] and row["vmax"] == d["max"]
+
+
+def test_percentile_cont_matches_numpy(spark):
+    out = QUERIES["q_percentile_cont"](spark, SF_DIR).toPandas()
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    for flag, grp in li.groupby("l_returnflag"):
+        for p in (0.25, 0.5, 0.75):
+            expect = np.percentile(grp["l_extendedprice"], p * 100)
+            got = out[(out.l_returnflag == flag) & (out.p == p)][
+                "price_quantile"
+            ].iloc[0]
+            assert math.isclose(got, expect, rel_tol=1e-6, abs_tol=1e-3)

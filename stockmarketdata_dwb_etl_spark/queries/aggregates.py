@@ -507,3 +507,63 @@ def q_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+@query(
+    "q_agg_filtered",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT)
+               AS n_high,
+           CAST(ROUND(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                               FILTER (WHERE o_orderstatus = 'O'), 0)
+                           AS DOUBLE), 4) AS DOUBLE) AS open_revenue,
+           CAST(COUNT(DISTINCT o_custkey)
+                    FILTER (WHERE EXTRACT(year FROM o_orderdate) = 1996)
+                AS BIGINT) AS custs_1996
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation — SQL FILTER-clause semantics: one pass
+    over orders computing, per priority, the total count, a filtered
+    count, a filtered exact-decimal revenue sum (COALESCE 0 when no row
+    qualifies, matching the SQL convention), and a filtered distinct
+    count. Each FILTER compiles to when(cond, x) inside the aggregate —
+    no self-joins, no second scan; the distinct branch plans the
+    standard two-phase expand. This is the pattern that replaces N
+    per-condition subqueries with one shuffle at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.count(F.when(F.col("o_totalprice") > 150000, 1))
+            .cast("bigint")
+            .alias("n_high"),
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("o_orderstatus") == "O",
+                            F.col("o_totalprice").cast("decimal(38,6)"),
+                        )
+                    ),
+                    F.lit(0).cast("decimal(38,6)"),
+                ).cast("double"),
+                4,
+            )
+            .cast("double")
+            .alias("open_revenue"),
+            F.count_distinct(
+                F.when(
+                    F.year("o_orderdate") == 1996, F.col("o_custkey")
+                )
+            )
+            .cast("bigint")
+            .alias("custs_1996"),
+        )
+        .orderBy("o_orderpriority")
+    )

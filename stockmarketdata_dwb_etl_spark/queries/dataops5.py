@@ -482,3 +482,208 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("idx")
     )
+
+
+@query(
+    "q_dedup_cross_corpus",
+    oracle="""
+    WITH corp AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, text || ' qq1 qq2 qq3' AS text
+        FROM documents WHERE doc_id % 14 = 0
+    ),
+    hold AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+    aug AS (SELECT * FROM corp UNION ALL SELECT * FROM hold),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM aug)
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jac AS (
+        SELECT i.id_a, i.id_b,
+               CAST(ROUND(i.c::DOUBLE / (sa.n + sb.n - i.c), 4) AS DOUBLE)
+                   AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE ROUND(i.c::DOUBLE / (sa.n + sb.n - i.c), 4) >= 0.7
+    )
+    SELECT CAST(CASE WHEN id_a % 7 = 0 THEN id_b ELSE id_a END AS BIGINT)
+               AS corpus_id,
+           CAST(CASE WHEN id_a % 7 = 0 THEN id_a ELSE id_b END AS BIGINT)
+               AS holdout_id,
+           jaccard
+    FROM jac
+    WHERE (id_a % 7 = 0) <> (id_b % 7 = 0)
+    ORDER BY corpus_id, holdout_id
+    """,
+)
+def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by NEAR-duplicate match — the fuzzy
+    complement to q_contamination's exact 8-gram check (the Dolma /
+    FineWeb decontamination step): find training-corpus documents whose
+    shingle Jaccard against any held-out benchmark document clears 0.7,
+    via the same MinHash-LSH + exact-verify pipeline as q_dedup_minhash
+    (one LSH pass over the union; cross-side pairs selected after
+    verification, so corpus-corpus dup pairs ride along free). The
+    fixture plants contaminated docs (every 14th holdout doc re-entered
+    with a 3-word suffix under a shifted id); the oracle computes exact
+    ground truth via the inverted shingle index, certifying LSH recall,
+    and the id%7 side rule is engine-exact integer arithmetic. Scale:
+    identical posture to q_dedup_minhash — shuffles on doc_id/band_hash
+    only, bucket caps bound the self-join; the holdout side is MBs in
+    production, so its bands could broadcast, but the union plan needs
+    no such special case."""
+    docs = load_table(spark, sf_dir, "documents")
+    corp = docs.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 14 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" qq1 qq2 qq3")).alias("text"),
+    )
+    hold = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    aug = corp.unionByName(planted).unionByName(hold)
+
+    from stockmarketdata_dwb_etl_spark.operators.dedup import minhash_near_dups
+
+    pairs = minhash_near_dups(aug, id_col="doc_id", text_col="text")
+    a_hold = F.col("id_a") % 7 == 0
+    b_hold = F.col("id_b") % 7 == 0
+    return (
+        pairs.filter(a_hold != b_hold)
+        .select(
+            F.when(a_hold, F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .cast("bigint")
+            .alias("corpus_id"),
+            F.when(a_hold, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .cast("bigint")
+            .alias("holdout_id"),
+            "jaccard",
+        )
+        .orderBy("corpus_id", "holdout_id")
+    )
+
+
+@query(
+    "q_quality_classifier",
+    oracle="""
+    WITH feat AS (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(w, x -> strlen(x))) AS DOUBLE)
+                   / len(w) AS avg_wlen,
+               CAST(len(list_filter(w, x -> x IN
+                   ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                   / len(w) AS stop_ratio,
+               CAST(strlen(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                   / strlen(text) AS digit_ratio
+        FROM (SELECT doc_id, text,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents)
+        WHERE len(w) > 0 AND strlen(text) > 0
+    ),
+    scored AS (
+        SELECT doc_id,
+               ROUND(1.0 / (1.0 + exp(-(
+                   -2.0 + 0.02 * least(n_words, 200) + 6.0 * stop_ratio
+                   - 8.0 * digit_ratio + 0.3 * avg_wlen))), 6) AS score
+        FROM feat
+    )
+    SELECT CAST(least(CAST(floor(score * 10) AS BIGINT), 9) AS BIGINT)
+               AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(ROUND(CAST(SUM(CAST(score AS DECIMAL(38,18))) AS DOUBLE)
+                      / COUNT(*), 6) AS DOUBLE) AS avg_score
+    FROM scored GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality scorer — the deterministic stand-in for the
+    fastText/classifier quality gate every LLM corpus pipeline runs
+    (FineWeb-Edu-style): per-doc features (word count capped at 200,
+    mean word length, stopword ratio, digit ratio) combined by fixed
+    literal weights through a sigmoid, bucketed into score deciles.
+    Features are exact integer counts over the split-on-space token
+    array; the sigmoid runs in double with the IDENTICAL expression
+    tree on both engines and rounds to 6dp before bucketing, so decile
+    assignment is engine-exact; per-bucket means accumulate the rounded
+    scores in exact DECIMAL. Scale: map-only feature extraction (0
+    shuffles until the decile hash-agg) — streams the corpus once, the
+    same posture as q_text_quality / q_quality_gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    feat = (
+        docs.select(
+            "doc_id",
+            F.col("text"),
+            words.alias("w"),
+        )
+        .filter((F.size("w") > 0) & (F.length("text") > 0))
+        .select(
+            "doc_id",
+            F.size("w").cast("bigint").alias("n_words"),
+            (
+                F.aggregate(
+                    "w", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+                ).cast("double")
+                / F.size("w")
+            ).alias("avg_wlen"),
+            (
+                F.size(
+                    F.filter(
+                        "w",
+                        lambda x: x.isin(
+                            "the", "a", "of", "and", "to", "in", "is"
+                        ),
+                    )
+                ).cast("double")
+                / F.size("w")
+            ).alias("stop_ratio"),
+            (
+                F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double")
+                / F.length("text")
+            ).alias("digit_ratio"),
+        )
+    )
+    z = (
+        F.lit(-2.0)
+        + F.lit(0.02) * F.least(F.col("n_words"), F.lit(200)).cast("double")
+        + F.lit(6.0) * F.col("stop_ratio")
+        - F.lit(8.0) * F.col("digit_ratio")
+        + F.lit(0.3) * F.col("avg_wlen")
+    )
+    scored = feat.select(
+        "doc_id",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+    )
+    return (
+        scored.groupBy(
+            F.least(F.floor(F.col("score") * 10).cast("bigint"), F.lit(9))
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.col("score").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            )
+            .cast("double")
+            .alias("avg_score"),
+        )
+        .orderBy("bucket")
+    )

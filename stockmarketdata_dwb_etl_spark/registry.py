@@ -149,6 +149,9 @@ PRIORITY = (
     # round-3 batch 20: BFS supersteps, mergeable-state rollup,
     # exact interpolated percentiles
     "q_bfs_distance", "q_partial_agg_merge", "q_percentile_cont",
+    # round-3 batch 21: cross-corpus decontamination, linear quality
+    # classifier, FILTER-clause conditional aggregation
+    "q_dedup_cross_corpus", "q_quality_classifier", "q_agg_filtered",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

@@ -140,3 +140,47 @@ def test_percentile_cont_matches_numpy(spark):
                 "price_quantile"
             ].iloc[0]
             assert math.isclose(got, expect, rel_tol=1e-6, abs_tol=1e-3)
+
+
+def test_cross_corpus_finds_planted_contamination(spark):
+    out = QUERIES["q_dedup_cross_corpus"](spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    planted_src = docs[docs.doc_id % 14 == 0]["doc_id"]
+    # every planted near-copy (id+2M) must be flagged against its origin
+    for orig in planted_src:
+        hit = out[(out.corpus_id == orig + 2_000_000) & (out.holdout_id == orig)]
+        assert len(hit) == 1, f"planted contamination {orig} not flagged"
+        assert hit.iloc[0]["jaccard"] >= 0.7
+    # side rule: corpus ids never %7==0 (planted ids shift off the class)
+    assert (out.holdout_id % 7 == 0).all()
+    assert (out.corpus_id % 7 != 0).all()
+
+
+def test_quality_classifier_partitions_corpus(spark):
+    out = QUERIES["q_quality_classifier"](spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    n_eligible = len(docs[(docs.text.str.len() > 0)])
+    assert out["n_docs"].sum() == n_eligible
+    assert out["bucket"].between(0, 9).all()
+    # bucket means must sit inside their decile bounds
+    for _, row in out.iterrows():
+        assert row["bucket"] / 10 - 1e-9 <= row["avg_score"]
+        assert row["avg_score"] <= (row["bucket"] + 1) / 10 + 1e-9 or row[
+            "bucket"
+        ] == 9
+
+
+def test_agg_filtered_matches_pandas(spark):
+    out = QUERIES["q_agg_filtered"](spark, SF_DIR).toPandas()
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    for _, row in out.iterrows():
+        g = o[o.o_orderpriority == row["o_orderpriority"]]
+        assert row["n_orders"] == len(g)
+        assert row["n_high"] == (g.o_totalprice > 150000).sum()
+        assert math.isclose(
+            row["open_revenue"],
+            round(g[g.o_orderstatus == "O"].o_totalprice.sum(), 4),
+            abs_tol=1e-2,
+        )
+        y1996 = g[pd.to_datetime(g.o_orderdate).dt.year == 1996]
+        assert row["custs_1996"] == y1996.o_custkey.nunique()

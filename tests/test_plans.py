@@ -188,3 +188,51 @@ def test_blocked_edit_is_hash_join_on_block_key(spark):
     assert "BroadcastHashJoin" in a.joins or "SortMergeJoin" in a.joins
     assert "BroadcastNestedLoopJoin" not in a.joins
     assert "CartesianProduct" not in _plan(df)
+
+
+def test_quality_classifier_single_shuffle(spark):
+    plan = _plan(_queries()["q_quality_classifier"](spark, SF_DIR))
+    # map-only feature pass: the only exchanges are the decile hash-agg
+    # and the final orderBy — no join, no window over the corpus
+    assert plan.count("Exchange") <= 2, plan.count("Exchange")
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
+def test_beta_capm_broadcasts_market_table(spark):
+    plan = _plan(_queries()["q_beta_capm"](spark, SF_DIR))
+    # the calendar-bounded market-return table must arrive by broadcast,
+    # never a shuffled join against the per-symbol returns
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_obv_is_pure_window_plan(spark):
+    plan = _plan(_queries()["q_obv"](spark, SF_DIR))
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_agg_filtered_single_scan(spark):
+    df = _queries()["q_agg_filtered"](spark, SF_DIR)
+    plan = _plan(df)
+    # all four FILTER aggregates fold into ONE scan of orders
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+
+
+def test_partial_agg_merge_two_level(spark):
+    df = _queries()["q_partial_agg_merge"](spark, SF_DIR)
+    plan = _plan(df)
+    # level-1 (symbol,day) + level-2 (symbol) aggregation, each
+    # partial+final => at least 4 HashAggregate operators
+    assert plan.count("HashAggregate") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_bfs_superstep_plan_is_materialized(spark):
+    # after localCheckpoint at each superstep boundary, the FINAL plan
+    # must not re-execute graph-build lineage (scans appear zero times —
+    # the last superstep reads only the checkpointed RDD)
+    df = _queries()["q_bfs_distance"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan

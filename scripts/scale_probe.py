@@ -51,6 +51,9 @@ PROBES = (
     "q_common_neighbors",   # deduped-edge self-join, bounded per-key fanout
     "q_dedup_blocked_edit", # blocking-key join + Levenshtein verify
     "q_seasonal_decompose", # centered-frame window + hod agg over events
+    "q_dedup_cross_corpus", # LSH union pass + cross-side verify over documents
+    "q_quality_classifier", # map-only feature scoring over documents
+    "q_beta_capm",          # returns window + broadcast market join over events
 )
 
 

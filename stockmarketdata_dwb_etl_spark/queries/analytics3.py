@@ -330,3 +330,134 @@ def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_global_median",
+    oracle="""
+    WITH q AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS qs
+        FROM lineitem
+    )
+    SELECT CAST(u.p AS DOUBLE) AS p, q.n,
+           CAST(ROUND(u.v, 4) AS DOUBLE) AS price_quantile
+    FROM q, LATERAL (
+        SELECT unnest([0.25, 0.5, 0.75]) AS p, unnest(qs) AS v
+    ) u
+    ORDER BY p
+    """,
+)
+def q_global_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact GLOBAL order statistics (quartiles incl. the median) over
+    the whole fact table — the scale-hard case q_percentile_cont's
+    per-group sort sidesteps. Runs through
+    ``operators/rank.global_row_number`` (range shuffle + per-partition
+    rank + P-row offset stitch — no single-reducer sort), then picks
+    ONLY the two bracketing rows per quantile with a broadcast
+    position-spec join and interpolates lower + (upper−lower)·frac, the
+    identical tree as DuckDB's quantile_cont. Cost at 100 TB: one range
+    shuffle + one map pass + a 6-row join — the same price as a
+    distributed sort, vs the naive global window that serializes the
+    table through one reducer."""
+    from stockmarketdata_dwb_etl_spark.operators.rank import global_row_number
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber"
+    )
+    ranked = global_row_number(
+        li, [F.col("v"), F.col("l_orderkey"), F.col("l_linenumber")]
+    )
+    ps = spark.createDataFrame([(0.25,), (0.5,), (0.75,)], "p double")
+    n_row = ranked.select(F.col("n_total").alias("n")).limit(1)
+    spec = (
+        ps.crossJoin(F.broadcast(n_row))
+        .select(
+            "p",
+            "n",
+            (F.col("p") * (F.col("n") - 1) + 1).alias("pos"),
+        )
+        .select(
+            "p",
+            "n",
+            F.floor("pos").cast("bigint").alias("lo"),
+            F.ceil("pos").cast("bigint").alias("hi"),
+            (F.col("pos") - F.floor("pos")).alias("frac"),
+        )
+    )
+    picked = ranked.join(
+        F.broadcast(spec),
+        (F.col("row_idx") == F.col("lo")) | (F.col("row_idx") == F.col("hi")),
+    )
+    return (
+        picked.groupBy("p", "n", "frac")
+        .agg(
+            F.max(F.when(F.col("row_idx") == F.col("lo"), F.col("v"))).alias(
+                "v_lo"
+            ),
+            F.max(F.when(F.col("row_idx") == F.col("hi"), F.col("v"))).alias(
+                "v_hi"
+            ),
+        )
+        .select(
+            F.col("p").cast("double").alias("p"),
+            "n",
+            F.round(
+                F.col("v_lo") + (F.col("v_hi") - F.col("v_lo")) * F.col("frac"),
+                4,
+            )
+            .cast("double")
+            .alias("price_quantile"),
+        )
+        .orderBy("p")
+    )
+
+
+@query(
+    "q_hll_union_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT date_trunc('month', ts)) AS BIGINT)
+               AS n_month_sketches,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS union_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch rollup — the distinct-count analogue of
+    q_partial_agg_merge and the pattern that makes 100 TB unique-user
+    reporting cheap: level 1 builds one HLL sketch per (event_type,
+    month) — the only pass over raw data; level 2 merges sketches with
+    hll_union_agg WITHOUT rescanning (sketch union is lossless, the
+    union of register maxima), so the same monthly sketches serve
+    quarterly/yearly/total rollups forever. Register bytes are
+    engine-internal, so the checkable outputs are the sketch count, the
+    exact distinct (hash-matched), and the bound |union-estimate −
+    exact| ≤ 5%, asserted TRUE — same contract as q_approx_distinct,
+    extended to the MERGE path. Complements q_bitmap_distinct (the
+    exact mergeable path)."""
+    ev = load_table(spark, sf_dir, "events")
+    monthly = ev.groupBy(
+        "event_type", F.date_trunc("month", "ts").alias("month")
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    merged = monthly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_month_sketches"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("__est"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_month_sketches",
+            "exact_users",
+            (
+                F.abs(F.col("__est") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("union_ok"),
+        )
+        .orderBy("event_type")
+    )

@@ -152,6 +152,9 @@ PRIORITY = (
     # round-3 batch 21: cross-corpus decontamination, linear quality
     # classifier, FILTER-clause conditional aggregation
     "q_dedup_cross_corpus", "q_quality_classifier", "q_agg_filtered",
+    # round-3 batch 22: scale-path exact global quantiles + mergeable
+    # HLL sketch rollup
+    "q_global_median", "q_hll_union_rollup",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

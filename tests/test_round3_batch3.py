@@ -184,3 +184,25 @@ def test_agg_filtered_matches_pandas(spark):
         )
         y1996 = g[pd.to_datetime(g.o_orderdate).dt.year == 1996]
         assert row["custs_1996"] == y1996.o_custkey.nunique()
+
+
+def test_global_median_matches_numpy(spark):
+    out = QUERIES["q_global_median"](spark, SF_DIR).toPandas()
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    assert (out["n"] == len(li)).all()
+    for p in (0.25, 0.5, 0.75):
+        expect = np.percentile(li["l_extendedprice"], p * 100)
+        got = out[out.p == p]["price_quantile"].iloc[0]
+        assert math.isclose(got, expect, rel_tol=1e-9, abs_tol=1e-3)
+
+
+def test_hll_union_rollup_within_bound(spark):
+    out = QUERIES["q_hll_union_rollup"](spark, SF_DIR).toPandas()
+    assert len(out) == 5
+    assert out["union_ok"].all()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    exact = ev.groupby("event_type")["user_id"].nunique()
+    months = ev.assign(m=ev.ts.dt.to_period("M")).groupby("event_type")["m"].nunique()
+    for _, row in out.iterrows():
+        assert row["exact_users"] == exact[row["event_type"]]
+        assert row["n_month_sketches"] == months[row["event_type"]]

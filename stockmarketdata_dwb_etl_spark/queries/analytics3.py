@@ -461,3 +461,89 @@ def q_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_attribution_last_touch",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, ts, event_type,
+               last_value(CASE WHEN event_type IN ('view','click','signup')
+                               THEN event_type END IGNORE NULLS)
+                   OVER w AS touch_type,
+               last_value(CASE WHEN event_type IN ('view','click','signup')
+                               THEN ts END IGNORE NULLS)
+                   OVER w AS touch_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY {_DUCK_ORD}
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    conv AS (
+        SELECT CASE WHEN touch_ts IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(touch_ts) <= 86400000000
+                    THEN touch_type ELSE 'direct' END AS channel
+        FROM seq WHERE event_type = 'purchase'
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(ROUND(CAST(COUNT(*) AS DOUBLE)
+                      / SUM(COUNT(*)) OVER (), 6) AS DOUBLE) AS share
+    FROM conv GROUP BY channel ORDER BY channel
+    """,
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the
+    user's most recent prior touch event (view/click/signup) within a
+    24-hour lookback, else 'direct' — the canonical conversion report
+    every event warehouse serves. The touch carry is one
+    ignore-nulls last_value window over the padded (ts,event_id) total
+    order (same LOCF shape as q_gap_fill_locf / q_tick_rule); the
+    lookback compares exact epoch microseconds — integer arithmetic,
+    engine-exact. Scales: one window shuffle on user_id, then a
+    5-row hash-agg; the share denominator is a window over the tiny
+    channel table."""
+    ev = load_table(spark, sf_dir, "events")
+    is_touch = F.col("event_type").isin("view", "click", "signup")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(_spark_ord())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    age_us = F.expr("timestampdiff(MICROSECOND, touch_ts, ts)")
+    conv = seq.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("touch_ts").isNotNull() & (age_us <= 86_400_000_000),
+            F.col("touch_type"),
+        )
+        .otherwise(F.lit("direct"))
+        .alias("channel")
+    )
+    counts = conv.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions")
+    )
+    w_tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return counts.select(
+        "channel",
+        "n_conversions",
+        F.round(
+            F.col("n_conversions").cast("double")
+            / F.sum("n_conversions").over(w_tot),
+            6,
+        )
+        .cast("double")
+        .alias("share"),
+    ).orderBy("channel")

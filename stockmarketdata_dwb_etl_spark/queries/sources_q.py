@@ -448,3 +448,70 @@ def q_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_text_source_lines",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_chars,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+           CAST(ROUND(CAST(SUM(strlen(text)) AS DOUBLE) / COUNT(*), 4)
+                AS DOUBLE) AS avg_chars
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def q_text_source_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-delimited text sink + source round-trip — the landing format
+    raw corpora actually arrive in (one document per line, tab-separated
+    id/source prefix; cf. the reference's CSV file handoff, ref S10/S11
+    main.py:123-133). Distributed map-only write via the text sink, read
+    back with ``spark.read.text``, fields re-parsed with two bounded
+    splits — no regex, JVM-side. The oracle computes the same per-source
+    stats from the ORIGINAL table: a hash match proves the line
+    round-trip is lossless (fixture text is tab/newline-free; a
+    production writer would escape). Scale: write and read are both
+    map-only passes; the only shuffle is the final per-source agg."""
+    from stockmarketdata_dwb_etl_spark.catalog import load_table
+
+    tag = fixture_tag(sf_dir)
+    out = os.path.join(SCRATCH, "text_lines", tag)
+    docs = load_table(spark, sf_dir, "documents")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        docs.select(
+            F.concat_ws(
+                "\t",
+                F.col("doc_id").cast("string"),
+                F.col("source"),
+                F.col("text"),
+            ).alias("value")
+        ).write.mode("overwrite").text(out)
+    lines = spark.read.text(out)
+    parsed = lines.select(
+        F.split_part(F.col("value"), F.lit("\t"), F.lit(1))
+        .cast("bigint")
+        .alias("doc_id"),
+        F.split_part(F.col("value"), F.lit("\t"), F.lit(2)).alias("source"),
+        # text = everything after the second tab (substr, not split —
+        # the payload itself may legitimately contain the delimiter in
+        # other corpora)
+        F.expr(
+            "substring(value, length(split_part(value, '\t', 1))"
+            " + length(split_part(value, '\t', 2)) + 3)"
+        ).alias("text"),
+    )
+    return (
+        parsed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+            F.round(
+                F.sum(F.length("text")).cast("double") / F.count(F.lit(1)), 4
+            )
+            .cast("double")
+            .alias("avg_chars"),
+        )
+        .orderBy("source")
+    )

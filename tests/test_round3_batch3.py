@@ -206,3 +206,26 @@ def test_hll_union_rollup_within_bound(spark):
     for _, row in out.iterrows():
         assert row["exact_users"] == exact[row["event_type"]]
         assert row["n_month_sketches"] == months[row["event_type"]]
+
+
+def test_attribution_shares_sum_to_one(spark):
+    out = QUERIES["q_attribution_last_touch"](spark, SF_DIR).toPandas()
+    assert math.isclose(out["share"].sum(), 1.0, abs_tol=1e-4)
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    assert out["n_conversions"].sum() == (ev.event_type == "purchase").sum()
+    assert set(out["channel"]) <= {"view", "click", "signup", "direct"}
+
+
+def test_text_source_roundtrip_lossless(spark):
+    out = QUERIES["q_text_source_lines"](spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    direct = docs.groupby("source").agg(
+        n=("doc_id", "size"),
+        chars=("text", lambda s: s.str.len().sum()),
+        mx=("doc_id", "max"),
+    )
+    for _, row in out.iterrows():
+        d = direct.loc[row["source"]]
+        assert row["n_docs"] == d["n"]
+        assert row["total_chars"] == d["chars"]
+        assert row["max_doc_id"] == d["mx"]

@@ -618,3 +618,134 @@ def q_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.round(F.col("__rev"), 2).cast("double").alias("revenue"),
     ).orderBy("month")
+
+
+@query(
+    "q_pseudonymize",
+    oracle="""
+    SELECT c_custkey,
+           sha256('pepper1' || c_name) AS name_token,
+           substr(sha256('pepper1' || c_name), 1, 8) AS short_token,
+           CAST(floor(c_acctbal / 100) * 100 AS DOUBLE) AS acctbal_band,
+           c_mktsegment
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR pseudonymization view — the governance complement to
+    q_gdpr_delete's erasure: direct identifiers are replaced by a
+    salted SHA-256 token (deterministic, so joins on the token still
+    work across tables — the property that makes pseudonymization
+    analytically useful), a short 8-hex token for display, and the
+    quasi-identifier account balance generalized to 100-unit bands
+    (k-anonymity-style coarsening). SHA-256 is standardized, so the
+    oracle reproduces tokens bit-for-bit; the band arithmetic is
+    IEEE-exact on both engines. Scale: pure map-only projection — 0
+    shuffles before the output order; runs as a view over the raw
+    table, no rewrite needed."""
+    c = load_table(spark, sf_dir, "customer")
+    token = F.sha2(F.concat(F.lit("pepper1"), F.col("c_name")), 256)
+    return c.select(
+        "c_custkey",
+        token.alias("name_token"),
+        F.substring(token, 1, 8).alias("short_token"),
+        (F.floor(F.col("c_acctbal") / 100) * 100)
+        .cast("double")
+        .alias("acctbal_band"),
+        "c_mktsegment",
+    ).orderBy("c_custkey")
+
+
+@query(
+    "q_ri_audit",
+    oracle="""
+    WITH aug_orders AS (
+        SELECT o_orderkey, o_custkey FROM orders
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey + 1000000
+        FROM orders WHERE o_orderkey % 1000 = 0
+    )
+    SELECT 'lineitem.orderkey->orders' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT)
+               AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    UNION ALL
+    SELECT 'lineitem.partkey->part',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE p.p_partkey IS NULL) AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+    UNION ALL
+    SELECT 'lineitem.suppkey->supplier',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE s.s_suppkey IS NULL) AS BIGINT)
+    FROM lineitem l LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    UNION ALL
+    SELECT 'orders.custkey->customer',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+    FROM aug_orders a LEFT JOIN customer c ON c.c_custkey = a.o_custkey
+    ORDER BY check_name
+    """,
+)
+def q_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema — the data-
+    quality gate every load pipeline runs before publishing: per foreign
+    key, rows checked and orphan count (left join + null-probe count,
+    which plans as ONE pass per edge — no separate anti-join scan). The
+    orders→customer edge audits a fixture with planted orphans (every
+    1000th order re-entered with a shifted custkey) so the detector is
+    proven on a nonzero case; the three lineitem edges assert the
+    fixture's actual integrity. Scale: each check is a key join the
+    engine can broadcast (dim side) or shuffle (fact⨝fact) — the same
+    plans the real joins use, so the audit costs what one query costs,
+    and all four checks run in one job."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    aug_orders = orders.select("o_orderkey", "o_custkey").unionByName(
+        orders.filter(F.col("o_orderkey") % 1000 == 0).select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            (F.col("o_custkey") + 1_000_000).alias("o_custkey"),
+        )
+    )
+
+    def check(name, fact, fact_key, dim, dim_key):
+        return (
+            fact.join(
+                dim.select(F.col(dim_key).alias("__dk")),
+                F.col(fact_key) == F.col("__dk"),
+                "left",
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+                F.count(F.when(F.col("__dk").isNull(), 1))
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
+            .select(F.lit(name).alias("check_name"), "n_checked", "n_orphans")
+        )
+
+    return (
+        check("lineitem.orderkey->orders", li, "l_orderkey", orders, "o_orderkey")
+        .unionByName(
+            check("lineitem.partkey->part", li, "l_partkey", part, "p_partkey")
+        )
+        .unionByName(
+            check(
+                "lineitem.suppkey->supplier", li, "l_suppkey", supp, "s_suppkey"
+            )
+        )
+        .unionByName(
+            check(
+                "orders.custkey->customer",
+                aug_orders,
+                "o_custkey",
+                cust,
+                "c_custkey",
+            )
+        )
+        .orderBy("check_name")
+    )

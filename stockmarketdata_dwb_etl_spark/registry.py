@@ -157,6 +157,8 @@ PRIORITY = (
     "q_global_median", "q_hll_union_rollup",
     # round-3 batch 23: last-touch attribution + text-lines landing
     "q_attribution_last_touch", "q_text_source_lines",
+    # round-3 batch 24: pseudonymization view + referential-integrity audit
+    "q_pseudonymize", "q_ri_audit",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

@@ -229,3 +229,35 @@ def test_text_source_roundtrip_lossless(spark):
         assert row["n_docs"] == d["n"]
         assert row["total_chars"] == d["chars"]
         assert row["max_doc_id"] == d["mx"]
+
+
+def test_pseudonymize_tokens_deterministic_and_banded(spark):
+    import hashlib
+
+    out = QUERIES["q_pseudonymize"](spark, SF_DIR).toPandas()
+    c = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    assert len(out) == len(c)
+    row = out.iloc[0]
+    name = c[c.c_custkey == row["c_custkey"]].iloc[0]["c_name"]
+    expect = hashlib.sha256(f"pepper1{name}".encode()).hexdigest()
+    assert row["name_token"] == expect
+    assert row["short_token"] == expect[:8]
+    assert (out["acctbal_band"] % 100 == 0).all()
+    # tokens must stay unique per distinct name (join-stability)
+    assert out["name_token"].nunique() == c["c_name"].nunique()
+
+
+def test_ri_audit_finds_exactly_planted_orphans(spark):
+    out = QUERIES["q_ri_audit"](spark, SF_DIR).toPandas().set_index("check_name")
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    li_n = len(pd.read_parquet(f"{SF_DIR}/lineitem.parquet"))
+    planted = (o.o_orderkey % 1000 == 0).sum()
+    assert out.loc["orders.custkey->customer", "n_orphans"] == planted
+    assert out.loc["orders.custkey->customer", "n_checked"] == len(o) + planted
+    for edge in (
+        "lineitem.orderkey->orders",
+        "lineitem.partkey->part",
+        "lineitem.suppkey->supplier",
+    ):
+        assert out.loc[edge, "n_orphans"] == 0
+        assert out.loc[edge, "n_checked"] == li_n

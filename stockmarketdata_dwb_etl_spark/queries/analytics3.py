@@ -385,25 +385,36 @@ def q_global_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pos") - F.floor("pos")).alias("frac"),
         )
     )
-    picked = ranked.join(
-        F.broadcast(spec),
-        (F.col("row_idx") == F.col("lo")) | (F.col("row_idx") == F.col("hi")),
+    # explode the (lo, hi) bracket into an equi-joinable position list so
+    # the pick is a broadcast HASH probe (an OR-condition join would plan
+    # BroadcastNestedLoopJoin — per-row predicate evaluation instead of a
+    # hash lookup)
+    spec_pos = spec.select(
+        "p",
+        "n",
+        "frac",
+        "lo",
+        F.explode(F.array_distinct(F.array("lo", "hi"))).alias("row_idx"),
     )
+    picked = ranked.join(F.broadcast(spec_pos), "row_idx")
     return (
         picked.groupBy("p", "n", "frac")
         .agg(
             F.max(F.when(F.col("row_idx") == F.col("lo"), F.col("v"))).alias(
                 "v_lo"
             ),
-            F.max(F.when(F.col("row_idx") == F.col("hi"), F.col("v"))).alias(
+            F.max(F.when(F.col("row_idx") != F.col("lo"), F.col("v"))).alias(
                 "v_hi"
             ),
         )
         .select(
             F.col("p").cast("double").alias("p"),
             "n",
+            # frac == 0 ⇒ lo == hi and the distinct position list has one
+            # entry ⇒ v_hi is NULL — the bracket degenerates to v_lo
             F.round(
-                F.col("v_lo") + (F.col("v_hi") - F.col("v_lo")) * F.col("frac"),
+                F.col("v_lo")
+                + (F.coalesce("v_hi", "v_lo") - F.col("v_lo")) * F.col("frac"),
                 4,
             )
             .cast("double")

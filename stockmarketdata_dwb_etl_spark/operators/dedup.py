@@ -144,17 +144,39 @@ def lsh_candidate_pairs(
         ).alias("b"),
     ).select("id", "b.band_id", "b.bh")
 
-    w = Window.partitionBy("band_id", "bh")
-    bands = bands.withColumn("__bucket_n", F.count(F.lit(1)).over(w)).filter(
-        F.col("__bucket_n") <= max_bucket
+    # ONE shuffle: fold each bucket's members into an array, cap, and
+    # generate the ordered pairs with a JVM array comprehension. This
+    # replaces the previous window-count (shuffle + sort) + bucket
+    # self-join (second shuffle) formulation — same output, ~2 fewer
+    # exchanges over the 16×N band table; per-bucket pair work stays
+    # O(cap²)-bounded exactly as before (capped buckets are SKIPPED,
+    # the documented recall trade).
+    buckets = (
+        bands.groupBy("band_id", "bh")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(
+            (F.size("ids") >= 2) & (F.size("ids") <= max_bucket)
+        )
+        .select(F.array_sort("ids").alias("ids"))
     )
-
-    a = bands.select(F.col("id").alias("id_a"), "band_id", "bh")
-    b = bands.select(F.col("id").alias("id_b"), "band_id", "bh")
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                "ids",
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("ids"), i + F.lit(2), F.size("ids")
+                    ),
+                    lambda y: F.struct(
+                        x.alias("id_a"), y.alias("id_b")
+                    ),
+                ),
+            )
+        )
+    ).alias("p")
     return (
-        a.join(b, ["band_id", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(pair)
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

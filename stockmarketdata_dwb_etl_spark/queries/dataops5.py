@@ -687,3 +687,135 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q_multimodal_dedup",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 3000000 AS doc_id, text FROM documents
+        WHERE doc_id % 9 = 0
+    ),
+    h AS (
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               md5(text) AS ph,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(MAX(strlen(text)) AS BIGINT) AS nb
+        FROM aug GROUP BY 1, 2
+    )
+    SELECT media_type,
+           CAST(SUM(cnt) AS BIGINT) AS n_blobs,
+           CAST(COUNT(*) AS BIGINT) AS n_unique,
+           CAST(SUM(cnt - 1) AS BIGINT) AS n_dup_rows,
+           CAST(SUM((cnt - 1) * nb) AS BIGINT) AS bytes_saved
+    FROM h GROUP BY media_type ORDER BY media_type
+    """,
+)
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact byte-level dedup over opaque media payloads — the
+    content-addressable-storage report every multimodal corpus runs
+    before training (identical frames/clips re-crawled under new ids):
+    blobs group by md5(payload) per media type; the report counts rows,
+    unique payloads, duplicate rows, and the exact bytes a
+    store-by-digest layout would save. The fixture plants duplicate
+    payloads (every 9th doc re-entered under a shifted id — the +3M
+    shift is ≡0 mod 3, so the copy keeps its media_type and the oracle's
+    id-derived type rule stays exact). md5 is standardized → the oracle
+    reproduces digests bit-for-bit from the same bytes. Scale: ONE
+    hash-agg shuffle keyed on (type, digest) carrying digests + sizes —
+    payload bytes never shuffle (the digest is computed map-side); the
+    rollup is a second tiny agg."""
+    from stockmarketdata_dwb_etl_spark.sources.multimodal import build_media_table
+
+    media = build_media_table(spark, sf_dir)
+    planted = (
+        media.filter(F.col("doc_id") % 9 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 3_000_000)
+    )
+    allm = media.unionByName(planted)
+    per_hash = allm.groupBy(
+        "media_type", F.md5("payload").alias("ph")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.max(F.col("meta.n_bytes")).cast("bigint").alias("nb"),
+    )
+    return (
+        per_hash.groupBy("media_type")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_blobs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+            F.sum(F.col("cnt") - 1).cast("bigint").alias("n_dup_rows"),
+            F.sum((F.col("cnt") - 1) * F.col("nb"))
+            .cast("bigint")
+            .alias("bytes_saved"),
+        )
+        .orderBy("media_type")
+    )
+
+
+@query(
+    "q_embed_norm_audit",
+    oracle="""
+    WITH norms AS (
+        SELECT vec_id,
+               CAST(len(embedding) AS BIGINT) AS dim,
+               sqrt(list_sum(list_transform(embedding,
+                                            x -> CAST(x AS DOUBLE)
+                                                 * CAST(x AS DOUBLE))))
+                   AS nrm
+        FROM embeddings
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(dim) AS BIGINT) AS min_dim,
+           CAST(MAX(dim) AS BIGINT) AS max_dim,
+           CAST(COUNT(*) FILTER (WHERE nrm < 1e-12) AS BIGINT) AS n_zero,
+           CAST(ROUND(MIN(nrm), 4) AS DOUBLE) AS min_norm,
+           CAST(ROUND(MAX(nrm), 4) AS DOUBLE) AS max_norm,
+           CAST(ROUND(CAST(SUM(CAST(ROUND(nrm, 6) AS DECIMAL(38,18)))
+                           AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS avg_norm
+    FROM norms
+    """,
+)
+def q_embed_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table health audit — the pre-flight check before any
+    similarity/ANN job: vector count, dimension constancy (min=max
+    proves no ragged rows), zero-norm vectors (which poison cosine), and
+    the L2-norm envelope. Per-vector norms fold float32 components
+    upcast to double in the IDENTICAL left-fold order on both engines
+    (the established embedding-family convention); the mean accumulates
+    6dp-rounded norms in exact DECIMAL so partition order cannot move
+    the 4dp output. Scale: map-only norm computation (0 shuffles) into
+    one global agg — streams the embedding table once."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.sqrt(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ).alias("nrm"),
+    )
+    return norms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.min("dim").cast("bigint").alias("min_dim"),
+        F.max("dim").cast("bigint").alias("max_dim"),
+        F.count(F.when(F.col("nrm") < 1e-12, 1)).cast("bigint").alias("n_zero"),
+        F.round(F.min("nrm"), 4).cast("double").alias("min_norm"),
+        F.round(F.max("nrm"), 4).cast("double").alias("max_norm"),
+        F.round(
+            F.sum(F.round(F.col("nrm"), 6).cast("decimal(38,18)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            4,
+        )
+        .cast("double")
+        .alias("avg_norm"),
+    )

@@ -159,6 +159,8 @@ PRIORITY = (
     "q_attribution_last_touch", "q_text_source_lines",
     # round-3 batch 24: pseudonymization view + referential-integrity audit
     "q_pseudonymize", "q_ri_audit",
+    # round-3 batch 25: media content-addressable dedup + embedding audit
+    "q_multimodal_dedup", "q_embed_norm_audit",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

@@ -261,3 +261,27 @@ def test_ri_audit_finds_exactly_planted_orphans(spark):
     ):
         assert out.loc[edge, "n_orphans"] == 0
         assert out.loc[edge, "n_checked"] == li_n
+
+
+def test_multimodal_dedup_counts_planted_copies(spark):
+    out = QUERIES["q_multimodal_dedup"](spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    assert out["n_blobs"].sum() == len(docs) + (docs.doc_id % 9 == 0).sum()
+    # every planted copy is a duplicate row; naturals may add more
+    assert out["n_dup_rows"].sum() >= (docs.doc_id % 9 == 0).sum()
+    assert (out["n_blobs"] == out["n_unique"] + out["n_dup_rows"]).all()
+    assert (out["bytes_saved"] >= out["n_dup_rows"]).all()  # docs nonempty
+
+
+def test_embed_norm_audit_matches_numpy(spark):
+    out = QUERIES["q_embed_norm_audit"](spark, SF_DIR).toPandas().iloc[0]
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    norms = emb["embedding"].apply(
+        lambda v: math.sqrt(float(np.sum(np.asarray(v, dtype=np.float64) ** 2)))
+    )
+    assert out["n_vecs"] == len(emb)
+    assert out["min_dim"] == out["max_dim"] == 64
+    assert out["n_zero"] == int((norms < 1e-12).sum())
+    assert math.isclose(out["avg_norm"], norms.round(6).mean(), abs_tol=1e-3)
+    assert math.isclose(out["min_norm"], norms.min(), abs_tol=1e-3)
+    assert math.isclose(out["max_norm"], norms.max(), abs_tol=1e-3)

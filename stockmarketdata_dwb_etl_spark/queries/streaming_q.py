@@ -517,3 +517,79 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.col("sum_dec"), 4).cast("double").alias("sum_value"),
     )
+
+
+@query(
+    "q_stream_ohlc",
+    oracle="""
+    WITH bars AS (
+        SELECT event_type AS symbol,
+               date_trunc('hour', ts) AS window_start,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+               arg_min(value, printf('%020d-%012d', epoch_us(ts), event_id))
+                   AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               arg_max(value, printf('%020d-%012d', epoch_us(ts), event_id))
+                   AS close,
+               CAST(COUNT(*) AS BIGINT) AS volume
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT symbol, window_start, window_end,
+           CAST(ROUND(open, 4) AS DOUBLE) AS open,
+           CAST(ROUND(high, 4) AS DOUBLE) AS high,
+           CAST(ROUND(low, 4) AS DOUBLE) AS low,
+           CAST(ROUND(close, 4) AS DOUBLE) AS close,
+           volume
+    FROM bars
+    WHERE window_end <= (SELECT MAX(ts) FROM events) - INTERVAL 10 MINUTE
+    ORDER BY symbol, window_start
+    """,
+)
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming OHLCV bar construction — the live-feed
+    form of the flagship q_ohlc_resample (the reference's entire product
+    is this table, /root/reference/dump_bigq.py:47-56, built nightly;
+    here it builds incrementally as ticks arrive): chunked file replay,
+    10-min watermark, per-(symbol, 1-hour window) min_by/max_by
+    open/close over the same padded (ts,event_id) total order as the
+    batch query, high/low/volume alongside, append mode — only
+    watermark-finalized bars reach the sink. The replay chunks are
+    ts-range-partitioned (no event arrives behind the watermark), so
+    the emitted set is exactly the bars whose window_end ≤ global max
+    ts − 10 min — which the oracle states in SQL over the batch table.
+    Scale: per-microbatch state is one open bar per (symbol, hour) —
+    bounded by watermark horizon × symbol count, not stream length."""
+    from stockmarketdata_dwb_etl_spark.queries.timeseries import _spark_ord
+
+    chunks = prepare_event_chunks(spark, sf_dir)
+    stream = read_events_stream(spark, chunks).withColumn(
+        "ts_i", instant_of("ts")
+    )
+    ordk = _spark_ord()
+    agg = (
+        stream.withWatermark("ts_i", "10 minutes")
+        .groupBy(
+            F.col("event_type").alias("symbol"),
+            F.window("ts_i", "1 hour").alias("w"),
+        )
+        .agg(
+            F.min_by("value", ordk).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordk).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("volume"),
+        )
+        .select(
+            "symbol",
+            ntz_of("w.start").alias("window_start"),
+            ntz_of("w.end").alias("window_end"),
+            F.round("open", 4).cast("double").alias("open"),
+            F.round("high", 4).cast("double").alias("high"),
+            F.round("low", 4).cast("double").alias("low"),
+            F.round("close", 4).cast("double").alias("close"),
+            "volume",
+        )
+    )
+    sink = run_stream_to_parquet(agg, "ohlc_bars")
+    return spark.read.parquet(sink).orderBy("symbol", "window_start")

@@ -161,6 +161,8 @@ PRIORITY = (
     "q_pseudonymize", "q_ri_audit",
     # round-3 batch 25: media content-addressable dedup + embedding audit
     "q_multimodal_dedup", "q_embed_norm_audit",
+    # round-3 batch 26: watermarked streaming OHLCV bars (flagship, live)
+    "q_stream_ohlc",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

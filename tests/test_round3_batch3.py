@@ -285,3 +285,24 @@ def test_embed_norm_audit_matches_numpy(spark):
     assert math.isclose(out["avg_norm"], norms.round(6).mean(), abs_tol=1e-3)
     assert math.isclose(out["min_norm"], norms.min(), abs_tol=1e-3)
     assert math.isclose(out["max_norm"], norms.max(), abs_tol=1e-3)
+
+
+def test_stream_ohlc_matches_finalized_batch_bars(spark):
+    out = QUERIES["q_stream_ohlc"](spark, SF_DIR).toPandas()
+    batch = QUERIES["q_ohlc_resample"](spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    horizon = ev.ts.max() - pd.Timedelta(minutes=10)
+    # streamed bars = exactly the batch bars whose window closed before
+    # the final watermark
+    assert len(out) > 0
+    assert (pd.to_datetime(out["window_end"]) <= horizon).all()
+    merged = out.merge(
+        batch,
+        left_on=["symbol", "window_start"],
+        right_on=["event_type", "bar_ts"],
+        how="left",
+        suffixes=("", "_b"),
+    )
+    assert merged["event_type"].notna().all()
+    for col in ("open", "high", "low", "close"):
+        assert np.allclose(merged[col], merged[f"{col}_b"], atol=1e-4)

@@ -749,3 +749,41 @@ def q_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("check_name")
     )
+
+
+@query(
+    "q_bucketed_agg",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING COUNT(*) >= 6
+    ORDER BY l_orderkey
+    """,
+)
+def q_bucketed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-aware aggregation: group-by on the BUCKET column of the
+    pre-bucketed lineitem table runs with NO exchange — the bucketing
+    hash distribution already satisfies the aggregation's required
+    distribution, so the same physical layout that deletes the join
+    shuffle (q_bucketed_join) also deletes the per-orderkey aggregation
+    shuffle (asserted in tests/test_storage.py). At 100 TB this is the
+    second dividend of bucketing fact tables by their join/agg key at
+    ingest: every orderkey-grain rollup afterwards is map-side only.
+    The HAVING keeps output at the large-basket tail."""
+    lineitem = spark.table(
+        write_bucketed(spark, sf_dir, "lineitem", "l_orderkey")
+    )
+    return (
+        lineitem.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .filter(F.col("n_items") >= 6)
+        .orderBy("l_orderkey")
+    )

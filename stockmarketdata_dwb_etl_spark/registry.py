@@ -163,6 +163,8 @@ PRIORITY = (
     "q_multimodal_dedup", "q_embed_norm_audit",
     # round-3 batch 26: watermarked streaming OHLCV bars (flagship, live)
     "q_stream_ohlc",
+    # round-3 batch 27: exchange-free aggregation on the bucketed layout
+    "q_bucketed_agg",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

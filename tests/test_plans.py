@@ -236,3 +236,12 @@ def test_bfs_superstep_plan_is_materialized(spark):
     plan = _plan(df)
     assert "Scan ExistingRDD" in plan
     assert "Scan parquet" not in plan
+
+
+def test_bucketed_agg_has_no_hash_exchange(spark):
+    df = _queries()["q_bucketed_agg"](spark, SF_DIR)
+    plan = _plan(df)
+    # the bucketed layout satisfies the aggregation distribution: the
+    # only exchange allowed is the final output-order range shuffle
+    assert "hashpartitioning" not in plan, "aggregation re-shuffled a bucketed table"
+    assert plan.count("HashAggregate") >= 2

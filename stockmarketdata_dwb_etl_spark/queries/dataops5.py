@@ -819,3 +819,137 @@ def q_embed_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("avg_norm"),
     )
+
+
+@query(
+    "q_token_budget_trim",
+    oracle="""
+    WITH feat AS (
+        SELECT doc_id, source,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(list_sum(list_transform(w, x -> strlen(x))) AS DOUBLE)
+                   / len(w) AS avg_wlen,
+               CAST(len(list_filter(w, x -> x IN
+                   ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                   / len(w) AS stop_ratio,
+               CAST(strlen(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                   / strlen(text) AS digit_ratio
+        FROM (SELECT doc_id, source, text,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents)
+        WHERE len(w) > 0 AND strlen(text) > 0
+    ),
+    scored AS (
+        SELECT doc_id, source, n_tokens,
+               ROUND(1.0 / (1.0 + exp(-(
+                   -2.0 + 0.02 * least(n_tokens, 200) + 6.0 * stop_ratio
+                   - 8.0 * digit_ratio + 0.3 * avg_wlen))), 6) AS score
+        FROM feat
+    ),
+    budget AS (
+        SELECT CAST(ceil(0.25 * SUM(n_tokens)) AS BIGINT) AS b FROM scored
+    ),
+    ranked AS (
+        SELECT doc_id, source, n_tokens, score,
+               SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM scored
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
+           CAST(ROUND(CAST(SUM(CAST(score AS DECIMAL(38,18))) AS DOUBLE)
+                      / COUNT(*), 6) AS DOUBLE) AS avg_score
+    FROM ranked, budget
+    WHERE cum <= budget.b
+    GROUP BY source ORDER BY source
+    """,
+)
+def q_token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus trim — the data-mixing cut every LLM pipeline
+    runs ("keep the best 25% of tokens"): documents score through the
+    SAME fixed-weight sigmoid as q_quality_classifier, order by (score
+    desc, doc_id), and the cut keeps the prefix whose cumulative token
+    count fits the budget. The cumulative sum runs through
+    ``operators/rank.global_prefix_sum`` (range shuffle + P-row offset
+    stitch, same as sequence packing) — NO single-reducer window over
+    the corpus, which is what makes a deterministic global
+    quality-ranked cut feasible at 100 TB; the oracle states the
+    identical cut with a plain SQL window at fixture scale. Scores
+    round to 6dp before ordering so the rank order is engine-exact;
+    doc_id breaks ties."""
+    from stockmarketdata_dwb_etl_spark.operators.rank import global_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    feat = (
+        docs.select("doc_id", "source", "text", words.alias("w"))
+        .filter((F.size("w") > 0) & (F.length("text") > 0))
+        .select(
+            "doc_id",
+            "source",
+            F.size("w").cast("bigint").alias("n_tokens"),
+            (
+                F.aggregate(
+                    "w", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+                ).cast("double")
+                / F.size("w")
+            ).alias("avg_wlen"),
+            (
+                F.size(
+                    F.filter(
+                        "w",
+                        lambda x: x.isin(
+                            "the", "a", "of", "and", "to", "in", "is"
+                        ),
+                    )
+                ).cast("double")
+                / F.size("w")
+            ).alias("stop_ratio"),
+            (
+                F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double")
+                / F.length("text")
+            ).alias("digit_ratio"),
+        )
+    )
+    z = (
+        F.lit(-2.0)
+        + F.lit(0.02) * F.least(F.col("n_tokens"), F.lit(200)).cast("double")
+        + F.lit(6.0) * F.col("stop_ratio")
+        - F.lit(8.0) * F.col("digit_ratio")
+        + F.lit(0.3) * F.col("avg_wlen")
+    )
+    scored = feat.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+    )
+    budget = scored.agg(
+        F.ceil(F.lit(0.25) * F.sum("n_tokens")).cast("bigint").alias("b")
+    )
+    ranked = global_prefix_sum(
+        scored,
+        "n_tokens",
+        [F.col("score").desc(), F.col("doc_id")],
+        out="prefix",
+    )
+    kept = (
+        ranked.crossJoin(F.broadcast(budget))
+        .filter(F.col("prefix") + F.col("n_tokens") <= F.col("b"))
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_kept"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+            F.round(
+                F.sum(F.col("score").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            )
+            .cast("double")
+            .alias("avg_score"),
+        )
+        .orderBy("source")
+    )

@@ -165,6 +165,8 @@ PRIORITY = (
     "q_stream_ohlc",
     # round-3 batch 27: exchange-free aggregation on the bucketed layout
     "q_bucketed_agg",
+    # round-3 batch 28: quality-ranked token-budget corpus trim
+    "q_token_budget_trim",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

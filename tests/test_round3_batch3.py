@@ -306,3 +306,22 @@ def test_stream_ohlc_matches_finalized_batch_bars(spark):
     assert merged["event_type"].notna().all()
     for col in ("open", "high", "low", "close"):
         assert np.allclose(merged[col], merged[f"{col}_b"], atol=1e-4)
+
+
+def test_token_budget_trim_respects_budget_and_ranking(spark):
+    out = QUERIES["q_token_budget_trim"](spark, SF_DIR).toPandas()
+    scored = QUERIES["q_quality_classifier"](spark, SF_DIR)  # noqa: F841
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    total_tokens = (
+        docs.text.str.split(" ").apply(lambda w: sum(1 for x in w if x))
+    ).sum()
+    budget = math.ceil(0.25 * total_tokens)
+    kept_tokens = out["tokens_kept"].sum()
+    assert kept_tokens <= budget
+    # greedy prefix: adding any single excluded doc must overflow —
+    # kept tokens land within max-doc-size of the budget
+    max_doc = (
+        docs.text.str.split(" ").apply(lambda w: sum(1 for x in w if x)).max()
+    )
+    assert kept_tokens > budget - max_doc
+    assert (out["avg_score"] > 0).all() and (out["avg_score"] <= 1).all()

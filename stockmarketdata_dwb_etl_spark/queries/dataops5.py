@@ -583,17 +583,17 @@ def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH feat AS (
         SELECT doc_id,
                CAST(len(w) AS BIGINT) AS n_words,
-               CAST(list_sum(list_transform(w, x -> strlen(x))) AS DOUBLE)
+               CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
                    / len(w) AS avg_wlen,
                CAST(len(list_filter(w, x -> x IN
                    ('the','a','of','and','to','in','is'))) AS DOUBLE)
                    / len(w) AS stop_ratio,
-               CAST(strlen(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-                   / strlen(text) AS digit_ratio
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                   / length(text) AS digit_ratio
         FROM (SELECT doc_id, text,
                      list_filter(string_split(text, ' '), x -> x <> '') AS w
               FROM documents)
-        WHERE len(w) > 0 AND strlen(text) > 0
+        WHERE len(w) > 0 AND length(text) > 0
     ),
     scored AS (
         SELECT doc_id,
@@ -827,17 +827,17 @@ def q_embed_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH feat AS (
         SELECT doc_id, source,
                CAST(len(w) AS BIGINT) AS n_tokens,
-               CAST(list_sum(list_transform(w, x -> strlen(x))) AS DOUBLE)
+               CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
                    / len(w) AS avg_wlen,
                CAST(len(list_filter(w, x -> x IN
                    ('the','a','of','and','to','in','is'))) AS DOUBLE)
                    / len(w) AS stop_ratio,
-               CAST(strlen(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-                   / strlen(text) AS digit_ratio
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                   / length(text) AS digit_ratio
         FROM (SELECT doc_id, source, text,
                      list_filter(string_split(text, ' '), x -> x <> '') AS w
               FROM documents)
-        WHERE len(w) > 0 AND strlen(text) > 0
+        WHERE len(w) > 0 AND length(text) > 0
     ),
     scored AS (
         SELECT doc_id, source, n_tokens,

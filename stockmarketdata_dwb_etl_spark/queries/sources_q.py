@@ -455,9 +455,9 @@ def q_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(strlen(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
            CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
-           CAST(ROUND(CAST(SUM(strlen(text)) AS DOUBLE) / COUNT(*), 4)
+           CAST(ROUND(CAST(SUM(length(text)) AS DOUBLE) / COUNT(*), 4)
                 AS DOUBLE) AS avg_chars
     FROM documents GROUP BY source ORDER BY source
     """,

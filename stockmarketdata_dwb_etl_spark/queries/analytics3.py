@@ -449,9 +449,11 @@ def q_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     extended to the MERGE path. Complements q_bitmap_distinct (the
     exact mergeable path)."""
     ev = load_table(spark, sf_dir, "events")
+    # lgConfigK=14 → rsd ≈ 0.8%, so the 5% assertion sits ~6σ out (same
+    # headroom policy as q_approx_distinct's rsd=1%)
     monthly = ev.groupBy(
         "event_type", F.date_trunc("month", "ts").alias("month")
-    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    ).agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
     merged = monthly.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_month_sketches"),
         F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("__est"),

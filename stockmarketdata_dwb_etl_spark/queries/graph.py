@@ -128,17 +128,26 @@ def q_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum(F.col("c").cast("decimal(38,18)")).cast("double").alias("s"))
         )
-        ranks = nodes.join(
-            contribs.withColumnRenamed("dst", "node"), "node", "left"
-        ).select(
-            "node",
-            F.round(
-                F.lit(0.15) / n_nodes
-                + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0)),
-                12,
+        ranks = (
+            nodes.join(
+                contribs.withColumnRenamed("dst", "node"), "node", "left"
             )
-            .cast("double")
-            .alias("rank"),
+            .select(
+                "node",
+                F.round(
+                    F.lit(0.15) / n_nodes
+                    + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0)),
+                    12,
+                )
+                .cast("double")
+                .alias("rank"),
+            )
+            # materialize the superstep boundary (node-count rows): the
+            # same lineage cut as q_power_iteration / q_bfs_distance —
+            # without it the final plan re-executes every prior
+            # superstep in each join branch (audited: 73 exchanges
+            # unmaterialized vs one superstep per stage)
+            .localCheckpoint(eager=True)
         )
     return ranks.orderBy(F.desc("rank"), "node")
 

@@ -167,6 +167,9 @@ PRIORITY = (
     "q_bucketed_agg",
     # round-3 batch 28: quality-ranked token-budget corpus trim
     "q_token_budget_trim",
+    # round-3 batch 29: incremental daily pipeline (truncate-reload
+    # upgraded to keyed MERGE, proven equal to the full run)
+    "q_pipeline_incremental",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

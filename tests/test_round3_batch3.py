@@ -325,3 +325,19 @@ def test_token_budget_trim_respects_budget_and_ranking(spark):
     )
     assert kept_tokens > budget - max_doc
     assert (out["avg_score"] > 0).all() and (out["avg_score"] <= 1).all()
+
+
+def test_pipeline_incremental_equals_full_run(spark):
+    out = (
+        QUERIES["q_pipeline_incremental"](spark, SF_DIR)
+        .toPandas()
+        .set_index("merge_action")
+    )
+    full = QUERIES["q_stock_pipeline"](spark, SF_DIR).toPandas()
+    # merged row count across actions == full-run silver row count
+    assert out["n_rows"].sum() == len(full)
+    assert set(out.index) == {"kept", "updated", "inserted"}
+    # price mass is conserved: per-action sums reassemble the full total
+    assert math.isclose(
+        out["sum_price"].sum(), round(full["Price"].sum(), 2), abs_tol=0.05
+    )

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.text import tokenize, word_shingles
-from stockmarketdata_dwb_etl_spark.registry import query
+from stockmarketdata_dwb_etl_spark.registry import QUERIES, query
 
 # Deterministic stand-in for a benchmark/eval holdout: every 17th doc.
 # Contamination and seen-set checks run the corpus against this slice.
@@ -1018,5 +1018,148 @@ def q_text_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "",
                 ).cast("binary")
             ).alias("corpus_digest"),
+        )
+    )
+
+
+@query(
+    "q_cluster_purity",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, label, u.idx, u.val
+        FROM embeddings,
+             LATERAL (SELECT UNNEST(generate_series(1, len(embedding))) AS idx,
+                             UNNEST(embedding) AS val) u
+    ), cent AS (
+        SELECT label AS c_label, idx,
+               CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*) AS mean_d
+        FROM ex GROUP BY label, idx
+    ), dist AS (
+        SELECT e.vec_id, e.label, c.c_label,
+               ROUND(SUM((e.val - c.mean_d) * (e.val - c.mean_d)), 9) AS d2
+        FROM ex e JOIN cent c ON e.idx = c.idx
+        GROUP BY e.vec_id, e.label, c.c_label
+    ), best AS (
+        SELECT vec_id, label, c_label,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, c_label) AS rn
+        FROM dist
+    ), cm AS (
+        SELECT label, c_label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM best WHERE rn = 1 GROUP BY label, c_label
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(COUNT(DISTINCT c_label) AS BIGINT) AS n_clusters
+        FROM cm
+    ), marg AS (
+        SELECT 'l' AS side, label AS k, CAST(SUM(n) AS BIGINT) AS m
+        FROM cm GROUP BY label
+        UNION ALL
+        SELECT 'c', c_label, CAST(SUM(n) AS BIGINT) FROM cm GROUP BY c_label
+    ), maj AS (
+        SELECT CAST(SUM(mx) AS BIGINT) AS hits FROM (
+            SELECT c_label, MAX(n) AS mx FROM cm GROUP BY c_label)
+    ), mi AS (
+        SELECT SUM(CAST(ROUND(
+                   (CAST(cm.n AS DOUBLE) / t.nn)
+                   * ln(CAST(t.nn AS DOUBLE) * cm.n
+                        / (CAST(ml.m AS DOUBLE) * mc.m)), 12)
+               AS DECIMAL(38,18))) AS mi_sum
+        FROM cm CROSS JOIN tot t
+        JOIN marg ml ON ml.side = 'l' AND ml.k = cm.label
+        JOIN marg mc ON mc.side = 'c' AND mc.k = cm.c_label
+    ), ent AS (
+        SELECT side,
+               SUM(CAST(ROUND(-(CAST(m AS DOUBLE) / t.nn)
+                              * ln(CAST(m AS DOUBLE) / t.nn), 12)
+                   AS DECIMAL(38,18))) AS h
+        FROM marg CROSS JOIN tot t GROUP BY side
+    )
+    SELECT t.nn AS n_vecs, t.n_clusters,
+           CAST(ROUND(CAST(maj.hits AS DOUBLE) / t.nn, 6) AS DOUBLE)
+               AS purity,
+           CAST(ROUND(CAST(mi.mi_sum AS DOUBLE)
+                      / sqrt(CAST(hl.h AS DOUBLE) * CAST(hc.h AS DOUBLE)),
+                      6) AS DOUBLE) AS nmi
+    FROM tot t CROSS JOIN maj CROSS JOIN mi
+    CROSS JOIN (SELECT h FROM ent WHERE side = 'l') hl
+    CROSS JOIN (SELECT h FROM ent WHERE side = 'c') hc
+    """,
+)
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality evaluation over the k-means assignment
+    (q_kmeans_assign's confusion matrix rolled into the two standard
+    external metrics): purity = Σ_c max_l n_cl / N, and normalized
+    mutual information MI/√(H_label·H_cluster). Every probability is an
+    exact integer-count ratio; each MI/entropy CELL term computes in
+    identical-tree double, rounds to 12dp, and accumulates in exact
+    DECIMAL — so the Σ over contingency cells is partition-order
+    independent (the same guard the kmeans argmin uses for its d2
+    fold). Scale: the contingency matrix is (labels × clusters) —
+    catalog-sized; everything downstream of the assignment's broadcast
+    E-step is a few tiny aggs."""
+    cm = (
+        QUERIES["q_kmeans_assign"](spark, sf_dir)
+        .withColumnRenamed("assigned", "c_label")
+        .select("label", "c_label", F.col("n").cast("bigint").alias("n"))
+    )
+    tot = cm.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.countDistinct("c_label").cast("bigint").alias("n_clusters"),
+    )
+    ml = cm.groupBy("label").agg(F.sum("n").cast("bigint").alias("ml"))
+    mc = cm.groupBy("c_label").agg(F.sum("n").cast("bigint").alias("mc"))
+    hits = (
+        cm.groupBy("c_label")
+        .agg(F.max("n").alias("mx"))
+        .agg(F.sum("mx").cast("bigint").alias("hits"))
+    )
+    joined = (
+        cm.join(F.broadcast(ml), "label")
+        .join(F.broadcast(mc), "c_label")
+        .crossJoin(F.broadcast(tot))
+    )
+    mi_term = F.round(
+        (F.col("n").cast("double") / F.col("nn"))
+        * F.log(
+            F.col("nn").cast("double")
+            * F.col("n")
+            / (F.col("ml").cast("double") * F.col("mc"))
+        ),
+        12,
+    ).cast("decimal(38,18)")
+    mi = joined.agg(F.sum(mi_term).alias("mi_sum"))
+
+    def entropy(marg, col):
+        term = F.round(
+            -(F.col(col).cast("double") / F.col("nn"))
+            * F.log(F.col(col).cast("double") / F.col("nn")),
+            12,
+        ).cast("decimal(38,18)")
+        return marg.crossJoin(F.broadcast(tot)).agg(F.sum(term).alias("h"))
+
+    hl = entropy(ml, "ml").withColumnRenamed("h", "hl")
+    hc = entropy(mc, "mc").withColumnRenamed("h", "hc")
+    return (
+        tot.crossJoin(F.broadcast(hits))
+        .crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(hc))
+        .select(
+            F.col("nn").alias("n_vecs"),
+            "n_clusters",
+            F.round(F.col("hits").cast("double") / F.col("nn"), 6)
+            .cast("double")
+            .alias("purity"),
+            F.round(
+                F.col("mi_sum").cast("double")
+                / F.sqrt(
+                    F.col("hl").cast("double") * F.col("hc").cast("double")
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("nmi"),
         )
     )

@@ -170,6 +170,8 @@ PRIORITY = (
     # round-3 batch 29: incremental daily pipeline (truncate-reload
     # upgraded to keyed MERGE, proven equal to the full run)
     "q_pipeline_incremental",
+    # round-3 batch 30: clustering-quality metrics (purity + NMI)
+    "q_cluster_purity",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

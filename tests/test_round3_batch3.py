@@ -341,3 +341,24 @@ def test_pipeline_incremental_equals_full_run(spark):
     assert math.isclose(
         out["sum_price"].sum(), round(full["Price"].sum(), 2), abs_tol=0.05
     )
+
+
+def test_cluster_purity_matches_sklearn_free_recompute(spark):
+    out = QUERIES["q_cluster_purity"](spark, SF_DIR).toPandas().iloc[0]
+    cm = (
+        QUERIES["q_kmeans_assign"](spark, SF_DIR)
+        .toPandas()
+        .pivot_table(index="label", columns="assigned", values="n", fill_value=0)
+    )
+    n = cm.values.sum()
+    assert out["n_vecs"] == n
+    purity = cm.values.max(axis=0).sum() / n
+    assert math.isclose(out["purity"], purity, abs_tol=1e-4)
+    p = cm.values / n
+    pl, pc = p.sum(axis=1), p.sum(axis=0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mi = np.nansum(p * np.log(p / np.outer(pl, pc)))
+        hl = -np.sum(pl * np.log(pl))
+        hc = -np.sum(pc * np.log(pc))
+    assert math.isclose(out["nmi"], mi / math.sqrt(hl * hc), abs_tol=1e-4)
+    assert 0 <= out["nmi"] <= 1 + 1e-9 and 0 < out["purity"] <= 1

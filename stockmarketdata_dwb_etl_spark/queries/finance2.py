@@ -507,3 +507,222 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("acf1"),
     ).orderBy("symbol")
+
+
+@query(
+    "q_rank_ic",
+    oracle=f"""
+    WITH {_DUCK_RETURNS},
+    sig AS (
+        SELECT symbol, bar_ts, r,
+               lead(r) OVER (PARTITION BY symbol ORDER BY bar_ts) AS fwd_r
+        FROM rets
+        QUALIFY fwd_r IS NOT NULL
+    ),
+    ranked AS (
+        SELECT bar_ts,
+               CAST(rank() OVER (PARTITION BY bar_ts
+                                 ORDER BY r, symbol) AS DOUBLE) AS rs,
+               CAST(rank() OVER (PARTITION BY bar_ts
+                                 ORDER BY fwd_r, symbol) AS DOUBLE) AS rf,
+               CAST(COUNT(*) OVER (PARTITION BY bar_ts) AS BIGINT) AS k
+        FROM sig
+    ),
+    per_date AS (
+        SELECT bar_ts,
+               ROUND(1.0 - 6.0 * SUM((rs - rf) * (rs - rf))
+                            / (k * (CAST(k AS DOUBLE) * k - 1.0)), 8)
+                   AS ic
+        FROM ranked WHERE k >= 3
+        GROUP BY bar_ts, k
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_dates,
+           CAST(ROUND(CAST(SUM(CAST(ic AS DECIMAL(38,18))) AS DOUBLE)
+                      / COUNT(*), 6) AS DOUBLE) AS mean_ic,
+           CAST(COUNT(*) FILTER (WHERE ic > 0) AS BIGINT) AS n_positive
+    FROM per_date
+    """,
+)
+def q_rank_ic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional rank information coefficient — the quant-research
+    signal-quality metric: per bar, Spearman correlation between the
+    momentum signal (this bar's return) and the NEXT bar's realized
+    return across symbols, averaged over bars. Spearman computes via
+    the classic 1 − 6Σd²/(k(k²−1)) on exact integer ranks (symbol
+    tie-break makes rank assignment engine-deterministic; d² sums are
+    small exact integers in double), per-date ICs round to 8dp and
+    average through exact DECIMAL. Scale: two per-symbol windows + one
+    per-bar window whose partition width is the symbol universe
+    (catalog-bounded), then a calendar-bounded agg."""
+    rets = _returns(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    sig = rets.select(
+        "symbol", "bar_ts", "r", F.lead("r").over(w).alias("fwd_r")
+    ).filter(F.col("fwd_r").isNotNull())
+    wb_r = Window.partitionBy("bar_ts").orderBy("r", "symbol")
+    wb_f = Window.partitionBy("bar_ts").orderBy("fwd_r", "symbol")
+    wb = Window.partitionBy("bar_ts")
+    ranked = sig.select(
+        "bar_ts",
+        F.rank().over(wb_r).cast("double").alias("rs"),
+        F.rank().over(wb_f).cast("double").alias("rf"),
+        F.count(F.lit(1)).over(wb).cast("bigint").alias("k"),
+    )
+    d2 = (F.col("rs") - F.col("rf")) * (F.col("rs") - F.col("rf"))
+    per_date = (
+        ranked.filter(F.col("k") >= 3)
+        .groupBy("bar_ts", "k")
+        .agg(F.sum(d2).alias("sd2"))
+        .select(
+            "bar_ts",
+            F.round(
+                F.lit(1.0)
+                - F.lit(6.0)
+                * F.col("sd2")
+                / (
+                    F.col("k")
+                    * (F.col("k").cast("double") * F.col("k") - F.lit(1.0))
+                ),
+                8,
+            ).alias("ic"),
+        )
+    )
+    return per_date.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dates"),
+        F.round(
+            F.sum(F.col("ic").cast(_DEC18)).cast("double") / F.count(F.lit(1)),
+            6,
+        )
+        .cast("double")
+        .alias("mean_ic"),
+        F.count(F.when(F.col("ic") > 0, 1)).cast("bigint").alias("n_positive"),
+    )
+
+
+@query(
+    "q_jarque_bera",
+    oracle=f"""
+    WITH {_DUCK_RETURNS},
+    m AS (
+        SELECT symbol,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(r * r AS DECIMAL(38,18))) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(r * r * r AS DECIMAL(38,18))) AS DOUBLE) AS s3,
+               CAST(SUM(CAST(r * r * r * r AS DECIMAL(38,18))) AS DOUBLE)
+                   AS s4
+        FROM rets GROUP BY symbol
+    ),
+    cm AS (
+        SELECT symbol, n,
+               s2 / n - (s1 / n) * (s1 / n) AS m2,
+               s3 / n - 3.0 * (s1 / n) * (s2 / n)
+                      + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+               s4 / n - 4.0 * (s1 / n) * (s3 / n)
+                      + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+                      - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        FROM m
+    )
+    SELECT symbol, n,
+           CAST(ROUND(m3 / pow(m2, 1.5), 6) AS DOUBLE) AS skewness,
+           CAST(ROUND(m4 / (m2 * m2) - 3.0, 6) AS DOUBLE) AS excess_kurtosis,
+           CAST(ROUND(n / 6.0 * ((m3 / pow(m2, 1.5)) * (m3 / pow(m2, 1.5))
+                      + 0.25 * (m4 / (m2 * m2) - 3.0)
+                             * (m4 / (m2 * m2) - 3.0)), 4) AS DOUBLE) AS jb_stat
+    FROM cm ORDER BY symbol
+    """,
+)
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque–Bera normality diagnostics per symbol over hourly returns:
+    skewness m₃/m₂^1.5, excess kurtosis m₄/m₂²−3, and the JB statistic
+    n/6·(S² + K²/4) — the fat-tails test every return model starts
+    with. Raw power sums Σr..Σr⁴ accumulate in exact DECIMAL (the only
+    cross-row float reduction); central moments and the statistic
+    compute from those scalars in identical-tree double (deliberately
+    NOT Spark's built-in skewness/kurtosis, whose bias corrections
+    differ across engines). One hash-agg per symbol."""
+    rets = _returns(spark, sf_dir)
+    r = F.col("r")
+    m = rets.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(r.cast(_DEC18)).cast("double").alias("s1"),
+        F.sum((r * r).cast(_DEC18)).cast("double").alias("s2"),
+        F.sum((r * r * r).cast(_DEC18)).cast("double").alias("s3"),
+        F.sum((r * r * r * r).cast(_DEC18)).cast("double").alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - F.lit(3.0) * mu * (F.col("s2") / n) + F.lit(
+        2.0
+    ) * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - F.lit(4.0) * mu * (F.col("s3") / n)
+        + F.lit(6.0) * mu * mu * (F.col("s2") / n)
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    skew = m3 / F.pow(m2, 1.5)
+    exk = m4 / (m2 * m2) - F.lit(3.0)
+    jb = n / F.lit(6.0) * (skew * skew + F.lit(0.25) * exk * exk)
+    return m.select(
+        "symbol",
+        "n",
+        F.round(skew, 6).cast("double").alias("skewness"),
+        F.round(exk, 6).cast("double").alias("excess_kurtosis"),
+        F.round(jb, 4).cast("double").alias("jb_stat"),
+    ).orderBy("symbol")
+
+
+@query(
+    "q_amihud_illiquidity",
+    oracle=f"""
+    WITH {_duck_ohlcv("hour")},
+    seq AS (
+        SELECT symbol, bar_ts, volume,
+               abs(close / lag(close) OVER (PARTITION BY symbol
+                                            ORDER BY bar_ts) - 1.0) AS abs_r
+        FROM bars
+        QUALIFY abs_r IS NOT NULL
+    )
+    SELECT symbol,
+           CAST(COUNT(*) AS BIGINT) AS n_bars,
+           CAST(ROUND(CAST(SUM(CAST(abs_r / volume AS DECIMAL(38,18)))
+                           AS DOUBLE) / COUNT(*) * 1e6, 6) AS DOUBLE)
+               AS amihud_x1e6
+    FROM seq GROUP BY symbol ORDER BY symbol
+    """,
+)
+def q_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amihud illiquidity per symbol: mean(|return| / volume), scaled
+    ×1e6 — the standard price-impact proxy when no order-book depth
+    exists (volume = bar tick count here). Per-bar ratios compute in
+    identical-tree double, accumulate in exact DECIMAL, and average at
+    the end. One bar hash-agg + one lag window + one per-symbol agg."""
+    bars = _ohlcv_bars(spark, sf_dir, "hour")
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    seq = bars.select(
+        "symbol",
+        "bar_ts",
+        "volume",
+        F.abs(F.col("close") / F.lag("close").over(w) - F.lit(1.0)).alias(
+            "abs_r"
+        ),
+    ).filter(F.col("abs_r").isNotNull())
+    return (
+        seq.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bars"),
+            F.round(
+                F.sum((F.col("abs_r") / F.col("volume")).cast(_DEC18)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+                * F.lit(1e6),
+                6,
+            )
+            .cast("double")
+            .alias("amihud_x1e6"),
+        )
+        .orderBy("symbol")
+    )

@@ -172,6 +172,9 @@ PRIORITY = (
     "q_pipeline_incremental",
     # round-3 batch 30: clustering-quality metrics (purity + NMI)
     "q_cluster_purity",
+    # round-3 batch 31: quant-research metrics (rank IC, Jarque-Bera,
+    # Amihud illiquidity)
+    "q_rank_ic", "q_jarque_bera", "q_amihud_illiquidity",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

@@ -362,3 +362,43 @@ def test_cluster_purity_matches_sklearn_free_recompute(spark):
         hc = -np.sum(pc * np.log(pc))
     assert math.isclose(out["nmi"], mi / math.sqrt(hl * hc), abs_tol=1e-4)
     assert 0 <= out["nmi"] <= 1 + 1e-9 and 0 < out["purity"] <= 1
+
+
+def test_jarque_bera_matches_scipy_free_formula(spark):
+    out = QUERIES["q_jarque_bera"](spark, SF_DIR).toPandas()
+    # recompute returns independently and check one symbol's moments
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["bar_ts"] = ev["ts"].dt.floor("h")
+    key = (
+        ev["ts"].astype("int64").astype("string").str.zfill(20)
+        + "-"
+        + ev["event_id"].astype("string").str.zfill(12)
+    )
+    bars = (
+        ev.assign(__k=key)
+        .sort_values("__k")
+        .groupby(["event_type", "bar_ts"])
+        .last()["value"]
+    )
+    for sym in out.symbol:
+        r = bars.loc[sym].pct_change().dropna().values
+        m2, m3, m4 = [np.mean((r - r.mean()) ** k) for k in (2, 3, 4)]
+        skew, exk = m3 / m2**1.5, m4 / m2**2 - 3
+        row = out[out.symbol == sym].iloc[0]
+        assert math.isclose(row["skewness"], skew, abs_tol=1e-3)
+        assert math.isclose(row["excess_kurtosis"], exk, abs_tol=1e-3)
+        jb = len(r) / 6 * (skew**2 + exk**2 / 4)
+        assert math.isclose(row["jb_stat"], jb, rel_tol=1e-3)
+
+
+def test_rank_ic_bounds(spark):
+    out = QUERIES["q_rank_ic"](spark, SF_DIR).toPandas().iloc[0]
+    assert out["n_dates"] > 0
+    assert -1.0 <= out["mean_ic"] <= 1.0
+    assert 0 <= out["n_positive"] <= out["n_dates"]
+
+
+def test_amihud_positive(spark):
+    out = QUERIES["q_amihud_illiquidity"](spark, SF_DIR).toPandas()
+    assert len(out) == 5
+    assert (out["amihud_x1e6"] > 0).all()

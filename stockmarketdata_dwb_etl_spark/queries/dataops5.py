@@ -953,3 +953,111 @@ def q_token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_dedup_chunks",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 4000000 AS doc_id, text FROM documents
+        WHERE doc_id % 11 = 0
+    ),
+    w AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM aug
+    ),
+    ch AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(
+                   list_slice(ws, (i - 1) * 10 + 1,
+                              least(i * 10, len(ws))), ' ') AS chunk
+        FROM w, LATERAL (
+            SELECT UNNEST(generate_series(
+                1, CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS i)
+        WHERE len(ws) > 0
+    ),
+    keyed AS (
+        SELECT doc_id, pos, md5(chunk) AS h,
+               printf('%012d-%06d', doc_id, pos) AS k
+        FROM ch
+    ),
+    keeper AS (
+        SELECT h, MIN(k) AS keep_k FROM keyed GROUP BY h
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) FILTER (WHERE c.k = kp.keep_k) AS BIGINT)
+               AS n_retained,
+           CAST(ROUND(CAST(COUNT(*) FILTER (WHERE c.k = kp.keep_k)
+                           AS DOUBLE) / COUNT(*), 4) AS DOUBLE)
+               AS retained_ratio
+    FROM keyed c JOIN keeper kp ON kp.h = c.h
+    GROUP BY c.doc_id ORDER BY c.doc_id
+    """,
+)
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document chunk dedup — the paragraph-granularity removal
+    transform (Dolma-style) that whole-doc dedup cannot express: split
+    every document into fixed 10-word chunks, keep each distinct chunk
+    only at its FIRST global occurrence (min (doc_id, pos), encoded as
+    a zero-padded sortable key so the keeper choice is engine-exact),
+    and report per-document retention. The fixture plants full copies
+    (every 11th doc re-entered at a shifted id) whose chunks all lose
+    to their originals — retained_ratio 0 by construction, proving the
+    transform. Scale: chunks shuffle on the md5 hash only (chunk text
+    rides to the verify join but never re-shuffles per band — one
+    hash-agg + one join); chunking itself is a map-side array
+    comprehension."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 4_000_000).alias("doc_id"), "text"
+        )
+    )
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    w = aug.select("doc_id", ws.alias("ws")).filter(F.size("ws") > 0)
+    n_ch = F.ceil(F.size("ws") / F.lit(10.0)).cast("int")
+    chunks = w.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n_ch),
+                lambda i: F.struct(
+                    (i - 1).alias("pos"),
+                    F.array_join(
+                        F.slice("ws", (i - 1) * 10 + 1, 10), " "
+                    ).alias("chunk"),
+                ),
+            )
+        ).alias("c"),
+    ).select("doc_id", "c.pos", "c.chunk")
+    keyed = chunks.select(
+        "doc_id",
+        "pos",
+        F.md5("chunk").alias("h"),
+        F.format_string("%012d-%06d", "doc_id", "pos").alias("k"),
+    )
+    keeper = keyed.groupBy("h").agg(F.min("k").alias("keep_k"))
+    return (
+        keyed.join(keeper, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.count(F.when(F.col("k") == F.col("keep_k"), 1))
+            .cast("bigint")
+            .alias("n_retained"),
+            F.round(
+                F.count(F.when(F.col("k") == F.col("keep_k"), 1)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                4,
+            )
+            .cast("double")
+            .alias("retained_ratio"),
+        )
+        .orderBy("doc_id")
+    )

@@ -175,6 +175,8 @@ PRIORITY = (
     # round-3 batch 31: quant-research metrics (rank IC, Jarque-Bera,
     # Amihud illiquidity)
     "q_rank_ic", "q_jarque_bera", "q_amihud_illiquidity",
+    # round-3 batch 32: sub-document chunk dedup (paragraph granularity)
+    "q_dedup_chunks",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

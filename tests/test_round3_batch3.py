@@ -402,3 +402,19 @@ def test_amihud_positive(spark):
     out = QUERIES["q_amihud_illiquidity"](spark, SF_DIR).toPandas()
     assert len(out) == 5
     assert (out["amihud_x1e6"] > 0).all()
+
+
+def test_dedup_chunks_planted_copies_retain_zero(spark):
+    out = QUERIES["q_dedup_chunks"](spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    planted = out[out.doc_id >= 4_000_000]
+    assert len(planted) == (docs.doc_id % 11 == 0).sum()
+    assert (planted["n_retained"] == 0).all()
+    assert (planted["retained_ratio"] == 0).all()
+    originals = out[out.doc_id < 4_000_000]
+    # chunk math: each original doc yields ceil(words/10) chunks
+    nw = docs.set_index("doc_id").text.str.split(" ").apply(
+        lambda w: sum(1 for x in w if x)
+    )
+    for did, row in originals.set_index("doc_id").head(20).iterrows():
+        assert row["n_chunks"] == math.ceil(nw[did] / 10)

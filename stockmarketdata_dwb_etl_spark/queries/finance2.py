@@ -726,3 +726,128 @@ def q_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+@query(
+    "q_twap",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS symbol, ts, value,
+               lead(ts) OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    seg AS (
+        SELECT symbol, value,
+               epoch_us(nxt) - epoch_us(ts) AS dt_us
+        FROM seq WHERE nxt IS NOT NULL
+    )
+    SELECT symbol,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(dt_us) AS BIGINT) AS total_us,
+           CAST(ROUND(CAST(SUM(CAST(value * dt_us AS DECIMAL(38,6)))
+                           AS DOUBLE)
+                      / CAST(SUM(dt_us) AS DOUBLE), 6) AS DOUBLE) AS twap
+    FROM seg GROUP BY symbol ORDER BY symbol
+    """,
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per symbol over the irregular tick
+    stream: each tick's price holds until the next tick, so TWAP =
+    Σ(price·Δt)/ΣΔt with Δt in exact epoch microseconds (lead over the
+    (ts, event_id) total order — the benchmark price for execution
+    quality when volume weights are unavailable, complementing q_vwap.
+    The price·Δt products compute in double (identical bits both
+    engines — Δt is an exact integer) and accumulate in DECIMAL; the
+    final quotient is one double division. One lag-window shuffle on
+    symbol + one hash-agg."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("symbol"),
+        "ts",
+        "value",
+        F.lead("ts").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    dt_us = F.expr("timestampdiff(MICROSECOND, ts, nxt)")
+    seg = seq.select("symbol", "value", dt_us.alias("dt_us"))
+    return (
+        seg.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum("dt_us").cast("bigint").alias("total_us"),
+            F.round(
+                F.sum((F.col("value") * F.col("dt_us")).cast(_DEC)).cast(
+                    "double"
+                )
+                / F.sum("dt_us").cast("double"),
+                6,
+            )
+            .cast("double")
+            .alias("twap"),
+        )
+        .orderBy("symbol")
+    )
+
+
+@query(
+    "q_target_encoding",
+    oracle="""
+    WITH g AS (
+        SELECT c.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS s
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_mktsegment
+    ),
+    prior AS (
+        SELECT CAST(SUM(s) AS DOUBLE) / SUM(n) AS mu FROM g
+    )
+    SELECT g.c_mktsegment, g.n,
+           CAST(ROUND(CAST(g.s AS DOUBLE) / g.n, 4) AS DOUBLE) AS raw_mean,
+           CAST(ROUND((CAST(g.s AS DOUBLE) + 100.0 * p.mu)
+                      / (g.n + 100.0), 4) AS DOUBLE) AS encoded
+    FROM g CROSS JOIN prior p ORDER BY g.c_mktsegment
+    """,
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding (m-estimate, m=100) of the market
+    segment against order value — the categorical-feature encoder ML
+    pipelines fit warehouse-side: encoded = (Σy + m·μ)/(n + m), pulling
+    small categories toward the global prior μ. Sums are exact DECIMAL
+    (so μ and every category mean are partition-order independent); the
+    smoothing arithmetic runs on those scalars in identical-tree
+    double. Scale: one fact⨝dim join (dim broadcasts), one hash-agg to
+    category grain, 1-row prior broadcast back — the fitted encoder
+    table then broadcasts into training jobs."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    g = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast(_DEC)).alias("s"),
+        )
+    )
+    prior = g.agg(
+        (F.sum("s").cast("double") / F.sum("n")).alias("mu")
+    )
+    return (
+        g.crossJoin(F.broadcast(prior))
+        .select(
+            "c_mktsegment",
+            "n",
+            F.round(F.col("s").cast("double") / F.col("n"), 4)
+            .cast("double")
+            .alias("raw_mean"),
+            F.round(
+                (F.col("s").cast("double") + F.lit(100.0) * F.col("mu"))
+                / (F.col("n") + F.lit(100.0)),
+                4,
+            )
+            .cast("double")
+            .alias("encoded"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -177,6 +177,8 @@ PRIORITY = (
     "q_rank_ic", "q_jarque_bera", "q_amihud_illiquidity",
     # round-3 batch 32: sub-document chunk dedup (paragraph granularity)
     "q_dedup_chunks",
+    # round-3 batch 33: TWAP + smoothed target encoding
+    "q_twap", "q_target_encoding",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

@@ -418,3 +418,24 @@ def test_dedup_chunks_planted_copies_retain_zero(spark):
     )
     for did, row in originals.set_index("doc_id").head(20).iterrows():
         assert row["n_chunks"] == math.ceil(nw[did] / 10)
+
+
+def test_twap_between_min_max_price(spark):
+    out = QUERIES["q_twap"](spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    for _, row in out.iterrows():
+        vals = ev[ev.event_type == row["symbol"]]["value"]
+        assert vals.min() <= row["twap"] <= vals.max()
+        # spans sum: total_us equals last-first per symbol
+        ts = ev[ev.event_type == row["symbol"]]["ts"]
+        span = (ts.max() - ts.min()) // pd.Timedelta(microseconds=1)
+        assert row["total_us"] == span
+
+
+def test_target_encoding_shrinks_toward_prior(spark):
+    out = QUERIES["q_target_encoding"](spark, SF_DIR).toPandas()
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    mu = o.o_totalprice.mean()
+    for _, row in out.iterrows():
+        lo, hi = sorted((row["raw_mean"], mu))
+        assert lo - 1e-6 <= row["encoded"] <= hi + 1e-6

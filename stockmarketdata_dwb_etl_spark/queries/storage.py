@@ -19,10 +19,11 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.exact import exact_sum, sql_exact_sum
-from stockmarketdata_dwb_etl_spark.registry import query
+from stockmarketdata_dwb_etl_spark.registry import QUERIES, query
 from stockmarketdata_dwb_etl_spark.scratch import fixture_tag
 
 SCRATCH = "/root/repo/.scratch"
@@ -786,4 +787,112 @@ def q_bucketed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_items") >= 6)
         .orderBy("l_orderkey")
+    )
+
+
+@query(
+    "q_scd2_integrity",
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 4) AS c_acctbal
+        FROM customer
+    ),
+    scd AS (
+        SELECT c_custkey, DATE '2024-01-01' AS effective_from,
+               DATE '9999-12-31' AS effective_to, TRUE AS is_current
+        FROM dim WHERE c_custkey % 13 <> 0
+        UNION ALL
+        SELECT c_custkey, DATE '2024-01-01', DATE '2024-06-01', FALSE
+        FROM dim WHERE c_custkey % 13 = 0
+        UNION ALL
+        SELECT c_custkey, DATE '2024-06-01', DATE '9999-12-31', TRUE
+        FROM dim WHERE c_custkey % 13 = 0
+        UNION ALL
+        SELECT c_custkey, DATE '2024-03-01', DATE '2024-09-01', FALSE
+        FROM dim WHERE c_custkey % 17 = 0
+    ),
+    seq AS (
+        SELECT c_custkey, effective_from, effective_to, is_current,
+               lag(effective_to) OVER (PARTITION BY c_custkey
+                                       ORDER BY effective_from, effective_to)
+                   AS prev_to
+        FROM scd
+    ),
+    per_key AS (
+        SELECT c_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_versions,
+               CAST(COUNT(*) FILTER (WHERE is_current) AS BIGINT) AS n_cur,
+               CAST(COUNT(*) FILTER (WHERE prev_to IS NOT NULL
+                                       AND effective_from < prev_to)
+                    AS BIGINT) AS n_overlap
+        FROM seq GROUP BY c_custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n_versions) AS BIGINT) AS n_versions,
+           CAST(COUNT(*) FILTER (WHERE n_cur <> 1) AS BIGINT)
+               AS keys_bad_current,
+           CAST(SUM(n_overlap) AS BIGINT) AS overlap_violations,
+           CAST(COUNT(*) FILTER (WHERE n_overlap > 0) AS BIGINT)
+               AS keys_with_overlap
+    FROM per_key
+    """,
+)
+def q_scd2_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 temporal-integrity audit — the invariant check a versioned
+    dimension must pass before anything joins it: per key, exactly one
+    current row and no overlapping validity windows (each version's
+    effective_from must not precede the previous version's
+    effective_to under the (from, to) ordering). Audits the
+    q_scd2_apply output AUGMENTED with planted corrupt versions (every
+    17th key gains an overlapping 2024-03→2024-09 row), so the
+    detector's violation counts are proven nonzero and exactly
+    arithmetic-predictable. Scale: one lag window + one hash-agg, both
+    keyed by the dimension key — audit costs one pass over the
+    dimension."""
+    scd = QUERIES["q_scd2_apply"](spark, sf_dir).select(
+        "c_custkey", "effective_from", "effective_to", "is_current"
+    )
+    planted = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 17 == 0)
+        .select(
+            "c_custkey",
+            F.to_date(F.lit("2024-03-01")).alias("effective_from"),
+            F.to_date(F.lit("2024-09-01")).alias("effective_to"),
+            F.lit(False).alias("is_current"),
+        )
+    )
+    allv = scd.unionByName(planted)
+    w = Window.partitionBy("c_custkey").orderBy(
+        "effective_from", "effective_to"
+    )
+    seq = allv.select(
+        "c_custkey",
+        "effective_from",
+        "is_current",
+        F.lag("effective_to").over(w).alias("prev_to"),
+    )
+    per_key = seq.groupBy("c_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_versions"),
+        F.count(F.when(F.col("is_current"), 1)).cast("bigint").alias("n_cur"),
+        F.count(
+            F.when(
+                F.col("prev_to").isNotNull()
+                & (F.col("effective_from") < F.col("prev_to")),
+                1,
+            )
+        )
+        .cast("bigint")
+        .alias("n_overlap"),
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("n_versions").cast("bigint").alias("n_versions"),
+        F.count(F.when(F.col("n_cur") != 1, 1))
+        .cast("bigint")
+        .alias("keys_bad_current"),
+        F.sum("n_overlap").cast("bigint").alias("overlap_violations"),
+        F.count(F.when(F.col("n_overlap") > 0, 1))
+        .cast("bigint")
+        .alias("keys_with_overlap"),
     )

@@ -179,6 +179,8 @@ PRIORITY = (
     "q_dedup_chunks",
     # round-3 batch 33: TWAP + smoothed target encoding
     "q_twap", "q_target_encoding",
+    # round-3 batch 34: SCD2 temporal-integrity audit
+    "q_scd2_integrity",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

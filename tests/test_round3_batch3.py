@@ -439,3 +439,18 @@ def test_target_encoding_shrinks_toward_prior(spark):
     for _, row in out.iterrows():
         lo, hi = sorted((row["raw_mean"], mu))
         assert lo - 1e-6 <= row["encoded"] <= hi + 1e-6
+
+
+def test_scd2_integrity_counts_planted_overlaps(spark):
+    out = QUERIES["q_scd2_integrity"](spark, SF_DIR).toPandas().iloc[0]
+    c = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    n17 = (c.c_custkey % 17 == 0).sum()
+    n13 = (c.c_custkey % 13 == 0).sum()
+    n_both = ((c.c_custkey % 17 == 0) & (c.c_custkey % 13 == 0)).sum()
+    assert out["n_keys"] == len(c)
+    assert out["n_versions"] == len(c) + n13 + n17
+    # every planted row overlaps once; keys with both a migration AND a
+    # planted row add a second overlap (open row vs planted window)
+    assert out["overlap_violations"] == n17 + n_both
+    assert out["keys_with_overlap"] == n17
+    assert out["keys_bad_current"] == 0  # planted rows are not current

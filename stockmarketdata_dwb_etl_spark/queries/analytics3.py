@@ -560,3 +560,123 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("share"),
     ).orderBy("channel")
+
+
+@query(
+    "q_survival_churn",
+    oracle="""
+    WITH span AS (
+        SELECT o_custkey,
+               MIN(o_orderdate) AS first_d,
+               MAX(o_orderdate) AS last_d
+        FROM orders GROUP BY o_custkey
+    ),
+    horizon AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+    lifet AS (
+        SELECT (year(last_d) * 12 + month(last_d))
+               - (year(first_d) * 12 + month(first_d)) AS tenure,
+               CASE WHEN last_d < h.mx - INTERVAL 3 MONTH
+                    THEN 1 ELSE 0 END AS churned
+        FROM span CROSS JOIN horizon h
+    ),
+    grid AS (
+        SELECT tenure AS t,
+               CAST(COUNT(*) AS BIGINT) AS ended_here,
+               CAST(SUM(churned) AS BIGINT) AS d_t
+        FROM lifet GROUP BY tenure
+    ),
+    risk AS (
+        SELECT t, d_t,
+               CAST(SUM(ended_here) OVER (ORDER BY t DESC
+                                          ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS n_t
+        FROM grid
+    ),
+    fac AS (
+        SELECT t, d_t, n_t,
+               ROUND(ln(1.0 - CAST(d_t AS DOUBLE) / n_t), 12) AS lf,
+               CASE WHEN d_t = n_t THEN 1 ELSE 0 END AS zero_f
+        FROM risk
+    )
+    SELECT t AS tenure_months, n_t AS n_at_risk, d_t AS n_churned,
+           CAST(CASE WHEN SUM(zero_f) OVER w > 0 THEN 0.0
+                ELSE ROUND(exp(CAST(SUM(CAST(lf AS DECIMAL(38,18))) OVER w
+                                    AS DOUBLE)), 6) END AS DOUBLE)
+               AS survival
+    FROM fac
+    WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+    ORDER BY t
+    """,
+)
+def q_survival_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for customer churn: tenure = exact
+    month-index span between first and last order; churn event = last
+    order more than 3 months before the data horizon (later = censored);
+    S(t) = Π(1 − d_t/n_t) over the tenure grid with n_t the reverse
+    cumulative risk set. All risk counts are exact integers; each KM
+    factor's log computes in identical-tree double, rounds to 12dp, and
+    the cumulative product runs as a DECIMAL log-sum then one exp — so
+    the curve is engine-exact, with the all-churn boundary (factor 0)
+    pinning survival to 0 from that tenure on. Scale: per-customer span
+    agg is the only full-data shuffle; the grid is calendar-bounded
+    (months), so its windows are trivially safe."""
+    o = load_table(spark, sf_dir, "orders")
+    span = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_d"),
+        F.max("o_orderdate").alias("last_d"),
+    )
+    horizon = o.agg(F.max("o_orderdate").alias("mx"))
+    midx = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    lifet = span.crossJoin(F.broadcast(horizon)).select(
+        (midx(F.col("last_d")) - midx(F.col("first_d"))).alias("tenure"),
+        F.when(
+            F.col("last_d") < F.add_months(F.col("mx"), -3), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("churned"),
+    )
+    grid = lifet.groupBy(F.col("tenure").alias("t")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ended_here"),
+        F.sum("churned").cast("bigint").alias("d_t"),
+    )
+    w_rev = (
+        Window.orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = grid.select(
+        "t",
+        "d_t",
+        F.sum("ended_here").over(w_rev).cast("bigint").alias("n_t"),
+    )
+    fac = risk.select(
+        "t",
+        "d_t",
+        "n_t",
+        F.round(
+            F.log(F.lit(1.0) - F.col("d_t").cast("double") / F.col("n_t")), 12
+        ).alias("lf"),
+        F.when(F.col("d_t") == F.col("n_t"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("zero_f"),
+    )
+    w_fwd = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return fac.select(
+        F.col("t").alias("tenure_months"),
+        F.col("n_t").alias("n_at_risk"),
+        F.col("d_t").alias("n_churned"),
+        F.when(F.sum("zero_f").over(w_fwd) > 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.exp(
+                    F.sum(F.col("lf").cast("decimal(38,18)"))
+                    .over(w_fwd)
+                    .cast("double")
+                ),
+                6,
+            )
+        )
+        .cast("double")
+        .alias("survival"),
+    ).orderBy("tenure_months")

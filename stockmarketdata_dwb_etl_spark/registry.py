@@ -181,6 +181,8 @@ PRIORITY = (
     "q_twap", "q_target_encoding",
     # round-3 batch 34: SCD2 temporal-integrity audit
     "q_scd2_integrity",
+    # round-3 batch 35: Kaplan-Meier churn survival curve
+    "q_survival_churn",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

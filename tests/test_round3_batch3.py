@@ -454,3 +454,20 @@ def test_scd2_integrity_counts_planted_overlaps(spark):
     assert out["overlap_violations"] == n17 + n_both
     assert out["keys_with_overlap"] == n17
     assert out["keys_bad_current"] == 0  # planted rows are not current
+
+
+def test_survival_curve_monotone_and_anchored(spark):
+    out = (
+        QUERIES["q_survival_churn"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("tenure_months")
+    )
+    assert len(out) > 0
+    s = out["survival"].values
+    assert (np.diff(s) <= 1e-9).all(), "survival must be non-increasing"
+    assert 0 <= s[-1] <= s[0] <= 1.0
+    # risk set is the reverse cumulative of curve membership
+    assert (np.diff(out["n_at_risk"].values) <= 0).all()
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    assert out["n_at_risk"].iloc[0] == o.o_custkey.nunique()
+    assert (out["n_churned"] <= out["n_at_risk"]).all()

@@ -680,3 +680,165 @@ def q_survival_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("survival"),
     ).orderBy("tenure_months")
+
+
+@query(
+    "q_cohort_ltv",
+    oracle="""
+    WITH first_order AS (
+        SELECT o_custkey,
+               date_trunc('month', MIN(o_orderdate)) AS cohort
+        FROM orders GROUP BY o_custkey
+    ),
+    sized AS (
+        SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM first_order GROUP BY cohort
+    ),
+    rev AS (
+        SELECT f.cohort,
+               (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+               - (year(f.cohort) * 12 + month(f.cohort)) AS age,
+               SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS r
+        FROM orders o JOIN first_order f ON f.o_custkey = o.o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT CAST(r.cohort AS DATE) AS cohort, r.age, s.cohort_size,
+           -- integer-scaled exact rounding: cum is DECIMAL(38,6) == an
+           -- integer of 1e-6 units, so round(cum/size * 1e4) half-up is
+           -- pure integer arithmetic — no double ever rounds at the
+           -- output boundary
+           CAST((CAST(SUM(r.r) OVER w * 1000000 AS BIGINT)
+                 + 50 * s.cohort_size)
+                // (100 * s.cohort_size) AS BIGINT) AS ltv_x10000
+    FROM rev r JOIN sized s ON s.cohort = r.cohort
+    WINDOW w AS (PARTITION BY r.cohort ORDER BY r.age
+                 ROWS UNBOUNDED PRECEDING)
+    ORDER BY cohort, age
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix — the revenue companion to
+    q_cohort_retention: customers cohorted by first-order month, revenue
+    accumulated by exact month-index age, cumulative LTV per cohort
+    member. Revenue sums are exact DECIMAL end to end (the running
+    cumulative stays decimal; only the final per-member division runs
+    in double), ages are integer month arithmetic. Scale: first-order
+    agg + one fact⨝cohort join on custkey + (cohort, age) hash-agg;
+    the cumulative window runs over the calendar-bounded cohort×age
+    grid, never over facts."""
+    o = load_table(spark, sf_dir, "orders")
+    first_order = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    sized = first_order.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    midx = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    rev = (
+        o.join(first_order, "o_custkey")
+        .groupBy(
+            "cohort",
+            (midx(F.col("o_orderdate")) - midx(F.col("cohort"))).alias("age"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("r"))
+        .withColumn("__marker", F.lit(1))
+        .drop("__marker")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.join(F.broadcast(sized), "cohort")
+        .withColumn(
+            "cum_units", (F.sum("r").over(w) * 1_000_000).cast("bigint")
+        )
+        # exact integer half-up rounding of cum/size at 1e-4 units — the
+        # repo's integer-scaled-boundary pattern (cf. q_weighted_median):
+        # no double touches the output boundary
+        .select(
+            F.to_date("cohort").alias("cohort"),
+            "age",
+            "cohort_size",
+            F.expr(
+                "(cum_units + 50L * cohort_size) div (100L * cohort_size)"
+            )
+            .cast("bigint")
+            .alias("ltv_x10000"),
+        )
+        .orderBy("cohort", "age")
+    )
+
+
+@query(
+    "q_embedding_drift",
+    oracle="""
+    WITH sides AS (
+        SELECT vec_id % 2 = 0 AS side_a, embedding FROM embeddings
+    ),
+    ex AS (
+        SELECT side_a, u.idx, u.val
+        FROM sides, LATERAL (
+            SELECT UNNEST(generate_series(1, len(embedding))) AS idx,
+                   UNNEST(embedding) AS val) u
+    ),
+    means AS (
+        SELECT idx,
+               CAST(SUM(CAST(val AS DECIMAL(38,12)))
+                        FILTER (WHERE side_a) AS DOUBLE)
+                   / COUNT(*) FILTER (WHERE side_a) AS ma,
+               CAST(SUM(CAST(val AS DECIMAL(38,12)))
+                        FILTER (WHERE NOT side_a) AS DOUBLE)
+                   / COUNT(*) FILTER (WHERE NOT side_a) AS mb
+        FROM ex GROUP BY idx
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+           CAST(ROUND(sqrt(CAST(SUM(CAST(ROUND((ma - mb) * (ma - mb), 12)
+                                         AS DECIMAL(38,18))) AS DOUBLE)),
+                      6) AS DOUBLE) AS centroid_shift_l2,
+           CAST(ROUND(MAX(abs(ma - mb)), 6) AS DOUBLE) AS max_dim_shift
+    FROM means
+    """,
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift between two corpus halves (even vs
+    odd vec_id — the stand-in for 'last week vs this week'): per-dimension
+    centroid means (decimal-exact sums over float32 upcast to double),
+    L2 norm of the centroid shift and the worst single-dimension shift —
+    the cheap first-line monitor that catches an embedding-model or
+    pipeline change before similarity quality degrades. Per-dim squared
+    shifts round to 12dp and accumulate in DECIMAL so the 64-term sum
+    is partition-order independent. Scale: one (side × dim) hash-agg
+    over the exploded table — dims are fixed, so state is 2×64 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        (F.col("vec_id") % 2 == 0).alias("side_a"),
+        F.posexplode("embedding").alias("idx0", "val"),
+    ).select("side_a", (F.col("idx0") + 1).alias("idx"), "val")
+    means = ex.groupBy("idx").agg(
+        (
+            F.sum(F.when(F.col("side_a"), F.col("val").cast("decimal(38,12)")))
+            .cast("double")
+            / F.count(F.when(F.col("side_a"), 1))
+        ).alias("ma"),
+        (
+            F.sum(
+                F.when(~F.col("side_a"), F.col("val").cast("decimal(38,12)"))
+            ).cast("double")
+            / F.count(F.when(~F.col("side_a"), 1))
+        ).alias("mb"),
+    )
+    d = F.col("ma") - F.col("mb")
+    return means.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+        F.round(
+            F.sqrt(
+                F.sum(F.round(d * d, 12).cast("decimal(38,18)")).cast("double")
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("centroid_shift_l2"),
+        F.round(F.max(F.abs(d)), 6).cast("double").alias("max_dim_shift"),
+    )

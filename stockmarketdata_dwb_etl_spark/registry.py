@@ -183,6 +183,8 @@ PRIORITY = (
     "q_scd2_integrity",
     # round-3 batch 35: Kaplan-Meier churn survival curve
     "q_survival_churn",
+    # round-3 batch 36: cohort LTV matrix + embedding drift monitor
+    "q_cohort_ltv", "q_embedding_drift",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

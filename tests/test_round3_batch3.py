@@ -471,3 +471,32 @@ def test_survival_curve_monotone_and_anchored(spark):
     o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
     assert out["n_at_risk"].iloc[0] == o.o_custkey.nunique()
     assert (out["n_churned"] <= out["n_at_risk"]).all()
+
+
+def test_cohort_ltv_monotone_and_total(spark):
+    out = QUERIES["q_cohort_ltv"](spark, SF_DIR).toPandas()
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    # cumulative LTV is non-decreasing within each cohort
+    for _, grp in out.groupby("cohort"):
+        g = grp.sort_values("age")
+        assert (g["ltv_x10000"].diff().dropna() >= 0).all()
+    # final LTV mass reassembles total revenue: sum over cohorts of
+    # (last cum_ltv * cohort_size / 1e4) == total order revenue
+    last = out.sort_values("age").groupby("cohort").last()
+    total = (last["ltv_x10000"] / 1e4 * last["cohort_size"]).sum()
+    assert math.isclose(total, o.o_totalprice.sum(), rel_tol=1e-5)
+
+
+def test_embedding_drift_small_for_random_halves(spark):
+    out = QUERIES["q_embedding_drift"](spark, SF_DIR).toPandas().iloc[0]
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    M = np.stack(emb.embedding.values).astype(np.float64)
+    side = (emb.vec_id % 2 == 0).values
+    shift = M[side].mean(axis=0) - M[~side].mean(axis=0)
+    assert out["n_dims"] == M.shape[1]
+    assert math.isclose(
+        out["centroid_shift_l2"], np.sqrt((shift**2).sum()), abs_tol=1e-4
+    )
+    assert math.isclose(
+        out["max_dim_shift"], np.abs(shift).max(), abs_tol=1e-4
+    )

@@ -461,3 +461,116 @@ def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ), purchases AS (
+        SELECT user_id, ts AS p_ts, event_id AS p_id
+        FROM events WHERE event_type = 'purchase'
+    ), bk AS (
+        SELECT c.user_id, c.ts, c.event_id,
+               p.p_id AS prev_id, p.p_ts AS prev_ts
+        FROM clicks c
+        ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts >= p.p_ts
+    ), fw AS (
+        SELECT c.user_id, c.ts, c.event_id,
+               p.p_id AS next_id, p.p_ts AS next_ts
+        FROM clicks c
+        ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts <= p.p_ts
+    )
+    SELECT b.user_id, b.ts, b.event_id,
+           CAST(CASE
+               WHEN b.prev_id IS NULL AND f.next_id IS NULL THEN NULL
+               WHEN b.prev_id IS NULL THEN f.next_id
+               WHEN f.next_id IS NULL THEN b.prev_id
+               WHEN epoch_us(b.ts) - epoch_us(b.prev_ts)
+                    <= epoch_us(f.next_ts) - epoch_us(f.ts)
+                   THEN b.prev_id
+               ELSE f.next_id END AS BIGINT) AS nearest_purchase_id,
+           CASE
+               WHEN b.prev_id IS NULL AND f.next_id IS NULL THEN NULL
+               WHEN b.prev_id IS NULL THEN 'fwd'
+               WHEN f.next_id IS NULL THEN 'back'
+               WHEN epoch_us(b.ts) - epoch_us(b.prev_ts)
+                    <= epoch_us(f.next_ts) - epoch_us(f.ts)
+                   THEN 'back'
+               ELSE 'fwd' END AS direction
+    FROM bk b
+    JOIN fw f ON f.user_id = b.user_id AND f.ts = b.ts
+               AND f.event_id = b.event_id
+    ORDER BY b.user_id, b.ts, b.event_id
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join — the third member of the as-of
+    family (pandas merge_asof(direction='nearest')): each click matches
+    whichever purchase is closer in time, the previous (backward) or the
+    next (forward), ties to backward. Composed from the two existing
+    shuffle-once as-of operators (operators/asof.py) joined back on the
+    left key — distances compare in exact epoch microseconds, so the
+    direction choice is integer arithmetic on both engines. Scale: two
+    union+window as-of passes + one equi-join on the left row key —
+    three key-partitioned shuffles total, no row multiplication."""
+    from stockmarketdata_dwb_etl_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_forward,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    p_b = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("prev_ts"),
+        F.col("event_id").alias("prev_id"),
+    )
+    p_f = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("next_ts"),
+        F.col("event_id").alias("next_id"),
+    )
+    bk = asof_join_backward(
+        clicks, p_b, key_cols=["user_id"], ts_col="ts",
+        right_payload=["prev_id", "prev_ts"],
+    )
+    fw = asof_join_forward(
+        clicks, p_f, key_cols=["user_id"], ts_col="ts",
+        right_payload=["next_id", "next_ts"],
+    )
+    j = bk.join(fw, ["user_id", "ts", "event_id"])
+    back_age = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    fwd_age = F.expr("timestampdiff(MICROSECOND, ts, next_ts)")
+    prefer_back = back_age <= fwd_age
+    return j.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("prev_id").isNull() & F.col("next_id").isNull(),
+            F.lit(None).cast("bigint"),
+        )
+        .when(F.col("prev_id").isNull(), F.col("next_id"))
+        .when(F.col("next_id").isNull(), F.col("prev_id"))
+        .when(prefer_back, F.col("prev_id"))
+        .otherwise(F.col("next_id"))
+        .cast("bigint")
+        .alias("nearest_purchase_id"),
+        F.when(
+            F.col("prev_id").isNull() & F.col("next_id").isNull(),
+            F.lit(None).cast("string"),
+        )
+        .when(F.col("prev_id").isNull(), F.lit("fwd"))
+        .when(F.col("next_id").isNull(), F.lit("back"))
+        .when(prefer_back, F.lit("back"))
+        .otherwise(F.lit("fwd"))
+        .alias("direction"),
+    ).orderBy("user_id", "ts", "event_id")

@@ -185,6 +185,8 @@ PRIORITY = (
     "q_survival_churn",
     # round-3 batch 36: cohort LTV matrix + embedding drift monitor
     "q_cohort_ltv", "q_embedding_drift",
+    # round-3 batch 37: nearest-direction as-of join
+    "q_join_asof_nearest",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

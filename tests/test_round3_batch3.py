@@ -500,3 +500,31 @@ def test_embedding_drift_small_for_random_halves(spark):
     assert math.isclose(
         out["max_dim_shift"], np.abs(shift).max(), abs_tol=1e-4
     )
+
+
+def test_asof_nearest_matches_pandas_merge_asof(spark):
+    out = QUERIES["q_join_asof_nearest"](spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    clicks = (
+        ev[ev.event_type == "click"][["user_id", "ts", "event_id"]]
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    purchases = (
+        ev[ev.event_type == "purchase"][["user_id", "ts", "event_id"]]
+        .rename(columns={"event_id": "p_id"})
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    merged = pd.merge_asof(
+        clicks, purchases, on="ts", by="user_id", direction="nearest"
+    )
+    got = out.set_index("event_id")["nearest_purchase_id"]
+    # pandas breaks exact-distance ties toward backward as we do; compare
+    # full match set
+    for _, row in merged.iterrows():
+        g = got[row["event_id"]]
+        if pd.isna(row["p_id"]):
+            assert pd.isna(g)
+        else:
+            assert g == row["p_id"], row["event_id"]

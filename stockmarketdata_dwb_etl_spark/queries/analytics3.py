@@ -842,3 +842,78 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("centroid_shift_l2"),
         F.round(F.max(F.abs(d)), 6).cast("double").alias("max_dim_shift"),
     )
+
+
+@query(
+    "q_active_users",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+    ),
+    dau AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        FROM events GROUP BY 1
+    ),
+    wau AS (
+        SELECT dd.d,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS wau
+        FROM days dd
+        JOIN events e ON CAST(e.ts AS DATE) BETWEEN dd.d - 6 AND dd.d
+        GROUP BY dd.d
+    )
+    SELECT a.d AS day, a.dau, w.wau,
+           CAST((2 * 10000 * a.dau + w.wau) // (2 * w.wau) AS BIGINT)
+               AS stickiness_x10000
+    FROM dau a JOIN wau w ON w.d = a.d
+    ORDER BY day
+    """,
+)
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / stickiness via EXACT mergeable bitmaps — the
+    sliding-distinct pattern that makes exact rolling active-user
+    reporting feasible at 100 TB: per-(day, bucket) user bitmaps build
+    once (one pass over events), DAU counts them directly, and WAU for
+    each day OR-merges the SAME daily bitmaps across its trailing
+    7-day window (each day's bitmap fans out to the ≤7 windows it
+    serves — bounded 7× state, no re-scan of raw events, no
+    count-distinct shuffle per window). Stickiness DAU/WAU emits as
+    integer-scaled 1e-4 units with pure integer half-up rounding (the
+    q_cohort_ltv pattern). The oracle recomputes both from raw
+    COUNT(DISTINCT) — certifying the bitmap path exact."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("d"),
+        F.expr("bitmap_bucket_number(user_id)").alias("bk"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("b")
+    )
+    dau = daily.groupBy("d").agg(
+        F.expr("sum(bitmap_count(b))").cast("bigint").alias("dau")
+    )
+    days = ev.select(F.col("ts").cast("date").alias("d")).distinct()
+    fanout = daily.select(
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("target_d"),
+        "bk",
+        "b",
+    ).join(days.withColumnRenamed("d", "target_d"), "target_d", "left_semi")
+    wau = (
+        fanout.groupBy("target_d", "bk")
+        .agg(F.expr("bitmap_or_agg(b)").alias("bw"))
+        .groupBy("target_d")
+        .agg(F.expr("sum(bitmap_count(bw))").cast("bigint").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau["d"] == wau["target_d"])
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "wau",
+            F.expr("(2 * 10000 * dau + wau) div (2 * wau)")
+            .cast("bigint")
+            .alias("stickiness_x10000"),
+        )
+        .orderBy("day")
+    )

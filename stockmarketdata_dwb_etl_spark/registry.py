@@ -187,6 +187,8 @@ PRIORITY = (
     "q_cohort_ltv", "q_embedding_drift",
     # round-3 batch 37: nearest-direction as-of join
     "q_join_asof_nearest",
+    # round-3 batch 38: exact sliding-distinct DAU/WAU via bitmap merge
+    "q_active_users",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

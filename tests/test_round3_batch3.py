@@ -528,3 +528,18 @@ def test_asof_nearest_matches_pandas_merge_asof(spark):
             assert pd.isna(g)
         else:
             assert g == row["p_id"], row["event_id"]
+
+
+def test_active_users_matches_pandas(spark):
+    out = QUERIES["q_active_users"](spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["d"] = ev.ts.dt.date
+    dau = ev.groupby("d")["user_id"].nunique()
+    for _, row in out.iterrows():
+        d = row["day"]
+        assert row["dau"] == dau[d]
+        wnd = ev[(ev.d > d - pd.Timedelta(days=7)) & (ev.d <= d)]
+        assert row["wau"] == wnd["user_id"].nunique()
+        assert row["dau"] <= row["wau"]
+        expect = round(10000 * row["dau"] / row["wau"])
+        assert abs(row["stickiness_x10000"] - expect) <= 1

@@ -851,3 +851,98 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q_forecast_holt",
+    oracle=f"""
+    WITH RECURSIVE bars AS (
+        SELECT event_type AS symbol,
+               date_trunc('day', ts) AS bar_ts,
+               arg_max(value, {_DUCK_ORD}) AS close
+        FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT symbol, close,
+               row_number() OVER (PARTITION BY symbol ORDER BY bar_ts) AS rn
+        FROM bars
+    ),
+    packed AS (
+        SELECT symbol, list(close ORDER BY rn) AS xs,
+               len(list(close)) AS n
+        FROM seq GROUP BY symbol
+        HAVING len(list(close)) >= 2
+    ),
+    rec AS (
+        SELECT symbol, xs, n, 2 AS rn,
+               0.5 * xs[2] + 0.5 * (xs[1] + (xs[2] - xs[1])) AS l,
+               0.3 * ((0.5 * xs[2] + 0.5 * (xs[1] + (xs[2] - xs[1])))
+                      - xs[1])
+               + 0.7 * (xs[2] - xs[1]) AS b
+        FROM packed
+        UNION ALL
+        SELECT symbol, xs, n, rn + 1,
+               0.5 * xs[rn + 1] + 0.5 * (l + b),
+               0.3 * ((0.5 * xs[rn + 1] + 0.5 * (l + b)) - l) + 0.7 * b
+        FROM rec WHERE rn < n
+    ),
+    final AS (
+        SELECT symbol, l, b FROM rec WHERE rn = n
+    )
+    SELECT f.symbol, h.h,
+           CAST(ROUND(f.l + h.h * f.b, 4) AS DOUBLE) AS forecast
+    FROM final f
+    CROSS JOIN (SELECT UNNEST(generate_series(1, 6)) AS h) h
+    ORDER BY symbol, h
+    """,
+)
+def q_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential-smoothing forecast (α=0.5, β=0.3) per
+    symbol over daily closes: level/trend recurrences seeded at
+    (l₁=x₁, b₁=x₂−x₁), rolled forward through the series, then a
+    6-step-ahead linear extrapolation l_T + h·b_T — the trend-aware
+    upgrade of q_forecast_linear. The recurrence is the documented
+    (b)-path custom operator (same shape as q_macd / q_ewma): one
+    Arrow-batched applyInPandas pass per symbol with the EXACT
+    multiply-add order the oracle's recursive CTE replays, so float64
+    states match bit-for-bit before the 4dp round. Scale: per-symbol
+    series are calendar-bounded; the tick→bar hash-agg is the only
+    full-data shuffle."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("bar_ts"),
+    ).agg(F.max_by("value", _spark_ord()).alias("close"))
+    a, bb = 0.5, 0.3
+
+    def holt_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bar_ts").reset_index(drop=True)
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"symbol": [], "h": [], "forecast": []}
+            ).astype({"symbol": "string", "h": "int64", "forecast": "float64"})
+        xs = pdf["close"].tolist()
+        l, b = xs[0], xs[1] - xs[0]
+        for x in xs[1:]:
+            l_new = a * x + (1 - a) * (l + b)
+            b = bb * (l_new - l) + (1 - bb) * b
+            l = l_new
+        sym = pdf["symbol"].iloc[0]
+        return pd.DataFrame(
+            {
+                "symbol": [sym] * 6,
+                "h": list(range(1, 7)),
+                "forecast": [l + h * b for h in range(1, 7)],
+            }
+        )
+
+    out = bars.groupBy("symbol").applyInPandas(
+        holt_group, "symbol string, h long, forecast double"
+    )
+    return out.select(
+        "symbol",
+        F.col("h").cast("bigint").alias("h"),
+        F.round("forecast", 4).cast("double").alias("forecast"),
+    ).orderBy("symbol", "h")

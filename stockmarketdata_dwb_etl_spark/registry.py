@@ -189,6 +189,8 @@ PRIORITY = (
     "q_join_asof_nearest",
     # round-3 batch 38: exact sliding-distinct DAU/WAU via bitmap merge
     "q_active_users",
+    # round-3 batch 39: Holt double-exponential forecast
+    "q_forecast_holt",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

@@ -543,3 +543,13 @@ def test_active_users_matches_pandas(spark):
         assert row["dau"] <= row["wau"]
         expect = round(10000 * row["dau"] / row["wau"])
         assert abs(row["stickiness_x10000"] - expect) <= 1
+
+
+def test_holt_forecast_is_linear_in_h(spark):
+    out = QUERIES["q_forecast_holt"](spark, SF_DIR).toPandas()
+    assert set(out["h"]) == set(range(1, 7))
+    for sym, grp in out.groupby("symbol"):
+        g = grp.sort_values("h")["forecast"].values
+        steps = np.diff(g)
+        # l + h*b is linear in h: constant step == trend b
+        assert np.allclose(steps, steps[0], atol=2e-4), sym

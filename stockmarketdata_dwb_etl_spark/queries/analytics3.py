@@ -917,3 +917,103 @@ def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q_audience_overlap",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b
+        FROM (SELECT DISTINCT event_type FROM events) a
+        JOIN (SELECT DISTINCT event_type FROM events) b
+          ON a.event_type < b.event_type
+    )
+    SELECT p.type_a, p.type_b,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM events
+                 WHERE event_type = p.type_a) AS BIGINT) AS n_a,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM events
+                 WHERE event_type = p.type_b) AS BIGINT) AS n_b,
+           CAST((SELECT COUNT(DISTINCT e1.user_id) FROM events e1
+                 WHERE e1.event_type = p.type_a
+                   AND e1.user_id IN (SELECT user_id FROM events e2
+                                      WHERE e2.event_type = p.type_b))
+                AS BIGINT) AS n_both,
+           CAST((2 * 10000 *
+                 (SELECT COUNT(DISTINCT e1.user_id) FROM events e1
+                  WHERE e1.event_type = p.type_a
+                    AND e1.user_id IN (SELECT user_id FROM events e2
+                                       WHERE e2.event_type = p.type_b))
+                 + ((SELECT COUNT(DISTINCT user_id) FROM events
+                     WHERE event_type IN (p.type_a, p.type_b))))
+                // (2 * (SELECT COUNT(DISTINCT user_id) FROM events
+                         WHERE event_type IN (p.type_a, p.type_b)))
+               AS BIGINT) AS jaccard_x10000
+    FROM pairs p
+    ORDER BY type_a, type_b
+    """,
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience-overlap matrix across event types via EXACT
+    mergeable bitmaps and inclusion–exclusion: per-type user bitmaps
+    build once (one pass over events); every pair's intersection comes
+    from |A∩B| = |A| + |B| − |A∪B| where the union re-OR-merges the
+    SAME per-(type,bucket) bitmaps — no raw-data re-scan per pair, no
+    distinct shuffle per pair (the q_active_users pattern turned
+    pairwise). Jaccard emits integer-scaled with pure integer half-up
+    rounding. The oracle recomputes everything from raw
+    COUNT(DISTINCT), certifying the bitmap algebra exact. Scale: pair
+    count is (event-type choose 2) — catalog-sized; state per pair is
+    bucket bitmaps only."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bk")
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("b")
+    ).persist()
+    sizes = per_type.groupBy("event_type").agg(
+        F.expr("sum(bitmap_count(b))").cast("bigint").alias("n")
+    )
+    types = sizes.select("event_type")
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .crossJoin(types.select(F.col("event_type").alias("type_b")))
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    # tag every per-type bucket bitmap with each pair it belongs to (the
+    # pair table is (types choose 2) rows — broadcast), then OR-merge per
+    # (pair, bucket): n_union falls out of the SAME daily-built bitmaps
+    # with no raw re-scan and no per-pair distinct shuffle
+    tagged = per_type.join(
+        F.broadcast(pairs),
+        (F.col("event_type") == F.col("type_a"))
+        | (F.col("event_type") == F.col("type_b")),
+    )
+    n_union_df = (
+        tagged.groupBy("type_a", "type_b", "bk")
+        .agg(F.expr("bitmap_or_agg(b)").alias("bu"))
+        .groupBy("type_a", "type_b")
+        .agg(F.expr("sum(bitmap_count(bu))").cast("bigint").alias("n_union"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    j = n_union_df.join(F.broadcast(sa), "type_a").join(
+        F.broadcast(sb), "type_b"
+    )
+    n_both = F.col("n_a") + F.col("n_b") - F.col("n_union")
+    return j.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        n_both.cast("bigint").alias("n_both"),
+        F.expr(
+            "(2 * 10000 * (n_a + n_b - n_union) + n_union)"
+            " div (2 * n_union)"
+        )
+        .cast("bigint")
+        .alias("jaccard_x10000"),
+    ).orderBy("type_a", "type_b")

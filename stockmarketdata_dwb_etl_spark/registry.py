@@ -191,6 +191,8 @@ PRIORITY = (
     "q_active_users",
     # round-3 batch 39: Holt double-exponential forecast
     "q_forecast_holt",
+    # round-3 batch 40: bitmap audience-overlap matrix
+    "q_audience_overlap",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

@@ -553,3 +553,16 @@ def test_holt_forecast_is_linear_in_h(spark):
         steps = np.diff(g)
         # l + h*b is linear in h: constant step == trend b
         assert np.allclose(steps, steps[0], atol=2e-4), sym
+
+
+def test_audience_overlap_matches_pandas_sets(spark):
+    out = QUERIES["q_audience_overlap"](spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    users = {t: set(g.user_id) for t, g in ev.groupby("event_type")}
+    assert len(out) == 10  # C(5,2)
+    for _, row in out.iterrows():
+        A, B = users[row["type_a"]], users[row["type_b"]]
+        assert row["n_a"] == len(A) and row["n_b"] == len(B)
+        assert row["n_both"] == len(A & B)
+        expect = round(10000 * len(A & B) / len(A | B))
+        assert abs(row["jaccard_x10000"] - expect) <= 1

@@ -946,3 +946,111 @@ def q_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("h").cast("bigint").alias("h"),
         F.round("forecast", 4).cast("double").alias("forecast"),
     ).orderBy("symbol", "h")
+
+
+@query(
+    "q_lead_lag_xcorr",
+    oracle=f"""
+    WITH {_DUCK_RETURNS},
+    two AS (
+        SELECT MIN(symbol) AS sa,
+               MIN(CASE WHEN symbol > (SELECT MIN(symbol) FROM rets)
+                        THEN symbol END) AS sb
+        FROM rets
+    ),
+    lags AS (SELECT UNNEST(generate_series(-3, 3)) AS lag),
+    joined AS (
+        SELECT l.lag, a.r AS ra, b.r AS rb
+        FROM rets a
+        CROSS JOIN two t
+        CROSS JOIN lags l
+        JOIN rets b
+          ON b.symbol = t.sb
+         AND b.bar_ts = a.bar_ts + l.lag * INTERVAL 1 HOUR
+        WHERE a.symbol = t.sa
+    ),
+    m AS (
+        SELECT lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ra AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(rb AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(ra * rb AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(ra * ra AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(rb * rb AS DECIMAL(38,18))) AS DOUBLE) AS syy
+        FROM joined GROUP BY lag
+    )
+    SELECT lag, n,
+           CAST(CASE WHEN (n * sxx - sx * sx) <= 0
+                       OR (n * syy - sy * sy) <= 0 THEN NULL
+                ELSE ROUND((n * sxy - sx * sy)
+                           / (sqrt(n * sxx - sx * sx)
+                              * sqrt(n * syy - sy * sy)), 6) END
+                AS DOUBLE) AS xcorr
+    FROM m ORDER BY lag
+    """,
+)
+def q_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead–lag cross-correlation between the two lead symbols — the
+    price-discovery diagnostic (which series moves first): corr(r_A(t),
+    r_B(t+lag)) for lag ∈ [−3, +3] hours, aligned by exact bar-time
+    shift. Symbol choice is deterministic (the two smallest), the lag
+    alignment is an equi-join on shifted bar_ts (no window), and every
+    correlation runs the repo's decimal moment formula with the
+    identical double tree (degenerate variance → NULL). Scale: the
+    lag×returns fanout is 7× one symbol's calendar-bounded series;
+    joins key on bar_ts."""
+    rets = _returns(spark, sf_dir)
+    # deterministic two-symbol pick without collect: rank distinct symbols
+    syms = rets.select("symbol").distinct()
+    from pyspark.sql.window import Window as _W
+
+    ranked = syms.select(
+        "symbol",
+        F.row_number().over(_W.orderBy("symbol")).alias("rk"),
+    ).filter(F.col("rk") <= 2)
+    sa = ranked.filter(F.col("rk") == 1).select(
+        F.col("symbol").alias("sa")
+    )
+    sb = ranked.filter(F.col("rk") == 2).select(
+        F.col("symbol").alias("sb")
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    ra = rets.join(F.broadcast(sa), rets["symbol"] == F.col("sa")).select(
+        F.col("bar_ts"), F.col("r").alias("ra")
+    )
+    rb = rets.join(F.broadcast(sb), rets["symbol"] == F.col("sb")).select(
+        F.col("bar_ts").alias("b_ts"), F.col("r").alias("rb")
+    )
+    joined = (
+        ra.crossJoin(F.broadcast(lags))
+        .join(
+            rb,
+            F.col("b_ts")
+            == F.col("bar_ts") + F.make_interval(hours=F.col("lag")),
+        )
+    )
+    m = joined.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("ra").cast(_DEC18)).cast("double").alias("sx"),
+        F.sum(F.col("rb").cast(_DEC18)).cast("double").alias("sy"),
+        F.sum((F.col("ra") * F.col("rb")).cast(_DEC18))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("ra") * F.col("ra")).cast(_DEC18))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("rb") * F.col("rb")).cast(_DEC18))
+        .cast("double")
+        .alias("syy"),
+    )
+    cxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    cyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cxy = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        "lag",
+        "n",
+        F.when((cxx <= 0) | (cyy <= 0), F.lit(None).cast("double"))
+        .otherwise(F.round(cxy / (F.sqrt(cxx) * F.sqrt(cyy)), 6))
+        .cast("double")
+        .alias("xcorr"),
+    ).orderBy("lag")

@@ -193,6 +193,8 @@ PRIORITY = (
     "q_forecast_holt",
     # round-3 batch 40: bitmap audience-overlap matrix
     "q_audience_overlap",
+    # round-3 batch 41: lead-lag cross-correlation
+    "q_lead_lag_xcorr",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

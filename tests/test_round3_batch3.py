@@ -566,3 +566,21 @@ def test_audience_overlap_matches_pandas_sets(spark):
         assert row["n_both"] == len(A & B)
         expect = round(10000 * len(A & B) / len(A | B))
         assert abs(row["jaccard_x10000"] - expect) <= 1
+
+
+def test_lead_lag_xcorr_symmetry_frame(spark):
+    out = QUERIES["q_lead_lag_xcorr"](spark, SF_DIR).toPandas()
+    assert list(out["lag"]) == list(range(-3, 4))
+    ok = out["xcorr"].dropna()
+    assert ((ok >= -1.0) & (ok <= 1.0)).all()
+    # lag-0 n equals the co-occurring bar count of the two lead symbols
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["bar_ts"] = ev.ts.dt.floor("h")
+    syms = sorted(ev.event_type.unique())[:2]
+    bars = {
+        s: set(ev[ev.event_type == s].bar_ts.unique()) for s in syms
+    }
+    # returns drop each symbol's first bar; co-bars is an upper bound
+    n0 = out[out.lag == 0]["n"].iloc[0]
+    assert n0 <= len(bars[syms[0]] & bars[syms[1]])
+    assert n0 > 0

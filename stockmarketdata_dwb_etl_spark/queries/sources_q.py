@@ -515,3 +515,82 @@ def q_text_source_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_csv_multiline",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(length('seg: ' || c_mktsegment || chr(10)
+                           || 'cust: ' || c_name)) AS BIGINT)
+               AS total_note_chars,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_key
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-multiline CSV round-trip — the ingestion wrinkle that
+    breaks naive line-splitting readers: a note column containing a
+    REAL embedded newline is written quoted, then read back with
+    ``multiLine=true`` (each logical record spans two physical lines).
+    The oracle recomputes the per-segment stats from the base table —
+    a hash match proves the embedded newline survived the sink→source
+    round-trip byte-for-byte. Scale note (the honest trade): multiLine
+    CSV files are NOT splittable (a record boundary cannot be found
+    mid-file), so each file parses as one unit — the layout answer is
+    many moderate files, which the distributed write already produces;
+    the non-multiline path (q_csv_roundtrip) stays the splittable
+    default."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from stockmarketdata_dwb_etl_spark.catalog import load_table
+
+    tag = fixture_tag(sf_dir)
+    out = os.path.join(SCRATCH, "csv_multiline", tag)
+    cust = load_table(spark, sf_dir, "customer")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            cust.select(
+                "c_custkey",
+                "c_mktsegment",
+                F.concat(
+                    F.lit("seg: "),
+                    F.col("c_mktsegment"),
+                    F.lit("\n"),
+                    F.lit("cust: "),
+                    F.col("c_name"),
+                ).alias("note"),
+            )
+            .write.mode("overwrite")
+            .option("header", True)
+            .option("quoteAll", True)
+            .csv(out)
+        )
+    schema = StructType(
+        [
+            StructField("c_custkey", LongType()),
+            StructField("c_mktsegment", StringType()),
+            StructField("note", StringType()),
+        ]
+    )
+    back = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .schema(schema)
+        .csv(out)
+    )
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.length("note")).cast("bigint").alias("total_note_chars"),
+            F.max("c_custkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("c_mktsegment")
+    )

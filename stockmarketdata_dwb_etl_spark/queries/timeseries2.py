@@ -574,3 +574,74 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("fwd"))
         .alias("direction"),
     ).orderBy("user_id", "ts", "event_id")
+
+
+@query(
+    "q_time_to_convert",
+    oracle="""
+    WITH views AS (
+        SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view'
+    ), purchases AS (
+        SELECT user_id, ts, event_id FROM events
+        WHERE event_type = 'purchase'
+    ), paired AS (
+        SELECT (epoch_us(p.ts) - epoch_us(v.v_ts)) // 60000000 AS delay_min
+        FROM purchases p
+        ASOF JOIN views v
+          ON p.user_id = v.user_id AND p.ts >= v.v_ts
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY delay_min)
+                AS BIGINT) AS p25_min,
+           CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY delay_min)
+                AS BIGINT) AS p50_min,
+           CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY delay_min)
+                AS BIGINT) AS p75_min,
+           CAST(MAX(delay_min) AS BIGINT) AS max_min
+    FROM paired
+    """,
+)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: each purchase paired with the
+    user's most recent PRIOR view via the backward as-of operator
+    (INNER flavor — unconverted purchases drop, matching the oracle's
+    ASOF JOIN), delay floored to integer minutes, summarized with
+    DISCRETE percentiles — every output is an exact integer picked from
+    the data, so no float touches any boundary. The funnel-latency
+    report that sets SLA expectations for conversion attribution.
+    Scale: one as-of pass (union + window, shuffle-once on user) + one
+    global agg over integer delays."""
+    from stockmarketdata_dwb_etl_spark.operators.asof import asof_join_backward
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("ts").alias("v_ts")
+    )
+    paired = asof_join_backward(
+        purchases,
+        views,
+        key_cols=["user_id"],
+        ts_col="ts",
+        right_payload=["v_ts"],
+    ).filter(F.col("v_ts").isNotNull())
+    delays = paired.select(
+        F.expr("timestampdiff(MICROSECOND, v_ts, ts) div 60000000")
+        .cast("bigint")
+        .alias("delay_min")
+    )
+    return delays.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY delay_min)")
+        .cast("bigint")
+        .alias("p25_min"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY delay_min)")
+        .cast("bigint")
+        .alias("p50_min"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY delay_min)")
+        .cast("bigint")
+        .alias("p75_min"),
+        F.max("delay_min").cast("bigint").alias("max_min"),
+    )

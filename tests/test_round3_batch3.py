@@ -584,3 +584,27 @@ def test_lead_lag_xcorr_symmetry_frame(spark):
     n0 = out[out.lag == 0]["n"].iloc[0]
     assert n0 <= len(bars[syms[0]] & bars[syms[1]])
     assert n0 > 0
+
+
+def test_csv_multiline_preserves_embedded_newlines(spark):
+    out = QUERIES["q_csv_multiline"](spark, SF_DIR).toPandas()
+    c = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    expect = c.assign(
+        note="seg: " + c.c_mktsegment + "\n" + "cust: " + c.c_name
+    )
+    direct = expect.groupby("c_mktsegment").agg(
+        n=("c_custkey", "size"),
+        chars=("note", lambda s: s.str.len().sum()),
+        mx=("c_custkey", "max"),
+    )
+    for _, row in out.iterrows():
+        d = direct.loc[row["c_mktsegment"]]
+        assert row["n_rows"] == d["n"]
+        assert row["total_note_chars"] == d["chars"]
+        assert row["max_key"] == d["mx"]
+
+
+def test_time_to_convert_percentiles_ordered(spark):
+    out = QUERIES["q_time_to_convert"](spark, SF_DIR).toPandas().iloc[0]
+    assert out["n_conversions"] > 0
+    assert 0 <= out["p25_min"] <= out["p50_min"] <= out["p75_min"] <= out["max_min"]

@@ -896,3 +896,67 @@ def q_scd2_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("keys_with_overlap"),
     )
+
+
+def _duck_hex8_value() -> str:
+    """DuckDB: integer value of the first 8 hex chars of column h."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "q_table_checksum",
+    oracle=f"""
+    WITH rows_h AS (
+        SELECT o_orderpriority,
+               md5(CAST(o_orderkey AS VARCHAR) || '|'
+                   || CAST(o_custkey AS VARCHAR) || '|'
+                   || o_orderstatus || '|'
+                   || strftime(o_orderdate, '%Y-%m-%d')) AS h
+        FROM orders
+    ),
+    vals AS (
+        SELECT o_orderpriority,
+               CAST({_duck_hex8_value()} AS BIGINT) AS v
+        FROM rows_h
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(v) AS BIGINT) AS fingerprint
+    FROM vals GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-invariant table fingerprint — the cross-system
+    reconciliation primitive: every row canonicalizes to a delimited string
+    of its key columns (integers/strings/dates only — float formatting
+    is engine-specific, so doubles reconcile via the exact-decimal
+    queries instead), hashes with standardized md5, and the first 32
+    hash bits SUM per group (addition is commutative — the fingerprint
+    is independent of row order, partitioning, and engine, which is the
+    whole point: two warehouses compare checksums instead of shipping
+    rows). 1e6 rows × 2³² max fits bigint with 10³ headroom. Scale: a
+    map-only hash pass into one partial+final agg per group — the
+    cheapest possible cross-copy audit."""
+    o = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+    )
+    v = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("bigint")
+    return (
+        o.select("o_orderpriority", v.alias("v"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("v").cast("bigint").alias("fingerprint"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -197,6 +197,8 @@ PRIORITY = (
     "q_lead_lag_xcorr",
     # round-3 batch 42: multiline-CSV ingest + time-to-convert funnel
     "q_csv_multiline", "q_time_to_convert",
+    # round-3 batch 43: order-invariant reconciliation checksum
+    "q_table_checksum",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

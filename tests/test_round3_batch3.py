@@ -608,3 +608,34 @@ def test_time_to_convert_percentiles_ordered(spark):
     out = QUERIES["q_time_to_convert"](spark, SF_DIR).toPandas().iloc[0]
     assert out["n_conversions"] > 0
     assert 0 <= out["p25_min"] <= out["p50_min"] <= out["p75_min"] <= out["max_min"]
+
+
+def test_table_checksum_order_invariant_and_sensitive(spark):
+    import hashlib
+
+    out = QUERIES["q_table_checksum"](spark, SF_DIR).toPandas()
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+
+    def fp(df):
+        canon = (
+            df.o_orderkey.astype(str)
+            + "|"
+            + df.o_custkey.astype(str)
+            + "|"
+            + df.o_orderstatus
+            + "|"
+            + pd.to_datetime(df.o_orderdate).dt.strftime("%Y-%m-%d")
+        )
+        return sum(
+            int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in canon
+        )
+
+    for _, row in out.iterrows():
+        g = o[o.o_orderpriority == row["o_orderpriority"]]
+        assert row["n_rows"] == len(g)
+        assert row["fingerprint"] == fp(g)
+        # sensitivity: perturbing one key changes the fingerprint
+        g2 = g.copy()
+        g2.iloc[0, g2.columns.get_loc("o_custkey")] += 1
+        assert fp(g2) != row["fingerprint"]
+        break  # one group suffices for the perturbation check

@@ -1061,3 +1061,139 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_roc_auc",
+    oracle="""
+    WITH feat AS (
+        SELECT doc_id, lang,
+               CAST(len(w) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                   / len(w) AS avg_wlen,
+               CAST(len(list_filter(w, x -> x IN
+                   ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                   / len(w) AS stop_ratio,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                   / length(text) AS digit_ratio
+        FROM (SELECT doc_id, lang, text,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents)
+        WHERE len(w) > 0 AND length(text) > 0
+    ),
+    scored AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               ROUND(1.0 / (1.0 + exp(-(
+                   -2.0 + 0.02 * least(n_words, 200) + 6.0 * stop_ratio
+                   - 8.0 * digit_ratio + 0.3 * avg_wlen))), 6) AS score
+        FROM feat
+    ),
+    grp AS (
+        SELECT score,
+               CAST(SUM(y) AS BIGINT) AS pos_at,
+               CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg_at
+        FROM scored GROUP BY score
+    ),
+    cum AS (
+        SELECT pos_at, neg_at,
+               CAST(COALESCE(SUM(neg_at) OVER (ORDER BY score
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS BIGINT)
+                   AS neg_below
+        FROM grp
+    ),
+    agg AS (
+        SELECT CAST(SUM(2 * neg_below * pos_at + pos_at * neg_at)
+                    AS BIGINT) AS num2,
+               CAST((SELECT SUM(pos_at) FROM grp) AS BIGINT) AS n_pos,
+               CAST((SELECT SUM(neg_at) FROM grp) AS BIGINT) AS n_neg
+        FROM cum
+    )
+    SELECT n_pos, n_neg,
+           CAST((10000 * num2 + n_pos * n_neg)
+                // (2 * n_pos * n_neg) AS BIGINT) AS auc_x10000
+    FROM agg
+    """,
+)
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC of the quality-classifier score predicting
+    lang='en' — warehouse-scale model evaluation with no ML library:
+    the Mann–Whitney formulation over score groups, 2·AUC·n₊·n₋ =
+    Σ(2·negs_below·pos_at + pos_at·neg_at) (the half-credit tie term
+    kept integral by the factor 2), so the WHOLE computation is exact
+    integer arithmetic — no rank floats, no float boundary; the final
+    AUC emits integer-scaled 1e-4 with integer half-up rounding. Scale:
+    one score hash-agg + a cumulative window over DISTINCT score values
+    (bounded by score resolution, not rows) + one tiny agg — this is
+    how AUC stays one pass at 1e12 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    feat = (
+        docs.select("doc_id", "lang", "text", words.alias("w"))
+        .filter((F.size("w") > 0) & (F.length("text") > 0))
+        .select(
+            (F.col("lang") == "en").cast("int").alias("y"),
+            F.size("w").cast("bigint").alias("n_words"),
+            (
+                F.aggregate(
+                    "w", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+                ).cast("double")
+                / F.size("w")
+            ).alias("avg_wlen"),
+            (
+                F.size(
+                    F.filter(
+                        "w",
+                        lambda x: x.isin(
+                            "the", "a", "of", "and", "to", "in", "is"
+                        ),
+                    )
+                ).cast("double")
+                / F.size("w")
+            ).alias("stop_ratio"),
+            (
+                F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double")
+                / F.length("text")
+            ).alias("digit_ratio"),
+        )
+    )
+    z = (
+        F.lit(-2.0)
+        + F.lit(0.02) * F.least(F.col("n_words"), F.lit(200)).cast("double")
+        + F.lit(6.0) * F.col("stop_ratio")
+        - F.lit(8.0) * F.col("digit_ratio")
+        + F.lit(0.3) * F.col("avg_wlen")
+    )
+    scored = feat.select(
+        "y",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+    )
+    grp = scored.groupBy("score").agg(
+        F.sum("y").cast("bigint").alias("pos_at"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("neg_at"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    cum = grp.select(
+        "pos_at",
+        "neg_at",
+        F.coalesce(F.sum("neg_at").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("neg_below"),
+    )
+    agg = cum.agg(
+        F.sum(
+            F.lit(2) * F.col("neg_below") * F.col("pos_at")
+            + F.col("pos_at") * F.col("neg_at")
+        )
+        .cast("bigint")
+        .alias("num2"),
+        F.sum("pos_at").cast("bigint").alias("n_pos"),
+        F.sum("neg_at").cast("bigint").alias("n_neg"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.expr("(10000 * num2 + n_pos * n_neg) div (2 * n_pos * n_neg)")
+        .cast("bigint")
+        .alias("auc_x10000"),
+    )

@@ -199,6 +199,8 @@ PRIORITY = (
     "q_csv_multiline", "q_time_to_convert",
     # round-3 batch 43: order-invariant reconciliation checksum
     "q_table_checksum",
+    # round-3 batch 44: exact ROC-AUC (Mann-Whitney integer form)
+    "q_roc_auc",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

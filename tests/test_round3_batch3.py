@@ -639,3 +639,35 @@ def test_table_checksum_order_invariant_and_sensitive(spark):
         g2.iloc[0, g2.columns.get_loc("o_custkey")] += 1
         assert fp(g2) != row["fingerprint"]
         break  # one group suffices for the perturbation check
+
+
+def test_roc_auc_matches_sklearn_free_trapezoid(spark):
+    out = QUERIES["q_roc_auc"](spark, SF_DIR).toPandas().iloc[0]
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    w = docs.text.str.split(" ").apply(lambda ws: [x for x in ws if x])
+    n_words = w.str.len()
+    ok = (n_words > 0) & (docs.text.str.len() > 0)
+    stop = w.apply(
+        lambda ws: sum(
+            1 for x in ws if x in {"the", "a", "of", "and", "to", "in", "is"}
+        )
+    )
+    awl = w.apply(lambda ws: sum(len(x) for x in ws)) / n_words
+    digit = docs.text.str.count(r"[0-9]") / docs.text.str.len()
+    z = (
+        -2.0
+        + 0.02 * np.minimum(n_words, 200)
+        + 6.0 * (stop / n_words)
+        - 8.0 * digit
+        + 0.3 * awl
+    )
+    score = (1 / (1 + np.exp(-z))).round(6)[ok]
+    y = (docs.lang == "en").astype(int)[ok]
+    # Mann-Whitney AUC with tie correction via average ranks
+    ranks = pd.Series(score).rank(method="average")
+    n_pos, n_neg = y.sum(), (1 - y).sum()
+    auc = (ranks[y.values == 1].sum() - n_pos * (n_pos + 1) / 2) / (
+        n_pos * n_neg
+    )
+    assert out["n_pos"] == n_pos and out["n_neg"] == n_neg
+    assert abs(out["auc_x10000"] - round(10000 * auc)) <= 1

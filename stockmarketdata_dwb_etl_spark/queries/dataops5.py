@@ -1197,3 +1197,228 @@ def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("auc_x10000"),
     )
+
+
+_DUCK_SCORED_EN = """
+    feat AS (
+        SELECT doc_id, lang,
+               CAST(len(w) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                   / len(w) AS avg_wlen,
+               CAST(len(list_filter(w, x -> x IN
+                   ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                   / len(w) AS stop_ratio,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                   / length(text) AS digit_ratio
+        FROM (SELECT doc_id, lang, text,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents)
+        WHERE len(w) > 0 AND length(text) > 0
+    ),
+    scored AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               ROUND(1.0 / (1.0 + exp(-(
+                   -2.0 + 0.02 * least(n_words, 200) + 6.0 * stop_ratio
+                   - 8.0 * digit_ratio + 0.3 * avg_wlen))), 6) AS score
+        FROM feat
+    )
+"""
+
+
+@query(
+    "q_pr_curve",
+    oracle=f"""
+    WITH {_DUCK_SCORED_EN},
+    thresholds AS (
+        SELECT UNNEST(generate_series(1, 9)) / 10.0 AS t
+    ),
+    counts AS (
+        SELECT t.t,
+               CAST(COUNT(*) FILTER (WHERE s.score >= t.t AND s.y = 1)
+                    AS BIGINT) AS tp,
+               CAST(COUNT(*) FILTER (WHERE s.score >= t.t AND s.y = 0)
+                    AS BIGINT) AS fp,
+               CAST(COUNT(*) FILTER (WHERE s.score < t.t AND s.y = 1)
+                    AS BIGINT) AS fn
+        FROM scored s CROSS JOIN thresholds t
+        GROUP BY t.t
+    )
+    SELECT CAST(t AS DOUBLE) AS threshold, tp, fp, fn,
+           CAST(CASE WHEN tp + fp = 0 THEN NULL
+                ELSE (2 * 10000 * tp + (tp + fp)) // (2 * (tp + fp)) END
+                AS BIGINT) AS precision_x10000,
+           CAST(CASE WHEN tp + fn = 0 THEN NULL
+                ELSE (2 * 10000 * tp + (tp + fn)) // (2 * (tp + fn)) END
+                AS BIGINT) AS recall_x10000,
+           CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                ELSE (2 * 10000 * 2 * tp + (2 * tp + fp + fn))
+                     // (2 * (2 * tp + fp + fn)) END
+                AS BIGINT) AS f1_x10000
+    FROM counts ORDER BY threshold
+    """,
+)
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 at nine score thresholds — the operating-
+    point table that accompanies q_roc_auc when a cut must actually be
+    chosen: TP/FP/FN are exact integer counts per threshold (one pass,
+    thresholds broadcast), precision/recall/F1 emit integer-scaled 1e-4
+    with pure integer half-up rounding (F1 = 2TP/(2TP+FP+FN) stays a
+    ratio of integers). Degenerate denominators yield NULL on both
+    engines. Scale: scored corpus × 9 thresholds, partial+final agg —
+    one shuffle of 9-key width."""
+    scored = _scored_en(spark, sf_dir)
+    thresholds = spark.range(1, 10).select(
+        (F.col("id") / 10.0).alias("t")
+    )
+    counts = (
+        scored.crossJoin(F.broadcast(thresholds))
+        .groupBy("t")
+        .agg(
+            F.count(F.when((F.col("score") >= F.col("t")) & (F.col("y") == 1), 1))
+            .cast("bigint")
+            .alias("tp"),
+            F.count(F.when((F.col("score") >= F.col("t")) & (F.col("y") == 0), 1))
+            .cast("bigint")
+            .alias("fp"),
+            F.count(F.when((F.col("score") < F.col("t")) & (F.col("y") == 1), 1))
+            .cast("bigint")
+            .alias("fn"),
+        )
+    )
+    return counts.select(
+        F.col("t").cast("double").alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        F.when(F.col("tp") + F.col("fp") == 0, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.expr("(2 * 10000 * tp + (tp + fp)) div (2 * (tp + fp))")
+        )
+        .cast("bigint")
+        .alias("precision_x10000"),
+        F.when(F.col("tp") + F.col("fn") == 0, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.expr("(2 * 10000 * tp + (tp + fn)) div (2 * (tp + fn))")
+        )
+        .cast("bigint")
+        .alias("recall_x10000"),
+        F.when(
+            F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn") == 0,
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(
+            F.expr(
+                "(2 * 10000 * 2 * tp + (2 * tp + fp + fn))"
+                " div (2 * (2 * tp + fp + fn))"
+            )
+        )
+        .cast("bigint")
+        .alias("f1_x10000"),
+    ).orderBy("threshold")
+
+
+def _scored_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (y, score) table: the quality-classifier sigmoid scoring
+    lang='en' membership (the q_roc_auc / q_pr_curve / q_calibration
+    basis)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    feat = (
+        docs.select("doc_id", "lang", "text", words.alias("w"))
+        .filter((F.size("w") > 0) & (F.length("text") > 0))
+        .select(
+            (F.col("lang") == "en").cast("int").alias("y"),
+            F.size("w").cast("bigint").alias("n_words"),
+            (
+                F.aggregate(
+                    "w", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+                ).cast("double")
+                / F.size("w")
+            ).alias("avg_wlen"),
+            (
+                F.size(
+                    F.filter(
+                        "w",
+                        lambda x: x.isin(
+                            "the", "a", "of", "and", "to", "in", "is"
+                        ),
+                    )
+                ).cast("double")
+                / F.size("w")
+            ).alias("stop_ratio"),
+            (
+                F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double")
+                / F.length("text")
+            ).alias("digit_ratio"),
+        )
+    )
+    z = (
+        F.lit(-2.0)
+        + F.lit(0.02) * F.least(F.col("n_words"), F.lit(200)).cast("double")
+        + F.lit(6.0) * F.col("stop_ratio")
+        - F.lit(8.0) * F.col("digit_ratio")
+        + F.lit(0.3) * F.col("avg_wlen")
+    )
+    return feat.select(
+        "y",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+    )
+
+
+@query(
+    "q_calibration_bins",
+    oracle=f"""
+    WITH {_DUCK_SCORED_EN},
+    binned AS (
+        SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+               y, CAST(score AS DECIMAL(18,6)) AS s6
+        FROM scored
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(y) AS BIGINT) AS n_positive,
+           CAST((2 * 10000 * SUM(y) + COUNT(*)) // (2 * COUNT(*))
+                AS BIGINT) AS actual_rate_x10000,
+           CAST((2 * 10000 * CAST(SUM(s6) * 1000000 AS BIGINT)
+                 + 1000000 * COUNT(*))
+                // (2 * 1000000 * COUNT(*)) AS BIGINT)
+               AS predicted_rate_x10000
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability table for the classifier score: per
+    score decile, the ACTUAL positive rate vs the mean PREDICTED score
+    — the diagram that tells you whether 0.8 means 80%. Actual rate is
+    a pure integer ratio; the predicted mean accumulates 6dp scores as
+    exact DECIMAL then converts to integer 1e-6 units, so BOTH rates
+    emit integer-scaled 1e-4 with integer half-up rounding — no float
+    at any output boundary. Scale: map-side binning into a 10-key
+    partial+final agg."""
+    scored = _scored_en(spark, sf_dir)
+    binned = scored.select(
+        F.least(F.floor(F.col("score") * 10).cast("bigint"), F.lit(9)).alias(
+            "bin"
+        ),
+        "y",
+        F.col("score").cast("decimal(18,6)").alias("s6"),
+    )
+    g = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("y").cast("bigint").alias("n_positive"),
+        (F.sum("s6") * 1_000_000).cast("bigint").alias("__s_units"),
+    )
+    return g.select(
+        "bin",
+        "n_docs",
+        "n_positive",
+        F.expr("(2 * 10000 * n_positive + n_docs) div (2 * n_docs)")
+        .cast("bigint")
+        .alias("actual_rate_x10000"),
+        F.expr(
+            "(2 * 10000 * __s_units + 1000000 * n_docs)"
+            " div (2 * 1000000 * n_docs)"
+        )
+        .cast("bigint")
+        .alias("predicted_rate_x10000"),
+    ).orderBy("bin")

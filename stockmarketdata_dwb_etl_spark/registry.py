@@ -201,6 +201,8 @@ PRIORITY = (
     "q_table_checksum",
     # round-3 batch 44: exact ROC-AUC (Mann-Whitney integer form)
     "q_roc_auc",
+    # round-3 batch 45: PR operating points + calibration bins
+    "q_pr_curve", "q_calibration_bins",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

@@ -671,3 +671,26 @@ def test_roc_auc_matches_sklearn_free_trapezoid(spark):
     )
     assert out["n_pos"] == n_pos and out["n_neg"] == n_neg
     assert abs(out["auc_x10000"] - round(10000 * auc)) <= 1
+
+
+def test_pr_curve_monotone_recall(spark):
+    out = QUERIES["q_pr_curve"](spark, SF_DIR).toPandas().sort_values("threshold")
+    # recall is non-increasing as the threshold rises; TP+FN constant
+    rec = out["recall_x10000"].dropna().values
+    assert (np.diff(rec) <= 0).all()
+    assert out[["tp", "fn"]].sum(axis=1).nunique() == 1
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    assert out[["tp", "fn"]].sum(axis=1).iloc[0] == (docs.lang == "en").sum()
+
+
+def test_calibration_bins_partition_and_bounds(spark):
+    out = QUERIES["q_calibration_bins"](spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    assert out["n_docs"].sum() == len(docs[docs.text.str.len() > 0])
+    assert (out["n_positive"] <= out["n_docs"]).all()
+    # predicted mean must sit inside its decile band
+    for _, row in out.iterrows():
+        lo, hi = row["bin"] * 1000, (row["bin"] + 1) * 1000
+        if row["bin"] == 9:
+            hi = 10000
+        assert lo - 1 <= row["predicted_rate_x10000"] <= hi + 1

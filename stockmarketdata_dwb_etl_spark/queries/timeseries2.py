@@ -645,3 +645,115 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p75_min"),
         F.max("delay_min").cast("bigint").alias("max_min"),
     )
+
+
+@query(
+    "q_peak_concurrency",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM marked
+    ),
+    sessions AS (
+        SELECT user_id, sess_id,
+               MIN(ts) AS s_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS s_end
+        FROM numbered GROUP BY user_id, sess_id
+    ),
+    bounds AS (
+        SELECT CAST(s_start AS DATE) AS day, s_start AS bts, 1 AS delta
+        FROM sessions
+        UNION ALL
+        SELECT CAST(s_start AS DATE), s_end, -1 FROM sessions
+    ),
+    swept AS (
+        SELECT day,
+               SUM(delta) OVER (PARTITION BY day
+                                ORDER BY bts, delta
+                                ROWS UNBOUNDED PRECEDING) AS conc
+        FROM bounds
+    )
+    SELECT day,
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrent,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_sessions
+    FROM swept GROUP BY day ORDER BY day
+    """,
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day via the sweep-line pattern: gap
+    sessionization (30-min, same construction as q_session_window),
+    each session emits a +1 boundary at start and a −1 at end, a
+    running sum over the time-ordered boundaries traces the concurrency
+    curve, and its max is the capacity-planning number. Boundary ties
+    order (ts, delta) so an end at the same instant counts before the
+    next start — the standard closed-open convention; sessions
+    attribute to their start day. All integer arithmetic. Scale: the
+    sweep window partitions by DAY (calendar-bounded slices of the
+    boundary stream, never a global sort); sessionization shuffles on
+    user_id once."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.expr("timestampdiff(MICROSECOND, lag(ts) OVER "
+                       "(PARTITION BY user_id ORDER BY ts, event_id), ts)")
+                > 1_800_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = marked.select(
+        "user_id", "ts", F.sum("new_sess").over(wrun).alias("sess_id")
+    )
+    sessions = numbered.groupBy("user_id", "sess_id").agg(
+        F.min("ts").alias("s_start"),
+        F.expr("max(ts) + INTERVAL 30 MINUTE").alias("s_end"),
+    )
+    bounds = sessions.select(
+        F.col("s_start").cast("date").alias("day"),
+        F.col("s_start").alias("bts"),
+        F.lit(1).alias("delta"),
+    ).unionByName(
+        sessions.select(
+            F.col("s_start").cast("date").alias("day"),
+            F.col("s_end").alias("bts"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    wsweep = (
+        Window.partitionBy("day")
+        .orderBy("bts", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = bounds.select("day", F.sum("delta").over(wsweep).alias("conc"))
+    return (
+        swept.groupBy("day")
+        .agg(
+            F.max("conc").cast("bigint").alias("peak_concurrent"),
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_sessions"),
+        )
+        .orderBy("day")
+    )

@@ -203,6 +203,8 @@ PRIORITY = (
     "q_roc_auc",
     # round-3 batch 45: PR operating points + calibration bins
     "q_pr_curve", "q_calibration_bins",
+    # round-3 batch 46: sweep-line concurrency + LSH S-curve table
+    "q_peak_concurrency", "q_lsh_tuning_curve",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

@@ -694,3 +694,28 @@ def test_calibration_bins_partition_and_bounds(spark):
         if row["bin"] == 9:
             hi = 10000
         assert lo - 1 <= row["predicted_rate_x10000"] <= hi + 1
+
+
+def test_peak_concurrency_bounds(spark):
+    out = QUERIES["q_peak_concurrency"](spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    assert len(out) == ev.ts.dt.date.nunique()
+    # peak concurrency can never exceed that day's session count or the
+    # user population, and is at least 1 on any day with sessions
+    assert (out["peak_concurrent"] >= 1).all()
+    assert (out["peak_concurrent"] <= out["n_sessions"]).all()
+    assert (out["peak_concurrent"] <= ev.user_id.nunique()).all()
+
+
+def test_lsh_tuning_curve_matches_formula(spark):
+    out = QUERIES["q_lsh_tuning_curve"](spark, SF_DIR).toPandas()
+    assert len(out) == 4 * 19
+    for _, row in out.iterrows():
+        expect = 1 - (1 - row["jaccard"] ** row["rows_per_band"]) ** row["bands"]
+        assert math.isclose(row["p_candidate"], expect, abs_tol=1e-5)
+    # S-curve: monotone increasing in j for the production config
+    g = out[(out.bands == 16)].sort_values("jaccard")["p_candidate"].values
+    assert (np.diff(g) >= -1e-12).all()
+    # and the repo's chosen config gives ~certain recall at j=0.7
+    p07 = out[(out.bands == 16) & (out.jaccard == 0.7)]["p_candidate"].iloc[0]
+    assert p07 > 0.9999

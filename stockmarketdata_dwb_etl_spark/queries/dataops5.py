@@ -1475,3 +1475,68 @@ def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bands", "rows_per_band", "jaccard")
     )
+
+
+@query(
+    "q_gram_matrix",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, u.idx, u.val
+        FROM embeddings,
+             LATERAL (SELECT UNNEST(generate_series(1, len(embedding))) AS idx,
+                             UNNEST(embedding) AS val) u
+    )
+    SELECT a.idx AS i, b.idx AS j,
+           CAST(ROUND(CAST(SUM(CAST(
+                    CAST(a.val AS DOUBLE) * CAST(b.val AS DOUBLE)
+                AS DECIMAL(38,18))) AS DOUBLE), 6) AS DOUBLE) AS gram
+    FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.idx <= b.idx
+    GROUP BY a.idx, b.idx
+    ORDER BY i, j
+    """,
+)
+def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram matrix XᵀX of the embedding table (upper triangle — the
+    matrix is symmetric), the one-pass precursor to PCA / whitening /
+    covariance at corpus scale: each row contributes its outer product
+    MAP-SIDE (a JVM array comprehension flattens v⊗v to (i, j, x·y)
+    triples — no self-join, no shuffle of vector data), and the only
+    exchange is the partial+final agg over the fixed d(d+1)/2 = 2080
+    cell keys. Per-term products are float32 upcast to double
+    (identical bits), cell sums accumulate in exact DECIMAL. Paired
+    with q_power_iteration (which extracts the dominant eigenvector),
+    this is the distributed linear-algebra kit a 100 TB embedding
+    corpus needs: reducer state is bounded by d², never by rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    triples = emb.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    v,
+                    lambda x, i: F.filter(
+                        F.transform(
+                            v,
+                            lambda y, j: F.struct(
+                                (i + 1).alias("i"),
+                                (j + 1).alias("j"),
+                                (x * y).alias("p"),
+                            ),
+                        ),
+                        lambda s: s["j"] >= s["i"],
+                    ),
+                )
+            )
+        ).alias("t")
+    ).select("t.i", "t.j", "t.p")
+    return (
+        triples.groupBy("i", "j")
+        .agg(
+            F.round(
+                F.sum(F.col("p").cast("decimal(38,18)")).cast("double"), 6
+            )
+            .cast("double")
+            .alias("gram")
+        )
+        .orderBy("i", "j")
+    )

@@ -205,6 +205,8 @@ PRIORITY = (
     "q_pr_curve", "q_calibration_bins",
     # round-3 batch 46: sweep-line concurrency + LSH S-curve table
     "q_peak_concurrency", "q_lsh_tuning_curve",
+    # round-3 batch 47: one-pass Gram matrix (PCA precursor)
+    "q_gram_matrix",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

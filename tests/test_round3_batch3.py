@@ -719,3 +719,18 @@ def test_lsh_tuning_curve_matches_formula(spark):
     # and the repo's chosen config gives ~certain recall at j=0.7
     p07 = out[(out.bands == 16) & (out.jaccard == 0.7)]["p_candidate"].iloc[0]
     assert p07 > 0.9999
+
+
+def test_gram_matrix_matches_numpy(spark):
+    out = QUERIES["q_gram_matrix"](spark, SF_DIR).toPandas()
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    M = np.stack(emb.embedding.values).astype(np.float64)
+    G = M.T @ M
+    assert len(out) == 64 * 65 // 2
+    for _, row in out.head(200).iterrows():
+        assert math.isclose(
+            row["gram"], G[int(row["i"]) - 1, int(row["j"]) - 1], abs_tol=1e-4
+        )
+    # diagonal entries are squared norms — strictly positive
+    diag = out[out.i == out.j]
+    assert (diag["gram"] > 0).all() and len(diag) == 64

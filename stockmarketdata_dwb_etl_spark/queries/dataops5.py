@@ -1540,3 +1540,76 @@ def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("i", "j")
     )
+
+
+@query(
+    "q_vocab_coverage",
+    oracle="""
+    WITH counts AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT UNNEST(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS word
+              FROM documents)
+        GROUP BY word
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts),
+    ranked AS (
+        SELECT cnt,
+               row_number() OVER (ORDER BY cnt DESC, word) AS rk,
+               SUM(cnt) OVER (ORDER BY cnt DESC, word
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM counts
+    ),
+    levels(p) AS (VALUES (50), (90), (99))
+    SELECT l.p AS coverage_pct,
+           CAST(MIN(r.rk) AS BIGINT) AS n_words_needed,
+           CAST(t.total AS BIGINT) AS total_tokens
+    FROM levels l
+    CROSS JOIN tot t
+    JOIN ranked r ON 100 * r.cum >= l.p * t.total
+    GROUP BY l.p, t.total
+    ORDER BY coverage_pct
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-sizing statistic: the
+    number of distinct words (ranked by frequency, word tie-break)
+    needed to cover 50/90/99% of all tokens. The coverage boundary
+    compares integer-scaled (100·cum ≥ p·total) so no float touches
+    the threshold; the cumulative window runs over the VOCABULARY
+    table (distinct words — bounded by language, not corpus size; at
+    true web scale this window routes through global_prefix_sum like
+    q_token_budget_trim). One corpus explode + word hash-agg is the
+    only full-data stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    counts = (
+        docs.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tot = counts.agg(F.sum("cnt").cast("bigint").alias("total"))
+    w = Window.orderBy(F.col("cnt").desc(), "word")
+    ranked = counts.select(
+        "cnt",
+        F.row_number().over(w).alias("rk"),
+        F.sum("cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    levels = spark.createDataFrame([(50,), (90,), (99,)], "p int")
+    return (
+        levels.crossJoin(F.broadcast(tot))
+        .join(
+            ranked,
+            F.lit(100) * F.col("cum") >= F.col("p") * F.col("total"),
+        )
+        .groupBy(F.col("p").alias("coverage_pct"), "total")
+        .agg(F.min("rk").cast("bigint").alias("n_words_needed"))
+        .select(
+            "coverage_pct",
+            "n_words_needed",
+            F.col("total").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("coverage_pct")
+    )

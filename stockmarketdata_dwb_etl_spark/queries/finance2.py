@@ -1054,3 +1054,52 @@ def q_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("xcorr"),
     ).orderBy("lag")
+
+
+@query(
+    "q_volume_profile",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type AS symbol,
+               CAST(hour(ts) AS BIGINT) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS vol
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT symbol, CAST(SUM(vol) AS BIGINT) AS total
+        FROM hourly GROUP BY symbol
+    )
+    SELECT h.symbol, h.hod, h.vol,
+           CAST((2 * 10000 * h.vol + t.total) // (2 * t.total) AS BIGINT)
+               AS share_x10000
+    FROM hourly h JOIN tot t ON t.symbol = h.symbol
+    ORDER BY h.symbol, h.hod
+    """,
+)
+def q_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraday volume profile per symbol: tick volume by hour-of-day
+    and its share of the symbol's total — the U-curve every VWAP/TWAP
+    execution scheduler slices its orders by. Exact integer counts;
+    shares emit integer-scaled 1e-4 with integer half-up rounding.
+    Scale: one (symbol, hour-of-day) hash-agg — 24 rows per symbol —
+    plus a broadcast per-symbol total."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.hour("ts").cast("bigint").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("vol"))
+    tot = hourly.groupBy("symbol").agg(
+        F.sum("vol").cast("bigint").alias("total")
+    )
+    return (
+        hourly.join(F.broadcast(tot), "symbol")
+        .select(
+            "symbol",
+            "hod",
+            "vol",
+            F.expr("(2 * 10000 * vol + total) div (2 * total)")
+            .cast("bigint")
+            .alias("share_x10000"),
+        )
+        .orderBy("symbol", "hod")
+    )

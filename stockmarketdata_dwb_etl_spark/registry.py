@@ -207,6 +207,8 @@ PRIORITY = (
     "q_peak_concurrency", "q_lsh_tuning_curve",
     # round-3 batch 47: one-pass Gram matrix (PCA precursor)
     "q_gram_matrix",
+    # round-3 batch 48: vocab coverage + intraday volume profile
+    "q_vocab_coverage", "q_volume_profile",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

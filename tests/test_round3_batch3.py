@@ -734,3 +734,32 @@ def test_gram_matrix_matches_numpy(spark):
     # diagonal entries are squared norms — strictly positive
     diag = out[out.i == out.j]
     assert (diag["gram"] > 0).all() and len(diag) == 64
+
+
+def test_vocab_coverage_levels_nested(spark):
+    out = (
+        QUERIES["q_vocab_coverage"](spark, SF_DIR)
+        .toPandas()
+        .set_index("coverage_pct")
+    )
+    assert list(out.index) == [50, 90, 99]
+    # higher coverage needs at least as many words
+    assert (
+        out.loc[50, "n_words_needed"]
+        <= out.loc[90, "n_words_needed"]
+        <= out.loc[99, "n_words_needed"]
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    total = docs.text.str.split(" ").apply(
+        lambda w: sum(1 for x in w if x)
+    ).sum()
+    assert (out["total_tokens"] == total).all()
+
+
+def test_volume_profile_shares_sum(spark):
+    out = QUERIES["q_volume_profile"](spark, SF_DIR).toPandas()
+    for sym, g in out.groupby("symbol"):
+        # integer-rounded shares reassemble ~10000 per symbol
+        assert abs(g["share_x10000"].sum() - 10000) <= len(g)
+        ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+        assert g["vol"].sum() == (ev.event_type == sym).sum()

@@ -1103,3 +1103,133 @@ def q_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol", "hod")
     )
+
+
+@query(
+    "q_overnight_gaps",
+    oracle=f"""
+    WITH {_duck_ohlcv("day")},
+    seq AS (
+        SELECT symbol, bar_ts, open, high, low, close,
+               lag(close) OVER (PARTITION BY symbol ORDER BY bar_ts)
+                   AS prev_close
+        FROM bars
+        QUALIFY prev_close IS NOT NULL
+    )
+    SELECT symbol,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(COUNT(*) FILTER (WHERE open > prev_close) AS BIGINT)
+               AS n_gap_up,
+           CAST(COUNT(*) FILTER (WHERE open < prev_close) AS BIGINT)
+               AS n_gap_down,
+           CAST(COUNT(*) FILTER (WHERE (open > prev_close
+                                        AND low <= prev_close)
+                                    OR (open < prev_close
+                                        AND high >= prev_close))
+                AS BIGINT) AS n_gaps_filled,
+           CAST(ROUND(CAST(SUM(CAST(abs(open / prev_close - 1.0)
+                                    AS DECIMAL(38,18))) AS DOUBLE)
+                      / COUNT(*) * 10000, 4) AS DOUBLE) AS avg_gap_bps
+    FROM seq GROUP BY symbol ORDER BY symbol
+    """,
+)
+def q_overnight_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overnight-gap analysis per symbol over daily bars: gap direction
+    counts (open vs prior close — engine-exact double comparisons), the
+    gap-FILL rate (did the day's range touch back to the prior close —
+    the mean-reversion stat gap traders live on), and the mean absolute
+    gap in basis points (per-day ratios in identical-tree double,
+    decimal accumulation). One bar hash-agg + one lag window + one
+    per-symbol agg."""
+    bars = _ohlcv_bars(spark, sf_dir, "day")
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    seq = bars.select(
+        "symbol",
+        "open",
+        "high",
+        "low",
+        F.lag("close").over(w).alias("prev_close"),
+    ).filter(F.col("prev_close").isNotNull())
+    up = F.col("open") > F.col("prev_close")
+    down = F.col("open") < F.col("prev_close")
+    filled = (up & (F.col("low") <= F.col("prev_close"))) | (
+        down & (F.col("high") >= F.col("prev_close"))
+    )
+    gap = F.abs(F.col("open") / F.col("prev_close") - F.lit(1.0))
+    return (
+        seq.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.count(F.when(up, 1)).cast("bigint").alias("n_gap_up"),
+            F.count(F.when(down, 1)).cast("bigint").alias("n_gap_down"),
+            F.count(F.when(filled, 1)).cast("bigint").alias("n_gaps_filled"),
+            F.round(
+                F.sum(gap.cast(_DEC18)).cast("double")
+                / F.count(F.lit(1))
+                * F.lit(10000.0),
+                4,
+            )
+            .cast("double")
+            .alias("avg_gap_bps"),
+        )
+        .orderBy("symbol")
+    )
+
+
+@query(
+    "q_price_clustering",
+    oracle="""
+    WITH scaled AS (
+        SELECT event_type AS symbol,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT symbol,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           CAST(COUNT(*) FILTER (WHERE cents % 100 = 0) AS BIGINT)
+               AS n_whole,
+           CAST(COUNT(*) FILTER (WHERE cents % 50 = 0) AS BIGINT)
+               AS n_half,
+           CAST(COUNT(*) FILTER (WHERE cents % 10 = 0) AS BIGINT)
+               AS n_dime,
+           CAST((2 * 10000 * COUNT(*) FILTER (WHERE cents % 10 = 0)
+                 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+               AS dime_share_x10000
+    FROM scaled GROUP BY symbol ORDER BY symbol
+    """,
+)
+def q_price_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-number price clustering per symbol — the behavioral
+    microstructure audit (humans quote at wholes, halves, and dimes;
+    uniform prices put ~1/10 of ticks on dimes, so an excess flags
+    human-quoted vs model-quoted flow): 2dp prices scale to exact
+    integer cents (round-then-cast — no float modulo), divisibility
+    counts by 100/50/10, and the dime share integer-scaled. All
+    integer arithmetic after the one scaling step. One hash-agg."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    scaled = ev.select(
+        F.col("event_type").alias("symbol"), cents.alias("cents")
+    )
+    return (
+        scaled.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+            F.count(F.when(F.col("cents") % 100 == 0, 1))
+            .cast("bigint")
+            .alias("n_whole"),
+            F.count(F.when(F.col("cents") % 50 == 0, 1))
+            .cast("bigint")
+            .alias("n_half"),
+            F.count(F.when(F.col("cents") % 10 == 0, 1))
+            .cast("bigint")
+            .alias("n_dime"),
+            F.expr(
+                "(2 * 10000 * count(CASE WHEN cents % 10 = 0 THEN 1 END)"
+                " + count(1)) div (2 * count(1))"
+            )
+            .cast("bigint")
+            .alias("dime_share_x10000"),
+        )
+        .orderBy("symbol")
+    )

@@ -209,6 +209,8 @@ PRIORITY = (
     "q_gram_matrix",
     # round-3 batch 48: vocab coverage + intraday volume profile
     "q_vocab_coverage", "q_volume_profile",
+    # round-3 batch 49: overnight gaps + price clustering
+    "q_overnight_gaps", "q_price_clustering",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

@@ -763,3 +763,25 @@ def test_volume_profile_shares_sum(spark):
         assert abs(g["share_x10000"].sum() - 10000) <= len(g)
         ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
         assert g["vol"].sum() == (ev.event_type == sym).sum()
+
+
+def test_overnight_gaps_counts_consistent(spark):
+    out = QUERIES["q_overnight_gaps"](spark, SF_DIR).toPandas()
+    assert len(out) == 5
+    assert (out["n_gap_up"] + out["n_gap_down"] <= out["n_days"]).all()
+    assert (out["n_gaps_filled"] <= out["n_gap_up"] + out["n_gap_down"]).all()
+    assert (out["avg_gap_bps"] >= 0).all()
+
+
+def test_price_clustering_nesting(spark):
+    out = QUERIES["q_price_clustering"](spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    for _, row in out.iterrows():
+        vals = ev[ev.event_type == row["symbol"]]["value"]
+        cents = (vals * 100).round().astype("int64")
+        assert row["n_ticks"] == len(cents)
+        assert row["n_whole"] == (cents % 100 == 0).sum()
+        assert row["n_half"] == (cents % 50 == 0).sum()
+        assert row["n_dime"] == (cents % 10 == 0).sum()
+        # divisibility nests: wholes ⊆ halves ⊆ dimes
+        assert row["n_whole"] <= row["n_half"] <= row["n_dime"]

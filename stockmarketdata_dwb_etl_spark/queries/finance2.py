@@ -1233,3 +1233,143 @@ def q_price_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+@query(
+    "q_var_cvar",
+    oracle=f"""
+    WITH {_DUCK_RETURNS},
+    var_t AS (
+        SELECT symbol,
+               percentile_disc(0.05) WITHIN GROUP (ORDER BY r) AS var95
+        FROM rets GROUP BY symbol
+    )
+    SELECT r.symbol,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(v.var95, 6) AS DOUBLE) AS var95,
+           CAST(COUNT(*) FILTER (WHERE r.r <= v.var95) AS BIGINT)
+               AS n_tail,
+           CAST(ROUND(CAST(SUM(CAST(r.r AS DECIMAL(38,18)))
+                               FILTER (WHERE r.r <= v.var95) AS DOUBLE)
+                      / COUNT(*) FILTER (WHERE r.r <= v.var95), 6)
+                AS DOUBLE) AS cvar95
+    FROM rets r JOIN var_t v ON v.symbol = r.symbol
+    GROUP BY r.symbol, v.var95
+    ORDER BY r.symbol
+    """,
+)
+def q_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical VaR95 and CVaR95 (expected shortfall) per symbol over
+    hourly returns — the risk numbers every desk reports: VaR is the
+    DISCRETE 5th-percentile return (an actual observed value — engine-
+    exact pick, no interpolation float), CVaR the decimal-accumulated
+    mean of the tail at or below it. The tail filter compares raw
+    doubles against the picked value — exact on both engines. Scale:
+    per-group sort for the exact percentile (the honest cost; the
+    sketch path is q_approx_percentile) + one broadcast join back +
+    one agg."""
+    rets = _returns(spark, sf_dir)
+    var_t = rets.groupBy("symbol").agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY r)").alias(
+            "var95"
+        )
+    )
+    j = rets.join(F.broadcast(var_t), "symbol")
+    in_tail = F.col("r") <= F.col("var95")
+    return (
+        j.groupBy("symbol", "var95")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count(F.when(in_tail, 1)).cast("bigint").alias("n_tail"),
+            F.round(
+                F.sum(F.when(in_tail, F.col("r").cast(_DEC18))).cast("double")
+                / F.count(F.when(in_tail, 1)),
+                6,
+            )
+            .cast("double")
+            .alias("cvar95"),
+        )
+        .select(
+            "symbol",
+            "n",
+            F.round("var95", 6).cast("double").alias("var95"),
+            "n_tail",
+            "cvar95",
+        )
+        .orderBy("symbol")
+    )
+
+
+@query(
+    "q_drawdown_duration",
+    oracle=f"""
+    WITH {_duck_ohlcv("hour")},
+    uw AS (
+        SELECT symbol, bar_ts,
+               CASE WHEN close < MAX(close) OVER (PARTITION BY symbol
+                                                  ORDER BY bar_ts
+                                                  ROWS UNBOUNDED PRECEDING)
+                    THEN 1 ELSE 0 END AS under,
+               row_number() OVER (PARTITION BY symbol ORDER BY bar_ts) AS rn
+        FROM bars
+    ),
+    runs AS (
+        SELECT symbol, under,
+               rn - row_number() OVER (PARTITION BY symbol, under
+                                       ORDER BY rn) AS grp
+        FROM uw
+    ),
+    spells AS (
+        SELECT symbol, CAST(COUNT(*) AS BIGINT) AS len
+        FROM runs WHERE under = 1
+        GROUP BY symbol, grp
+    )
+    SELECT symbol,
+           CAST(COUNT(*) AS BIGINT) AS n_spells,
+           CAST(MAX(len) AS BIGINT) AS longest_underwater_bars,
+           CAST(SUM(len) AS BIGINT) AS total_underwater_bars
+    FROM spells GROUP BY symbol ORDER BY symbol
+    """,
+)
+def q_drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drawdown DURATION per symbol — the time dimension q_drawdown's
+    magnitude misses: bars below the running peak form underwater
+    spells via the gaps-and-islands rn-difference trick (pure integer
+    arithmetic — rn minus per-state rank is constant within a run);
+    reports spell count, the longest spell, and total time underwater.
+    A strict < against the running max is engine-exact on raw doubles.
+    Scale: three stacked windows all keyed by symbol + one hash-agg —
+    one shuffle."""
+    bars = _ohlcv_bars(spark, sf_dir, "hour")
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    uw = bars.select(
+        "symbol",
+        "bar_ts",
+        F.when(
+            F.col("close") < F.max("close").over(wrun), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("under"),
+        F.row_number().over(w).alias("rn"),
+    )
+    wg = Window.partitionBy("symbol", "under").orderBy("rn")
+    runs = uw.select(
+        "symbol",
+        "under",
+        (F.col("rn") - F.row_number().over(wg)).alias("grp"),
+    )
+    spells = (
+        runs.filter(F.col("under") == 1)
+        .groupBy("symbol", "grp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("len"))
+    )
+    return (
+        spells.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spells"),
+            F.max("len").cast("bigint").alias("longest_underwater_bars"),
+            F.sum("len").cast("bigint").alias("total_underwater_bars"),
+        )
+        .orderBy("symbol")
+    )

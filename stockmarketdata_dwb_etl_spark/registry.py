@@ -211,6 +211,8 @@ PRIORITY = (
     "q_vocab_coverage", "q_volume_profile",
     # round-3 batch 49: overnight gaps + price clustering
     "q_overnight_gaps", "q_price_clustering",
+    # round-3 batch 50: historical VaR/CVaR + drawdown duration
+    "q_var_cvar", "q_drawdown_duration",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

@@ -785,3 +785,23 @@ def test_price_clustering_nesting(spark):
         assert row["n_dime"] == (cents % 10 == 0).sum()
         # divisibility nests: wholes ⊆ halves ⊆ dimes
         assert row["n_whole"] <= row["n_half"] <= row["n_dime"]
+
+
+def test_var_cvar_tail_relationship(spark):
+    out = QUERIES["q_var_cvar"](spark, SF_DIR).toPandas()
+    assert len(out) == 5
+    # CVaR (tail mean) is at most VaR (tail boundary); ~5% tail mass
+    assert (out["cvar95"] <= out["var95"] + 1e-9).all()
+    share = out["n_tail"] / out["n"]
+    assert ((share >= 0.04) & (share <= 0.12)).all()
+
+
+def test_drawdown_duration_bounds(spark):
+    out = QUERIES["q_drawdown_duration"](spark, SF_DIR).toPandas()
+    assert len(out) == 5
+    assert (out["longest_underwater_bars"] <= out["total_underwater_bars"]).all()
+    assert (out["n_spells"] >= 1).all()
+    assert (
+        out["total_underwater_bars"]
+        >= out["n_spells"] - 1 + out["longest_underwater_bars"]
+    ).all()

@@ -1613,3 +1613,158 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("coverage_pct")
     )
+
+
+@query(
+    "q_source_overlap",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT source,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM (SELECT source,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents)
+    ),
+    sizes AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_shingles
+        FROM sh GROUP BY source
+    ),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b, i.n_shared,
+           sa.n_shingles AS n_a, sb.n_shingles AS n_b,
+           CAST((2 * 10000 * i.n_shared
+                 + least(sa.n_shingles, sb.n_shingles))
+                // (2 * least(sa.n_shingles, sb.n_shingles)) AS BIGINT)
+               AS containment_x10000
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    WHERE i.n_shared >= 5
+    ORDER BY source_a, source_b
+    """,
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix — the provenance diagnostic
+    that catches the same content crawled under two source labels:
+    per-source DISTINCT 3-word shingle sets, pairwise shared-shingle
+    counts via the inverted-index join (only pairs sharing ≥1 shingle
+    materialize — never all-pairs), and max-containment
+    |A∩B|/min(|A|,|B|) integer-scaled (containment, not Jaccard —
+    a small source fully inside a big one should read 100%). The ≥5
+    shared floor keeps output to meaningful pairs. Scale: shuffles on
+    the shingle string only; per-shingle fanout is
+    sources-sharing-that-shingle — bounded by the source catalog."""
+    docs = load_table(spark, sf_dir, "documents")
+    from stockmarketdata_dwb_etl_spark.functions.text import word_shingles
+
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    sh = (
+        docs.select(
+            "source", F.explode(word_shingles(words, 3)).alias("s")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    a = sh.select(F.col("source").alias("source_a"), "s")
+    b = sh.select(F.col("source").alias("source_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_shingles").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_shingles").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr(
+                "(2 * 10000 * n_shared + least(n_a, n_b))"
+                " div (2 * least(n_a, n_b))"
+            )
+            .cast("bigint")
+            .alias("containment_x10000"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+@query(
+    "q_dup_cluster_histogram",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 5000000 AS doc_id, text FROM documents
+        WHERE doc_id % 6 = 0
+        UNION ALL
+        SELECT doc_id + 6000000 AS doc_id, text FROM documents
+        WHERE doc_id % 12 = 0
+    ),
+    clusters AS (
+        SELECT md5(text) AS fp, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM aug GROUP BY md5(text)
+    )
+    SELECT sz AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(sz - 1) AS BIGINT) AS n_removable
+    FROM clusters GROUP BY sz ORDER BY cluster_size
+    """,
+)
+def q_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram — the dedup PLANNING report
+    (how much will dedup remove, and is duplication a few huge
+    clusters or many pairs?): exact-dup clusters by content md5 over a
+    fixture with two planted duplication waves (every 6th doc copied
+    once, every 12th twice — so size-2 and size-3 clusters both
+    provably exist), histogrammed by cluster size with removable-copy
+    counts. All integer. Scale: one hash-agg on the fingerprint + one
+    tiny agg on the size histogram — the same single-shuffle posture
+    as q_dedup_exact, turned into the report that justifies running
+    it."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = (
+        docs.unionByName(
+            docs.filter(F.col("doc_id") % 6 == 0).select(
+                (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 12 == 0).select(
+                (F.col("doc_id") + 6_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    clusters = aug.groupBy(F.md5("text").alias("fp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return (
+        clusters.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+            F.sum(F.col("sz") - 1).cast("bigint").alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )

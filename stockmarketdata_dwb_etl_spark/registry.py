@@ -213,6 +213,8 @@ PRIORITY = (
     "q_overnight_gaps", "q_price_clustering",
     # round-3 batch 50: historical VaR/CVaR + drawdown duration
     "q_var_cvar", "q_drawdown_duration",
+    # round-3 batch 51: source-overlap matrix + dup-cluster histogram
+    "q_source_overlap", "q_dup_cluster_histogram",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

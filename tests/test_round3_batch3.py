@@ -805,3 +805,26 @@ def test_drawdown_duration_bounds(spark):
         out["total_underwater_bars"]
         >= out["n_spells"] - 1 + out["longest_underwater_bars"]
     ).all()
+
+
+def test_source_overlap_containment_bounds(spark):
+    out = QUERIES["q_source_overlap"](spark, SF_DIR).toPandas()
+    assert (out["n_shared"] >= 5).all()
+    assert (out["n_shared"] <= out[["n_a", "n_b"]].min(axis=1)).all()
+    assert (out["containment_x10000"] <= 10000).all()
+    assert (out["source_a"] < out["source_b"]).all()
+
+
+def test_dup_cluster_histogram_planted_waves(spark):
+    out = (
+        QUERIES["q_dup_cluster_histogram"](spark, SF_DIR)
+        .toPandas()
+        .set_index("cluster_size")
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    n6 = (docs.doc_id % 6 == 0).sum()
+    n12 = (docs.doc_id % 12 == 0).sum()
+    # both planted cluster sizes exist and the doc mass reassembles
+    assert 2 in out.index and 3 in out.index
+    assert out["n_docs"].sum() == len(docs) + n6 + n12
+    assert (out["n_removable"] == (out.index - 1) * out["n_clusters"]).all()

@@ -329,3 +329,120 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+@query(
+    "q_sla_lateness",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(COUNT(*) FILTER (WHERE datediff('day', o.o_orderdate,
+                                                l.l_shipdate) > 90)
+                AS BIGINT) AS n_late,
+           CAST((2 * 10000 * COUNT(*) FILTER
+                     (WHERE datediff('day', o.o_orderdate,
+                                     l.l_shipdate) > 90)
+                 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+               AS late_rate_x10000,
+           CAST(SUM(CASE WHEN datediff('day', o.o_orderdate,
+                                       l.l_shipdate) > 90
+                         THEN datediff('day', o.o_orderdate, l.l_shipdate)
+                              - 90
+                         ELSE 0 END) AS BIGINT) AS total_excess_days,
+           CAST(MAX(datediff('day', o.o_orderdate, l.l_shipdate))
+                AS BIGINT) AS worst_lag_days
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def q_sla_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship SLA report per priority — the logistics companion
+    to TPC-H Q4/Q12's lateness predicates, as a full report over the
+    fixture's available dates (order → ship lag; the 90-day SLA is the
+    contract line): late share (integer-scaled rate), total excess days
+    past SLA, and the worst lag. Date arithmetic is engine-exact
+    integer days; the fact⨝fact join shuffles on orderkey once (or
+    free on the bucketed layout, cf. q_bucketed_join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lag_days = F.datediff("l_shipdate", "o_orderdate")
+    late = lag_days > 90
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.count(F.when(late, 1)).cast("bigint").alias("n_late"),
+            F.expr(
+                "(2 * 10000 * count(CASE WHEN datediff(l_shipdate,"
+                " o_orderdate) > 90 THEN 1 END) + count(1))"
+                " div (2 * count(1))"
+            )
+            .cast("bigint")
+            .alias("late_rate_x10000"),
+            F.sum(F.when(late, lag_days - 90).otherwise(0))
+            .cast("bigint")
+            .alias("total_excess_days"),
+            F.max(lag_days).cast("bigint").alias("worst_lag_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_reactivation",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey,
+               date_trunc('month', o_orderdate) AS m,
+               (year(o_orderdate) * 12 + month(o_orderdate))
+               - lag(year(o_orderdate) * 12 + month(o_orderdate))
+                     OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) AS gap_months
+        FROM orders
+    )
+    SELECT CAST(m AS DATE) AS month,
+           CAST(COUNT(*) FILTER (WHERE gap_months >= 6) AS BIGINT)
+               AS n_reactivated,
+           CAST(COUNT(DISTINCT CASE WHEN gap_months >= 6
+                                    THEN o_custkey END) AS BIGINT)
+               AS n_customers_reactivated
+    FROM seq
+    GROUP BY m
+    HAVING COUNT(*) FILTER (WHERE gap_months >= 6) > 0
+    ORDER BY month
+    """,
+)
+def q_reactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer reactivation (win-back) report: orders placed after a
+    dormancy gap of ≥6 months, counted per calendar month (events and
+    distinct customers) — the growth metric that separates retention
+    from resurrection. Gaps compute in exact integer month indexes via
+    lag over the per-customer order sequence ((date, orderkey)
+    tie-break). Scale: one lag window + one month-grain hash-agg, both
+    keyed by custkey/month."""
+    o = load_table(spark, sf_dir, "orders")
+    midx = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").alias("m"),
+        (midx - F.lag(midx).over(w)).alias("gap_months"),
+    )
+    react = F.col("gap_months") >= 6
+    return (
+        seq.groupBy("m")
+        .agg(
+            F.count(F.when(react, 1)).cast("bigint").alias("n_reactivated"),
+            F.countDistinct(F.when(react, F.col("o_custkey")))
+            .cast("bigint")
+            .alias("n_customers_reactivated"),
+        )
+        .filter(F.col("n_reactivated") > 0)
+        .select(
+            F.to_date("m").alias("month"),
+            "n_reactivated",
+            "n_customers_reactivated",
+        )
+        .orderBy("month")
+    )

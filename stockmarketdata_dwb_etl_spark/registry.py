@@ -215,6 +215,8 @@ PRIORITY = (
     "q_var_cvar", "q_drawdown_duration",
     # round-3 batch 51: source-overlap matrix + dup-cluster histogram
     "q_source_overlap", "q_dup_cluster_histogram",
+    # round-3 batch 52: order-to-ship SLA + customer reactivation
+    "q_sla_lateness", "q_reactivation",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

@@ -828,3 +828,38 @@ def test_dup_cluster_histogram_planted_waves(spark):
     assert 2 in out.index and 3 in out.index
     assert out["n_docs"].sum() == len(docs) + n6 + n12
     assert (out["n_removable"] == (out.index - 1) * out["n_clusters"]).all()
+
+
+def test_sla_lateness_matches_pandas(spark):
+    out = QUERIES["q_sla_lateness"](spark, SF_DIR).toPandas()
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    lag = (
+        pd.to_datetime(j.l_shipdate) - pd.to_datetime(j.o_orderdate)
+    ).dt.days
+    for _, row in out.iterrows():
+        m = j.o_orderpriority == row["o_orderpriority"]
+        assert row["n_items"] == m.sum()
+        assert row["n_late"] == (lag[m] > 90).sum()
+        assert row["worst_lag_days"] == lag[m].max()
+        assert row["total_excess_days"] == (lag[m][lag[m] > 90] - 90).sum()
+
+
+def test_reactivation_gaps_verified(spark):
+    out = QUERIES["q_reactivation"](spark, SF_DIR).toPandas()
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet").sort_values(
+        ["o_custkey", "o_orderdate", "o_orderkey"]
+    )
+    midx = (
+        pd.to_datetime(o.o_orderdate).dt.year * 12
+        + pd.to_datetime(o.o_orderdate).dt.month
+    )
+    gaps = midx.groupby(o.o_custkey).diff()
+    react = o[gaps >= 6]
+    months = pd.to_datetime(react.o_orderdate).dt.to_period("M")
+    expect = months.value_counts()
+    assert out["n_reactivated"].sum() == len(react)
+    for _, row in out.head(10).iterrows():
+        p = pd.Period(row["month"], freq="M")
+        assert row["n_reactivated"] == expect[p]

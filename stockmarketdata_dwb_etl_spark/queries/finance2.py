@@ -1373,3 +1373,182 @@ def q_drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+@query(
+    "q_kyle_lambda",
+    oracle=f"""
+    WITH {_duck_ohlcv("hour")},
+    seq AS (
+        SELECT symbol, bar_ts, volume,
+               close / lag(close) OVER w - 1.0 AS r,
+               CASE WHEN close > lag(close) OVER w THEN CAST(volume AS DOUBLE)
+                    WHEN close < lag(close) OVER w THEN -CAST(volume AS DOUBLE)
+                    ELSE 0.0 END AS sv
+        FROM bars
+        WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts)
+        QUALIFY r IS NOT NULL
+    ),
+    m AS (
+        SELECT symbol,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(sv AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(sv * r AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(sv * sv AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+        FROM seq GROUP BY symbol
+    )
+    SELECT symbol, n,
+           CAST(CASE WHEN (n * sxx - sx * sx) <= 0 THEN NULL
+                ELSE ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6,
+                           6) END AS DOUBLE) AS lambda_x1e6
+    FROM m ORDER BY symbol
+    """,
+)
+def q_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kyle's lambda per symbol — the price-impact slope from
+    regressing bar returns on tick-rule-signed volume (λ·10⁶; the
+    structural cousin of q_amihud_illiquidity's ratio proxy): signed
+    volume uses the close-direction rule (q_obv's convention), the
+    slope comes from the repo's decimal moment formula with the
+    identical double tree, degenerate variance → NULL. One bar
+    hash-agg + one lag window + one per-symbol agg."""
+    bars = _ohlcv_bars(spark, sf_dir, "hour")
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    prev_c = F.lag("close").over(w)
+    seq = bars.select(
+        "symbol",
+        (F.col("close") / prev_c - F.lit(1.0)).alias("r"),
+        F.when(F.col("close") > prev_c, F.col("volume").cast("double"))
+        .when(F.col("close") < prev_c, -F.col("volume").cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("sv"),
+    ).filter(F.col("r").isNotNull())
+    m = seq.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("sv").cast(_DEC18)).cast("double").alias("sx"),
+        F.sum(F.col("r").cast(_DEC18)).cast("double").alias("sy"),
+        F.sum((F.col("sv") * F.col("r")).cast(_DEC18))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("sv") * F.col("sv")).cast(_DEC18))
+        .cast("double")
+        .alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        "symbol",
+        "n",
+        F.when(den <= 0, F.lit(None).cast("double"))
+        .otherwise(F.round(num / den * F.lit(1e6), 6))
+        .cast("double")
+        .alias("lambda_x1e6"),
+    ).orderBy("symbol")
+
+
+@query(
+    "q_event_study_jumps",
+    oracle=f"""
+    WITH {_DUCK_RETURNS},
+    sigma AS (
+        SELECT symbol,
+               sqrt(greatest(
+                   CAST(SUM(CAST(r * r AS DECIMAL(38,18))) AS DOUBLE)
+                       / COUNT(*)
+                   - (CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE)
+                      / COUNT(*))
+                     * (CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE)
+                        / COUNT(*)), 0.0)) AS sd
+        FROM rets GROUP BY symbol
+    ),
+    flagged AS (
+        SELECT r.symbol, r.bar_ts, r.r,
+               abs(r.r) > 3.0 * s.sd AS is_jump,
+               CASE WHEN r.r > 0 THEN 1 ELSE -1 END AS jump_sign
+        FROM rets r JOIN sigma s ON s.symbol = r.symbol
+    ),
+    post AS (
+        SELECT symbol, bar_ts, is_jump, jump_sign,
+               lead(r, 1) OVER w AS r1,
+               lead(r, 2) OVER w AS r2,
+               lead(r, 3) OVER w AS r3
+        FROM flagged
+        WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts)
+    )
+    SELECT is_jump,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(CAST(SUM(CAST(jump_sign
+                                    * (COALESCE(r1, 0) + COALESCE(r2, 0)
+                                       + COALESCE(r3, 0))
+                                AS DECIMAL(38,18))) AS DOUBLE)
+                      / COUNT(*) * 10000, 4) AS DOUBLE)
+               AS avg_signed_drift_bps
+    FROM post GROUP BY is_jump ORDER BY is_jump
+    """,
+)
+def q_event_study_jumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event study on return jumps: bars with |r| > 3σ are events, and
+    the 3-bar post-event cumulative return — SIGNED by the jump
+    direction, so continuation reads positive and reversal negative —
+    averages against the non-event baseline (the momentum-vs-reversal
+    question every jump paper asks). σ is the population sd from
+    decimal moment sums; post-event returns stack via lead(1..3); the
+    signed drift accumulates in decimal and reads in basis points.
+    Scale: per-symbol σ broadcast back, one lead window, one 2-row
+    agg."""
+    rets = _returns(spark, sf_dir)
+    sigma = rets.groupBy("symbol").agg(
+        F.sqrt(
+            F.greatest(
+                F.sum((F.col("r") * F.col("r")).cast(_DEC18)).cast("double")
+                / F.count(F.lit(1))
+                - (
+                    F.sum(F.col("r").cast(_DEC18)).cast("double")
+                    / F.count(F.lit(1))
+                )
+                * (
+                    F.sum(F.col("r").cast(_DEC18)).cast("double")
+                    / F.count(F.lit(1))
+                ),
+                F.lit(0.0),
+            )
+        ).alias("sd")
+    )
+    flagged = rets.join(F.broadcast(sigma), "symbol").select(
+        "symbol",
+        "bar_ts",
+        "r",
+        (F.abs(F.col("r")) > F.lit(3.0) * F.col("sd")).alias("is_jump"),
+        F.when(F.col("r") > 0, F.lit(1)).otherwise(F.lit(-1)).alias(
+            "jump_sign"
+        ),
+    )
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    post = flagged.select(
+        "is_jump",
+        "jump_sign",
+        F.lead("r", 1).over(w).alias("r1"),
+        F.lead("r", 2).over(w).alias("r2"),
+        F.lead("r", 3).over(w).alias("r3"),
+    )
+    drift = F.col("jump_sign") * (
+        F.coalesce("r1", F.lit(0.0))
+        + F.coalesce("r2", F.lit(0.0))
+        + F.coalesce("r3", F.lit(0.0))
+    )
+    return (
+        post.groupBy("is_jump")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(
+                F.sum(drift.cast(_DEC18)).cast("double")
+                / F.count(F.lit(1))
+                * F.lit(10000.0),
+                4,
+            )
+            .cast("double")
+            .alias("avg_signed_drift_bps"),
+        )
+        .orderBy("is_jump")
+    )

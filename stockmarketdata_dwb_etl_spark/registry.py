@@ -217,6 +217,8 @@ PRIORITY = (
     "q_source_overlap", "q_dup_cluster_histogram",
     # round-3 batch 52: order-to-ship SLA + customer reactivation
     "q_sla_lateness", "q_reactivation",
+    # round-3 batch 53: Kyle lambda + jump event study
+    "q_kyle_lambda", "q_event_study_jumps",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

@@ -863,3 +863,21 @@ def test_reactivation_gaps_verified(spark):
     for _, row in out.head(10).iterrows():
         p = pd.Period(row["month"], freq="M")
         assert row["n_reactivated"] == expect[p]
+
+
+def test_kyle_lambda_sign_sanity(spark):
+    out = QUERIES["q_kyle_lambda"](spark, SF_DIR).toPandas()
+    assert len(out) == 5
+    # signed volume moves WITH the return by construction (tick rule
+    # signs on the same close diff), so the impact slope is positive
+    assert (out["lambda_x1e6"].dropna() > 0).all()
+
+
+def test_event_study_rows(spark):
+    out = QUERIES["q_event_study_jumps"](spark, SF_DIR).toPandas()
+    assert set(out["is_jump"]) <= {True, False}
+    assert out["n_events"].sum() > 0
+    # jumps are rare: the event bucket is far smaller than baseline
+    if len(out) == 2:
+        ev = out.set_index("is_jump")
+        assert ev.loc[True, "n_events"] < ev.loc[False, "n_events"]

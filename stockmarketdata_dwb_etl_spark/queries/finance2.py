@@ -1552,3 +1552,146 @@ def q_event_study_jumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("is_jump")
     )
+
+
+@query(
+    "q_arch_effect",
+    oracle=f"""
+    WITH {_DUCK_RETURNS},
+    pairs AS (
+        SELECT symbol, r * r AS y,
+               lag(r * r) OVER (PARTITION BY symbol ORDER BY bar_ts) AS x
+        FROM rets
+        QUALIFY x IS NOT NULL
+    ),
+    m AS (
+        SELECT symbol,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy
+        FROM pairs GROUP BY symbol
+    )
+    SELECT symbol, n,
+           CAST(CASE WHEN (n * sxx - sx * sx) <= 0
+                       OR (n * syy - sy * sy) <= 0 THEN NULL
+                ELSE ROUND((n * sxy - sx * sy)
+                           / (sqrt(n * sxx - sx * sx)
+                              * sqrt(n * syy - sy * sy)), 6) END
+                AS DOUBLE) AS acf1_sq,
+           CAST(CASE WHEN (n * sxx - sx * sx) <= 0
+                       OR (n * syy - sy * sy) <= 0 THEN NULL
+                ELSE ROUND(n * pow((n * sxy - sx * sy)
+                                   / (sqrt(n * sxx - sx * sx)
+                                      * sqrt(n * syy - sy * sy)), 2), 4) END
+                AS DOUBLE) AS lm_stat
+    FROM m ORDER BY symbol
+    """,
+)
+def q_arch_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle ARCH-effect test (one lag) per symbol — the volatility-
+    clustering diagnostic that decides whether a GARCH model is even
+    warranted: lag-1 autocorrelation of SQUARED returns (q_autocorr's
+    machinery on r²) and the LM statistic n·R² = n·ρ² (∼χ²₁ under the
+    no-ARCH null; > 3.84 rejects at 5%). All five moment sums in exact
+    DECIMAL, statistic in identical-tree double. One lag window + one
+    hash-agg per symbol."""
+    rets = _returns(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    r2 = F.col("r") * F.col("r")
+    pairs = rets.select(
+        "symbol",
+        r2.alias("y"),
+        F.lag(r2).over(w).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    m = pairs.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(_DEC18)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(_DEC18)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(_DEC18))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(_DEC18))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(_DEC18))
+        .cast("double")
+        .alias("syy"),
+    )
+    cxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    cyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cxy = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    rho = cxy / (F.sqrt(cxx) * F.sqrt(cyy))
+    bad = (cxx <= 0) | (cyy <= 0)
+    return m.select(
+        "symbol",
+        "n",
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.round(rho, 6))
+        .cast("double")
+        .alias("acf1_sq"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("n") * F.pow(rho, 2), 4))
+        .cast("double")
+        .alias("lm_stat"),
+    ).orderBy("symbol")
+
+
+@query(
+    "q_sortino",
+    oracle=f"""
+    WITH {_DUCK_RETURNS},
+    m AS (
+        SELECT symbol,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(CASE WHEN r < 0 THEN r * r ELSE 0 END
+                             AS DECIMAL(38,18))) AS DOUBLE) AS ssd,
+               CAST(COUNT(*) FILTER (WHERE r < 0) AS BIGINT) AS n_down
+        FROM rets GROUP BY symbol
+    )
+    SELECT symbol, n, n_down,
+           CAST(ROUND(sqrt(ssd / n), 8) AS DOUBLE) AS downside_dev,
+           CAST(CASE WHEN ssd <= 0 THEN NULL
+                ELSE ROUND((s / n) / sqrt(ssd / n) * sqrt(8760.0), 6) END
+                AS DOUBLE) AS sortino_ann
+    FROM m ORDER BY symbol
+    """,
+)
+def q_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annualized Sortino ratio per symbol (target = 0): mean return
+    over the DOWNSIDE deviation √(Σ_{r<0} r²/n) — the risk ratio that
+    stops punishing upside volatility, completing q_sharpe. Downside
+    squared sums accumulate in exact DECIMAL; the ratio chain is
+    identical-tree double; a loss-free series yields NULL. One
+    hash-agg per symbol after the returns window."""
+    rets = _returns(spark, sf_dir)
+    m = rets.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("r").cast(_DEC18)).cast("double").alias("s"),
+        F.sum(
+            F.when(F.col("r") < 0, F.col("r") * F.col("r"))
+            .otherwise(F.lit(0.0))
+            .cast(_DEC18)
+        )
+        .cast("double")
+        .alias("ssd"),
+        F.count(F.when(F.col("r") < 0, 1)).cast("bigint").alias("n_down"),
+    )
+    dd = F.sqrt(F.col("ssd") / F.col("n"))
+    return m.select(
+        "symbol",
+        "n",
+        "n_down",
+        F.round(dd, 8).cast("double").alias("downside_dev"),
+        F.when(F.col("ssd") <= 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (F.col("s") / F.col("n")) / dd * F.sqrt(F.lit(8760.0)), 6
+            )
+        )
+        .cast("double")
+        .alias("sortino_ann"),
+    ).orderBy("symbol")

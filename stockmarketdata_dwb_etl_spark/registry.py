@@ -219,6 +219,8 @@ PRIORITY = (
     "q_sla_lateness", "q_reactivation",
     # round-3 batch 53: Kyle lambda + jump event study
     "q_kyle_lambda", "q_event_study_jumps",
+    # round-3 batch 54: ARCH-effect test + Sortino ratio
+    "q_arch_effect", "q_sortino",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

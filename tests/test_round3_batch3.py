@@ -881,3 +881,25 @@ def test_event_study_rows(spark):
     if len(out) == 2:
         ev = out.set_index("is_jump")
         assert ev.loc[True, "n_events"] < ev.loc[False, "n_events"]
+
+
+def test_arch_effect_bounds(spark):
+    out = QUERIES["q_arch_effect"](spark, SF_DIR).toPandas()
+    assert len(out) == 5
+    ok = out.dropna()
+    assert ((ok["acf1_sq"] >= -1) & (ok["acf1_sq"] <= 1)).all()
+    assert np.allclose(
+        ok["lm_stat"], ok["n"] * ok["acf1_sq"] ** 2, atol=1e-2
+    )
+
+
+def test_sortino_vs_sharpe_direction(spark):
+    srt = QUERIES["q_sortino"](spark, SF_DIR).toPandas().set_index("symbol")
+    shp = QUERIES["q_sharpe"](spark, SF_DIR).toPandas().set_index("symbol")
+    for sym in srt.index:
+        a, b = srt.loc[sym, "sortino_ann"], shp.loc[sym, "sharpe_ann"]
+        if pd.notna(a) and pd.notna(b):
+            # same numerator, different denominators: same sign always
+            assert (a >= 0) == (b >= 0)
+    assert (srt["downside_dev"] >= 0).all()
+    assert (srt["n_down"] <= srt["n"]).all()

@@ -1695,3 +1695,139 @@ def q_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sortino_ann"),
     ).orderBy("symbol")
+
+
+@query(
+    "q_hhi_concentration",
+    oracle="""
+    WITH vols AS (
+        SELECT event_type AS symbol, CAST(COUNT(*) AS BIGINT) AS vol
+        FROM events GROUP BY event_type
+    ),
+    agg AS (
+        SELECT CAST(SUM(vol) AS BIGINT) AS total,
+               CAST(SUM(vol * vol) AS BIGINT) AS sum_sq,
+               CAST(COUNT(*) AS BIGINT) AS n_symbols,
+               CAST(MAX(vol) AS BIGINT) AS max_vol
+        FROM vols
+    )
+    SELECT n_symbols, total,
+           CAST((2 * 10000 * sum_sq + total * total)
+                // (2 * total * total) AS BIGINT) AS hhi_x10000,
+           CAST((2 * 10000 * max_vol + total) // (2 * total) AS BIGINT)
+               AS top_share_x10000
+    FROM agg
+    """,
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of trading volume across
+    symbols — the market-structure scalar regulators and exchanges
+    track (HHI = Σ share², 1/n for even flow, 1 for a monopoly), plus
+    the top symbol's share. Both emit EXACT: HHI = Σv²/T² is a ratio
+    of integers, so the 1e-4-scaled output is pure integer half-up
+    arithmetic — no float anywhere. Complements q_gini (inequality)
+    and q_abc_analysis (Pareto classes) with the squared-share lens.
+    One symbol hash-agg + one 1-row agg."""
+    ev = load_table(spark, sf_dir, "events")
+    vols = ev.groupBy(F.col("event_type").alias("symbol")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("vol")
+    )
+    agg = vols.agg(
+        F.sum("vol").cast("bigint").alias("total"),
+        F.sum(F.col("vol") * F.col("vol")).cast("bigint").alias("sum_sq"),
+        F.count(F.lit(1)).cast("bigint").alias("n_symbols"),
+        F.max("vol").cast("bigint").alias("max_vol"),
+    )
+    return agg.select(
+        "n_symbols",
+        "total",
+        F.expr(
+            "(2 * 10000 * sum_sq + total * total) div (2 * total * total)"
+        )
+        .cast("bigint")
+        .alias("hhi_x10000"),
+        F.expr("(2 * 10000 * max_vol + total) div (2 * total)")
+        .cast("bigint")
+        .alias("top_share_x10000"),
+    )
+
+
+@query(
+    "q_roll_spread",
+    oracle=f"""
+    WITH {_DUCK_RETURNS},
+    dp AS (
+        SELECT c.symbol, c.bar_ts,
+               c.close - lag(c.close) OVER (PARTITION BY c.symbol
+                                            ORDER BY c.bar_ts) AS d
+        FROM cbars c
+        QUALIFY d IS NOT NULL
+    ),
+    pairs AS (
+        SELECT symbol, d AS y,
+               lag(d) OVER (PARTITION BY symbol ORDER BY bar_ts) AS x
+        FROM dp
+        QUALIFY x IS NOT NULL
+    ),
+    m AS (
+        SELECT symbol,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+        FROM pairs GROUP BY symbol
+    )
+    SELECT symbol, n,
+           CAST(ROUND((sxy / n) - (sx / n) * (sy / n), 8) AS DOUBLE)
+               AS serial_cov,
+           CAST(CASE WHEN (sxy / n) - (sx / n) * (sy / n) >= 0 THEN NULL
+                ELSE ROUND(2.0 * sqrt(-((sxy / n) - (sx / n) * (sy / n))),
+                           6) END AS DOUBLE) AS roll_spread
+    FROM m ORDER BY symbol
+    """,
+)
+def q_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll's implied bid–ask spread per symbol: s = 2√(−cov(Δp_t,
+    Δp_{t−1})) — the classic estimator that reads the effective spread
+    out of price-change serial covariance alone (bid-ask bounce makes
+    consecutive changes negatively correlated; a non-negative
+    covariance means the model doesn't apply and yields NULL, the
+    honest convention). Price changes via lag over hourly closes,
+    covariance from decimal moment sums, identical double tree. One
+    bar hash-agg + two stacked lag windows + one agg per symbol."""
+    ev = load_table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("hour", F.col("ts")).alias("bar_ts"),
+    ).agg(F.max_by("value", _spark_ord()).alias("close"))
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    dp = bars.select(
+        "symbol",
+        "bar_ts",
+        (F.col("close") - F.lag("close").over(w)).alias("d"),
+    ).filter(F.col("d").isNotNull())
+    pairs = dp.select(
+        "symbol",
+        F.col("d").alias("y"),
+        F.lag("d").over(w.orderBy("bar_ts")).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    m = pairs.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(_DEC18)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(_DEC18)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(_DEC18))
+        .cast("double")
+        .alias("sxy"),
+    )
+    cov = (F.col("sxy") / F.col("n")) - (F.col("sx") / F.col("n")) * (
+        F.col("sy") / F.col("n")
+    )
+    return m.select(
+        "symbol",
+        "n",
+        F.round(cov, 8).cast("double").alias("serial_cov"),
+        F.when(cov >= 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.lit(2.0) * F.sqrt(-cov), 6))
+        .cast("double")
+        .alias("roll_spread"),
+    ).orderBy("symbol")

@@ -221,6 +221,8 @@ PRIORITY = (
     "q_kyle_lambda", "q_event_study_jumps",
     # round-3 batch 54: ARCH-effect test + Sortino ratio
     "q_arch_effect", "q_sortino",
+    # round-3 batch 55: HHI concentration + Roll implied spread
+    "q_hhi_concentration", "q_roll_spread",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

@@ -903,3 +903,29 @@ def test_sortino_vs_sharpe_direction(spark):
             assert (a >= 0) == (b >= 0)
     assert (srt["downside_dev"] >= 0).all()
     assert (srt["n_down"] <= srt["n"]).all()
+
+
+def test_hhi_exact_integer_formula(spark):
+    out = QUERIES["q_hhi_concentration"](spark, SF_DIR).toPandas().iloc[0]
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    vols = ev.event_type.value_counts()
+    T = vols.sum()
+    hhi = round(10000 * (vols**2).sum() / T**2)
+    assert out["n_symbols"] == len(vols)
+    assert abs(out["hhi_x10000"] - hhi) <= 1
+    # HHI lower bound: 10000/n for perfectly even flow
+    assert out["hhi_x10000"] >= 10000 // out["n_symbols"]
+    assert abs(out["top_share_x10000"] - round(10000 * vols.max() / T)) <= 1
+
+
+def test_roll_spread_model_gate(spark):
+    out = QUERIES["q_roll_spread"](spark, SF_DIR).toPandas()
+    assert len(out) == 5
+    # spread is emitted iff serial covariance is negative
+    neg = out["serial_cov"] < 0
+    assert out.loc[neg, "roll_spread"].notna().all()
+    assert out.loc[~neg, "roll_spread"].isna().all()
+    ok = out.loc[neg]
+    assert np.allclose(
+        ok["roll_spread"], 2 * np.sqrt(-ok["serial_cov"]), atol=1e-4
+    )

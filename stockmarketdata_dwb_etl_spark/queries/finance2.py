@@ -1831,3 +1831,91 @@ def q_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("roll_spread"),
     ).orderBy("symbol")
+
+
+@query(
+    "q_rolling_beta",
+    oracle=f"""
+    WITH {_DUCK_RETURNS},
+    mkt AS (
+        SELECT bar_ts,
+               CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE)
+                   / COUNT(*) AS rm
+        FROM rets GROUP BY bar_ts
+    ),
+    j AS (
+        SELECT s.symbol, s.bar_ts, s.r, m.rm,
+               row_number() OVER (PARTITION BY s.symbol
+                                  ORDER BY s.bar_ts) AS rn
+        FROM rets s JOIN mkt m ON m.bar_ts = s.bar_ts
+    ),
+    framed AS (
+        SELECT symbol, bar_ts, rn,
+               CAST(COUNT(*) OVER f AS BIGINT) AS k,
+               CAST(SUM(CAST(rm AS DECIMAL(38,18))) OVER f AS DOUBLE) AS sx,
+               CAST(SUM(CAST(r AS DECIMAL(38,18))) OVER f AS DOUBLE) AS sy,
+               CAST(SUM(CAST(r * rm AS DECIMAL(38,18))) OVER f AS DOUBLE)
+                   AS sxy,
+               CAST(SUM(CAST(rm * rm AS DECIMAL(38,18))) OVER f AS DOUBLE)
+                   AS sxx
+        FROM j
+        WINDOW f AS (PARTITION BY symbol ORDER BY rn
+                     ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+    )
+    SELECT symbol, bar_ts,
+           CAST(CASE WHEN (k * sxx - sx * sx) <= 0 THEN NULL
+                ELSE ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+                END AS DOUBLE) AS beta100
+    FROM framed
+    WHERE rn >= 100
+    ORDER BY symbol, bar_ts
+    """,
+)
+def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 100-bar CAPM beta per symbol — the time-varying risk
+    monitor (is this asset getting more market-sensitive?): the same
+    equal-weight market construction and moment formula as
+    q_beta_capm, but with all four Σ as 100-bar FRAME sums in exact
+    DECIMAL (the q_rsi window pattern), emitted once the frame is
+    full. Degenerate frame variance yields NULL. Scale: the market
+    table broadcasts, then four stacked frame sums in ONE window pass
+    keyed by symbol."""
+    rets = _returns(spark, sf_dir)
+    mkt = rets.groupBy("bar_ts").agg(
+        (
+            F.sum(F.col("r").cast(_DEC18)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("rm")
+    )
+    j = rets.join(F.broadcast(mkt), "bar_ts")
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    jn = j.select(
+        "symbol", "bar_ts", "r", "rm", F.row_number().over(w).alias("rn")
+    )
+    f = Window.partitionBy("symbol").orderBy("rn").rowsBetween(-99, 0)
+    framed = jn.select(
+        "symbol",
+        "bar_ts",
+        "rn",
+        F.count(F.lit(1)).over(f).cast("bigint").alias("k"),
+        F.sum(F.col("rm").cast(_DEC18)).over(f).cast("double").alias("sx"),
+        F.sum(F.col("r").cast(_DEC18)).over(f).cast("double").alias("sy"),
+        F.sum((F.col("r") * F.col("rm")).cast(_DEC18))
+        .over(f)
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("rm") * F.col("rm")).cast(_DEC18))
+        .over(f)
+        .cast("double")
+        .alias("sxx"),
+    ).filter(F.col("rn") >= 100)
+    den = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return framed.select(
+        "symbol",
+        "bar_ts",
+        F.when(den <= 0, F.lit(None).cast("double"))
+        .otherwise(F.round(num / den, 6))
+        .cast("double")
+        .alias("beta100"),
+    ).orderBy("symbol", "bar_ts")

@@ -223,6 +223,8 @@ PRIORITY = (
     "q_arch_effect", "q_sortino",
     # round-3 batch 55: HHI concentration + Roll implied spread
     "q_hhi_concentration", "q_roll_spread",
+    # round-3 batch 56: rolling 100-bar CAPM beta
+    "q_rolling_beta",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

@@ -929,3 +929,16 @@ def test_roll_spread_model_gate(spark):
     assert np.allclose(
         ok["roll_spread"], 2 * np.sqrt(-ok["serial_cov"]), atol=1e-4
     )
+
+
+def test_rolling_beta_converges_to_static(spark):
+    roll = QUERIES["q_rolling_beta"](spark, SF_DIR).toPandas()
+    static = (
+        QUERIES["q_beta_capm"](spark, SF_DIR).toPandas().set_index("symbol")
+    )
+    assert len(roll) > 0
+    for sym, grp in roll.groupby("symbol"):
+        vals = grp["beta100"].dropna()
+        # rolling betas hover around the full-sample beta
+        b = static.loc[sym, "beta"]
+        assert vals.min() - 1.0 <= b <= vals.max() + 1.0

@@ -358,3 +358,114 @@ def q_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy("hour_of_day", "value_bin")
     )
+
+
+@query(
+    "q_anova_hod",
+    oracle="""
+    WITH cbars AS (
+        SELECT event_type AS symbol,
+               date_trunc('hour', ts) AS bar_ts,
+               arg_max(value, printf('%020d-%012d', epoch_us(ts), event_id))
+                   AS close
+        FROM events GROUP BY 1, 2
+    ),
+    rets AS (
+        SELECT CAST(hour(bar_ts) AS BIGINT) AS hod,
+               close / lag(close) OVER (PARTITION BY symbol
+                                        ORDER BY bar_ts) - 1.0 AS r
+        FROM cbars
+        QUALIFY r IS NOT NULL
+    ),
+    g AS (
+        SELECT hod,
+               CAST(COUNT(*) AS BIGINT) AS n_g,
+               CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS s_g,
+               CAST(SUM(CAST(r * r AS DECIMAL(38,18))) AS DOUBLE) AS ss_g
+        FROM rets GROUP BY hod
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(s_g AS DECIMAL(38,18))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(ss_g AS DECIMAL(38,18))) AS DOUBLE) AS ss
+        FROM g
+    ),
+    parts AS (
+        SELECT t.n, t.k,
+               CAST(SUM(CAST(ROUND(g.s_g * g.s_g / g.n_g, 12)
+                             AS DECIMAL(38,18))) AS DOUBLE)
+                   - t.s * t.s / t.n AS ssb,
+               t.ss
+               - CAST(SUM(CAST(ROUND(g.s_g * g.s_g / g.n_g, 12)
+                               AS DECIMAL(38,18))) AS DOUBLE) AS ssw
+        FROM g CROSS JOIN tot t
+        GROUP BY t.n, t.k, t.s, t.ss
+    )
+    SELECT n, k,
+           CAST(ROUND(ssb, 8) AS DOUBLE) AS ss_between,
+           CAST(ROUND(ssw, 8) AS DOUBLE) AS ss_within,
+           CAST(CASE WHEN ssw <= 0 OR n <= k THEN NULL
+                ELSE ROUND((ssb / (k - 1)) / (ssw / (n - k)), 4) END
+                AS DOUBLE) AS f_stat
+    FROM parts
+    """,
+)
+def q_anova_hod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test for an hour-of-day effect in returns — the
+    seasonality significance test behind q_seasonal_decompose's
+    profile: SSB = Σ s_g²/n_g − s²/n and SSW = SS − Σ s_g²/n_g from
+    per-group decimal power sums; each group's s_g²/n_g term computes
+    in identical-tree double, rounds to 12dp, and accumulates in
+    DECIMAL (the q_cluster_purity guard — the Σ over 24 groups is
+    partition-order independent), then F = (SSB/(k−1))/(SSW/(n−k)).
+    Scale: one (hour-of-day) hash-agg over returns — 24-group state —
+    plus two scalar passes."""
+    ev = load_table(spark, sf_dir, "events")
+    from stockmarketdata_dwb_etl_spark.queries.timeseries import _spark_ord
+
+    bars = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("hour", F.col("ts")).alias("bar_ts"),
+    ).agg(F.max_by("value", _spark_ord()).alias("close"))
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    rets = bars.select(
+        F.hour("bar_ts").cast("bigint").alias("hod"),
+        (F.col("close") / F.lag("close").over(w) - F.lit(1.0)).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    dec18 = "decimal(38,18)"
+    g = rets.groupBy("hod").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(F.col("r").cast(dec18)).cast("double").alias("s_g"),
+        F.sum((F.col("r") * F.col("r")).cast(dec18))
+        .cast("double")
+        .alias("ss_g"),
+    )
+    term = F.round(F.col("s_g") * F.col("s_g") / F.col("n_g"), 12).cast(dec18)
+    parts = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("s_g").cast(dec18)).cast("double").alias("s"),
+        F.sum(F.col("ss_g").cast(dec18)).cast("double").alias("ss"),
+        F.sum(term).cast("double").alias("sum_sq_means"),
+    )
+    ssb = F.col("sum_sq_means") - F.col("s") * F.col("s") / F.col("n")
+    ssw = F.col("ss") - F.col("sum_sq_means")
+    return parts.select(
+        "n",
+        "k",
+        F.round(ssb, 8).cast("double").alias("ss_between"),
+        F.round(ssw, 8).cast("double").alias("ss_within"),
+        F.when(
+            (ssw <= 0) | (F.col("n") <= F.col("k")),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))),
+                4,
+            )
+        )
+        .cast("double")
+        .alias("f_stat"),
+    )

@@ -225,6 +225,8 @@ PRIORITY = (
     "q_hhi_concentration", "q_roll_spread",
     # round-3 batch 56: rolling 100-bar CAPM beta
     "q_rolling_beta",
+    # round-3 batch 57: one-way ANOVA (hour-of-day effect)
+    "q_anova_hod",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

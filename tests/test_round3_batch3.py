@@ -942,3 +942,15 @@ def test_rolling_beta_converges_to_static(spark):
         # rolling betas hover around the full-sample beta
         b = static.loc[sym, "beta"]
         assert vals.min() - 1.0 <= b <= vals.max() + 1.0
+
+
+def test_anova_identity_and_nonnegativity(spark):
+    out = QUERIES["q_anova_hod"](spark, SF_DIR).toPandas().iloc[0]
+    assert out["k"] <= 24 and out["n"] > out["k"]
+    assert out["ss_between"] >= -1e-9
+    assert out["ss_within"] >= 0
+    if pd.notna(out["f_stat"]):
+        expect = (out["ss_between"] / (out["k"] - 1)) / (
+            out["ss_within"] / (out["n"] - out["k"])
+        )
+        assert math.isclose(out["f_stat"], expect, rel_tol=1e-3, abs_tol=1e-3)

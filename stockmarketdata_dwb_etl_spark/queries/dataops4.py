@@ -801,3 +801,90 @@ def q_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_association_rules",
+    oracle="""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+    ),
+    marg AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS n_b FROM basket GROUP BY b
+    ),
+    tot AS (
+        SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM basket
+    ),
+    pairs AS (
+        SELECT x.b AS antecedent, y.b AS consequent,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM basket x JOIN basket y ON x.ok = y.ok AND x.b <> y.b
+        GROUP BY 1, 2
+    )
+    SELECT p.antecedent, p.consequent, p.n_both,
+           ma.n_b AS n_antecedent,
+           CAST((2 * 10000 * p.n_both + ma.n_b) // (2 * ma.n_b) AS BIGINT)
+               AS confidence_x10000,
+           CAST((2 * 10000 * p.n_both + t.n_orders) // (2 * t.n_orders)
+                AS BIGINT) AS support_x10000
+    FROM pairs p
+    JOIN marg ma ON ma.b = p.antecedent
+    CROSS JOIN tot t
+    WHERE 100 * p.n_both >= 2 * t.n_orders
+    ORDER BY antecedent, consequent
+    """,
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules a→b over brand baskets — the step
+    after q_pair_affinity's symmetric lift: asymmetric CONFIDENCE
+    P(b|a) = n_ab/n_a (a→b and b→a differ, which is what makes rules
+    actionable) plus support, both integer-scaled with integer half-up
+    rounding, floored at 2% support (integer-scaled compare — no float
+    at the cut). Directed pairs come from the same orderkey-co-located
+    basket self-join (bounded by basket size); marginals broadcast
+    back. One shuffle family on the order key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    basket = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    marg = basket.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b")
+    )
+    tot = basket.agg(
+        F.countDistinct("ok").cast("bigint").alias("n_orders")
+    )
+    x = basket.select("ok", F.col("b").alias("antecedent"))
+    y = basket.select("ok", F.col("b").alias("consequent"))
+    pairs = (
+        x.join(y, "ok")
+        .filter(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    ma = marg.select(
+        F.col("b").alias("antecedent"), F.col("n_b").alias("n_antecedent")
+    )
+    return (
+        pairs.join(F.broadcast(ma), "antecedent")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.lit(100) * F.col("n_both") >= F.lit(2) * F.col("n_orders"))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            "n_antecedent",
+            F.expr(
+                "(2 * 10000 * n_both + n_antecedent) div (2 * n_antecedent)"
+            )
+            .cast("bigint")
+            .alias("confidence_x10000"),
+            F.expr("(2 * 10000 * n_both + n_orders) div (2 * n_orders)")
+            .cast("bigint")
+            .alias("support_x10000"),
+        )
+        .orderBy("antecedent", "consequent")
+    )

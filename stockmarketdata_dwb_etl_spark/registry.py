@@ -227,6 +227,8 @@ PRIORITY = (
     "q_rolling_beta",
     # round-3 batch 57: one-way ANOVA (hour-of-day effect)
     "q_anova_hod",
+    # round-3 batch 58: directed association rules
+    "q_association_rules",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

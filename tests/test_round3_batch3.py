@@ -954,3 +954,21 @@ def test_anova_identity_and_nonnegativity(spark):
             out["ss_within"] / (out["n"] - out["k"])
         )
         assert math.isclose(out["f_stat"], expect, rel_tol=1e-3, abs_tol=1e-3)
+
+
+def test_association_rules_directionality(spark):
+    out = QUERIES["q_association_rules"](spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    assert (out["confidence_x10000"] <= 10000).all()
+    assert (out["support_x10000"] >= 200 - 1).all()  # 2% floor
+    # directedness: confidence(a->b) generally != confidence(b->a);
+    # verify both directions exist for at least one pair and that
+    # n_both is symmetric while confidence uses the antecedent marginal
+    key = out.set_index(["antecedent", "consequent"])
+    found = False
+    for (a, b), row in key.iterrows():
+        if (b, a) in key.index:
+            assert key.loc[(b, a), "n_both"] == row["n_both"]
+            found = True
+            break
+    assert found

@@ -1919,3 +1919,72 @@ def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("beta100"),
     ).orderBy("symbol", "bar_ts")
+
+
+@query(
+    "q_hill_tail_index",
+    oracle=f"""
+    WITH {_DUCK_RETURNS},
+    ranked AS (
+        SELECT symbol, abs(r) AS ar,
+               row_number() OVER (PARTITION BY symbol
+                                  ORDER BY abs(r) DESC, bar_ts) AS rk
+        FROM rets WHERE r <> 0
+    ),
+    topk AS (
+        SELECT symbol, ar,
+               MIN(ar) OVER (PARTITION BY symbol) AS x_min
+        FROM ranked WHERE rk <= 50
+    ),
+    m AS (
+        SELECT symbol,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(ROUND(ln(ar / x_min), 12) AS DECIMAL(38,18)))
+                    AS DOUBLE) AS sum_log
+        FROM topk GROUP BY symbol
+    )
+    SELECT symbol, k,
+           CAST(CASE WHEN sum_log <= 0 THEN NULL
+                ELSE ROUND(k / sum_log, 4) END AS DOUBLE) AS hill_alpha
+    FROM m ORDER BY symbol
+    """,
+)
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimator per symbol over the top-50 absolute
+    returns: α̂ = k / Σ ln(x_i/x_min) — the power-law exponent that
+    says whether return tails are fat enough to break variance-based
+    risk models (α < 2 ⇒ infinite variance; equities classically ~3).
+    The top-k picks via a per-symbol rank with bar_ts tie-break
+    (deterministic), x_min is the k-th order statistic, each log term
+    12dp-rounds then decimal-accumulates (partition-order
+    independent). Scale: per-symbol rank window + a 50-row agg — at
+    production scale the top-k pre-filters through TakeOrdered per
+    symbol."""
+    rets = _returns(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy(
+        F.abs(F.col("r")).desc(), "bar_ts"
+    )
+    ranked = (
+        rets.filter(F.col("r") != 0)
+        .select("symbol", F.abs("r").alias("ar"), F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 50)
+    )
+    wmin = Window.partitionBy("symbol")
+    topk = ranked.select(
+        "symbol", "ar", F.min("ar").over(wmin).alias("x_min")
+    )
+    term = F.round(F.log(F.col("ar") / F.col("x_min")), 12).cast(
+        "decimal(38,18)"
+    )
+    m = topk.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(term).cast("double").alias("sum_log"),
+    )
+    return m.select(
+        "symbol",
+        "k",
+        F.when(F.col("sum_log") <= 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("k") / F.col("sum_log"), 4))
+        .cast("double")
+        .alias("hill_alpha"),
+    ).orderBy("symbol")

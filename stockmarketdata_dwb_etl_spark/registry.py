@@ -229,6 +229,8 @@ PRIORITY = (
     "q_anova_hod",
     # round-3 batch 58: directed association rules
     "q_association_rules",
+    # round-3 batch 59: Hill tail-index estimator
+    "q_hill_tail_index",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

@@ -972,3 +972,11 @@ def test_association_rules_directionality(spark):
             found = True
             break
     assert found
+
+
+def test_hill_tail_index_positive_and_k50(spark):
+    out = QUERIES["q_hill_tail_index"](spark, SF_DIR).toPandas()
+    assert len(out) == 5
+    assert (out["k"] == 50).all()
+    ok = out["hill_alpha"].dropna()
+    assert (ok > 0).all()

@@ -487,3 +487,133 @@ def q_tick_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+@query(
+    "q_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               (epoch_us(ts) - epoch_us(lag(ts) OVER
+                   (PARTITION BY event_type ORDER BY ts, event_id)))
+                   / 1000000.0 AS dt_s
+        FROM events
+        QUALIFY dt_s IS NOT NULL
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(dt_s AS DECIMAL(38,18))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(dt_s * dt_s AS DECIMAL(38,18))) AS DOUBLE)
+                   AS ss
+        FROM gaps GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(ROUND(s / n, 4) AS DOUBLE) AS mean_gap_s,
+           CAST(CASE WHEN s <= 0 THEN NULL
+                ELSE ROUND(sqrt(greatest(ss / n - (s / n) * (s / n), 0.0))
+                           / (s / n), 4) END AS DOUBLE) AS cv
+    FROM m ORDER BY event_type
+    """,
+)
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time diagnostics per event type: mean gap and the
+    coefficient of variation σ/μ — the Poisson check (CV ≈ 1 for a
+    memoryless arrival process; CV > 1 flags bursty flow, the input to
+    capacity models and the watermark-sizing story q_disorder_audit
+    starts). Gaps compute in exact microseconds over the (ts, event_id)
+    total order then scale to seconds (one exact division); moment sums
+    accumulate in DECIMAL, the CV chain in identical-tree double. One
+    lag window + one hash-agg keyed by type."""
+    ev = load_table(spark, sf_dir, "events")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.expr(
+                "timestampdiff(MICROSECOND, lag(ts) OVER "
+                "(PARTITION BY event_type ORDER BY ts, event_id), ts)"
+            )
+            / F.lit(1_000_000.0)
+        ).alias("dt_s"),
+    ).filter(F.col("dt_s").isNotNull())
+    dec18 = "decimal(38,18)"
+    m = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("dt_s").cast(dec18)).cast("double").alias("s"),
+        F.sum((F.col("dt_s") * F.col("dt_s")).cast(dec18))
+        .cast("double")
+        .alias("ss"),
+    )
+    mu = F.col("s") / F.col("n")
+    sd = F.sqrt(F.greatest(F.col("ss") / F.col("n") - mu * mu, F.lit(0.0)))
+    return m.select(
+        "event_type",
+        "n",
+        F.round(mu, 4).cast("double").alias("mean_gap_s"),
+        F.when(F.col("s") <= 0, F.lit(None).cast("double"))
+        .otherwise(F.round(sd / mu, 4))
+        .cast("double")
+        .alias("cv"),
+    ).orderBy("event_type")
+
+
+@query(
+    "q_burstiness",
+    oracle="""
+    WITH mins AS (
+        SELECT event_type, date_trunc('minute', ts) AS mn,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_minutes,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(c * c) AS BIGINT) AS ss
+        FROM mins GROUP BY event_type
+    )
+    SELECT event_type, n_minutes,
+           CAST(ROUND(CAST(s AS DOUBLE) / n_minutes, 4) AS DOUBLE)
+               AS mean_per_min,
+           CAST(CASE WHEN s = 0 THEN NULL
+                ELSE ROUND((CAST(ss AS DOUBLE) / n_minutes
+                            - (CAST(s AS DOUBLE) / n_minutes)
+                              * (CAST(s AS DOUBLE) / n_minutes))
+                           / (CAST(s AS DOUBLE) / n_minutes), 4) END
+                AS DOUBLE) AS fano_factor
+    FROM m ORDER BY event_type
+    """,
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano-factor burstiness per event type over occupied per-minute
+    count bins: var/mean of counts (1 for Poisson, >1 over-dispersed /
+    bursty, <1 regular) — the companion to q_interarrival_stats on the
+    counting-process side. Count sums and squared sums are EXACT
+    integers (no decimal needed); the variance/mean chain runs in
+    identical-tree double. Two stacked hash-aggs (minute bins → type),
+    both partial+final."""
+    ev = load_table(spark, sf_dir, "events")
+    mins = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("mn")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    m = mins.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_minutes"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+    )
+    mu = F.col("s").cast("double") / F.col("n_minutes")
+    return m.select(
+        "event_type",
+        "n_minutes",
+        F.round(mu, 4).cast("double").alias("mean_per_min"),
+        F.when(F.col("s") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (F.col("ss").cast("double") / F.col("n_minutes") - mu * mu)
+                / mu,
+                4,
+            )
+        )
+        .cast("double")
+        .alias("fano_factor"),
+    ).orderBy("event_type")

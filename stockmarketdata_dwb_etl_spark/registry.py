@@ -231,6 +231,8 @@ PRIORITY = (
     "q_association_rules",
     # round-3 batch 59: Hill tail-index estimator
     "q_hill_tail_index",
+    # round-3 batch 60: arrival-process diagnostics
+    "q_interarrival_stats", "q_burstiness",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

@@ -980,3 +980,20 @@ def test_hill_tail_index_positive_and_k50(spark):
     assert (out["k"] == 50).all()
     ok = out["hill_alpha"].dropna()
     assert (ok > 0).all()
+
+
+def test_interarrival_and_burstiness_sanity(spark):
+    ia = QUERIES["q_interarrival_stats"](spark, SF_DIR).toPandas()
+    bf = QUERIES["q_burstiness"](spark, SF_DIR).toPandas()
+    assert len(ia) == 5 and len(bf) == 5
+    assert (ia["mean_gap_s"] > 0).all()
+    assert (ia["cv"].dropna() >= 0).all()
+    assert (bf["fano_factor"].dropna() >= 0).all()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    for _, row in bf.iterrows():
+        g = ev[ev.event_type == row["event_type"]]
+        mins = g.ts.dt.floor("min").value_counts()
+        assert row["n_minutes"] == len(mins)
+        assert math.isclose(row["mean_per_min"], mins.mean(), abs_tol=1e-3)
+        fano = mins.var(ddof=0) / mins.mean()
+        assert math.isclose(row["fano_factor"], fano, abs_tol=1e-3)

@@ -400,3 +400,83 @@ def q_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return dist.orderBy("node")
+
+
+def _cc_level_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+        SELECT node, MIN(lbl) AS lbl FROM (
+            SELECT node, lbl FROM {prev}
+            UNION ALL
+            SELECT e.dst AS node, d.lbl
+            FROM strong e JOIN {prev} d ON d.node = e.src
+        ) GROUP BY node
+    )"""
+
+
+@query(
+    "q_graph_components",
+    oracle=(
+        "WITH "
+        + _GRAPH_SQL
+        + """,
+    med AS (
+        SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY w) AS m
+        FROM edges
+    ),
+    strong AS (
+        SELECT e.src, e.dst FROM edges e, med WHERE e.w >= med.m
+    ),
+    snodes AS (SELECT DISTINCT src AS node FROM strong),
+    c0 AS (SELECT node, node AS lbl FROM snodes),"""
+        + ",".join(_cc_level_sql(f"c{i}", f"c{i + 1}") for i in range(4))
+        + """
+    SELECT CAST(sz AS BIGINT) AS component_size,
+           CAST(COUNT(*) AS BIGINT) AS n_components
+    FROM (SELECT lbl, COUNT(*) AS sz FROM c4 GROUP BY lbl)
+    GROUP BY sz ORDER BY component_size
+    """
+    ),
+)
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component size distribution of the strong-tie brand
+    graph — the fragmentation report (one giant component = a connected
+    market; many small ones = siloed niches): min-label propagation
+    over 4 unrolled supersteps (labels seed as each node's own name,
+    every round takes the min over self ∪ in-neighbors — the same
+    Pregel relax as q_bfs_distance with MIN over labels instead of
+    distance+1, and the same per-superstep localCheckpoint lineage
+    cut), then a size histogram over final labels. String-min labels
+    are engine-exact. Scale: one key-partitioned shuffle per
+    superstep; O(diameter) rounds as in dedup_transitive."""
+    edges, _, _ = _graph(spark, sf_dir)
+    med = edges.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY w)").alias("m")
+    )
+    strong = (
+        edges.crossJoin(F.broadcast(med))
+        .filter(F.col("w") >= F.col("m"))
+        .select("src", "dst")
+        .persist()
+    )
+    labels = strong.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(4):
+        relaxed = strong.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "lbl")
+        labels = (
+            labels.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    comp = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return (
+        comp.groupBy(F.col("sz").alias("component_size"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_components"))
+        .orderBy("component_size")
+    )

@@ -233,6 +233,8 @@ PRIORITY = (
     "q_hill_tail_index",
     # round-3 batch 60: arrival-process diagnostics
     "q_interarrival_stats", "q_burstiness",
+    # round-3 batch 61: component-size distribution (min-label supersteps)
+    "q_graph_components",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

@@ -997,3 +997,13 @@ def test_interarrival_and_burstiness_sanity(spark):
         assert math.isclose(row["mean_per_min"], mins.mean(), abs_tol=1e-3)
         fano = mins.var(ddof=0) / mins.mean()
         assert math.isclose(row["fano_factor"], fano, abs_tol=1e-3)
+
+
+def test_graph_components_partition_nodes(spark):
+    out = QUERIES["q_graph_components"](spark, SF_DIR).toPandas()
+    bfs = QUERIES["q_bfs_distance"](spark, SF_DIR).toPandas()
+    # components partition the strong-node set; the BFS-reachable set
+    # from the min node is contained in one component
+    n_nodes = (out["component_size"] * out["n_components"]).sum()
+    assert n_nodes >= len(bfs)
+    assert out["component_size"].max() >= len(bfs)

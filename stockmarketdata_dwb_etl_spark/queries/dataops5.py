@@ -1768,3 +1768,73 @@ def q_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@query(
+    "q_ttr_by_length",
+    oracle="""
+    WITH per_doc AS (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(w)) AS BIGINT) AS n_types
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents)
+        WHERE len(w) > 0
+    ),
+    binned AS (
+        SELECT least(n_tokens // 50, 5) AS len_bucket,
+               n_tokens, n_types
+        FROM per_doc
+    )
+    SELECT len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_types) AS BIGINT) AS total_types,
+           CAST((2 * 10000 * SUM(n_types) + SUM(n_tokens))
+                // (2 * SUM(n_tokens)) AS BIGINT) AS pooled_ttr_x10000
+    FROM binned GROUP BY len_bucket ORDER BY len_bucket
+    """,
+)
+def q_ttr_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio by document-length bucket — the lexical-
+    diversity curve (TTR falls with length by Heaps' law, so comparing
+    raw TTRs across lengths misleads; bucketing is the standard fix):
+    per-doc type and token counts are exact integers from the split
+    array, docs bin into 50-token buckets (capped at 6), and the
+    pooled per-bucket TTR emits integer-scaled with integer half-up
+    rounding — no float anywhere. Complements q_repetition_score
+    (within-doc) and q_word_entropy (corpus-level). Map-only
+    extraction into one 6-key hash-agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    per_doc = (
+        docs.select("doc_id", words.alias("w"))
+        .filter(F.size("w") > 0)
+        .select(
+            F.size("w").cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct("w")).cast("bigint").alias("n_types"),
+        )
+    )
+    binned = per_doc.select(
+        F.least(
+            F.floor(F.col("n_tokens") / 50).cast("bigint"), F.lit(5)
+        ).alias("len_bucket"),
+        "n_tokens",
+        "n_types",
+    )
+    return (
+        binned.groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_types").cast("bigint").alias("total_types"),
+            F.expr(
+                "(2 * 10000 * sum(n_types) + sum(n_tokens))"
+                " div (2 * sum(n_tokens))"
+            )
+            .cast("bigint")
+            .alias("pooled_ttr_x10000"),
+        )
+        .orderBy("len_bucket")
+    )

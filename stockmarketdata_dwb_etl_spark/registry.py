@@ -235,6 +235,8 @@ PRIORITY = (
     "q_interarrival_stats", "q_burstiness",
     # round-3 batch 61: component-size distribution (min-label supersteps)
     "q_graph_components",
+    # round-3 batch 62: type-token ratio lexical-diversity curve
+    "q_ttr_by_length",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

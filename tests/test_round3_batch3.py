@@ -1007,3 +1007,21 @@ def test_graph_components_partition_nodes(spark):
     n_nodes = (out["component_size"] * out["n_components"]).sum()
     assert n_nodes >= len(bfs)
     assert out["component_size"].max() >= len(bfs)
+
+
+def test_ttr_by_length_matches_pandas(spark):
+    out = QUERIES["q_ttr_by_length"](spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    w = docs.text.str.split(" ").apply(lambda ws: [x for x in ws if x])
+    per = pd.DataFrame(
+        {"nt": w.str.len(), "ty": w.apply(lambda ws: len(set(ws)))}
+    )
+    per = per[per.nt > 0]
+    per["b"] = np.minimum(per.nt // 50, 5)
+    for _, row in out.iterrows():
+        g = per[per.b == row["len_bucket"]]
+        assert row["n_docs"] == len(g)
+        assert row["total_tokens"] == g.nt.sum()
+        assert row["total_types"] == g.ty.sum()
+        expect = round(10000 * g.ty.sum() / g.nt.sum())
+        assert abs(row["pooled_ttr_x10000"] - expect) <= 1

@@ -469,3 +469,119 @@ def q_anova_hod(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("f_stat"),
     )
+
+
+@query(
+    "q_runs_test",
+    oracle="""
+    WITH cbars AS (
+        SELECT event_type AS symbol,
+               date_trunc('hour', ts) AS bar_ts,
+               arg_max(value, printf('%020d-%012d', epoch_us(ts), event_id))
+                   AS close
+        FROM events GROUP BY 1, 2
+    ),
+    rets AS (
+        SELECT symbol, bar_ts,
+               close / lag(close) OVER (PARTITION BY symbol
+                                        ORDER BY bar_ts) - 1.0 AS r
+        FROM cbars
+        QUALIFY r IS NOT NULL AND r <> 0
+    ),
+    signs AS (
+        SELECT symbol, bar_ts,
+               CASE WHEN r > 0 THEN 1 ELSE 0 END AS s,
+               CASE WHEN lag(CASE WHEN r > 0 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY symbol ORDER BY bar_ts)
+                        IS DISTINCT FROM
+                        CASE WHEN r > 0 THEN 1 ELSE 0 END
+                    THEN 1 ELSE 0 END AS chg
+        FROM rets
+    ),
+    m AS (
+        SELECT symbol,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(s) AS BIGINT) AS n_pos,
+               CAST(COUNT(*) - SUM(s) AS BIGINT) AS n_neg,
+               CAST(SUM(chg) AS BIGINT) AS n_runs
+        FROM signs GROUP BY symbol
+    )
+    SELECT symbol, n, n_pos, n_neg, n_runs,
+           CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+                ELSE ROUND(
+                    (n_runs - (2.0 * n_pos * n_neg / n + 1.0))
+                    / sqrt(2.0 * n_pos * n_neg
+                           * (2.0 * n_pos * n_neg - n)
+                           / (CAST(n AS DOUBLE) * n * (n - 1))), 4) END
+                AS DOUBLE) AS z_stat
+    FROM m ORDER BY symbol
+    """,
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on return signs per symbol — the
+    nonparametric randomness check (too few runs = momentum, too many
+    = mean reversion, |z| > 1.96 rejects randomness): runs count via
+    sign-change detection (the first observation counts as a change
+    through IS DISTINCT FROM against the NULL lag — identical
+    null-semantics on both engines), expectation and variance from
+    exact integer counts, z in identical-tree double. Zero returns
+    drop (sign undefined). One lag window + one hash-agg per
+    symbol."""
+    ev = load_table(spark, sf_dir, "events")
+    from stockmarketdata_dwb_etl_spark.queries.timeseries import _spark_ord
+
+    bars = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("hour", F.col("ts")).alias("bar_ts"),
+    ).agg(F.max_by("value", _spark_ord()).alias("close"))
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    rets = bars.select(
+        "symbol",
+        "bar_ts",
+        (F.col("close") / F.lag("close").over(w) - F.lit(1.0)).alias("r"),
+    ).filter(F.col("r").isNotNull() & (F.col("r") != 0))
+    s = F.when(F.col("r") > 0, F.lit(1)).otherwise(F.lit(0))
+    signs = rets.select(
+        "symbol",
+        "bar_ts",
+        s.alias("s"),
+    ).select(
+        "symbol",
+        "s",
+        F.when(
+            ~F.lag("s").over(w).eqNullSafe(F.col("s")), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("chg"),
+    )
+    m = signs.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("bigint").alias("n_neg"),
+        F.sum("chg").cast("bigint").alias("n_runs"),
+    )
+    n, np_, nn, nr = (
+        F.col("n"),
+        F.col("n_pos"),
+        F.col("n_neg"),
+        F.col("n_runs"),
+    )
+    mu = F.lit(2.0) * np_ * nn / n + F.lit(1.0)
+    var = (
+        F.lit(2.0)
+        * np_
+        * nn
+        * (F.lit(2.0) * np_ * nn - n)
+        / (n.cast("double") * n * (n - 1))
+    )
+    return m.select(
+        "symbol",
+        "n",
+        "n_pos",
+        "n_neg",
+        "n_runs",
+        F.when((np_ == 0) | (nn == 0), F.lit(None).cast("double"))
+        .otherwise(F.round((nr - mu) / F.sqrt(var), 4))
+        .cast("double")
+        .alias("z_stat"),
+    ).orderBy("symbol")

@@ -237,6 +237,8 @@ PRIORITY = (
     "q_graph_components",
     # round-3 batch 62: type-token ratio lexical-diversity curve
     "q_ttr_by_length",
+    # round-3 batch 63: Wald-Wolfowitz runs test
+    "q_runs_test",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

@@ -1025,3 +1025,34 @@ def test_ttr_by_length_matches_pandas(spark):
         assert row["total_types"] == g.ty.sum()
         expect = round(10000 * g.ty.sum() / g.nt.sum())
         assert abs(row["pooled_ttr_x10000"] - expect) <= 1
+
+
+def test_runs_test_counts_verified(spark):
+    out = QUERIES["q_runs_test"](spark, SF_DIR).toPandas()
+    assert len(out) == 5
+    for _, row in out.iterrows():
+        assert row["n"] == row["n_pos"] + row["n_neg"]
+        # runs bounded by [1, n] and at least max(n_pos, n_neg) runs are
+        # impossible to exceed n
+        assert 1 <= row["n_runs"] <= row["n"]
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    # independent recomputation for one symbol
+    sym = out.symbol.iloc[0]
+    g = ev[ev.event_type == sym].copy()
+    key = (
+        g["ts"].astype("int64").astype("string").str.zfill(20)
+        + "-"
+        + g["event_id"].astype("string").str.zfill(12)
+    )
+    closes = (
+        g.assign(__k=key, bar=g.ts.dt.floor("h"))
+        .sort_values("__k")
+        .groupby("bar")
+        .last()["value"]
+    )
+    r = closes.pct_change().dropna()
+    signs = (r[r != 0] > 0).astype(int).values
+    runs = 1 + int((signs[1:] != signs[:-1]).sum())
+    row = out[out.symbol == sym].iloc[0]
+    assert row["n_runs"] == runs
+    assert row["n_pos"] == signs.sum()

@@ -1988,3 +1988,64 @@ def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("hill_alpha"),
     ).orderBy("symbol")
+
+
+@query(
+    "q_market_profile",
+    oracle="""
+    WITH buckets AS (
+        SELECT event_type AS symbol,
+               CAST(floor(value) AS BIGINT) AS price_level,
+               CAST(COUNT(*) AS BIGINT) AS n_ticks
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT symbol, price_level, n_ticks,
+               row_number() OVER (PARTITION BY symbol
+                                  ORDER BY n_ticks DESC, price_level)
+                   AS rk,
+               CAST(SUM(n_ticks) OVER (PARTITION BY symbol) AS BIGINT)
+                   AS total
+        FROM buckets
+    )
+    SELECT symbol, rk, price_level, n_ticks,
+           CAST((2 * 10000 * n_ticks + total) // (2 * total) AS BIGINT)
+               AS share_x10000
+    FROM ranked WHERE rk <= 5
+    ORDER BY symbol, rk
+    """,
+)
+def q_market_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market profile per symbol: the five most-traded whole-number
+    price levels (TPO-style value area — where the auction spent its
+    time), with tick counts and integer-scaled share of total. Price
+    levels bucket by floor(value) — engine-exact on doubles; the top-5
+    pick uses a per-symbol rank with price tie-break. Scale: one
+    (symbol, level) hash-agg — levels are price-range-bounded — then a
+    symbol-keyed rank window over the bucket table, never over
+    ticks."""
+    ev = load_table(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.floor("value").cast("bigint").alias("price_level"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_ticks"))
+    w = Window.partitionBy("symbol").orderBy(
+        F.col("n_ticks").desc(), "price_level"
+    )
+    wt = Window.partitionBy("symbol")
+    ranked = buckets.select(
+        "symbol",
+        "price_level",
+        "n_ticks",
+        F.row_number().over(w).alias("rk"),
+        F.sum("n_ticks").over(wt).cast("bigint").alias("total"),
+    ).filter(F.col("rk") <= 5)
+    return ranked.select(
+        "symbol",
+        "rk",
+        "price_level",
+        "n_ticks",
+        F.expr("(2 * 10000 * n_ticks + total) div (2 * total)")
+        .cast("bigint")
+        .alias("share_x10000"),
+    ).orderBy("symbol", "rk")

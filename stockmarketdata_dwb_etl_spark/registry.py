@@ -239,6 +239,8 @@ PRIORITY = (
     "q_ttr_by_length",
     # round-3 batch 63: Wald-Wolfowitz runs test
     "q_runs_test",
+    # round-3 batch 64: market profile (modal price levels)
+    "q_market_profile",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

@@ -1056,3 +1056,16 @@ def test_runs_test_counts_verified(spark):
     row = out[out.symbol == sym].iloc[0]
     assert row["n_runs"] == runs
     assert row["n_pos"] == signs.sum()
+
+
+def test_market_profile_top5_ordered(spark):
+    out = QUERIES["q_market_profile"](spark, SF_DIR).toPandas()
+    assert len(out) == 25
+    for sym, g in out.groupby("symbol"):
+        g = g.sort_values("rk")
+        assert (g["n_ticks"].diff().dropna() <= 0).all()
+        ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+        vals = ev[ev.event_type == sym]["value"]
+        top = np.floor(vals).value_counts()
+        assert g["n_ticks"].iloc[0] == top.max()
+        assert g["share_x10000"].sum() <= 10000 + 5

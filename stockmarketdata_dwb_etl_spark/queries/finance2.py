@@ -2049,3 +2049,103 @@ def q_market_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("share_x10000"),
     ).orderBy("symbol", "rk")
+
+
+@query(
+    "q_acf_correlogram",
+    oracle=f"""
+    WITH {_DUCK_RETURNS},
+    pairs AS (
+        SELECT * FROM (
+        SELECT symbol, 1 AS lag, r AS y,
+               lag(r, 1) OVER (PARTITION BY symbol ORDER BY bar_ts) AS x
+        FROM rets
+        UNION ALL
+        SELECT symbol, 2 AS lag, r AS y,
+               lag(r, 2) OVER (PARTITION BY symbol ORDER BY bar_ts) AS x
+        FROM rets
+        UNION ALL
+        SELECT symbol, 3 AS lag, r AS y,
+               lag(r, 3) OVER (PARTITION BY symbol ORDER BY bar_ts) AS x
+        FROM rets
+        UNION ALL
+        SELECT symbol, 4 AS lag, r AS y,
+               lag(r, 4) OVER (PARTITION BY symbol ORDER BY bar_ts) AS x
+        FROM rets
+        UNION ALL
+        SELECT symbol, 5 AS lag, r AS y,
+               lag(r, 5) OVER (PARTITION BY symbol ORDER BY bar_ts) AS x
+        FROM rets
+        ) WHERE x IS NOT NULL
+    ),
+    m AS (
+        SELECT symbol, lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy
+        FROM pairs GROUP BY symbol, lag
+    )
+    SELECT symbol, CAST(lag AS BIGINT) AS lag, n,
+           CAST(CASE WHEN (n * sxx - sx * sx) <= 0
+                       OR (n * syy - sy * sy) <= 0 THEN NULL
+                ELSE ROUND((n * sxy - sx * sy)
+                           / (sqrt(n * sxx - sx * sx)
+                              * sqrt(n * syy - sy * sy)), 6) END
+                AS DOUBLE) AS acf
+    FROM m ORDER BY symbol, lag
+    """,
+)
+def q_acf_correlogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF correlogram at lags 1-5 per symbol — the autocorrelation
+    table every time-series model identification starts with
+    (generalizing q_autocorr's single lag): per lag, Pearson over
+    (r_t, r_t-k) via the repo's decimal moment formula with the
+    identical double tree; degenerate variance NULL. The five lagged
+    pair-sets stack by union, so the whole correlogram is ONE window
+    family + one (symbol, lag) hash-agg. Scale: 5x one symbol's
+    calendar-bounded series."""
+    rets = _returns(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    parts = []
+    for k in range(1, 6):
+        parts.append(
+            rets.select(
+                "symbol",
+                F.lit(k).alias("lag"),
+                F.col("r").alias("y"),
+                F.lag("r", k).over(w).alias("x"),
+            )
+        )
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionByName(p)
+    pairs = pairs.filter(F.col("x").isNotNull())
+    m = pairs.groupBy("symbol", "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(_DEC18)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(_DEC18)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(_DEC18))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(_DEC18))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(_DEC18))
+        .cast("double")
+        .alias("syy"),
+    )
+    cxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    cyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cxy = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        "symbol",
+        F.col("lag").cast("bigint").alias("lag"),
+        "n",
+        F.when((cxx <= 0) | (cyy <= 0), F.lit(None).cast("double"))
+        .otherwise(F.round(cxy / (F.sqrt(cxx) * F.sqrt(cyy)), 6))
+        .cast("double")
+        .alias("acf"),
+    ).orderBy("symbol", "lag")

@@ -241,6 +241,8 @@ PRIORITY = (
     "q_runs_test",
     # round-3 batch 64: market profile (modal price levels)
     "q_market_profile",
+    # round-3 batch 65: ACF correlogram (lags 1-5)
+    "q_acf_correlogram",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

@@ -1069,3 +1069,18 @@ def test_market_profile_top5_ordered(spark):
         top = np.floor(vals).value_counts()
         assert g["n_ticks"].iloc[0] == top.max()
         assert g["share_x10000"].sum() <= 10000 + 5
+
+
+def test_acf_correlogram_lag1_matches_autocorr(spark):
+    acf = QUERIES["q_acf_correlogram"](spark, SF_DIR).toPandas()
+    single = (
+        QUERIES["q_autocorr"](spark, SF_DIR).toPandas().set_index("symbol")
+    )
+    assert len(acf) == 25
+    lag1 = acf[acf.lag == 1].set_index("symbol")
+    for sym in lag1.index:
+        a, b = lag1.loc[sym, "acf"], single.loc[sym, "acf1"]
+        if pd.notna(a) and pd.notna(b):
+            assert math.isclose(a, b, abs_tol=1e-6)
+    ok = acf["acf"].dropna()
+    assert ((ok >= -1) & (ok <= 1)).all()

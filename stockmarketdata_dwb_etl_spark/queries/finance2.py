@@ -2149,3 +2149,120 @@ def q_acf_correlogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("acf"),
     ).orderBy("symbol", "lag")
+
+
+@query(
+    "q_pacf",
+    oracle=f"""
+    WITH {_DUCK_RETURNS},
+    p1 AS (
+        SELECT symbol, r AS y,
+               lag(r, 1) OVER (PARTITION BY symbol ORDER BY bar_ts) AS x
+        FROM rets QUALIFY x IS NOT NULL
+    ),
+    p2 AS (
+        SELECT symbol, r AS y,
+               lag(r, 2) OVER (PARTITION BY symbol ORDER BY bar_ts) AS x
+        FROM rets QUALIFY x IS NOT NULL
+    ),
+    rho AS (
+        SELECT m1.symbol, m1.rho AS rho1, m2.rho AS rho2, m1.n
+        FROM (
+            SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND((COUNT(*) * CAST(SUM(CAST(x * y AS DECIMAL(38,18)))
+                                          AS DOUBLE)
+                          - CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
+                            * CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE))
+                         / (sqrt(COUNT(*) * CAST(SUM(CAST(x * x
+                                 AS DECIMAL(38,18))) AS DOUBLE)
+                                 - pow(CAST(SUM(CAST(x AS DECIMAL(38,18)))
+                                            AS DOUBLE), 2))
+                            * sqrt(COUNT(*) * CAST(SUM(CAST(y * y
+                                   AS DECIMAL(38,18))) AS DOUBLE)
+                                   - pow(CAST(SUM(CAST(y AS DECIMAL(38,18)))
+                                              AS DOUBLE), 2))), 10) AS rho
+            FROM p1 GROUP BY symbol) m1
+        JOIN (
+            SELECT symbol,
+                   ROUND((COUNT(*) * CAST(SUM(CAST(x * y AS DECIMAL(38,18)))
+                                          AS DOUBLE)
+                          - CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
+                            * CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE))
+                         / (sqrt(COUNT(*) * CAST(SUM(CAST(x * x
+                                 AS DECIMAL(38,18))) AS DOUBLE)
+                                 - pow(CAST(SUM(CAST(x AS DECIMAL(38,18)))
+                                            AS DOUBLE), 2))
+                            * sqrt(COUNT(*) * CAST(SUM(CAST(y * y
+                                   AS DECIMAL(38,18))) AS DOUBLE)
+                                   - pow(CAST(SUM(CAST(y AS DECIMAL(38,18)))
+                                              AS DOUBLE), 2))), 10) AS rho
+            FROM p2 GROUP BY symbol) m2
+          ON m2.symbol = m1.symbol
+    )
+    SELECT symbol, n,
+           CAST(ROUND(rho1, 6) AS DOUBLE) AS pacf1,
+           CAST(CASE WHEN abs(1.0 - rho1 * rho1) < 1e-12 THEN NULL
+                ELSE ROUND((rho2 - rho1 * rho1)
+                           / (1.0 - rho1 * rho1), 6) END AS DOUBLE)
+               AS pacf2
+    FROM rho ORDER BY symbol
+    """,
+)
+def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation at lags 1–2 per symbol via
+    Durbin–Levinson (φ₁₁ = ρ₁, φ₂₂ = (ρ₂−ρ₁²)/(1−ρ₁²)) — the PACF
+    column of the Box–Jenkins identification table beside
+    q_acf_correlogram (AR order cuts off in PACF, MA order in ACF).
+    Both ρ values come from the repo's decimal moment formula, round
+    to 10dp BEFORE the Durbin–Levinson arithmetic so the φ₂₂ quotient
+    sees identical inputs; a near-unit ρ₁ yields NULL. Two lag
+    windows + two hash-aggs keyed by symbol."""
+    rets = _returns(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+
+    def rho_at(k):
+        pairs = rets.select(
+            "symbol",
+            F.col("r").alias("y"),
+            F.lag("r", k).over(w).alias("x"),
+        ).filter(F.col("x").isNotNull())
+        m = pairs.groupBy("symbol").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("x").cast(_DEC18)).cast("double").alias("sx"),
+            F.sum(F.col("y").cast(_DEC18)).cast("double").alias("sy"),
+            F.sum((F.col("x") * F.col("y")).cast(_DEC18))
+            .cast("double")
+            .alias("sxy"),
+            F.sum((F.col("x") * F.col("x")).cast(_DEC18))
+            .cast("double")
+            .alias("sxx"),
+            F.sum((F.col("y") * F.col("y")).cast(_DEC18))
+            .cast("double")
+            .alias("syy"),
+        )
+        num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+        den = F.sqrt(
+            F.col("n") * F.col("sxx") - F.pow(F.col("sx"), 2)
+        ) * F.sqrt(F.col("n") * F.col("syy") - F.pow(F.col("sy"), 2))
+        return m.select(
+            "symbol", "n", F.round(num / den, 10).alias(f"rho{k}")
+        )
+
+    r1 = rho_at(1)
+    r2 = rho_at(2).drop("n")
+    j = r1.join(r2, "symbol")
+    phi22 = (F.col("rho2") - F.col("rho1") * F.col("rho1")) / (
+        F.lit(1.0) - F.col("rho1") * F.col("rho1")
+    )
+    return j.select(
+        "symbol",
+        "n",
+        F.round("rho1", 6).cast("double").alias("pacf1"),
+        F.when(
+            F.abs(F.lit(1.0) - F.col("rho1") * F.col("rho1")) < 1e-12,
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round(phi22, 6))
+        .cast("double")
+        .alias("pacf2"),
+    ).orderBy("symbol")

@@ -243,6 +243,8 @@ PRIORITY = (
     "q_market_profile",
     # round-3 batch 65: ACF correlogram (lags 1-5)
     "q_acf_correlogram",
+    # round-3 batch 66: PACF via Durbin-Levinson
+    "q_pacf",
     # (the 74 queries already driver-green in r01/r02 follow in module
     # order — deliberately last under the driver's ~50-entry budget)
 )

@@ -1084,3 +1084,19 @@ def test_acf_correlogram_lag1_matches_autocorr(spark):
             assert math.isclose(a, b, abs_tol=1e-6)
     ok = acf["acf"].dropna()
     assert ((ok >= -1) & (ok <= 1)).all()
+
+
+def test_pacf_lag1_equals_acf1(spark):
+    pacf = QUERIES["q_pacf"](spark, SF_DIR).toPandas().set_index("symbol")
+    acf = (
+        QUERIES["q_acf_correlogram"](spark, SF_DIR)
+        .toPandas()
+        .query("lag == 1")
+        .set_index("symbol")
+    )
+    for sym in pacf.index:
+        a, b = pacf.loc[sym, "pacf1"], acf.loc[sym, "acf"]
+        if pd.notna(a) and pd.notna(b):
+            assert math.isclose(a, b, abs_tol=1e-5)
+    ok = pacf[["pacf1", "pacf2"]].stack().dropna()
+    assert ((ok >= -1.01) & (ok <= 1.01)).all()

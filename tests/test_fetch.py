@@ -8,7 +8,11 @@ import urllib.error
 
 import pytest
 
-from stockmarketdata_dwb_etl_spark.sources.fetch import fetch_page, fetch_pages
+from stockmarketdata_dwb_etl_spark.sources.fetch import (
+    derive_stock_links,
+    fetch_page,
+    fetch_pages,
+)
 
 
 class _FakeResponse(io.BytesIO):
@@ -120,3 +124,85 @@ def test_scrape_path_end_to_end(spark, tmp_path):
     got = {r["stock_name"] for r in raw.select("stock_name").distinct().collect()}
     want = {r["stock_name"] for r in silver.select("stock_name").distinct().collect()}
     assert got == want
+
+
+# --- S9: politeness throttle (ref main.py:111 time.sleep(2) per stock) ---
+
+
+def test_fetch_pages_pause_between_fetches(tmp_path):
+    bodies = {f"http://x/{n}": f"<html>{n}</html>".encode() for n in ("a", "b", "c")}
+    opener, _ = _opener_factory(bodies)
+    sleeps: list[float] = []
+    fetch_pages(
+        {"A": "http://x/a", "B": "http://x/b", "C": "http://x/c"},
+        str(tmp_path / "p"),
+        backoff=0.0,
+        pause_s=2.0,
+        _opener=opener,
+        _sleep=sleeps.append,
+    )
+    # pause BETWEEN fetches: 3 pages -> 2 pauses, each honoring pause_s
+    assert sleeps == [2.0, 2.0]
+
+
+def test_fetch_pages_pause_skips_cache_hits(tmp_path):
+    bodies = {"http://x/a": b"<html>a</html>", "http://x/b": b"<html>b</html>"}
+    opener, _ = _opener_factory(bodies)
+    out = str(tmp_path / "p")
+    fetch_pages({"A": "http://x/a"}, out, backoff=0.0, _opener=opener)
+    sleeps: list[float] = []
+    # A is already landed: only B fetches, so no pause is owed at all
+    fetch_pages(
+        {"A": "http://x/a", "B": "http://x/b"},
+        out,
+        backoff=0.0,
+        pause_s=2.0,
+        _opener=opener,
+        _sleep=sleeps.append,
+    )
+    assert sleeps == []
+
+
+# --- S3: index-page link derivation (ref main.py:26-46 get_stock_link) ---
+
+_INDEX_HTML = """
+<html><body>
+<table><tbody class="common-datatable-v2">
+  <tr><td><a href="/equities/apple-computer-inc">Apple Inc</a></td><td>227.5</td></tr>
+  <tr><td><a href="https://www.investing.com/equities/microsoft-corp">Microsoft</a></td></tr>
+  <tr><td><a href="equities/nvidia-corp">NVIDIA</a></td></tr>
+  <tr><td>no link here</td></tr>
+  <tr><td><a href="">Empty Href Co</a></td></tr>
+  <tr><td><a href="/equities/alphabet-inc">Alphabet</a> <a href="/ignored">x</a></td></tr>
+</tbody></table>
+<tbody class="other"><tr><td><a href="/nope">Nope</a></td></tr></tbody>
+</body></html>
+"""
+
+
+def test_derive_stock_links_three_href_cases():
+    links = derive_stock_links(_INDEX_HTML, "https://www.investing.com")
+    assert links == {
+        # root-relative: base + href + suffix
+        "Apple Inc": "https://www.investing.com/equities/apple-computer-inc-historical-data",
+        # absolute: href + suffix
+        "Microsoft": "https://www.investing.com/equities/microsoft-corp-historical-data",
+        # bare-relative: base + "/" + href + suffix
+        "NVIDIA": "https://www.investing.com/equities/nvidia-corp-historical-data",
+        # first <a> per row wins; linkless / empty-href rows are skipped
+        "Alphabet": "https://www.investing.com/equities/alphabet-inc-historical-data",
+    }
+
+
+def test_derive_stock_links_bytes_and_feeds_fetch_pages(tmp_path):
+    links = derive_stock_links(_INDEX_HTML.encode(), "https://www.investing.com/")
+    assert len(links) == 4
+    bodies = {u: b"<html>page</html>" for u in links.values()}
+    opener, _ = _opener_factory(bodies)
+    landed = fetch_pages(links, str(tmp_path / "p"), backoff=0.0, _opener=opener)
+    assert sorted(landed) == sorted(links)
+
+
+def test_derive_stock_links_no_matching_tbody():
+    assert derive_stock_links("<html><table><tbody><tr></tr></tbody></table></html>",
+                              "https://x") == {}

@@ -32,6 +32,22 @@ from stockmarketdata_dwb_etl_spark.functions.text import tokenize, word_shingles
 
 MERSENNE_P31 = (1 << 31) - 1  # modulus: products of 31-bit values fit a long
 
+#: shingle tables persisted by the near-dup entry points, so a later call
+#: can free its predecessor: a probe/bench session that runs many dedup
+#: queries back-to-back would otherwise accumulate persisted shingle
+#: tables until LRU eviction, and the eviction/GC pressure lands on
+#: whatever query runs LAST (measured: q_dedup_cross_corpus probed 6.6 s
+#: at x10 as probe 16/18 of a leaky session vs 3.0 s on a clean JVM).
+_LIVE_SHINGLE_PERSISTS: list[DataFrame] = []
+
+
+def _persist_shingles(shingled: DataFrame) -> DataFrame:
+    for prev in _LIVE_SHINGLE_PERSISTS:
+        prev.unpersist()
+    _LIVE_SHINGLE_PERSISTS.clear()
+    _LIVE_SHINGLE_PERSISTS.append(shingled.persist())
+    return shingled
+
 
 def _par(df: "DataFrame") -> int:
     """Pinned repartition width for expression-heavy stages: an explicit
@@ -181,27 +197,83 @@ def lsh_candidate_pairs(
     )
 
 
-def minhash_near_dups(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    threshold: float = 0.7,
-    shingle_k: int = 3,
-    seed: int = 42,
+def lsh_cross_candidate_pairs(
+    sigs: DataFrame,
+    is_probe,
+    n_bands: int = 16,
+    rows_per_band: int = 2,
+    max_bucket: int = 200,
+    max_probe_per_bucket: int = 50,
 ) -> DataFrame:
-    """Near-duplicate pairs (id_a, id_b, jaccard ≥ threshold): LSH
-    candidates verified with exact Jaccard over the shingle sets. The
-    shingle sets feed three branches (signatures + both sides of the
-    verification join); branch plans canonicalize differently so
-    ReuseExchange does not dedupe them — an explicit persist computes the
-    shingling once (memory-and-disk, LRU-evicted; at 100 TB this is the
-    materialize-the-shingle-table step every production dedup runs)."""
-    shingled = shingle_sets(docs, id_col, text_col, shingle_k).persist()
-    sigs = minhash_signatures(
-        docs, id_col, text_col, seed=seed, shingle_k=shingle_k, shingled=shingled
-    )
-    cands = lsh_candidate_pairs(sigs)
+    """Distinct (id_a < id_b) candidate pairs where EXACTLY ONE member
+    satisfies ``is_probe(id_column)`` — the decontamination variant of
+    :func:`lsh_candidate_pairs`: within each band bucket only
+    corpus×probe pairs are generated, never corpus×corpus, so the verify
+    stage's fan-in is bounded by the probe set's bucket presence instead
+    of the full bucket self-join (measured ~3× fewer candidates on the
+    cross-corpus fixture).
 
+    ``max_probe_per_bucket`` caps the PROBE-side members per bucket (the
+    blocked-edit bounded-bucket policy applied to the held-out side, on
+    top of the overall ``max_bucket`` skip): a boilerplate bucket where
+    hundreds of benchmark docs collide contributes at most
+    (bucket − probe) × cap pairs. Deterministic (ids sorted before the
+    cap) — the recall trade is the same documented one as the bucket
+    skip, and the exact-oracle differential certifies it doesn't bite on
+    the test fixture."""
+    bands = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        F.xxhash64(
+                            F.slice("sig", j * rows_per_band + 1, rows_per_band),
+                            F.lit(j),
+                        ).alias("bh"),
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "b.band_id", "b.bh")
+
+    buckets = (
+        bands.groupBy("band_id", "bh")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .select(F.array_sort("ids").alias("ids"))
+        .select(
+            F.slice(
+                F.filter("ids", is_probe), 1, max_probe_per_bucket
+            ).alias("probe_ids"),
+            F.filter("ids", lambda x: ~is_probe(x)).alias("corpus_ids"),
+        )
+        .filter((F.size("probe_ids") >= 1) & (F.size("corpus_ids") >= 1))
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                "corpus_ids",
+                lambda c: F.transform(
+                    "probe_ids",
+                    lambda p: F.struct(
+                        F.least(c, p).alias("id_a"),
+                        F.greatest(c, p).alias("id_b"),
+                    ),
+                ),
+            )
+        )
+    ).alias("p")
+    return buckets.select(pair).select("p.id_a", "p.id_b").distinct()
+
+
+def verify_jaccard(
+    shingled: DataFrame, cands: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against the shingle
+    table: (id_a, id_b, jaccard ≥ threshold)."""
     sa = shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     verified = (
@@ -218,6 +290,52 @@ def minhash_near_dups(
         )
     )
     return verified.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a, id_b, jaccard ≥ threshold): LSH
+    candidates verified with exact Jaccard over the shingle sets. The
+    shingle sets feed three branches (signatures + both sides of the
+    verification join); branch plans canonicalize differently so
+    ReuseExchange does not dedupe them — an explicit persist computes the
+    shingling once (memory-and-disk, LRU-evicted; at 100 TB this is the
+    materialize-the-shingle-table step every production dedup runs)."""
+    shingled = _persist_shingles(shingle_sets(docs, id_col, text_col, shingle_k))
+    sigs = minhash_signatures(
+        docs, id_col, text_col, seed=seed, shingle_k=shingle_k, shingled=shingled
+    )
+    return verify_jaccard(shingled, lsh_candidate_pairs(sigs), threshold)
+
+
+def minhash_cross_near_dups(
+    docs: DataFrame,
+    is_probe,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Cross-side near-duplicate pairs for decontamination: like
+    :func:`minhash_near_dups` but candidates come from
+    :func:`lsh_cross_candidate_pairs`, so only corpus×probe pairs are
+    ever verified. ``is_probe`` is a Column-predicate on the id (e.g.
+    ``lambda c: c % 7 == 0`` for the test fixture's holdout rule; in
+    production, a side bit carried in the id space or a join flag)."""
+    shingled = _persist_shingles(shingle_sets(docs, id_col, text_col, shingle_k))
+    sigs = minhash_signatures(
+        docs, id_col, text_col, seed=seed, shingle_k=shingle_k, shingled=shingled
+    )
+    return verify_jaccard(
+        shingled, lsh_cross_candidate_pairs(sigs, is_probe), threshold
+    )
 
 
 def simhash_fingerprints(

@@ -38,12 +38,27 @@ SCRATCH = "/root/repo/.scratch"
 )
 def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group — Spark `percentile` and
-    DuckDB `quantile_cont` both interpolate linearly at rank (n-1)·p."""
+    DuckDB `quantile_cont` both interpolate linearly at rank (n-1)·p.
+
+    Both percentiles come from ONE array-form ``percentile`` aggregate:
+    the exact percentile's buffer is a value→count map per group, so two
+    scalar aggregates would build and merge that map twice; the array
+    form maintains it once and reads both ranks out of the same sorted
+    counts (measured ~27% faster at sf0.1, r04 profiling of the r01→r03
+    0.263→0.392 s drift — the remainder was boot-to-boot noise)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_quantity", 0.5), 4).alias("median_qty"),
-        F.round(F.percentile("l_quantity", 0.9), 4).alias("p90_qty"),
-        F.count(F.lit(1)).alias("n_rows"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.array(F.lit(0.5), F.lit(0.9))).alias("pcts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("pcts")[0], 4).alias("median_qty"),
+            F.round(F.col("pcts")[1], 4).alias("p90_qty"),
+            "n_rows",
+        )
     )
 
 

@@ -543,9 +543,13 @@ def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth via the inverted shingle index, certifying LSH recall,
     and the id%7 side rule is engine-exact integer arithmetic. Scale:
     identical posture to q_dedup_minhash — shuffles on doc_id/band_hash
-    only, bucket caps bound the self-join; the holdout side is MBs in
-    production, so its bands could broadcast, but the union plan needs
-    no such special case."""
+    only — with two cross-specific bounds (VERDICT r03 #6): candidates
+    are generated per band bucket as corpus×holdout ONLY (never
+    corpus×corpus, ~3× fewer pairs verified on this fixture), and the
+    holdout side is capped per bucket (blocked_edit's bounded-bucket
+    policy), so a boilerplate bucket's pair fan-out stays linear in the
+    corpus members. The holdout side is MBs in production, so its bands
+    could broadcast, but the union plan needs no such special case."""
     docs = load_table(spark, sf_dir, "documents")
     corp = docs.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
     planted = docs.filter(F.col("doc_id") % 14 == 0).select(
@@ -555,13 +559,17 @@ def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     hold = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
     aug = corp.unionByName(planted).unionByName(hold)
 
-    from stockmarketdata_dwb_etl_spark.operators.dedup import minhash_near_dups
+    from stockmarketdata_dwb_etl_spark.operators.dedup import (
+        minhash_cross_near_dups,
+    )
 
-    pairs = minhash_near_dups(aug, id_col="doc_id", text_col="text")
+    # holdout rule: id % 7 == 0 (planted re-entries land at % 7 == 2)
+    pairs = minhash_cross_near_dups(
+        aug, lambda c: c % 7 == 0, id_col="doc_id", text_col="text"
+    )
     a_hold = F.col("id_a") % 7 == 0
-    b_hold = F.col("id_b") % 7 == 0
     return (
-        pairs.filter(a_hold != b_hold)
+        pairs
         .select(
             F.when(a_hold, F.col("id_b"))
             .otherwise(F.col("id_a"))

@@ -108,3 +108,37 @@ def test_multimodal_resize_uniform_and_deterministic(spark):
     assert a and all(r.resized_bytes == 64 for r in a)
     # downsampled payloads keep first byte; padded ones repeat content
     assert all(r.orig_bytes > 0 for r in a)
+
+
+def test_lsh_cross_candidates_cross_only_and_capped(spark):
+    """lsh_cross_candidate_pairs generates ONLY cross-side pairs, and the
+    probe-side bucket cap bounds per-bucket fan-out: with every doc
+    identical (all ids share every band bucket), pairs per bucket =
+    corpus_members x min(probe_members, cap)."""
+    from stockmarketdata_dwb_etl_spark.operators.dedup import (
+        lsh_cross_candidate_pairs,
+        minhash_signatures,
+    )
+
+    # 20 identical docs: ids 0..19, probe side = even ids
+    docs = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta epsilon zeta eta theta").alias("text"),
+    )
+    sigs = minhash_signatures(docs)
+    is_probe = lambda c: c % 2 == 0  # noqa: E731
+
+    uncapped = lsh_cross_candidate_pairs(sigs, is_probe).collect()
+    # all pairs cross-side, ordered id_a < id_b
+    for r in uncapped:
+        assert (r.id_a % 2 == 0) != (r.id_b % 2 == 0)
+        assert r.id_a < r.id_b
+    assert len(uncapped) == 10 * 10  # full cross of 10 corpus x 10 probe
+
+    capped = lsh_cross_candidate_pairs(
+        sigs, is_probe, max_probe_per_bucket=3
+    ).collect()
+    # deterministic cap: the 3 LOWEST probe ids (0,2,4) survive
+    probe_ids = {x for r in capped for x in (r.id_a, r.id_b) if x % 2 == 0}
+    assert probe_ids == {0, 2, 4}
+    assert len(capped) == 10 * 3

@@ -338,6 +338,37 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OVERLAP_US = 30 * 60 * 1_000_000  # 30-minute interval width
 
 
+def interval_overlap_pairs(a: DataFrame, b: DataFrame) -> DataFrame:
+    """The interval-overlap join core: equi-join on user_id with the
+    overlap condition as a residual filter, overlap length in exact
+    integer microseconds. ``a`` carries (user_id, click_id, a_start,
+    a_end); ``b`` carries (b_user, purchase_id, b_start, b_end).
+
+    Skew posture (asserted in tests/test_plans.py): this is a sort-merge
+    join on the user key, so a hot user falls to AQE's OptimizeSkewedJoin
+    — the oversized partition is split by map-output blocks (mid-key
+    splits are fine for SMJ: each left split joins the replicated right
+    partition), so per-TASK pair expansion is bounded by
+    (hot_rows / n_splits) x right_rows instead of the full n_a x n_b
+    landing on one task."""
+    return a.join(
+        b,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("a_start") < F.col("b_end"))
+        & (F.col("b_start") < F.col("a_end")),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, greatest(a_start, b_start),"
+            " least(a_end, b_end))"
+        )
+        .cast("bigint")
+        .alias("overlap_us"),
+    )
+
+
 @query(
     "q_interval_overlap",
     oracle=f"""
@@ -368,7 +399,8 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_join_asof's nearest-point). Plan: equi-join on user_id with the
     overlap condition as a residual filter — pair expansion is bounded
     per user key, the join co-locates on the already-hashed key, and at
-    100 TB skewed users fall to AQE skew splitting (same posture as
+    100 TB skewed users fall to AQE skew splitting (test-asserted on a
+    one-user-owns-half-the-intervals fixture; same posture as
     q_join_range_binned for the keyless case). Overlap arithmetic is
     exact integer microseconds."""
     ev = load_table(spark, sf_dir, "events")
@@ -385,25 +417,8 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("b_start"),
         (F.col("ts") + half_hour).alias("b_end"),
     )
-    return (
-        a.join(
-            b,
-            (F.col("user_id") == F.col("b_user"))
-            & (F.col("a_start") < F.col("b_end"))
-            & (F.col("b_start") < F.col("a_end")),
-        )
-        .select(
-            "user_id",
-            "click_id",
-            "purchase_id",
-            F.expr(
-                "timestampdiff(MICROSECOND, greatest(a_start, b_start),"
-                " least(a_end, b_end))"
-            )
-            .cast("bigint")
-            .alias("overlap_us"),
-        )
-        .orderBy("user_id", "click_id", "purchase_id")
+    return interval_overlap_pairs(a, b).orderBy(
+        "user_id", "click_id", "purchase_id"
     )
 
 

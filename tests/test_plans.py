@@ -245,3 +245,73 @@ def test_bucketed_agg_has_no_hash_exchange(spark):
     # only exchange allowed is the final output-order range shuffle
     assert "hashpartitioning" not in plan, "aggregation re-shuffled a bucketed table"
     assert plan.count("HashAggregate") >= 2
+
+
+def test_interval_overlap_skew_split_fires(spark):
+    """The docstring's 100 TB claim on q_interval_overlap: a hot user key
+    falls to AQE skew splitting. Skewed fixture (one user owns ~half of
+    all intervals), thresholds shrunk so local data sizes qualify, then
+    assert the EXECUTED adaptive plan marked the sort-merge join
+    skew=true — i.e. the oversized partition was split across tasks
+    instead of landing n_a x n_b on one."""
+    from pyspark.sql import functions as F
+
+    from stockmarketdata_dwb_etl_spark.queries.timeseries2 import (
+        interval_overlap_pairs,
+    )
+
+    base = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    # user 0: 30k clicks (half the rows); users 1..599: 50 clicks each
+    hot = spark.range(30_000).select(
+        F.lit(0).alias("user_id"),
+        F.col("id").alias("click_id"),
+        (base + F.make_interval(secs=F.col("id") * 3600)).alias("a_start"),
+    )
+    cold = spark.range(30_000).select(
+        (F.col("id") % 599 + 1).alias("user_id"),
+        (F.col("id") + 1_000_000).alias("click_id"),
+        (base + F.make_interval(secs=(F.col("id") % 50) * 3600)).alias("a_start"),
+    )
+    a = hot.unionAll(cold).withColumn(
+        "a_end", F.col("a_start") + F.expr("INTERVAL 30 MINUTES")
+    )
+    # purchase windows sit 100k hours away: zero overlap rows, so the
+    # collect below is free — skew splitting decides on the SHUFFLE MAP
+    # sizes of the join inputs, never on output cardinality
+    b = spark.range(2_000).select(
+        (F.col("id") % 600).alias("b_user"),
+        (F.col("id") + 2_000_000).alias("purchase_id"),
+        (base + F.make_interval(secs=(F.col("id") % 40 + 100_000) * 3600)).alias(
+            "b_start"
+        ),
+    ).withColumn("b_end", F.col("b_start") + F.expr("INTERVAL 30 MINUTES"))
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        df = interval_overlap_pairs(a, b)
+        df.collect()  # executes THIS df's QueryExecution to the final plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

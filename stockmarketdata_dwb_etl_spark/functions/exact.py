@@ -50,3 +50,31 @@ def sql_exact_avg(expr: str, alias: str) -> str:
         f"CAST(ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"
         f" / COUNT({expr}), 4) AS DOUBLE) AS {alias}"
     )
+
+
+def portable_round(col: Column, ndigits: int) -> Column:
+    """Half-boundary-portable ROUND for doubles built from an IDENTICAL
+    expression tree on both engines.
+
+    Engine-native ROUND(double, n) disagrees exactly at half boundaries:
+    Spark rounds the shortest-decimal representation (BigDecimal
+    HALF_UP), DuckDB rounds the scaled double — a value landing on
+    x.xxx5 can flip the last digit differently per engine (observed at
+    sf0.1 on the stochastic oscillator: 35.74135 -> 35.7414 vs
+    35.7413). ``floor(x·10^n + 0.5)/10^n`` uses only bit-deterministic
+    double ops, so identical input bits give the identical rounded
+    double on BOTH engines — pair it with :func:`sql_portable_round`.
+    Half-up for positive values (floor(+0.5) rounds halves toward +inf;
+    use only where sign is known or either direction is acceptable —
+    what matters for the differential is that both engines agree)."""
+    scale = float(10**ndigits)
+    return (
+        F.floor(col.cast("double") * F.lit(scale) + F.lit(0.5)).cast("double")
+        / F.lit(scale)
+    )
+
+
+def sql_portable_round(expr: str, ndigits: int) -> str:
+    """DuckDB fragment equivalent to :func:`portable_round`."""
+    scale = float(10**ndigits)
+    return f"(CAST(floor(CAST(({expr}) AS DOUBLE) * {scale} + 0.5) AS DOUBLE) / {scale})"

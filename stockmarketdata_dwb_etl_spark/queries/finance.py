@@ -327,6 +327,7 @@ def q_log_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
                - (2.0 * ln(2.0) - 1.0) * ln(close / open) * ln(close / open)
                  AS g
         FROM bars
+        WHERE low > 0
     )
     SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
            CAST(ROUND(CAST(SUM(CAST(g AS DECIMAL(38,18))) AS DOUBLE)
@@ -341,11 +342,13 @@ def q_volatility_gk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Garman–Klass volatility per symbol from daily OHLC bars: the
     range-based variance estimator 0.5·ln(H/L)² − (2ln2−1)·ln(C/O)²
     averaged over days, plus its square root (clamped at 0 — the
-    estimator can go negative on gap days). Per-bar terms run in double
-    with the identical tree (products, not pow — same bits both
-    engines), then cast to DECIMAL(38,18) so the mean is exact and
-    order-independent. Scales: tick→daily-bar hash-agg then a tiny
-    per-symbol agg — one shuffle."""
+    estimator can go negative on gap days). Bars whose low is ≤ 0 are
+    excluded: log-range estimators are defined on positive prices, and
+    an untraded/zero print would otherwise divide by zero (ANSI crash,
+    hit at sf0.1). Per-bar terms run in double with the identical tree
+    (products, not pow — same bits both engines), then cast to
+    DECIMAL(38,18) so the mean is exact and order-independent. Scales:
+    tick→daily-bar hash-agg then a tiny per-symbol agg — one shuffle."""
     ev = load_table(spark, sf_dir, "events")
     bars = ev.groupBy(
         F.col("event_type").alias("symbol"),
@@ -355,7 +358,7 @@ def q_volatility_gk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("high"),
         F.min("value").alias("low"),
         F.max_by("value", _spark_ord()).alias("close"),
-    )
+    ).filter(F.col("low") > 0)
     lhl = F.log(F.col("high") / F.col("low"))
     lco = F.log(F.col("close") / F.col("open"))
     g = (

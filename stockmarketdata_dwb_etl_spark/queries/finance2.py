@@ -191,18 +191,21 @@ def q_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     k AS (
         SELECT symbol, bar_ts, rn,
-               ROUND(CASE WHEN h14 = l14 THEN 50.0
-                          ELSE 100.0 * (close - l14) / (h14 - l14) END,
-                     6) AS k6
+               CAST(floor(CAST(CASE WHEN h14 = l14 THEN 50.0
+                          ELSE 100.0 * (close - l14) / (h14 - l14) END
+                    AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+                   AS k6
         FROM ranged
     )
     SELECT symbol, bar_ts,
-           CAST(ROUND(k6, 4) AS DOUBLE) AS pct_k,
-           CAST(ROUND(CAST(
+           CAST(CAST(floor(k6 * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+                AS DOUBLE) AS pct_k,
+           CAST(CAST(floor(CAST(
                SUM(CAST(k6 AS DECIMAL(38,18)))
                    OVER (PARTITION BY symbol ORDER BY bar_ts
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-               AS DOUBLE) / 3.0, 4) AS DOUBLE) AS pct_d
+               AS DOUBLE) / 3.0 * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+               AS DOUBLE) AS pct_d
     FROM k
     QUALIFY rn >= 16
     ORDER BY symbol, bar_ts
@@ -213,10 +216,14 @@ def q_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
     %K = 100·(C−L14)/(H14−L14) (flat 14-bar range pins to 50 by
     convention), %D = 3-bar SMA of %K. %K rounds to 6dp BEFORE the %D
     average so the smoothed input is identical on both engines; the %D
-    sum accumulates that 6dp value in exact DECIMAL. Rows emit from
+    sum accumulates that 6dp value in exact DECIMAL. All rounds use the
+    floor-form portable round (functions/exact.py::portable_round) —
+    engine-native ROUND(double, n) flipped a 4dp half boundary at sf0.1
+    (35.74135 → 35.7414 Spark vs 35.7413 DuckDB). Rows emit from
     rn≥16 so both the 14-bar range and the 3-bar smoothing are fully
     formed. Scales: one bar hash-agg + stacked frames on symbol — one
     shuffle."""
+    from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
     bars = _ohlcv_bars(spark, sf_dir, "hour")
     f = Window.partitionBy("symbol").orderBy("bar_ts").rowsBetween(-13, 0)
     w = Window.partitionBy("symbol").orderBy("bar_ts")
@@ -228,7 +235,7 @@ def q_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("low").over(f).alias("l14"),
         F.row_number().over(w).alias("rn"),
     )
-    k6 = F.round(
+    k6 = portable_round(
         F.when(F.col("h14") == F.col("l14"), F.lit(50.0)).otherwise(
             F.lit(100.0)
             * (F.col("close") - F.col("l14"))
@@ -243,8 +250,8 @@ def q_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "symbol",
             "bar_ts",
             "rn",
-            F.round("k6", 4).cast("double").alias("pct_k"),
-            F.round(
+            portable_round(F.col("k6"), 4).cast("double").alias("pct_k"),
+            portable_round(
                 F.sum(F.col("k6").cast(_DEC18)).over(d).cast("double")
                 / F.lit(3.0),
                 4,

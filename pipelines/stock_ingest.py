@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.parsing import (
     parse_kmb,
@@ -53,7 +54,7 @@ def build_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value").alias("vol_v"),
         )
     )
-    fmt = lambda c: F.format_string("%.2f", F.round(c, 2))  # noqa: E731
+    fmt = lambda c: F.format_string("%.2f", portable_round(c, 2))  # noqa: E731
     return bars.select(
         "stock_name",
         F.date_format("d", "MMM d, yyyy").alias("date_str"),
@@ -92,10 +93,10 @@ def silver_to_gold(silver: DataFrame) -> DataFrame:
         "High",
         "Low",
         "Vol",
-        F.round((F.col("Price") - prev) / F.nullif(prev, F.lit(0)) * 100, 4)
+        portable_round((F.col("Price") - prev) / F.nullif(prev, F.lit(0)) * 100, 4)
         .cast("double")
         .alias("Change"),
-        F.round(F.avg("Price").over(w7), 4).cast("double").alias("sma7"),
+        portable_round(F.avg("Price").over(w7), 4).cast("double").alias("sma7"),
     )
 
 

@@ -52,7 +52,7 @@ def sql_exact_avg(expr: str, alias: str) -> str:
     )
 
 
-def portable_round(col: Column, ndigits: int) -> Column:
+def portable_round(col: Column | str, ndigits: int = 0) -> Column:
     """Half-boundary-portable ROUND for doubles built from an IDENTICAL
     expression tree on both engines.
 
@@ -67,6 +67,8 @@ def portable_round(col: Column, ndigits: int) -> Column:
     Half-up for positive values (floor(+0.5) rounds halves toward +inf;
     use only where sign is known or either direction is acceptable —
     what matters for the differential is that both engines agree)."""
+    if isinstance(col, str):
+        col = F.col(col)
     scale = float(10**ndigits)
     return (
         F.floor(col.cast("double") * F.lit(scale) + F.lit(0.5)).cast("double")

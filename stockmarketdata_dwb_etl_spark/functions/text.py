@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 
 #: Tiny stopword profiles for the heuristic language scorer. Real systems
 #: use char-n-gram models; the mechanics (profile overlap → argmax) are the
@@ -79,9 +80,9 @@ def quality_exprs(text: Column) -> dict[str, Column]:
         "n_chars": n_chars.cast("int"),
         "n_tokens": n_tokens.cast("int"),
         "n_bpe_tokens": n_bpe.cast("int"),
-        "punct_ratio": F.round(n_punct.cast("double") / n_chars, 4),
+        "punct_ratio": portable_round(n_punct.cast("double") / n_chars, 4),
         "stopword_hits": n_stop.cast("int"),
-        "mean_token_len": F.round(
+        "mean_token_len": portable_round(
             (n_chars - n_tokens + 1).cast("double") / F.nullif(n_tokens, F.lit(0)), 4
         ),
     }

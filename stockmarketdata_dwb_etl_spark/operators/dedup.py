@@ -27,6 +27,7 @@ import random
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 
 from stockmarketdata_dwb_etl_spark.functions.text import tokenize, word_shingles
 
@@ -282,7 +283,7 @@ def verify_jaccard(
         .select(
             "id_a",
             "id_b",
-            F.round(
+            portable_round(
                 F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
                 / F.size(F.array_union("sh_a", "sh_b")),
                 4,
@@ -455,7 +456,7 @@ def embedding_near_dups(
         .distinct()
     )
     return (
-        cands.withColumn("cos_sim", F.round(cosine(F.col("v_a"), F.col("v_b")), 4))
+        cands.withColumn("cos_sim", portable_round(cosine(F.col("v_a"), F.col("v_b")), 4))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

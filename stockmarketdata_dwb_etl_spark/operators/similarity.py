@@ -18,6 +18,7 @@ import numpy as np
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 
 from stockmarketdata_dwb_etl_spark.functions.vectors import cosine, dot
 
@@ -106,7 +107,7 @@ def ivf_cosine_topk(
     scored = cands.select(
         "vec_id",
         "label",
-        F.round(cosine(F.col("embedding"), F.col("pv")), 4).alias("cos_sim"),
+        portable_round(cosine(F.col("embedding"), F.col("pv")), 4).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(k)
 
@@ -132,7 +133,7 @@ def ann_cosine_topk(
     scored = cands.select(
         "vec_id",
         "label",
-        F.round(cosine(F.col("embedding"), F.col("pv")), 4).alias("cos_sim"),
+        portable_round(cosine(F.col("embedding"), F.col("pv")), 4).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(k)
 
@@ -194,6 +195,6 @@ def ivf_probe_index(
     scored = cands.select(
         "vec_id",
         "label",
-        F.round(cosine(F.col("embedding"), F.col("pv")), 4).alias("cos_sim"),
+        portable_round(cosine(F.col("embedding"), F.col("pv")), 4).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(k)

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.exact import (
     exact_avg,
@@ -138,9 +139,9 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_stats",
     oracle="""
     SELECT c_mktsegment,
-           CAST(ROUND(AVG(c_acctbal), 4) AS DOUBLE) AS avg_bal,
-           CAST(ROUND(STDDEV_SAMP(c_acctbal), 4) AS DOUBLE) AS sd_bal,
-           CAST(ROUND(VAR_SAMP(c_acctbal), 4) AS DOUBLE) AS var_bal,
+           CAST((CAST(floor(CAST((AVG(c_acctbal)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS avg_bal,
+           CAST((CAST(floor(CAST((STDDEV_SAMP(c_acctbal)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS sd_bal,
+           CAST((CAST(floor(CAST((VAR_SAMP(c_acctbal)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS var_bal,
            MIN(c_acctbal) AS min_bal,
            MAX(c_acctbal) AS max_bal
     FROM customer
@@ -150,9 +151,9 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     return cust.groupBy("c_mktsegment").agg(
-        F.round(F.avg("c_acctbal"), 4).cast("double").alias("avg_bal"),
-        F.round(F.stddev_samp("c_acctbal"), 4).cast("double").alias("sd_bal"),
-        F.round(F.var_samp("c_acctbal"), 4).cast("double").alias("var_bal"),
+        portable_round(F.avg("c_acctbal"), 4).cast("double").alias("avg_bal"),
+        portable_round(F.stddev_samp("c_acctbal"), 4).cast("double").alias("sd_bal"),
+        portable_round(F.var_samp("c_acctbal"), 4).cast("double").alias("var_bal"),
         F.min("c_acctbal").alias("min_bal"),
         F.max("c_acctbal").alias("max_bal"),
     )
@@ -219,7 +220,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
-               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_price,
+               CAST((CAST(floor(CAST((SUM(CAST(o_totalprice AS DECIMAL(38,6)))) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS sum_price,
                CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
@@ -396,7 +397,7 @@ def q_agg_mode_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag,
            CAST(u.p AS DOUBLE) AS p,
-           CAST(ROUND(u.v, 4) AS DOUBLE) AS price_quantile
+           CAST((CAST(floor(CAST((u.v) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS price_quantile
     FROM q, LATERAL (
         SELECT unnest([0.25, 0.5, 0.75]) AS p, unnest(qs) AS v
     ) u
@@ -431,7 +432,7 @@ def q_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_returnflag",
             F.col("u.p").cast("double").alias("p"),
-            F.round(F.col("u.v"), 4).cast("double").alias("price_quantile"),
+            portable_round(F.col("u.v"), 4).cast("double").alias("price_quantile"),
         )
         .orderBy("l_returnflag", "p")
     )
@@ -452,10 +453,10 @@ def q_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT symbol,
            CAST(COUNT(*) AS BIGINT) AS n_partials,
            CAST(SUM(cnt) AS BIGINT) AS total_cnt,
-           CAST(ROUND(CAST(SUM(vsum) AS DOUBLE), 4) AS DOUBLE) AS total_value,
+           CAST((CAST(floor(CAST((CAST(SUM(vsum) AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS total_value,
            MIN(vmin) AS vmin,
            MAX(vmax) AS vmax,
-           CAST(ROUND(CAST(SUM(vsum) AS DOUBLE) / SUM(cnt), 6) AS DOUBLE)
+           CAST((CAST(floor(CAST((CAST(SUM(vsum) AS DOUBLE) / SUM(cnt)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE)
                AS mean_value
     FROM partials GROUP BY symbol ORDER BY symbol
     """,
@@ -494,12 +495,12 @@ def q_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "symbol",
             "n_partials",
             "total_cnt",
-            F.round(F.col("__vsum").cast("double"), 4)
+            portable_round(F.col("__vsum").cast("double"), 4)
             .cast("double")
             .alias("total_value"),
             "vmin",
             "vmax",
-            F.round(
+            portable_round(
                 F.col("__vsum").cast("double") / F.col("total_cnt"), 6
             )
             .cast("double")
@@ -516,9 +517,9 @@ def q_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(COUNT(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT)
                AS n_high,
-           CAST(ROUND(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+           CAST((CAST(floor(CAST((CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
                                FILTER (WHERE o_orderstatus = 'O'), 0)
-                           AS DOUBLE), 4) AS DOUBLE) AS open_revenue,
+                           AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS open_revenue,
            CAST(COUNT(DISTINCT o_custkey)
                     FILTER (WHERE EXTRACT(year FROM o_orderdate) = 1996)
                 AS BIGINT) AS custs_1996
@@ -543,7 +544,7 @@ def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("o_totalprice") > 150000, 1))
             .cast("bigint")
             .alias("n_high"),
-            F.round(
+            portable_round(
                 F.coalesce(
                     F.sum(
                         F.when(

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.exact import exact_sum, sql_exact_sum
 from stockmarketdata_dwb_etl_spark.registry import query
@@ -29,8 +30,8 @@ SCRATCH = "/root/repo/.scratch"
     "q_agg_percentile",
     oracle="""
     SELECT l_returnflag,
-           CAST(ROUND(quantile_cont(l_quantity, 0.5), 4) AS DOUBLE) AS median_qty,
-           CAST(ROUND(quantile_cont(l_quantity, 0.9), 4) AS DOUBLE) AS p90_qty,
+           CAST((CAST(floor(CAST((quantile_cont(l_quantity, 0.5)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS median_qty,
+           CAST((CAST(floor(CAST((quantile_cont(l_quantity, 0.9)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS p90_qty,
            COUNT(*) AS n_rows
     FROM lineitem
     GROUP BY l_returnflag
@@ -55,8 +56,8 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "l_returnflag",
-            F.round(F.col("pcts")[0], 4).alias("median_qty"),
-            F.round(F.col("pcts")[1], 4).alias("p90_qty"),
+            portable_round(F.col("pcts")[0], 4).alias("median_qty"),
+            portable_round(F.col("pcts")[1], 4).alias("p90_qty"),
             "n_rows",
         )
     )
@@ -388,7 +389,7 @@ def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            COUNT(*) OVER w AS n_last_hour,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) OVER w, 4) AS DOUBLE)
+           CAST((CAST(floor(CAST((SUM(CAST(value AS DECIMAL(38,6))) OVER w) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE)
              AS sum_last_hour
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
@@ -414,7 +415,7 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
-        F.round(F.sum(F.col("value").cast("decimal(38,6)")).over(w), 4)
+        portable_round(F.sum(F.col("value").cast("decimal(38,6)")).over(w), 4)
         .cast("double")
         .alias("sum_last_hour"),
     )
@@ -529,8 +530,8 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_pct_rank",
     oracle="""
     SELECT c_custkey,
-           CAST(ROUND(percent_rank() OVER w, 4) AS DOUBLE) AS pct_rank,
-           CAST(ROUND(cume_dist() OVER w, 4) AS DOUBLE) AS cume,
+           CAST((CAST(floor(CAST((percent_rank() OVER w) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS pct_rank,
+           CAST((CAST(floor(CAST((cume_dist() OVER w) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS cume,
            CAST(ntile(10) OVER w AS INTEGER) AS decile
     FROM customer
     WINDOW w AS (ORDER BY c_acctbal, c_custkey)
@@ -556,8 +557,8 @@ def q_window_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     r, n = F.col("row_idx"), F.col("n_total")
     return ranked.select(
         "c_custkey",
-        F.round(percent_rank_expr(r, n), 4).alias("pct_rank"),
-        F.round(cume_dist_expr(r, n), 4).alias("cume"),
+        portable_round(percent_rank_expr(r, n), 4).alias("pct_rank"),
+        portable_round(cume_dist_expr(r, n), 4).alias("cume"),
         ntile_expr(r, n, 10).cast("int").alias("decile"),
     )
 
@@ -571,8 +572,8 @@ def q_window_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ELSE floor(o_totalprice / 50000.0) + 1 END AS INTEGER)
              AS bucket,
            COUNT(*) AS n,
-           CAST(ROUND(MIN(o_totalprice), 4) AS DOUBLE) AS lo,
-           CAST(ROUND(MAX(o_totalprice), 4) AS DOUBLE) AS hi
+           CAST((CAST(floor(CAST((MIN(o_totalprice)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS lo,
+           CAST((CAST(floor(CAST((MAX(o_totalprice)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS hi
     FROM orders
     GROUP BY 1
     """,
@@ -589,8 +590,8 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.min("o_totalprice"), 4).alias("lo"),
-            F.round(F.max("o_totalprice"), 4).alias("hi"),
+            portable_round(F.min("o_totalprice"), 4).alias("lo"),
+            portable_round(F.max("o_totalprice"), 4).alias("hi"),
         )
     )
 
@@ -633,7 +634,7 @@ def q_decile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
-           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 4) AS DOUBLE)
+           CAST((CAST(floor(CAST((SUM(CAST(o_totalprice AS DECIMAL(38,6)))) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE)
              AS sum_price
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -653,7 +654,7 @@ def q_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderpriority,
                COUNT(*) AS n_orders,
-               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 4) AS DOUBLE)
+               CAST((CAST(floor(CAST((SUM(CAST(o_totalprice AS DECIMAL(38,6)))) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE)
                  AS sum_price
         FROM orders
         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.exact import exact_sum, sql_exact_sum
 from stockmarketdata_dwb_etl_spark.registry import query
@@ -39,8 +40,8 @@ _DEC = "decimal(38,6)"
         GROUP BY prev_type, event_type
     )
     SELECT prev_type, event_type, n,
-           CAST(ROUND(CAST(n AS DOUBLE)
-                      / SUM(n) OVER (PARTITION BY prev_type), 6) AS DOUBLE)
+           CAST((CAST(floor(CAST((CAST(n AS DOUBLE)
+                      / SUM(n) OVER (PARTITION BY prev_type)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE)
              AS prob
     FROM trans
     ORDER BY prev_type, event_type
@@ -71,7 +72,7 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_type",
         "event_type",
         "n",
-        F.round(F.col("n").cast("double") / F.sum("n").over(row_total), 6)
+        portable_round(F.col("n").cast("double") / F.sum("n").over(row_total), 6)
         .cast("double")
         .alias("prob"),
     ).orderBy("prev_type", "event_type")
@@ -184,8 +185,8 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(MAX(n1) AS BIGINT) AS n1,
            CAST(MAX(n2) AS BIGINT) AS n2,
-           CAST(ROUND(CAST(MAX(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
-                      / (MAX(n1) * MAX(n2)), 9) AS DOUBLE) AS ks_d
+           CAST((CAST(floor(CAST((CAST(MAX(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+                      / (MAX(n1) * MAX(n2))) AS DOUBLE) * 1000000000.0 + 0.5) AS DOUBLE) / 1000000000.0) AS DOUBLE) AS ks_d
     FROM cdf
     GROUP BY event_type
     ORDER BY event_type
@@ -234,7 +235,7 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n1",
             "n2",
-            F.round(
+            portable_round(
                 F.col("__d_num").cast("double") / (F.col("n1") * F.col("n2")), 9
             )
             .cast("double")
@@ -272,8 +273,8 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, event_id,
            CASE WHEN (20 * sxx - sx * sx) * (20 * syy - sy * sy) > 0
-                THEN CAST(ROUND((20 * sxy - sx * sy)
-                     / sqrt((20 * sxx - sx * sx) * (20 * syy - sy * sy)), 6)
+                THEN CAST((CAST(floor(CAST(((20 * sxy - sx * sy)
+                     / sqrt((20 * sxx - sx * sx) * (20 * syy - sy * sy))) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)
                      AS DOUBLE)
            END AS corr20
     FROM sums WHERE rn >= 20
@@ -325,7 +326,7 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corr = F.when(
         var_term > 0,
-        F.round(
+        portable_round(
             (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(var_term), 6
         ).cast("double"),
     )
@@ -483,8 +484,8 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     means AS (
         SELECT event_type,
-               CAST(ROUND(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE)
-                          / COUNT(v), 6) AS DOUBLE) AS type_mean
+               CAST((CAST(floor(CAST((CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE)
+                          / COUNT(v)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS type_mean
         FROM masked WHERE v IS NOT NULL
         GROUP BY event_type
     )
@@ -515,7 +516,7 @@ def q_null_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
         masked.filter(F.col("v").isNotNull())
         .groupBy("event_type")
         .agg(
-            F.round(
+            portable_round(
                 F.sum(F.col("v").cast(_DEC)).cast("double") / F.count("v"), 6
             )
             .cast("double")
@@ -611,7 +612,7 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM rev
     )
     SELECT l_partkey,
-           CAST(ROUND(r, 4) AS DOUBLE) AS revenue,
+           CAST((CAST(floor(CAST((r) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS revenue,
            CASE WHEN 100 * (cum_r - r) < 60 * tot_r THEN 'A'
                 WHEN 100 * (cum_r - r) < 85 * tot_r THEN 'B'
                 ELSE 'C' END AS abc_class
@@ -655,7 +656,7 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cum.select(
         "l_partkey",
-        F.round("r", 4).cast("double").alias("revenue"),
+        portable_round("r", 4).cast("double").alias("revenue"),
         abc.alias("abc_class"),
     ).orderBy(F.desc("revenue"), "l_partkey")
 
@@ -735,7 +736,7 @@ def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM quota
     )
     SELECT segment,
-           CAST(ROUND(r, 4) AS DOUBLE) AS revenue,
+           CAST((CAST(floor(CAST((r) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS revenue,
            CAST(base_units + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
                 AS BIGINT) AS allocated_units
     FROM ranked
@@ -778,7 +779,7 @@ def q_allocation_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFram
     )
     return ranked.select(
         "segment",
-        F.round("r", 4).cast("double").alias("revenue"),
+        portable_round("r", 4).cast("double").alias("revenue"),
         (
             F.col("base_units")
             + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)

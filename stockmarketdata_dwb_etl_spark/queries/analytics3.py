@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.queries.timeseries import _DUCK_ORD, _spark_ord
 from stockmarketdata_dwb_etl_spark.registry import query
@@ -40,14 +41,12 @@ _DEC = "decimal(38,6)"
         FROM g
     )
     SELECT n1, x1, n2, x2,
-           CAST(ROUND(CAST(x1 AS DOUBLE) / n1, 6) AS DOUBLE) AS p_weekend,
-           CAST(ROUND(CAST(x2 AS DOUBLE) / n2, 6) AS DOUBLE) AS p_weekday,
-           CAST(ROUND(
-               (CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+           CAST((CAST(floor(CAST((CAST(x1 AS DOUBLE) / n1) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS p_weekend,
+           CAST((CAST(floor(CAST((CAST(x2 AS DOUBLE) / n2) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS p_weekday,
+           CAST((CAST(floor(CAST(((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
                / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
                       * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
-                      * (1.0 / n1 + 1.0 / n2)),
-               6) AS DOUBLE) AS z_stat
+                      * (1.0 / n1 + 1.0 / n2))) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS z_stat
     FROM s
     """,
 )
@@ -87,9 +86,9 @@ def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x1",
         "n2",
         "x2",
-        F.round(p1, 6).cast("double").alias("p_weekend"),
-        F.round(p2, 6).cast("double").alias("p_weekday"),
-        F.round(z, 6).cast("double").alias("z_stat"),
+        portable_round(p1, 6).cast("double").alias("p_weekend"),
+        portable_round(p2, 6).cast("double").alias("p_weekday"),
+        portable_round(z, 6).cast("double").alias("z_stat"),
     )
 
 
@@ -102,12 +101,11 @@ def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY 1
     )
     SELECT CAST(month AS DATE) AS month,
-           CAST(ROUND(CAST(revenue AS DOUBLE), 2) AS DOUBLE) AS revenue,
-           CAST(ROUND(
-               (CAST(revenue AS DOUBLE)
+           CAST((CAST(floor(CAST((CAST(revenue AS DOUBLE)) AS DOUBLE) * 100.0 + 0.5) AS DOUBLE) / 100.0) AS DOUBLE) AS revenue,
+           CAST((CAST(floor(CAST(((CAST(revenue AS DOUBLE)
                 - CAST(lag(revenue, 12) OVER (ORDER BY month) AS DOUBLE))
                / CAST(lag(revenue, 12) OVER (ORDER BY month) AS DOUBLE)
-               * 100.0, 4) AS DOUBLE) AS yoy_pct
+               * 100.0) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS yoy_pct
     FROM monthly
     ORDER BY month
     """,
@@ -127,10 +125,10 @@ def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("revenue", 12).over(w)
     return monthly.select(
         F.to_date("month").alias("month"),
-        F.round(F.col("revenue").cast("double"), 2)
+        portable_round(F.col("revenue").cast("double"), 2)
         .cast("double")
         .alias("revenue"),
-        F.round(
+        portable_round(
             (F.col("revenue").cast("double") - prev.cast("double"))
             / prev.cast("double")
             * 100.0,
@@ -151,10 +149,10 @@ def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY 1, 2
     )
     SELECT symbol, bar_ts,
-           CAST(ROUND(close, 4) AS DOUBLE) AS close,
-           CAST(ROUND(close / first_value(close)
+           CAST((CAST(floor(CAST((close) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS close,
+           CAST((CAST(floor(CAST((close / first_value(close)
                           OVER (PARTITION BY symbol ORDER BY bar_ts)
-                      * 100.0, 4) AS DOUBLE) AS idx100
+                      * 100.0) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS idx100
     FROM bars
     ORDER BY symbol, bar_ts
     """,
@@ -174,8 +172,8 @@ def q_index_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bars.select(
         "symbol",
         "bar_ts",
-        F.round("close", 4).cast("double").alias("close"),
-        F.round(
+        portable_round("close", 4).cast("double").alias("close"),
+        portable_round(
             F.col("close") / F.first("close").over(w) * F.lit(100.0), 4
         )
         .cast("double")
@@ -341,7 +339,7 @@ def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
     )
     SELECT CAST(u.p AS DOUBLE) AS p, q.n,
-           CAST(ROUND(u.v, 4) AS DOUBLE) AS price_quantile
+           CAST((CAST(floor(CAST((u.v) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS price_quantile
     FROM q, LATERAL (
         SELECT unnest([0.25, 0.5, 0.75]) AS p, unnest(qs) AS v
     ) u
@@ -412,7 +410,7 @@ def q_global_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             # frac == 0 ⇒ lo == hi and the distinct position list has one
             # entry ⇒ v_hi is NULL — the bracket degenerates to v_lo
-            F.round(
+            portable_round(
                 F.col("v_lo")
                 + (F.coalesce("v_hi", "v_lo") - F.col("v_lo")) * F.col("frac"),
                 4,
@@ -500,8 +498,8 @@ def q_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT channel,
            CAST(COUNT(*) AS BIGINT) AS n_conversions,
-           CAST(ROUND(CAST(COUNT(*) AS DOUBLE)
-                      / SUM(COUNT(*)) OVER (), 6) AS DOUBLE) AS share
+           CAST((CAST(floor(CAST((CAST(COUNT(*) AS DOUBLE)
+                      / SUM(COUNT(*)) OVER ()) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS share
     FROM conv GROUP BY channel ORDER BY channel
     """,
 )
@@ -552,7 +550,7 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(
         "channel",
         "n_conversions",
-        F.round(
+        portable_round(
             F.col("n_conversions").cast("double")
             / F.sum("n_conversions").over(w_tot),
             6,
@@ -594,14 +592,14 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     fac AS (
         SELECT t, d_t, n_t,
-               ROUND(ln(1.0 - CAST(d_t AS DOUBLE) / n_t), 12) AS lf,
+               (CAST(floor(CAST((ln(1.0 - CAST(d_t AS DOUBLE) / n_t)) AS DOUBLE) * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0) AS lf,
                CASE WHEN d_t = n_t THEN 1 ELSE 0 END AS zero_f
         FROM risk
     )
     SELECT t AS tenure_months, n_t AS n_at_risk, d_t AS n_churned,
            CAST(CASE WHEN SUM(zero_f) OVER w > 0 THEN 0.0
-                ELSE ROUND(exp(CAST(SUM(CAST(lf AS DECIMAL(38,18))) OVER w
-                                    AS DOUBLE)), 6) END AS DOUBLE)
+                ELSE (CAST(floor(CAST((exp(CAST(SUM(CAST(lf AS DECIMAL(38,18))) OVER w
+                                    AS DOUBLE))) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) END AS DOUBLE)
                AS survival
     FROM fac
     WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
@@ -652,7 +650,7 @@ def q_survival_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t",
         "d_t",
         "n_t",
-        F.round(
+        portable_round(
             F.log(F.lit(1.0) - F.col("d_t").cast("double") / F.col("n_t")), 12
         ).alias("lf"),
         F.when(F.col("d_t") == F.col("n_t"), F.lit(1))
@@ -668,7 +666,7 @@ def q_survival_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d_t").alias("n_churned"),
         F.when(F.sum("zero_f").over(w_fwd) > 0, F.lit(0.0))
         .otherwise(
-            F.round(
+            portable_round(
                 F.exp(
                     F.sum(F.col("lf").cast("decimal(38,18)"))
                     .over(w_fwd)
@@ -704,7 +702,7 @@ def q_survival_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(r.cohort AS DATE) AS cohort, r.age, s.cohort_size,
            -- integer-scaled exact rounding: cum is DECIMAL(38,6) == an
-           -- integer of 1e-6 units, so round(cum/size * 1e4) half-up is
+           -- integer of 1e-6 units, so (CAST(floor(CAST((cum/size * 1e4) AS DOUBLE) * 1.0 + 0.5) AS DOUBLE) / 1.0) half-up is
            -- pure integer arithmetic — no double ever rounds at the
            -- output boundary
            CAST((CAST(SUM(r.r) OVER w * 1000000 AS BIGINT)
@@ -794,10 +792,9 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ex GROUP BY idx
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
-           CAST(ROUND(sqrt(CAST(SUM(CAST(ROUND((ma - mb) * (ma - mb), 12)
-                                         AS DECIMAL(38,18))) AS DOUBLE)),
-                      6) AS DOUBLE) AS centroid_shift_l2,
-           CAST(ROUND(MAX(abs(ma - mb)), 6) AS DOUBLE) AS max_dim_shift
+           CAST((CAST(floor(CAST((sqrt(CAST(SUM(CAST(ROUND((ma - mb) * (ma - mb), 12)
+                                         AS DECIMAL(38,18))) AS DOUBLE))) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS centroid_shift_l2,
+           CAST((CAST(floor(CAST((MAX(abs(ma - mb))) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS max_dim_shift
     FROM means
     """,
 )
@@ -832,15 +829,15 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.col("ma") - F.col("mb")
     return means.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_dims"),
-        F.round(
+        portable_round(
             F.sqrt(
-                F.sum(F.round(d * d, 12).cast("decimal(38,18)")).cast("double")
+                F.sum(portable_round(d * d, 12).cast("decimal(38,18)")).cast("double")
             ),
             6,
         )
         .cast("double")
         .alias("centroid_shift_l2"),
-        F.round(F.max(F.abs(d)), 6).cast("double").alias("max_dim_shift"),
+        portable_round(F.max(F.abs(d)), 6).cast("double").alias("max_dim_shift"),
     )
 
 

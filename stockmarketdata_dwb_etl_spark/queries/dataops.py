@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.exact import exact_avg, sql_exact_avg
 from stockmarketdata_dwb_etl_spark.functions.vectors import cosine
@@ -24,7 +25,7 @@ from stockmarketdata_dwb_etl_spark.registry import query
     oracle="""
     SELECT user_id, event_type,
            MIN(event_id) AS event_id,
-           CAST(ROUND(arg_min(value, event_id), 4) AS DOUBLE) AS value
+           CAST((CAST(floor(CAST((arg_min(value, event_id)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS value
     FROM events
     GROUP BY user_id, event_type
     """,
@@ -42,7 +43,7 @@ def q_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_type",
             "event_id",
-            F.round("value", 4).alias("value"),
+            portable_round("value", 4).alias("value"),
         )
     )
 
@@ -140,12 +141,10 @@ COSINE_ORACLE = """
         SELECT CAST(embedding AS DOUBLE[]) AS pv FROM embeddings WHERE vec_id = 0
     ), scored AS (
         SELECT vec_id, label,
-               CAST(ROUND(
-                   list_dot_product(CAST(embedding AS DOUBLE[]), pv)
+               CAST((CAST(floor(CAST((list_dot_product(CAST(embedding AS DOUBLE[]), pv)
                    / nullif(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                                   CAST(embedding AS DOUBLE[])))
-                          * sqrt(list_dot_product(pv, pv)), 0.0),
-               4) AS DOUBLE) AS cos_sim
+                          * sqrt(list_dot_product(pv, pv)), 0.0)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS cos_sim
         FROM embeddings, probe
         WHERE vec_id <> 0
     )
@@ -170,7 +169,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            F.round(cosine(F.col("embedding"), F.col("pv")), 4).alias("cos_sim"),
+            portable_round(cosine(F.col("embedding"), F.col("pv")), 4).alias("cos_sim"),
         )
     )
     return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
@@ -184,11 +183,9 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings WHERE vec_id < 50
     ), pairs AS (
         SELECT a.vec_id AS src, b.vec_id AS nbr,
-               CAST(ROUND(
-                   list_dot_product(a.v, b.v)
+               CAST((CAST(floor(CAST((list_dot_product(a.v, b.v)
                    / nullif(sqrt(list_dot_product(a.v, a.v))
-                          * sqrt(list_dot_product(b.v, b.v)), 0.0),
-               4) AS DOUBLE) AS cos_sim
+                          * sqrt(list_dot_product(b.v, b.v)), 0.0)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS cos_sim
         FROM small a JOIN small b ON a.vec_id <> b.vec_id
     )
     SELECT src, nbr, cos_sim FROM (
@@ -208,7 +205,7 @@ def q_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(F.broadcast(b), F.col("src") != F.col("nbr")).select(
         "src",
         "nbr",
-        F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+        portable_round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
     )
     w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), "nbr")
     return (

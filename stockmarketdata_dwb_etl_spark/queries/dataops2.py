@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.text import (
     lang_scores,
@@ -77,11 +78,11 @@ def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     )
     SELECT i.id_a, i.id_b,
-           CAST(ROUND(i.c::DOUBLE / (sa.n + sb.n - i.c), 4) AS DOUBLE) AS jaccard
+           CAST((CAST(floor(CAST((i.c::DOUBLE / (sa.n + sb.n - i.c)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS jaccard
     FROM inter i
     JOIN sizes sa ON sa.doc_id = i.id_a
     JOIN sizes sb ON sb.doc_id = i.id_b
-    WHERE ROUND(i.c::DOUBLE / (sa.n + sb.n - i.c), 4) >= 0.7
+    WHERE (CAST(floor(CAST((i.c::DOUBLE / (sa.n + sb.n - i.c)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) >= 0.7
     """,
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,8 +185,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM aug)
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-                / len(list_distinct(list_concat(a.shingles, b.shingles))), 4)
+           CAST((CAST(floor(CAST((len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                / len(list_distinct(list_concat(a.shingles, b.shingles)))) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0)
                 AS DOUBLE) AS jaccard
     FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000
     """,
@@ -204,7 +205,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, F.col("id_b") == F.col("id_a") + 1_000_000).select(
         "id_a",
         "id_b",
-        F.round(
+        portable_round(
             F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
             / F.size(F.array_union("sh_a", "sh_b")),
             4,
@@ -258,14 +259,14 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_tokens,
            CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'))
              AS INTEGER) AS n_bpe_tokens,
-           CAST(ROUND(len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]'))::DOUBLE
-                / length(text), 4) AS DOUBLE) AS punct_ratio,
+           CAST((CAST(floor(CAST((len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]'))::DOUBLE
+                / length(text)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS punct_ratio,
            CAST(len(list_intersect(
                 list_distinct(list_filter(string_split(text, ' '), x -> x <> '')),
                 ['the','a','of','and','to'])) AS INTEGER) AS stopword_hits,
-           CAST(ROUND((length(text)
+           CAST((CAST(floor(CAST(((length(text)
                   - len(list_filter(string_split(text, ' '), x -> x <> '')) + 1)::DOUBLE
-                / nullif(len(list_filter(string_split(text, ' '), x -> x <> '')), 0), 4)
+                / nullif(len(list_filter(string_split(text, ' '), x -> x <> '')), 0)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0)
              AS DOUBLE) AS mean_token_len
     FROM documents
     """,
@@ -328,12 +329,10 @@ ANN_TOPK_ORACLE = """
     ), p2 AS (SELECT CAST(pv AS DOUBLE[]) AS pv FROM probe),
     scored AS (
         SELECT vec_id, label,
-               CAST(ROUND(
-                   list_dot_product(CAST(embedding AS DOUBLE[]), pv)
+               CAST((CAST(floor(CAST((list_dot_product(CAST(embedding AS DOUBLE[]), pv)
                    / nullif(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                                   CAST(embedding AS DOUBLE[])))
-                          * sqrt(list_dot_product(pv, pv)), 0.0),
-               4) AS DOUBLE) AS cos_sim
+                          * sqrt(list_dot_product(pv, pv)), 0.0)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS cos_sim
         FROM aug, p2
     )
     SELECT vec_id, label, cos_sim FROM scored
@@ -424,15 +423,13 @@ def _embeddings_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- sequential left-folds, bit-identical to Spark's F.aggregate
            -- accumulation order (list_dot_product may accumulate pairwise
            -- and flip a 4-dp rounding boundary)
-           CAST(ROUND(
-               list_reduce(list_transform(generate_series(1, len(a.v)),
+           CAST((CAST(floor(CAST((list_reduce(list_transform(generate_series(1, len(a.v)),
                            i -> a.v[i] * b.v[i]), (x, y) -> x + y)
                / nullif(
                    sqrt(list_reduce(list_transform(generate_series(1, len(a.v)),
                         i -> a.v[i] * a.v[i]), (x, y) -> x + y))
                  * sqrt(list_reduce(list_transform(generate_series(1, len(b.v)),
-                        i -> b.v[i] * b.v[i]), (x, y) -> x + y)), 0.0),
-               4) AS DOUBLE) AS cos_sim
+                        i -> b.v[i] * b.v[i]), (x, y) -> x + y)), 0.0)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS cos_sim
     FROM base a JOIN dups b ON b.dup_id = a.vec_id + 2000000
     ORDER BY id_a
     """,
@@ -502,12 +499,12 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN doc_id % 3 = 1 THEN 'audio'
                 ELSE 'video' END AS media_type,
            CAST(length(text) AS INTEGER) AS n_bytes,
-           ROUND(((strpos('0123456789abcdef', substr(sha256(text), 1, 1)) - 1) * 16
+           (CAST(floor(CAST((((strpos('0123456789abcdef', substr(sha256(text), 1, 1)) - 1) * 16
                   + strpos('0123456789abcdef', substr(sha256(text), 2, 1)) - 1)
-                 / 255.0, 4) AS f0,
-           ROUND(((strpos('0123456789abcdef', substr(sha256(text), 15, 1)) - 1) * 16
+                 / 255.0) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS f0,
+           (CAST(floor(CAST((((strpos('0123456789abcdef', substr(sha256(text), 15, 1)) - 1) * 16
                   + strpos('0123456789abcdef', substr(sha256(text), 16, 1)) - 1)
-                 / 255.0, 4) AS f7
+                 / 255.0) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS f7
     FROM documents
     """,
 )
@@ -524,8 +521,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "media_type",
         "n_bytes",
-        F.round(F.element_at("feature", 1), 4).alias("f0"),
-        F.round(F.element_at("feature", FEATURE_DIM), 4).alias("f7"),
+        portable_round(F.element_at("feature", 1), 4).alias("f0"),
+        portable_round(F.element_at("feature", FEATURE_DIM), 4).alias("f7"),
     )
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.text import tokenize, word_shingles
 from stockmarketdata_dwb_etl_spark.registry import QUERIES, query
@@ -140,8 +141,8 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(g) AS BIGINT) AS n_3grams,
            CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct_3grams,
-           CAST(ROUND(CASE WHEN len(g) = 0 THEN 1.0
-                ELSE len(list_distinct(g))::DOUBLE / len(g) END, 4) AS DOUBLE)
+           CAST((CAST(floor(CAST((CASE WHEN len(g) = 0 THEN 1.0
+                ELSE len(list_distinct(g))::DOUBLE / len(g) END) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE)
                AS distinct_ratio,
            (CASE WHEN len(g) = 0 THEN 1.0
                  ELSE len(list_distinct(g))::DOUBLE / len(g) END) < 0.6
@@ -164,7 +165,7 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n.alias("n_3grams"),
         nd.alias("n_distinct_3grams"),
-        F.round(ratio, 4).alias("distinct_ratio"),
+        portable_round(ratio, 4).alias("distinct_ratio"),
         (ratio < 0.6).alias("repetitive"),
     )
 
@@ -364,7 +365,7 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
     ), ranked AS (
         SELECT t.doc_id, t.word, t.tf, d.df,
-               CAST(ROUND(t.tf * ln(n.n_docs / d.df), 4) AS DOUBLE) AS tfidf,
+               CAST((CAST(floor(CAST((t.tf * ln(n.n_docs / d.df)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS tfidf,
                ROW_NUMBER() OVER (PARTITION BY t.doc_id
                    ORDER BY t.tf DESC, d.df ASC, t.word) AS rk
         FROM terms t JOIN df d ON t.word = d.word CROSS JOIN n
@@ -404,7 +405,7 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "word",
             "tf",
             "df",
-            F.round(
+            portable_round(
                 F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4
             ).alias("tfidf"),
         )
@@ -432,7 +433,7 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
            regexp_extract(host, '[^.]+$') AS tld,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(COUNT(*) FILTER (WHERE scheme = 'https') AS BIGINT) AS n_https,
-           CAST(ROUND(AVG(path_depth), 4) AS DOUBLE) AS avg_path_depth,
+           CAST((CAST(floor(CAST((AVG(path_depth)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS avg_path_depth,
            CAST(0 AS BIGINT) AS n_bad_qid
     FROM u
     GROUP BY host
@@ -486,7 +487,7 @@ def q_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first(F.regexp_extract(F.col("host"), r"([^.]+)$", 1)).alias("tld"),
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.when(F.col("p_scheme") == "https", 1).otherwise(0)).alias("n_https"),
-        F.round(F.avg(depth), 4).alias("avg_path_depth"),
+        portable_round(F.avg(depth), 4).alias("avg_path_depth"),
         F.sum(
             F.when(F.col("qid") != F.col("doc_id").cast("string"), 1).otherwise(0)
         ).alias("n_bad_qid"),
@@ -517,8 +518,8 @@ def q_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                (SELECT COUNT(*) FROM big) AS n_big
     )
     SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
-           CAST(ROUND(LN((c_ab * n_uni * n_uni)::DOUBLE
-                         / (n_big::DOUBLE * ca.c * cb.c)), 4) AS DOUBLE) AS pmi
+           CAST((CAST(floor(CAST((LN((c_ab * n_uni * n_uni)::DOUBLE
+                         / (n_big::DOUBLE * ca.c * cb.c))) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS pmi
     FROM bc, tot
     JOIN uc ca ON bc.a = ca.t
     JOIN uc cb ON bc.b = cb.t
@@ -569,7 +570,7 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a",
             "b",
             "c_ab",
-            F.round(
+            portable_round(
                 F.log(
                     (F.col("c_ab") * F.col("n_uni") * F.col("n_uni")).cast("double")
                     / (
@@ -610,7 +611,7 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           CAST(ROUND(AVG(LN(bc.c_ab::DOUBLE / uc.c_a)), 4) AS DOUBLE)
+           CAST((CAST(floor(CAST((AVG(LN(bc.c_ab::DOUBLE / uc.c_a))) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE)
              AS avg_ll
     FROM dbig d
     JOIN bc ON d.a = bc.a AND d.b = bc.b
@@ -656,7 +657,7 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(
+            portable_round(
                 F.avg(F.log(F.col("c_ab").cast("double") / F.col("c_a"))), 4
             ).alias("avg_ll"),
         )
@@ -676,8 +677,8 @@ _BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(len(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT)
              AS total_tokens,
-           CAST(ROUND(CAST(SUM(length(text)) AS DOUBLE)
-                      / SUM(len(regexp_extract_all(text, '{_BPE_RE}'))), 4)
+           CAST((CAST(floor(CAST((CAST(SUM(length(text)) AS DOUBLE)
+                      / SUM(len(regexp_extract_all(text, '{_BPE_RE}')))) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0)
                 AS DOUBLE) AS chars_per_token
     FROM documents
     GROUP BY lang
@@ -699,7 +700,7 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_tok).cast("bigint").alias("total_tokens"),
-        F.round(
+        portable_round(
             F.sum(F.length("text")).cast("double") / F.sum(n_tok), 4
         ).alias("chars_per_token"),
     )
@@ -769,9 +770,9 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT label,
            CAST((SELECT COUNT(*) FROM embeddings e WHERE e.label = dims.label)
                 AS BIGINT) AS n_vectors,
-           CAST(ROUND(SQRT(SUM(mean_d * mean_d)), 4) AS DOUBLE)
+           CAST((CAST(floor(CAST((SQRT(SUM(mean_d * mean_d))) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE)
              AS centroid_norm,
-           CAST(ROUND(MAX(CASE WHEN idx = 1 THEN mean_d END), 6) AS DOUBLE)
+           CAST((CAST(floor(CAST((MAX(CASE WHEN idx = 1 THEN mean_d END)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE)
              AS dim0_mean
     FROM dims
     GROUP BY label
@@ -800,10 +801,10 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return dims.groupBy("label").agg(
         F.max("n_in_dim").cast("bigint").alias("n_vectors"),
-        F.round(F.sqrt(F.sum(F.col("mean_d") * F.col("mean_d"))), 4).alias(
+        portable_round(F.sqrt(F.sum(F.col("mean_d") * F.col("mean_d"))), 4).alias(
             "centroid_norm"
         ),
-        F.round(
+        portable_round(
             F.max(F.when(F.col("idx") == 1, F.col("mean_d"))), 6
         ).alias("dim0_mean"),
     )
@@ -824,7 +825,7 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ex GROUP BY label, idx
     ), dist AS (
         SELECT e.vec_id, e.label, c.c_label,
-               ROUND(SUM((e.val - c.mean_d) * (e.val - c.mean_d)), 9) AS d2
+               (CAST(floor(CAST((SUM((e.val - c.mean_d) * (e.val - c.mean_d))) AS DOUBLE) * 1000000000.0 + 0.5) AS DOUBLE) / 1000000000.0) AS d2
         FROM ex e JOIN cent c ON e.idx = c.idx
         GROUP BY e.vec_id, e.label, c.c_label
     ), best AS (
@@ -886,7 +887,7 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows has scan-order accumulation — a near-tie below ~1e-13 could
     # otherwise pick different centroids per engine
     dist = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "label", "c_label", F.round(d2, 9).alias("d2")
+        "vec_id", "label", "c_label", portable_round(d2, 9).alias("d2")
     )
     w = Window.partitionBy("vec_id").orderBy("d2", "c_label")
     return (
@@ -915,8 +916,8 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, lang,
            CAST(n_tokens AS BIGINT) AS n_tokens,
-           CAST(ROUND(distinct_ratio, 4) AS DOUBLE) AS distinct_ratio,
-           CAST(ROUND(alpha_ratio, 4) AS DOUBLE) AS alpha_ratio,
+           CAST((CAST(floor(CAST((distinct_ratio) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS distinct_ratio,
+           CAST((CAST(floor(CAST((alpha_ratio) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS alpha_ratio,
            (n_tokens >= 30 AND distinct_ratio >= 0.6 AND alpha_ratio >= 0.6)
              AS keep
     FROM sig
@@ -955,8 +956,8 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         n_tok.cast("bigint").alias("n_tokens"),
-        F.round(distinct_ratio, 4).alias("distinct_ratio"),
-        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        portable_round(distinct_ratio, 4).alias("distinct_ratio"),
+        portable_round(alpha_ratio, 4).alias("alpha_ratio"),
         (
             (n_tok >= 30) & (distinct_ratio >= 0.6) & (alpha_ratio >= 0.6)
         ).alias("keep"),
@@ -1037,7 +1038,7 @@ def q_text_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ex GROUP BY label, idx
     ), dist AS (
         SELECT e.vec_id, e.label, c.c_label,
-               ROUND(SUM((e.val - c.mean_d) * (e.val - c.mean_d)), 9) AS d2
+               (CAST(floor(CAST((SUM((e.val - c.mean_d) * (e.val - c.mean_d))) AS DOUBLE) * 1000000000.0 + 0.5) AS DOUBLE) / 1000000000.0) AS d2
         FROM ex e JOIN cent c ON e.idx = c.idx
         GROUP BY e.vec_id, e.label, c.c_label
     ), best AS (
@@ -1061,27 +1062,25 @@ def q_text_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(SUM(mx) AS BIGINT) AS hits FROM (
             SELECT c_label, MAX(n) AS mx FROM cm GROUP BY c_label)
     ), mi AS (
-        SELECT SUM(CAST(ROUND(
-                   (CAST(cm.n AS DOUBLE) / t.nn)
+        SELECT SUM(CAST((CAST(floor(CAST(((CAST(cm.n AS DOUBLE) / t.nn)
                    * ln(CAST(t.nn AS DOUBLE) * cm.n
-                        / (CAST(ml.m AS DOUBLE) * mc.m)), 12)
+                        / (CAST(ml.m AS DOUBLE) * mc.m))) AS DOUBLE) * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0)
                AS DECIMAL(38,18))) AS mi_sum
         FROM cm CROSS JOIN tot t
         JOIN marg ml ON ml.side = 'l' AND ml.k = cm.label
         JOIN marg mc ON mc.side = 'c' AND mc.k = cm.c_label
     ), ent AS (
         SELECT side,
-               SUM(CAST(ROUND(-(CAST(m AS DOUBLE) / t.nn)
-                              * ln(CAST(m AS DOUBLE) / t.nn), 12)
+               SUM(CAST((CAST(floor(CAST((-(CAST(m AS DOUBLE) / t.nn)
+                              * ln(CAST(m AS DOUBLE) / t.nn)) AS DOUBLE) * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0)
                    AS DECIMAL(38,18))) AS h
         FROM marg CROSS JOIN tot t GROUP BY side
     )
     SELECT t.nn AS n_vecs, t.n_clusters,
-           CAST(ROUND(CAST(maj.hits AS DOUBLE) / t.nn, 6) AS DOUBLE)
+           CAST((CAST(floor(CAST((CAST(maj.hits AS DOUBLE) / t.nn) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE)
                AS purity,
-           CAST(ROUND(CAST(mi.mi_sum AS DOUBLE)
-                      / sqrt(CAST(hl.h AS DOUBLE) * CAST(hc.h AS DOUBLE)),
-                      6) AS DOUBLE) AS nmi
+           CAST((CAST(floor(CAST((CAST(mi.mi_sum AS DOUBLE)
+                      / sqrt(CAST(hl.h AS DOUBLE) * CAST(hc.h AS DOUBLE))) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS nmi
     FROM tot t CROSS JOIN maj CROSS JOIN mi
     CROSS JOIN (SELECT h FROM ent WHERE side = 'l') hl
     CROSS JOIN (SELECT h FROM ent WHERE side = 'c') hc
@@ -1120,7 +1119,7 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(mc), "c_label")
         .crossJoin(F.broadcast(tot))
     )
-    mi_term = F.round(
+    mi_term = portable_round(
         (F.col("n").cast("double") / F.col("nn"))
         * F.log(
             F.col("nn").cast("double")
@@ -1132,7 +1131,7 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     mi = joined.agg(F.sum(mi_term).alias("mi_sum"))
 
     def entropy(marg, col):
-        term = F.round(
+        term = portable_round(
             -(F.col(col).cast("double") / F.col("nn"))
             * F.log(F.col(col).cast("double") / F.col("nn")),
             12,
@@ -1149,10 +1148,10 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("nn").alias("n_vecs"),
             "n_clusters",
-            F.round(F.col("hits").cast("double") / F.col("nn"), 6)
+            portable_round(F.col("hits").cast("double") / F.col("nn"), 6)
             .cast("double")
             .alias("purity"),
-            F.round(
+            portable_round(
                 F.col("mi_sum").cast("double")
                 / F.sqrt(
                     F.col("hl").cast("double") * F.col("hc").cast("double")

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.text import tokenize, word_shingles
 from stockmarketdata_dwb_etl_spark.registry import query
@@ -65,7 +66,7 @@ _BM25_B = 0.75
         CROSS JOIN corpus c
     )
     SELECT doc_id,
-           CAST(ROUND(SUM(term_score), 4) AS DOUBLE) AS bm25
+           CAST((CAST(floor(CAST((SUM(term_score)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS bm25
     FROM scored
     GROUP BY doc_id
     ORDER BY bm25 DESC, doc_id
@@ -118,7 +119,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(corpus))
         .select("doc_id", term_score.alias("term_score"))
         .groupBy("doc_id")
-        .agg(F.round(F.sum("term_score"), 4).cast("double").alias("bm25"))
+        .agg(portable_round(F.sum("term_score"), 4).cast("double").alias("bm25"))
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(10)
     )
@@ -153,7 +154,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM inter i
         JOIN sizes sa ON sa.doc_id = i.id_a
         JOIN sizes sb ON sb.doc_id = i.id_b
-        WHERE ROUND(i.c::DOUBLE / (sa.n + sb.n - i.c), 4) >= 0.7
+        WHERE (CAST(floor(CAST((i.c::DOUBLE / (sa.n + sb.n - i.c)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) >= 0.7
     ), und AS (
         SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
     ), reach AS (
@@ -243,8 +244,8 @@ def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM counts
     )
     SELECT c.user_id, c.n,
-           CAST(ROUND(c.n::DOUBLE / t.total, 4) AS DOUBLE) AS share,
-           CAST(ROUND(c.n * t.n_keys::DOUBLE / t.total, 4) AS DOUBLE)
+           CAST((CAST(floor(CAST((c.n::DOUBLE / t.total) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS share,
+           CAST((CAST(floor(CAST((c.n * t.n_keys::DOUBLE / t.total) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE)
                AS skew_x
     FROM counts c CROSS JOIN tot t
     ORDER BY c.n DESC, c.user_id
@@ -273,8 +274,8 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "n",
-            F.round(F.col("n").cast("double") / F.col("total"), 4).alias("share"),
-            F.round(
+            portable_round(F.col("n").cast("double") / F.col("total"), 4).alias("share"),
+            portable_round(
                 F.col("n") * F.col("n_keys").cast("double") / F.col("total"), 4
             ).alias("skew_x"),
         )
@@ -288,19 +289,19 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH med AS (
         SELECT event_type,
-               ROUND(quantile_cont(value, 0.5), 6) AS med
+               (CAST(floor(CAST((quantile_cont(value, 0.5)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS med
         FROM events GROUP BY event_type
     ), dev AS (
         SELECT e.event_type, m.med, ABS(e.value - m.med) AS adev
         FROM events e JOIN med m USING (event_type)
     ), mad AS (
         SELECT event_type, med,
-               ROUND(quantile_cont(adev, 0.5), 6) AS mad
+               (CAST(floor(CAST((quantile_cont(adev, 0.5)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS mad
         FROM dev GROUP BY event_type, med
     )
     SELECT d.event_type,
-           CAST(ROUND(m.med, 4) AS DOUBLE) AS med,
-           CAST(ROUND(m.mad, 4) AS DOUBLE) AS mad,
+           CAST((CAST(floor(CAST((m.med) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS med,
+           CAST((CAST(floor(CAST((m.mad) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS mad,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_outliers
@@ -325,13 +326,13 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     med = ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+        portable_round(F.expr("percentile(value, 0.5)"), 6).alias("med")
     )
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
     )
     mad = dev.groupBy("event_type", "med").agg(
-        F.round(F.expr("percentile(adev, 0.5)"), 6).alias("mad")
+        portable_round(F.expr("percentile(adev, 0.5)"), 6).alias("mad")
     )
     return (
         dev.join(F.broadcast(mad), ["event_type", "med"])
@@ -344,8 +345,8 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "event_type",
-            F.round("med", 4).cast("double").alias("med"),
-            F.round("mad", 4).cast("double").alias("mad"),
+            portable_round("med", 4).cast("double").alias("med"),
+            portable_round("mad", 4).cast("double").alias("mad"),
             "n",
             "n_outliers",
         )
@@ -390,7 +391,7 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM grid g JOIN tot t USING (event_type)
     )
     SELECT event_type,
-           CAST(ROUND(SUM(term), 4) AS DOUBLE) AS psi
+           CAST((CAST(floor(CAST((SUM(term)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS psi
     FROM terms GROUP BY event_type
     """,
 )
@@ -462,7 +463,7 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid.join(F.broadcast(tot), "event_type")
         .select("event_type", term.alias("term"))
         .groupBy("event_type")
-        .agg(F.round(F.sum("term"), 4).cast("double").alias("psi"))
+        .agg(portable_round(F.sum("term"), 4).cast("double").alias("psi"))
     )
 
 
@@ -479,17 +480,17 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM wc GROUP BY doc_id
     ), ent AS (
         SELECT w.doc_id, w.source,
-               ROUND(SUM(CAST(
+               (CAST(floor(CAST((SUM(CAST(
                    -(w.c::DOUBLE / d.n) * LN(w.c::DOUBLE / d.n)
-               AS DECIMAL(38,12))), 6) AS h
+               AS DECIMAL(38,12)))) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS h
         FROM wc w JOIN dtot d USING (doc_id)
         GROUP BY w.doc_id, w.source
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(ROUND(SUM(CAST(h AS DECIMAL(38,6))) / COUNT(*), 4)
+           CAST((CAST(floor(CAST((SUM(CAST(h AS DECIMAL(38,6))) / COUNT(*)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0)
                 AS DOUBLE) AS avg_entropy,
-           CAST(ROUND(MIN(h), 4) AS DOUBLE) AS min_entropy
+           CAST((CAST(floor(CAST((MIN(h)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS min_entropy
     FROM ent GROUP BY source
     """,
 )
@@ -521,16 +522,16 @@ def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source", (-p * F.log(p)).cast("decimal(38,12)").alias("t")
         )
         .groupBy("doc_id", "source")
-        .agg(F.round(F.sum("t"), 6).alias("h"))
+        .agg(portable_round(F.sum("t"), 6).alias("h"))
     )
     return ent.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(
+        portable_round(
             F.sum(F.col("h").cast("decimal(38,6)")) / F.count(F.lit(1)), 4
         )
         .cast("double")
         .alias("avg_entropy"),
-        F.round(F.min("h"), 4).cast("double").alias("min_entropy"),
+        portable_round(F.min("h"), 4).cast("double").alias("min_entropy"),
     )
 
 
@@ -555,9 +556,9 @@ def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM elems
     )
     SELECT vec_id,
-           CAST(ROUND(scale, 9) AS DOUBLE) AS scale,
-           CAST(ROUND(SUM(CAST((v - q * scale) * (v - q * scale)
-                               AS DECIMAL(38,18))), 9) AS DOUBLE) AS l2_err,
+           CAST((CAST(floor(CAST((scale) AS DOUBLE) * 1000000000.0 + 0.5) AS DOUBLE) / 1000000000.0) AS DOUBLE) AS scale,
+           CAST((CAST(floor(CAST((SUM(CAST((v - q * scale) * (v - q * scale)
+                               AS DECIMAL(38,18)))) AS DOUBLE) * 1000000000.0 + 0.5) AS DOUBLE) / 1000000000.0) AS DOUBLE) AS l2_err,
            CAST(SUM(CASE WHEN q <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz
     FROM quant
     GROUP BY vec_id, scale
@@ -569,7 +570,7 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     bandwidth move every billion-vector ANN index makes (4 bytes → 1 byte
     per dim) — reporting per-vector scale, reconstruction L2 error, and
     nonzero count. Quantization is floor(v/scale + 0.5): floor is
-    unambiguous on every engine, unlike round() whose half-way tie rule
+    unambiguous on every engine, unlike (CAST(floor(CAST(() AS DOUBLE) * 1.0 + 0.5) AS DOUBLE) / 1.0) whose half-way tie rule
     differs (Spark HALF_UP vs banker's variants). Element arithmetic stays
     per-value double (bit-identical), the error sum goes through
     DECIMAL(38,18) so fold order cannot matter. Scales: posexplode is a
@@ -598,7 +599,7 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         quant.groupBy("vec_id", "scale")
         .agg(
-            F.round(F.sum(err.cast("decimal(38,18)")), 9)
+            portable_round(F.sum(err.cast("decimal(38,18)")), 9)
             .cast("double")
             .alias("l2_err"),
             F.sum(F.when(F.col("q") != 0, 1).otherwise(0))
@@ -607,7 +608,7 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "vec_id",
-            F.round("scale", 9).cast("double").alias("scale"),
+            portable_round("scale", 9).cast("double").alias("scale"),
             "l2_err",
             "nnz",
         )
@@ -635,8 +636,8 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     )
     SELECT brand_a, brand_b, n_pair,
-           CAST(ROUND(CAST(n_pair AS DOUBLE) * n_orders
-                      / (ma.nb * mb.nb), 6) AS DOUBLE) AS lift
+           CAST((CAST(floor(CAST((CAST(n_pair AS DOUBLE) * n_orders
+                      / (ma.nb * mb.nb)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS lift
     FROM pairs
     JOIN marg ma ON ma.b = brand_a
     JOIN marg mb ON mb.b = brand_b
@@ -682,7 +683,7 @@ def q_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brand_a",
             "brand_b",
             "n_pair",
-            F.round(
+            portable_round(
                 F.col("n_pair").cast("double")
                 * F.col("n_orders")
                 / (F.col("na_") * F.col("nb_")),
@@ -759,8 +760,8 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_shingles,
            CAST(SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_shared,
-           CAST(ROUND(CAST(SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END)
-                           AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS ratio
+           CAST((CAST(floor(CAST((CAST(SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END)
+                           AS DOUBLE) / COUNT(*)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS ratio
     FROM ex JOIN df ON df.s = ex.s
     GROUP BY ex.doc_id
     ORDER BY ex.doc_id
@@ -793,7 +794,7 @@ def q_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_shingles",
             "n_shared",
-            F.round(
+            portable_round(
                 F.col("n_shared").cast("double") / F.col("n_shingles"), 6
             )
             .cast("double")

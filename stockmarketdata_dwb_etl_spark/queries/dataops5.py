@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.text import tokenize, word_shingles
 from stockmarketdata_dwb_etl_spark.registry import query
@@ -50,12 +51,12 @@ _DEC18 = "decimal(38,18)"
         FROM xy
     )
     SELECT n AS n_terms,
-           CAST(ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+           CAST((CAST(floor(CAST(((n * sxy - sx * sy) / (n * sxx - sx * sx)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)
                 AS DOUBLE) AS zipf_slope,
-           CAST(ROUND(sy / n - (n * sxy - sx * sy) / (n * sxx - sx * sx)
-                               * (sx / n), 6) AS DOUBLE) AS zipf_intercept,
-           CAST(ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
-                      / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           CAST((CAST(floor(CAST((sy / n - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                               * (sx / n)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS zipf_intercept,
+           CAST((CAST(floor(CAST(((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                      / ((n * sxx - sx * sx) * (n * syy - sy * sy))) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)
                 AS DOUBLE) AS r2
     FROM s
     """,
@@ -107,11 +108,11 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     return s.select(
         n.alias("n_terms"),
-        F.round(slope, 6).cast("double").alias("zipf_slope"),
-        F.round(sy / n - slope * (sx / n), 6)
+        portable_round(slope, 6).cast("double").alias("zipf_slope"),
+        portable_round(sy / n - slope * (sx / n), 6)
         .cast("double")
         .alias("zipf_intercept"),
-        F.round(
+        portable_round(
             (n * sxy - sx * sy)
             * (n * sxy - sx * sy)
             / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
@@ -149,11 +150,11 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM snip
     )
     SELECT s.snip_id, s.orig_id,
-           CAST(ROUND(len(list_intersect(s.shingles, o.shingles))::DOUBLE
-                      / len(s.shingles), 4) AS DOUBLE) AS containment,
-           CAST(ROUND(len(list_intersect(s.shingles, o.shingles))::DOUBLE
+           CAST((CAST(floor(CAST((len(list_intersect(s.shingles, o.shingles))::DOUBLE
+                      / len(s.shingles)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS containment,
+           CAST((CAST(floor(CAST((len(list_intersect(s.shingles, o.shingles))::DOUBLE
                       / len(list_distinct(
-                            list_concat(s.shingles, o.shingles))), 4)
+                            list_concat(s.shingles, o.shingles)))) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0)
                 AS DOUBLE) AS jaccard
     FROM sh_snip s JOIN sh_orig o ON o.doc_id = s.orig_id
     ORDER BY s.snip_id
@@ -201,8 +202,8 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "snip_id",
             "orig_id",
-            F.round(inter / F.size("sh_s"), 4).alias("containment"),
-            F.round(inter / F.size(F.array_union("sh_s", "sh_o")), 4).alias(
+            portable_round(inter / F.size("sh_s"), 4).alias("containment"),
+            portable_round(inter / F.size(F.array_union("sh_s", "sh_o")), 4).alias(
                 "jaccard"
             ),
         )
@@ -232,7 +233,7 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ex GROUP BY idx
     )
     SELECT e.vec_id, e.idx,
-           CAST(ROUND((e.val - s.mu) / s.sigma, 6) AS DOUBLE) AS scaled
+           CAST((CAST(floor(CAST(((e.val - s.mu) / s.sigma) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS scaled
     FROM ex e JOIN stats s ON s.idx = e.idx
     WHERE e.vec_id < 50
     ORDER BY e.vec_id, e.idx
@@ -279,7 +280,7 @@ def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "idx",
-            F.round((F.col("val") - F.col("mu")) / F.col("sigma"), 6)
+            portable_round((F.col("val") - F.col("mu")) / F.col("sigma"), 6)
             .cast("double")
             .alias("scaled"),
         )
@@ -357,15 +358,15 @@ def _pi_iteration_sql(vprev: str, tag: str) -> str:
     return f"""
     s{tag} AS (
         SELECT e.vec_id,
-               ROUND(CAST(SUM(CAST(e.val * v.comp AS DECIMAL(38,18)))
-                          AS DOUBLE), 12) AS s
+               (CAST(floor(CAST((CAST(SUM(CAST(e.val * v.comp AS DECIMAL(38,18)))
+                          AS DOUBLE)) AS DOUBLE) * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0) AS s
         FROM ex e JOIN {vprev} v ON v.idx = e.idx
         GROUP BY e.vec_id
     ),
     w{tag} AS (
         SELECT e.idx,
-               ROUND(CAST(SUM(CAST(e.val * s.s AS DECIMAL(38,18)))
-                          AS DOUBLE), 6) AS w
+               (CAST(floor(CAST((CAST(SUM(CAST(e.val * s.s AS DECIMAL(38,18)))
+                          AS DOUBLE)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS w
         FROM ex e JOIN s{tag} s ON s.vec_id = e.vec_id
         GROUP BY e.idx
     ),
@@ -375,7 +376,7 @@ def _pi_iteration_sql(vprev: str, tag: str) -> str:
         FROM w{tag}
     ),
     v{tag} AS (
-        SELECT w.idx, ROUND(w.w / n.nrm, 12) AS comp
+        SELECT w.idx, (CAST(floor(CAST((w.w / n.nrm) AS DOUBLE) * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0) AS comp
         FROM w{tag} w CROSS JOIN n{tag} n
     )"""
 
@@ -390,7 +391,7 @@ def _pi_iteration_sql(vprev: str, tag: str) -> str:
                              UNNEST(CAST(embedding AS DOUBLE[])) AS val) u
     ),
     v0 AS (
-        SELECT u.idx, ROUND(u.val, 12) AS comp
+        SELECT u.idx, (CAST(floor(CAST((u.val) AS DOUBLE) * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0) AS comp
         FROM embeddings,
              LATERAL (SELECT UNNEST(generate_series(1, len(embedding))) AS idx,
                              UNNEST(CAST(embedding AS DOUBLE[])) AS val) u
@@ -400,7 +401,7 @@ def _pi_iteration_sql(vprev: str, tag: str) -> str:
     {_pi_iteration_sql('v1', '2')},
     {_pi_iteration_sql('v2', '3')}
     SELECT v.idx, CAST(v.comp AS DOUBLE) AS component,
-           CAST(ROUND(n.nrm, 4) AS DOUBLE) AS eigenvalue_est
+           CAST((CAST(floor(CAST((n.nrm) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS eigenvalue_est
     FROM v3 v CROSS JOIN n3 n
     ORDER BY v.idx
     """,
@@ -431,7 +432,7 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = ex.persist()
     v = (
         ex.filter(F.col("vec_id") == 0)
-        .select("idx", F.round(F.col("val"), 12).alias("comp"))
+        .select("idx", portable_round(F.col("val"), 12).alias("comp"))
     )
     nrm_df = None
     for _ in range(3):
@@ -439,7 +440,7 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ex.join(F.broadcast(v), "idx")
             .groupBy("vec_id")
             .agg(
-                F.round(
+                portable_round(
                     F.sum((F.col("val") * F.col("comp")).cast(_PI_DEC)).cast(
                         "double"
                     ),
@@ -451,7 +452,7 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ex.join(F.broadcast(s), "vec_id")
             .groupBy("idx")
             .agg(
-                F.round(
+                portable_round(
                     F.sum((F.col("val") * F.col("s")).cast(_PI_DEC)).cast(
                         "double"
                     ),
@@ -471,14 +472,14 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nrm")
         )
         v = w.crossJoin(F.broadcast(nrm_df)).select(
-            "idx", F.round(F.col("w") / F.col("nrm"), 12).alias("comp")
+            "idx", portable_round(F.col("w") / F.col("nrm"), 12).alias("comp")
         )
     return (
         v.crossJoin(F.broadcast(nrm_df))
         .select(
             "idx",
             F.col("comp").cast("double").alias("component"),
-            F.round(F.col("nrm"), 4).cast("double").alias("eigenvalue_est"),
+            portable_round(F.col("nrm"), 4).cast("double").alias("eigenvalue_est"),
         )
         .orderBy("idx")
     )
@@ -513,12 +514,12 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     jac AS (
         SELECT i.id_a, i.id_b,
-               CAST(ROUND(i.c::DOUBLE / (sa.n + sb.n - i.c), 4) AS DOUBLE)
+               CAST((CAST(floor(CAST((i.c::DOUBLE / (sa.n + sb.n - i.c)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE)
                    AS jaccard
         FROM inter i
         JOIN sizes sa ON sa.doc_id = i.id_a
         JOIN sizes sb ON sb.doc_id = i.id_b
-        WHERE ROUND(i.c::DOUBLE / (sa.n + sb.n - i.c), 4) >= 0.7
+        WHERE (CAST(floor(CAST((i.c::DOUBLE / (sa.n + sb.n - i.c)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) >= 0.7
     )
     SELECT CAST(CASE WHEN id_a % 7 = 0 THEN id_b ELSE id_a END AS BIGINT)
                AS corpus_id,
@@ -605,16 +606,16 @@ def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT doc_id,
-               ROUND(1.0 / (1.0 + exp(-(
+               (CAST(floor(CAST((1.0 / (1.0 + exp(-(
                    -2.0 + 0.02 * least(n_words, 200) + 6.0 * stop_ratio
-                   - 8.0 * digit_ratio + 0.3 * avg_wlen))), 6) AS score
+                   - 8.0 * digit_ratio + 0.3 * avg_wlen)))) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS score
         FROM feat
     )
     SELECT CAST(least(CAST(floor(score * 10) AS BIGINT), 9) AS BIGINT)
                AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(ROUND(CAST(SUM(CAST(score AS DECIMAL(38,18))) AS DOUBLE)
-                      / COUNT(*), 6) AS DOUBLE) AS avg_score
+           CAST((CAST(floor(CAST((CAST(SUM(CAST(score AS DECIMAL(38,18))) AS DOUBLE)
+                      / COUNT(*)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS avg_score
     FROM scored GROUP BY 1 ORDER BY 1
     """,
 )
@@ -675,7 +676,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = feat.select(
         "doc_id",
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+        portable_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
     )
     return (
         scored.groupBy(
@@ -685,7 +686,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.round(
+            portable_round(
                 F.sum(F.col("score").cast("decimal(38,18)")).cast("double")
                 / F.count(F.lit(1)),
                 6,
@@ -781,10 +782,10 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MIN(dim) AS BIGINT) AS min_dim,
            CAST(MAX(dim) AS BIGINT) AS max_dim,
            CAST(COUNT(*) FILTER (WHERE nrm < 1e-12) AS BIGINT) AS n_zero,
-           CAST(ROUND(MIN(nrm), 4) AS DOUBLE) AS min_norm,
-           CAST(ROUND(MAX(nrm), 4) AS DOUBLE) AS max_norm,
-           CAST(ROUND(CAST(SUM(CAST(ROUND(nrm, 6) AS DECIMAL(38,18)))
-                           AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS avg_norm
+           CAST((CAST(floor(CAST((MIN(nrm)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS min_norm,
+           CAST((CAST(floor(CAST((MAX(nrm)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS max_norm,
+           CAST((CAST(floor(CAST((CAST(SUM(CAST(ROUND(nrm, 6) AS DECIMAL(38,18)))
+                           AS DOUBLE) / COUNT(*)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS avg_norm
     FROM norms
     """,
 )
@@ -815,10 +816,10 @@ def q_embed_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dim").cast("bigint").alias("min_dim"),
         F.max("dim").cast("bigint").alias("max_dim"),
         F.count(F.when(F.col("nrm") < 1e-12, 1)).cast("bigint").alias("n_zero"),
-        F.round(F.min("nrm"), 4).cast("double").alias("min_norm"),
-        F.round(F.max("nrm"), 4).cast("double").alias("max_norm"),
-        F.round(
-            F.sum(F.round(F.col("nrm"), 6).cast("decimal(38,18)")).cast(
+        portable_round(F.min("nrm"), 4).cast("double").alias("min_norm"),
+        portable_round(F.max("nrm"), 4).cast("double").alias("max_norm"),
+        portable_round(
+            F.sum(portable_round(F.col("nrm"), 6).cast("decimal(38,18)")).cast(
                 "double"
             )
             / F.count(F.lit(1)),
@@ -849,9 +850,9 @@ def q_embed_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT doc_id, source, n_tokens,
-               ROUND(1.0 / (1.0 + exp(-(
+               (CAST(floor(CAST((1.0 / (1.0 + exp(-(
                    -2.0 + 0.02 * least(n_tokens, 200) + 6.0 * stop_ratio
-                   - 8.0 * digit_ratio + 0.3 * avg_wlen))), 6) AS score
+                   - 8.0 * digit_ratio + 0.3 * avg_wlen)))) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS score
         FROM feat
     ),
     budget AS (
@@ -866,8 +867,8 @@ def q_embed_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
            CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
-           CAST(ROUND(CAST(SUM(CAST(score AS DECIMAL(38,18))) AS DOUBLE)
-                      / COUNT(*), 6) AS DOUBLE) AS avg_score
+           CAST((CAST(floor(CAST((CAST(SUM(CAST(score AS DECIMAL(38,18))) AS DOUBLE)
+                      / COUNT(*)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS avg_score
     FROM ranked, budget
     WHERE cum <= budget.b
     GROUP BY source ORDER BY source
@@ -931,7 +932,7 @@ def q_token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         "n_tokens",
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+        portable_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
     )
     budget = scored.agg(
         F.ceil(F.lit(0.25) * F.sum("n_tokens")).cast("bigint").alias("b")
@@ -951,7 +952,7 @@ def q_token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs_kept"),
             F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
-            F.round(
+            portable_round(
                 F.sum(F.col("score").cast("decimal(38,18)")).cast("double")
                 / F.count(F.lit(1)),
                 6,
@@ -999,8 +1000,8 @@ def q_token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_chunks,
            CAST(COUNT(*) FILTER (WHERE c.k = kp.keep_k) AS BIGINT)
                AS n_retained,
-           CAST(ROUND(CAST(COUNT(*) FILTER (WHERE c.k = kp.keep_k)
-                           AS DOUBLE) / COUNT(*), 4) AS DOUBLE)
+           CAST((CAST(floor(CAST((CAST(COUNT(*) FILTER (WHERE c.k = kp.keep_k)
+                           AS DOUBLE) / COUNT(*)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE)
                AS retained_ratio
     FROM keyed c JOIN keeper kp ON kp.h = c.h
     GROUP BY c.doc_id ORDER BY c.doc_id
@@ -1057,7 +1058,7 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("k") == F.col("keep_k"), 1))
             .cast("bigint")
             .alias("n_retained"),
-            F.round(
+            portable_round(
                 F.count(F.when(F.col("k") == F.col("keep_k"), 1)).cast(
                     "double"
                 )
@@ -1091,9 +1092,9 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-               ROUND(1.0 / (1.0 + exp(-(
+               (CAST(floor(CAST((1.0 / (1.0 + exp(-(
                    -2.0 + 0.02 * least(n_words, 200) + 6.0 * stop_ratio
-                   - 8.0 * digit_ratio + 0.3 * avg_wlen))), 6) AS score
+                   - 8.0 * digit_ratio + 0.3 * avg_wlen)))) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS score
         FROM feat
     ),
     grp AS (
@@ -1174,7 +1175,7 @@ def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = feat.select(
         "y",
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+        portable_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
     )
     grp = scored.groupBy("score").agg(
         F.sum("y").cast("bigint").alias("pos_at"),
@@ -1225,9 +1226,9 @@ _DUCK_SCORED_EN = """
     ),
     scored AS (
         SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-               ROUND(1.0 / (1.0 + exp(-(
+               (CAST(floor(CAST((1.0 / (1.0 + exp(-(
                    -2.0 + 0.02 * least(n_words, 200) + 6.0 * stop_ratio
-                   - 8.0 * digit_ratio + 0.3 * avg_wlen))), 6) AS score
+                   - 8.0 * digit_ratio + 0.3 * avg_wlen)))) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS score
         FROM feat
     )
 """
@@ -1369,7 +1370,7 @@ def _scored_en(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return feat.select(
         "y",
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+        portable_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
     )
 
 
@@ -1443,8 +1444,8 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.bands, c.rows_per_band,
            CAST(g.i / 20.0 AS DOUBLE) AS jaccard,
-           CAST(ROUND(1.0 - pow(1.0 - pow(g.i / 20.0, c.rows_per_band),
-                                c.bands), 6) AS DOUBLE) AS p_candidate
+           CAST((CAST(floor(CAST((1.0 - pow(1.0 - pow(g.i / 20.0, c.rows_per_band),
+                                c.bands)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS p_candidate
     FROM configs c CROSS JOIN grid g
     ORDER BY bands, rows_per_band, jaccard
     """,
@@ -1470,7 +1471,7 @@ def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bands",
             "rows_per_band",
             F.col("jaccard").cast("double").alias("jaccard"),
-            F.round(
+            portable_round(
                 F.lit(1.0)
                 - F.pow(
                     F.lit(1.0) - F.pow("jaccard", F.col("rows_per_band")),
@@ -1495,9 +1496,9 @@ def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                              UNNEST(embedding) AS val) u
     )
     SELECT a.idx AS i, b.idx AS j,
-           CAST(ROUND(CAST(SUM(CAST(
+           CAST((CAST(floor(CAST((CAST(SUM(CAST(
                     CAST(a.val AS DOUBLE) * CAST(b.val AS DOUBLE)
-                AS DECIMAL(38,18))) AS DOUBLE), 6) AS DOUBLE) AS gram
+                AS DECIMAL(38,18))) AS DOUBLE)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS gram
     FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.idx <= b.idx
     GROUP BY a.idx, b.idx
     ORDER BY i, j
@@ -1540,7 +1541,7 @@ def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         triples.groupBy("i", "j")
         .agg(
-            F.round(
+            portable_round(
                 F.sum(F.col("p").cast("decimal(38,18)")).cast("double"), 6
             )
             .cast("double")

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from stockmarketdata_dwb_etl_spark.catalog import load_table
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.queries.timeseries import _DUCK_ORD, _spark_ord
 from stockmarketdata_dwb_etl_spark.registry import query
 
@@ -53,11 +54,11 @@ _DUCK_CLOSE_BARS = f"""
     oracle="""
     SELECT CAST(date_trunc('day', l_shipdate) AS DATE) AS ship_day,
            CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty,
-           CAST(ROUND(
+           CAST(CAST(floor(
                CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6)))
                     AS DOUBLE)
-               / CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE),
-               6) AS DOUBLE) AS vwap
+               / CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+               * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS DOUBLE) AS vwap
     FROM lineitem
     GROUP BY 1 ORDER BY 1
     """,
@@ -83,7 +84,7 @@ def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
             # 6dp: past the harness's 4dp compare precision, so a quotient
             # landing on an exact 4dp tie is broken by the comparator's
             # uniform rounding, not by per-engine double round-half rules
-            F.round(
+            portable_round(
                 F.col("__pq").cast("double") / F.col("__q").cast("double"), 6
             )
             .cast("double")
@@ -115,8 +116,9 @@ def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
     )
     SELECT symbol, bar_ts, close,
-           CAST(ROUND(CASE WHEN sl = 0 THEN 100.0
-                           ELSE 100.0 - 100.0 / (1.0 + sg / sl) END, 4)
+           CAST(CAST(floor(CAST(CASE WHEN sl = 0 THEN 100.0
+                           ELSE 100.0 - 100.0 / (1.0 + sg / sl) END
+                AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0
                 AS DOUBLE) AS rsi14
     FROM gl WHERE rn >= 15
     ORDER BY symbol, bar_ts
@@ -162,7 +164,7 @@ def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol",
         "bar_ts",
         "close",
-        F.round(rsi, 4).cast("double").alias("rsi14"),
+        portable_round(rsi, 4).cast("double").alias("rsi14"),
     ).orderBy("symbol", "bar_ts")
 
 
@@ -195,9 +197,9 @@ def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM rec WHERE rn < n
     )
     SELECT s.symbol, s.bar_ts, s.close,
-           CAST(ROUND(r.e12 - r.e26, 4) AS DOUBLE) AS macd,
-           CAST(ROUND(r.sig, 4) AS DOUBLE) AS signal,
-           CAST(ROUND((r.e12 - r.e26) - r.sig, 4) AS DOUBLE) AS histogram
+           CAST((CAST(floor(CAST((r.e12 - r.e26) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS macd,
+           CAST((CAST(floor(CAST((r.sig) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS signal,
+           CAST((CAST(floor(CAST(((r.e12 - r.e26) - r.sig) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS histogram
     FROM seq s JOIN rec r ON s.symbol = r.symbol AND s.rn = r.rn
     ORDER BY s.symbol, s.bar_ts
     """,
@@ -246,9 +248,9 @@ def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol",
         "bar_ts",
         "close",
-        F.round(F.col("e12") - F.col("e26"), 4).cast("double").alias("macd"),
-        F.round(F.col("sig"), 4).cast("double").alias("signal"),
-        F.round((F.col("e12") - F.col("e26")) - F.col("sig"), 4)
+        portable_round(F.col("e12") - F.col("e26"), 4).cast("double").alias("macd"),
+        portable_round(F.col("sig"), 4).cast("double").alias("signal"),
+        portable_round((F.col("e12") - F.col("e26")) - F.col("sig"), 4)
         .cast("double")
         .alias("histogram"),
     ).orderBy("symbol", "bar_ts")
@@ -265,12 +267,12 @@ def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts)
     )
     SELECT symbol, bar_ts, close,
-           CAST(ROUND(r, 6) AS DOUBLE) AS log_return,
-           CAST(ROUND(exp(CAST(
+           CAST((CAST(floor(CAST((r) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS log_return,
+           CAST((CAST(floor(CAST((exp(CAST(
                SUM(CAST(r AS DECIMAL(38,18)))
                    OVER (PARTITION BY symbol ORDER BY bar_ts
                          ROWS UNBOUNDED PRECEDING)
-               AS DOUBLE)), 6) AS DOUBLE) AS cum_growth
+               AS DOUBLE))) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS cum_growth
     FROM seq WHERE r IS NOT NULL
     ORDER BY symbol, bar_ts
     """,
@@ -300,8 +302,8 @@ def q_log_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol",
         "bar_ts",
         "close",
-        F.round("r", 6).cast("double").alias("log_return"),
-        F.round(
+        portable_round("r", 6).cast("double").alias("log_return"),
+        portable_round(
             F.exp(F.sum(F.col("r").cast(_DEC18)).over(wrun).cast("double")), 6
         )
         .cast("double")
@@ -330,11 +332,11 @@ def q_log_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE low > 0
     )
     SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
-           CAST(ROUND(CAST(SUM(CAST(g AS DECIMAL(38,18))) AS DOUBLE)
-                      / COUNT(*), 6) AS DOUBLE) AS gk_var,
-           CAST(ROUND(sqrt(greatest(
+           CAST((CAST(floor(CAST((CAST(SUM(CAST(g AS DECIMAL(38,18))) AS DOUBLE)
+                      / COUNT(*)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS gk_var,
+           CAST((CAST(floor(CAST((sqrt(greatest(
                CAST(SUM(CAST(g AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*),
-               0.0)), 6) AS DOUBLE) AS gk_vol
+               0.0))) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS gk_vol
     FROM gk GROUP BY symbol ORDER BY symbol
     """,
 )
@@ -373,8 +375,8 @@ def q_volatility_gk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "symbol",
         "n_days",
-        F.round(mean_g, 6).cast("double").alias("gk_var"),
-        F.round(F.sqrt(F.greatest(mean_g, F.lit(0.0))), 6)
+        portable_round(mean_g, 6).cast("double").alias("gk_var"),
+        portable_round(F.sqrt(F.greatest(mean_g, F.lit(0.0))), 6)
         .cast("double")
         .alias("gk_vol"),
     ).orderBy("symbol")
@@ -410,8 +412,8 @@ def q_volatility_gk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts)
     )
     SELECT symbol, bar_ts,
-           CAST(ROUND(open, 4) AS DOUBLE) AS open,
-           CAST(ROUND(close, 4) AS DOUBLE) AS close,
+           CAST((CAST(floor(CAST((open) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS open,
+           CAST((CAST(floor(CAST((close) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS close,
            doji, bullish_engulf, bearish_engulf
     FROM flagged
     WHERE doji OR bullish_engulf OR bearish_engulf
@@ -469,8 +471,8 @@ def q_candlestick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "symbol",
             "bar_ts",
-            F.round("open", 4).cast("double").alias("open"),
-            F.round("close", 4).cast("double").alias("close"),
+            portable_round("open", 4).cast("double").alias("open"),
+            portable_round("close", 4).cast("double").alias("close"),
             "doji",
             "bullish_engulf",
             "bearish_engulf",

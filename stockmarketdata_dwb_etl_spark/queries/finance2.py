@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from stockmarketdata_dwb_etl_spark.catalog import load_table
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.queries.timeseries import _DUCK_ORD, _spark_ord
 from stockmarketdata_dwb_etl_spark.registry import query
 
@@ -113,12 +114,12 @@ _DUCK_RETURNS = f"""
         FROM tr
     )
     SELECT symbol, bar_ts,
-           CAST(ROUND(true_range, 4) AS DOUBLE) AS true_range,
-           CAST(ROUND(CAST(
+           CAST((CAST(floor(CAST((true_range) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS true_range,
+           CAST((CAST(floor(CAST((CAST(
                SUM(CAST(true_range AS DECIMAL(38,6)))
                    OVER (PARTITION BY symbol ORDER BY bar_ts
                          ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
-               AS DOUBLE) / 14.0, 4) AS DOUBLE) AS atr14
+               AS DOUBLE) / 14.0) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS atr14
     FROM ranged
     QUALIFY rn >= 14
     ORDER BY symbol, bar_ts
@@ -161,8 +162,8 @@ def q_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "symbol",
             "bar_ts",
             "rn",
-            F.round("true_range", 4).cast("double").alias("true_range"),
-            F.round(
+            portable_round("true_range", 4).cast("double").alias("true_range"),
+            portable_round(
                 F.sum(F.col("true_range").cast(_DEC)).over(f).cast("double")
                 / F.lit(14.0),
                 4,
@@ -217,13 +218,12 @@ def q_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention), %D = 3-bar SMA of %K. %K rounds to 6dp BEFORE the %D
     average so the smoothed input is identical on both engines; the %D
     sum accumulates that 6dp value in exact DECIMAL. All rounds use the
-    floor-form portable round (functions/exact.py::portable_round) —
+    floor-form portable (CAST(floor(CAST((functions/exact.py::portable_round) AS DOUBLE) * 1.0 + 0.5) AS DOUBLE) / 1.0) —
     engine-native ROUND(double, n) flipped a 4dp half boundary at sf0.1
     (35.74135 → 35.7414 Spark vs 35.7413 DuckDB). Rows emit from
     rn≥16 so both the 14-bar range and the 3-bar smoothing are fully
     formed. Scales: one bar hash-agg + stacked frames on symbol — one
     shuffle."""
-    from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
     bars = _ohlcv_bars(spark, sf_dir, "hour")
     f = Window.partitionBy("symbol").orderBy("bar_ts").rowsBetween(-13, 0)
     w = Window.partitionBy("symbol").orderBy("bar_ts")
@@ -279,7 +279,7 @@ def q_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts)
     )
     SELECT symbol, bar_ts,
-           CAST(ROUND(close, 4) AS DOUBLE) AS close,
+           CAST((CAST(floor(CAST((close) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS close,
            CAST(SUM(signed_vol)
                     OVER (PARTITION BY symbol ORDER BY bar_ts
                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
@@ -315,7 +315,7 @@ def q_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return signed.select(
         "symbol",
         "bar_ts",
-        F.round("close", 4).cast("double").alias("close"),
+        portable_round("close", 4).cast("double").alias("close"),
         F.sum("signed_vol").over(run).cast("bigint").alias("obv"),
     ).orderBy("symbol", "bar_ts")
 
@@ -343,10 +343,10 @@ def q_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY s.symbol
     )
     SELECT symbol, n,
-           CAST(ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+           CAST((CAST(floor(CAST(((n * sxy - sx * sy) / (n * sxx - sx * sx)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)
                 AS DOUBLE) AS beta,
-           CAST(ROUND(sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
-                               * (sx / n), 6) AS DOUBLE) AS alpha
+           CAST((CAST(floor(CAST((sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                               * (sx / n)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS alpha
     FROM moments ORDER BY symbol
     """,
 )
@@ -386,8 +386,8 @@ def q_beta_capm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "symbol",
         "n",
-        F.round(beta, 6).cast("double").alias("beta"),
-        F.round(alpha, 6).cast("double").alias("alpha"),
+        portable_round(beta, 6).cast("double").alias("beta"),
+        portable_round(alpha, 6).cast("double").alias("alpha"),
     ).orderBy("symbol")
 
 
@@ -403,13 +403,13 @@ def q_beta_capm(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM rets GROUP BY symbol
     )
     SELECT symbol, n,
-           CAST(ROUND(s / n, 8) AS DOUBLE) AS mean_r,
-           CAST(ROUND(sqrt(greatest(ss / n - (s / n) * (s / n), 0.0)), 8)
+           CAST((CAST(floor(CAST((s / n) AS DOUBLE) * 100000000.0 + 0.5) AS DOUBLE) / 100000000.0) AS DOUBLE) AS mean_r,
+           CAST((CAST(floor(CAST((sqrt(greatest(ss / n - (s / n) * (s / n), 0.0))) AS DOUBLE) * 100000000.0 + 0.5) AS DOUBLE) / 100000000.0)
                 AS DOUBLE) AS vol,
            CAST(CASE WHEN ss / n - (s / n) * (s / n) <= 0 THEN NULL
-                ELSE ROUND((s / n)
+                ELSE (CAST(floor(CAST(((s / n)
                            / sqrt(greatest(ss / n - (s / n) * (s / n), 0.0))
-                           * sqrt(8760.0), 6) END AS DOUBLE)
+                           * sqrt(8760.0)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) END AS DOUBLE)
                AS sharpe_ann
     FROM moments ORDER BY symbol
     """,
@@ -436,10 +436,10 @@ def q_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "symbol",
         "n",
-        F.round(mean, 8).cast("double").alias("mean_r"),
-        F.round(vol, 8).cast("double").alias("vol"),
+        portable_round(mean, 8).cast("double").alias("mean_r"),
+        portable_round(vol, 8).cast("double").alias("vol"),
         F.when(var <= 0, F.lit(None).cast("double"))
-        .otherwise(F.round(mean / vol * F.sqrt(F.lit(8760.0)), 6))
+        .otherwise(portable_round(mean / vol * F.sqrt(F.lit(8760.0)), 6))
         .cast("double")
         .alias("sharpe_ann"),
     ).orderBy("symbol")
@@ -468,9 +468,9 @@ def q_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT symbol, n,
            CAST(CASE WHEN (n * sxx - sx * sx) <= 0
                        OR (n * syy - sy * sy) <= 0 THEN NULL
-                ELSE ROUND((n * sxy - sx * sy)
+                ELSE (CAST(floor(CAST(((n * sxy - sx * sy)
                            / (sqrt(n * sxx - sx * sx)
-                              * sqrt(n * syy - sy * sy)), 6) END
+                              * sqrt(n * syy - sy * sy))) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) END
                 AS DOUBLE) AS acf1
     FROM moments ORDER BY symbol
     """,
@@ -510,7 +510,7 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol",
         "n",
         F.when((cxx <= 0) | (cyy <= 0), F.lit(None).cast("double"))
-        .otherwise(F.round(cxy / (F.sqrt(cxx) * F.sqrt(cyy)), 6))
+        .otherwise(portable_round(cxy / (F.sqrt(cxx) * F.sqrt(cyy)), 6))
         .cast("double")
         .alias("acf1"),
     ).orderBy("symbol")
@@ -537,15 +537,15 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     per_date AS (
         SELECT bar_ts,
-               ROUND(1.0 - 6.0 * SUM((rs - rf) * (rs - rf))
-                            / (k * (CAST(k AS DOUBLE) * k - 1.0)), 8)
+               (CAST(floor(CAST((1.0 - 6.0 * SUM((rs - rf) * (rs - rf))
+                            / (k * (CAST(k AS DOUBLE) * k - 1.0))) AS DOUBLE) * 100000000.0 + 0.5) AS DOUBLE) / 100000000.0)
                    AS ic
         FROM ranked WHERE k >= 3
         GROUP BY bar_ts, k
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_dates,
-           CAST(ROUND(CAST(SUM(CAST(ic AS DECIMAL(38,18))) AS DOUBLE)
-                      / COUNT(*), 6) AS DOUBLE) AS mean_ic,
+           CAST((CAST(floor(CAST((CAST(SUM(CAST(ic AS DECIMAL(38,18))) AS DOUBLE)
+                      / COUNT(*)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS mean_ic,
            CAST(COUNT(*) FILTER (WHERE ic > 0) AS BIGINT) AS n_positive
     FROM per_date
     """,
@@ -582,7 +582,7 @@ def q_rank_ic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(d2).alias("sd2"))
         .select(
             "bar_ts",
-            F.round(
+            portable_round(
                 F.lit(1.0)
                 - F.lit(6.0)
                 * F.col("sd2")
@@ -596,7 +596,7 @@ def q_rank_ic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_date.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_dates"),
-        F.round(
+        portable_round(
             F.sum(F.col("ic").cast(_DEC18)).cast("double") / F.count(F.lit(1)),
             6,
         )
@@ -631,11 +631,11 @@ def q_rank_ic(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM m
     )
     SELECT symbol, n,
-           CAST(ROUND(m3 / pow(m2, 1.5), 6) AS DOUBLE) AS skewness,
-           CAST(ROUND(m4 / (m2 * m2) - 3.0, 6) AS DOUBLE) AS excess_kurtosis,
-           CAST(ROUND(n / 6.0 * ((m3 / pow(m2, 1.5)) * (m3 / pow(m2, 1.5))
+           CAST((CAST(floor(CAST((m3 / pow(m2, 1.5)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS skewness,
+           CAST((CAST(floor(CAST((m4 / (m2 * m2) - 3.0) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS excess_kurtosis,
+           CAST((CAST(floor(CAST((n / 6.0 * ((m3 / pow(m2, 1.5)) * (m3 / pow(m2, 1.5))
                       + 0.25 * (m4 / (m2 * m2) - 3.0)
-                             * (m4 / (m2 * m2) - 3.0)), 4) AS DOUBLE) AS jb_stat
+                             * (m4 / (m2 * m2) - 3.0))) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS jb_stat
     FROM cm ORDER BY symbol
     """,
 )
@@ -675,9 +675,9 @@ def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "symbol",
         "n",
-        F.round(skew, 6).cast("double").alias("skewness"),
-        F.round(exk, 6).cast("double").alias("excess_kurtosis"),
-        F.round(jb, 4).cast("double").alias("jb_stat"),
+        portable_round(skew, 6).cast("double").alias("skewness"),
+        portable_round(exk, 6).cast("double").alias("excess_kurtosis"),
+        portable_round(jb, 4).cast("double").alias("jb_stat"),
     ).orderBy("symbol")
 
 
@@ -694,8 +694,8 @@ def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT symbol,
            CAST(COUNT(*) AS BIGINT) AS n_bars,
-           CAST(ROUND(CAST(SUM(CAST(abs_r / volume AS DECIMAL(38,18)))
-                           AS DOUBLE) / COUNT(*) * 1e6, 6) AS DOUBLE)
+           CAST((CAST(floor(CAST((CAST(SUM(CAST(abs_r / volume AS DECIMAL(38,18)))
+                           AS DOUBLE) / COUNT(*) * 1e6) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE)
                AS amihud_x1e6
     FROM seq GROUP BY symbol ORDER BY symbol
     """,
@@ -720,7 +720,7 @@ def q_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.groupBy("symbol")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bars"),
-            F.round(
+            portable_round(
                 F.sum((F.col("abs_r") / F.col("volume")).cast(_DEC18)).cast(
                     "double"
                 )
@@ -752,9 +752,9 @@ def q_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT symbol,
            CAST(COUNT(*) AS BIGINT) AS n_segments,
            CAST(SUM(dt_us) AS BIGINT) AS total_us,
-           CAST(ROUND(CAST(SUM(CAST(value * dt_us AS DECIMAL(38,6)))
+           CAST((CAST(floor(CAST((CAST(SUM(CAST(value * dt_us AS DECIMAL(38,6)))
                            AS DOUBLE)
-                      / CAST(SUM(dt_us) AS DOUBLE), 6) AS DOUBLE) AS twap
+                      / CAST(SUM(dt_us) AS DOUBLE)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS twap
     FROM seg GROUP BY symbol ORDER BY symbol
     """,
 )
@@ -783,7 +783,7 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_segments"),
             F.sum("dt_us").cast("bigint").alias("total_us"),
-            F.round(
+            portable_round(
                 F.sum((F.col("value") * F.col("dt_us")).cast(_DEC)).cast(
                     "double"
                 )
@@ -811,9 +811,9 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(SUM(s) AS DOUBLE) / SUM(n) AS mu FROM g
     )
     SELECT g.c_mktsegment, g.n,
-           CAST(ROUND(CAST(g.s AS DOUBLE) / g.n, 4) AS DOUBLE) AS raw_mean,
-           CAST(ROUND((CAST(g.s AS DOUBLE) + 100.0 * p.mu)
-                      / (g.n + 100.0), 4) AS DOUBLE) AS encoded
+           CAST((CAST(floor(CAST((CAST(g.s AS DOUBLE) / g.n) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS raw_mean,
+           CAST((CAST(floor(CAST(((CAST(g.s AS DOUBLE) + 100.0 * p.mu)
+                      / (g.n + 100.0)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS encoded
     FROM g CROSS JOIN prior p ORDER BY g.c_mktsegment
     """,
 )
@@ -845,10 +845,10 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_mktsegment",
             "n",
-            F.round(F.col("s").cast("double") / F.col("n"), 4)
+            portable_round(F.col("s").cast("double") / F.col("n"), 4)
             .cast("double")
             .alias("raw_mean"),
-            F.round(
+            portable_round(
                 (F.col("s").cast("double") + F.lit(100.0) * F.col("mu"))
                 / (F.col("n") + F.lit(100.0)),
                 4,
@@ -897,7 +897,7 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT symbol, l, b FROM rec WHERE rn = n
     )
     SELECT f.symbol, h.h,
-           CAST(ROUND(f.l + h.h * f.b, 4) AS DOUBLE) AS forecast
+           CAST((CAST(floor(CAST((f.l + h.h * f.b) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS forecast
     FROM final f
     CROSS JOIN (SELECT UNNEST(generate_series(1, 6)) AS h) h
     ORDER BY symbol, h
@@ -951,7 +951,7 @@ def q_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "symbol",
         F.col("h").cast("bigint").alias("h"),
-        F.round("forecast", 4).cast("double").alias("forecast"),
+        portable_round("forecast", 4).cast("double").alias("forecast"),
     ).orderBy("symbol", "h")
 
 
@@ -989,9 +989,9 @@ def q_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lag, n,
            CAST(CASE WHEN (n * sxx - sx * sx) <= 0
                        OR (n * syy - sy * sy) <= 0 THEN NULL
-                ELSE ROUND((n * sxy - sx * sy)
+                ELSE (CAST(floor(CAST(((n * sxy - sx * sy)
                            / (sqrt(n * sxx - sx * sx)
-                              * sqrt(n * syy - sy * sy)), 6) END
+                              * sqrt(n * syy - sy * sy))) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) END
                 AS DOUBLE) AS xcorr
     FROM m ORDER BY lag
     """,
@@ -1057,7 +1057,7 @@ def q_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lag",
         "n",
         F.when((cxx <= 0) | (cyy <= 0), F.lit(None).cast("double"))
-        .otherwise(F.round(cxy / (F.sqrt(cxx) * F.sqrt(cyy)), 6))
+        .otherwise(portable_round(cxy / (F.sqrt(cxx) * F.sqrt(cyy)), 6))
         .cast("double")
         .alias("xcorr"),
     ).orderBy("lag")
@@ -1134,9 +1134,9 @@ def q_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     OR (open < prev_close
                                         AND high >= prev_close))
                 AS BIGINT) AS n_gaps_filled,
-           CAST(ROUND(CAST(SUM(CAST(abs(open / prev_close - 1.0)
+           CAST((CAST(floor(CAST((CAST(SUM(CAST(abs(open / prev_close - 1.0)
                                     AS DECIMAL(38,18))) AS DOUBLE)
-                      / COUNT(*) * 10000, 4) AS DOUBLE) AS avg_gap_bps
+                      / COUNT(*) * 10000) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS avg_gap_bps
     FROM seq GROUP BY symbol ORDER BY symbol
     """,
 )
@@ -1170,7 +1170,7 @@ def q_overnight_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(up, 1)).cast("bigint").alias("n_gap_up"),
             F.count(F.when(down, 1)).cast("bigint").alias("n_gap_down"),
             F.count(F.when(filled, 1)).cast("bigint").alias("n_gaps_filled"),
-            F.round(
+            portable_round(
                 F.sum(gap.cast(_DEC18)).cast("double")
                 / F.count(F.lit(1))
                 * F.lit(10000.0),
@@ -1188,7 +1188,7 @@ def q_overnight_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH scaled AS (
         SELECT event_type AS symbol,
-               CAST(round(value * 100) AS BIGINT) AS cents
+               CAST((CAST(floor(CAST((value * 100) AS DOUBLE) * 1.0 + 0.5) AS DOUBLE) / 1.0) AS BIGINT) AS cents
         FROM events
     )
     SELECT symbol,
@@ -1214,7 +1214,7 @@ def q_price_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts by 100/50/10, and the dime share integer-scaled. All
     integer arithmetic after the one scaling step. One hash-agg."""
     ev = load_table(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("bigint")
+    cents = portable_round(F.col("value") * 100).cast("bigint")
     scaled = ev.select(
         F.col("event_type").alias("symbol"), cents.alias("cents")
     )
@@ -1253,12 +1253,12 @@ def q_price_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT r.symbol,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(ROUND(v.var95, 6) AS DOUBLE) AS var95,
+           CAST((CAST(floor(CAST((v.var95) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS var95,
            CAST(COUNT(*) FILTER (WHERE r.r <= v.var95) AS BIGINT)
                AS n_tail,
-           CAST(ROUND(CAST(SUM(CAST(r.r AS DECIMAL(38,18)))
+           CAST((CAST(floor(CAST((CAST(SUM(CAST(r.r AS DECIMAL(38,18)))
                                FILTER (WHERE r.r <= v.var95) AS DOUBLE)
-                      / COUNT(*) FILTER (WHERE r.r <= v.var95), 6)
+                      / COUNT(*) FILTER (WHERE r.r <= v.var95)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)
                 AS DOUBLE) AS cvar95
     FROM rets r JOIN var_t v ON v.symbol = r.symbol
     GROUP BY r.symbol, v.var95
@@ -1288,7 +1288,7 @@ def q_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.count(F.when(in_tail, 1)).cast("bigint").alias("n_tail"),
-            F.round(
+            portable_round(
                 F.sum(F.when(in_tail, F.col("r").cast(_DEC18))).cast("double")
                 / F.count(F.when(in_tail, 1)),
                 6,
@@ -1299,7 +1299,7 @@ def q_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "symbol",
             "n",
-            F.round("var95", 6).cast("double").alias("var95"),
+            portable_round("var95", 6).cast("double").alias("var95"),
             "n_tail",
             "cvar95",
         )
@@ -1407,8 +1407,7 @@ def q_drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT symbol, n,
            CAST(CASE WHEN (n * sxx - sx * sx) <= 0 THEN NULL
-                ELSE ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6,
-                           6) END AS DOUBLE) AS lambda_x1e6
+                ELSE (CAST(floor(CAST(((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) END AS DOUBLE) AS lambda_x1e6
     FROM m ORDER BY symbol
     """,
 )
@@ -1448,7 +1447,7 @@ def q_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol",
         "n",
         F.when(den <= 0, F.lit(None).cast("double"))
-        .otherwise(F.round(num / den * F.lit(1e6), 6))
+        .otherwise(portable_round(num / den * F.lit(1e6), 6))
         .cast("double")
         .alias("lambda_x1e6"),
     ).orderBy("symbol")
@@ -1485,11 +1484,11 @@ def q_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT is_jump,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(ROUND(CAST(SUM(CAST(jump_sign
+           CAST((CAST(floor(CAST((CAST(SUM(CAST(jump_sign
                                     * (COALESCE(r1, 0) + COALESCE(r2, 0)
                                        + COALESCE(r3, 0))
                                 AS DECIMAL(38,18))) AS DOUBLE)
-                      / COUNT(*) * 10000, 4) AS DOUBLE)
+                      / COUNT(*) * 10000) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE)
                AS avg_signed_drift_bps
     FROM post GROUP BY is_jump ORDER BY is_jump
     """,
@@ -1548,7 +1547,7 @@ def q_event_study_jumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         post.groupBy("is_jump")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.round(
+            portable_round(
                 F.sum(drift.cast(_DEC18)).cast("double")
                 / F.count(F.lit(1))
                 * F.lit(10000.0),
@@ -1584,15 +1583,15 @@ def q_event_study_jumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT symbol, n,
            CAST(CASE WHEN (n * sxx - sx * sx) <= 0
                        OR (n * syy - sy * sy) <= 0 THEN NULL
-                ELSE ROUND((n * sxy - sx * sy)
+                ELSE (CAST(floor(CAST(((n * sxy - sx * sy)
                            / (sqrt(n * sxx - sx * sx)
-                              * sqrt(n * syy - sy * sy)), 6) END
+                              * sqrt(n * syy - sy * sy))) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) END
                 AS DOUBLE) AS acf1_sq,
            CAST(CASE WHEN (n * sxx - sx * sx) <= 0
                        OR (n * syy - sy * sy) <= 0 THEN NULL
-                ELSE ROUND(n * pow((n * sxy - sx * sy)
+                ELSE (CAST(floor(CAST((n * pow((n * sxy - sx * sy)
                                    / (sqrt(n * sxx - sx * sx)
-                                      * sqrt(n * syy - sy * sy)), 2), 4) END
+                                      * sqrt(n * syy - sy * sy)), 2)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) END
                 AS DOUBLE) AS lm_stat
     FROM m ORDER BY symbol
     """,
@@ -1636,11 +1635,11 @@ def q_arch_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol",
         "n",
         F.when(bad, F.lit(None).cast("double"))
-        .otherwise(F.round(rho, 6))
+        .otherwise(portable_round(rho, 6))
         .cast("double")
         .alias("acf1_sq"),
         F.when(bad, F.lit(None).cast("double"))
-        .otherwise(F.round(F.col("n") * F.pow(rho, 2), 4))
+        .otherwise(portable_round(F.col("n") * F.pow(rho, 2), 4))
         .cast("double")
         .alias("lm_stat"),
     ).orderBy("symbol")
@@ -1660,9 +1659,9 @@ def q_arch_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM rets GROUP BY symbol
     )
     SELECT symbol, n, n_down,
-           CAST(ROUND(sqrt(ssd / n), 8) AS DOUBLE) AS downside_dev,
+           CAST((CAST(floor(CAST((sqrt(ssd / n)) AS DOUBLE) * 100000000.0 + 0.5) AS DOUBLE) / 100000000.0) AS DOUBLE) AS downside_dev,
            CAST(CASE WHEN ssd <= 0 THEN NULL
-                ELSE ROUND((s / n) / sqrt(ssd / n) * sqrt(8760.0), 6) END
+                ELSE (CAST(floor(CAST(((s / n) / sqrt(ssd / n) * sqrt(8760.0)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) END
                 AS DOUBLE) AS sortino_ann
     FROM m ORDER BY symbol
     """,
@@ -1692,10 +1691,10 @@ def q_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol",
         "n",
         "n_down",
-        F.round(dd, 8).cast("double").alias("downside_dev"),
+        portable_round(dd, 8).cast("double").alias("downside_dev"),
         F.when(F.col("ssd") <= 0, F.lit(None).cast("double"))
         .otherwise(
-            F.round(
+            portable_round(
                 (F.col("s") / F.col("n")) / dd * F.sqrt(F.lit(8760.0)), 6
             )
         )
@@ -1785,11 +1784,10 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pairs GROUP BY symbol
     )
     SELECT symbol, n,
-           CAST(ROUND((sxy / n) - (sx / n) * (sy / n), 8) AS DOUBLE)
+           CAST((CAST(floor(CAST(((sxy / n) - (sx / n) * (sy / n)) AS DOUBLE) * 100000000.0 + 0.5) AS DOUBLE) / 100000000.0) AS DOUBLE)
                AS serial_cov,
            CAST(CASE WHEN (sxy / n) - (sx / n) * (sy / n) >= 0 THEN NULL
-                ELSE ROUND(2.0 * sqrt(-((sxy / n) - (sx / n) * (sy / n))),
-                           6) END AS DOUBLE) AS roll_spread
+                ELSE (CAST(floor(CAST((2.0 * sqrt(-((sxy / n) - (sx / n) * (sy / n)))) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) END AS DOUBLE) AS roll_spread
     FROM m ORDER BY symbol
     """,
 )
@@ -1832,9 +1830,9 @@ def q_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "symbol",
         "n",
-        F.round(cov, 8).cast("double").alias("serial_cov"),
+        portable_round(cov, 8).cast("double").alias("serial_cov"),
         F.when(cov >= 0, F.lit(None).cast("double"))
-        .otherwise(F.round(F.lit(2.0) * F.sqrt(-cov), 6))
+        .otherwise(portable_round(F.lit(2.0) * F.sqrt(-cov), 6))
         .cast("double")
         .alias("roll_spread"),
     ).orderBy("symbol")
@@ -1871,7 +1869,7 @@ def q_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT symbol, bar_ts,
            CAST(CASE WHEN (k * sxx - sx * sx) <= 0 THEN NULL
-                ELSE ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+                ELSE (CAST(floor(CAST(((k * sxy - sx * sy) / (k * sxx - sx * sx)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)
                 END AS DOUBLE) AS beta100
     FROM framed
     WHERE rn >= 100
@@ -1922,7 +1920,7 @@ def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol",
         "bar_ts",
         F.when(den <= 0, F.lit(None).cast("double"))
-        .otherwise(F.round(num / den, 6))
+        .otherwise(portable_round(num / den, 6))
         .cast("double")
         .alias("beta100"),
     ).orderBy("symbol", "bar_ts")
@@ -1946,13 +1944,13 @@ def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
         SELECT symbol,
                CAST(COUNT(*) AS BIGINT) AS k,
-               CAST(SUM(CAST(ROUND(ln(ar / x_min), 12) AS DECIMAL(38,18)))
+               CAST(SUM(CAST((CAST(floor(CAST((ln(ar / x_min)) AS DOUBLE) * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0) AS DECIMAL(38,18)))
                     AS DOUBLE) AS sum_log
         FROM topk GROUP BY symbol
     )
     SELECT symbol, k,
            CAST(CASE WHEN sum_log <= 0 THEN NULL
-                ELSE ROUND(k / sum_log, 4) END AS DOUBLE) AS hill_alpha
+                ELSE (CAST(floor(CAST((k / sum_log) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) END AS DOUBLE) AS hill_alpha
     FROM m ORDER BY symbol
     """,
 )
@@ -1980,7 +1978,7 @@ def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = ranked.select(
         "symbol", "ar", F.min("ar").over(wmin).alias("x_min")
     )
-    term = F.round(F.log(F.col("ar") / F.col("x_min")), 12).cast(
+    term = portable_round(F.log(F.col("ar") / F.col("x_min")), 12).cast(
         "decimal(38,18)"
     )
     m = topk.groupBy("symbol").agg(
@@ -1991,7 +1989,7 @@ def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol",
         "k",
         F.when(F.col("sum_log") <= 0, F.lit(None).cast("double"))
-        .otherwise(F.round(F.col("k") / F.col("sum_log"), 4))
+        .otherwise(portable_round(F.col("k") / F.col("sum_log"), 4))
         .cast("double")
         .alias("hill_alpha"),
     ).orderBy("symbol")
@@ -2098,9 +2096,9 @@ def q_market_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT symbol, CAST(lag AS BIGINT) AS lag, n,
            CAST(CASE WHEN (n * sxx - sx * sx) <= 0
                        OR (n * syy - sy * sy) <= 0 THEN NULL
-                ELSE ROUND((n * sxy - sx * sy)
+                ELSE (CAST(floor(CAST(((n * sxy - sx * sy)
                            / (sqrt(n * sxx - sx * sx)
-                              * sqrt(n * syy - sy * sy)), 6) END
+                              * sqrt(n * syy - sy * sy))) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) END
                 AS DOUBLE) AS acf
     FROM m ORDER BY symbol, lag
     """,
@@ -2110,26 +2108,43 @@ def q_acf_correlogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     table every time-series model identification starts with
     (generalizing q_autocorr's single lag): per lag, Pearson over
     (r_t, r_t-k) via the repo's decimal moment formula with the
-    identical double tree; degenerate variance NULL. The five lagged
-    pair-sets stack by union, so the whole correlogram is ONE window
-    family + one (symbol, lag) hash-agg. Scale: 5x one symbol's
-    calendar-bounded series."""
+    identical double tree; degenerate variance NULL. All five lags come
+    from ONE window pass (five lag() functions over the same spec — a
+    single partition sort), stacked map-side by an inline explode of
+    (lag, x) structs, then one (symbol, lag) hash-agg: 2 shuffles total
+    where a union-of-5-branches plan pays ~11 and rescans the bars 5x.
+    Scale: explode fan-out is a fixed 5x row multiplier BEFORE the
+    partial agg, so the shuffle carries only (symbol, lag) partials."""
     rets = _returns(spark, sf_dir)
     w = Window.partitionBy("symbol").orderBy("bar_ts")
-    parts = []
-    for k in range(1, 6):
-        parts.append(
-            rets.select(
-                "symbol",
-                F.lit(k).alias("lag"),
-                F.col("r").alias("y"),
-                F.lag("r", k).over(w).alias("x"),
-            )
+    lagged = rets.select(
+        "symbol",
+        F.col("r").alias("y"),
+        *[F.lag("r", k).over(w).alias(f"__x{k}") for k in range(1, 6)],
+    )
+    pairs = (
+        lagged.select(
+            "symbol",
+            "y",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("lag"), F.col(f"__x{k}").alias("x")
+                        )
+                        for k in range(1, 6)
+                    ]
+                )
+            ).alias("__lx"),
         )
-    pairs = parts[0]
-    for p in parts[1:]:
-        pairs = pairs.unionByName(p)
-    pairs = pairs.filter(F.col("x").isNotNull())
+        .select(
+            "symbol",
+            F.col("__lx.lag").alias("lag"),
+            F.col("__lx.x").alias("x"),
+            "y",
+        )
+        .filter(F.col("x").isNotNull())
+    )
     m = pairs.groupBy("symbol", "lag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col("x").cast(_DEC18)).cast("double").alias("sx"),
@@ -2152,7 +2167,7 @@ def q_acf_correlogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lag").cast("bigint").alias("lag"),
         "n",
         F.when((cxx <= 0) | (cyy <= 0), F.lit(None).cast("double"))
-        .otherwise(F.round(cxy / (F.sqrt(cxx) * F.sqrt(cyy)), 6))
+        .otherwise(portable_round(cxy / (F.sqrt(cxx) * F.sqrt(cyy)), 6))
         .cast("double")
         .alias("acf"),
     ).orderBy("symbol", "lag")
@@ -2176,7 +2191,7 @@ def q_acf_correlogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT m1.symbol, m1.rho AS rho1, m2.rho AS rho2, m1.n
         FROM (
             SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
-                   ROUND((COUNT(*) * CAST(SUM(CAST(x * y AS DECIMAL(38,18)))
+                   (CAST(floor(CAST(((COUNT(*) * CAST(SUM(CAST(x * y AS DECIMAL(38,18)))
                                           AS DOUBLE)
                           - CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
                             * CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE))
@@ -2187,11 +2202,11 @@ def q_acf_correlogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                             * sqrt(COUNT(*) * CAST(SUM(CAST(y * y
                                    AS DECIMAL(38,18))) AS DOUBLE)
                                    - pow(CAST(SUM(CAST(y AS DECIMAL(38,18)))
-                                              AS DOUBLE), 2))), 10) AS rho
+                                              AS DOUBLE), 2)))) AS DOUBLE) * 10000000000.0 + 0.5) AS DOUBLE) / 10000000000.0) AS rho
             FROM p1 GROUP BY symbol) m1
         JOIN (
             SELECT symbol,
-                   ROUND((COUNT(*) * CAST(SUM(CAST(x * y AS DECIMAL(38,18)))
+                   (CAST(floor(CAST(((COUNT(*) * CAST(SUM(CAST(x * y AS DECIMAL(38,18)))
                                           AS DOUBLE)
                           - CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
                             * CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE))
@@ -2202,15 +2217,15 @@ def q_acf_correlogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                             * sqrt(COUNT(*) * CAST(SUM(CAST(y * y
                                    AS DECIMAL(38,18))) AS DOUBLE)
                                    - pow(CAST(SUM(CAST(y AS DECIMAL(38,18)))
-                                              AS DOUBLE), 2))), 10) AS rho
+                                              AS DOUBLE), 2)))) AS DOUBLE) * 10000000000.0 + 0.5) AS DOUBLE) / 10000000000.0) AS rho
             FROM p2 GROUP BY symbol) m2
           ON m2.symbol = m1.symbol
     )
     SELECT symbol, n,
-           CAST(ROUND(rho1, 6) AS DOUBLE) AS pacf1,
+           CAST((CAST(floor(CAST((rho1) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS pacf1,
            CAST(CASE WHEN abs(1.0 - rho1 * rho1) < 1e-12 THEN NULL
-                ELSE ROUND((rho2 - rho1 * rho1)
-                           / (1.0 - rho1 * rho1), 6) END AS DOUBLE)
+                ELSE (CAST(floor(CAST(((rho2 - rho1 * rho1)
+                           / (1.0 - rho1 * rho1)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) END AS DOUBLE)
                AS pacf2
     FROM rho ORDER BY symbol
     """,
@@ -2252,7 +2267,7 @@ def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") * F.col("sxx") - F.pow(F.col("sx"), 2)
         ) * F.sqrt(F.col("n") * F.col("syy") - F.pow(F.col("sy"), 2))
         return m.select(
-            "symbol", "n", F.round(num / den, 10).alias(f"rho{k}")
+            "symbol", "n", portable_round(num / den, 10).alias(f"rho{k}")
         )
 
     r1 = rho_at(1)
@@ -2264,12 +2279,12 @@ def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "symbol",
         "n",
-        F.round("rho1", 6).cast("double").alias("pacf1"),
+        portable_round("rho1", 6).cast("double").alias("pacf1"),
         F.when(
             F.abs(F.lit(1.0) - F.col("rho1") * F.col("rho1")) < 1e-12,
             F.lit(None).cast("double"),
         )
-        .otherwise(F.round(phi22, 6))
+        .otherwise(portable_round(phi22, 6))
         .cast("double")
         .alias("pacf2"),
     ).orderBy("symbol")

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.registry import query
 
@@ -73,7 +74,7 @@ def _pr_level_sql(prev: str, out: str) -> str:
     return f"""
     {out} AS (
         SELECT n.node,
-               CAST(ROUND(0.15 / nn.n + 0.85 * COALESCE(c.s, 0), 12) AS DOUBLE)
+               CAST((CAST(floor(CAST((0.15 / nn.n + 0.85 * COALESCE(c.s, 0)) AS DOUBLE) * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0) AS DOUBLE)
                  AS rank
         FROM nodes n CROSS JOIN ncount nn
         LEFT JOIN (
@@ -95,7 +96,7 @@ def _pr_level_sql(prev: str, out: str) -> str:
         + _GRAPH_SQL
         + """,
     pr0 AS (
-        SELECT node, CAST(ROUND(1.0 / nn.n, 12) AS DOUBLE) AS rank
+        SELECT node, CAST((CAST(floor(CAST((1.0 / nn.n) AS DOUBLE) * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0) AS DOUBLE) AS rank
         FROM nodes CROSS JOIN ncount nn
     ),"""
         + ",".join(_pr_level_sql(f"pr{i}", f"pr{i + 1}") for i in range(_ITERS))
@@ -118,7 +119,7 @@ def q_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = edges.join(wdeg, "src").persist()
     n_nodes = nodes.count()  # driver scalar: node count bounds the loop math
     ranks = nodes.select(
-        "node", F.round(F.lit(1.0) / n_nodes, 12).cast("double").alias("rank")
+        "node", portable_round(F.lit(1.0) / n_nodes, 12).cast("double").alias("rank")
     )
     contrib_expr = F.col("rank") * (F.col("w").cast("double") / F.col("wdeg"))
     for _ in range(_ITERS):
@@ -134,7 +135,7 @@ def q_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(
                 "node",
-                F.round(
+                portable_round(
                     F.lit(0.15) / n_nodes
                     + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0)),
                     12,
@@ -201,7 +202,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT CAST(COUNT(DISTINCT p) AS BIGINT) AS n_parts FROM edges)
     SELECT d.s AS suppkey, sup.s_name, d.degree,
-           CAST(ROUND(CAST(d.degree AS DOUBLE) / t.n_parts, 6) AS DOUBLE)
+           CAST((CAST(floor(CAST((CAST(d.degree AS DOUBLE) / t.n_parts) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE)
              AS norm_degree,
            CAST(rank() OVER (ORDER BY d.degree DESC, d.s) AS BIGINT)
              AS degree_rank
@@ -234,7 +235,7 @@ def q_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s").alias("suppkey"),
             "s_name",
             "degree",
-            F.round(F.col("degree").cast("double") / F.col("n_parts"), 6)
+            portable_round(F.col("degree").cast("double") / F.col("n_parts"), 6)
             .cast("double")
             .alias("norm_degree"),
             F.rank().over(w).cast("bigint").alias("degree_rank"),
@@ -259,8 +260,8 @@ def q_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     )
     SELECT p.supp_a, p.supp_b, p.shared_parts,
-           CAST(ROUND(CAST(p.shared_parts AS DOUBLE)
-                      / (da.degree + db.degree - p.shared_parts), 6)
+           CAST((CAST(floor(CAST((CAST(p.shared_parts AS DOUBLE)
+                      / (da.degree + db.degree - p.shared_parts)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)
                 AS DOUBLE) AS jaccard
     FROM pairs p
     JOIN deg da ON da.s = p.supp_a
@@ -301,7 +302,7 @@ def q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_a",
             "supp_b",
             "shared_parts",
-            F.round(
+            portable_round(
                 F.col("shared_parts").cast("double")
                 / (F.col("deg_a") + F.col("deg_b") - F.col("shared_parts")),
                 6,

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.exact import exact_sum, sql_exact_sum
 from stockmarketdata_dwb_etl_spark.operators.asof import asof_join_backward
@@ -197,7 +198,7 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, ts AS click_ts, event_id AS click_id FROM events
         WHERE event_type = 'click'
     )
-    SELECT p.user_id, p.ts, p.event_id, CAST(ROUND(p.value, 4) AS DOUBLE) AS value,
+    SELECT p.user_id, p.ts, p.event_id, CAST((CAST(floor(CAST((p.value) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS value,
            c.click_id, c.click_ts
     FROM purchases p
     ASOF LEFT JOIN clicks c
@@ -210,7 +211,7 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity target: DuckDB ASOF JOIN)."""
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id", F.round("value", 4).alias("value")
+        "user_id", "ts", "event_id", portable_round("value", 4).alias("value")
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id",
@@ -239,7 +240,7 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderpriority,
            COUNT(*) AS n,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 4) AS DOUBLE)
+           CAST((CAST(floor(CAST((SUM(CAST(l_extendedprice AS DECIMAL(38,6)))) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE)
              AS sum_price
     FROM fact JOIN dim USING (hot_key)
     GROUP BY o_orderpriority
@@ -291,7 +292,7 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT skew_key,
            CAST(COUNT(*) AS BIGINT) AS cnt,
-           CAST(ROUND(SUM(value), 4) AS DOUBLE) AS total,
+           CAST((CAST(floor(CAST((SUM(value)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS total,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
     FROM keyed
     GROUP BY skew_key
@@ -331,7 +332,7 @@ def q_agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("p_cnt"), F.sum("value").alias("p_sum")
     )
     algebraic = partial.groupBy("skew_key").agg(
-        F.sum("p_cnt").alias("cnt"), F.round(F.sum("p_sum"), 4).alias("total")
+        F.sum("p_cnt").alias("cnt"), portable_round(F.sum("p_sum"), 4).alias("total")
     )
     distinct_pairs = keyed.select("skew_key", "user_id").distinct()
     exact_distinct = distinct_pairs.groupBy("skew_key").agg(
@@ -406,8 +407,8 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
-                               AS DECIMAL(38,6))), 4) AS DOUBLE) AS revenue
+           CAST((CAST(floor(CAST((SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(38,6)))) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE o_orderpriority = '1-URGENT'
     GROUP BY o_orderpriority
@@ -451,7 +452,7 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE event_type = 'click'
     ), matched AS (
         SELECT p.user_id, p.ts, p.event_id,
-               CAST(ROUND(p.value, 4) AS DOUBLE) AS value,
+               CAST((CAST(floor(CAST((p.value) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS value,
                c.click_id, c.click_ts
         FROM purchases p
         ASOF LEFT JOIN clicks c
@@ -475,7 +476,7 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside the payload struct (operators/asof.py), not a second join."""
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id", F.round("value", 4).alias("value")
+        "user_id", "ts", "event_id", portable_round("value", 4).alias("value")
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id",

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 
 from pipelines.stock_ingest import build_gold
 from stockmarketdata_dwb_etl_spark.registry import query
@@ -24,11 +25,11 @@ STOCK_PIPELINE_ORACLE = """
     ), bronze AS (
         SELECT stock_name,
                strftime(d, '%b %-d, %Y') AS date_str,
-               printf('%.2f', ROUND(close_v, 2)) AS price_str,
-               printf('%.2f', ROUND(open_v, 2)) AS open_str,
-               printf('%.2f', ROUND(high_v, 2)) AS high_str,
-               printf('%.2f', ROUND(low_v, 2)) AS low_str,
-               printf('%.2f', ROUND(vol_v / 1000, 2)) || 'K' AS vol_str
+               printf('%.2f', (CAST(floor(CAST((close_v) AS DOUBLE) * 100.0 + 0.5) AS DOUBLE) / 100.0)) AS price_str,
+               printf('%.2f', (CAST(floor(CAST((open_v) AS DOUBLE) * 100.0 + 0.5) AS DOUBLE) / 100.0)) AS open_str,
+               printf('%.2f', (CAST(floor(CAST((high_v) AS DOUBLE) * 100.0 + 0.5) AS DOUBLE) / 100.0)) AS high_str,
+               printf('%.2f', (CAST(floor(CAST((low_v) AS DOUBLE) * 100.0 + 0.5) AS DOUBLE) / 100.0)) AS low_str,
+               printf('%.2f', (CAST(floor(CAST((vol_v / 1000) AS DOUBLE) * 100.0 + 0.5) AS DOUBLE) / 100.0)) || 'K' AS vol_str
         FROM bars
     ), silver AS (
         SELECT stock_name,
@@ -41,10 +42,10 @@ STOCK_PIPELINE_ORACLE = """
         FROM bronze
     )
     SELECT stock_name, "Date", "Price", "Open", "High", "Low", "Vol",
-           CAST(ROUND(("Price" - LAG("Price") OVER w)
-                 / nullif(LAG("Price") OVER w, 0) * 100, 4) AS DOUBLE) AS "Change",
-           CAST(ROUND(AVG("Price") OVER (PARTITION BY stock_name ORDER BY "Date"
-                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS sma7
+           CAST((CAST(floor(CAST((("Price" - LAG("Price") OVER w)
+                 / nullif(LAG("Price") OVER w, 0) * 100) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS "Change",
+           CAST((CAST(floor(CAST((AVG("Price") OVER (PARTITION BY stock_name ORDER BY "Date"
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS sma7
     FROM silver
     WINDOW w AS (PARTITION BY stock_name ORDER BY "Date")
 """
@@ -72,8 +73,7 @@ _SILVER_CTE = STOCK_PIPELINE_ORACLE.split("SELECT stock_name, \"Date\",")[0]
                 WHEN s."Date" < b.mx - INTERVAL 7 DAY THEN 'updated'
                 ELSE 'inserted' END AS merge_action,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(ROUND(CAST(SUM(CAST(s."Price" AS DECIMAL(38,6))) AS DOUBLE),
-                      2) AS DOUBLE) AS sum_price
+           CAST((CAST(floor(CAST((CAST(SUM(CAST(s."Price" AS DECIMAL(38,6))) AS DOUBLE)) AS DOUBLE) * 100.0 + 0.5) AS DOUBLE) / 100.0) AS DOUBLE) AS sum_price
     FROM silver s CROSS JOIN bounds b
     GROUP BY 1 ORDER BY 1
     """,
@@ -123,7 +123,7 @@ def q_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.groupBy("merge_action")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.round(
+            portable_round(
                 F.sum(F.col("Price").cast("decimal(38,6)")).cast("double"), 2
             )
             .cast("double")

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.vectors import dot, norm
 from stockmarketdata_dwb_etl_spark.registry import query
@@ -25,7 +26,7 @@ _DEC = "decimal(38,6)"
     "q_lateral_topn",
     oracle="""
     SELECT n.n_name, t.c_name,
-           CAST(ROUND(t.c_acctbal, 2) AS DOUBLE) AS c_acctbal
+           CAST((CAST(floor(CAST((t.c_acctbal) AS DOUBLE) * 100.0 + 0.5) AS DOUBLE) / 100.0) AS DOUBLE) AS c_acctbal
     FROM nation n, LATERAL (
         SELECT c_name, c_acctbal FROM customer c
         WHERE c.c_nationkey = n.n_nationkey
@@ -48,7 +49,7 @@ def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT n.n_name, t.c_name,
-               CAST(ROUND(t.c_acctbal, 2) AS DOUBLE) AS c_acctbal
+               CAST((CAST(floor(CAST((t.c_acctbal) AS DOUBLE) * 100.0 + 0.5) AS DOUBLE) / 100.0) AS DOUBLE) AS c_acctbal
         FROM l_nation n, LATERAL (
             SELECT c_name, c_acctbal FROM l_customer c
             WHERE c.c_nationkey = n.n_nationkey
@@ -151,18 +152,18 @@ def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            CAST(len(embedding) AS INTEGER) AS dim,
-           CAST(ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                            CAST(embedding AS DOUBLE[]))), 4)
+           CAST((CAST(floor(CAST((sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[])))) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0)
                 AS DOUBLE) AS l2_norm,
            CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0))
                 AS INTEGER) AS n_positive,
-           CAST(ROUND(CAST(list_max(CAST(embedding AS DOUBLE[])) AS DOUBLE), 4)
+           CAST((CAST(floor(CAST((CAST(list_max(CAST(embedding AS DOUBLE[])) AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0)
                 AS DOUBLE) AS max_component,
-           CAST(ROUND(list_dot_product(
+           CAST((CAST(floor(CAST((list_dot_product(
                     CAST(embedding AS DOUBLE[]),
                     list_transform(CAST(embedding AS DOUBLE[]),
                                    x -> CASE WHEN x > 0 THEN 1.0
-                                             ELSE 0.0 END)), 4)
+                                             ELSE 0.0 END))) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0)
                 AS DOUBLE) AS sum_positive
     FROM embeddings
     WHERE vec_id < 100
@@ -188,12 +189,12 @@ def q_hof_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.size(v).cast("int").alias("dim"),
-            F.round(norm(v), 4).cast("double").alias("l2_norm"),
+            portable_round(norm(v), 4).cast("double").alias("l2_norm"),
             F.size(F.filter(v, lambda x: x > 0)).cast("int").alias("n_positive"),
-            F.round(F.array_max(v).cast("double"), 4)
+            portable_round(F.array_max(v).cast("double"), 4)
             .cast("double")
             .alias("max_component"),
-            F.round(dot(v, mask), 4).cast("double").alias("sum_positive"),
+            portable_round(dot(v, mask), 4).cast("double").alias("sum_positive"),
         )
         .orderBy("vec_id")
     )

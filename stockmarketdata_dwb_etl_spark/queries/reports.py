@@ -16,6 +16,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.exact import exact_sum, sql_exact_sum
 from stockmarketdata_dwb_etl_spark.registry import query
@@ -298,7 +299,7 @@ def q_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_items
         FROM j
     )
-    SELECT CAST(ROUND(100.0 * promo_revenue / total_revenue, 4) AS DOUBLE)
+    SELECT CAST((CAST(floor(CAST((100.0 * promo_revenue / total_revenue) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE)
              AS promo_pct,
            promo_revenue, total_revenue, n_items
     FROM sums
@@ -328,7 +329,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sums.select(
-        F.round(
+        portable_round(
             100.0 * F.col("promo_revenue") / F.col("total_revenue"), 4
         ).alias("promo_pct"),
         "promo_revenue",

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.exact import (
     exact_avg,
@@ -218,11 +219,9 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q8",
     oracle="""
     SELECT o_year,
-           CAST(ROUND(
-               CAST(SUM(CAST(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END
+           CAST((CAST(floor(CAST((CAST(SUM(CAST(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END
                              AS DECIMAL(38,6))) AS DOUBLE)
-             / CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE),
-             4) AS DOUBLE) AS mkt_share
+             / CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS mkt_share
     FROM (
         SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
                l_extendedprice * (1 - l_discount) AS volume,
@@ -284,7 +283,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "o_year",
-            F.round(F.col("__num") / F.col("__den"), 4).cast("double").alias("mkt_share"),
+            portable_round(F.col("__num") / F.col("__den"), 4).cast("double").alias("mkt_share"),
         )
         .orderBy("o_year")
     )
@@ -427,9 +426,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q17",
     oracle="""
-    SELECT CAST(ROUND(
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0,
-        4) AS DOUBLE) AS avg_yearly
+    SELECT CAST((CAST(floor(CAST((CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#1' AND p_size <= 10
@@ -459,7 +456,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(per_part), F.col("l_partkey") == F.col("__pk")
     ).filter(F.col("l_quantity") < F.col("__qty_thresh"))
     return small.agg(
-        F.round(
+        portable_round(
             F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double") / 7.0,
             4,
         )
@@ -590,7 +587,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(cntrycode AS BIGINT) AS cntrycode,
            CAST(COUNT(*) AS BIGINT) AS numcust,
-           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(38,6))), 4) AS DOUBLE)
+           CAST((CAST(floor(CAST((SUM(CAST(c_acctbal AS DECIMAL(38,6)))) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE)
              AS totacctbal
     FROM eligible, threshold
     WHERE c_acctbal > avg_bal
@@ -628,7 +625,7 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cntrycode")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum(F.col("c_acctbal").cast("decimal(38,6)")), 4)
+            portable_round(F.sum(F.col("c_acctbal").cast("decimal(38,6)")), 4)
             .cast("double")
             .alias("totacctbal"),
         )

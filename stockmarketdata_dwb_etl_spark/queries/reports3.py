@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.exact import sql_exact_sum
 from stockmarketdata_dwb_etl_spark.registry import query
@@ -150,7 +151,7 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("nation", "o_year")
-        .agg(F.round(F.sum(F.col("amount").cast(_DEC)), 4).cast("double").alias("sum_profit"))
+        .agg(portable_round(F.sum(F.col("amount").cast(_DEC)), 4).cast("double").alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -168,7 +169,7 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE n_regionkey = 1
         GROUP BY 1
     )
-    SELECT ps_partkey, CAST(ROUND(value_dec, 4) AS DOUBLE) AS part_value
+    SELECT ps_partkey, CAST((CAST(floor(CAST((value_dec) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS part_value
     FROM val
     WHERE 200 * value_dec > (SELECT SUM(value_dec) FROM val)
     ORDER BY part_value DESC, ps_partkey
@@ -207,7 +208,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value_dec") * 200 > F.col("__total"))
         .select(
             "ps_partkey",
-            F.round("value_dec", 4).cast("double").alias("part_value"),
+            portable_round("value_dec", 4).cast("double").alias("part_value"),
         )
         .orderBy(F.desc("part_value"), "ps_partkey")
     )

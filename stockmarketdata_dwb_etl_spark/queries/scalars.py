@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.parsing import (
     parse_kmb,
@@ -35,17 +36,17 @@ from stockmarketdata_dwb_etl_spark.registry import query
     oracle="""
     WITH raw AS (
         SELECT p_partkey,
-               printf('%.2f', ROUND(p_retailprice / 10, 2))
+               printf('%.2f', (CAST(floor(CAST((p_retailprice / 10) AS DOUBLE) * 100.0 + 0.5) AS DOUBLE) / 100.0))
                  || CASE p_partkey % 4 WHEN 0 THEN 'K' WHEN 1 THEN 'M'
                                        WHEN 2 THEN 'B' ELSE '' END AS vol_str
         FROM part)
     SELECT p_partkey, vol_str,
-           CAST(ROUND(CASE
+           CAST((CAST(floor(CAST((CASE
                WHEN vol_str LIKE '%K' THEN TRY_CAST(substr(vol_str, 1, length(vol_str)-1) AS DOUBLE) * 1e3
                WHEN vol_str LIKE '%M' THEN TRY_CAST(substr(vol_str, 1, length(vol_str)-1) AS DOUBLE) * 1e6
                WHEN vol_str LIKE '%B' THEN TRY_CAST(substr(vol_str, 1, length(vol_str)-1) AS DOUBLE) * 1e9
                ELSE TRY_CAST(replace(vol_str, ',', '') AS DOUBLE)
-           END, 4) AS DOUBLE) AS vol
+           END) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS vol
     FROM raw
     """,
 )
@@ -61,12 +62,12 @@ def q_kmb_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("")
     )
     vol_str = F.concat(
-        F.format_string("%.2f", F.round(F.col("p_retailprice") / 10, 2)), suffix
+        F.format_string("%.2f", portable_round(F.col("p_retailprice") / 10, 2)), suffix
     )
     return part.select(
         "p_partkey",
         vol_str.alias("vol_str"),
-        F.round(parse_kmb(vol_str), 4).alias("vol"),
+        portable_round(parse_kmb(vol_str), 4).alias("vol"),
     )
 
 
@@ -76,7 +77,7 @@ def q_kmb_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH raw AS (
         SELECT l_orderkey, l_linenumber,
                CASE WHEN l_partkey % 2 = 0 THEN '+' ELSE '-' END
-                 || printf('%.2f', ROUND(l_discount * 100, 2)) || '%' AS chg_str
+                 || printf('%.2f', (CAST(floor(CAST((l_discount * 100) AS DOUBLE) * 100.0 + 0.5) AS DOUBLE) / 100.0)) || '%' AS chg_str
         FROM lineitem)
     SELECT l_orderkey, l_linenumber, chg_str,
            TRY_CAST(regexp_replace(chg_str, '%$', '') AS DOUBLE) AS chg
@@ -89,7 +90,7 @@ def q_pct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     chg_str = F.concat(
         F.when(F.col("l_partkey") % 2 == 0, F.lit("+")).otherwise(F.lit("-")),
-        F.format_string("%.2f", F.round(F.col("l_discount") * 100, 2)),
+        F.format_string("%.2f", portable_round(F.col("l_discount") * 100, 2)),
         F.lit("%"),
     )
     return li.select(
@@ -105,14 +106,14 @@ def q_pct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH raw AS (
         SELECT p_partkey,
-               CASE WHEN CAST(floor(ROUND(p_retailprice, 2)) AS BIGINT) >= 1000
-                    THEN CAST(CAST(floor(ROUND(p_retailprice, 2)) AS BIGINT) // 1000 AS VARCHAR)
-                         || ',' || lpad(CAST(CAST(floor(ROUND(p_retailprice, 2)) AS BIGINT) % 1000 AS VARCHAR), 3, '0')
-                    ELSE CAST(CAST(floor(ROUND(p_retailprice, 2)) AS BIGINT) AS VARCHAR)
-               END || substr(printf('%.2f', ROUND(p_retailprice, 2) - floor(ROUND(p_retailprice, 2))), 2) AS price_str
+               CASE WHEN CAST(floor((CAST(floor(CAST((p_retailprice) AS DOUBLE) * 100.0 + 0.5) AS DOUBLE) / 100.0)) AS BIGINT) >= 1000
+                    THEN CAST(CAST(floor((CAST(floor(CAST((p_retailprice) AS DOUBLE) * 100.0 + 0.5) AS DOUBLE) / 100.0)) AS BIGINT) // 1000 AS VARCHAR)
+                         || ',' || lpad(CAST(CAST(floor((CAST(floor(CAST((p_retailprice) AS DOUBLE) * 100.0 + 0.5) AS DOUBLE) / 100.0)) AS BIGINT) % 1000 AS VARCHAR), 3, '0')
+                    ELSE CAST(CAST(floor((CAST(floor(CAST((p_retailprice) AS DOUBLE) * 100.0 + 0.5) AS DOUBLE) / 100.0)) AS BIGINT) AS VARCHAR)
+               END || substr(printf('%.2f', (CAST(floor(CAST((p_retailprice) AS DOUBLE) * 100.0 + 0.5) AS DOUBLE) / 100.0) - floor((CAST(floor(CAST((p_retailprice) AS DOUBLE) * 100.0 + 0.5) AS DOUBLE) / 100.0))), 2) AS price_str
         FROM part)
     SELECT p_partkey, price_str,
-           CAST(ROUND(TRY_CAST(replace(price_str, ',', '') AS DOUBLE), 4) AS DOUBLE) AS price
+           CAST((CAST(floor(CAST((TRY_CAST(replace(price_str, ',', '') AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS price
     FROM raw
     """,
 )
@@ -121,7 +122,7 @@ def q_cast_comma_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     ('42,801.72' → 42801.72, dump_bigq.py:102-111): build the comma string
     deterministically from p_retailprice, strip commas, cast back."""
     part = load_table(spark, sf_dir, "part")
-    x2 = F.round(F.col("p_retailprice"), 2)
+    x2 = portable_round(F.col("p_retailprice"), 2)
     int_part = F.floor(x2).cast("bigint")
     grouped = F.when(
         int_part >= 1000,
@@ -136,7 +137,7 @@ def q_cast_comma_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.select(
         "p_partkey",
         price_str.alias("price_str"),
-        F.round(parse_money(price_str), 4).alias("price"),
+        portable_round(parse_money(price_str), 4).alias("price"),
     )
 
 
@@ -227,13 +228,13 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_math_funcs",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(ROUND(l_extendedprice, 1) AS DOUBLE) AS price_r1,
+           CAST((CAST(floor(CAST((l_extendedprice) AS DOUBLE) * 10.0 + 0.5) AS DOUBLE) / 10.0) AS DOUBLE) AS price_r1,
            abs(l_discount - 0.05) AS disc_dev,
            CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
            CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
-           CAST(ROUND(ln(l_extendedprice), 4) AS DOUBLE) AS price_ln,
-           CAST(ROUND(power(l_quantity, 2), 4) AS DOUBLE) AS qty_sq,
-           CAST(ROUND(sqrt(l_extendedprice), 4) AS DOUBLE) AS price_sqrt,
+           CAST((CAST(floor(CAST((ln(l_extendedprice)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS price_ln,
+           CAST((CAST(floor(CAST((power(l_quantity, 2)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS qty_sq,
+           CAST((CAST(floor(CAST((sqrt(l_extendedprice)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS price_sqrt,
            CAST(sign(l_discount - 0.05) AS INTEGER) AS disc_sign,
            CAST(l_orderkey % 7 AS BIGINT) AS key_mod
     FROM lineitem
@@ -244,13 +245,13 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round("l_extendedprice", 1).cast("double").alias("price_r1"),
+        portable_round("l_extendedprice", 1).cast("double").alias("price_r1"),
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
         F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
         F.floor("l_quantity").cast("bigint").alias("qty_floor"),
-        F.round(F.log("l_extendedprice"), 4).cast("double").alias("price_ln"),
-        F.round(F.pow("l_quantity", F.lit(2)), 4).cast("double").alias("qty_sq"),
-        F.round(F.sqrt("l_extendedprice"), 4).cast("double").alias("price_sqrt"),
+        portable_round(F.log("l_extendedprice"), 4).cast("double").alias("price_ln"),
+        portable_round(F.pow("l_quantity", F.lit(2)), 4).cast("double").alias("qty_sq"),
+        portable_round(F.sqrt("l_extendedprice"), 4).cast("double").alias("price_sqrt"),
         F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
         (F.col("l_orderkey") % 7).cast("bigint").alias("key_mod"),
     )
@@ -313,9 +314,9 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            CAST(len(embedding) AS INTEGER) AS dim,
-           CAST(ROUND(embedding[1], 4) AS DOUBLE) AS first_val,
-           CAST(ROUND(embedding[64], 4) AS DOUBLE) AS last_val,
-           CAST(ROUND(list_sum(embedding[1:4]), 4) AS DOUBLE) AS head_sum
+           CAST((CAST(floor(CAST((embedding[1]) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS first_val,
+           CAST((CAST(floor(CAST((embedding[64]) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS last_val,
+           CAST((CAST(floor(CAST((list_sum(embedding[1:4])) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS head_sum
     FROM embeddings
     """,
 )
@@ -330,9 +331,9 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.size("embedding").cast("int").alias("dim"),
-        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
-        F.round(F.element_at("embedding", 64).cast("double"), 4).alias("last_val"),
-        F.round(head_sum, 4).alias("head_sum"),
+        portable_round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+        portable_round(F.element_at("embedding", 64).cast("double"), 4).alias("last_val"),
+        portable_round(head_sum, 4).alias("head_sum"),
     )
 
 

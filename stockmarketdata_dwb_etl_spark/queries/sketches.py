@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.registry import query
 
@@ -72,7 +73,7 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tot AS (SELECT COUNT(*) AS n FROM events)
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(ROUND(COUNT(*) / (SELECT CAST(n AS DOUBLE) FROM tot), 4)
+           CAST((CAST(floor(CAST((COUNT(*) / (SELECT CAST(n AS DOUBLE) FROM tot)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0)
                 AS DOUBLE) AS share
     FROM events
     GROUP BY event_type
@@ -114,6 +115,6 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "n_events",
-            F.round(F.col("n_events") / F.lit(float(total)), 4).alias("share"),
+            portable_round(F.col("n_events") / F.lit(float(total)), 4).alias("share"),
         )
     )

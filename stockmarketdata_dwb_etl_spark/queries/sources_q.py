@@ -24,6 +24,7 @@ from stockmarketdata_dwb_etl_spark.functions.parsing import (
     parse_money,
 )
 from stockmarketdata_dwb_etl_spark.registry import query
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.scratch import fixture_tag
 from stockmarketdata_dwb_etl_spark.sources.htmltable import register
 
@@ -101,11 +102,11 @@ HTML_SILVER_ORACLE = """
     ), bronze AS (
         SELECT stock_name,
                strftime(d, '%b %-d, %Y') AS date_str,
-               printf('%.2f', ROUND(close_v, 2)) AS price_str,
-               printf('%.2f', ROUND(open_v, 2)) AS open_str,
-               printf('%.2f', ROUND(high_v, 2)) AS high_str,
-               printf('%.2f', ROUND(low_v, 2)) AS low_str,
-               printf('%.2f', ROUND(vol_v / 1000, 2)) || 'K' AS vol_str
+               printf('%.2f', (CAST(floor(CAST((close_v) AS DOUBLE) * 100.0 + 0.5) AS DOUBLE) / 100.0)) AS price_str,
+               printf('%.2f', (CAST(floor(CAST((open_v) AS DOUBLE) * 100.0 + 0.5) AS DOUBLE) / 100.0)) AS open_str,
+               printf('%.2f', (CAST(floor(CAST((high_v) AS DOUBLE) * 100.0 + 0.5) AS DOUBLE) / 100.0)) AS high_str,
+               printf('%.2f', (CAST(floor(CAST((low_v) AS DOUBLE) * 100.0 + 0.5) AS DOUBLE) / 100.0)) AS low_str,
+               printf('%.2f', (CAST(floor(CAST((vol_v / 1000) AS DOUBLE) * 100.0 + 0.5) AS DOUBLE) / 100.0)) || 'K' AS vol_str
         FROM bars
     )
     SELECT stock_name,
@@ -147,8 +148,8 @@ def q_html_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_good,
            CAST(COUNT(CASE WHEN o_orderkey % 17 = 0 THEN 1 END) AS BIGINT)
                AS n_corrupt,
-           CAST(ROUND(SUM(CASE WHEN o_orderkey % 17 <> 0
-                                    THEN o_totalprice END), 2) AS DOUBLE)
+           CAST((CAST(floor(CAST((SUM(CASE WHEN o_orderkey % 17 <> 0
+                                    THEN o_totalprice END)) AS DOUBLE) * 100.0 + 0.5) AS DOUBLE) / 100.0) AS DOUBLE)
                AS sum_good_price,
            CAST(0 AS BIGINT) AS n_null_keys
     FROM orders
@@ -211,7 +212,7 @@ def q_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.agg(
         F.count(F.when(F.col("_bad").isNull(), 1)).alias("n_good"),
         F.count(F.when(F.col("_bad").isNotNull(), 1)).alias("n_corrupt"),
-        F.round(
+        portable_round(
             F.sum(F.when(F.col("_bad").isNull(), F.col("o_totalprice"))), 2
         ).alias("sum_good_price"),
         F.count(
@@ -227,9 +228,9 @@ def q_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS n_bad,
            CAST(SUM(CASE WHEN o_orderkey % 17 <> 0 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_good,
-           CAST(ROUND(SUM(CASE WHEN o_orderkey % 17 <> 0
+           CAST((CAST(floor(CAST((SUM(CASE WHEN o_orderkey % 17 <> 0
                                THEN CAST(o_totalprice AS DECIMAL(38,6))
-                               ELSE 0 END), 4) AS DOUBLE) AS good_sum
+                               ELSE 0 END)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS good_sum
     FROM orders
     """,
 )
@@ -283,7 +284,7 @@ def q_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.agg(
         F.count("_bad").alias("n_bad"),
         F.count("o_totalprice").alias("n_good"),
-        F.round(
+        portable_round(
             F.sum(F.coalesce(F.col("o_totalprice").cast("decimal(38,6)"), F.lit(0))),
             4,
         )
@@ -297,7 +298,7 @@ def q_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n_name,
            CAST(COUNT(*) AS BIGINT) AS n_suppliers,
-           CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(38,6))), 4) AS DOUBLE)
+           CAST((CAST(floor(CAST((SUM(CAST(s_acctbal AS DECIMAL(38,6)))) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE)
              AS total_bal
     FROM supplier JOIN nation ON s_nationkey = n_nationkey
     GROUP BY n_name
@@ -350,7 +351,7 @@ def q_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
-            F.round(F.sum(F.col("s_acctbal").cast("decimal(38,6)")), 4)
+            portable_round(F.sum(F.col("s_acctbal").cast("decimal(38,6)")), 4)
             .cast("double")
             .alias("total_bal"),
         )
@@ -457,7 +458,7 @@ def q_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(length(text)) AS BIGINT) AS total_chars,
            CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
-           CAST(ROUND(CAST(SUM(length(text)) AS DOUBLE) / COUNT(*), 4)
+           CAST((CAST(floor(CAST((CAST(SUM(length(text)) AS DOUBLE) / COUNT(*)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0)
                 AS DOUBLE) AS avg_chars
     FROM documents GROUP BY source ORDER BY source
     """,
@@ -507,7 +508,7 @@ def q_text_source_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum(F.length("text")).cast("bigint").alias("total_chars"),
             F.max("doc_id").cast("bigint").alias("max_doc_id"),
-            F.round(
+            portable_round(
                 F.sum(F.length("text")).cast("double") / F.count(F.lit(1)), 4
             )
             .cast("double")

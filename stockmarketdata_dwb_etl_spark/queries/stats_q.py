@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.operators.rank import global_row_number
 from stockmarketdata_dwb_etl_spark.registry import query
@@ -49,7 +50,7 @@ _DEC18 = "decimal(38,18)"
                / (CAST(row_tot * col_tot AS DOUBLE) / n) AS c
         FROM tot
     )
-    SELECT CAST(ROUND(CAST(SUM(CAST(c AS DECIMAL(38,18))) AS DOUBLE), 6)
+    SELECT CAST((CAST(floor(CAST((CAST(SUM(CAST(c AS DECIMAL(38,18))) AS DOUBLE)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)
                 AS DOUBLE) AS chi2,
            CAST(((SELECT COUNT(DISTINCT event_type) FROM cells) - 1)
                 * ((SELECT COUNT(DISTINCT is_weekend) FROM cells) - 1)
@@ -97,7 +98,7 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("bigint").alias("n"),
     )
     return dims.select(
-        F.round("__chi2", 6).cast("double").alias("chi2"),
+        portable_round("__chi2", 6).cast("double").alias("chi2"),
         ((F.col("__r") - 1) * (F.col("__c") - 1)).cast("bigint").alias("dof"),
         "n",
     )
@@ -118,13 +119,11 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM rev
     )
     SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
-           CAST(ROUND(CAST(SUM(revenue) AS DOUBLE), 2) AS DOUBLE)
+           CAST((CAST(floor(CAST((CAST(SUM(revenue) AS DOUBLE)) AS DOUBLE) * 100.0 + 0.5) AS DOUBLE) / 100.0) AS DOUBLE)
              AS total_revenue,
-           CAST(ROUND(
-               2.0 * CAST(SUM(i * revenue) AS DOUBLE)
+           CAST((CAST(floor(CAST((2.0 * CAST(SUM(i * revenue) AS DOUBLE)
                / (MAX(n) * CAST(SUM(revenue) AS DOUBLE))
-               - CAST(MAX(n) + 1 AS DOUBLE) / MAX(n),
-               6) AS DOUBLE) AS gini
+               - CAST(MAX(n) + 1 AS DOUBLE) / MAX(n)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS gini
     FROM ranked
     """,
 )
@@ -156,8 +155,8 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "n_customers",
-        F.round(F.col("__sx").cast("double"), 2).cast("double").alias("total_revenue"),
-        F.round(gini, 6).cast("double").alias("gini"),
+        portable_round(F.col("__sx").cast("double"), 2).cast("double").alias("total_revenue"),
+        portable_round(gini, 6).cast("double").alias("gini"),
     )
 
 
@@ -176,11 +175,11 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d, CAST(COUNT(*) AS BIGINT) AS n_obs FROM digits GROUP BY d
     )
     SELECT d, n_obs,
-           CAST(ROUND(CAST(n_obs AS DOUBLE) / SUM(n_obs) OVER (), 6)
+           CAST((CAST(floor(CAST((CAST(n_obs AS DOUBLE) / SUM(n_obs) OVER ()) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)
                 AS DOUBLE) AS obs_share,
-           CAST(ROUND(log10(1.0 + 1.0 / d), 6) AS DOUBLE) AS benford_share,
-           CAST(ROUND(abs(CAST(n_obs AS DOUBLE) / SUM(n_obs) OVER ()
-                          - log10(1.0 + 1.0 / d)), 6) AS DOUBLE)
+           CAST((CAST(floor(CAST((log10(1.0 + 1.0 / d)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS benford_share,
+           CAST((CAST(floor(CAST((abs(CAST(n_obs AS DOUBLE) / SUM(n_obs) OVER ()
+                          - log10(1.0 + 1.0 / d))) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE)
              AS abs_dev
     FROM obs ORDER BY d
     """,
@@ -212,9 +211,9 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     return obs.select(
         "d",
         "n_obs",
-        F.round(share, 6).cast("double").alias("obs_share"),
-        F.round(benford, 6).cast("double").alias("benford_share"),
-        F.round(F.abs(share - benford), 6).cast("double").alias("abs_dev"),
+        portable_round(share, 6).cast("double").alias("obs_share"),
+        portable_round(benford, 6).cast("double").alias("benford_share"),
+        portable_round(F.abs(share - benford), 6).cast("double").alias("abs_dev"),
     ).orderBy("d")
 
 
@@ -241,23 +240,19 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM g
     )
     SELECT n1, n2,
-           CAST(ROUND(sx1 / n1, 6) AS DOUBLE) AS mean_click,
-           CAST(ROUND(sx2 / n2, 6) AS DOUBLE) AS mean_purchase,
-           CAST(ROUND(
-               (sx1 / n1 - sx2 / n2)
+           CAST((CAST(floor(CAST((sx1 / n1) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS mean_click,
+           CAST((CAST(floor(CAST((sx2 / n2) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS mean_purchase,
+           CAST((CAST(floor(CAST(((sx1 / n1 - sx2 / n2)
                / sqrt(((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1
-                      + ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2),
-               6) AS DOUBLE) AS t_stat,
-           CAST(ROUND(
-               (((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1
+                      + ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS t_stat,
+           CAST((CAST(floor(CAST(((((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1
                 + ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2)
                * (((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1
                   + ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2)
                / (((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1
                   * (((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1) / (n1 - 1)
                   + ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2
-                    * (((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2) / (n2 - 1)),
-               4) AS DOUBLE) AS welch_dof
+                    * (((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2) / (n2 - 1))) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS welch_dof
     FROM s
     """,
 )
@@ -305,10 +300,10 @@ def q_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "n1",
         "n2",
-        F.round(sx1 / n1, 6).cast("double").alias("mean_click"),
-        F.round(sx2 / n2, 6).cast("double").alias("mean_purchase"),
-        F.round(t, 6).cast("double").alias("t_stat"),
-        F.round(dof, 4).cast("double").alias("welch_dof"),
+        portable_round(sx1 / n1, 6).cast("double").alias("mean_click"),
+        portable_round(sx2 / n2, 6).cast("double").alias("mean_purchase"),
+        portable_round(t, 6).cast("double").alias("t_stat"),
+        portable_round(dof, 4).cast("double").alias("welch_dof"),
     )
 
 
@@ -393,20 +388,20 @@ def q_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     parts AS (
         SELECT t.n, t.k,
-               CAST(SUM(CAST(ROUND(g.s_g * g.s_g / g.n_g, 12)
+               CAST(SUM(CAST((CAST(floor(CAST((g.s_g * g.s_g / g.n_g) AS DOUBLE) * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0)
                              AS DECIMAL(38,18))) AS DOUBLE)
                    - t.s * t.s / t.n AS ssb,
                t.ss
-               - CAST(SUM(CAST(ROUND(g.s_g * g.s_g / g.n_g, 12)
+               - CAST(SUM(CAST((CAST(floor(CAST((g.s_g * g.s_g / g.n_g) AS DOUBLE) * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0)
                                AS DECIMAL(38,18))) AS DOUBLE) AS ssw
         FROM g CROSS JOIN tot t
         GROUP BY t.n, t.k, t.s, t.ss
     )
     SELECT n, k,
-           CAST(ROUND(ssb, 8) AS DOUBLE) AS ss_between,
-           CAST(ROUND(ssw, 8) AS DOUBLE) AS ss_within,
+           CAST((CAST(floor(CAST((ssb) AS DOUBLE) * 100000000.0 + 0.5) AS DOUBLE) / 100000000.0) AS DOUBLE) AS ss_between,
+           CAST((CAST(floor(CAST((ssw) AS DOUBLE) * 100000000.0 + 0.5) AS DOUBLE) / 100000000.0) AS DOUBLE) AS ss_within,
            CAST(CASE WHEN ssw <= 0 OR n <= k THEN NULL
-                ELSE ROUND((ssb / (k - 1)) / (ssw / (n - k)), 4) END
+                ELSE (CAST(floor(CAST(((ssb / (k - 1)) / (ssw / (n - k))) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) END
                 AS DOUBLE) AS f_stat
     FROM parts
     """,
@@ -441,7 +436,7 @@ def q_anova_hod(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("ss_g"),
     )
-    term = F.round(F.col("s_g") * F.col("s_g") / F.col("n_g"), 12).cast(dec18)
+    term = portable_round(F.col("s_g") * F.col("s_g") / F.col("n_g"), 12).cast(dec18)
     parts = g.agg(
         F.sum("n_g").cast("bigint").alias("n"),
         F.count(F.lit(1)).cast("bigint").alias("k"),
@@ -454,14 +449,14 @@ def q_anova_hod(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts.select(
         "n",
         "k",
-        F.round(ssb, 8).cast("double").alias("ss_between"),
-        F.round(ssw, 8).cast("double").alias("ss_within"),
+        portable_round(ssb, 8).cast("double").alias("ss_between"),
+        portable_round(ssw, 8).cast("double").alias("ss_within"),
         F.when(
             (ssw <= 0) | (F.col("n") <= F.col("k")),
             F.lit(None).cast("double"),
         )
         .otherwise(
-            F.round(
+            portable_round(
                 (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))),
                 4,
             )
@@ -508,11 +503,10 @@ def q_anova_hod(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT symbol, n, n_pos, n_neg, n_runs,
            CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
-                ELSE ROUND(
-                    (n_runs - (2.0 * n_pos * n_neg / n + 1.0))
+                ELSE (CAST(floor(CAST(((n_runs - (2.0 * n_pos * n_neg / n + 1.0))
                     / sqrt(2.0 * n_pos * n_neg
                            * (2.0 * n_pos * n_neg - n)
-                           / (CAST(n AS DOUBLE) * n * (n - 1))), 4) END
+                           / (CAST(n AS DOUBLE) * n * (n - 1)))) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) END
                 AS DOUBLE) AS z_stat
     FROM m ORDER BY symbol
     """,
@@ -581,7 +575,7 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_neg",
         "n_runs",
         F.when((np_ == 0) | (nn == 0), F.lit(None).cast("double"))
-        .otherwise(F.round((nr - mu) / F.sqrt(var), 4))
+        .otherwise(portable_round((nr - mu) / F.sqrt(var), 4))
         .cast("double")
         .alias("z_stat"),
     ).orderBy("symbol")

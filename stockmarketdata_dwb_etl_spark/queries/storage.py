@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.exact import exact_sum, sql_exact_sum
 from stockmarketdata_dwb_etl_spark.registry import QUERIES, query
@@ -194,11 +195,11 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH changes AS (
         SELECT c_custkey, 'MIGRATED' AS c_mktsegment,
-               CAST(ROUND(c_acctbal + 100.0, 4) AS DOUBLE) AS c_acctbal
+               CAST((CAST(floor(CAST((c_acctbal + 100.0) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS c_acctbal
         FROM customer WHERE c_custkey % 13 = 0
     )
     SELECT c.c_custkey, c.c_mktsegment,
-           CAST(ROUND(c.c_acctbal, 4) AS DOUBLE) AS c_acctbal,
+           CAST((CAST(floor(CAST((c.c_acctbal) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS c_acctbal,
            DATE '2024-01-01' AS effective_from,
            DATE '9999-12-31' AS effective_to,
            TRUE AS is_current
@@ -206,7 +207,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE ch.c_custkey IS NULL
     UNION ALL
     SELECT c.c_custkey, c.c_mktsegment,
-           CAST(ROUND(c.c_acctbal, 4) AS DOUBLE) AS c_acctbal,
+           CAST((CAST(floor(CAST((c.c_acctbal) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS c_acctbal,
            DATE '2024-01-01' AS effective_from,
            DATE '2024-06-01' AS effective_to,
            FALSE AS is_current
@@ -230,12 +231,12 @@ def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast joins (anti + semi shape) and a union. Changes are derived
     deterministically (every 13th key migrates segment, +100 balance)."""
     dim = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_mktsegment", F.round("c_acctbal", 4).alias("c_acctbal")
+        "c_custkey", "c_mktsegment", portable_round("c_acctbal", 4).alias("c_acctbal")
     )
     changes = dim.filter(F.col("c_custkey") % 13 == 0).select(
         "c_custkey",
         F.lit("MIGRATED").alias("c_mktsegment"),
-        F.round(F.col("c_acctbal") + 100.0, 4).alias("c_acctbal"),
+        portable_round(F.col("c_acctbal") + 100.0, 4).alias("c_acctbal"),
     )
     keys = changes.select("c_custkey")
     d0 = F.to_date(F.lit("2024-01-01"))
@@ -274,8 +275,8 @@ def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                -- double rounding diverges between engines (Spark rounds
                -- the shortest decimal repr, DuckDB the true binary)
                CASE WHEN o_orderkey % 10 = 1
-                    THEN CAST(ROUND(CAST(o_totalprice AS DECIMAL(38,6))
-                                    * 1.1, 2) AS DOUBLE)
+                    THEN CAST((CAST(floor(CAST((CAST(o_totalprice AS DECIMAL(38,6))
+                                    * 1.1) AS DOUBLE) * 100.0 + 0.5) AS DOUBLE) / 100.0) AS DOUBLE)
                     ELSE o_totalprice END AS o_totalprice
         FROM base WHERE o_orderkey % 10 <> 7
     )
@@ -319,7 +320,7 @@ def q_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey") % 10 == 1,
             # exact-decimal product then round: both engines round the
             # SAME exact decimal, immune to .005 double-tie divergence
-            F.round(
+            portable_round(
                 F.col("o_totalprice").cast("decimal(38,6)")
                 * F.lit("1.1").cast("decimal(2,1)"),
                 2,
@@ -357,7 +358,7 @@ def q_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), b2 AS (
         SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice,
                o_orderpriority,
-               CAST(ROUND((o_orderkey % 5) / 100.0, 2) AS DOUBLE) AS discount_rate,
+               CAST((CAST(floor(CAST(((o_orderkey % 5) / 100.0) AS DOUBLE) * 100.0 + 0.5) AS DOUBLE) / 100.0) AS DOUBLE) AS discount_rate,
                2 AS batch
         FROM orders WHERE o_orderkey % 2 = 1
     ), merged AS (
@@ -369,7 +370,7 @@ def q_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_null_price,
            CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                AS n_null_priority,
-           CAST(ROUND(SUM(discount_rate), 4) AS DOUBLE) AS sum_discount
+           CAST((CAST(floor(CAST((SUM(discount_rate)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS sum_discount
     FROM merged
     GROUP BY batch
     """,
@@ -400,7 +401,7 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.col("o_orderkey") % 2 == 1).select(
             "o_orderkey",
             "o_orderpriority",
-            F.round((F.col("o_orderkey") % 5) / 100.0, 2).alias("discount_rate"),
+            portable_round((F.col("o_orderkey") % 5) / 100.0, 2).alias("discount_rate"),
         ).write.mode("overwrite").parquet(b2_dir)
     merged = (
         spark.read.option("mergeSchema", "true")
@@ -415,7 +416,7 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0)).alias(
             "n_null_priority"
         ),
-        F.round(F.sum("discount_rate"), 4).alias("sum_discount"),
+        portable_round(F.sum("discount_rate"), 4).alias("sum_discount"),
     )
 
 
@@ -441,7 +442,7 @@ def write_orders_zordered(spark: SparkSession, sf_dir: str, n_files: int = 16) -
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 4) AS DOUBLE)
+           CAST((CAST(floor(CAST((SUM(CAST(o_totalprice AS DECIMAL(38,6)))) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE)
              AS sum_price
     FROM orders
     WHERE o_custkey BETWEEN 100 AND 260
@@ -561,7 +562,7 @@ def q_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))), 2)
+           CAST((CAST(floor(CAST((SUM(CAST(o.o_totalprice AS DECIMAL(38,6)))) AS DOUBLE) * 100.0 + 0.5) AS DOUBLE) / 100.0)
                 AS DOUBLE) AS revenue
     FROM orders o CROSS JOIN split s
     WHERE o.o_orderdate < s.cutoff
@@ -617,7 +618,7 @@ def q_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.select(
         "month",
         "n_orders",
-        F.round(F.col("__rev"), 2).cast("double").alias("revenue"),
+        portable_round(F.col("__rev"), 2).cast("double").alias("revenue"),
     ).orderBy("month")
 
 
@@ -794,7 +795,7 @@ def q_bucketed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_scd2_integrity",
     oracle="""
     WITH dim AS (
-        SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 4) AS c_acctbal
+        SELECT c_custkey, c_mktsegment, (CAST(floor(CAST((c_acctbal) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS c_acctbal
         FROM customer
     ),
     scd AS (

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.exact import exact_sum, sql_exact_sum
 from stockmarketdata_dwb_etl_spark.registry import query
@@ -143,7 +144,7 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT make_timestamp((floor(epoch(ts))::BIGINT // 3600)
                               * 3600 * 1000000) AS window_start,
                COUNT(*) AS n_events,
-               CAST(ROUND(SUM(value), 4) AS DOUBLE) AS sum_value
+               CAST((CAST(floor(CAST((SUM(value)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1
     )
     SELECT window_start,
@@ -175,7 +176,7 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts_i", "1 hour").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            portable_round(F.sum("value"), 4).alias("sum_value"),
         )
         .select(
             ntz_of("w.start").alias("window_start"),
@@ -193,7 +194,7 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            COUNT(*) AS n_events,
-           CAST(ROUND(SUM(COALESCE(value, 0.0)), 4) AS DOUBLE) AS sum_value
+           CAST((CAST(floor(CAST((SUM(COALESCE(value, 0.0))) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS sum_value
     FROM events GROUP BY user_id
     """,
 )
@@ -215,7 +216,7 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emissions.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("user_id", "n_events", F.round("sum_value", 4).alias("sum_value"))
+        .select("user_id", "n_events", portable_round("sum_value", 4).alias("sum_value"))
     )
 
 
@@ -474,7 +475,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment AS segment,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(38,6))), 4) AS DOUBLE)
+           CAST((CAST(floor(CAST((SUM(CAST(e.value AS DECIMAL(38,6)))) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE)
              AS sum_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment
@@ -515,7 +516,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(snapshot).select(
         "segment",
         "n_events",
-        F.round(F.col("sum_dec"), 4).cast("double").alias("sum_value"),
+        portable_round(F.col("sum_dec"), 4).cast("double").alias("sum_value"),
     )
 
 
@@ -536,10 +537,10 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY 1, 2, 3
     )
     SELECT symbol, window_start, window_end,
-           CAST(ROUND(open, 4) AS DOUBLE) AS open,
-           CAST(ROUND(high, 4) AS DOUBLE) AS high,
-           CAST(ROUND(low, 4) AS DOUBLE) AS low,
-           CAST(ROUND(close, 4) AS DOUBLE) AS close,
+           CAST((CAST(floor(CAST((open) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS open,
+           CAST((CAST(floor(CAST((high) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS high,
+           CAST((CAST(floor(CAST((low) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS low,
+           CAST((CAST(floor(CAST((close) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS close,
            volume
     FROM bars
     WHERE window_end <= (SELECT MAX(ts) FROM events) - INTERVAL 10 MINUTE
@@ -584,10 +585,10 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "symbol",
             ntz_of("w.start").alias("window_start"),
             ntz_of("w.end").alias("window_end"),
-            F.round("open", 4).cast("double").alias("open"),
-            F.round("high", 4).cast("double").alias("high"),
-            F.round("low", 4).cast("double").alias("low"),
-            F.round("close", 4).cast("double").alias("close"),
+            portable_round("open", 4).cast("double").alias("open"),
+            portable_round("high", 4).cast("double").alias("high"),
+            portable_round("low", 4).cast("double").alias("low"),
+            portable_round("close", 4).cast("double").alias("close"),
             "volume",
         )
     )

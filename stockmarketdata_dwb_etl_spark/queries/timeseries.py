@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.registry import query
 
@@ -51,7 +52,7 @@ _DUCK_ORD = "printf('%020d-%012d', epoch_us(ts), event_id)"
            MIN(value) AS low,
            arg_max(value, {_DUCK_ORD}) AS close,
            CAST(COUNT(*) AS BIGINT) AS n_ticks,
-           CAST(ROUND(SUM(value), 4) AS DOUBLE) AS volume_proxy
+           CAST((CAST(floor(CAST((SUM(value)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS volume_proxy
     FROM events
     GROUP BY event_type, date_trunc('hour', ts)
     """,
@@ -72,7 +73,7 @@ def q_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("low"),
         F.max_by("value", _spark_ord()).alias("close"),
         F.count(F.lit(1)).alias("n_ticks"),
-        F.round(F.sum("value"), 4).alias("volume_proxy"),
+        portable_round(F.sum("value"), 4).alias("volume_proxy"),
     )
 
 
@@ -81,7 +82,7 @@ def q_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH agg AS (
         SELECT event_type, date_trunc('hour', ts) AS h,
-               CAST(ROUND(SUM(value), 4) AS DOUBLE) AS hour_value
+               CAST((CAST(floor(CAST((SUM(value)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS hour_value
         FROM events GROUP BY 1, 2
     ), span AS (
         SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM agg GROUP BY 1
@@ -109,7 +110,7 @@ def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     agg = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
-    ).agg(F.round(F.sum("value"), 4).alias("hour_value"))
+    ).agg(portable_round(F.sum("value"), 4).alias("hour_value"))
     span = agg.groupBy("event_type").agg(
         F.min("h").alias("h0"), F.max("h").alias("h1")
     )
@@ -150,7 +151,7 @@ def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM bars
     )
     SELECT event_type, h AS bar_ts, price, peak,
-           CAST(ROUND(price / peak - 1.0, 4) AS DOUBLE) AS drawdown
+           CAST((CAST(floor(CAST((price / peak - 1.0) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS drawdown
     FROM dd
     """,
 )
@@ -179,7 +180,7 @@ def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("h").alias("bar_ts"),
         "price",
         "peak",
-        F.round(F.col("price") / F.col("peak") - 1.0, 4).alias("drawdown"),
+        portable_round(F.col("price") / F.col("peak") - 1.0, 4).alias("drawdown"),
     )
 
 
@@ -188,16 +189,16 @@ def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH hourly AS (
         SELECT event_type, date_trunc('hour', ts) AS h,
-               COUNT(*) AS n, CAST(ROUND(SUM(value), 4) AS DOUBLE) AS v
+               COUNT(*) AS n, CAST((CAST(floor(CAST((SUM(value)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS v
         FROM events GROUP BY 1, 2
     ), daily AS (
         SELECT event_type, date_trunc('day', h) AS d,
-               CAST(SUM(n) AS BIGINT) AS n, CAST(ROUND(SUM(v), 4) AS DOUBLE) AS v
+               CAST(SUM(n) AS BIGINT) AS n, CAST((CAST(floor(CAST((SUM(v)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS v
         FROM hourly GROUP BY 1, 2
     )
     SELECT event_type, date_trunc('month', d) AS month_start,
            CAST(SUM(n) AS BIGINT) AS n_events,
-           CAST(ROUND(SUM(v), 4) AS DOUBLE) AS sum_value
+           CAST((CAST(floor(CAST((SUM(v)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS sum_value
     FROM daily GROUP BY 1, 2
     """,
 )
@@ -213,16 +214,16 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
     ).agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("v")
+        F.count(F.lit(1)).alias("n"), portable_round(F.sum("value"), 4).alias("v")
     )
     daily = hourly.groupBy(
         "event_type", F.date_trunc("day", F.col("h")).alias("d")
-    ).agg(F.sum("n").alias("n"), F.round(F.sum("v"), 4).alias("v"))
+    ).agg(F.sum("n").alias("n"), portable_round(F.sum("v"), 4).alias("v"))
     return daily.groupBy(
         "event_type", F.date_trunc("month", F.col("d")).alias("month_start")
     ).agg(
         F.sum("n").alias("n_events"),
-        F.round(F.sum("v"), 4).alias("sum_value"),
+        portable_round(F.sum("v"), 4).alias("sum_value"),
     )
 
 
@@ -236,13 +237,13 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY event_type
     )
     SELECT e.event_type,
-           CAST(ROUND(b.p01, 4) AS DOUBLE) AS p01,
-           CAST(ROUND(b.p99, 4) AS DOUBLE) AS p99,
+           CAST((CAST(floor(CAST((b.p01) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS p01,
+           CAST((CAST(floor(CAST((b.p99) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS p99,
            CAST(SUM(CASE WHEN e.value < b.p01 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_clipped_low,
            CAST(SUM(CASE WHEN e.value > b.p99 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_clipped_high,
-           CAST(ROUND(AVG(least(greatest(e.value, b.p01), b.p99)), 4) AS DOUBLE)
+           CAST((CAST(floor(CAST((AVG(least(greatest(e.value, b.p01), b.p99))) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE)
                AS avg_winsorized
     FROM events e JOIN bounds b ON e.event_type = b.event_type
     GROUP BY e.event_type, b.p01, b.p99
@@ -271,11 +272,11 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("value") > F.col("p99")).cast("bigint")).alias(
             "n_clipped_high"
         ),
-        F.round(F.avg(clipped), 4).alias("avg_winsorized"),
+        portable_round(F.avg(clipped), 4).alias("avg_winsorized"),
     ).select(
         "event_type",
-        F.round("p01", 4).alias("p01"),
-        F.round("p99", 4).alias("p99"),
+        portable_round("p01", 4).alias("p01"),
+        portable_round("p99", 4).alias("p99"),
         "n_clipped_low",
         "n_clipped_high",
         "avg_winsorized",
@@ -349,9 +350,9 @@ def q_user_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT symbol, bar_ts, close,
            CAST(n_in_window AS BIGINT) AS n_in_window,
            CASE WHEN sigma IS NULL OR sigma = 0 THEN NULL
-                ELSE CAST(ROUND((close - mu) / sigma, 4) AS DOUBLE) END AS z,
+                ELSE CAST((CAST(floor(CAST(((close - mu) / sigma) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) END AS z,
            COALESCE(ABS(CASE WHEN sigma IS NULL OR sigma = 0 THEN NULL
-                ELSE ROUND((close - mu) / sigma, 4) END) > 2, FALSE) AS is_outlier
+                ELSE (CAST(floor(CAST(((close - mu) / sigma) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) END) > 2, FALSE) AS is_outlier
     FROM stats
     """,
 )
@@ -387,7 +388,7 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = F.when(
         F.col("sigma").isNull() | (F.col("sigma") == 0), F.lit(None)
-    ).otherwise(F.round((F.col("close") - F.col("mu")) / F.col("sigma"), 4))
+    ).otherwise(portable_round((F.col("close") - F.col("mu")) / F.col("sigma"), 4))
     return stats.select(
         "symbol",
         "bar_ts",
@@ -409,7 +410,7 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT a.symbol AS sym_a, b.symbol AS sym_b,
            CAST(COUNT(*) AS BIGINT) AS n_hours,
-           CAST(ROUND(CORR(a.close, b.close), 4) AS DOUBLE) AS pearson_r
+           CAST((CAST(floor(CAST((CORR(a.close, b.close)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS pearson_r
     FROM bars a JOIN bars b
       ON a.bar_ts = b.bar_ts AND a.symbol < b.symbol
     GROUP BY a.symbol, b.symbol
@@ -441,7 +442,7 @@ def q_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.symbol").alias("sym_a"), F.col("b.symbol").alias("sym_b")
     ).agg(
         F.count(F.lit(1)).alias("n_hours"),
-        F.round(F.corr(F.col("a.close"), F.col("b.close")), 4).alias("pearson_r"),
+        portable_round(F.corr(F.col("a.close"), F.col("b.close")), 4).alias("pearson_r"),
     )
 
 
@@ -458,10 +459,10 @@ def q_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT b.symbol,
            CAST(COUNT(*) AS BIGINT) AS n_hours,
-           CAST(ROUND(regr_slope(b.close, m.mkt_close), 4) AS DOUBLE) AS beta,
-           CAST(ROUND(regr_intercept(b.close, m.mkt_close), 4) AS DOUBLE)
+           CAST((CAST(floor(CAST((regr_slope(b.close, m.mkt_close)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS beta,
+           CAST((CAST(floor(CAST((regr_intercept(b.close, m.mkt_close)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE)
                AS alpha,
-           CAST(ROUND(regr_r2(b.close, m.mkt_close), 4) AS DOUBLE) AS r2
+           CAST((CAST(floor(CAST((regr_r2(b.close, m.mkt_close)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS r2
     FROM bars b JOIN mkt m ON b.bar_ts = m.bar_ts
     WHERE b.symbol <> 'view'
     GROUP BY b.symbol
@@ -491,11 +492,11 @@ def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("symbol").agg(
         F.count(F.lit(1)).alias("n_hours"),
-        F.round(F.regr_slope(F.col("close"), F.col("mkt_close")), 4).alias("beta"),
-        F.round(
+        portable_round(F.regr_slope(F.col("close"), F.col("mkt_close")), 4).alias("beta"),
+        portable_round(
             F.regr_intercept(F.col("close"), F.col("mkt_close")), 4
         ).alias("alpha"),
-        F.round(F.regr_r2(F.col("close"), F.col("mkt_close")), 4).alias("r2"),
+        portable_round(F.regr_r2(F.col("close"), F.col("mkt_close")), 4).alias("r2"),
     )
 
 
@@ -523,7 +524,7 @@ def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM rec WHERE rn < n
     )
     SELECT b.symbol, b.bar_ts, b.close,
-           CAST(ROUND(r.ewma, 4) AS DOUBLE) AS ewma
+           CAST((CAST(floor(CAST((r.ewma) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS ewma
     FROM bars b JOIN rec r ON b.symbol = r.symbol AND b.rn = r.rn
     """,
 )
@@ -565,7 +566,7 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     long = bars.groupBy("symbol").applyInPandas(
         ewma_group, "symbol string, bar_ts timestamp, close double, ewma double"
     )
-    return long.select("symbol", "bar_ts", "close", F.round("ewma", 4).alias("ewma"))
+    return long.select("symbol", "bar_ts", "close", portable_round("ewma", 4).alias("ewma"))
 
 
 @query(
@@ -587,7 +588,7 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT symbol, field,
            CAST(COUNT(*) AS BIGINT) AS n_bars,
-           CAST(ROUND(AVG(v), 4) AS DOUBLE) AS avg_value
+           CAST((CAST(floor(CAST((AVG(v)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS avg_value
     FROM long GROUP BY symbol, field
     """,
 )
@@ -620,5 +621,5 @@ def q_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return long.groupBy("symbol", "field").agg(
         F.count(F.lit(1)).alias("n_bars"),
-        F.round(F.avg("v"), 4).alias("avg_value"),
+        portable_round(F.avg("v"), 4).alias("avg_value"),
     )

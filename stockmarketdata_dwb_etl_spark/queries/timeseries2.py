@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.operators.asof import asof_join_forward
 from stockmarketdata_dwb_etl_spark.registry import query
@@ -136,10 +137,10 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
     )
     SELECT event_type, event_id, value,
-           CAST(ROUND(sx / 20, 6) AS DOUBLE) AS ma20,
-           CAST(ROUND(sx / 20 + 2 * (sqrt(20 * sxx - sx * sx) / 20), 6)
+           CAST((CAST(floor(CAST((sx / 20) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS ma20,
+           CAST((CAST(floor(CAST((sx / 20 + 2 * (sqrt(20 * sxx - sx * sx) / 20)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)
                 AS DOUBLE) AS upper_band,
-           CAST(ROUND(sx / 20 - 2 * (sqrt(20 * sxx - sx * sx) / 20), 6)
+           CAST((CAST(floor(CAST((sx / 20 - 2 * (sqrt(20 * sxx - sx * sx) / 20)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)
                 AS DOUBLE) AS lower_band,
            CAST(value > sx / 20 + 2 * (sqrt(20 * sxx - sx * sx) / 20)
                 AS BOOLEAN) AS breach_upper
@@ -184,9 +185,9 @@ def q_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "event_id",
         "value",
-        F.round(ma, 6).cast("double").alias("ma20"),
-        F.round(upper, 6).cast("double").alias("upper_band"),
-        F.round(lower, 6).cast("double").alias("lower_band"),
+        portable_round(ma, 6).cast("double").alias("ma20"),
+        portable_round(upper, 6).cast("double").alias("upper_band"),
+        portable_round(lower, 6).cast("double").alias("lower_band"),
         (F.col("value") > upper).alias("breach_upper"),
     ).orderBy("event_type", "event_id")
 
@@ -195,7 +196,7 @@ def q_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_asof_forward",
     oracle="""
     WITH clicks AS (
-        SELECT user_id, ts, event_id, CAST(ROUND(value, 4) AS DOUBLE) AS value
+        SELECT user_id, ts, event_id, CAST((CAST(floor(CAST((value) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS value
         FROM events WHERE event_type = 'click'
     ), purchases AS (
         SELECT user_id, ts AS next_purchase_ts, event_id AS next_purchase_id
@@ -216,7 +217,7 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     l.ts <= r.ts, pandas merge_asof(direction='forward'))."""
     ev = load_table(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id", F.round("value", 4).alias("value")
+        "user_id", "ts", "event_id", portable_round("value", 4).alias("value")
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
@@ -244,8 +245,8 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     target AS (
         SELECT event_type,
-               CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
-                          / COUNT(*), 6) AS DOUBLE) AS mu
+               CAST((CAST(floor(CAST((CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                          / COUNT(*)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS mu
         FROM base GROUP BY event_type
     ),
     pfx AS (
@@ -266,7 +267,7 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pfx
     )
     SELECT event_type, event_id, rn,
-           CAST(ROUND(CAST(s AS DOUBLE), 6) AS DOUBLE) AS cusum_stat
+           CAST((CAST(floor(CAST((CAST(s AS DOUBLE)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS cusum_stat
     FROM cusum
     WHERE CAST(s AS DOUBLE) > 500.0
     ORDER BY event_type, rn
@@ -295,7 +296,7 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rn"),
     )
     target = base.groupBy("event_type").agg(
-        F.round(
+        portable_round(
             F.sum(F.col("value").cast(_DEC)).cast("double") / F.count(F.lit(1)), 6
         )
         .cast("double")
@@ -329,7 +330,7 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "event_id",
             "rn",
-            F.round(F.col("s").cast("double"), 6).cast("double").alias("cusum_stat"),
+            portable_round(F.col("s").cast("double"), 6).cast("double").alias("cusum_stat"),
         )
         .orderBy("event_type", "rn")
     )

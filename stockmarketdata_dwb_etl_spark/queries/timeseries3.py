@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.queries.timeseries import _DUCK_ORD, _spark_ord
 from stockmarketdata_dwb_etl_spark.registry import query
@@ -67,8 +68,8 @@ def _bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT symbol, hod,
            CAST(COUNT(*) AS BIGINT) AS n_obs,
-           CAST(ROUND(CAST(SUM(CAST(r AS DECIMAL(38,6))) AS DOUBLE)
-                      / COUNT(*), 6) AS DOUBLE) AS seasonal
+           CAST((CAST(floor(CAST((CAST(SUM(CAST(r AS DECIMAL(38,6))) AS DOUBLE)
+                      / COUNT(*)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS seasonal
     FROM resid
     GROUP BY symbol, hod
     ORDER BY symbol, hod
@@ -119,7 +120,7 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         resid.groupBy("symbol", "hod")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_obs"),
-            F.round(
+            portable_round(
                 F.sum(F.col("r").cast(_DEC)).cast("double") / F.count(F.lit(1)),
                 6,
             )
@@ -148,7 +149,7 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM seq GROUP BY symbol
     )
     SELECT f.symbol, h.horizon, f.n_bars,
-           CAST(ROUND(f.icept + f.slope * (f.n_bars + h.horizon), 4)
+           CAST((CAST(floor(CAST((f.icept + f.slope * (f.n_bars + h.horizon)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0)
                 AS DOUBLE) AS forecast
     FROM fit f CROSS JOIN (
         SELECT unnest(generate_series(1, 5)) AS horizon) h
@@ -187,7 +188,7 @@ def q_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol",
         "horizon",
         "n_bars",
-        F.round(
+        portable_round(
             F.col("icept") + F.col("slope") * (F.col("n_bars") + F.col("horizon")),
             4,
         )
@@ -212,8 +213,8 @@ def q_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q
     )
     SELECT e.event_type,
-           CAST(ROUND(f.lo, 4) AS DOUBLE) AS fence_lo,
-           CAST(ROUND(f.hi, 4) AS DOUBLE) AS fence_hi,
+           CAST((CAST(floor(CAST((f.lo) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS fence_lo,
+           CAST((CAST(floor(CAST((f.hi) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS fence_hi,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(*) FILTER (WHERE e.value < f.lo OR e.value > f.hi)
                 AS BIGINT) AS n_outliers
@@ -258,8 +259,8 @@ def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "event_type",
-            F.round("lo", 4).cast("double").alias("fence_lo"),
-            F.round("hi", 4).cast("double").alias("fence_hi"),
+            portable_round("lo", 4).cast("double").alias("fence_lo"),
+            portable_round("hi", 4).cast("double").alias("fence_hi"),
             "n_rows",
             "n_outliers",
         )
@@ -291,7 +292,7 @@ def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(is_late) AS BIGINT) AS n_out_of_order,
-           CAST(ROUND(CAST(SUM(is_late) AS DOUBLE) / COUNT(*), 6) AS DOUBLE)
+           CAST((CAST(floor(CAST((CAST(SUM(is_late) AS DOUBLE) / COUNT(*)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE)
              AS disorder_rate
     FROM seq GROUP BY user_id
     HAVING SUM(is_late) > 0
@@ -341,7 +342,7 @@ def q_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "n_events",
             "n_out_of_order",
-            F.round(
+            portable_round(
                 F.col("n_out_of_order").cast("double") / F.col("n_events"), 6
             )
             .cast("double")
@@ -370,7 +371,7 @@ def q_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT symbol, n_expected, n_present,
            CAST(n_expected - n_present AS BIGINT) AS n_missing,
-           CAST(ROUND(CAST(n_expected - n_present AS DOUBLE) / n_expected, 6)
+           CAST((CAST(floor(CAST((CAST(n_expected - n_present AS DOUBLE) / n_expected) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)
                 AS DOUBLE) AS gap_rate
     FROM spine ORDER BY symbol
     """,
@@ -400,7 +401,7 @@ def q_missing_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_expected.alias("n_expected"),
         "n_present",
         (n_expected - F.col("n_present")).cast("bigint").alias("n_missing"),
-        F.round(
+        portable_round(
             (n_expected - F.col("n_present")).cast("double") / n_expected, 6
         )
         .cast("double")
@@ -429,8 +430,8 @@ def q_missing_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_classified,
            CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_buys,
-           CAST(ROUND(CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END)
-                           AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS buy_ratio
+           CAST((CAST(floor(CAST((CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+                           AS DOUBLE) / COUNT(*)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS buy_ratio
     FROM signed WHERE side IS NOT NULL
     GROUP BY symbol ORDER BY symbol
     """,
@@ -479,7 +480,7 @@ def q_tick_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
             "symbol",
             "n_classified",
             "n_buys",
-            F.round(
+            portable_round(
                 F.col("n_buys").cast("double") / F.col("n_classified"), 6
             )
             .cast("double")
@@ -509,10 +510,10 @@ def q_tick_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM gaps GROUP BY event_type
     )
     SELECT event_type, n,
-           CAST(ROUND(s / n, 4) AS DOUBLE) AS mean_gap_s,
+           CAST((CAST(floor(CAST((s / n) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS mean_gap_s,
            CAST(CASE WHEN s <= 0 THEN NULL
-                ELSE ROUND(sqrt(greatest(ss / n - (s / n) * (s / n), 0.0))
-                           / (s / n), 4) END AS DOUBLE) AS cv
+                ELSE (CAST(floor(CAST((sqrt(greatest(ss / n - (s / n) * (s / n), 0.0))
+                           / (s / n)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) END AS DOUBLE) AS cv
     FROM m ORDER BY event_type
     """,
 )
@@ -549,9 +550,9 @@ def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "event_type",
         "n",
-        F.round(mu, 4).cast("double").alias("mean_gap_s"),
+        portable_round(mu, 4).cast("double").alias("mean_gap_s"),
         F.when(F.col("s") <= 0, F.lit(None).cast("double"))
-        .otherwise(F.round(sd / mu, 4))
+        .otherwise(portable_round(sd / mu, 4))
         .cast("double")
         .alias("cv"),
     ).orderBy("event_type")
@@ -573,13 +574,13 @@ def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM mins GROUP BY event_type
     )
     SELECT event_type, n_minutes,
-           CAST(ROUND(CAST(s AS DOUBLE) / n_minutes, 4) AS DOUBLE)
+           CAST((CAST(floor(CAST((CAST(s AS DOUBLE) / n_minutes) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE)
                AS mean_per_min,
            CAST(CASE WHEN s = 0 THEN NULL
-                ELSE ROUND((CAST(ss AS DOUBLE) / n_minutes
+                ELSE (CAST(floor(CAST(((CAST(ss AS DOUBLE) / n_minutes
                             - (CAST(s AS DOUBLE) / n_minutes)
                               * (CAST(s AS DOUBLE) / n_minutes))
-                           / (CAST(s AS DOUBLE) / n_minutes), 4) END
+                           / (CAST(s AS DOUBLE) / n_minutes)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) END
                 AS DOUBLE) AS fano_factor
     FROM m ORDER BY event_type
     """,
@@ -605,10 +606,10 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "event_type",
         "n_minutes",
-        F.round(mu, 4).cast("double").alias("mean_per_min"),
+        portable_round(mu, 4).cast("double").alias("mean_per_min"),
         F.when(F.col("s") == 0, F.lit(None).cast("double"))
         .otherwise(
-            F.round(
+            portable_round(
                 (F.col("ss").cast("double") / F.col("n_minutes") - mu * mu)
                 / mu,
                 4,

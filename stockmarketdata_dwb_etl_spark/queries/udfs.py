@@ -8,12 +8,15 @@ UDTF surface (1-based positions to match DuckDB generate_subscripts).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.udfs import parse_kmb_udf, weighted_avg_udf
 from stockmarketdata_dwb_etl_spark.registry import query
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 
 
 @query(
@@ -21,17 +24,17 @@ from stockmarketdata_dwb_etl_spark.registry import query
     oracle="""
     WITH raw AS (
         SELECT p_partkey,
-               printf('%.2f', ROUND(p_retailprice / 10, 2))
+               printf('%.2f', (CAST(floor(CAST((p_retailprice / 10) AS DOUBLE) * 100.0 + 0.5) AS DOUBLE) / 100.0))
                  || CASE p_partkey % 4 WHEN 0 THEN 'K' WHEN 1 THEN 'M'
                                        WHEN 2 THEN 'B' ELSE '' END AS vol_str
         FROM part)
     SELECT p_partkey,
-           CAST(ROUND(CASE
+           CAST(CAST(floor(CAST(CASE
                WHEN vol_str LIKE '%K' THEN TRY_CAST(substr(vol_str, 1, length(vol_str)-1) AS DOUBLE) * 1e3
                WHEN vol_str LIKE '%M' THEN TRY_CAST(substr(vol_str, 1, length(vol_str)-1) AS DOUBLE) * 1e6
                WHEN vol_str LIKE '%B' THEN TRY_CAST(substr(vol_str, 1, length(vol_str)-1) AS DOUBLE) * 1e9
                ELSE TRY_CAST(replace(vol_str, ',', '') AS DOUBLE)
-           END, 4) AS DOUBLE) AS vol
+           END AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS DOUBLE) AS vol
     FROM raw
     """,
 )
@@ -46,11 +49,11 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("")
     )
     vol_str = F.concat(
-        F.format_string("%.2f", F.round(F.col("p_retailprice") / 10, 2)), suffix
+        F.format_string("%.2f", portable_round(F.col("p_retailprice") / 10, 2)), suffix
     )
     return part.select(
         "p_partkey",
-        F.round(parse_kmb_udf()(vol_str), 4).alias("vol"),
+        portable_round(parse_kmb_udf()(vol_str), 4).alias("vol"),
     )
 
 
@@ -58,7 +61,7 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_udaf_grouped",
     oracle="""
     SELECT l_returnflag,
-           CAST(ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+           CAST((CAST(floor(CAST((SUM(l_extendedprice * l_quantity) / SUM(l_quantity)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0)
                 AS DOUBLE) AS wavg_price
     FROM lineitem
     GROUP BY l_returnflag
@@ -69,7 +72,7 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas UDF (Arrow transfer, one batch per group)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(weighted_avg_udf()("l_extendedprice", "l_quantity"), 4).alias(
+        portable_round(weighted_avg_udf()("l_extendedprice", "l_quantity"), 4).alias(
             "wavg_price"
         )
     )
@@ -135,7 +138,7 @@ def q_udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE event_type = 'click' GROUP BY user_id
     ), p AS (
         SELECT user_id, COUNT(*) AS n_purch,
-               CAST(ROUND(SUM(value), 4) AS DOUBLE) AS purch_value
+               CAST((CAST(floor(CAST((SUM(value)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS purch_value
         FROM events WHERE event_type = 'purchase' GROUP BY user_id
     )
     SELECT COALESCE(c.user_id, p.user_id) AS user_id,
@@ -168,7 +171,7 @@ def q_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "user_id": [key[0]],
                 "n_clicks": [len(left)],
                 "n_purchases": [len(right)],
-                "purch_value": [round(float(right["value"].sum()), 4) if len(right) else 0.0],
+                "purch_value": [math.floor(float(right["value"].sum()) * 1e4 + 0.5) / 1e4 if len(right) else 0.0],
             }
         )
 
@@ -188,7 +191,7 @@ def q_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_high,
-           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 4) AS DOUBLE)
+           CAST((CAST(floor(CAST((CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE)
              AS total_price
     FROM orders
     """,
@@ -215,7 +218,7 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed.write.format("noop").mode("overwrite").save()  # the real pass
     m = obs.get
     return spark.createDataFrame(
-        [(m["n_rows"], m["n_high"], float(round(m["total_price"], 4)))],
+        [(m["n_rows"], m["n_high"], math.floor(float(m["total_price"]) * 1e4 + 0.5) / 1e4)],
         "n_rows bigint, n_high bigint, total_price double",
     )
 
@@ -224,7 +227,7 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_udaf_window",
     oracle="""
     SELECT event_id, user_id,
-           CAST(ROUND(SUM(value * value) OVER w / SUM(value) OVER w, 4)
+           CAST((CAST(floor(CAST((SUM(value * value) OVER w / SUM(value) OVER w) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0)
                 AS DOUBLE) AS self_weighted
     FROM events
     WHERE event_type = 'purchase'
@@ -257,7 +260,7 @@ def q_udaf_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.round(self_weighted_udf()(F.col("value")).over(w), 4).alias("self_weighted"),
+        portable_round(self_weighted_udf()(F.col("value")).over(w), 4).alias("self_weighted"),
     )
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.registry import query
 
@@ -49,8 +50,8 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_lag_change",
     oracle="""
     SELECT event_id, user_id, ts, value,
-           CAST(ROUND((value - LAG(value) OVER w)
-                 / nullif(LAG(value) OVER w, 0) * 100, 4) AS DOUBLE) AS pct_change
+           CAST((CAST(floor(CAST(((value - LAG(value) OVER w)
+                 / nullif(LAG(value) OVER w, 0) * 100) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS pct_change
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
@@ -67,7 +68,7 @@ def q_window_lag_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "value",
-        F.round((F.col("value") - prev) / F.nullif(prev, F.lit(0)) * 100, 4)
+        portable_round((F.col("value") - prev) / F.nullif(prev, F.lit(0)) * 100, 4)
         .cast("double")
         .alias("pct_change"),
     )
@@ -77,9 +78,9 @@ def q_window_lag_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_moving_avg",
     oracle="""
     SELECT event_id, user_id, ts,
-           CAST(ROUND(AVG(value) OVER (
+           CAST((CAST(floor(CAST((AVG(value) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS sma7
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS sma7
     FROM events
     """,
 )
@@ -95,7 +96,7 @@ def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.round(F.avg("value").over(w), 4).cast("double").alias("sma7"),
+        portable_round(F.avg("value").over(w), 4).cast("double").alias("sma7"),
     )
 
 
@@ -103,9 +104,9 @@ def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_running_sum",
     oracle="""
     SELECT o_orderkey, o_custkey,
-           CAST(ROUND(SUM(o_totalprice) OVER (
+           CAST((CAST(floor(CAST((SUM(o_totalprice) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE)
              AS running_total
     FROM orders
     """,
@@ -120,7 +121,7 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "o_orderkey",
         "o_custkey",
-        F.round(F.sum("o_totalprice").over(w), 4).cast("double").alias("running_total"),
+        portable_round(F.sum("o_totalprice").over(w), 4).cast("double").alias("running_total"),
     )
 
 
@@ -157,8 +158,8 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_dist_funcs",
     oracle="""
     SELECT event_id, event_type, value,
-           CAST(ROUND(cume_dist() OVER wt, 9) AS DOUBLE) AS cd,
-           CAST(ROUND(percent_rank() OVER wt, 9) AS DOUBLE) AS pr,
+           CAST((CAST(floor(CAST((cume_dist() OVER wt) AS DOUBLE) * 1000000000.0 + 0.5) AS DOUBLE) / 1000000000.0) AS DOUBLE) AS cd,
+           CAST((CAST(floor(CAST((percent_rank() OVER wt) AS DOUBLE) * 1000000000.0 + 0.5) AS DOUBLE) / 1000000000.0) AS DOUBLE) AS pr,
            nth_value(value, 3) OVER wu AS third_smallest,
            lead(value) OVER wo AS next_value
     FROM events
@@ -190,8 +191,8 @@ def q_window_dist_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         "value",
-        F.round(F.cume_dist().over(wt), 9).cast("double").alias("cd"),
-        F.round(F.percent_rank().over(wt), 9).cast("double").alias("pr"),
+        portable_round(F.cume_dist().over(wt), 9).cast("double").alias("cd"),
+        portable_round(F.percent_rank().over(wt), 9).cast("double").alias("pr"),
         F.nth_value("value", 3).over(wu).alias("third_smallest"),
         F.lead("value").over(wo).alias("next_value"),
     ).orderBy("event_type", "value", "event_id")

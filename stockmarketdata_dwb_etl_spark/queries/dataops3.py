@@ -1102,13 +1102,28 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         QUERIES["q_kmeans_assign"](spark, sf_dir)
         .withColumnRenamed("assigned", "c_label")
         .select("label", "c_label", F.col("n").cast("bigint").alias("n"))
+        # the contingency matrix is catalog-sized (labels x clusters) but
+        # feeds FIVE downstream branches (tot/ml/mc/hits/joined) — without
+        # materialization each branch re-executes the whole kmeans-assign
+        # pipeline (29 exchanges in the final plan; 7 with)
+        .localCheckpoint(eager=True)
     )
+    # tot/ml/mc are also multi-consumed (joined + entropies + final
+    # select) — materialize the 1-row/marginal aggs once as well
     tot = cm.agg(
         F.sum("n").cast("bigint").alias("nn"),
         F.countDistinct("c_label").cast("bigint").alias("n_clusters"),
+    ).localCheckpoint(eager=True)
+    ml = (
+        cm.groupBy("label")
+        .agg(F.sum("n").cast("bigint").alias("ml"))
+        .localCheckpoint(eager=True)
     )
-    ml = cm.groupBy("label").agg(F.sum("n").cast("bigint").alias("ml"))
-    mc = cm.groupBy("c_label").agg(F.sum("n").cast("bigint").alias("mc"))
+    mc = (
+        cm.groupBy("c_label")
+        .agg(F.sum("n").cast("bigint").alias("mc"))
+        .localCheckpoint(eager=True)
+    )
     hits = (
         cm.groupBy("c_label")
         .agg(F.max("n").alias("mx"))

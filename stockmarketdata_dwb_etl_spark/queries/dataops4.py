@@ -774,13 +774,21 @@ def q_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     text that per-document quality scores (q_text_quality) cannot see.
     Inverted-index shape: one shingle explode, one df hash-agg, one join
     back on the shingle key, one per-doc agg — all shuffles key on
-    shingle or doc_id, never all-pairs. Integer counts + single division."""
+    shingle or doc_id, never all-pairs. Integer counts + single division.
+    The exploded (doc_id, shingle) table feeds BOTH the df-count agg and
+    the join probe, so it persists once (bounded slot, same leak guard
+    as the dedup family) — without it the regex tokenize+shingle pass,
+    the CPU cost of the whole query, runs twice over the corpus."""
+    from stockmarketdata_dwb_etl_spark.operators.dedup import (
+        _persist_shingles,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id",
         F.array_distinct(word_shingles(tokenize(F.col("text")), 3)).alias("sh"),
     )
-    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    ex = _persist_shingles(sh.select("doc_id", F.explode("sh").alias("s")))
     df = ex.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     shared_flag = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
     return (

@@ -1006,26 +1006,30 @@ def q_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical double tree (degenerate variance → NULL). Scale: the
     lag×returns fanout is 7× one symbol's calendar-bounded series;
     joins key on bar_ts."""
-    rets = _returns(spark, sf_dir)
-    # deterministic two-symbol pick without collect: rank distinct symbols
-    syms = rets.select("symbol").distinct()
+    # deterministic two-symbol pick without collect: rank distinct
+    # symbols straight off the events catalog (column-pruned scan — no
+    # need to run the bars+returns pipeline just to list symbols)
     from pyspark.sql.window import Window as _W
 
+    ev = load_table(spark, sf_dir, "events")
+    syms = ev.select(F.col("event_type").alias("symbol")).distinct()
     ranked = syms.select(
         "symbol",
         F.row_number().over(_W.orderBy("symbol")).alias("rk"),
     ).filter(F.col("rk") <= 2)
-    sa = ranked.filter(F.col("rk") == 1).select(
-        F.col("symbol").alias("sa")
-    )
-    sb = ranked.filter(F.col("rk") == 2).select(
-        F.col("symbol").alias("sb")
+    # ONE execution of the returns pipeline, restricted to the two lead
+    # symbols and materialized — ra and rb both read the checkpointed
+    # 2-symbol series instead of re-running bars+window per side
+    r2 = (
+        _returns(spark, sf_dir)
+        .join(F.broadcast(ranked), "symbol")
+        .localCheckpoint(eager=True)
     )
     lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
-    ra = rets.join(F.broadcast(sa), rets["symbol"] == F.col("sa")).select(
+    ra = r2.filter(F.col("rk") == 1).select(
         F.col("bar_ts"), F.col("r").alias("ra")
     )
-    rb = rets.join(F.broadcast(sb), rets["symbol"] == F.col("sb")).select(
+    rb = r2.filter(F.col("rk") == 2).select(
         F.col("bar_ts").alias("b_ts"), F.col("r").alias("rb")
     )
     joined = (

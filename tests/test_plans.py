@@ -315,3 +315,16 @@ def test_interval_overlap_skew_split_fires(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_acf_correlogram_single_window_pass(spark):
+    plan = _plan(_queries()["q_acf_correlogram"](spark, SF_DIR))
+    # all five lags come from ONE window family (five lag() functions
+    # over the same spec) stacked by a map-side explode — NOT a
+    # union of five branches each re-sorting the series (11 exchanges);
+    # the whole correlogram is window sort + (symbol, lag) agg + order
+    assert plan.count("Exchange") <= 4, plan.count("Exchange")
+    assert "Union" not in plan
+    # two Window nodes share one partitioning: the _returns lag and the
+    # five correlogram lags (no per-lag re-sort)
+    assert plan.count("Window") <= 2, plan.count("Window")

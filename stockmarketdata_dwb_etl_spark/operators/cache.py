@@ -1,0 +1,35 @@
+"""Bounded single-slot persistence for multi-consumed intermediates.
+
+A DataFrame consumed by several downstream branches re-executes its whole
+pipeline once per branch unless materialized. ``persist()`` fixes that,
+but a battery/probe session that runs many such queries back-to-back
+accumulates persisted tables until LRU eviction, and the eviction/GC
+pressure lands on whatever query runs LAST (measured on the dedup
+shingle tables: q_dedup_cross_corpus probed 6.6 s at ×10 as probe 16/18
+of a leaky session vs 3.0 s on a clean JVM — see operators/dedup.py).
+
+``bounded_persist`` keeps AT MOST ONE live persisted table per named
+slot: persisting into a slot unpersists the slot's previous occupant.
+Queries are self-contained (each call rebuilds), so the slot guarantees
+a bounded cache footprint across an arbitrarily long session while still
+collapsing within-query re-execution.
+
+Unlike ``localCheckpoint``, persistence keeps the full lineage visible
+in the executed plan (InMemoryRelation wraps the subtree), so plan
+audits and plan-shape tests still see the real join/aggregate structure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_LIVE: dict[str, DataFrame] = {}
+
+
+def bounded_persist(df: DataFrame, slot: str) -> DataFrame:
+    """Persist ``df`` in ``slot``, unpersisting the slot's previous DF."""
+    prev = _LIVE.pop(slot, None)
+    if prev is not None:
+        prev.unpersist()
+    _LIVE[slot] = df.persist()
+    return df

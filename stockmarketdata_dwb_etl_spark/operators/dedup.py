@@ -33,21 +33,16 @@ from stockmarketdata_dwb_etl_spark.functions.text import tokenize, word_shingles
 
 MERSENNE_P31 = (1 << 31) - 1  # modulus: products of 31-bit values fit a long
 
-#: shingle tables persisted by the near-dup entry points, so a later call
-#: can free its predecessor: a probe/bench session that runs many dedup
-#: queries back-to-back would otherwise accumulate persisted shingle
-#: tables until LRU eviction, and the eviction/GC pressure lands on
-#: whatever query runs LAST (measured: q_dedup_cross_corpus probed 6.6 s
-#: at x10 as probe 16/18 of a leaky session vs 3.0 s on a clean JVM).
-_LIVE_SHINGLE_PERSISTS: list[DataFrame] = []
-
-
 def _persist_shingles(shingled: DataFrame) -> DataFrame:
-    for prev in _LIVE_SHINGLE_PERSISTS:
-        prev.unpersist()
-    _LIVE_SHINGLE_PERSISTS.clear()
-    _LIVE_SHINGLE_PERSISTS.append(shingled.persist())
-    return shingled
+    """Shingle tables persist in a single bounded slot, so a later call
+    frees its predecessor: a probe/bench session that runs many dedup
+    queries back-to-back would otherwise accumulate persisted shingle
+    tables until LRU eviction, and the eviction/GC pressure lands on
+    whatever query runs LAST (measured: q_dedup_cross_corpus probed 6.6 s
+    at x10 as probe 16/18 of a leaky session vs 3.0 s on a clean JVM)."""
+    from stockmarketdata_dwb_etl_spark.operators.cache import bounded_persist
+
+    return bounded_persist(shingled, "dedup-shingles")
 
 
 def _par(df: "DataFrame") -> int:
@@ -519,7 +514,9 @@ def connected_components(
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
-    und = und.distinct().persist()
+    from stockmarketdata_dwb_etl_spark.operators.cache import bounded_persist
+
+    und = bounded_persist(und.distinct(), "cc-undirected-edges")
     labels = (
         und.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint()

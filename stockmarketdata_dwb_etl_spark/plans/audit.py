@@ -77,6 +77,38 @@ def _final_plan_only(plan: str) -> str:
     return "\n".join(out)
 
 
+def _count_exchanges(plan: str) -> tuple[int, int]:
+    """(shuffle_exchanges, broadcast_exchanges), counting each EXECUTED
+    exchange once.
+
+    The plan printer repeats a persisted table's full build plan under
+    EVERY InMemoryTableScan that references it, so a base cached via
+    bounded_persist and consumed by three branches would triple-count
+    its build exchanges — but the build executes exactly once. Exchange
+    nodes carry a stable ``[plan_id=N]``: repeated prints of the same
+    physical node share the id, so distinct-id counting is the executed
+    count. Lines without a plan_id (truncated by the printer) fall back
+    to per-occurrence counting."""
+    shuffle_ids: set[str] = set()
+    bcast_ids: set[str] = set()
+    fallback = 0
+    for m in re.finditer(r"(Broadcast)?Exchange ([^\n]*)", plan):
+        is_bcast = bool(m.group(1))
+        rest = m.group(2)
+        if not is_bcast and rest.startswith("SinglePartition"):
+            continue
+        idm = re.search(r"\[plan_id=(\d+)\]", rest)
+        if idm:
+            (bcast_ids if is_bcast else shuffle_ids).add(idm.group(1))
+        else:
+            if is_bcast:
+                bcast_ids.add(f"__noid_{fallback}")
+            else:
+                shuffle_ids.add(f"__noid_{fallback}")
+            fallback += 1
+    return len(shuffle_ids), len(bcast_ids)
+
+
 def audit(df: DataFrame) -> PlanAudit:
     """Audit a DataFrame's executed plan (final AQE plan if the DataFrame
     has been executed; the initial physical plan otherwise)."""
@@ -94,11 +126,8 @@ def audit(df: DataFrame) -> PlanAudit:
         a.read_schemas.append(m.group(1))
     # "Exchange hashpartitioning/rangepartitioning/..." = a real shuffle;
     # BroadcastExchange ships a small side to every executor (cheap, counted
-    # separately).
-    a.n_exchanges = len(re.findall(r"Exchange (?!SinglePartition)", plan)) - plan.count(
-        "BroadcastExchange"
-    )
-    a.n_broadcast_exchanges = plan.count("BroadcastExchange")
+    # separately). Distinct-plan_id counting: see _count_exchanges.
+    a.n_exchanges, a.n_broadcast_exchanges = _count_exchanges(plan)
     for node in _JOIN_NODES:
         a.joins += [node] * plan.count(node)
     a.n_codegen_spans = len(set(re.findall(r"\*\((\d+)\)", plan)))

@@ -128,8 +128,10 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("frequency"),
             exact_sum(F.col("o_totalprice"), "monetary"),
         )
-        .persist()
     )
+    from stockmarketdata_dwb_etl_spark.operators.cache import bounded_persist
+
+    base = bounded_persist(base, "rfm-base")
     max_date = base.agg(F.max("__last_d").alias("__max_d"))
     cust = base.join(F.broadcast(max_date)).select(
         "c_custkey",

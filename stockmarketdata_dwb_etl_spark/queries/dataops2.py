@@ -97,8 +97,14 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair population clears it at every sf (verified at sf0.001/0.01/0.1:
     94/81/820 pairs, zero missed); precision is exact by construction
     (every candidate is verify-filtered on true Jaccard)."""
-    return minhash_near_dups(_docs_with_near_dups(spark, sf_dir)).orderBy(
-        "id_a", "id_b"
+    # land survivors in a shuffle before the presentation sort: a global
+    # orderBy range-samples its child, which would re-execute the
+    # Jaccard-verify stage; the interposed hash exchange is read by both
+    # the sampling pass and the sort, so verification runs ONCE
+    return (
+        minhash_near_dups(_docs_with_near_dups(spark, sf_dir))
+        .repartition("id_a")
+        .orderBy("id_a", "id_b")
     )
 
 
@@ -163,8 +169,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-reproducible, so the oracle brute-forces the exact Hamming ≤ 3
     pair set — certifying both the band join's recall (pigeonhole: ≤ 3
     differing bits cannot touch all 4 chunks) and its verify precision."""
-    return simhash_near_dups(_docs_with_near_dups(spark, sf_dir)).orderBy(
-        "id_a", "id_b"
+    return (
+        simhash_near_dups(_docs_with_near_dups(spark, sf_dir))
+        .repartition("id_a")
+        .orderBy("id_a", "id_b")
     )
 
 
@@ -441,7 +449,11 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     reaches 0.9 (max ≈ 0.51) and a near-identical pair escapes all 4 LSH
     bands with probability ~1e-8."""
     emb = _embeddings_with_near_dups(spark, sf_dir)
-    return embedding_near_dups(emb, threshold=0.9).orderBy("id_a")
+    return (
+        embedding_near_dups(emb, threshold=0.9)
+        .repartition("id_a")
+        .orderBy("id_a")
+    )
 
 
 @query("q_ann_ivf_topk", oracle=ANN_TOPK_ORACLE)

@@ -421,8 +421,16 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(9).cast("bigint"),
         ).alias("bin"),
     )
-    counts = binned.groupBy("event_type", "cohort", "bin").agg(
-        F.count(F.lit(1)).alias("c")
+    from stockmarketdata_dwb_etl_spark.operators.cache import bounded_persist
+
+    # the (type, cohort, bin) histogram is catalog-sized but consumed by
+    # the type list and BOTH cohort sides of the grid — persist it once
+    # or every consumer re-scans the fact table
+    counts = bounded_persist(
+        binned.groupBy("event_type", "cohort", "bin").agg(
+            F.count(F.lit(1)).alias("c")
+        ),
+        "psi-drift-counts",
     )
     types = counts.select("event_type").distinct()
     bins = spark.range(0, 10).select(F.col("id").alias("bin"))
@@ -655,20 +663,39 @@ def q_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     order key. Marginals and the 1-row total broadcast back; lift is one
     double expression over exact integers, rounded before ordering.
     Scales: no all-pairs stage ever materializes across orders."""
+    from stockmarketdata_dwb_etl_spark.operators.cache import bounded_persist
+
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    basket = (
+    # ONE shuffle on the order key builds each basket's sorted brand set;
+    # pairs then generate MAP-SIDE from the in-array comprehension (the
+    # lsh_candidate_pairs pattern) instead of a basket self-join, and the
+    # basket table persists in a bounded slot because marginals, total,
+    # and pairs all consume it (un-persisted, the lineitem⨝part distinct
+    # would rebuild once per consumer)
+    sets = bounded_persist(
         li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
-        .distinct()
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("b")).alias("bs")),
+        "pair-affinity-baskets",
     )
-    marg = basket.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
-    total = basket.agg(F.countDistinct("ok").cast("bigint").alias("n_orders"))
-    a = basket.select(F.col("ok"), F.col("b").alias("brand_a"))
-    c = basket.select(F.col("ok"), F.col("b").alias("brand_b"))
+    marg = (
+        sets.select(F.explode("bs").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    )
+    total = sets.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    # bs is sorted ascending and de-duplicated, so slicing past position
+    # i yields exactly the brand_a < brand_b pairs
+    pair_list = F.expr(
+        "flatten(transform(bs, (x, i) ->"
+        " transform(slice(bs, i + 2, size(bs)),"
+        " y -> struct(x AS brand_a, y AS brand_b))))"
+    )
     pairs = (
-        a.join(c, ["ok"])
-        .filter(F.col("brand_a") < F.col("brand_b"))
+        sets.select(F.explode(pair_list).alias("p"))
+        .select("p.brand_a", "p.brand_b")
         .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
         .filter(F.col("n_pair") >= 2)
@@ -853,24 +880,35 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the cut). Directed pairs come from the same orderkey-co-located
     basket self-join (bounded by basket size); marginals broadcast
     back. One shuffle family on the order key."""
+    from stockmarketdata_dwb_etl_spark.operators.cache import bounded_persist
+
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    basket = (
+    # same one-shuffle basket design as q_pair_affinity: collect each
+    # order's distinct brand set once (persisted — marginals, total, and
+    # pairs all consume it), generate the DIRECTED a≠b pairs map-side
+    # from the in-array comprehension instead of a basket self-join
+    sets = bounded_persist(
         li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
-        .distinct()
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("b")).alias("bs")),
+        "assoc-rules-baskets",
     )
-    marg = basket.groupBy("b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_b")
+    marg = (
+        sets.select(F.explode("bs").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_b"))
     )
-    tot = basket.agg(
-        F.countDistinct("ok").cast("bigint").alias("n_orders")
+    tot = sets.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    pair_list = F.expr(
+        "flatten(transform(bs, x ->"
+        " transform(filter(bs, y -> y != x),"
+        " y -> struct(x AS antecedent, y AS consequent))))"
     )
-    x = basket.select("ok", F.col("b").alias("antecedent"))
-    y = basket.select("ok", F.col("b").alias("consequent"))
     pairs = (
-        x.join(y, "ok")
-        .filter(F.col("antecedent") != F.col("consequent"))
+        sets.select(F.explode(pair_list).alias("p"))
+        .select("p.antecedent", "p.consequent")
         .groupBy("antecedent", "consequent")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
     )

@@ -429,7 +429,9 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "idx0", "val"
         ),
     ).select("vec_id", (F.col("idx0") + 1).alias("idx"), "val")
-    ex = ex.persist()
+    from stockmarketdata_dwb_etl_spark.operators.cache import bounded_persist
+
+    ex = bounded_persist(ex, "power-iter-components")
     v = (
         ex.filter(F.col("vec_id") == 0)
         .select("idx", portable_round(F.col("val"), 12).alias("comp"))
@@ -582,6 +584,10 @@ def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("holdout_id"),
             "jaccard",
         )
+        # land in a shuffle before the presentation sort: the global
+        # orderBy's range sampling would re-execute the cross-side
+        # Jaccard verify; both passes read the interposed exchange
+        .repartition("corpus_id")
         .orderBy("corpus_id", "holdout_id")
     )
 
@@ -1673,21 +1679,37 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     from stockmarketdata_dwb_etl_spark.functions.text import word_shingles
 
+    from stockmarketdata_dwb_etl_spark.operators.cache import bounded_persist
+
     words = F.filter(F.split("text", " "), lambda x: x != "")
-    sh = (
-        docs.select(
-            "source", F.explode(word_shingles(words, 3)).alias("s")
-        )
-        .distinct()
+    # ONE shuffle keyed on the shingle builds each shingle's sorted
+    # source set (collect_set doubles as the DISTINCT); the inverted
+    # index persists in a bounded slot because sizes and pair counts
+    # both consume it — un-persisted, the tokenize+shingle+shuffle
+    # pipeline would rebuild once per consumer
+    by_sh = bounded_persist(
+        docs.select("source", F.explode(word_shingles(words, 3)).alias("s"))
+        .groupBy("s")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs")),
+        "source-overlap-index",
     )
-    sizes = sh.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    sizes = (
+        by_sh.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shingles"))
     )
-    a = sh.select(F.col("source").alias("source_a"), "s")
-    b = sh.select(F.col("source").alias("source_b"), "s")
+    # srcs is sorted and distinct, so the in-array comprehension emits
+    # exactly the source_a < source_b pairs per shingle — map-side, the
+    # lsh_candidate_pairs pattern; fanout is bounded by the source
+    # catalog, never all-pairs across shingles
+    pair_list = F.expr(
+        "flatten(transform(srcs, (x, i) ->"
+        " transform(slice(srcs, i + 2, size(srcs)),"
+        " y -> struct(x AS source_a, y AS source_b))))"
+    )
     inter = (
-        a.join(b, "s")
-        .filter(F.col("source_a") < F.col("source_b"))
+        by_sh.select(F.explode(pair_list).alias("p"))
+        .select("p.source_a", "p.source_b")
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= 5)

@@ -23,6 +23,7 @@ from pyspark.sql.window import Window
 
 from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.catalog import load_table
+from stockmarketdata_dwb_etl_spark.operators.cache import bounded_persist
 from stockmarketdata_dwb_etl_spark.registry import query
 
 _DAMPING = 0.85
@@ -52,21 +53,34 @@ def _graph(spark: SparkSession, sf_dir: str):
     co-located shuffle — same posture as q_pair_affinity)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    basket = (
+    # one shuffle on the order key builds each basket's sorted brand set;
+    # directed edges generate map-side from the in-array comprehension
+    # (the q_pair_affinity design) instead of a basket self-join
+    sets = bounded_persist(
         li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
-        .distinct()
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("b")).alias("bs")),
+        "graph-baskets",
     )
-    a = basket.select("ok", F.col("b").alias("src"))
-    c = basket.select("ok", F.col("b").alias("dst"))
-    edges = (
-        a.join(c, ["ok"])
-        .filter(F.col("src") != F.col("dst"))
+    pair_list = F.expr(
+        "flatten(transform(bs, x ->"
+        " transform(filter(bs, y -> y != x),"
+        " y -> struct(x AS src, y AS dst))))"
+    )
+    # the edge table is catalog-sized (brands × brands) and every graph
+    # query consumes it several times — persist it in its own slot
+    edges = bounded_persist(
+        sets.select(F.explode(pair_list).alias("p"))
+        .select("p.src", "p.dst")
         .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w")),
+        "graph-edges",
     )
     wdeg = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wdeg"))
-    nodes = basket.select(F.col("b").alias("node")).distinct()
+    nodes = (
+        sets.select(F.explode("bs").alias("node")).distinct()
+    )
     return edges, wdeg, nodes
 
 
@@ -116,7 +130,7 @@ def q_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranks re-round to 12dp every superstep so both engines iterate on
     identical values."""
     edges, wdeg, nodes = _graph(spark, sf_dir)
-    edges = edges.join(wdeg, "src").persist()
+    edges = bounded_persist(edges.join(wdeg, "src"), "pagerank-edges")
     n_nodes = nodes.count()  # driver scalar: node count bounds the loop math
     ranks = nodes.select(
         "node", portable_round(F.lit(1.0) / n_nodes, 12).cast("double").alias("rank")
@@ -372,11 +386,11 @@ def q_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = edges.agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY w)").alias("m")
     )
-    strong = (
+    strong = bounded_persist(
         edges.crossJoin(F.broadcast(med))
         .filter(F.col("w") >= F.col("m"))
-        .select("src", "dst")
-        .persist()
+        .select("src", "dst"),
+        "bfs-strong-edges",
     )
     snodes = strong.select(F.col("src").alias("node")).distinct()
     src_node = snodes.agg(F.min("node").alias("sn"))
@@ -454,11 +468,11 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = edges.agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY w)").alias("m")
     )
-    strong = (
+    strong = bounded_persist(
         edges.crossJoin(F.broadcast(med))
         .filter(F.col("w") >= F.col("m"))
-        .select("src", "dst")
-        .persist()
+        .select("src", "dst"),
+        "components-strong-edges",
     )
     labels = strong.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")

@@ -95,8 +95,14 @@ def q_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     data against a partitioned history (partition-pruned MERGE, cf.
     q_stream_merge_partitioned)."""
     from pipelines.stock_ingest import build_bronze, bronze_to_silver
+    from stockmarketdata_dwb_etl_spark.operators.cache import bounded_persist
 
-    silver = bronze_to_silver(build_bronze(spark, sf_dir))
+    # the silver build feeds the bound scan AND both daily batches —
+    # persist it once (in production each batch reads the stored silver
+    # table; here the build pipeline stands in for that storage)
+    silver = bounded_persist(
+        bronze_to_silver(build_bronze(spark, sf_dir)), "pipeline-silver"
+    )
     bounds = silver.agg(F.max("Date").alias("mx"))
     s = silver.crossJoin(F.broadcast(bounds))
     cutoff_new = F.date_sub(F.col("mx"), 7)   # inserted: last 7 days

@@ -410,9 +410,17 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
     )
-    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
-    ).persist()
+    from stockmarketdata_dwb_etl_spark.operators.cache import bounded_persist
+
+    revenue = bounded_persist(
+        li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "total_revenue",
+            )
+        ),
+        "q15-revenue",
+    )
     max_rev = revenue.agg(F.max("total_revenue").alias("__max_rev"))
     supp = load_table(spark, sf_dir, "supplier")
     return (

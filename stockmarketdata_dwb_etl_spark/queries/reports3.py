@@ -200,8 +200,10 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
             ).alias("value_dec")
         )
-        .persist()
     )
+    from stockmarketdata_dwb_etl_spark.operators.cache import bounded_persist
+
+    val = bounded_persist(val, "q11-part-values")
     total = val.agg(F.sum("value_dec").alias("__total"))
     return (
         val.join(F.broadcast(total))

@@ -328,3 +328,41 @@ def test_acf_correlogram_single_window_pass(spark):
     # two Window nodes share one partitioning: the _returns lag and the
     # five correlogram lags (no per-lag re-sort)
     assert plan.count("Window") <= 2, plan.count("Window")
+
+
+def test_pair_affinity_no_basket_self_join(spark):
+    # pairs generate map-side from the per-order brand set (collect_set
+    # + in-array comprehension) — the basket table must NOT self-join
+    # on the order key, and the basket build must appear ONCE (cached)
+    plan = _plan(_queries()["q_pair_affinity"](spark, SF_DIR))
+    assert "InMemoryRelation" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_source_overlap_single_index_build(spark):
+    # the per-shingle source-set index persists once; pair counts come
+    # from the map-side comprehension, not an inverted-index self-join
+    plan = _plan(_queries()["q_source_overlap"](spark, SF_DIR))
+    assert "InMemoryRelation" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_active_users_single_bitmap_build(spark):
+    # DAU, the day spine, and the WAU fanout all read the persisted
+    # per-(day, bucket) bitmap table — exactly one events scan group
+    plan = _plan(_queries()["q_active_users"](spark, SF_DIR))
+    assert "InMemoryRelation" in plan
+
+
+def test_graph_edges_cached_across_consumers(spark):
+    # _graph persists the basket sets AND the edge table; triangle's
+    # three edge views must read the cache, not rebuild the basket
+    plan = _plan(_queries()["q_triangle_count"](spark, SF_DIR))
+    assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_blocked_edit_sort_reads_interposed_exchange(spark):
+    # the presentation sort's range sampling must read the repartition
+    # exchange, not re-execute the join+Levenshtein verify stage
+    plan = _plan(_queries()["q_dedup_blocked_edit"](spark, SF_DIR))
+    assert "REPARTITION_BY_COL" in plan or "hashpartitioning(id_a" in plan

@@ -1869,3 +1869,60 @@ def q_ttr_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("len_bucket")
     )
+
+
+@query(
+    "q_chunk_documents",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS words
+        FROM documents
+    ),
+    st AS (
+        SELECT doc_id, words,
+               UNNEST(generate_series(0, len(words) - 1, 48)) AS st0
+        FROM w WHERE len(words) > 0
+    )
+    SELECT doc_id,
+           CAST(st0 / 48 AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(words, st0 + 1, st0 + 64)) AS BIGINT)
+               AS n_tokens,
+           array_to_string(list_slice(words, st0 + 1, st0 + 64), ' ')
+               AS chunk_text
+    FROM st
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window document chunking — the RAG / pretraining prep step
+    that turns documents into fixed-size overlapping training windows:
+    64-token chunks at stride 48 (16-token overlap so no boundary
+    context is lost), each chunk carrying (doc_id, chunk_id, n_tokens,
+    text). Deterministic by construction: whitespace tokens, start
+    offsets 0, 48, 96, … < n_words, slice semantics identical on both
+    engines (Spark slice(arr, start, length) vs DuckDB 1-based
+    inclusive list_slice — same window). Complements q_dedup_chunks
+    (which DEDUPS chunked text) and q_pack_sequences (which packs to a
+    token budget) by owning the chunking step itself.
+
+    Scale: pure map-side — tokenize, sequence-explode, slice, join —
+    zero shuffles before the presentation sort; output is corpus ×
+    (n_words/stride) rows, the fan-out any chunker pays."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    w = docs.select("doc_id", words.alias("w")).filter(F.size("w") > 0)
+    st = w.select(
+        "doc_id",
+        "w",
+        F.explode(
+            F.sequence(F.lit(0), F.size("w") - 1, F.lit(48))
+        ).alias("st0"),
+    )
+    chunk = F.slice("w", F.col("st0") + 1, 64)
+    return st.select(
+        "doc_id",
+        (F.col("st0") / 48).cast("bigint").alias("chunk_id"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_id")

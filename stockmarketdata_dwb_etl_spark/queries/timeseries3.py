@@ -618,3 +618,63 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("fano_factor"),
     ).orderBy("event_type")
+
+
+@query(
+    "q_rolling_median",
+    oracle=f"""
+    WITH {_DUCK_BARS},
+    arr AS (
+        SELECT symbol, bar_ts, close,
+               list_sort(list(close) OVER (
+                   PARTITION BY symbol ORDER BY bar_ts
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) AS w
+        FROM bars
+    )
+    SELECT symbol, bar_ts,
+           CAST((CAST(floor(CAST((close) AS DOUBLE) * 10000.0 + 0.5)
+                 AS DOUBLE) / 10000.0) AS DOUBLE) AS close,
+           CAST((CAST(floor(CAST((CASE WHEN len(w) % 2 = 1
+                    THEN w[(len(w) + 1) // 2]
+                    ELSE (w[len(w) // 2] + w[len(w) // 2 + 1]) / 2.0
+                END) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)
+                AS DOUBLE) AS roll_med20
+    FROM arr
+    ORDER BY symbol, bar_ts
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median over a 20-bar trailing window per symbol —
+    the robust smoother quant pipelines prefer over the moving average
+    when spikes must not drag the centre (complements q_mad_outliers'
+    global MAD and q_winsorize's clipping with the windowed-exact
+    form). Both engines collect the identical 20-element frame, sort
+    it, and take the same element (odd) or same two-element mean
+    (even) — element selection + one double add/divide, so the floor
+    round is bit-identical. Scale: frame state is a bounded 20-element
+    array per row (O(k log k) per row map-side after ONE per-symbol
+    window shuffle); an unbounded-frame median would instead go through
+    the global rank operator."""
+    bars = _bars(spark, sf_dir)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("bar_ts")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    arr = F.sort_array(F.collect_list("close").over(w))
+    n = F.size(arr)
+    med = F.when(
+        n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        (
+            F.element_at(arr, (n / 2).cast("int"))
+            + F.element_at(arr, (n / 2).cast("int") + 1)
+        )
+        / 2.0
+    )
+    return bars.select(
+        "symbol",
+        "bar_ts",
+        portable_round("close", 4).cast("double").alias("close"),
+        portable_round(med, 6).cast("double").alias("roll_med20"),
+    ).orderBy("symbol", "bar_ts")

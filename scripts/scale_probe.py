@@ -54,6 +54,9 @@ PROBES = (
     "q_dedup_cross_corpus", # LSH union pass + cross-side verify over documents
     "q_quality_classifier", # map-only feature scoring over documents
     "q_beta_capm",          # returns window + broadcast market join over events
+    "q_pair_affinity",      # one-shuffle basket build + map-side pair explode
+    "q_active_users",       # per-(day,bucket) bitmap build + 7-day OR-merge fanout
+    "q_chunk_documents",    # map-side token-window chunk fan-out over documents
 )
 
 

@@ -25,6 +25,8 @@ from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
     graph,
     finance,
     finance2,
+    finance3,
+    dataops6,
     stats_q,
     relational,
     dataops5,

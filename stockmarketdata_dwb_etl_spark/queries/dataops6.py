@@ -1,0 +1,386 @@
+"""Corpus-curation batch 6: domain-mixing weights, winnowing
+fingerprints, the Mann-Whitney U test, and n-gram novelty scoring.
+
+These round out the training-data pipeline surface (the reference's
+warehouse tier exists to serve exactly this kind of corpus analysis —
+/root/reference/dump_bigq.py:135-149): sampling-weight planning for
+domain mixing (the DoReMi/Pile-style "how much of each source do I
+take" step), MOSS-style local fingerprinting (Schleimer et al. 2003
+winnowing — the position-robust complement to the global min-hash
+fingerprint in q_doc_fingerprint), a distribution-free two-sample test
+(the robust complement to q_ttest_welch), and corpus-redundancy growth
+measurement (what fraction of each source's n-grams is genuinely new).
+
+Determinism policy: counts and rank sums are exact integers end to end;
+ratios either emit integer-scaled values via the integer half-up
+division idiom ((2·s·num + den) div (2·den)) or go through the portable
+floor-form round on an identical double expression tree (functions/
+exact.py::portable_round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stockmarketdata_dwb_etl_spark.catalog import load_table
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
+from stockmarketdata_dwb_etl_spark.functions.text import tokenize, word_shingles
+from stockmarketdata_dwb_etl_spark.operators.rank import global_prefix_sum
+from stockmarketdata_dwb_etl_spark.registry import query
+
+_DUCK_TOKS = """
+    toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    )
+"""
+
+
+@query(
+    "q_mix_weights",
+    oracle=f"""
+    WITH {_DUCK_TOKS},
+    per_source AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(ws)) AS BIGINT) AS n_tokens
+        FROM toks GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM per_source
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST((CAST(floor(CAST((n_tokens / total) AS DOUBLE) * 1000000.0
+                 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS token_share,
+           CAST((CAST(floor(CAST((least(1.0, total / (k * n_tokens)))
+                 AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)
+               AS DOUBLE) AS mix_weight,
+           CAST(least(n_tokens, total // k) AS BIGINT) AS expected_tokens
+    FROM per_source, tot
+    ORDER BY source
+    """,
+)
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing sampling weights: given per-source token counts and
+    a uniform target share (1/k per source), the downsampling weight
+    w_s = min(1, target/actual) each source needs so no source exceeds
+    its target token budget without upsampling past one epoch — the
+    planning step between corpus profiling and q_sample_weighted /
+    q_token_budget_trim execution. Token counts are exact integers;
+    share and weight are integer-quotient doubles through the identical
+    tree on both engines; the expected post-sampling token count is
+    pure integer min/floor-div. Scale: one partial+final hash-agg per
+    source plus a broadcast 1-row totals table — the plan never
+    re-scans the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(tokenize(F.col("text")))).cast("bigint").alias("n_tokens"),
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            portable_round(F.col("n_tokens") / F.col("total"), 6)
+            .cast("double")
+            .alias("token_share"),
+            portable_round(
+                F.least(
+                    F.lit(1.0), F.col("total") / (F.col("k") * F.col("n_tokens"))
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("mix_weight"),
+            F.least(F.col("n_tokens"), F.expr("total div k"))
+            .cast("bigint")
+            .alias("expected_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_winnowing",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, i AS pos,
+               ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' '
+                    || ws[i+2] || ' ' || ws[i+3]), 1, 8))::BIGINT AS h
+        FROM toks,
+             unnest(generate_series(1, greatest(len(ws) - 3, 0))) AS t(i)
+    ),
+    fp AS (
+        SELECT doc_id, pos,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS minh
+        FROM sh
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(COUNT(DISTINCT minh) AS BIGINT) AS n_fingerprints,
+           CAST(MIN(minh) AS BIGINT) AS min_fp,
+           CAST((2 * 10000 * COUNT(DISTINCT minh) + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT) AS density_x10000
+    FROM fp WHERE pos >= 5
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints per document (Schleimer/Wilkerson/Aiken,
+    the MOSS local fingerprinting scheme): hash every 4-token shingle,
+    slide a window of w=5 consecutive hashes, keep the window MINIMUM —
+    the selected set is guaranteed to share a fingerprint with any copy
+    of a passage ≥ w+k−1 tokens, which positional sampling can't
+    promise. Output per doc: window count, distinct fingerprints, the
+    smallest fingerprint (content identity probe), and fingerprint
+    density ≈ 2/(w+1) (integer-scaled, exact). The 32-bit hash is
+    md5-derived (standardized — both engines read the same first 8 hex
+    chars), so selection is bit-identical. Scale: map-side tokenize +
+    shingle explode, ONE shuffle on doc_id for the bounded 5-row window
+    frame, then a per-doc hash-agg — no self-joins, state O(w) per row."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(word_shingles(tokenize(F.col("text")), 4)).alias(
+            "pos0", "s"
+        ),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint").alias("h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-4, 0)
+    fp = sh.select("doc_id", "pos", F.min("h").over(w).alias("minh")).filter(
+        F.col("pos") >= 5
+    )
+    return (
+        fp.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.countDistinct("minh").cast("bigint").alias("n_fingerprints"),
+            F.min("minh").cast("bigint").alias("min_fp"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_fingerprints",
+            "min_fp",
+            F.expr(
+                "(2 * 10000 * n_fingerprints + n_windows)"
+                " div (2 * n_windows)"
+            )
+            .cast("bigint")
+            .alias("density_x10000"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_mann_whitney",
+    oracle="""
+    WITH s AS (
+        SELECT event_type, value FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ),
+    hist AS (
+        SELECT value,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS na,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nb,
+               CAST(COUNT(*) AS BIGINT) AS t
+        FROM s GROUP BY value
+    ),
+    pre AS (
+        SELECT *,
+               CAST(COALESCE(SUM(t) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_less
+        FROM hist
+    ),
+    agg AS (
+        SELECT CAST(SUM(na) AS BIGINT) AS n1,
+               CAST(SUM(nb) AS BIGINT) AS n2,
+               CAST(SUM(na * (2 * cum_less + t + 1)) AS BIGINT) AS r1x2,
+               CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+        FROM pre
+    ),
+    stat AS (
+        SELECT n1, n2,
+               (r1x2 - n1 * (n1 + 1)) AS u1x2,
+               CAST(n1 * n2 AS DOUBLE) / 12.0
+                 * (CAST(n1 + n2 + 1 AS DOUBLE)
+                    - CAST(ties AS DOUBLE)
+                      / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))
+                   AS var_u
+        FROM agg
+    )
+    SELECT n1, n2,
+           CAST(u1x2 / 2.0 AS DOUBLE) AS u1,
+           CAST(CASE WHEN var_u <= 0 THEN NULL
+                ELSE (CAST(floor(CAST(((CAST(u1x2 AS DOUBLE) / 2.0
+                        - CAST(n1 * n2 AS DOUBLE) / 2.0) / sqrt(var_u))
+                      AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)
+                END AS DOUBLE) AS z,
+           CAST((CAST(floor(CAST((1.0 - CAST(u1x2 AS DOUBLE)
+                 / CAST(n1 * n2 AS DOUBLE)) AS DOUBLE) * 1000000.0 + 0.5)
+                 AS DOUBLE) / 1000000.0) AS DOUBLE) AS r_rb
+    FROM stat
+    """,
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test comparing the value
+    distribution of 'click' vs 'purchase' events — the distribution-free
+    complement to q_ttest_welch (no normality assumption; detects
+    stochastic dominance, not mean shift), with midrank tie handling and
+    the tie-corrected normal approximation. Rank sums are computed from
+    the VALUE HISTOGRAM, not row ranks: per distinct value, 2·midrank =
+    2·(#smaller) + t + 1, so the whole test needs one histogram hash-agg
+    plus an ordered prefix sum over DISTINCT values — run through the
+    range-partitioned global_prefix_sum operator (operators/rank.py), so
+    there is no single-reducer stage over data-sized input. Every count
+    and rank sum is an exact integer (U1 emits as an exact .5-resolution
+    double); z and the rank-biserial effect size go through the portable
+    floor round on identical double trees. Scale: one filter-pushed
+    scan, one histogram hash-agg, prefix-sum coordination over P
+    partition totals, one 1-row reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin("click", "purchase"))
+    hist = s.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+    )
+    pre = global_prefix_sum(hist, "t", ["value"], out="cum_less")
+    agg = pre.agg(
+        F.sum("na").cast("bigint").alias("n1"),
+        F.sum("nb").cast("bigint").alias("n2"),
+        F.sum(
+            F.col("na") * (2 * F.col("cum_less") + F.col("t") + 1)
+        )
+        .cast("bigint")
+        .alias("r1x2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("ties"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u1x2 = F.col("r1x2") - n1 * (n1 + 1)
+    var_u = (
+        (n1 * n2).cast("double")
+        / F.lit(12.0)
+        * (
+            (n1 + n2 + 1).cast("double")
+            - F.col("ties").cast("double")
+            / ((n1 + n2).cast("double") * (n1 + n2 - 1).cast("double"))
+        )
+    )
+    z = (u1x2.cast("double") / F.lit(2.0) - (n1 * n2).cast("double") / F.lit(2.0)) / F.sqrt(var_u)
+    r_rb = F.lit(1.0) - u1x2.cast("double") / (n1 * n2).cast("double")
+    return agg.select(
+        "n1",
+        "n2",
+        (u1x2 / F.lit(2.0)).cast("double").alias("u1"),
+        F.when(var_u <= 0, F.lit(None).cast("double"))
+        .otherwise(portable_round(z, 6))
+        .cast("double")
+        .alias("z"),
+        portable_round(r_rb, 6).cast("double").alias("r_rb"),
+    )
+
+
+@query(
+    "q_ngram_novelty",
+    oracle="""
+    WITH dsh AS (
+        SELECT doc_id, source, unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(ws) - 4, 0)),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        || ' ' || ws[i+3] || ' ' || ws[i+4]))) AS sh
+        FROM (SELECT doc_id, source,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS ws
+              FROM documents)
+    ),
+    first AS (
+        SELECT sh, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        FROM dsh GROUP BY sh
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT d.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN d.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST((2 * 10000 * SUM(CASE WHEN d.doc_id = f.first_doc
+                    THEN 1 ELSE 0 END) + COUNT(*)) // (2 * COUNT(*))
+                AS BIGINT) AS novelty_x10000
+    FROM dsh d JOIN first f USING (sh)
+    GROUP BY source ORDER BY source
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram novelty: the fraction of each source's distinct
+    5-grams that appear for the FIRST time (by doc_id order) in that
+    document — the corpus-redundancy growth curve data engineers read
+    before deciding how hard to deduplicate (a source whose novelty is
+    low adds tokens but no new content; cf. the cross-doc repetition
+    that q_dedup_chunks removes AFTER the fact). First-occurrence
+    attribution is exact MIN(doc_id) per shingle. Scale: distinct
+    shingles are computed map-side per document (array_distinct before
+    the explode — no dedup shuffle), then ONE groupBy on the shingle key
+    and ONE shingle-keyed join back; everything downstream is a 20-row
+    source agg. Integer counts end to end; the novelty ratio uses the
+    exact integer half-up division idiom."""
+    docs = load_table(spark, sf_dir, "documents")
+    dsh = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(word_shingles(tokenize(F.col("text")), 5))
+        ).alias("sh"),
+    )
+    first = dsh.groupBy("sh").agg(F.min("doc_id").cast("bigint").alias("first_doc"))
+    return (
+        dsh.join(first, "sh")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_grams",
+            "n_novel",
+            F.expr("(2 * 10000 * n_novel + n_grams) div (2 * n_grams)")
+            .cast("bigint")
+            .alias("novelty_x10000"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,636 @@
+"""Portfolio-risk battery: ulcer index, information ratio, up/down
+capture, Kendall rank correlation, and the Hurst exponent.
+
+These extend the indicator surface (finance.py / finance2.py) with the
+portfolio-level risk diagnostics a market-data warehouse serves after
+load (the reference's BigQuery sink exists for exactly this analysis
+tier — /root/reference/dump_bigq.py:135-149): path-dependent drawdown
+risk (ulcer/Martin), benchmark-relative skill (IR, capture ratios),
+robust cross-asset dependence (Kendall tau-b), and long-memory
+diagnostics (rescaled-range Hurst).
+
+Determinism policy (same as finance2.py): bar/return bases reuse the
+padded (ts,event_id) ordering key; every cross-row accumulation runs in
+exact DECIMAL; double math uses the identical expression tree on both
+engines; all reported doubles go through the portable floor-form round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stockmarketdata_dwb_etl_spark.catalog import load_table
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
+from stockmarketdata_dwb_etl_spark.queries.timeseries import _DUCK_ORD, _spark_ord
+from stockmarketdata_dwb_etl_spark.registry import query
+
+_DEC18 = "decimal(38,18)"
+
+_DUCK_BARS = f"""
+    bars AS (
+        SELECT event_type AS symbol,
+               date_trunc('hour', ts) AS bar_ts,
+               arg_max(value, {_DUCK_ORD}) AS close
+        FROM events GROUP BY 1, 2
+    )
+"""
+
+_DUCK_RETURNS = f"""
+    cbars AS (
+        SELECT event_type AS symbol,
+               date_trunc('hour', ts) AS bar_ts,
+               arg_max(value, {_DUCK_ORD}) AS close
+        FROM events GROUP BY 1, 2
+    ),
+    rets AS (
+        SELECT symbol, bar_ts,
+               close / lag(close) OVER (PARTITION BY symbol
+                                        ORDER BY bar_ts) - 1.0 AS r
+        FROM cbars
+        QUALIFY r IS NOT NULL
+    )
+"""
+
+
+def _bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("hour", F.col("ts")).alias("bar_ts"),
+    ).agg(F.max_by("value", _spark_ord()).alias("close"))
+
+
+def _returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol hourly simple returns r = close/prev_close − 1."""
+    bars = _bars(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    return bars.select(
+        "symbol",
+        "bar_ts",
+        (F.col("close") / F.lag("close").over(w) - F.lit(1.0)).alias("r"),
+    ).filter(F.col("r").isNotNull())
+
+
+def _market(rets: DataFrame) -> DataFrame:
+    """Equal-weight market return per bar (decimal sum / count) — the
+    same benchmark construction as q_beta_capm."""
+    return rets.groupBy("bar_ts").agg(
+        (F.sum(F.col("r").cast(_DEC18)).cast("double") / F.count(F.lit(1))).alias(
+            "rm"
+        )
+    )
+
+
+_DUCK_MKT = """
+    mkt AS (
+        SELECT bar_ts,
+               CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE)
+                   / COUNT(*) AS rm
+        FROM rets GROUP BY bar_ts
+    )
+"""
+
+
+@query(
+    "q_ulcer_index",
+    oracle=f"""
+    WITH {_DUCK_BARS},
+    dd AS (
+        SELECT symbol, bar_ts, close,
+               (close / max(close) OVER (PARTITION BY symbol ORDER BY bar_ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - 1.0) * 100.0 AS dd_pct
+        FROM bars
+    )
+    SELECT symbol,
+           CAST(COUNT(*) AS BIGINT) AS n_bars,
+           CAST((CAST(floor(CAST((min(dd_pct)) AS DOUBLE) * 1000000.0 + 0.5)
+                 AS DOUBLE) / 1000000.0) AS DOUBLE) AS max_dd_pct,
+           CAST((CAST(floor(CAST((sqrt(
+                    CAST(SUM(CAST(dd_pct * dd_pct AS DECIMAL(38,18))) AS DOUBLE)
+                    / COUNT(*))) AS DOUBLE) * 1000000.0 + 0.5)
+                 AS DOUBLE) / 1000000.0) AS DOUBLE) AS ulcer,
+           CAST(CASE WHEN sqrt(
+                    CAST(SUM(CAST(dd_pct * dd_pct AS DECIMAL(38,18))) AS DOUBLE)
+                    / COUNT(*)) = 0 THEN NULL
+                ELSE (CAST(floor(CAST((
+                    (arg_max(close, bar_ts) / arg_min(close, bar_ts) - 1.0)
+                    * 100.0
+                    / sqrt(CAST(SUM(CAST(dd_pct * dd_pct AS DECIMAL(38,18)))
+                           AS DOUBLE) / COUNT(*))) AS DOUBLE)
+                    * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) END AS DOUBLE)
+               AS martin_ratio
+    FROM dd GROUP BY symbol ORDER BY symbol
+    """,
+)
+def q_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ulcer index per symbol — RMS of percentage drawdowns from the
+    running peak (Peter Martin's path-aware risk measure; unlike σ it
+    punishes only downside and remembers how LONG the price stayed
+    underwater) — plus the Martin ratio (period return / ulcer).
+    Complements q_drawdown (depth of the single worst trough) and
+    q_drawdown_duration (length of underwater spells) with the
+    root-mean-square form. dd² accumulates in exact DECIMAL; the
+    sqrt/divide chain is the identical double tree on both engines.
+    Scale: one window pass for the running max (shuffles once on
+    symbol), then one partial+final hash-agg — no self-join, state
+    O(1) per row."""
+    bars = _bars(spark, sf_dir)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("bar_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = bars.select(
+        "symbol",
+        "bar_ts",
+        "close",
+        ((F.col("close") / F.max("close").over(w) - F.lit(1.0)) * 100.0).alias(
+            "dd_pct"
+        ),
+    )
+    g = dd.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bars"),
+        F.min("dd_pct").alias("__mindd"),
+        F.sum((F.col("dd_pct") * F.col("dd_pct")).cast(_DEC18))
+        .cast("double")
+        .alias("__ssdd"),
+        F.max_by("close", F.col("bar_ts")).alias("__last"),
+        F.min_by("close", F.col("bar_ts")).alias("__first"),
+    )
+    ulcer = F.sqrt(F.col("__ssdd") / F.col("n_bars"))
+    ret_pct = (F.col("__last") / F.col("__first") - F.lit(1.0)) * 100.0
+    return g.select(
+        "symbol",
+        "n_bars",
+        portable_round(F.col("__mindd"), 6).cast("double").alias("max_dd_pct"),
+        portable_round(ulcer, 6).cast("double").alias("ulcer"),
+        F.when(ulcer == 0, F.lit(None).cast("double"))
+        .otherwise(portable_round(ret_pct / ulcer, 6))
+        .cast("double")
+        .alias("martin_ratio"),
+    ).orderBy("symbol")
+
+
+@query(
+    "q_information_ratio",
+    oracle=f"""
+    WITH {_DUCK_RETURNS},
+    {_DUCK_MKT},
+    act AS (
+        SELECT s.symbol, s.r - m.rm AS ra
+        FROM rets s JOIN mkt m ON s.bar_ts = m.bar_ts
+    ),
+    moments AS (
+        SELECT symbol,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ra AS DECIMAL(38,18))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(ra * ra AS DECIMAL(38,18))) AS DOUBLE) AS ss
+        FROM act GROUP BY symbol
+    )
+    SELECT symbol, n,
+           CAST((CAST(floor(CAST((s / n) AS DOUBLE) * 100000000.0 + 0.5)
+                 AS DOUBLE) / 100000000.0) AS DOUBLE) AS mean_active,
+           CAST((CAST(floor(CAST((sqrt(greatest(ss / n - (s / n) * (s / n), 0.0)))
+                 AS DOUBLE) * 100000000.0 + 0.5) AS DOUBLE) / 100000000.0)
+               AS DOUBLE) AS tracking_error,
+           CAST(CASE WHEN ss / n - (s / n) * (s / n) <= 0 THEN NULL
+                ELSE (CAST(floor(CAST(((s / n)
+                        / sqrt(greatest(ss / n - (s / n) * (s / n), 0.0))
+                        * sqrt(8760.0)) AS DOUBLE) * 1000000.0 + 0.5)
+                      AS DOUBLE) / 1000000.0) END AS DOUBLE) AS ir_ann
+    FROM moments ORDER BY symbol
+    """,
+)
+def q_information_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annualized information ratio per symbol against the equal-weight
+    market benchmark: active return rₐ = r − r_m, IR = mean(rₐ)/σ(rₐ)
+    ·√8760 — the benchmark-relative twin of q_sharpe (absolute) and
+    q_beta_capm (systematic loading). Moment sums in exact DECIMAL;
+    mean/variance/sqrt chain identical on both engines; σ_pop clamped
+    at 0 via greatest(). Scale: the market table is calendar-bounded
+    (one row per bar) so the returns⨝market join broadcasts; moments
+    are one partial+final hash-agg per symbol."""
+    rets = _returns(spark, sf_dir)
+    act = rets.join(F.broadcast(_market(rets)), "bar_ts").select(
+        "symbol", (F.col("r") - F.col("rm")).alias("ra")
+    )
+    m = act.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("ra").cast(_DEC18)).cast("double").alias("s"),
+        F.sum((F.col("ra") * F.col("ra")).cast(_DEC18))
+        .cast("double")
+        .alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = F.col("ss") / F.col("n") - mean * mean
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return m.select(
+        "symbol",
+        "n",
+        portable_round(mean, 8).cast("double").alias("mean_active"),
+        portable_round(sd, 8).cast("double").alias("tracking_error"),
+        F.when(var <= 0, F.lit(None).cast("double"))
+        .otherwise(portable_round(mean / sd * F.sqrt(F.lit(8760.0)), 6))
+        .cast("double")
+        .alias("ir_ann"),
+    ).orderBy("symbol")
+
+
+@query(
+    "q_updown_capture",
+    oracle=f"""
+    WITH {_DUCK_RETURNS},
+    {_DUCK_MKT},
+    j AS (
+        SELECT s.symbol, s.r, m.rm
+        FROM rets s JOIN mkt m ON s.bar_ts = m.bar_ts
+    ),
+    agg AS (
+        SELECT symbol,
+               CAST(SUM(CASE WHEN rm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+               CAST(SUM(CASE WHEN rm < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+               CAST(SUM(CASE WHEN rm > 0
+                    THEN CAST(r AS DECIMAL(38,18)) END) AS DOUBLE) AS sr_up,
+               CAST(SUM(CASE WHEN rm > 0
+                    THEN CAST(rm AS DECIMAL(38,18)) END) AS DOUBLE) AS sm_up,
+               CAST(SUM(CASE WHEN rm < 0
+                    THEN CAST(r AS DECIMAL(38,18)) END) AS DOUBLE) AS sr_dn,
+               CAST(SUM(CASE WHEN rm < 0
+                    THEN CAST(rm AS DECIMAL(38,18)) END) AS DOUBLE) AS sm_dn
+        FROM j GROUP BY symbol
+    )
+    SELECT symbol, n_up, n_down,
+           CAST(CASE WHEN n_up = 0 OR sm_up = 0 THEN NULL
+                ELSE (CAST(floor(CAST(((sr_up / n_up) / (sm_up / n_up))
+                      AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)
+                END AS DOUBLE) AS up_capture,
+           CAST(CASE WHEN n_down = 0 OR sm_dn = 0 THEN NULL
+                ELSE (CAST(floor(CAST(((sr_dn / n_down) / (sm_dn / n_down))
+                      AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)
+                END AS DOUBLE) AS down_capture
+    FROM agg ORDER BY symbol
+    """,
+)
+def q_updown_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Up/down capture ratios per symbol vs the equal-weight market:
+    mean(r | r_m>0)/mean(r_m | r_m>0) and the r_m<0 twin — the
+    asymmetric-participation diagnostic (a defensive asset shows
+    down-capture < up-capture) that IR and beta average away.
+    Conditional sums accumulate in exact DECIMAL via CASE-gated
+    aggregation (one pass, no per-regime re-scan); quotient chain
+    identical both engines; empty regimes yield NULL. Scale: broadcast
+    market join + one hash-agg per symbol."""
+    rets = _returns(spark, sf_dir)
+    j = rets.join(F.broadcast(_market(rets)), "bar_ts")
+    up, dn = F.col("rm") > 0, F.col("rm") < 0
+    agg = j.groupBy("symbol").agg(
+        F.sum(F.when(up, 1).otherwise(0)).cast("bigint").alias("n_up"),
+        F.sum(F.when(dn, 1).otherwise(0)).cast("bigint").alias("n_down"),
+        F.sum(F.when(up, F.col("r").cast(_DEC18))).cast("double").alias("sr_up"),
+        F.sum(F.when(up, F.col("rm").cast(_DEC18))).cast("double").alias("sm_up"),
+        F.sum(F.when(dn, F.col("r").cast(_DEC18))).cast("double").alias("sr_dn"),
+        F.sum(F.when(dn, F.col("rm").cast(_DEC18))).cast("double").alias("sm_dn"),
+    )
+    upcap = (F.col("sr_up") / F.col("n_up")) / (F.col("sm_up") / F.col("n_up"))
+    dncap = (F.col("sr_dn") / F.col("n_down")) / (
+        F.col("sm_dn") / F.col("n_down")
+    )
+    return agg.select(
+        "symbol",
+        "n_up",
+        "n_down",
+        F.when((F.col("n_up") == 0) | (F.col("sm_up") == 0), F.lit(None))
+        .otherwise(portable_round(upcap, 6))
+        .cast("double")
+        .alias("up_capture"),
+        F.when((F.col("n_down") == 0) | (F.col("sm_dn") == 0), F.lit(None))
+        .otherwise(portable_round(dncap, 6))
+        .cast("double")
+        .alias("down_capture"),
+    ).orderBy("symbol")
+
+
+@query(
+    "q_kendall_tau",
+    oracle=f"""
+    WITH dbars AS (
+        SELECT event_type AS symbol,
+               date_trunc('day', ts) AS bar_ts,
+               arg_max(value, {_DUCK_ORD}) AS close
+        FROM events GROUP BY 1, 2
+    ),
+    drets AS (
+        SELECT symbol, bar_ts,
+               close / lag(close) OVER (PARTITION BY symbol
+                                        ORDER BY bar_ts) - 1.0 AS r
+        FROM dbars
+        QUALIFY r IS NOT NULL
+    ),
+    pairs AS (
+        SELECT a.symbol AS symbol_a, b.symbol AS symbol_b,
+               a.bar_ts, a.r AS ra, b.r AS rb
+        FROM drets a JOIN drets b USING (bar_ts)
+        WHERE a.symbol < b.symbol
+    ),
+    cnt AS (
+        SELECT x.symbol_a, x.symbol_b,
+               CAST(COUNT(*) AS BIGINT) / 2 AS n_pairs,
+               CAST(SUM(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) / 2 AS c,
+               CAST(SUM(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) < 0
+                    THEN 1 ELSE 0 END) AS BIGINT) / 2 AS d,
+               CAST(SUM(CASE WHEN x.ra = y.ra AND x.rb <> y.rb
+                    THEN 1 ELSE 0 END) AS BIGINT) / 2 AS tx,
+               CAST(SUM(CASE WHEN x.rb = y.rb AND x.ra <> y.ra
+                    THEN 1 ELSE 0 END) AS BIGINT) / 2 AS ty
+        FROM pairs x JOIN pairs y
+          ON x.symbol_a = y.symbol_a AND x.symbol_b = y.symbol_b
+         AND x.bar_ts <> y.bar_ts
+        GROUP BY x.symbol_a, x.symbol_b
+    ),
+    days AS (
+        SELECT symbol_a, symbol_b, CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM pairs GROUP BY symbol_a, symbol_b
+    )
+    SELECT c.symbol_a, c.symbol_b, days.n_days,
+           CAST(CASE WHEN (c.c + c.d + c.tx) = 0 OR (c.c + c.d + c.ty) = 0
+                THEN NULL
+                ELSE (CAST(floor(CAST(((c.c - c.d) * 1.0
+                        / sqrt((c.c + c.d + c.tx) * 1.0)
+                        / sqrt((c.c + c.d + c.ty) * 1.0)) AS DOUBLE)
+                      * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)
+                END AS DOUBLE) AS tau_b
+    FROM cnt c JOIN days USING (symbol_a, symbol_b)
+    ORDER BY symbol_a, symbol_b
+    """,
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between every symbol pair's DAILY
+    returns — the robust dependence measure quant desks prefer over
+    Pearson (q_corr_pairs) and Spearman (q_rank_ic) when outliers and
+    ties distort moment-based correlation: exact concordant/discordant
+    pair counting with the tie-adjusted tau-b denominator. All counting
+    is integer (exact on both engines); only the final normalization is
+    double. Scale: the day-pair self-join is CALENDAR-bounded — n_days²
+    per symbol pair regardless of corpus size (pick the correlation
+    window to bound it; a year of dailies is 66k day-pairs), and it
+    shuffles on the (symbol_a, symbol_b) pair key so each pair's
+    quadratic work parallelizes across executors."""
+    ev = load_table(spark, sf_dir, "events")
+    dbars = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("bar_ts"),
+    ).agg(F.max_by("value", _spark_ord()).alias("close"))
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    drets = dbars.select(
+        "symbol",
+        "bar_ts",
+        (F.col("close") / F.lag("close").over(w) - F.lit(1.0)).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    a, b = drets.alias("a"), drets.alias("b")
+    pairs = (
+        a.join(b, "bar_ts")
+        .filter(F.col("a.symbol") < F.col("b.symbol"))
+        .select(
+            F.col("a.symbol").alias("symbol_a"),
+            F.col("b.symbol").alias("symbol_b"),
+            "bar_ts",
+            F.col("a.r").alias("ra"),
+            F.col("b.r").alias("rb"),
+        )
+    )
+    x, y = pairs.alias("x"), pairs.alias("y")
+    prod = (F.col("x.ra") - F.col("y.ra")) * (F.col("x.rb") - F.col("y.rb"))
+    cnt = (
+        x.join(
+            y,
+            (F.col("x.symbol_a") == F.col("y.symbol_a"))
+            & (F.col("x.symbol_b") == F.col("y.symbol_b"))
+            & (F.col("x.bar_ts") != F.col("y.bar_ts")),
+        )
+        .groupBy(F.col("x.symbol_a").alias("symbol_a"), F.col("x.symbol_b").alias("symbol_b"))
+        .agg(
+            (F.count(F.lit(1)).cast("bigint") / 2).alias("n_pairs"),
+            (F.sum(F.when(prod > 0, 1).otherwise(0)).cast("bigint") / 2).alias("c"),
+            (F.sum(F.when(prod < 0, 1).otherwise(0)).cast("bigint") / 2).alias("d"),
+            (
+                F.sum(
+                    F.when(
+                        (F.col("x.ra") == F.col("y.ra"))
+                        & (F.col("x.rb") != F.col("y.rb")),
+                        1,
+                    ).otherwise(0)
+                ).cast("bigint")
+                / 2
+            ).alias("tx"),
+            (
+                F.sum(
+                    F.when(
+                        (F.col("x.rb") == F.col("y.rb"))
+                        & (F.col("x.ra") != F.col("y.ra")),
+                        1,
+                    ).otherwise(0)
+                ).cast("bigint")
+                / 2
+            ).alias("ty"),
+        )
+    )
+    days = pairs.groupBy("symbol_a", "symbol_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    denom_x = F.col("c") + F.col("d") + F.col("tx")
+    denom_y = F.col("c") + F.col("d") + F.col("ty")
+    tau = (
+        (F.col("c") - F.col("d"))
+        * F.lit(1.0)
+        / F.sqrt(denom_x * F.lit(1.0))
+        / F.sqrt(denom_y * F.lit(1.0))
+    )
+    return (
+        cnt.join(days, ["symbol_a", "symbol_b"])
+        .select(
+            "symbol_a",
+            "symbol_b",
+            "n_days",
+            F.when((denom_x == 0) | (denom_y == 0), F.lit(None))
+            .otherwise(portable_round(tau, 6))
+            .cast("double")
+            .alias("tau_b"),
+        )
+        .orderBy("symbol_a", "symbol_b")
+    )
+
+
+@query(
+    "q_hurst_exponent",
+    oracle=f"""
+    WITH {_DUCK_RETURNS},
+    seq AS (
+        SELECT symbol, bar_ts, r,
+               row_number() OVER (PARTITION BY symbol ORDER BY bar_ts) AS rn
+        FROM rets
+    ),
+    blocks AS (
+        SELECT s.symbol, s.r, sc.scale,
+               CAST(floor((s.rn - 1) * 1.0 / sc.scale) AS BIGINT) AS blk,
+               row_number() OVER (PARTITION BY s.symbol, sc.scale,
+                   CAST(floor((s.rn - 1) * 1.0 / sc.scale) AS BIGINT)
+                   ORDER BY s.rn) AS j,
+               CAST(SUM(CAST(s.r AS DECIMAL(38,18))) OVER (
+                   PARTITION BY s.symbol, sc.scale,
+                   CAST(floor((s.rn - 1) * 1.0 / sc.scale) AS BIGINT)
+                   ORDER BY s.rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS cum
+        FROM seq s CROSS JOIN (
+            SELECT unnest([16, 32, 64]) AS scale) sc
+    ),
+    bstats AS (
+        SELECT symbol, scale, blk,
+               CAST(COUNT(*) AS BIGINT) AS nb,
+               CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(r * r AS DECIMAL(38,18))) AS DOUBLE) AS ss
+        FROM blocks GROUP BY 1, 2, 3
+    ),
+    dev AS (
+        SELECT b.symbol, b.scale, b.blk,
+               b.cum - b.j * (t.s / t.scale) AS cumdev,
+               t.s, t.ss
+        FROM blocks b JOIN bstats t
+          ON b.symbol = t.symbol AND b.scale = t.scale AND b.blk = t.blk
+         AND t.nb = t.scale
+    ),
+    rs AS (
+        SELECT symbol, scale, blk,
+               max(cumdev) - min(cumdev) AS rng,
+               sqrt(greatest(any_value(ss) / scale
+                    - (any_value(s) / scale) * (any_value(s) / scale),
+                    0.0)) AS sd
+        FROM dev GROUP BY symbol, scale, blk
+    ),
+    mean_rs AS (
+        SELECT symbol, scale,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               CAST(SUM(CAST(rng / sd AS DECIMAL(38,18))) AS DOUBLE)
+                   / COUNT(*) AS avg_rs
+        FROM rs WHERE sd > 0 GROUP BY symbol, scale
+    ),
+    pts AS (
+        SELECT symbol,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(ln(scale * 1.0) AS DECIMAL(38,18)))
+                   AS DOUBLE) AS sx,
+               CAST(SUM(CAST(ln(avg_rs) AS DECIMAL(38,18)))
+                   AS DOUBLE) AS sy,
+               CAST(SUM(CAST(ln(scale * 1.0) * ln(avg_rs) AS DECIMAL(38,18)))
+                   AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(ln(scale * 1.0) * ln(scale * 1.0)
+                   AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+        FROM mean_rs GROUP BY symbol
+    )
+    SELECT symbol, k AS n_scales,
+           CAST((CAST(floor(CAST(((k * sxy - sx * sy) / (k * sxx - sx * sx))
+                 AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE)
+               AS hurst
+    FROM pts WHERE k >= 2 ORDER BY symbol
+    """,
+)
+def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent per symbol via rescaled-range (R/S) analysis —
+    the long-memory diagnostic (H≈0.5 random walk, >0.5 trending,
+    <0.5 mean-reverting) estimated the classical way: split the hourly
+    return series into full blocks at scales {16,32,64}, per block take
+    R = range of the cumulative demeaned sum and S = population σ,
+    average R/S per scale, then fit ln(R/S) against ln(scale) by OLS —
+    the slope is H. Running block sums accumulate in exact DECIMAL (the
+    running-sum frame is otherwise association-order-dependent across
+    engines); every moment sum is DECIMAL; the divide/ln/sqrt chain is
+    the identical double tree. Scale: the block id is derived from a
+    per-symbol row_number (one window shuffle); everything after is
+    hash-aggs keyed by (symbol, scale, block) — no self-joins, state
+    bounded by block size 64."""
+    rets = _returns(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    seq = rets.select("symbol", "bar_ts", "r", F.row_number().over(w).alias("rn"))
+    scales = F.explode(F.array(F.lit(16), F.lit(32), F.lit(64))).alias("scale")
+    blk = F.floor((F.col("rn") - 1) * F.lit(1.0) / F.col("scale")).cast("bigint")
+    wb = Window.partitionBy("symbol", "scale", "blk").orderBy("rn")
+    blocks = (
+        seq.select("symbol", "r", "rn", scales)
+        .withColumn("blk", blk)
+        .select(
+            "symbol",
+            "r",
+            "scale",
+            "blk",
+            F.row_number().over(wb).alias("j"),
+            F.sum(F.col("r").cast(_DEC18))
+            .over(wb.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double")
+            .alias("cum"),
+        )
+    )
+    bstats = blocks.groupBy("symbol", "scale", "blk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum(F.col("r").cast(_DEC18)).cast("double").alias("s"),
+        F.sum((F.col("r") * F.col("r")).cast(_DEC18)).cast("double").alias("ss"),
+    )
+    dev = blocks.join(
+        bstats.filter(F.col("nb") == F.col("scale")),
+        ["symbol", "scale", "blk"],
+    ).select(
+        "symbol",
+        "scale",
+        "blk",
+        (F.col("cum") - F.col("j") * (F.col("s") / F.col("scale"))).alias(
+            "cumdev"
+        ),
+        "s",
+        "ss",
+    )
+    rs = dev.groupBy("symbol", "scale", "blk").agg(
+        (F.max("cumdev") - F.min("cumdev")).alias("rng"),
+        F.sqrt(
+            F.greatest(
+                F.any_value("ss") / F.col("scale")
+                - (F.any_value("s") / F.col("scale"))
+                * (F.any_value("s") / F.col("scale")),
+                F.lit(0.0),
+            )
+        ).alias("sd"),
+    )
+    mean_rs = (
+        rs.filter(F.col("sd") > 0)
+        .groupBy("symbol", "scale")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            (
+                F.sum((F.col("rng") / F.col("sd")).cast(_DEC18)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_rs"),
+        )
+    )
+    lx = F.log(F.col("scale") * F.lit(1.0))
+    ly = F.log(F.col("avg_rs"))
+    pts = mean_rs.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(lx.cast(_DEC18)).cast("double").alias("sx"),
+        F.sum(ly.cast(_DEC18)).cast("double").alias("sy"),
+        F.sum((lx * ly).cast(_DEC18)).cast("double").alias("sxy"),
+        F.sum((lx * lx).cast(_DEC18)).cast("double").alias("sxx"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        pts.filter(F.col("k") >= 2)
+        .select(
+            "symbol",
+            F.col("k").alias("n_scales"),
+            portable_round(slope, 4).cast("double").alias("hurst"),
+        )
+        .orderBy("symbol")
+    )

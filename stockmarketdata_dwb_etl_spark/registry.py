@@ -68,7 +68,7 @@ PRIORITY = (
     "q_forecast_holt", "q_lead_lag_xcorr", "q_dedup_cross_corpus",
     "q_cluster_purity", "q_peak_concurrency", "q_join_full",
     # --- 51+: remaining never-driver-tested, breadth-interleaved ---
-    "q_join_full", "q_tpch_q8", "q_rollup_cascade",
+    "q_tpch_q8", "q_rollup_cascade",
     "q_dedup_incremental", "q_udaf_window", "q_csv_permissive",
     "q_stream_foreachbatch", "q_agg_salted_skew", "q_tpch_q10",
     "q_user_path", "q_tfidf_topterms", "q_cogroup_pandas",

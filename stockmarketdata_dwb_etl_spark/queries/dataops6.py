@@ -27,8 +27,11 @@ from pyspark.sql.window import Window
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.functions.text import tokenize, word_shingles
+from stockmarketdata_dwb_etl_spark.functions.vectors import cosine
 from stockmarketdata_dwb_etl_spark.operators.rank import global_prefix_sum
 from stockmarketdata_dwb_etl_spark.registry import query
+
+_DEC18_T = "decimal(38,18)"
 
 _DUCK_TOKS = """
     toks AS (
@@ -384,3 +387,236 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared base for the retrieval-eval pair: probes = vec_id 0-4,
+    candidates = every other vector, ranked per probe by 4dp-floor-
+    rounded cosine (desc, vec_id tie-break — the ANN-battery ordering
+    contract), with rel = label match and n_rel = the probe's total
+    relevant-candidate count (window sum over the SAME partition spec as
+    the rank, so it adds no exchange). NULL cosines (zero-norm vectors)
+    coalesce to -2.0 so ordering is totally defined on both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pv"),
+        F.col("label").alias("probe_label"),
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "probe_label",
+            "vec_id",
+            (F.col("label") == F.col("probe_label")).cast("int").alias("rel"),
+            F.coalesce(
+                portable_round(cosine(F.col("embedding"), F.col("pv")), 4),
+                F.lit(-2.0),
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    wp = Window.partitionBy("probe_id")
+    return pairs.select(
+        "*",
+        F.row_number().over(w).alias("rank"),
+        F.sum("rel").over(wp).cast("bigint").alias("n_rel"),
+    )
+
+
+_DUCK_RANKED = """
+    probes AS (
+        SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv,
+               label AS probe_label
+        FROM embeddings WHERE vec_id < 5
+    ),
+    pairs AS (
+        SELECT p.probe_id, p.probe_label, e.vec_id,
+               CASE WHEN e.label = p.probe_label THEN 1 ELSE 0 END AS rel,
+               COALESCE(CAST((CAST(floor(CAST((
+                   list_dot_product(CAST(e.embedding AS DOUBLE[]), p.pv)
+                   / nullif(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(e.embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(p.pv, p.pv)), 0.0))
+                   AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0)
+                   AS DOUBLE), -2.0) AS cos_sim
+        FROM embeddings e, probes p WHERE e.vec_id <> p.probe_id
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY probe_id
+                   ORDER BY cos_sim DESC, vec_id) AS rank,
+               CAST(SUM(rel) OVER (PARTITION BY probe_id) AS BIGINT) AS n_rel
+        FROM pairs
+    )
+"""
+
+_R12 = "CAST(floor(CAST(({x}) AS DOUBLE) * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0"
+
+
+@query(
+    "q_ndcg",
+    oracle=f"""
+    WITH {_DUCK_RANKED},
+    g AS (
+        SELECT probe_id, probe_label, MAX(n_rel) AS n_rel,
+               CAST(SUM(CAST(CASE WHEN rank <= 10 AND rel = 1
+                   THEN {_R12.format(x='1.0 / log2(rank + 1)')}
+                   ELSE 0 END AS DECIMAL(38,18))) AS DOUBLE) AS dcg
+        FROM ranked GROUP BY probe_id, probe_label
+    ),
+    ideal AS (
+        SELECT probe_id,
+               CAST(SUM(CAST({_R12.format(x='1.0 / log2(t.i + 1)')}
+                   AS DECIMAL(38,18))) AS DOUBLE) AS idcg
+        FROM g, unnest(generate_series(1, least(10, g.n_rel))) AS t(i)
+        GROUP BY probe_id
+    )
+    SELECT g.probe_id, g.probe_label, g.n_rel,
+           CAST((CAST(floor(CAST((g.dcg) AS DOUBLE) * 100000000.0 + 0.5)
+                 AS DOUBLE) / 100000000.0) AS DOUBLE) AS dcg,
+           CAST((CAST(floor(CAST((ideal.idcg) AS DOUBLE) * 100000000.0 + 0.5)
+                 AS DOUBLE) / 100000000.0) AS DOUBLE) AS idcg,
+           CAST(CASE WHEN ideal.idcg IS NULL OR ideal.idcg = 0 THEN NULL
+                ELSE (CAST(floor(CAST((g.dcg / ideal.idcg) AS DOUBLE)
+                      * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)
+                END AS DOUBLE) AS ndcg
+    FROM g LEFT JOIN ideal USING (probe_id)
+    ORDER BY probe_id
+    """,
+)
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per probe vector: rank every candidate by exact cosine,
+    binary relevance = label match, DCG with the standard 1/log2(i+1)
+    discount, IDCG from the probe's total relevant count — the ranking-
+    quality metric that completes the ML-eval family (q_roc_auc grades a
+    scorer, this grades a RANKING, which is what the similarity surface
+    actually serves). Discount terms are pure functions of integer ranks
+    (identical doubles on both engines), 12dp-rounded and DECIMAL-summed
+    per the cell-term policy. Scale: this is an EVAL operator — the
+    probe set is fixed and small (5 probes), so the exact per-probe
+    ranking is one broadcast + one scan + a 5-partition window; at 100 TB
+    the same plan runs over a sampled probe set, and only top-k ranks
+    matter so the window can degrade to TakeOrdered per probe."""
+    base = _ranked_retrieval(spark, sf_dir)
+    g = base.groupBy("probe_id", "probe_label").agg(
+        F.max("n_rel").alias("n_rel"),
+        F.sum(
+            F.when(
+                (F.col("rank") <= 10) & (F.col("rel") == 1),
+                portable_round(F.lit(1.0) / F.log2(F.col("rank") + 1), 12),
+            )
+            .otherwise(F.lit(0.0))
+            .cast(_DEC18_T)
+        )
+        .cast("double")
+        .alias("dcg"),
+    )
+    ideal = (
+        g.select(
+            "probe_id",
+            F.explode(
+                F.when(
+                    F.col("n_rel") >= 1,
+                    F.sequence(F.lit(1), F.least(F.lit(10), F.col("n_rel"))),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("i"),
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.sum(
+                portable_round(
+                    F.lit(1.0) / F.log2(F.col("i") + 1), 12
+                ).cast(_DEC18_T)
+            )
+            .cast("double")
+            .alias("idcg")
+        )
+    )
+    return (
+        g.join(ideal, "probe_id", "left")
+        .select(
+            "probe_id",
+            "probe_label",
+            "n_rel",
+            portable_round(F.col("dcg"), 8).cast("double").alias("dcg"),
+            portable_round(F.col("idcg"), 8).cast("double").alias("idcg"),
+            F.when(
+                F.col("idcg").isNull() | (F.col("idcg") == 0),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(portable_round(F.col("dcg") / F.col("idcg"), 6))
+            .cast("double")
+            .alias("ndcg"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+@query(
+    "q_retrieval_metrics",
+    oracle=f"""
+    WITH {_DUCK_RANKED},
+    g AS (
+        SELECT probe_id, MAX(n_rel) AS n_rel,
+               CAST(SUM(CASE WHEN rank <= 10 THEN rel ELSE 0 END)
+                    AS BIGINT) AS hits_at_10,
+               MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel_rank
+        FROM ranked GROUP BY probe_id
+    )
+    SELECT probe_id, n_rel, hits_at_10,
+           CAST(CASE WHEN least(10, n_rel) = 0 THEN NULL
+                ELSE (2 * 10000 * hits_at_10 + least(10, n_rel))
+                     // (2 * least(10, n_rel)) END AS BIGINT)
+               AS recall_x10000,
+           CAST((2 * 10000 * hits_at_10 + 10) // 20 AS BIGINT)
+               AS precision_x10000,
+           CAST(first_rel_rank AS BIGINT) AS first_rel_rank,
+           CAST(CASE WHEN first_rel_rank IS NULL THEN NULL
+                ELSE (CAST(floor(CAST((1.0 / first_rel_rank) AS DOUBLE)
+                      * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)
+                END AS DOUBLE) AS rr
+    FROM g ORDER BY probe_id
+    """,
+)
+def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10, precision@10 and reciprocal rank per probe against the
+    label-match ground truth — the set-based retrieval metrics beside
+    q_ndcg's graded one (together they are the eval harness the ANN
+    family is tuned with: recall says coverage, RR says how fast the
+    first relevant arrives). Hit counting is exact integer; recall and
+    precision emit integer-scaled via the exact half-up division idiom;
+    RR = 1/rank is a pure function of an integer. Scale posture
+    identical to q_ndcg (fixed probe set, one broadcast + one scan)."""
+    base = _ranked_retrieval(spark, sf_dir)
+    g = base.groupBy("probe_id").agg(
+        F.max("n_rel").alias("n_rel"),
+        F.sum(F.when(F.col("rank") <= 10, F.col("rel")).otherwise(0))
+        .cast("bigint")
+        .alias("hits_at_10"),
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_rel_rank"),
+    )
+    return g.select(
+        "probe_id",
+        "n_rel",
+        "hits_at_10",
+        F.when(F.least(F.lit(10), F.col("n_rel")) == 0, F.lit(None))
+        .otherwise(
+            F.expr(
+                "(2 * 10000 * hits_at_10 + least(10, n_rel))"
+                " div (2 * least(10, n_rel))"
+            )
+        )
+        .cast("bigint")
+        .alias("recall_x10000"),
+        F.expr("(2 * 10000 * hits_at_10 + 10) div 20")
+        .cast("bigint")
+        .alias("precision_x10000"),
+        F.col("first_rel_rank").cast("bigint").alias("first_rel_rank"),
+        F.when(F.col("first_rel_rank").isNull(), F.lit(None).cast("double"))
+        .otherwise(portable_round(F.lit(1.0) / F.col("first_rel_rank"), 6))
+        .cast("double")
+        .alias("rr"),
+    ).orderBy("probe_id")

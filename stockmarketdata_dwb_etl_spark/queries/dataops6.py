@@ -28,6 +28,7 @@ from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.functions.text import tokenize, word_shingles
 from stockmarketdata_dwb_etl_spark.functions.vectors import cosine
+from stockmarketdata_dwb_etl_spark.operators.cache import bounded_persist
 from stockmarketdata_dwb_etl_spark.operators.rank import global_prefix_sum
 from stockmarketdata_dwb_etl_spark.registry import query
 
@@ -620,3 +621,337 @@ def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rr"),
     ).orderBy("probe_id")
+
+
+_DUCK_PRED = """
+    scored AS (
+        SELECT doc_id, lang AS actual,
+               CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                    ['the','a','of','and','to'])) AS INTEGER) AS en_score,
+               CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                    ['el','la','de','y','que'])) AS INTEGER) AS es_score,
+               CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                    ['der','die','das','und','zu'])) AS INTEGER) AS de_score
+        FROM documents
+    ),
+    pred AS (
+        SELECT doc_id, actual,
+               CASE WHEN en_score >= es_score AND en_score >= de_score THEN 'en'
+                    WHEN es_score >= de_score THEN 'es'
+                    ELSE 'de' END AS predicted
+        FROM scored
+    )
+"""
+
+
+def _predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, actual, predicted) — q_lang_id's stopword-profile argmax
+    beside the stored ground-truth lang column."""
+    from stockmarketdata_dwb_etl_spark.functions.text import lang_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = lang_scores(tokenize(F.col("text")))
+    en, es, de = (scores[k].cast("int") for k in ("en", "es", "de"))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("actual"),
+        F.when((en >= es) & (en >= de), "en")
+        .when(es >= de, "es")
+        .otherwise("de")
+        .alias("predicted"),
+    )
+
+
+@query(
+    "q_cohens_kappa",
+    oracle=f"""
+    WITH {_DUCK_PRED},
+    cont AS (
+        SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM pred GROUP BY actual, predicted
+    ),
+    agg AS (
+        SELECT MAX(n) AS n, MAX(n_agree) AS n_agree,
+               MAX(pe_num) AS pe_num
+        FROM (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN actual = predicted THEN cnt ELSE 0 END)
+                        AS BIGINT) AS n_agree,
+                   CAST(NULL AS DECIMAL(38,0)) AS pe_num
+            FROM cont
+            UNION ALL
+            SELECT NULL, NULL,
+                   CAST(SUM(row_t * col_t) AS DECIMAL(38,0))
+            FROM (SELECT actual AS label, SUM(cnt) AS row_t
+                  FROM cont GROUP BY actual) a
+            JOIN (SELECT predicted AS label, SUM(cnt) AS col_t
+                  FROM cont GROUP BY predicted) p USING (label)
+        )
+    )
+    SELECT n, n_agree,
+           CAST((2 * 10000 * n_agree + n) // (2 * n) AS BIGINT)
+               AS accuracy_x10000,
+           CAST((CAST(floor(CAST((
+               (CAST(CAST(n AS DECIMAL(38,0)) * n_agree AS DOUBLE)
+                - CAST(pe_num AS DOUBLE))
+               / (CAST(CAST(n AS DECIMAL(38,0)) * n AS DOUBLE)
+                  - CAST(pe_num AS DOUBLE))
+             ) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE)
+               AS kappa
+    FROM agg
+    """,
+)
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the lang-ID heuristic (q_lang_id's argmax)
+    and the stored ground-truth lang — chance-corrected agreement, the
+    honest headline for a classifier whose majority class would make raw
+    accuracy flattering. Everything is exact: contingency and marginals
+    are integer counts, the expected-agreement term Σ row·col runs in
+    DECIMAL(38,0) (N² overflows bigint at warehouse row counts), and
+    kappa = (N·agree − Σrc)/(N² − Σrc) is a scalar double from exact
+    decimals, floor-rounded. Accuracy emits integer-scaled half-up.
+    Scale: one hash-agg to a ≤|labels|² contingency, then driver-sized
+    arithmetic; the corpus is read once."""
+    pred = _predictions(spark, sf_dir)
+    # the ≤|labels|² contingency feeds three branches (marginals + totals):
+    # persist it or the document scan + tokenize re-executes per branch
+    cont = bounded_persist(
+        pred.groupBy("actual", "predicted").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        ),
+        "langid-contingency",
+    )
+    rows = cont.groupBy(F.col("actual").alias("label")).agg(
+        F.sum("cnt").alias("row_t")
+    )
+    cols = cont.groupBy(F.col("predicted").alias("label")).agg(
+        F.sum("cnt").alias("col_t")
+    )
+    pe = (
+        rows.join(cols, "label")
+        .agg(
+            F.sum(
+                (F.col("row_t") * F.col("col_t")).cast("decimal(38,0)")
+            ).alias("pe_num")
+        )
+    )
+    tot = cont.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("actual") == F.col("predicted"), F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_agree"),
+    )
+    n, agree, pe_num = F.col("n"), F.col("n_agree"), F.col("pe_num")
+    kappa = (
+        (n.cast("decimal(38,0)") * agree).cast("double") - pe_num.cast("double")
+    ) / ((n.cast("decimal(38,0)") * n).cast("double") - pe_num.cast("double"))
+    return tot.crossJoin(pe).select(
+        "n",
+        "n_agree",
+        F.expr("(2 * 10000 * n_agree + n) div (2 * n)")
+        .cast("bigint")
+        .alias("accuracy_x10000"),
+        portable_round(kappa, 6).cast("double").alias("kappa"),
+    )
+
+
+@query(
+    "q_class_prf",
+    oracle=f"""
+    WITH {_DUCK_PRED},
+    cont AS (
+        SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM pred GROUP BY actual, predicted
+    ),
+    labels AS (
+        SELECT actual AS label FROM cont
+        UNION
+        SELECT predicted FROM cont
+    ),
+    per AS (
+        SELECT l.label,
+               COALESCE((SELECT SUM(cnt) FROM cont
+                         WHERE actual = l.label AND predicted = l.label), 0)
+                   AS tp,
+               COALESCE((SELECT SUM(cnt) FROM cont
+                         WHERE actual = l.label), 0) AS support,
+               COALESCE((SELECT SUM(cnt) FROM cont
+                         WHERE predicted = l.label), 0) AS n_pred
+        FROM labels l
+    )
+    SELECT label, CAST(tp AS BIGINT) AS tp,
+           CAST(support AS BIGINT) AS support,
+           CAST(n_pred AS BIGINT) AS n_pred,
+           CAST(CASE WHEN n_pred = 0 THEN NULL
+                ELSE (2 * 10000 * tp + n_pred) // (2 * n_pred) END AS BIGINT)
+               AS precision_x10000,
+           CAST(CASE WHEN support = 0 THEN NULL
+                ELSE (2 * 10000 * tp + support) // (2 * support) END AS BIGINT)
+               AS recall_x10000,
+           CAST(CASE WHEN support + n_pred = 0 THEN NULL
+                ELSE (2 * 10000 * 2 * tp + (support + n_pred))
+                     // (2 * (support + n_pred)) END AS BIGINT)
+               AS f1_x10000
+    FROM per ORDER BY label
+    """,
+)
+def q_class_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 of the lang-ID heuristic vs the
+    ground-truth lang — the class-level report card beside q_cohens_kappa's
+    single agreement number (classes the model never predicts, fr/zh,
+    surface as NULL precision + zero recall rather than disappearing).
+    tp / support / predicted-count are exact integers from one
+    contingency; P, R and F1 = 2tp/(2tp+fp+fn) emit integer-scaled via
+    the half-up div idiom. Scale: identical to kappa — one corpus scan
+    into a labels²-sized contingency."""
+    pred = _predictions(spark, sf_dir)
+    # same three-branch contingency reuse as q_cohens_kappa — and the
+    # SAME slot: sameSemantics lets kappa's warm table serve this query
+    cont = bounded_persist(
+        pred.groupBy("actual", "predicted").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        ),
+        "langid-contingency",
+    )
+    rows = cont.groupBy(F.col("actual").alias("label")).agg(
+        F.sum("cnt").cast("bigint").alias("support")
+    )
+    cols = cont.groupBy(F.col("predicted").alias("label")).agg(
+        F.sum("cnt").cast("bigint").alias("n_pred")
+    )
+    diag = (
+        cont.filter(F.col("actual") == F.col("predicted"))
+        .select(F.col("actual").alias("label"), F.col("cnt").alias("tp"))
+    )
+    per = (
+        rows.join(cols, "label", "full_outer")
+        .join(diag, "label", "left")
+        .select(
+            "label",
+            F.coalesce(F.col("tp"), F.lit(0)).cast("bigint").alias("tp"),
+            F.coalesce(F.col("support"), F.lit(0)).cast("bigint").alias("support"),
+            F.coalesce(F.col("n_pred"), F.lit(0)).cast("bigint").alias("n_pred"),
+        )
+    )
+    return per.select(
+        "label",
+        "tp",
+        "support",
+        "n_pred",
+        F.when(F.col("n_pred") == 0, F.lit(None))
+        .otherwise(F.expr("(2 * 10000 * tp + n_pred) div (2 * n_pred)"))
+        .cast("bigint")
+        .alias("precision_x10000"),
+        F.when(F.col("support") == 0, F.lit(None))
+        .otherwise(F.expr("(2 * 10000 * tp + support) div (2 * support)"))
+        .cast("bigint")
+        .alias("recall_x10000"),
+        F.when(F.col("support") + F.col("n_pred") == 0, F.lit(None))
+        .otherwise(
+            F.expr(
+                "(2 * 10000 * 2 * tp + (support + n_pred))"
+                " div (2 * (support + n_pred))"
+            )
+        )
+        .cast("bigint")
+        .alias("f1_x10000"),
+    ).orderBy("label")
+
+
+@query(
+    "q_brier_score",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(lang = 'en' AS INTEGER) AS y,
+               CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                    ['the','a','of','and','to'])) AS INTEGER) AS en_score,
+               CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                    ['el','la','de','y','que'])) AS INTEGER) AS es_score,
+               CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                    ['der','die','das','und','zu'])) AS INTEGER) AS de_score
+        FROM documents
+    ),
+    probs AS (
+        SELECT y,
+               CAST(en_score AS DOUBLE)
+                   / (en_score + es_score + de_score) AS p
+        FROM scored
+        WHERE en_score + es_score + de_score > 0
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(SUM(CAST((CAST(floor(CAST(((p - y) * (p - y)) AS DOUBLE)
+                   * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0)
+                   AS DECIMAL(38,18))) AS DOUBLE) AS sq_sum
+        FROM probs
+    )
+    SELECT n_scored, n_pos,
+           CAST((CAST(floor(CAST((sq_sum / n_scored) AS DOUBLE)
+                 * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE)
+               AS brier,
+           CAST((CAST(floor(CAST((
+                 (CAST(n_pos AS DOUBLE) / n_scored)
+                 * (1.0 - CAST(n_pos AS DOUBLE) / n_scored)
+               ) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE)
+               AS uncertainty,
+           CAST(CASE WHEN n_pos = 0 OR n_pos = n_scored THEN NULL
+                ELSE (CAST(floor(CAST((
+                    1.0 - (sq_sum / n_scored)
+                          / ((CAST(n_pos AS DOUBLE) / n_scored)
+                             * (1.0 - CAST(n_pos AS DOUBLE) / n_scored))
+                  ) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)
+                END AS DOUBLE) AS brier_skill
+    FROM agg
+    """,
+)
+def q_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the lang-ID stopword-share probability p(en) =
+    en_hits/total_hits against y = (lang='en') — probabilistic
+    calibration in one number, beside q_calibration_bins' reliability
+    table and q_roc_auc's discrimination (a scorer can rank perfectly
+    and still be mis-calibrated; Brier catches that). Also emits the
+    climatology uncertainty term p̄(1−p̄) and the Brier SKILL score
+    1 − BS/unc (>0 beats always-predicting-the-base-rate). Squared
+    errors follow the cell-term policy (p is an integer-quotient double,
+    12dp-rounded terms, DECIMAL sum); zero-evidence docs are excluded
+    and reported via n_scored. Scale: one scan, one hash-agg, scalar
+    arithmetic after."""
+    from stockmarketdata_dwb_etl_spark.functions.text import lang_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = lang_scores(tokenize(F.col("text")))
+    en, es, de = (scores[k].cast("int") for k in ("en", "es", "de"))
+    probs = docs.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        (en.cast("double") / (en + es + de)).alias("p"),
+        (en + es + de).alias("total"),
+    ).filter(F.col("total") > 0)
+    agg = probs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum(
+            portable_round(
+                (F.col("p") - F.col("y")) * (F.col("p") - F.col("y")), 12
+            ).cast(_DEC18_T)
+        )
+        .cast("double")
+        .alias("sq_sum"),
+    )
+    pbar = F.col("n_pos").cast("double") / F.col("n_scored")
+    unc = pbar * (F.lit(1.0) - pbar)
+    brier = F.col("sq_sum") / F.col("n_scored")
+    return agg.select(
+        "n_scored",
+        "n_pos",
+        portable_round(brier, 6).cast("double").alias("brier"),
+        portable_round(unc, 6).cast("double").alias("uncertainty"),
+        F.when(
+            (F.col("n_pos") == 0) | (F.col("n_pos") == F.col("n_scored")),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(portable_round(F.lit(1.0) - brier / unc, 6))
+        .cast("double")
+        .alias("brier_skill"),
+    )

@@ -634,3 +634,334 @@ def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+_DUCK_DAILY_PAIRS = f"""
+    dbars AS (
+        SELECT event_type AS symbol,
+               date_trunc('day', ts) AS bar_ts,
+               arg_max(value, {_DUCK_ORD}) AS close
+        FROM events GROUP BY 1, 2
+    ),
+    drets AS (
+        SELECT symbol, bar_ts,
+               close / lag(close) OVER (PARTITION BY symbol
+                                        ORDER BY bar_ts) - 1.0 AS r
+        FROM dbars
+        QUALIFY r IS NOT NULL
+    ),
+    pairs AS (
+        SELECT a.symbol AS symbol_a, b.symbol AS symbol_b,
+               a.bar_ts, a.r AS ra, b.r AS rb
+        FROM drets a JOIN drets b USING (bar_ts)
+        WHERE a.symbol < b.symbol
+    )
+"""
+
+
+@query(
+    "q_spearman_corr",
+    oracle=f"""
+    WITH {_DUCK_DAILY_PAIRS},
+    ranked AS (
+        SELECT symbol_a, symbol_b,
+               2 * rank() OVER (PARTITION BY symbol_a, symbol_b ORDER BY ra)
+                 + COUNT(*) OVER (PARTITION BY symbol_a, symbol_b, ra) - 1
+                 AS x,
+               2 * rank() OVER (PARTITION BY symbol_a, symbol_b ORDER BY rb)
+                 + COUNT(*) OVER (PARTITION BY symbol_a, symbol_b, rb) - 1
+                 AS y
+        FROM pairs
+    ),
+    mom AS (
+        SELECT symbol_a, symbol_b,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM ranked GROUP BY symbol_a, symbol_b
+    )
+    SELECT symbol_a, symbol_b, n_days,
+           CAST(CASE WHEN n_days * sxx - sx * sx = 0
+                       OR n_days * syy - sy * sy = 0 THEN NULL
+                ELSE (CAST(floor(CAST((
+                        (CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / sqrt(CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        / sqrt(CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                      ) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)
+                END AS DOUBLE) AS rho
+    FROM mom ORDER BY symbol_a, symbol_b
+    """,
+)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per symbol pair on daily returns — the
+    midrank (tie-aware) monotone-dependence measure completing the
+    correlation triptych (Pearson q_corr_pairs, Kendall q_kendall_tau):
+    2·midrank = 2·rank() + tie_count − 1 keeps every rank INTEGER, so
+    all five moment sums are exact integers on both engines and only the
+    final normalization is double (identical scalar tree, floor-rounded).
+    Scale: ranks come from per-pair window sorts — one shuffle keyed on
+    the (symbol_a, symbol_b) pair, calendar-bounded rows per pair; no
+    quadratic pass (unlike tau's day-pair join), so Spearman is the one
+    of the three that stays cheap at long horizons."""
+    ev = load_table(spark, sf_dir, "events")
+    dbars = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("bar_ts"),
+    ).agg(F.max_by("value", _spark_ord()).alias("close"))
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    drets = dbars.select(
+        "symbol",
+        "bar_ts",
+        (F.col("close") / F.lag("close").over(w) - F.lit(1.0)).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    a, b = drets.alias("a"), drets.alias("b")
+    pairs = (
+        a.join(b, "bar_ts")
+        .filter(F.col("a.symbol") < F.col("b.symbol"))
+        .select(
+            F.col("a.symbol").alias("symbol_a"),
+            F.col("b.symbol").alias("symbol_b"),
+            F.col("a.r").alias("ra"),
+            F.col("b.r").alias("rb"),
+        )
+    )
+    pw = Window.partitionBy("symbol_a", "symbol_b")
+    x = (
+        F.lit(2) * F.rank().over(pw.orderBy("ra"))
+        + F.count(F.lit(1)).over(
+            Window.partitionBy("symbol_a", "symbol_b", "ra")
+        )
+        - F.lit(1)
+    ).cast("bigint")
+    y = (
+        F.lit(2) * F.rank().over(pw.orderBy("rb"))
+        + F.count(F.lit(1)).over(
+            Window.partitionBy("symbol_a", "symbol_b", "rb")
+        )
+        - F.lit(1)
+    ).cast("bigint")
+    ranked = pairs.select("symbol_a", "symbol_b", x.alias("x"), y.alias("y"))
+    mom = ranked.groupBy("symbol_a", "symbol_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    n, sx, sy = F.col("n_days"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    rho = (
+        (n.cast("double") * sxy.cast("double")
+         - sx.cast("double") * sy.cast("double"))
+        / F.sqrt(n.cast("double") * sxx.cast("double")
+                 - sx.cast("double") * sx.cast("double"))
+        / F.sqrt(n.cast("double") * syy.cast("double")
+                 - sy.cast("double") * sy.cast("double"))
+    )
+    return mom.select(
+        "symbol_a",
+        "symbol_b",
+        "n_days",
+        F.when(
+            (n * sxx - sx * sx == 0) | (n * syy - sy * sy == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(portable_round(rho, 6))
+        .cast("double")
+        .alias("rho"),
+    ).orderBy("symbol_a", "symbol_b")
+
+
+@query(
+    "q_theil_sen",
+    oracle=f"""
+    WITH {_DUCK_BARS},
+    idx AS (
+        SELECT symbol, close,
+               row_number() OVER (PARTITION BY symbol
+                                  ORDER BY bar_ts DESC) AS rn
+        FROM bars
+        QUALIFY rn <= 64
+    ),
+    slopes AS (
+        SELECT a.symbol,
+               (b.close - a.close) / CAST(a.rn - b.rn AS DOUBLE) AS slope
+        FROM idx a JOIN idx b
+          ON a.symbol = b.symbol AND a.rn > b.rn
+    ),
+    med AS (
+        SELECT symbol, CAST(len(arr) AS BIGINT) AS n_slopes,
+               CASE WHEN len(arr) % 2 = 1 THEN arr[(len(arr) + 1) // 2]
+                    ELSE (arr[len(arr) // 2] + arr[len(arr) // 2 + 1]) / 2.0
+               END AS m
+        FROM (SELECT symbol, list(slope ORDER BY slope) AS arr
+              FROM slopes GROUP BY symbol)
+    ),
+    nb AS (
+        SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_bars FROM idx GROUP BY symbol
+    )
+    SELECT nb.symbol, nb.n_bars, COALESCE(med.n_slopes, 0) AS n_slopes,
+           CAST((CAST(floor(CAST((med.m) AS DOUBLE) * 100000000.0 + 0.5)
+                 AS DOUBLE) / 100000000.0) AS DOUBLE) AS ts_slope
+    FROM nb LEFT JOIN med USING (symbol)
+    ORDER BY symbol
+    """,
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend: median of all pairwise slopes over each
+    symbol's last 64 hourly closes — the breakdown-resistant slope
+    estimator that q_regression's OLS is not (one bad tick moves OLS,
+    not the pairwise median). Slopes are identical (close, index)
+    division trees on both engines; the median is the EXACT sorted-array
+    middle (even count → two-element mean), floor-rounded. Scale: the
+    quadratic pair set is WINDOW-bounded (64 bars → 2016 slopes per
+    symbol, constant per key regardless of corpus size) and generated
+    MAP-SIDE from one collected array per symbol — one shuffle keyed on
+    symbol, no self-join, mirroring the basket-pair pattern
+    (q_pair_affinity)."""
+    bars = _bars(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy(F.col("bar_ts").desc())
+    idx = bars.select(
+        "symbol", "close", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 64)
+    arr = idx.groupBy("symbol").agg(
+        F.sort_array(F.collect_list(F.struct("rn", "close"))).alias("arr")
+    )
+    slopes = F.expr(
+        """
+        array_sort(flatten(transform(
+            sequence(1, size(arr) - 1),
+            p -> transform(
+                sequence(p + 1, size(arr)),
+                q -> (element_at(arr, p).close - element_at(arr, q).close)
+                     / cast(element_at(arr, q).rn - element_at(arr, p).rn
+                            as double)
+            )
+        )))
+        """
+    )
+    med = F.expr(
+        """
+        CASE WHEN size(slopes) = 0 THEN CAST(NULL AS DOUBLE)
+             WHEN size(slopes) % 2 = 1
+                THEN element_at(slopes, CAST((size(slopes) + 1) div 2 AS INT))
+             ELSE (element_at(slopes, CAST(size(slopes) div 2 AS INT))
+                   + element_at(slopes,
+                                CAST(size(slopes) div 2 + 1 AS INT))) / 2.0
+        END
+        """
+    )
+    return (
+        arr.select(
+            "symbol",
+            F.size("arr").cast("bigint").alias("n_bars"),
+            slopes.alias("slopes"),
+        )
+        .select(
+            "symbol",
+            "n_bars",
+            F.size("slopes").cast("bigint").alias("n_slopes"),
+            portable_round(med, 8).cast("double").alias("ts_slope"),
+        )
+        .orderBy("symbol")
+    )
+
+
+@query(
+    "q_permutation_entropy",
+    oracle=f"""
+    WITH {_DUCK_BARS},
+    tri AS (
+        SELECT symbol,
+               lag(close, 2) OVER w AS a,
+               lag(close, 1) OVER w AS b,
+               close AS c
+        FROM bars
+        WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts)
+        QUALIFY lag(close, 2) OVER w IS NOT NULL
+    ),
+    codes AS (
+        SELECT symbol,
+               CAST(CASE WHEN a <= b THEN 4 ELSE 0 END
+                    + CASE WHEN b <= c THEN 2 ELSE 0 END
+                    + CASE WHEN a <= c THEN 1 ELSE 0 END AS INTEGER) AS code
+        FROM tri
+    ),
+    cnts AS (
+        SELECT symbol, code, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(COUNT(*)) OVER (PARTITION BY symbol) AS BIGINT)
+                   AS total
+        FROM codes GROUP BY symbol, code
+    ),
+    ent AS (
+        SELECT symbol, MAX(total) AS n_windows,
+               CAST(COUNT(*) AS BIGINT) AS n_patterns,
+               CAST(SUM(CAST((CAST(floor(CAST((
+                   -(CAST(cnt AS DOUBLE) / total)
+                   * ln(CAST(cnt AS DOUBLE) / total)
+                 ) AS DOUBLE) * 1000000000000.0 + 0.5) AS DOUBLE)
+                 / 1000000000000.0) AS DECIMAL(38,18))) AS DOUBLE) AS h
+        FROM cnts GROUP BY symbol
+    )
+    SELECT symbol, n_windows, n_patterns,
+           CAST((CAST(floor(CAST((h / 1.791759469228055) AS DOUBLE)
+                 * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE)
+               AS pe_norm
+    FROM ent ORDER BY symbol
+    """,
+)
+def q_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 permutation entropy per symbol (Bandt–Pompe complexity of
+    the hourly close path: a pure trend scores 0, white noise 1) —
+    ordinal patterns are encoded as the 3-bit comparison code
+    (a≤b)·4+(b≤c)·2+(a≤c) so tie policy is a fixed deterministic rule
+    and exactly 6 codes are attainable; counting is integer, entropy
+    follows the cell-term policy (12dp-rounded −p·ln p terms, DECIMAL
+    sum), normalized by the ln(6) LITERAL (identical constant on both
+    engines — never engine-computed ln(6), which may differ one ulp).
+    Scale: two lags over ONE per-symbol window pass, then a ≤6-row
+    hash-agg per symbol; O(1) state per row."""
+    bars = _bars(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    tri = bars.select(
+        "symbol",
+        F.lag("close", 2).over(w).alias("a"),
+        F.lag("close", 1).over(w).alias("b"),
+        F.col("close").alias("c"),
+    ).filter(F.col("a").isNotNull())
+    code = (
+        F.when(F.col("a") <= F.col("b"), 4).otherwise(0)
+        + F.when(F.col("b") <= F.col("c"), 2).otherwise(0)
+        + F.when(F.col("a") <= F.col("c"), 1).otherwise(0)
+    ).cast("int")
+    cnts = (
+        tri.select("symbol", code.alias("code"))
+        .groupBy("symbol", "code")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .withColumn(
+            "total",
+            F.sum("cnt").over(Window.partitionBy("symbol")).cast("bigint"),
+        )
+    )
+    p = F.col("cnt").cast("double") / F.col("total")
+    ent = cnts.groupBy("symbol").agg(
+        F.max("total").alias("n_windows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_patterns"),
+        F.sum(portable_round(-p * F.log(p), 12).cast(_DEC18))
+        .cast("double")
+        .alias("h"),
+    )
+    return ent.select(
+        "symbol",
+        "n_windows",
+        "n_patterns",
+        portable_round(F.col("h") / F.lit(1.791759469228055), 6)
+        .cast("double")
+        .alias("pe_norm"),
+    ).orderBy("symbol")

@@ -955,3 +955,86 @@ def q_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("brier_skill"),
     )
+
+
+@query(
+    "q_sentence_stats",
+    oracle="""
+    WITH per_doc AS (
+        SELECT source,
+               list_filter(
+                   list_transform(
+                       regexp_split_to_array(text, '[.!?]+'),
+                       s -> len(list_filter(string_split(s, ' '),
+                                            w -> w <> ''))),
+                   c -> c > 0) AS sent_words
+        FROM documents
+    ),
+    agg AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(sent_words)) AS BIGINT) AS n_sentences,
+               CAST(SUM(list_sum(sent_words)) AS BIGINT) AS n_words,
+               CAST(MAX(list_max(sent_words)) AS BIGINT) AS max_sent_words
+        FROM per_doc GROUP BY source
+    )
+    SELECT source, n_docs, n_sentences, n_words, max_sent_words,
+           CAST(CASE WHEN n_sentences = 0 THEN NULL
+                ELSE (2 * 100 * n_words + n_sentences) // (2 * n_sentences)
+                END AS BIGINT) AS avg_sent_words_x100,
+           CAST(CASE WHEN n_docs = 0 THEN NULL
+                ELSE (2 * 100 * n_sentences + n_docs) // (2 * n_docs)
+                END AS BIGINT) AS avg_doc_sents_x100
+    FROM agg ORDER BY source
+    """,
+)
+def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-segmentation profile per source: sentences split on
+    [.!?]+ runs, a sentence counts when it holds ≥1 word — yielding
+    sentence counts, mean sentence length and the longest sentence per
+    source (the corpus-linguistics readout quality filters are tuned
+    against: boilerplate sources skew short, OCR noise skews long).
+    Everything is exact integers — per-doc sentence word counts are
+    computed MAP-SIDE as an array (no explode: one int array per doc,
+    summed in-plan), ratios emit integer-scaled half-up. Scale: one
+    scan, one hash-agg keyed on source; no row multiplication at any
+    point."""
+    docs = load_table(spark, sf_dir, "documents")
+    sent_words = F.expr(
+        """
+        filter(
+            transform(split(text, '[.!?]+'),
+                      s -> size(filter(split(s, ' '), w -> w <> ''))),
+            c -> c > 0)
+        """
+    )
+    per_doc = docs.select("source", sent_words.alias("sent_words"))
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size("sent_words")).cast("bigint").alias("n_sentences"),
+        F.sum(
+            F.aggregate("sent_words", F.lit(0), lambda a, x: a + x)
+        )
+        .cast("bigint")
+        .alias("n_words"),
+        F.max(F.array_max("sent_words")).cast("bigint").alias("max_sent_words"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_sentences",
+        "n_words",
+        "max_sent_words",
+        F.when(F.col("n_sentences") == 0, F.lit(None))
+        .otherwise(
+            F.expr("(2 * 100 * n_words + n_sentences) div (2 * n_sentences)")
+        )
+        .cast("bigint")
+        .alias("avg_sent_words_x100"),
+        F.when(F.col("n_docs") == 0, F.lit(None))
+        .otherwise(
+            F.expr("(2 * 100 * n_sentences + n_docs) div (2 * n_docs)")
+        )
+        .cast("bigint")
+        .alias("avg_doc_sents_x100"),
+    ).orderBy("source")

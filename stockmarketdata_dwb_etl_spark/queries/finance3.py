@@ -965,3 +965,142 @@ def q_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("pe_norm"),
     ).orderBy("symbol")
+
+
+@query(
+    "q_calmar",
+    oracle=f"""
+    WITH {_DUCK_BARS},
+    path AS (
+        SELECT symbol, bar_ts, close,
+               max(close) OVER (PARTITION BY symbol ORDER BY bar_ts
+                                ROWS UNBOUNDED PRECEDING) AS peak,
+               first_value(close) OVER (PARTITION BY symbol
+                                        ORDER BY bar_ts) AS first_close,
+               last_value(close) OVER (PARTITION BY symbol ORDER BY bar_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS last_close
+        FROM bars
+    ),
+    agg AS (
+        SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_bars,
+               MAX(1.0 - close / peak) AS max_dd,
+               MAX(last_close / first_close - 1.0) AS total_ret
+        FROM path GROUP BY symbol
+    )
+    SELECT symbol, n_bars,
+           CAST((CAST(floor(CAST((max_dd) AS DOUBLE) * 1000000.0 + 0.5)
+                 AS DOUBLE) / 1000000.0) AS DOUBLE) AS max_dd,
+           CAST((CAST(floor(CAST((total_ret * (8760.0 / n_bars)) AS DOUBLE)
+                 * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE)
+               AS ann_ret,
+           CAST(CASE WHEN max_dd <= 0 THEN NULL
+                ELSE (CAST(floor(CAST((
+                    (total_ret * (8760.0 / n_bars)) / max_dd
+                  ) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)
+                END AS DOUBLE) AS calmar
+    FROM agg ORDER BY symbol
+    """,
+)
+def q_calmar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calmar ratio per symbol: linearly-annualized total return over
+    maximum drawdown — the drawdown-denominated risk-adjusted return
+    beside q_sharpe's σ-denominated and q_sortino's downside-σ one
+    (a strategy with smooth losses and one deep crash looks fine to
+    Sharpe; Calmar is what flags it). Annualization is LINEAR
+    (total_ret · 8760/n_bars — documented contract: no engine pow(),
+    whose libm could differ at the last ulp), drawdowns come off the
+    running-peak window, max is order-free, and all reported doubles
+    are identical scalar trees floor-rounded. Scale: one per-symbol
+    window pass + one hash-agg, O(1) state per row."""
+    bars = _bars(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    path = bars.select(
+        "symbol",
+        "close",
+        F.max("close").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("peak"),
+        F.first("close").over(w).alias("first_close"),
+        F.last("close")
+        .over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .alias("last_close"),
+    )
+    agg = path.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bars"),
+        F.max(F.lit(1.0) - F.col("close") / F.col("peak")).alias("max_dd"),
+        F.max(F.col("last_close") / F.col("first_close") - F.lit(1.0)).alias(
+            "total_ret"
+        ),
+    )
+    ann = F.col("total_ret") * (F.lit(8760.0) / F.col("n_bars"))
+    return agg.select(
+        "symbol",
+        "n_bars",
+        portable_round(F.col("max_dd"), 6).cast("double").alias("max_dd"),
+        portable_round(ann, 6).cast("double").alias("ann_ret"),
+        F.when(F.col("max_dd") <= 0, F.lit(None).cast("double"))
+        .otherwise(portable_round(ann / F.col("max_dd"), 6))
+        .cast("double")
+        .alias("calmar"),
+    ).orderBy("symbol")
+
+
+@query(
+    "q_omega_ratio",
+    oracle=f"""
+    WITH {_DUCK_RETURNS},
+    agg AS (
+        SELECT symbol,
+               CAST(COUNT(*) AS BIGINT) AS n_rets,
+               CAST(COUNT(*) FILTER (WHERE r > 0) AS BIGINT) AS n_up,
+               CAST(COUNT(*) FILTER (WHERE r < 0) AS BIGINT) AS n_down,
+               CAST(SUM(CAST(CASE WHEN r > 0 THEN r ELSE 0 END
+                    AS DECIMAL(38,18))) AS DOUBLE) AS gains,
+               CAST(SUM(CAST(CASE WHEN r < 0 THEN -r ELSE 0 END
+                    AS DECIMAL(38,18))) AS DOUBLE) AS losses
+        FROM rets GROUP BY symbol
+    )
+    SELECT symbol, n_rets, n_up, n_down,
+           CAST(CASE WHEN losses = 0 THEN NULL
+                ELSE (CAST(floor(CAST((gains / losses) AS DOUBLE)
+                      * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)
+                END AS DOUBLE) AS omega
+    FROM agg ORDER BY symbol
+    """,
+)
+def q_omega_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Omega ratio per symbol at threshold 0: Σ gains / Σ |losses| over
+    hourly returns — the whole-distribution risk-reward measure that
+    uses every moment at once (Sharpe reads two moments; Omega is the
+    probability-weighted ratio of upside to downside area). Gain and
+    loss sums run in exact DECIMAL (CASE-gated one-pass conditional
+    aggregation, the q_updown_capture idiom), so partition order cannot
+    move the ratio; the single division is floor-rounded. Scale: the
+    returns window pass then ONE hash-agg per symbol."""
+    rets = _returns(spark, sf_dir)
+    agg = rets.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rets"),
+        F.count(F.when(F.col("r") > 0, 1)).cast("bigint").alias("n_up"),
+        F.count(F.when(F.col("r") < 0, 1)).cast("bigint").alias("n_down"),
+        F.sum(
+            F.when(F.col("r") > 0, F.col("r")).otherwise(F.lit(0.0)).cast(_DEC18)
+        )
+        .cast("double")
+        .alias("gains"),
+        F.sum(
+            F.when(F.col("r") < 0, -F.col("r")).otherwise(F.lit(0.0)).cast(_DEC18)
+        )
+        .cast("double")
+        .alias("losses"),
+    )
+    return agg.select(
+        "symbol",
+        "n_rets",
+        "n_up",
+        "n_down",
+        F.when(F.col("losses") == 0, F.lit(None).cast("double"))
+        .otherwise(portable_round(F.col("gains") / F.col("losses"), 6))
+        .cast("double")
+        .alias("omega"),
+    ).orderBy("symbol")

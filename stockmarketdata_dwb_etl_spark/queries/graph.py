@@ -495,3 +495,81 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_components"))
         .orderBy("component_size")
     )
+
+
+@query(
+    "q_adamic_adar",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ),
+    pdeg AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS pd FROM edges GROUP BY p
+    ),
+    pairs AS (
+        SELECT a.s AS supp_a, b.s AS supp_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_parts,
+               CAST(SUM(CAST((CAST(floor(CAST((1.0 / ln(d.pd)) AS DOUBLE)
+                   * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0)
+                   AS DECIMAL(38,18))) AS DOUBLE) AS aa
+        FROM edges a
+        JOIN edges b ON a.p = b.p AND a.s < b.s
+        JOIN pdeg d ON d.p = a.p
+        GROUP BY 1, 2
+    )
+    SELECT supp_a, supp_b, shared_parts,
+           CAST((CAST(floor(CAST((aa) AS DOUBLE) * 1000000.0 + 0.5)
+                 AS DOUBLE) / 1000000.0) AS DOUBLE) AS aa_score
+    FROM pairs
+    WHERE shared_parts >= 5
+    ORDER BY supp_a, supp_b
+    """,
+)
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction over the part–supplier bipartite
+    graph: supplier pairs scored by Σ 1/ln(deg(z)) over shared parts z —
+    the frequency-weighted upgrade of q_common_neighbors' raw count
+    (a part supplied by everyone says little; a rare shared part says a
+    lot). Per-part degrees are exact integers; each 1/ln(deg) term
+    follows the cell-term policy (12dp round + DECIMAL sum — term order
+    cannot perturb the score); deg ≥ 2 by construction on any shared
+    part, so ln never hits 0. Scale: identical posture to
+    common_neighbors — pair fanout is C(k,2) with k = suppliers-per-part
+    (catalog-bounded), part degrees join ON THE SAME part key as the
+    pair expansion (no extra shuffle of the big side), and the ≥5
+    shared-parts floor bounds output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = bounded_persist(
+        li.select(
+            F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+        ).distinct(),
+        "aa-edges",
+    )
+    pdeg = edges.groupBy("p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pd")
+    )
+    a = edges.select(F.col("p"), F.col("s").alias("supp_a"))
+    b = edges.select(F.col("p"), F.col("s").alias("supp_b"))
+    term = portable_round(F.lit(1.0) / F.log(F.col("pd")), 12).cast(
+        "decimal(38,18)"
+    )
+    pairs = (
+        a.join(b, "p")
+        .filter(F.col("supp_a") < F.col("supp_b"))
+        .join(pdeg, "p")
+        .groupBy("supp_a", "supp_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("shared_parts"),
+            F.sum(term).cast("double").alias("aa"),
+        )
+    )
+    return (
+        pairs.filter(F.col("shared_parts") >= 5)
+        .select(
+            "supp_a",
+            "supp_b",
+            "shared_parts",
+            portable_round(F.col("aa"), 6).cast("double").alias("aa_score"),
+        )
+        .orderBy("supp_a", "supp_b")
+    )

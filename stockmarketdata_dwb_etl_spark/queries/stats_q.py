@@ -579,3 +579,98 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("z_stat"),
     ).orderBy("symbol")
+
+
+@query(
+    "q_cramers_v",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type,
+               CAST(hour(ts) // 6 AS INTEGER) AS day_sixth,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, day_sixth, o,
+               SUM(o) OVER (PARTITION BY event_type) AS row_tot,
+               SUM(o) OVER (PARTITION BY day_sixth) AS col_tot,
+               SUM(o) OVER () AS n
+        FROM cells
+    ),
+    contrib AS (
+        SELECT n,
+               (o - CAST(row_tot * col_tot AS DOUBLE) / n)
+               * (o - CAST(row_tot * col_tot AS DOUBLE) / n)
+               / (CAST(row_tot * col_tot AS DOUBLE) / n) AS c
+        FROM tot
+    ),
+    agg AS (
+        SELECT CAST(SUM(CAST(c AS DECIMAL(38,18))) AS DOUBLE) AS chi2,
+               CAST(MAX(n) AS BIGINT) AS n,
+               (SELECT COUNT(DISTINCT event_type) FROM cells) AS r,
+               (SELECT COUNT(DISTINCT day_sixth) FROM cells) AS k
+        FROM contrib
+    )
+    SELECT CAST((CAST(floor(CAST((chi2) AS DOUBLE) * 1000000.0 + 0.5)
+                 AS DOUBLE) / 1000000.0) AS DOUBLE) AS chi2,
+           CAST((r - 1) * (k - 1) AS BIGINT) AS dof, n,
+           CAST(CASE WHEN least(r, k) <= 1 THEN NULL
+                ELSE (CAST(floor(CAST((
+                    sqrt(chi2 / (n * (least(r, k) - 1)))
+                  ) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)
+                END AS DOUBLE) AS cramers_v
+    FROM agg
+    """,
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for event_type × time-of-day (6-hour
+    bucket) association — the [0,1]-normalized companion to
+    q_chi_square's raw statistic (χ² grows with N even for trivial
+    association; V = √(χ²/(N·(min(r,k)−1))) is what you compare across
+    tables and scales). Same exactness contract as q_chi_square:
+    integer contingency, identical-tree expected counts, DECIMAL cell
+    accumulation, floor-rounded scalars. Scale: one hash-agg to
+    |types|×4 cells; everything after is cell-table-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        (F.hour("ts").cast("int") / F.lit(6)).cast("int").alias("day_sixth"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    tot = cells.select(
+        "event_type",
+        "day_sixth",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("day_sixth")).alias("col_tot"),
+        F.sum("o").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    e = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("n")
+    contrib = tot.select(
+        "n",
+        "event_type",
+        "day_sixth",
+        ((F.col("o") - e) * (F.col("o") - e) / e).alias("c"),
+    )
+    agg = contrib.agg(
+        F.sum(F.col("c").cast(_DEC18)).cast("double").alias("chi2"),
+        F.max("n").cast("bigint").alias("n"),
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct("day_sixth").alias("k"),
+    )
+    v = F.sqrt(
+        F.col("chi2")
+        / (F.col("n") * (F.least(F.col("r"), F.col("k")) - F.lit(1)))
+    )
+    return agg.select(
+        portable_round("chi2", 6).cast("double").alias("chi2"),
+        ((F.col("r") - 1) * (F.col("k") - 1)).cast("bigint").alias("dof"),
+        "n",
+        F.when(F.least(F.col("r"), F.col("k")) <= 1, F.lit(None).cast("double"))
+        .otherwise(portable_round(v, 6))
+        .cast("double")
+        .alias("cramers_v"),
+    )

@@ -678,3 +678,145 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable_round("close", 4).cast("double").alias("close"),
         portable_round(med, 6).cast("double").alias("roll_med20"),
     ).orderBy("symbol", "bar_ts")
+
+
+@query(
+    "q_sax_symbols",
+    oracle=f"""
+    WITH {_DUCK_BARS},
+    idx AS (
+        SELECT symbol, close,
+               row_number() OVER (PARTITION BY symbol
+                                  ORDER BY bar_ts DESC) AS rn
+        FROM bars
+        QUALIFY rn <= 64
+    ),
+    pos AS (
+        SELECT symbol, close,
+               CAST(COUNT(*) OVER (PARTITION BY symbol) AS BIGINT) AS m,
+               ((CAST(COUNT(*) OVER (PARTITION BY symbol) AS BIGINT)
+                 - rn + 1 - 1) * 8)
+                 // CAST(COUNT(*) OVER (PARTITION BY symbol) AS BIGINT)
+                   AS seg
+        FROM idx
+    ),
+    segs AS (
+        SELECT symbol, seg,
+               SUM(CAST(close AS DECIMAL(38,18))) AS ssum,
+               SUM(CAST(close * close AS DECIMAL(38,18))) AS ssq,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM pos GROUP BY symbol, seg
+    ),
+    lettered AS (
+        SELECT symbol, seg, cnt,
+               CAST(SUM(ssum) OVER (PARTITION BY symbol) AS DOUBLE)
+                   / SUM(cnt) OVER (PARTITION BY symbol) AS mu,
+               sqrt(greatest(
+                   CAST(SUM(ssq) OVER (PARTITION BY symbol) AS DOUBLE)
+                       / SUM(cnt) OVER (PARTITION BY symbol)
+                   - (CAST(SUM(ssum) OVER (PARTITION BY symbol) AS DOUBLE)
+                      / SUM(cnt) OVER (PARTITION BY symbol))
+                   * (CAST(SUM(ssum) OVER (PARTITION BY symbol) AS DOUBLE)
+                      / SUM(cnt) OVER (PARTITION BY symbol)), 0.0)) AS sig,
+               CAST(ssum AS DOUBLE) / cnt AS seg_mean
+        FROM segs
+    ),
+    letters AS (
+        SELECT symbol, seg, mu, sig,
+               CASE WHEN z < -0.6745 THEN 'a'
+                    WHEN z < 0.0 THEN 'b'
+                    WHEN z < 0.6745 THEN 'c'
+                    ELSE 'd' END AS letter,
+               cnt
+        FROM (SELECT *,
+                     CASE WHEN sig = 0 THEN 0.0
+                          ELSE (seg_mean - mu) / sig END AS z
+              FROM lettered)
+    )
+    SELECT symbol,
+           CAST(SUM(cnt) AS BIGINT) AS n_bars,
+           string_agg(letter, '' ORDER BY seg) AS sax_word,
+           CAST((CAST(floor(CAST((MAX(mu)) AS DOUBLE) * 1000000.0 + 0.5)
+                 AS DOUBLE) / 1000000.0) AS DOUBLE) AS mu,
+           CAST((CAST(floor(CAST((MAX(sig)) AS DOUBLE) * 1000000.0 + 0.5)
+                 AS DOUBLE) / 1000000.0) AS DOUBLE) AS sigma
+    FROM letters GROUP BY symbol ORDER BY symbol
+    """,
+)
+def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic aggregate approximation per symbol: z-normalize the
+    last 64 hourly closes, PAA-compress into 8 segments, map each
+    segment mean to a 4-letter alphabet at the standard Gaussian
+    breakpoints (−0.6745, 0, 0.6745) — the Lin/Keogh symbolic index that
+    makes motif search and whole-series matching a string problem.
+    Exactness: segment sums and moments accumulate in DECIMAL, μ/σ/z are
+    identical scalar trees on both engines, and letters come from plain
+    double comparisons against literal breakpoints (bit-deterministic —
+    no rounding anywhere near the decision). Flat windows (σ=0) map to
+    'c' via the z=0 convention. Scale: one per-symbol window pass to
+    index the last 64 bars, one (symbol, seg) hash-agg, then 8-row-per-
+    symbol arithmetic; the word assembles from a sorted 8-element array,
+    never a cross-row string fold."""
+    bars = _bars(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy(F.col("bar_ts").desc())
+    idx = bars.select(
+        "symbol", "close", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 64)
+    m = F.count(F.lit(1)).over(Window.partitionBy("symbol")).cast("bigint")
+    pos = idx.select(
+        "symbol",
+        "close",
+        ((m - F.col("rn")) * 8).cast("bigint").alias("__num"),
+        m.alias("m"),
+    ).select(
+        "symbol",
+        "close",
+        F.expr("__num div m").alias("seg"),
+    )
+    segs = pos.groupBy("symbol", "seg").agg(
+        F.sum(F.col("close").cast("decimal(38,18)")).alias("ssum"),
+        F.sum((F.col("close") * F.col("close")).cast("decimal(38,18)")).alias(
+            "ssq"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    sw = Window.partitionBy("symbol")
+    n = F.sum("cnt").over(sw)
+    mu = F.sum("ssum").over(sw).cast("double") / n
+    sig = F.sqrt(
+        F.greatest(
+            F.sum("ssq").over(sw).cast("double") / n - mu * mu, F.lit(0.0)
+        )
+    )
+    seg_mean = F.col("ssum").cast("double") / F.col("cnt")
+    z = F.when(sig == 0, F.lit(0.0)).otherwise((seg_mean - mu) / sig)
+    letter = (
+        F.when(z < -0.6745, "a")
+        .when(z < 0.0, "b")
+        .when(z < 0.6745, "c")
+        .otherwise("d")
+    )
+    letters = segs.select(
+        "symbol",
+        "seg",
+        "cnt",
+        mu.alias("mu"),
+        sig.alias("sig"),
+        letter.alias("letter"),
+    )
+    return (
+        letters.groupBy("symbol")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_bars"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg", "letter"))),
+                    lambda x: x["letter"],
+                ),
+                "",
+            ).alias("sax_word"),
+            portable_round(F.max("mu"), 6).cast("double").alias("mu"),
+            portable_round(F.max("sig"), 6).cast("double").alias("sigma"),
+        )
+        .orderBy("symbol")
+    )

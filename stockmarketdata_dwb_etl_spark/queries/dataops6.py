@@ -1038,3 +1038,80 @@ def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("avg_doc_sents_x100"),
     ).orderBy("source")
+
+
+@query(
+    "q_sentence_dedup",
+    oracle="""
+    WITH sents AS (
+        SELECT doc_id, source, trim(s) AS sent
+        FROM documents,
+             unnest(regexp_split_to_array(text, '[.!?]+')) AS t(s)
+        WHERE len(list_filter(string_split(trim(s), ' '), w -> w <> '')) >= 3
+    ),
+    freq AS (
+        SELECT md5(sent) AS h, CAST(COUNT(*) AS BIGINT) AS n_occ
+        FROM sents GROUP BY md5(sent)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_sentences,
+           CAST(COUNT(DISTINCT f.h) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) FILTER (WHERE f.n_occ > 1) AS BIGINT)
+               AS n_duplicated,
+           CAST((2 * 10000 * COUNT(*) FILTER (WHERE f.n_occ > 1) + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT) AS dup_ratio_x10000
+    FROM sents s JOIN freq f ON md5(s.sent) = f.h
+    GROUP BY source ORDER BY source
+    """,
+)
+def q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style sentence-level duplication audit: split every document
+    into sentences ([.!?]+ runs, keep sentences of ≥3 words), hash each,
+    and report per source how many sentence OCCURRENCES belong to a
+    sentence repeated anywhere in the corpus — the boilerplate signal
+    line/sentence dedup (C4's three-sentence rule) acts on, one level
+    below q_dedup_chunks' chunk granularity. Occurrence counting is
+    exact integer on md5 identity; the dup ratio emits integer-scaled
+    half-up. Scale: sentences shuffle ONCE on their md5 hash for the
+    frequency table, which joins back BY THE SAME hash key (no second
+    wide shuffle of text — only the 16-byte digest and counts move);
+    at 100 TB the frequency table is the dedup-standard hash-keyed
+    rollup, never a driver-side structure."""
+    docs = load_table(spark, sf_dir, "documents")
+    sents = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.col("text"), r"[.!?]+")).alias("s"),
+        )
+        .select("source", F.trim(F.col("s")).alias("sent"))
+        .filter(
+            F.size(F.filter(F.split(F.col("sent"), " "), lambda w: w != ""))
+            >= 3
+        )
+        .select("source", F.md5("sent").alias("h"))
+    )
+    freq = sents.groupBy("h").agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"))
+    joined = sents.join(freq, "h")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sentences"),
+            F.countDistinct("h").cast("bigint").alias("n_distinct"),
+            F.count(F.when(F.col("n_occ") > 1, 1)).cast("bigint").alias(
+                "n_duplicated"
+            ),
+        )
+        .select(
+            "source",
+            "n_sentences",
+            "n_distinct",
+            "n_duplicated",
+            F.expr(
+                "(2 * 10000 * n_duplicated + n_sentences)"
+                " div (2 * n_sentences)"
+            )
+            .cast("bigint")
+            .alias("dup_ratio_x10000"),
+        )
+        .orderBy("source")
+    )

@@ -573,3 +573,100 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supp_a", "supp_b")
     )
+
+
+@query(
+    "q_degree_assortativity",
+    oracle=(
+        "WITH "
+        + _GRAPH_SQL
+        + """,
+    deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM edges GROUP BY src
+    ),
+    dpairs AS (
+        SELECT ds.d AS x, dd.d AS y
+        FROM edges e
+        JOIN deg ds ON ds.node = e.src
+        JOIN deg dd ON dd.node = e.dst
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM dpairs
+    )
+    SELECT m AS n_directed_edges,
+           (SELECT COUNT(*) FROM deg) AS n_nodes,
+           CAST(CASE WHEN m * sxx - sx * sx = 0 OR m * syy - sy * sy = 0
+                THEN NULL
+                ELSE (CAST(floor(CAST((
+                    (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    / sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                  ) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)
+                END AS DOUBLE) AS assortativity
+    FROM mom
+    """
+    ),
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the brand co-purchase graph: Pearson
+    correlation of (deg(src), deg(dst)) over the directed edge list —
+    the one-number mixing diagnostic (r>0 hubs-link-hubs, r<0
+    hub-and-spoke) that says whether the graph queries' skew mitigations
+    will actually be exercised. Unweighted degrees are exact integers,
+    so all five moment sums are exact (the q_spearman_corr posture);
+    only the final normalization is double, floor-rounded. Scale: the
+    edge table is catalog-sized (brands²) and already persisted by the
+    graph family's shared build; degrees join back on the edge keys —
+    at web scale the same plan co-partitions edges and the degree table
+    on the node key."""
+    edges, wdeg, nodes = _graph(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    dpairs = (
+        edges.join(deg.withColumnRenamed("node", "src"), "src")
+        .withColumnRenamed("d", "x")
+        .join(
+            deg.withColumnRenamed("node", "dst").withColumnRenamed("d", "y"),
+            "dst",
+        )
+        .select("x", "y")
+    )
+    mom = dpairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    ).crossJoin(F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes"))))
+    m, sx, sy = F.col("m"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    r = (
+        (m.cast("double") * sxy.cast("double")
+         - sx.cast("double") * sy.cast("double"))
+        / F.sqrt(m.cast("double") * sxx.cast("double")
+                 - sx.cast("double") * sx.cast("double"))
+        / F.sqrt(m.cast("double") * syy.cast("double")
+                 - sy.cast("double") * sy.cast("double"))
+    )
+    return mom.select(
+        m.alias("n_directed_edges"),
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        F.when(
+            (m * sxx - sx * sx == 0) | (m * syy - sy * sy == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(portable_round(r, 6))
+        .cast("double")
+        .alias("assortativity"),
+    )

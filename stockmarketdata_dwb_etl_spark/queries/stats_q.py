@@ -674,3 +674,180 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("cramers_v"),
     )
+
+
+@query(
+    "q_cohens_d",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE)
+                 AS sxx
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1
+    ),
+    s AS (
+        SELECT
+          MAX(CASE WHEN event_type = 'click' THEN n END) AS n1,
+          MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n2,
+          MAX(CASE WHEN event_type = 'click' THEN sx END) AS sx1,
+          MAX(CASE WHEN event_type = 'purchase' THEN sx END) AS sx2,
+          MAX(CASE WHEN event_type = 'click' THEN sxx END) AS sxx1,
+          MAX(CASE WHEN event_type = 'purchase' THEN sxx END) AS sxx2
+        FROM g
+    )
+    SELECT n1, n2,
+           CAST((CAST(floor(CAST(((sx1 / n1 - sx2 / n2)
+               / sqrt(((sxx1 - sx1 * sx1 / n1) + (sxx2 - sx2 * sx2 / n2))
+                      / (n1 + n2 - 2))) AS DOUBLE) * 1000000.0 + 0.5)
+                 AS DOUBLE) / 1000000.0) AS DOUBLE) AS cohens_d,
+           CAST((CAST(floor(CAST((((sx1 / n1 - sx2 / n2)
+               / sqrt(((sxx1 - sx1 * sx1 / n1) + (sxx2 - sx2 * sx2 / n2))
+                      / (n1 + n2 - 2)))
+               * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0))) AS DOUBLE)
+               * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE)
+               AS hedges_g
+    FROM s
+    """,
+)
+def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d standardized mean difference between click and purchase
+    values (pooled-SD form) plus the Hedges' g small-sample correction
+    factor (1 − 3/(4N−9)) — the EFFECT SIZE q_ttest_welch's significance
+    leaves unstated (at warehouse N everything is significant; d says
+    whether it matters). Identical moment pipeline to the t-test:
+    per-group n/Σx/Σx² in exact DECIMAL through one hash-agg, then the
+    d and g scalars from six numbers in identical-tree double,
+    floor-rounded. Scale: one partial+final hash-agg over the filtered
+    fact table; nothing after touches rows."""
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sx"),
+            F.sum((F.col("value") * F.col("value")).cast(_DEC))
+            .cast("double")
+            .alias("sxx"),
+        )
+    )
+    s = g.agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("event_type") == "click", F.col("sx"))).alias("sx1"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("sx"))).alias("sx2"),
+        F.max(F.when(F.col("event_type") == "click", F.col("sxx"))).alias("sxx1"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("sxx"))).alias("sxx2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    sx1, sx2, sxx1, sxx2 = (F.col(c) for c in ("sx1", "sx2", "sxx1", "sxx2"))
+    pooled = F.sqrt(
+        ((sxx1 - sx1 * sx1 / n1) + (sxx2 - sx2 * sx2 / n2)) / (n1 + n2 - 2)
+    )
+    d = (sx1 / n1 - sx2 / n2) / pooled
+    corr = F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * (n1 + n2) - F.lit(9.0))
+    return s.select(
+        "n1",
+        "n2",
+        portable_round(d, 6).cast("double").alias("cohens_d"),
+        portable_round(d * corr, 6).cast("double").alias("hedges_g"),
+    )
+
+
+@query(
+    "q_mcnemar",
+    oracle="""
+    WITH scored AS (
+        SELECT lang AS actual,
+               CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                    ['the','a','of','and','to'])) AS INTEGER) AS en_score,
+               CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                    ['el','la','de','y','que'])) AS INTEGER) AS es_score,
+               CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                    ['der','die','das','und','zu'])) AS INTEGER) AS de_score
+        FROM documents
+    ),
+    paired AS (
+        SELECT (CASE WHEN en_score >= es_score AND en_score >= de_score
+                       THEN 'en'
+                     WHEN es_score >= de_score THEN 'es'
+                     ELSE 'de' END) = actual AS a_right,
+               actual = 'en' AS b_right
+        FROM scored
+    ),
+    cnt AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (WHERE NOT a_right AND b_right)
+                    AS BIGINT) AS b,
+               CAST(COUNT(*) FILTER (WHERE a_right AND NOT b_right)
+                    AS BIGINT) AS c
+        FROM paired
+    )
+    SELECT n, b, c,
+           CAST(CASE WHEN b + c = 0 THEN NULL
+                ELSE (CAST(floor(CAST((
+                    CAST((b - c) * (b - c) AS DOUBLE) / (b + c)
+                  ) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)
+                END AS DOUBLE) AS mcnemar_chi2,
+           CAST(CASE WHEN b + c = 0 THEN NULL
+                ELSE (CAST(floor(CAST((
+                    CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+                    / (b + c)
+                  ) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)
+                END AS DOUBLE) AS mcnemar_cc_chi2
+    FROM cnt
+    """,
+)
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test comparing the lang-ID heuristic against the
+    majority-class baseline (always predict 'en') ON THE SAME documents —
+    the right test for "is classifier A actually better than B" (unpaired
+    accuracy comparison wastes the pairing; McNemar reads only the
+    discordant cells). b = baseline right where the model is wrong,
+    c = model right where the baseline is wrong; χ² = (b−c)²/(b+c),
+    with the continuity-corrected (|b−c|−1)²/(b+c) variant beside it.
+    Counting is exact integer; the two statistics are single divisions
+    of integers, floor-rounded. Scale: one scan, one count-agg — the
+    discordant-cell counts are the only state."""
+    docs = load_table(spark, sf_dir, "documents")
+    from stockmarketdata_dwb_etl_spark.functions.text import lang_scores, tokenize
+
+    scores = lang_scores(tokenize(F.col("text")))
+    en, es, de = (scores[k].cast("int") for k in ("en", "es", "de"))
+    predicted = (
+        F.when((en >= es) & (en >= de), "en")
+        .when(es >= de, "es")
+        .otherwise("de")
+    )
+    paired = docs.select(
+        (predicted == F.col("lang")).alias("a_right"),
+        (F.col("lang") == "en").alias("b_right"),
+    )
+    cnt = paired.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.when(~F.col("a_right") & F.col("b_right"), 1))
+        .cast("bigint")
+        .alias("b"),
+        F.count(F.when(F.col("a_right") & ~F.col("b_right"), 1))
+        .cast("bigint")
+        .alias("c"),
+    )
+    bc = F.col("b") + F.col("c")
+    diff = F.col("b") - F.col("c")
+    cc = F.abs(diff) - 1
+    return cnt.select(
+        "n",
+        "b",
+        "c",
+        F.when(bc == 0, F.lit(None).cast("double"))
+        .otherwise(portable_round((diff * diff).cast("double") / bc, 6))
+        .cast("double")
+        .alias("mcnemar_chi2"),
+        F.when(bc == 0, F.lit(None).cast("double"))
+        .otherwise(portable_round((cc * cc).cast("double") / bc, 6))
+        .cast("double")
+        .alias("mcnemar_cc_chi2"),
+    )

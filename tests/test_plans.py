@@ -366,3 +366,49 @@ def test_blocked_edit_sort_reads_interposed_exchange(spark):
     # exchange, not re-execute the join+Levenshtein verify stage
     plan = _plan(_queries()["q_dedup_blocked_edit"](spark, SF_DIR))
     assert "REPARTITION_BY_COL" in plan or "hashpartitioning(id_a" in plan
+
+
+def test_theil_sen_no_pair_self_join(spark):
+    # pairwise slopes generate MAP-SIDE from one collected (rn, close)
+    # array per symbol (the basket-pair pattern) — no self-join of the
+    # indexed bar table, one window family for the last-64 indexing
+    plan = _plan(_queries()["q_theil_sen"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan, "Theil-Sen pair set must not come from a join"
+
+
+def test_spearman_ranks_share_pair_partitioning(spark):
+    # midranks for ra and rb both come from windows over the SAME
+    # (symbol_a, symbol_b) hash partitioning: after the pair join the
+    # rank/count windows add at most one exchange for the pair key plus
+    # per-ordering sorts, never a re-shuffle per rank column
+    plan = _plan(_queries()["q_spearman_corr"](spark, SF_DIR))
+    import re
+
+    ids = set(re.findall(r"Exchange hashpartitioning.*?\[plan_id=(\d+)\]", plan))
+    assert len(ids) <= 4, f"{len(ids)} hash exchanges: {sorted(ids)}"
+
+
+def test_sentence_dedup_only_digests_shuffle(spark):
+    # the sentence text is hashed map-side; the frequency groupBy and
+    # the join back both key on the 32-char digest — the plan must not
+    # carry the sentence text into any exchange
+    plan = _plan(_queries()["q_sentence_dedup"](spark, SF_DIR))
+    assert "sent" not in plan.split("Exchange", 1)[-1].split("\n")[0]
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_class_prf_contingency_cached(spark):
+    # the lang-ID contingency feeds three marginal branches — it must be
+    # persisted (one InMemoryRelation), not rebuilt per branch
+    plan = _plan(_queries()["q_class_prf"](spark, SF_DIR))
+    assert "InMemoryRelation" in plan
+
+
+def test_adamic_adar_degree_join_same_key(spark):
+    # part degrees join the pair expansion ON THE PART KEY already used
+    # for the a-b join: only broadcast/hash joins, no extra wide shuffle
+    # of the edge table beyond the distinct + part-key co-location
+    plan = _plan(_queries()["q_adamic_adar"](spark, SF_DIR))
+    assert "InMemoryRelation" in plan  # shared deduped edge table
+    assert "CartesianProduct" not in plan

@@ -57,6 +57,8 @@ PROBES = (
     "q_pair_affinity",      # one-shuffle basket build + map-side pair explode
     "q_active_users",       # per-(day,bucket) bitmap build + 7-day OR-merge fanout
     "q_chunk_documents",    # map-side token-window chunk fan-out over documents
+    "q_sentence_dedup",     # sentence-digest frequency shuffle over documents
+    "q_spearman_corr",      # per-pair midrank windows over events
 )
 
 

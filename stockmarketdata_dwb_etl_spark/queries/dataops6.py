@@ -29,7 +29,10 @@ from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.functions.text import tokenize, word_shingles
 from stockmarketdata_dwb_etl_spark.functions.vectors import cosine
 from stockmarketdata_dwb_etl_spark.operators.cache import bounded_persist
-from stockmarketdata_dwb_etl_spark.operators.rank import global_prefix_sum
+from stockmarketdata_dwb_etl_spark.operators.rank import (
+    global_prefix_sum,
+    global_row_number,
+)
 from stockmarketdata_dwb_etl_spark.registry import query
 
 _DEC18_T = "decimal(38,18)"
@@ -1114,4 +1117,114 @@ def q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_ratio_x10000"),
         )
         .orderBy("source")
+    )
+
+
+@query(
+    "q_quantile_normalize",
+    oracle="""
+    WITH vals AS (
+        SELECT event_type AS symbol, event_id, value FROM events
+    ),
+    ranked AS (
+        SELECT symbol,
+               row_number() OVER (PARTITION BY symbol
+                                  ORDER BY value, event_id) AS i,
+               CAST(COUNT(*) OVER (PARTITION BY symbol) AS BIGINT) AS ns
+        FROM vals
+    ),
+    pooled AS (
+        SELECT value AS pv,
+               row_number() OVER (ORDER BY value, event_id) AS j,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM vals
+    ),
+    mapped AS (
+        SELECT r.symbol, r.ns,
+               p.pv AS norm_v
+        FROM (SELECT symbol, i, ns,
+                     CASE WHEN ns = 1
+                          THEN 1 + ((SELECT MAX(n) FROM pooled) - 1) // 2
+                          ELSE 1 + (2 * (i - 1)
+                                    * ((SELECT MAX(n) FROM pooled) - 1)
+                                    + (ns - 1)) // (2 * (ns - 1))
+                     END AS jstar
+              FROM ranked) r
+        JOIN pooled p ON p.j = r.jstar
+    )
+    SELECT symbol,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(norm_v) AS norm_min,
+           MAX(norm_v) AS norm_max,
+           CAST((CAST(floor(CAST((
+               CAST(SUM(CAST(norm_v AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
+             ) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE)
+               AS norm_mean
+    FROM mapped GROUP BY symbol ORDER BY symbol
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across groups: every event_type's value
+    distribution is remapped onto the POOLED distribution (each group's
+    i-th order statistic takes the pooled value at the proportional
+    global position) — the microarray-era ML preprocessing step that
+    makes groups exactly comparable when their scales differ, beside
+    q_feature_scale's per-dimension StandardScaler. Positions are pure
+    integers: j* = 1 + round((i−1)(N−1)/(n_s−1)) via the integer half-up
+    idiom, so the mapping is bit-identical; the per-group summary
+    (min/max should agree across groups, means converge) reports the
+    normalized distributions with a DECIMAL mean. Scale: per-group ranks
+    are one window shuffle; the POOLED rank runs through the
+    range-partitioned global_row_number operator (no single-reducer
+    stage); the map-back join keys on the integer rank."""
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.select(
+        F.col("event_type").alias("symbol"), "event_id", "value"
+    )
+    sw = Window.partitionBy("symbol").orderBy("value", "event_id")
+    ranked = vals.select(
+        "symbol",
+        F.row_number().over(sw).alias("i"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("symbol"))
+        .cast("bigint")
+        .alias("ns"),
+    )
+    pooled = global_row_number(
+        vals.select("value", "event_id"),
+        ["value", "event_id"],
+        out="j",
+        n_total=None,
+    ).select(F.col("value").alias("pv"), F.col("j"))
+    n_total = pooled.agg(F.max("j").cast("bigint").alias("n"))
+    jstar = F.when(
+        F.col("ns") == 1, F.lit(1) + F.expr("(n - 1) div 2")
+    ).otherwise(
+        F.lit(1)
+        + F.expr("(2 * (i - 1) * (n - 1) + (ns - 1)) div (2 * (ns - 1))")
+    )
+    mapped = (
+        ranked.crossJoin(F.broadcast(n_total))
+        .select("symbol", jstar.alias("jstar"))
+        .join(pooled, F.col("jstar") == F.col("j"))
+    )
+    return (
+        mapped.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("pv").alias("norm_min"),
+            F.max("pv").alias("norm_max"),
+            (
+                F.sum(F.col("pv").cast(_DEC18_T)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("__mean"),
+        )
+        .select(
+            "symbol",
+            "n",
+            "norm_min",
+            "norm_max",
+            portable_round(F.col("__mean"), 6).cast("double").alias("norm_mean"),
+        )
+        .orderBy("symbol")
     )

@@ -789,3 +789,111 @@ def q_allocation_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("bigint")
         .alias("allocated_units"),
     ).orderBy("segment")
+
+
+@query(
+    "q_entropy_rate",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ),
+    terms AS (
+        SELECT n,
+               CAST(SUM(n) OVER () AS BIGINT) AS total,
+               CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS row_n
+        FROM trans
+    ),
+    agg AS (
+        SELECT CAST(MAX(total) AS BIGINT) AS n_transitions,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(CAST((CAST(floor(CAST((
+                   -(CAST(n AS DOUBLE) / total)
+                   * ln(CAST(n AS DOUBLE) / row_n)
+                 ) AS DOUBLE) * 1000000000000.0 + 0.5) AS DOUBLE)
+                 / 1000000000000.0) AS DECIMAL(38,18))) AS DOUBLE) AS h
+        FROM terms
+    ),
+    k AS (
+        SELECT CAST(COUNT(DISTINCT prev_type) AS BIGINT) AS n_states
+        FROM trans
+    )
+    SELECT n_transitions, n_cells, n_states,
+           CAST((CAST(floor(CAST((h) AS DOUBLE) * 1000000.0 + 0.5)
+                 AS DOUBLE) / 1000000.0) AS DOUBLE) AS entropy_rate,
+           CAST(CASE WHEN n_states <= 1 THEN NULL
+                ELSE (CAST(floor(CAST((h / ln(CAST(n_states AS DOUBLE)))
+                      AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)
+                END AS DOUBLE) AS entropy_rate_norm
+    FROM agg, k
+    """,
+)
+def q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user event-type Markov chain:
+    H = −Σ_ij π_i P_ij ln P_ij with the stationary weights estimated
+    empirically (π_i = row share of transitions), i.e.
+    −Σ_ij (n_ij/N)·ln(n_ij/row_i) — ONE number for how predictable user
+    journeys are (0 = deterministic next step, ln k = uniform), on top
+    of q_markov_transitions' full matrix. Cell terms follow the
+    cell-term policy (integer-quotient probabilities, 12dp round,
+    DECIMAL sum); the ln(k) normalizer is a per-run scalar through the
+    identical tree. Scale: one lag window pass, a k² hash-agg, then
+    cell-table-sized windows — same posture as the transition matrix
+    itself."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    terms = trans.select(
+        "prev_type",
+        "n",
+        F.sum("n")
+        .over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("bigint")
+        .alias("total"),
+        F.sum("n")
+        .over(Window.partitionBy("prev_type"))
+        .cast("bigint")
+        .alias("row_n"),
+    )
+    p_joint = F.col("n").cast("double") / F.col("total")
+    p_cond = F.col("n").cast("double") / F.col("row_n")
+    agg = terms.agg(
+        F.max("total").cast("bigint").alias("n_transitions"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.countDistinct("prev_type").cast("bigint").alias("n_states"),
+        F.sum(
+            portable_round(-p_joint * F.log(p_cond), 12).cast("decimal(38,18)")
+        )
+        .cast("double")
+        .alias("h"),
+    )
+    return agg.select(
+        "n_transitions",
+        "n_cells",
+        "n_states",
+        portable_round(F.col("h"), 6).cast("double").alias("entropy_rate"),
+        F.when(F.col("n_states") <= 1, F.lit(None).cast("double"))
+        .otherwise(
+            portable_round(
+                F.col("h") / F.log(F.col("n_states").cast("double")), 6
+            )
+        )
+        .cast("double")
+        .alias("entropy_rate_norm"),
+    )

@@ -92,7 +92,11 @@ def _count_exchanges(plan: str) -> tuple[int, int]:
     shuffle_ids: set[str] = set()
     bcast_ids: set[str] = set()
     fallback = 0
-    for m in re.finditer(r"(Broadcast)?Exchange ([^\n]*)", plan):
+    # (?<!\w) anchor: a "ReusedExchange [...], BroadcastExchange ...
+    # [plan_id=N]" line must not match its embedded "Exchange ..."
+    # substring, which would file the reused broadcast's id under
+    # shuffles. ReusedExchange/ReusedSubquery lines never match now.
+    for m in re.finditer(r"(?<![\w])(?<!Reused)(Broadcast)?Exchange ([^\n]*)", plan):
         is_bcast = bool(m.group(1))
         rest = m.group(2)
         if not is_bcast and rest.startswith("SinglePartition"):

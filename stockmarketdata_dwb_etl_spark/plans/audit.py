@@ -92,11 +92,17 @@ def _count_exchanges(plan: str) -> tuple[int, int]:
     shuffle_ids: set[str] = set()
     bcast_ids: set[str] = set()
     fallback = 0
-    # (?<!\w) anchor: a "ReusedExchange [...], BroadcastExchange ...
-    # [plan_id=N]" line must not match its embedded "Exchange ..."
-    # substring, which would file the reused broadcast's id under
-    # shuffles. ReusedExchange/ReusedSubquery lines never match now.
-    for m in re.finditer(r"(?<![\w])(?<!Reused)(Broadcast)?Exchange ([^\n]*)", plan):
+    # Drop ReusedExchange/ReusedSubquery lines up front: a reuse line
+    # echoes the original exchange's text ("ReusedExchange [...],
+    # BroadcastExchange ... [plan_id=N]") and would otherwise match at
+    # the embedded token — normally deduped by the shared plan_id, but a
+    # printer-truncated reuse line without one would hit the __noid
+    # fallback and count the reuse as an extra execution.
+    plan = "\n".join(
+        ln for ln in plan.split("\n")
+        if not re.match(r"[\s:+\-*]*Reused", ln)
+    )
+    for m in re.finditer(r"(?<!\w)(Broadcast)?Exchange ([^\n]*)", plan):
         is_bcast = bool(m.group(1))
         rest = m.group(2)
         if not is_bcast and rest.startswith("SinglePartition"):

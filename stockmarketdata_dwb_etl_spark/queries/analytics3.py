@@ -254,8 +254,17 @@ def q_dedup_blocked_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
             # O(n²) per pair and -1 past the bound — the verify stage is
             # the probe-measured CPU hot spot of this query at ×10 data;
             # for survivors (≤ 24) the banded value equals the exact
-            # distance, so the oracle's full Levenshtein still matches
-            F.levenshtein("pa", "pb", 24).cast("int").alias("edit_dist"),
+            # distance, so the oracle's full Levenshtein still matches.
+            # Two cheap pre-checks gate the band: equal prefixes (the
+            # dominant pair shape under duplication — exactly what dedup
+            # exists to find) resolve to 0 with a memcmp instead of an
+            # O(t·n) band, and a prefix-length gap > 24 proves dist > 24
+            # without running it at all.
+            F.when(F.col("pa") == F.col("pb"), F.lit(0))
+            .when(F.abs(F.length("pa") - F.length("pb")) > 24, F.lit(-1))
+            .otherwise(F.levenshtein("pa", "pb", 24))
+            .cast("int")
+            .alias("edit_dist"),
         )
         .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= 24))
         # land the survivors in a shuffle BEFORE the presentation sort:

@@ -799,31 +799,50 @@ def q_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-word shingles that appear in at least one OTHER document (shingle
     document-frequency >= 2) — the corpus-level signal for template/nav
     text that per-document quality scores (q_text_quality) cannot see.
-    Inverted-index shape: one shingle explode, one df hash-agg, one join
-    back on the shingle key, one per-doc agg — all shuffles key on
-    shingle or doc_id, never all-pairs. Integer counts + single division.
-    The exploded (doc_id, shingle) table feeds BOTH the df-count agg and
-    the join probe, so it persists once (bounded slot, same leak guard
-    as the dedup family) — without it the regex tokenize+shingle pass,
-    the CPU cost of the whole query, runs twice over the corpus."""
+    Inverted-index shape WITHOUT the index join-back: a doc's shingles
+    are distinct, so n_shared = n_shingles − (its count of SINGLETON
+    shingles), and a singleton shingle (df = 1) names its one owner doc
+    in the same hash-agg that counts it (min(doc_id) over a 1-row
+    group). That drops the former full (doc_id,shingle)⋈df shuffle join
+    — the probe-measured hot stage at ×10 data — for a singleton-only
+    doc_id agg plus a doc-grain join. Shuffles key on shingle then
+    doc_id, never all-pairs. Integer counts + single division. The
+    doc-grain shingle-array table feeds BOTH the explode and the
+    per-doc size(), so it persists once (bounded slot, same leak guard
+    as the dedup family) and the regex tokenize+shingle pass, the CPU
+    cost of the whole query, runs once over the corpus."""
     from stockmarketdata_dwb_etl_spark.operators.dedup import (
         _persist_shingles,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        F.array_distinct(word_shingles(tokenize(F.col("text")), 3)).alias("sh"),
+    sh = _persist_shingles(
+        docs.select(
+            "doc_id",
+            F.array_distinct(word_shingles(tokenize(F.col("text")), 3)).alias("sh"),
+        )
     )
-    ex = _persist_shingles(sh.select("doc_id", F.explode("sh").alias("s")))
-    df = ex.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-    shared_flag = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
-    return (
-        ex.join(df, "s")
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    uniques = (
+        ex.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("n_docs") == 1)
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
-            F.sum(shared_flag).cast("bigint").alias("n_shared"),
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_unique"))
+    )
+    per_doc = sh.select(
+        "doc_id", F.size("sh").cast("bigint").alias("n_shingles")
+    ).filter(F.col("n_shingles") > 0)
+    return (
+        per_doc.join(uniques, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            (
+                F.col("n_shingles") - F.coalesce(F.col("n_unique"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_shared"),
         )
         .select(
             "doc_id",

@@ -244,10 +244,19 @@ def stateful_distinct_types(stream: DataFrame) -> DataFrame:
     )
 
 
+def _scoped(name: str, spark: SparkSession) -> str:
+    """Suffix a sink/checkpoint name with the session's applicationId so
+    two concurrent local sessions (pytest + driver_sim on one machine)
+    can't rmtree each other's live checkpoint mid-run. Within one session
+    the path is stable, so per-query rerun semantics are unchanged."""
+    return f"{name}__{spark.sparkContext.applicationId}"
+
+
 def run_stream_to_parquet(stream_df: DataFrame, name: str, output_mode: str = "append") -> str:
     """Run a streaming query to completion (availableNow) into a parquet
     sink; returns the sink path. Checkpointed, so semantics match an
     incremental production run."""
+    name = _scoped(name, stream_df.sparkSession)
     sink = os.path.join(SCRATCH, "stream_sink", name)
     ckpt = os.path.join(SCRATCH, "stream_ckpt", name)
     for p in (sink, ckpt):
@@ -289,6 +298,7 @@ def run_stream_incremental_merge(
     q_merge_upsert; the foreachBatch contract is identical."""
     import shutil
 
+    name = _scoped(name, stream_df.sparkSession)
     snapshot = os.path.join(SCRATCH, "stream_snapshot", name)
     ckpt = os.path.join(SCRATCH, "stream_ckpt", name)
     for p in (snapshot, ckpt, snapshot + "__tmp"):
@@ -336,6 +346,7 @@ def run_stream_incremental_merge_partitioned(
     batch's partition spread does."""
     import shutil
 
+    name = _scoped(name, stream_df.sparkSession)
     snapshot = os.path.join(SCRATCH, "stream_snapshot", name)
     ckpt = os.path.join(SCRATCH, "stream_ckpt", name)
     for p in (snapshot, ckpt):

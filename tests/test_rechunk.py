@@ -50,6 +50,28 @@ def test_rechunk_preserves_rows_and_order(tmp_path, monkeypatch):
     assert _splittable_path(sf_dir, "lineitem") == out
 
 
+def test_rechunk_increases_scan_parallelism(tmp_path, monkeypatch, spark):
+    """The point of the landing copy: a single-row-group fixture scan has
+    ONE effective task no matter how Spark byte-range-splits the file
+    (every split but the one holding the row-group start reads nothing),
+    while the re-chunked copy spreads rows across tasks."""
+    import stockmarketdata_dwb_etl_spark.scratch as scratch
+
+    monkeypatch.setattr(scratch, "SCRATCH", str(tmp_path / "scratch"))
+    sf_dir = str(tmp_path / "sf")
+    src = _write_fixture(sf_dir, "lineitem", 60_000)
+    out = _splittable_path(sf_dir, "lineitem")
+    assert out != src
+
+    def n_effective_tasks(path: str) -> int:
+        df = spark.read.parquet(path)
+        counts = df.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
+        return sum(1 for c in counts if c > 0)
+
+    assert n_effective_tasks(src) == 1
+    assert n_effective_tasks(out) >= 2
+
+
 def test_small_and_multifile_tables_pass_through(tmp_path, monkeypatch):
     import stockmarketdata_dwb_etl_spark.scratch as scratch
 

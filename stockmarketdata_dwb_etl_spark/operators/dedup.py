@@ -402,9 +402,17 @@ def embedding_near_dups(
     within-bucket self-join stays near-linear. Exact cosine (double
     accumulation, JVM-side) filters candidates to true near-dups.
 
-    At 100 TB: shuffles only on (band_id, band_val); no all-pairs stage.
-    Same shape as :func:`minhash_near_dups` with hyperplane bands instead
-    of minhash bands.
+    At 100 TB: shuffles only on (band_id, band_val) carrying (id, 64-bit
+    band value) — the 64-dim vectors themselves NEVER enter the band
+    shuffle, the bucket cap, or the candidate distinct (round 6: the
+    prior form windowed/self-joined/distinct'd with both vectors
+    inline, moving 128 doubles per candidate row; candidates are now
+    id-only pairs generated map-side from one capped
+    groupBy(bucket).collect_list — the same basket shape as
+    :func:`lsh_candidate_pairs` — and vectors join back only for the
+    exact-cosine verify of the surviving pairs, measured 2.9 -> 1.0 s
+    warm at sf0.01). Same shape as :func:`minhash_near_dups` with
+    hyperplane bands instead of minhash bands.
     """
     from stockmarketdata_dwb_etl_spark.functions.vectors import cosine
     from stockmarketdata_dwb_etl_spark.operators.similarity import (
@@ -414,14 +422,11 @@ def embedding_near_dups(
 
     bits_per_band = n_planes // n_bands
     planes = hyperplanes(n_planes=n_planes, seed=seed)
-    base = emb.select(
+    bands = emb.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
         bucket_expr(F.col(vec_col), planes).alias("sig"),
-    )
-    bands = base.select(
+    ).select(
         "id",
-        "v",
         F.explode(
             F.array(
                 *[
@@ -435,23 +440,33 @@ def embedding_near_dups(
                 ]
             )
         ).alias("b"),
-    ).select("id", "v", "b.band_id", "b.band_val")
+    ).select("id", "b.band_id", "b.band_val")
 
-    w = Window.partitionBy("band_id", "band_val")
-    bands = bands.withColumn("__bucket_n", F.count(F.lit(1)).over(w)).filter(
-        F.col("__bucket_n") <= max_bucket
+    buckets = (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .select(F.array_sort("ids").alias("ids"))
     )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                "ids",
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + F.lit(2), F.size("ids")),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+    ).alias("p")
+    cands = buckets.select(pair).select("p.id_a", "p.id_b").distinct()
 
-    a = bands.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "band_id", "band_val")
-    b = bands.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "band_id", "band_val")
-    cands = (
-        a.join(b, ["band_id", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "v_a", "v_b")
-        .distinct()
-    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
     return (
-        cands.withColumn("cos_sim", portable_round(cosine(F.col("v_a"), F.col("v_b")), 4))
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_sim", portable_round(cosine(F.col("v_a"), F.col("v_b")), 4))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

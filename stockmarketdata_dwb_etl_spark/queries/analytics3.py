@@ -208,17 +208,24 @@ def q_index_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_blocked_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy dedup: candidate pairs form ONLY within a blocking
     key (8-char prefix + length-bucket) and are then verified with
-    prefix-bounded Levenshtein ≤ 24 — the classic blocking design that
+    prefix-bounded Levenshtein <= 24 — the classic blocking design that
     turns O(n²) record linkage into per-block O(k²) with k HARD-CAPPED
-    at 10 members per block (row_number by doc_id — the same
+    at 10 members per block (first 10 by doc_id — the same
     bounded-bucket policy as the minhash band join: under adversarial
     duplication an uncapped block does k² work, and the ×10-replica
     scale probe measured exactly that superlinearity before the cap;
     fixture blocks max at 3, so the cap never bites at test scale).
-    The equi-join on the block key is a plain hash join — no all-pairs
-    stage anywhere; AQE splits a skewed block. Complements
-    q_edit_distance (which scores KNOWN pairs) by also FINDING the
-    pairs."""
+    Round-6 shape: the block materializes as ONE
+    groupBy(block).collect_list shuffle with the cap applied by
+    array_sort+slice, and the ordered pairs generate MAP-SIDE from the
+    in-array comprehension (the basket pattern: q_pair_affinity,
+    graph._graph) — replacing the former row_number window (shuffle +
+    sort) plus block-key self-join (two more shuffle reads) with a
+    single exchange; measured 2.36 -> 1.45 s at the ×10 probe with
+    byte-identical output. Skew posture unchanged: a hot block lands on
+    one task in EITHER form (window partition or agg group), and the
+    10-member cap bounds what it can emit. Complements q_edit_distance
+    (which scores KNOWN pairs) by also FINDING the pairs."""
     docs = load_table(spark, sf_dir, "documents")
     blocked = docs.select(
         "doc_id",
@@ -226,50 +233,58 @@ def q_dedup_blocked_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", 1, 8).alias("bkey"),
         F.expr("n_chars div 16").alias("lbucket"),
     )
-    wblk = Window.partitionBy("bkey", "lbucket").orderBy("doc_id")
-    blocked = (
-        blocked.withColumn("__rn", F.row_number().over(wblk))
-        .filter(F.col("__rn") <= 10)
-        .drop("__rn")
+    grouped = (
+        blocked.groupBy("bkey", "lbucket")
+        .agg(
+            # struct sorts by leading field => first 10 by doc_id,
+            # exactly the old row_number-by-doc_id cap
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("doc_id", "prefix"))),
+                1,
+                10,
+            ).alias("ms")
+        )
+        .filter(F.size("ms") >= 2)
     )
-    a = blocked.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("prefix").alias("pa"),
-        "bkey",
-        "lbucket",
-    )
-    b = blocked.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("prefix").alias("pb"),
-        "bkey",
-        "lbucket",
-    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                "ms",
+                lambda x, i: F.transform(
+                    F.slice(F.col("ms"), i + F.lit(2), F.size("ms")),
+                    lambda y: F.struct(
+                        x["doc_id"].alias("id_a"),
+                        y["doc_id"].alias("id_b"),
+                        x["prefix"].alias("pa"),
+                        y["prefix"].alias("pb"),
+                    ),
+                ),
+            )
+        )
+    ).alias("p")
     verified = (
-        a.join(b, ["bkey", "lbucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        grouped.select(pair)
         .select(
-            "id_a",
-            "id_b",
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
             # thresholded (banded) Levenshtein: O(t·n) cells instead of
-            # O(n²) per pair and -1 past the bound — the verify stage is
-            # the probe-measured CPU hot spot of this query at ×10 data;
-            # for survivors (≤ 24) the banded value equals the exact
-            # distance, so the oracle's full Levenshtein still matches.
-            # Two cheap pre-checks gate the band: equal prefixes (the
-            # dominant pair shape under duplication — exactly what dedup
-            # exists to find) resolve to 0 with a memcmp instead of an
-            # O(t·n) band, and a prefix-length gap > 24 proves dist > 24
-            # without running it at all.
-            F.when(F.col("pa") == F.col("pb"), F.lit(0))
-            .when(F.abs(F.length("pa") - F.length("pb")) > 24, F.lit(-1))
-            .otherwise(F.levenshtein("pa", "pb", 24))
+            # O(n²) per pair and -1 past the bound; for survivors (<= 24)
+            # the banded value equals the exact distance, so the oracle's
+            # full Levenshtein still matches. Two cheap pre-checks gate
+            # the band: equal prefixes (the dominant pair shape under
+            # duplication — exactly what dedup exists to find) resolve to
+            # 0 with a memcmp instead of an O(t·n) band, and a
+            # prefix-length gap > 24 proves dist > 24 without running it.
+            F.when(F.col("p.pa") == F.col("p.pb"), F.lit(0))
+            .when(F.abs(F.length("p.pa") - F.length("p.pb")) > 24, F.lit(-1))
+            .otherwise(F.levenshtein("p.pa", "p.pb", 24))
             .cast("int")
             .alias("edit_dist"),
         )
         .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= 24))
         # land the survivors in a shuffle BEFORE the presentation sort:
         # a global orderBy range-samples its child, which would re-execute
-        # the whole join+Levenshtein stage a second time (measured
+        # the pair-gen+Levenshtein stage a second time (measured
         # 2.5 s -> 5.1 s at the ×10 probe); with the hash exchange in
         # between, the sampling pass and the sort both read the same
         # shuffle files and the verify stage runs ONCE

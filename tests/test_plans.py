@@ -178,16 +178,19 @@ def test_power_iteration_no_cartesian(spark):
     assert a.python_is_arrow_only
 
 
-def test_blocked_edit_is_hash_join_on_block_key(spark):
-    """Blocking must produce an equi-join on the block key (hash join),
-    never an all-pairs nested loop."""
+def test_blocked_edit_is_join_free_block_agg(spark):
+    """Blocking materializes as ONE groupBy(block) collect_list shuffle
+    with map-side pair generation (the basket pattern) — no self-join on
+    the block key and certainly no all-pairs stage."""
     from stockmarketdata_dwb_etl_spark.plans import audit
 
     df = _queries()["q_dedup_blocked_edit"](spark, SF_DIR)
     a = audit(df)
-    assert "BroadcastHashJoin" in a.joins or "SortMergeJoin" in a.joins
-    assert "BroadcastNestedLoopJoin" not in a.joins
-    assert "CartesianProduct" not in _plan(df)
+    assert a.joins == [], a
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "collect_list" in plan
 
 
 def test_quality_classifier_single_shuffle(spark):
@@ -412,3 +415,39 @@ def test_adamic_adar_degree_join_same_key(spark):
     plan = _plan(_queries()["q_adamic_adar"](spark, SF_DIR))
     assert "InMemoryRelation" in plan  # shared deduped edge table
     assert "CartesianProduct" not in plan
+
+
+def test_pivot_is_single_shuffle_conditional_agg(spark):
+    """q_pivot's declared value list lowers to conditional aggregation:
+    one user_id exchange with map-side partials — never pivotfirst's
+    extra (user_id, event_type) pre-count shuffle."""
+    from stockmarketdata_dwb_etl_spark.plans import audit
+
+    df = _queries()["q_pivot"](spark, SF_DIR)
+    a = audit(df)
+    assert a.n_exchanges == 1, a
+    assert "pivotfirst" not in _plan(df).lower()
+
+
+def test_boilerplate_ratio_no_index_join_back(spark):
+    """Shared-shingle counts derive from singleton ownership, so the only
+    join is doc-grain (n_docs-sized) — the full (doc_id, shingle) explode
+    table must never be a join input."""
+    from stockmarketdata_dwb_etl_spark.plans import audit
+
+    df = _queries()["q_boilerplate_ratio"](spark, SF_DIR)
+    a = audit(df)
+    # doc-grain join broadcasts at test scale; the big explode table only
+    # feeds ONE hash-agg on the shingle key
+    assert "BroadcastHashJoin" in a.joins, a
+    assert "SortMergeJoin" not in a.joins, a
+
+
+def test_blocked_edit_prechecks_gate_levenshtein(spark):
+    """The memcmp equality / length-gap pre-checks must sit in front of
+    the banded Levenshtein in the generated expression tree."""
+    plan = _plan(_queries()["q_dedup_blocked_edit"](spark, SF_DIR))
+    assert "CASE WHEN" in plan and "levenshtein" in plan
+    # equality short-circuit appears before levenshtein in the projection
+    proj = plan[plan.index("CASE WHEN"):]
+    assert proj.index("levenshtein") > 0

@@ -451,3 +451,12 @@ def test_blocked_edit_prechecks_gate_levenshtein(spark):
     # equality short-circuit appears before levenshtein in the projection
     proj = plan[plan.index("CASE WHEN"):]
     assert proj.index("levenshtein") > 0
+
+
+def test_minhash_signatures_are_map_side(spark):
+    """Signatures compute as array_min over affine transforms of the
+    per-doc shingle-hash array — the explode + 32-min-column groupBy
+    (and its partial_min aggregate buffers) must not reappear."""
+    plan = _plan(_queries()["q_dedup_minhash"](spark, SF_DIR))
+    assert "array_min" in plan
+    assert "partial_min" not in plan

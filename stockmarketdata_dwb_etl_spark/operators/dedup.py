@@ -554,23 +554,25 @@ def connected_components(
             .groupBy(F.col("b").alias("id2"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # the convergence flag rides the SAME join that builds the new
+        # labels (chg ⟺ a neighbor's label undercuts ours), so the
+        # per-superstep changed-count is a filter over the checkpoint
+        # just materialized — not a second labels⋈labels join
+        stepped = (
             labels.join(nbr_min, labels["id"] == nbr_min["id2"], "left")
             .select(
                 "id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("chg"),
             )
-            .localCheckpoint()
+            # lazy: the changed-count below is the materializing action,
+            # so each superstep runs ONE job instead of checkpoint+count
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("chg")).count()
+        labels = stepped.select("id", "label")
         if changed == 0:
             break
     und.unpersist()

@@ -40,12 +40,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: next tranche of the 187 queries with ZERO driver evidence after
 #: r01-r05 (cumulative driver-green 174/361) — the round-2/3 TPC-H
 #: reports, the UDF/arrow family, sources/quarantine, corpus sampling,
-#: and three streaming entries. The tranche is RUNTIME-BUDGETED: every
+#: and one streaming entry (q_stream_foreachbatch; the family already holds r02/r03 driver evidence on seven other entries). The tranche is RUNTIME-BUDGETED: every
 #: candidate was timed at sf0.01 via driver_sim (spark+oracle, round-6
 #: quiet run) and the front-50 sums to 44.3 s, inside the ~60 s driver
 #: window that VERDICT r04 #2 warned the streaming-heavy block would
 #: blow (q_stream_static_join / q_stream_merge_partitioned /
-#: q_dedup_embedding, 2.7-4.0 s each, deferred to 51+). Positions
+#: q_stream_transform_state / q_dedup_embedding, 2.7-4.2 s each,
+#: deferred to 51+; a final end-to-end pass of the exact front-50 with
+#: round-6 code measured 53-58 s, so the third streaming entry traded
+#: for q_pseudonymize to restore margin). Positions
 #: 51-187 are the remaining never-driver-tested queries in the same
 #: breadth-interleaved order; the 174 already driver-green follow in
 #: module order (re-testing them buys nothing under the cap).
@@ -54,9 +57,9 @@ PRIORITY = (
     "q_dedup_incremental", "q_udaf_window", "q_csv_permissive",
     "q_stream_foreachbatch", "q_agg_salted_skew", "q_tpch_q10",
     "q_user_path", "q_tfidf_topterms", "q_cogroup_pandas",
-    "q_json_quarantine", "q_stream_stream_join", "q_join_range_binned",
+    "q_json_quarantine", "q_embed_norm_audit", "q_join_range_binned",
     "q_tpch_q13", "q_regression", "q_url_extract",
-    "q_observe_metrics", "q_orc_roundtrip", "q_stream_transform_state",
+    "q_observe_metrics", "q_orc_roundtrip", "q_pseudonymize",
     "q_date_funcs", "q_tpch_q14", "q_unpivot_long",
     "q_dq_expectations", "q_udf_scalar_iter", "q_hash_split",
     "q_case_null", "q_tpch_q15", "q_tpch_q7",
@@ -91,8 +94,8 @@ PRIORITY = (
     "q_tick_rule", "q_partial_agg_merge", "q_percentile_cont",
     "q_quality_classifier", "q_agg_filtered", "q_global_median",
     "q_hll_union_rollup", "q_attribution_last_touch", "q_text_source_lines",
-    "q_pseudonymize", "q_ri_audit", "q_multimodal_dedup",
-    "q_embed_norm_audit", "q_stream_ohlc", "q_bucketed_agg",
+    "q_stream_transform_state", "q_ri_audit", "q_multimodal_dedup",
+    "q_stream_stream_join", "q_stream_ohlc", "q_bucketed_agg",
     "q_token_budget_trim", "q_dedup_chunks", "q_target_encoding",
     "q_survival_churn", "q_cohort_ltv", "q_embedding_drift",
     "q_join_asof_nearest", "q_active_users", "q_audience_overlap",

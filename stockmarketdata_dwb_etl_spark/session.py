@@ -45,6 +45,13 @@ def get_spark(
         # catalog.load_table (a no-op for the current MICROS-naive fixture).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # Hash-analytics posture: when a join can't broadcast, prefer
+        # shuffled-hash over sort-merge — the probe's ×30 TPC-H Q3 (the
+        # first point where the filtered orders side outgrows the
+        # broadcast threshold) measured 6.0 s SMJ vs 5.1-5.8 s SHJ warm
+        # (14.1 vs 6.8 cold): SHJ skips sorting the 180M-row fact side.
+        # AQE's skew handling still applies, and Spark 3+ SHJ spills.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # Split/pack granularity sized to the test scale factor (SURVEY §2B
         # scale posture: size maxPartitionBytes to the SF). At the default
         # 128m, Spark PACKS every small fixture file into 1-2 input

@@ -26,6 +26,7 @@ from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
     finance,
     finance2,
     finance3,
+    finance4,
     dataops6,
     stats_q,
     relational,

@@ -29,6 +29,7 @@ from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
     finance4,
     dataops6,
     stats_q,
+    stats_q2,
     relational,
     dataops5,
     timeseries3,

@@ -1,0 +1,671 @@
+"""Nonparametric / homogeneity statistics battery: Kruskal–Wallis,
+Brown–Forsythe (Levene), Wilcoxon signed-rank, Friedman, Grubbs,
+Bartlett.
+
+Extends the statistics surface (stats_q.py: chi-square, Welch t,
+Mann-Whitney, ANOVA, runs test) with the k-sample rank test, the two
+variance-homogeneity tests that gate ANOVA's assumptions, the paired
+rank test, the repeated-measures rank test, and the single-outlier
+test — the assumption-checking tier a warehouse serves beside its
+parametric reports (reference analysis tier: dump_bigq.py:135-149).
+
+Determinism policy: rank statistics stay INTEGER via the histogram
+midrank identity (2·midrank = 2·cum_less + t + 1 — the q_mann_whitney
+construction) so every rank sum is exact; k-group Σ over double terms
+rounds each term to a magnitude-scaled digit count (|term|·10^n must
+stay under int64 max — see :func:`_dterm`) and accumulates in
+DECIMAL(38,18) (the q_anova_hod guard — partition-order independent);
+all reported doubles go through the portable floor round on identical
+expression trees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stockmarketdata_dwb_etl_spark.catalog import load_table
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
+from stockmarketdata_dwb_etl_spark.operators.rank import global_prefix_sum
+from stockmarketdata_dwb_etl_spark.queries.finance2 import _duck_ohlcv, _ohlcv_bars
+from stockmarketdata_dwb_etl_spark.registry import query
+
+_DEC18 = "decimal(38,18)"
+
+
+def _pr(expr: str, n: int) -> str:
+    scale = float(10**n)
+    return (
+        f"CAST((CAST(floor(CAST(({expr}) AS DOUBLE) * {scale} + 0.5)"
+        f" AS DOUBLE) / {scale}) AS DOUBLE)"
+    )
+
+
+def _dterm(expr: str, n: int = 12) -> str:
+    """DuckDB: n-dp-round a double term and cast DECIMAL for exact Σ.
+
+    n must keep |term|·10^n < 9.2e18: Spark's ``floor(double)`` returns
+    BIGINT and SATURATES at int64 max (observed: portable_round(x, 12)
+    corrupts any |x| ≥ ~9.2e6), while DuckDB's floor stays double — an
+    engine-asymmetric overflow. Pick n per call site from the term's
+    magnitude bound; the rounding digit only has to make the Σ
+    partition-order independent, not preserve precision."""
+    return f"CAST({_pr(expr, n)} AS DECIMAL(38,18))"
+
+
+def _sterm(col, n: int = 12) -> F.Column:
+    """Spark twin of :func:`_dterm` (same int64-saturation caveat)."""
+    return portable_round(col, n).cast(_DEC18)
+
+
+@query(
+    "q_kruskal_wallis",
+    oracle=f"""
+    WITH hist AS (
+        SELECT value, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    vt AS (
+        SELECT value, CAST(SUM(cnt) AS BIGINT) AS t
+        FROM hist GROUP BY 1
+    ),
+    pre AS (
+        SELECT value, t,
+               CAST(COALESCE(SUM(t) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_less
+        FROM vt
+    ),
+    rj AS (
+        SELECT h.event_type,
+               CAST(SUM(h.cnt) AS BIGINT) AS nj,
+               CAST(SUM(h.cnt * (2 * p.cum_less + p.t + 1)) AS BIGINT) AS s2
+        FROM hist h JOIN pre p USING (value)
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(nj) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM rj
+    ),
+    parts AS (
+        SELECT n, k,
+               CAST(SUM({_dterm(
+                   "(CAST(s2 AS DOUBLE) / CAST(n + 1 AS DOUBLE))"
+                   " * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))"
+                   " / (4.0 * CAST(nj AS DOUBLE))", 6)}) AS DOUBLE)
+                   AS sumnorm
+        FROM rj CROSS JOIN tot GROUP BY n, k
+    ),
+    ties AS (
+        SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie FROM pre
+    ),
+    stat AS (
+        SELECT n, k,
+               12.0 * sumnorm - 3.0 * CAST(n + 1 AS DOUBLE) AS h,
+               1.0 - CAST(tie AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                      - CAST(n AS DOUBLE)) AS c
+        FROM parts, ties
+    )
+    SELECT k, n, CAST(k - 1 AS BIGINT) AS df,
+           {_pr("h", 6)} AS h,
+           CASE WHEN c <= 0 THEN NULL ELSE {_pr("h / c", 6)} END AS h_tie_adj
+    FROM stat
+    """,
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H test: do the k event-type value distributions
+    share a location? — the k-sample generalization of q_mann_whitney,
+    same histogram-midrank construction: per distinct value, 2·midrank
+    = 2·cum_less + t + 1, so each group's rank sum is an EXACT integer
+    from one histogram hash-agg + the range-partitioned global prefix
+    sum (no single-reducer over data-sized input). H with the standard
+    tie correction H/C, C = 1 − Σ(t³−t)/(N³−N). Each group's Rⱼ²/nⱼ
+    term is PRE-NORMALIZED by N(N+1) before the 6dp round + DECIMAL Σ
+    (so H = 12·Σterm − 3(N+1)): unnormalized terms reach ~njN/4 and
+    overflow Spark's int64-saturating floor inside portable_round.
+    Scale: (value,group) hash-agg → value-grain prefix sum → k-row
+    reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = ev.groupBy("value", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    vt = hist.groupBy("value").agg(F.sum("cnt").cast("bigint").alias("t"))
+    pre = global_prefix_sum(vt, "t", ["value"], out="cum_less")
+    rj = (
+        hist.join(pre, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("nj"),
+            F.sum(F.col("cnt") * (2 * F.col("cum_less") + F.col("t") + 1))
+            .cast("bigint")
+            .alias("s2"),
+        )
+    )
+    tot = rj.agg(
+        F.sum("nj").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    term = (
+        (F.col("s2").cast("double") / (F.col("n") + 1).cast("double"))
+        * (F.col("s2").cast("double") / F.col("n").cast("double"))
+        / (F.lit(4.0) * F.col("nj").cast("double"))
+    )
+    parts = (
+        rj.crossJoin(F.broadcast(tot))
+        .groupBy("n", "k")
+        .agg(F.sum(_sterm(term, 6)).cast("double").alias("sumnorm"))
+    )
+    ties = pre.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie")
+    )
+    st = parts.crossJoin(ties)
+    nd = F.col("n").cast("double")
+    h = F.lit(12.0) * F.col("sumnorm") - F.lit(3.0) * (F.col("n") + 1).cast(
+        "double"
+    )
+    c = F.lit(1.0) - F.col("tie").cast("double") / (nd * nd * nd - nd)
+    return st.select(
+        "k",
+        "n",
+        (F.col("k") - 1).cast("bigint").alias("df"),
+        portable_round(h, 6).cast("double").alias("h"),
+        F.when(c <= 0, F.lit(None).cast("double"))
+        .otherwise(portable_round(h / c, 6))
+        .cast("double")
+        .alias("h_tie_adj"),
+    )
+
+
+@query(
+    "q_levene_bf",
+    oracle=f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY 1
+    ),
+    z AS (
+        SELECT e.event_type, abs(e.value - m.med) AS z
+        FROM events e JOIN med m USING (event_type)
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS nj,
+               CAST(SUM(CAST(z AS DECIMAL(38,18))) AS DOUBLE) AS sz,
+               CAST(SUM(CAST(z * z AS DECIMAL(38,18))) AS DOUBLE) AS szz
+        FROM z GROUP BY 1
+    ),
+    parts AS (
+        SELECT CAST(SUM(nj) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(sz AS DECIMAL(38,18))) AS DOUBLE) AS s,
+               CAST(SUM({_dterm("nj * (sz / nj) * (sz / nj)", 4)}) AS DOUBLE)
+                   AS sum_njzb2,
+               CAST(SUM({_dterm("szz - nj * (sz / nj) * (sz / nj)", 4)})
+                    AS DOUBLE) AS ssw
+        FROM g
+    )
+    SELECT k, n,
+           {_pr("sum_njzb2 - n * (s / n) * (s / n)", 8)} AS ss_between,
+           {_pr("ssw", 8)} AS ss_within,
+           CASE WHEN ssw <= 0 OR n <= k THEN NULL
+                ELSE {_pr(
+                    "((sum_njzb2 - n * (s / n) * (s / n)) / (k - 1))"
+                    " / (ssw / (n - k))", 6)} END AS f_stat
+    FROM parts
+    """,
+)
+def q_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe (median-centered Levene) test for equality of
+    spread across the k event-type value distributions — the
+    variance-homogeneity gate for q_anova_hod's assumptions, in the
+    robust median form: zᵢⱼ = |xᵢⱼ − med⁁ⱼ| (exact interpolated
+    percentile on both engines), then the one-way ANOVA F on z via
+    per-group DECIMAL power sums; per-group double terms round 12dp
+    and Σ in DECIMAL. Scale: group medians via per-group exact
+    percentile (k-row state), broadcast join-back, one hash-agg."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    z = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("z")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nj"),
+        F.sum(F.col("z").cast(_DEC18)).cast("double").alias("sz"),
+        F.sum((F.col("z") * F.col("z")).cast(_DEC18))
+        .cast("double")
+        .alias("szz"),
+    )
+    zb = F.col("sz") / F.col("nj")
+    parts = g.agg(
+        F.sum("nj").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("sz").cast(_DEC18)).cast("double").alias("s"),
+        F.sum(_sterm(F.col("nj") * zb * zb, 4)).cast("double").alias("sum_njzb2"),
+        F.sum(_sterm(F.col("szz") - F.col("nj") * zb * zb, 4))
+        .cast("double")
+        .alias("ssw"),
+    )
+    ssb = (
+        F.col("sum_njzb2")
+        - F.col("n") * (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
+    )
+    ssw = F.col("ssw")
+    return parts.select(
+        "k",
+        "n",
+        portable_round(ssb, 8).cast("double").alias("ss_between"),
+        portable_round(ssw, 8).cast("double").alias("ss_within"),
+        F.when(
+            (ssw <= 0) | (F.col("n") <= F.col("k")), F.lit(None).cast("double")
+        )
+        .otherwise(
+            portable_round(
+                (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6
+            )
+        )
+        .cast("double")
+        .alias("f_stat"),
+    )
+
+
+@query(
+    "q_wilcoxon_signed",
+    oracle=f"""
+    WITH {_duck_ohlcv("day")},
+    d AS (
+        SELECT symbol, close - open AS d, abs(close - open) AS ad
+        FROM bars WHERE close <> open
+    ),
+    hist AS (
+        SELECT symbol, ad,
+               CAST(COUNT(*) AS BIGINT) AS t,
+               CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        FROM d GROUP BY 1, 2
+    ),
+    pre AS (
+        SELECT symbol, ad, t, pos,
+               CAST(COALESCE(SUM(t) OVER (PARTITION BY symbol ORDER BY ad
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_less
+        FROM hist
+    ),
+    agg AS (
+        SELECT symbol,
+               CAST(SUM(t) AS BIGINT) AS n,
+               CAST(SUM(pos * (2 * cum_less + t + 1)) AS BIGINT) AS s2,
+               CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+        FROM pre GROUP BY 1
+    ),
+    stat AS (
+        SELECT symbol, n,
+               CAST(s2 AS DOUBLE) / 2.0 AS w_plus,
+               CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE) / 4.0 AS mu,
+               CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)
+                   * CAST(2 * n + 1 AS DOUBLE) / 24.0
+                   - CAST(ties AS DOUBLE) / 48.0 AS var_w
+        FROM agg
+    )
+    SELECT symbol, n, w_plus,
+           CASE WHEN var_w <= 0 THEN NULL
+                ELSE {_pr("(w_plus - mu) / sqrt(var_w)", 6)} END AS z
+    FROM stat ORDER BY symbol
+    """,
+)
+def q_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test per symbol on the paired daily
+    (open, close): did sessions drift up or down, distribution-free? —
+    the paired complement to q_mann_whitney (independent samples).
+    Zero differences drop (standard practice); |d| midranks stay exact
+    integers via the per-symbol histogram identity (2·midrank =
+    2·cum_less + t + 1), W⁺ emits at exact .5 resolution, and z uses
+    the tie-corrected normal approximation σ² = n(n+1)(2n+1)/24 −
+    Σ(t³−t)/48. Scale: daily-bar hash-agg → per-symbol histogram →
+    symbol-partition prefix window → k-row reduce."""
+    bars = _ohlcv_bars(spark, sf_dir, "day")
+    d = bars.filter(F.col("close") != F.col("open")).select(
+        "symbol",
+        (F.col("close") - F.col("open")).alias("d"),
+        F.abs(F.col("close") - F.col("open")).alias("ad"),
+    )
+    hist = d.groupBy("symbol", "ad").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+    )
+    wp = (
+        Window.partitionBy("symbol")
+        .orderBy("ad")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = hist.withColumn(
+        "cum_less", F.coalesce(F.sum("t").over(wp), F.lit(0)).cast("bigint")
+    )
+    agg = pre.groupBy("symbol").agg(
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum(F.col("pos") * (2 * F.col("cum_less") + F.col("t") + 1))
+        .cast("bigint")
+        .alias("s2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("ties"),
+    )
+    nd = F.col("n").cast("double")
+    w_plus = F.col("s2").cast("double") / 2.0
+    mu = nd * (F.col("n") + 1).cast("double") / 4.0
+    var_w = (
+        nd * (F.col("n") + 1).cast("double") * (2 * F.col("n") + 1).cast("double")
+        / 24.0
+        - F.col("ties").cast("double") / 48.0
+    )
+    return (
+        agg.select(
+            "symbol",
+            "n",
+            w_plus.alias("w_plus"),
+            F.when(var_w <= 0, F.lit(None).cast("double"))
+            .otherwise(portable_round((w_plus - mu) / F.sqrt(var_w), 6))
+            .cast("double")
+            .alias("z"),
+        )
+        .orderBy("symbol")
+    )
+
+
+@query(
+    "q_friedman",
+    oracle=f"""
+    WITH {_duck_ohlcv("day")},
+    x AS (
+        SELECT symbol, bar_ts, close / open - 1.0 AS x
+        FROM bars WHERE open <> 0
+    ),
+    kk AS (SELECT CAST(COUNT(DISTINCT symbol) AS BIGINT) AS k FROM x),
+    full_days AS (
+        SELECT bar_ts FROM x GROUP BY bar_ts
+        HAVING COUNT(*) = (SELECT k FROM kk)
+    ),
+    r AS (
+        SELECT symbol,
+               2 * rank() OVER (PARTITION BY x.bar_ts ORDER BY x.x)
+                   + COUNT(*) OVER (PARTITION BY x.bar_ts, x.x) - 1 AS mr2
+        FROM x JOIN full_days USING (bar_ts)
+    ),
+    rj AS (
+        SELECT symbol, CAST(SUM(mr2) AS BIGINT) AS s2,
+               CAST(COUNT(*) AS BIGINT) AS b
+        FROM r GROUP BY 1
+    ),
+    parts AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(MAX(b) AS BIGINT) AS b,
+               CAST(SUM(s2 * s2) AS BIGINT) AS sumsq
+        FROM rj
+    )
+    SELECT k, b,
+           {_pr(
+               "3.0 * CAST(sumsq AS DOUBLE)"
+               " / (CAST(b AS DOUBLE) * k * (k + 1))"
+               " - 3.0 * CAST(b AS DOUBLE) * (k + 1)", 6)} AS chi2_f,
+           CASE WHEN k <= 1 OR b = 0 THEN NULL
+                ELSE {_pr(
+                    "(3.0 * CAST(sumsq AS DOUBLE)"
+                    " / (CAST(b AS DOUBLE) * k * (k + 1))"
+                    " - 3.0 * CAST(b AS DOUBLE) * (k + 1))"
+                    " / (CAST(b AS DOUBLE) * (k - 1))", 6)} END AS kendall_w
+    FROM parts
+    """,
+)
+def q_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test: blocks = trading days with ALL k symbols present,
+    treatments = symbols, response = the session return close/open − 1.
+    Ranks within each day (midrank ties via 2·rank + t − 1, exact
+    integers), χ²_F = 12/(bk(k+1))ΣRⱼ² − 3b(k+1) computed from the
+    integer doubled-rank sums (3·Σs2ⱼ²/(bk(k+1)) − 3b(k+1)), plus
+    Kendall's W = χ²_F/(b(k−1)) — the repeated-measures rank test and
+    its agreement effect size. Scale: daily bars are tiny; block
+    ranking partitions by day, rank sums hash-agg by symbol."""
+    bars = _ohlcv_bars(spark, sf_dir, "day")
+    x = bars.filter(F.col("open") != 0).select(
+        "symbol", "bar_ts", (F.col("close") / F.col("open") - 1.0).alias("x")
+    )
+    kk = x.agg(F.countDistinct("symbol").cast("bigint").alias("k"))
+    day_counts = x.groupBy("bar_ts").agg(F.count(F.lit(1)).alias("cnt"))
+    full_days = (
+        day_counts.crossJoin(F.broadcast(kk))
+        .filter(F.col("cnt") == F.col("k"))
+        .select("bar_ts")
+    )
+    rw = Window.partitionBy("bar_ts").orderBy("x")
+    tw = Window.partitionBy("bar_ts", "x")
+    r = x.join(F.broadcast(full_days), "bar_ts").select(
+        "symbol",
+        (2 * F.rank().over(rw) + F.count(F.lit(1)).over(tw) - 1).alias("mr2"),
+    )
+    rj = r.groupBy("symbol").agg(
+        F.sum("mr2").cast("bigint").alias("s2"),
+        F.count(F.lit(1)).cast("bigint").alias("b"),
+    )
+    parts = rj.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.max("b").cast("bigint").alias("b"),
+        F.sum(F.col("s2") * F.col("s2")).cast("bigint").alias("sumsq"),
+    )
+    bd = F.col("b").cast("double")
+    chi2 = (
+        F.lit(3.0)
+        * F.col("sumsq").cast("double")
+        / (bd * F.col("k") * (F.col("k") + 1))
+        - F.lit(3.0) * bd * (F.col("k") + 1)
+    )
+    return parts.select(
+        "k",
+        "b",
+        portable_round(chi2, 6).cast("double").alias("chi2_f"),
+        F.when(
+            (F.col("k") <= 1) | (F.col("b") == 0), F.lit(None).cast("double")
+        )
+        .otherwise(portable_round(chi2 / (bd * (F.col("k") - 1)), 6))
+        .cast("double")
+        .alias("kendall_w"),
+    )
+
+
+@query(
+    "q_grubbs",
+    oracle=f"""
+    WITH {_duck_ohlcv("day")},
+    x AS (
+        SELECT symbol, CAST(bar_ts AS DATE) AS day, close / open - 1.0 AS x
+        FROM bars WHERE open <> 0
+    ),
+    m AS (
+        SELECT symbol,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS ss
+        FROM x GROUP BY 1
+    ),
+    dev AS (
+        SELECT x.symbol, x.day, x.x,
+               abs(x.x - m.s / m.n) AS dev, m.n, m.s, m.ss
+        FROM x JOIN m USING (symbol)
+    ),
+    top AS (
+        SELECT symbol,
+               max(struct_pack(d := dev, day := day, x := x)) AS t,
+               CAST(MAX(n) AS BIGINT) AS n,
+               MAX(s) AS s, MAX(ss) AS ss
+        FROM dev GROUP BY symbol
+    )
+    SELECT symbol, n,
+           t.day AS suspect_day,
+           {_pr("t.x", 8)} AS suspect_x,
+           CASE WHEN n < 3 OR (ss - s * s / n) / (n - 1) <= 0 THEN NULL
+                ELSE {_pr(
+                    "t.d / sqrt((ss - s * s / n) / (n - 1))", 6)} END AS g
+    FROM top ORDER BY symbol
+    """,
+)
+def q_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' single-outlier statistic per symbol on daily session
+    returns: G = max|xᵢ − x̄|/s — is the most extreme session an
+    outlier under normality? Returns the suspect day and its return.
+    Moments in exact DECIMAL; the arg-max is a lexicographic struct
+    max on (deviation, day, x) — tie-deterministic on both engines.
+    Scale: one hash-agg for moments, broadcast join-back (k-row
+    build), one struct-max hash-agg."""
+    bars = _ohlcv_bars(spark, sf_dir, "day")
+    x = bars.filter(F.col("open") != 0).select(
+        "symbol",
+        F.col("bar_ts").cast("date").alias("day"),
+        (F.col("close") / F.col("open") - 1.0).alias("x"),
+    )
+    m = x.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(_DEC18)).cast("double").alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast(_DEC18))
+        .cast("double")
+        .alias("ss"),
+    )
+    dev = x.join(F.broadcast(m), "symbol").select(
+        "symbol",
+        "day",
+        "x",
+        F.abs(F.col("x") - F.col("s") / F.col("n")).alias("dev"),
+        "n",
+        "s",
+        "ss",
+    )
+    top = dev.groupBy("symbol").agg(
+        F.max(
+            F.struct(
+                F.col("dev").alias("d"), F.col("day").alias("day"), F.col("x").alias("x")
+            )
+        ).alias("t"),
+        F.max("n").cast("bigint").alias("n"),
+        F.max("s").alias("s"),
+        F.max("ss").alias("ss"),
+    )
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    return (
+        top.select(
+            "symbol",
+            "n",
+            F.col("t.day").alias("suspect_day"),
+            portable_round(F.col("t.x"), 8).cast("double").alias("suspect_x"),
+            F.when((F.col("n") < 3) | (var <= 0), F.lit(None).cast("double"))
+            .otherwise(portable_round(F.col("t.d") / F.sqrt(var), 6))
+            .cast("double")
+            .alias("g"),
+        )
+        .orderBy("symbol")
+    )
+
+
+@query(
+    "q_bartlett",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS nj,
+               CAST(SUM(CAST(value AS DECIMAL(38,18))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(value * value AS DECIMAL(38,18))) AS DOUBLE)
+                   AS ss
+        FROM events GROUP BY 1
+        HAVING COUNT(*) > 1
+    ),
+    v AS (
+        SELECT event_type, nj,
+               (ss - s * s / nj) / (nj - 1) AS var_j
+        FROM g
+    ),
+    parts AS (
+        SELECT CAST(SUM(nj) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(MIN(var_j) AS DOUBLE) AS min_var,
+               CAST(SUM({_dterm("(nj - 1) * var_j", 6)}) AS DOUBLE) AS sp_num,
+               CAST(SUM({_dterm("(nj - 1) * ln(var_j)", 8)}) AS DOUBLE)
+                   AS sum_lnv,
+               CAST(SUM({_dterm("1.0 / (nj - 1)")}) AS DOUBLE) AS sum_inv
+        FROM v
+    )
+    SELECT k, n,
+           CASE WHEN min_var <= 0 OR n <= k OR k < 2 THEN NULL
+                ELSE {_pr(
+                    "((n - k) * ln(sp_num / (n - k)) - sum_lnv)"
+                    " / (1.0 + (sum_inv - 1.0 / (n - k))"
+                    "   / (3.0 * (k - 1)))", 6)} END AS chi2,
+           CAST(k - 1 AS BIGINT) AS df
+    FROM parts
+    """,
+)
+def q_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test for equal variances across the k event-type
+    value distributions — the parametric (normality-assuming) sibling
+    of q_levene_bf: χ² = [(N−k)·ln(Sp²) − Σ(nⱼ−1)ln(Sⱼ²)]/C with the
+    standard correction C = 1 + (Σ1/(nⱼ−1) − 1/(N−k))/(3(k−1)).
+    Group variances from exact DECIMAL power sums; the three k-group
+    Σ terms round 12dp and accumulate in DECIMAL; ln stays within the
+    repo's cross-libm tolerance (6dp portable round on the scalar).
+    Any non-positive group variance → NULL (test inapplicable).
+    Scale: one hash-agg, k-row reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nj"),
+            F.sum(F.col("value").cast(_DEC18)).cast("double").alias("s"),
+            F.sum((F.col("value") * F.col("value")).cast(_DEC18))
+            .cast("double")
+            .alias("ss"),
+        )
+        .filter(F.col("nj") > 1)
+    )
+    var_j = (F.col("ss") - F.col("s") * F.col("s") / F.col("nj")) / (
+        F.col("nj") - 1
+    )
+    v = g.select("event_type", "nj", var_j.alias("var_j"))
+    parts = v.agg(
+        F.sum("nj").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.min("var_j").cast("double").alias("min_var"),
+        F.sum(_sterm((F.col("nj") - 1) * F.col("var_j"), 6))
+        .cast("double")
+        .alias("sp_num"),
+        F.sum(_sterm((F.col("nj") - 1) * F.log("var_j"), 8))
+        .cast("double")
+        .alias("sum_lnv"),
+        F.sum(_sterm(F.lit(1.0) / (F.col("nj") - 1)))
+        .cast("double")
+        .alias("sum_inv"),
+    )
+    nk = (F.col("n") - F.col("k")).cast("double")
+    chi2 = (
+        nk * F.log(F.col("sp_num") / nk) - F.col("sum_lnv")
+    ) / (
+        F.lit(1.0)
+        + (F.col("sum_inv") - F.lit(1.0) / nk)
+        / (F.lit(3.0) * (F.col("k") - 1).cast("double"))
+    )
+    return parts.select(
+        "k",
+        "n",
+        F.when(
+            (F.col("min_var") <= 0)
+            | (F.col("n") <= F.col("k"))
+            | (F.col("k") < 2),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(portable_round(chi2, 6))
+        .cast("double")
+        .alias("chi2"),
+        (F.col("k") - 1).cast("bigint").alias("df"),
+    )

@@ -1,0 +1,592 @@
+"""ML-eval / graph / corpus additions: forecast error metrics, decile
+lift & gains, local clustering coefficient, Jaccard link prediction,
+Flesch readability.
+
+Extends the evaluation tier (q_roc_auc/q_pr_curve/q_calibration_bins),
+the graph family (graph.py), and the text-quality family with the
+remaining standard diagnostics a warehouse-side model/corpus pipeline
+reports. Reference analysis tier: /root/reference/dump_bigq.py:135-149.
+
+Determinism: counts and rank positions stay integer; decimal
+accumulation for every cross-row double sum; ratio-of-integer doubles
+on identical expression trees; portable floor round on all reported
+doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stockmarketdata_dwb_etl_spark.catalog import load_table
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
+from stockmarketdata_dwb_etl_spark.operators.cache import bounded_persist
+from stockmarketdata_dwb_etl_spark.operators.rank import global_prefix_sum
+from stockmarketdata_dwb_etl_spark.queries.graph import _GRAPH_SQL, _graph
+from stockmarketdata_dwb_etl_spark.queries.timeseries import _DUCK_ORD, _spark_ord
+from stockmarketdata_dwb_etl_spark.registry import query
+
+_DEC18 = "decimal(38,18)"
+
+
+def _pr(expr: str, n: int) -> str:
+    scale = float(10**n)
+    return (
+        f"CAST((CAST(floor(CAST(({expr}) AS DOUBLE) * {scale} + 0.5)"
+        f" AS DOUBLE) / {scale}) AS DOUBLE)"
+    )
+
+
+@query(
+    "q_regression_metrics",
+    oracle=f"""
+    WITH cbars AS (
+        SELECT event_type AS symbol,
+               date_trunc('hour', ts) AS bar_ts,
+               arg_max(value, {_DUCK_ORD}) AS close
+        FROM events GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT symbol, close AS y,
+               lag(close) OVER (PARTITION BY symbol ORDER BY bar_ts) AS yhat
+        FROM cbars
+        QUALIFY yhat IS NOT NULL
+    ),
+    m AS (
+        SELECT symbol,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(abs(y - yhat) AS DECIMAL(38,18))) AS DOUBLE)
+                   AS sae,
+               CAST(SUM(CAST((y - yhat) * (y - yhat) AS DECIMAL(38,18)))
+                    AS DOUBLE) AS sse,
+               CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy,
+               CAST(SUM(CASE WHEN y <> 0
+                        THEN CAST(abs((y - yhat) / y) AS DECIMAL(38,18))
+                        ELSE CAST(0 AS DECIMAL(38,18)) END) AS DOUBLE)
+                   AS sape,
+               CAST(SUM(CASE WHEN y <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_ape
+        FROM p GROUP BY 1
+    )
+    SELECT symbol, n,
+           {_pr("sae / n", 6)} AS mae,
+           {_pr("sqrt(sse / n)", 6)} AS rmse,
+           CASE WHEN n_ape = 0 THEN NULL
+                ELSE {_pr("100.0 * sape / n_ape", 6)} END AS mape_pct,
+           CASE WHEN syy - sy * sy / n <= 0 THEN NULL
+                ELSE {_pr("1.0 - sse / (syy - sy * sy / n)", 6)} END AS r2
+    FROM m ORDER BY symbol
+    """,
+)
+def q_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-error scorecard per symbol for the naive lag-1 forecast
+    (ŷ_t = close_{t−1}) over hourly closes: MAE, RMSE, MAPE (over
+    nonzero actuals), and R² vs the subset mean — the regression-eval
+    complement to the classifier tier (q_roc_auc etc.), and the
+    benchmark any real forecaster must beat. All error sums accumulate
+    in exact DECIMAL; metrics are identical double trees. Scale: one
+    bar hash-agg + one lag window + one moments hash-agg."""
+    ev = load_table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("hour", F.col("ts")).alias("bar_ts"),
+    ).agg(F.max_by("value", _spark_ord()).alias("close"))
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    p = (
+        bars.select(
+            "symbol",
+            F.col("close").alias("y"),
+            F.lag("close").over(w).alias("yhat"),
+        )
+        .filter(F.col("yhat").isNotNull())
+    )
+    e = F.col("y") - F.col("yhat")
+    zero = F.lit(0).cast(_DEC18)
+    m = p.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.abs(e).cast(_DEC18)).cast("double").alias("sae"),
+        F.sum((e * e).cast(_DEC18)).cast("double").alias("sse"),
+        F.sum(F.col("y").cast(_DEC18)).cast("double").alias("sy"),
+        F.sum((F.col("y") * F.col("y")).cast(_DEC18))
+        .cast("double")
+        .alias("syy"),
+        F.sum(
+            F.when(F.col("y") != 0, F.abs(e / F.col("y")).cast(_DEC18))
+            .otherwise(zero)
+        )
+        .cast("double")
+        .alias("sape"),
+        F.sum(F.when(F.col("y") != 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ape"),
+    )
+    sst = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    return (
+        m.select(
+            "symbol",
+            "n",
+            portable_round(F.col("sae") / F.col("n"), 6)
+            .cast("double")
+            .alias("mae"),
+            portable_round(F.sqrt(F.col("sse") / F.col("n")), 6)
+            .cast("double")
+            .alias("rmse"),
+            F.when(F.col("n_ape") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                portable_round(F.lit(100.0) * F.col("sape") / F.col("n_ape"), 6)
+            )
+            .cast("double")
+            .alias("mape_pct"),
+            F.when(sst <= 0, F.lit(None).cast("double"))
+            .otherwise(portable_round(F.lit(1.0) - F.col("sse") / sst, 6))
+            .cast("double")
+            .alias("r2"),
+        )
+        .orderBy("symbol")
+    )
+
+
+@query(
+    "q_lift_gains",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id, lang,
+               CAST(len(w) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                   / len(w) AS avg_wlen,
+               CAST(len(list_filter(w, x -> x IN
+                   ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                   / len(w) AS stop_ratio,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                   / length(text) AS digit_ratio
+        FROM (SELECT doc_id, lang, text,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents)
+        WHERE len(w) > 0 AND length(text) > 0
+    ),
+    scored AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               {_pr(
+                   "1.0 / (1.0 + exp(-("
+                   "-2.0 + 0.02 * least(n_words, 200) + 6.0 * stop_ratio"
+                   " - 8.0 * digit_ratio + 0.3 * avg_wlen)))", 6)} AS score
+        FROM feat
+    ),
+    grp AS (
+        SELECT score,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM scored GROUP BY score
+    ),
+    pre AS (
+        SELECT score, cnt, pos,
+               CAST(COALESCE(SUM(cnt) OVER (ORDER BY score DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before
+        FROM grp
+    ),
+    tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS nn, CAST(SUM(pos) AS BIGINT) AS pp
+        FROM grp
+    ),
+    dec AS (
+        SELECT CAST((cum_before * 10) // nn AS BIGINT) AS decile,
+               CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS pos,
+               CAST(MAX(nn) AS BIGINT) AS nn, CAST(MAX(pp) AS BIGINT) AS pp
+        FROM pre CROSS JOIN tot
+        GROUP BY 1
+    )
+    SELECT decile, n, pos,
+           {_pr("CAST(pos AS DOUBLE) / n", 6)} AS response_rate,
+           CASE WHEN pp = 0 THEN NULL
+                ELSE {_pr(
+                    "(CAST(pos AS DOUBLE) * nn) / (CAST(n AS DOUBLE) * pp)",
+                    6)} END AS lift,
+           CASE WHEN pp = 0 THEN NULL
+                ELSE {_pr(
+                    "100.0 * CAST(SUM(pos) OVER (ORDER BY decile"
+                    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                    " AS DOUBLE) / pp", 6)} END AS cum_gain_pct
+    FROM dec ORDER BY decile
+    """,
+)
+def q_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift & cumulative-gains table for the quality-classifier
+    score predicting lang='en' (the q_roc_auc score/label pair): docs
+    sorted best-score-first, cut into 10 equal-population deciles AT
+    THE SCORE-GROUP GRAIN (a tied score group lands wholly in the
+    decile of its first row — grouped-lift semantics, deterministic on
+    both engines; no row-grain ntile tie lottery), then per decile the
+    response rate, lift vs base rate (ratio of exact integers), and
+    cumulative % of all positives captured. Scale: score hash-agg
+    (state bounded by score resolution) + range-partitioned prefix sum
+    over score groups + 10-row window."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    feat = (
+        docs.select("doc_id", "lang", "text", words.alias("w"))
+        .filter((F.size("w") > 0) & (F.length("text") > 0))
+        .select(
+            (F.col("lang") == "en").cast("int").alias("y"),
+            F.size("w").cast("bigint").alias("n_words"),
+            (
+                F.aggregate(
+                    "w", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+                ).cast("double")
+                / F.size("w")
+            ).alias("avg_wlen"),
+            (
+                F.size(
+                    F.filter(
+                        "w",
+                        lambda x: x.isin(
+                            "the", "a", "of", "and", "to", "in", "is"
+                        ),
+                    )
+                ).cast("double")
+                / F.size("w")
+            ).alias("stop_ratio"),
+            (
+                F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double")
+                / F.length("text")
+            ).alias("digit_ratio"),
+        )
+    )
+    z = (
+        F.lit(-2.0)
+        + F.lit(0.02) * F.least(F.col("n_words"), F.lit(200)).cast("double")
+        + F.lit(6.0) * F.col("stop_ratio")
+        - F.lit(8.0) * F.col("digit_ratio")
+        + F.lit(0.3) * F.col("avg_wlen")
+    )
+    scored = feat.select(
+        "y",
+        portable_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+    )
+    grp = scored.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    # best-score-first total order for the decile cut
+    pre = global_prefix_sum(
+        grp.withColumn("nscore", -F.col("score")),
+        "cnt",
+        ["nscore"],
+        out="cum_before",
+    )
+    tot = grp.agg(
+        F.sum("cnt").cast("bigint").alias("nn"),
+        F.sum("pos").cast("bigint").alias("pp"),
+    )
+    dec = (
+        pre.crossJoin(F.broadcast(tot))
+        .groupBy(
+            ((F.col("cum_before") * 10) / F.col("nn"))
+            .cast("bigint")
+            .alias("decile")
+        )
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n"),
+            F.sum("pos").cast("bigint").alias("pos"),
+            F.max("nn").cast("bigint").alias("nn"),
+            F.max("pp").cast("bigint").alias("pp"),
+        )
+    )
+    cw = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dec.select(
+            "decile",
+            "n",
+            "pos",
+            portable_round(F.col("pos").cast("double") / F.col("n"), 6)
+            .cast("double")
+            .alias("response_rate"),
+            F.when(F.col("pp") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                portable_round(
+                    (F.col("pos").cast("double") * F.col("nn"))
+                    / (F.col("n").cast("double") * F.col("pp")),
+                    6,
+                )
+            )
+            .cast("double")
+            .alias("lift"),
+            F.when(F.col("pp") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                portable_round(
+                    F.lit(100.0)
+                    * F.sum("pos").over(cw).cast("double")
+                    / F.col("pp"),
+                    6,
+                )
+            )
+            .cast("double")
+            .alias("cum_gain_pct"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "q_clustering_coeff",
+    oracle=(
+        "WITH "
+        + _GRAPH_SQL
+        + f""",
+    oe AS (
+        SELECT src, dst FROM edges WHERE src < dst
+    ),
+    tri AS (
+        SELECT a.src AS na, a.dst AS nb, b.dst AS nc
+        FROM oe a
+        JOIN oe b ON b.src = a.dst AND a.dst < b.dst
+        JOIN oe c ON c.src = a.src AND c.dst = b.dst
+    ),
+    tcnt AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+        FROM (
+            SELECT unnest([na, nb, nc]) AS node FROM tri
+        ) GROUP BY node
+    ),
+    deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM edges GROUP BY src
+    )
+    SELECT d.node, d.degree,
+           CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+           CASE WHEN d.degree < 2 THEN NULL
+                ELSE {_pr(
+                    "2.0 * COALESCE(t.triangles, 0)"
+                    " / (CAST(d.degree AS DOUBLE) * (d.degree - 1))", 6)} END
+               AS clustering_coeff
+    FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+    ORDER BY d.node
+    """
+    ),
+)
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL clustering coefficient per node of the brand co-purchase
+    graph: cc(v) = 2·tri(v)/(deg(v)·(deg(v)−1)) — how close each
+    brand's neighborhood is to a clique, the per-node refinement of
+    q_triangle_count's global enumeration (same ordered-wedge triangle
+    algorithm; each a<b<c triangle credits all three corners via a
+    map-side explode). Degrees and triangle counts are exact integers;
+    degree-<2 nodes emit NULL (coefficient undefined). Scale:
+    node-keyed joins on the catalog-bounded brand graph; the triangle
+    join is shuffle-co-partitioned on the wedge center."""
+    edges, _, _ = _graph(spark, sf_dir)
+    oe = bounded_persist(
+        edges.filter(F.col("src") < F.col("dst")).select("src", "dst"),
+        "cc-ordered-edges",
+    )
+    ab = oe.select(F.col("src").alias("na"), F.col("dst").alias("nb"))
+    bc = oe.select(F.col("src").alias("nb"), F.col("dst").alias("nc"))
+    ac = oe.select(F.col("src").alias("na"), F.col("dst").alias("nc"))
+    tri = (
+        ab.join(bc, "nb")
+        .filter(F.col("nb") < F.col("nc"))
+        .join(ac, ["na", "nc"], "left_semi")
+    )
+    tcnt = (
+        tri.select(
+            F.explode(F.array(F.col("na"), F.col("nb"), F.col("nc"))).alias(
+                "node"
+            )
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    j = deg.join(tcnt, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("triangles"), F.lit(0)).cast("bigint").alias(
+            "triangles"
+        ),
+    )
+    return (
+        j.select(
+            "node",
+            "degree",
+            "triangles",
+            F.when(F.col("degree") < 2, F.lit(None).cast("double"))
+            .otherwise(
+                portable_round(
+                    F.lit(2.0)
+                    * F.col("triangles")
+                    / (F.col("degree").cast("double") * (F.col("degree") - 1)),
+                    6,
+                )
+            )
+            .cast("double")
+            .alias("clustering_coeff"),
+        )
+        .orderBy("node")
+    )
+
+
+@query(
+    "q_jaccard_neighbors",
+    oracle=f"""
+    WITH edges AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ),
+    sdeg AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS sd FROM edges GROUP BY s
+    ),
+    pairs AS (
+        SELECT a.s AS supp_a, b.s AS supp_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_parts
+        FROM edges a
+        JOIN edges b ON a.p = b.p AND a.s < b.s
+        GROUP BY 1, 2
+    )
+    SELECT p.supp_a, p.supp_b, p.shared_parts,
+           {_pr(
+               "CAST(p.shared_parts AS DOUBLE)"
+               " / (da.sd + db.sd - p.shared_parts)", 6)} AS jaccard
+    FROM pairs p
+    JOIN sdeg da ON da.s = p.supp_a
+    JOIN sdeg db ON db.s = p.supp_b
+    WHERE p.shared_parts >= 5
+    ORDER BY jaccard DESC, p.supp_a, p.supp_b
+    LIMIT 1000
+    """,
+)
+def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard link prediction over the part–supplier bipartite graph:
+    supplier pairs scored by |N(a)∩N(b)|/|N(a)∪N(b)| — the
+    set-overlap normalization beside q_common_neighbors (raw count)
+    and q_adamic_adar (rarity-weighted), completing the
+    link-prediction trio. A pure ratio of exact integers (union size =
+    da + db − shared), so no accumulation error exists at any scale.
+    Scale: same posture as adamic_adar — pair fanout C(k,2) bounded by
+    suppliers-per-part, degree join-backs key on the supplier ids of
+    the already-aggregated pair table (catalog-sized), ≥5 floor bounds
+    output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = bounded_persist(
+        li.select(
+            F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+        ).distinct(),
+        "jac-edges",
+    )
+    sdeg = edges.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("sd"))
+    a = edges.select(F.col("p"), F.col("s").alias("supp_a"))
+    b = edges.select(F.col("p"), F.col("s").alias("supp_b"))
+    pairs = (
+        a.join(b, "p")
+        .filter(F.col("supp_a") < F.col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_parts"))
+        .filter(F.col("shared_parts") >= 5)
+    )
+    da = sdeg.select(F.col("s").alias("supp_a"), F.col("sd").alias("da"))
+    db = sdeg.select(F.col("s").alias("supp_b"), F.col("sd").alias("db"))
+    return (
+        pairs.join(F.broadcast(da), "supp_a")
+        .join(F.broadcast(db), "supp_b")
+        .select(
+            "supp_a",
+            "supp_b",
+            "shared_parts",
+            portable_round(
+                F.col("shared_parts").cast("double")
+                / (F.col("da") + F.col("db") - F.col("shared_parts")),
+                6,
+            )
+            .cast("double")
+            .alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "supp_a", "supp_b")
+        .limit(1000)
+    )
+
+
+@query(
+    "q_flesch_reading",
+    oracle=f"""
+    WITH f AS (
+        SELECT source,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                    AS BIGINT) AS w,
+               CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                    AS BIGINT) AS s,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT) AS syl
+        FROM documents
+    ),
+    sc AS (
+        SELECT source,
+               206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+                       - 84.6 * (CAST(syl AS DOUBLE) / w) AS flesch
+        FROM f WHERE w > 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {_pr(
+               "CAST(SUM(CAST(flesch AS DECIMAL(38,18))) AS DOUBLE)"
+               " / COUNT(*)", 6)} AS avg_flesch,
+           {_pr("min(flesch)", 6)} AS min_flesch,
+           {_pr("max(flesch)", 6)} AS max_flesch
+    FROM sc GROUP BY source ORDER BY source
+    """,
+)
+def q_flesch_reading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease profile per corpus source: 206.835 −
+    1.015·(words/sentences) − 84.6·(syllables/words), with sentences =
+    terminal-punctuation runs (floored at 1 — an unpunctuated doc is
+    one sentence, which is what the synthetic corpus contains) and
+    syllables ≈ vowel-group runs (the
+    standard dictionary-free approximation) — the readability lens
+    beside q_text_quality's surface ratios for corpus curation.
+    Per-doc scores are identical double trees (counts are exact
+    integers from the same regexes on both engines); the per-source
+    mean accumulates in DECIMAL. Scale: map-only feature extraction,
+    one source hash-agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "source",
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .cast("bigint")
+        .alias("w"),
+        F.greatest(F.regexp_count("text", F.lit(r"[.!?]+")), F.lit(1))
+        .cast("bigint")
+        .alias("s"),
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+"))
+        .cast("bigint")
+        .alias("syl"),
+    )
+    sc = f.filter(F.col("w") > 0).select(
+        "source",
+        (
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("w").cast("double") / F.col("s"))
+            - F.lit(84.6) * (F.col("syl").cast("double") / F.col("w"))
+        ).alias("flesch"),
+    )
+    return (
+        sc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            portable_round(
+                F.sum(F.col("flesch").cast(_DEC18)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            )
+            .cast("double")
+            .alias("avg_flesch"),
+            portable_round(F.min("flesch"), 6)
+            .cast("double")
+            .alias("min_flesch"),
+            portable_round(F.max("flesch"), 6)
+            .cast("double")
+            .alias("max_flesch"),
+        )
+        .orderBy("source")
+    )

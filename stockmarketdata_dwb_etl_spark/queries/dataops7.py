@@ -590,3 +590,162 @@ def q_flesch_reading(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_theil_u",
+    oracle=f"""
+    WITH cbars AS (
+        SELECT event_type AS symbol,
+               date_trunc('hour', ts) AS bar_ts,
+               arg_max(value, {_DUCK_ORD}) AS close
+        FROM events GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT symbol, close AS y,
+               lag(close)     OVER ws AS naive,
+               lag(close, 24) OVER ws AS seasonal
+        FROM cbars
+        WINDOW ws AS (PARTITION BY symbol ORDER BY bar_ts)
+        QUALIFY naive IS NOT NULL AND seasonal IS NOT NULL
+    ),
+    m AS (
+        SELECT symbol,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST((y - seasonal) * (y - seasonal)
+                    AS DECIMAL(38,18))) AS DOUBLE) AS sse_s,
+               CAST(SUM(CAST((y - naive) * (y - naive)
+                    AS DECIMAL(38,18))) AS DOUBLE) AS sse_n
+        FROM p GROUP BY 1
+    )
+    SELECT symbol, n,
+           {_pr("sqrt(sse_s / n)", 6)} AS rmse_seasonal,
+           {_pr("sqrt(sse_n / n)", 6)} AS rmse_naive,
+           CASE WHEN sse_n = 0 THEN NULL
+                ELSE {_pr("sqrt(sse_s / n) / sqrt(sse_n / n)", 6)} END
+               AS theil_u
+    FROM m ORDER BY symbol
+    """,
+)
+def q_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U per symbol: RMSE of the seasonal-naive forecast
+    (ŷ_t = close_{t−24}, the same-hour-yesterday rule) relative to the
+    lag-1 naive benchmark over the SAME evaluation rows — U < 1 means
+    the daily seasonality carries real signal, U > 1 means the naive
+    walk wins; the relative-skill companion to q_regression_metrics's
+    absolute scores. Squared errors accumulate in exact DECIMAL; both
+    forecasts come from ONE window pass (two lag() over the same
+    spec — the q_acf_correlogram lesson, no per-lag branch union).
+    Scale: bar hash-agg + one window + one moments hash-agg."""
+    ev = load_table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("hour", F.col("ts")).alias("bar_ts"),
+    ).agg(F.max_by("value", _spark_ord()).alias("close"))
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    p = (
+        bars.select(
+            "symbol",
+            F.col("close").alias("y"),
+            F.lag("close").over(w).alias("naive"),
+            F.lag("close", 24).over(w).alias("seasonal"),
+        )
+        .filter(F.col("naive").isNotNull() & F.col("seasonal").isNotNull())
+    )
+    es = F.col("y") - F.col("seasonal")
+    en = F.col("y") - F.col("naive")
+    m = p.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((es * es).cast(_DEC18)).cast("double").alias("sse_s"),
+        F.sum((en * en).cast(_DEC18)).cast("double").alias("sse_n"),
+    )
+    rmse_s = F.sqrt(F.col("sse_s") / F.col("n"))
+    rmse_n = F.sqrt(F.col("sse_n") / F.col("n"))
+    return (
+        m.select(
+            "symbol",
+            "n",
+            portable_round(rmse_s, 6).cast("double").alias("rmse_seasonal"),
+            portable_round(rmse_n, 6).cast("double").alias("rmse_naive"),
+            F.when(F.col("sse_n") == 0, F.lit(None).cast("double"))
+            .otherwise(portable_round(rmse_s / rmse_n, 6))
+            .cast("double")
+            .alias("theil_u"),
+        )
+        .orderBy("symbol")
+    )
+
+
+@query(
+    "q_resource_allocation",
+    oracle=f"""
+    WITH edges AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ),
+    pdeg AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS pd FROM edges GROUP BY p
+    ),
+    pairs AS (
+        SELECT a.s AS supp_a, b.s AS supp_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_parts,
+               CAST(SUM(CAST((CAST(floor(CAST((1.0 / d.pd) AS DOUBLE)
+                   * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0)
+                   AS DECIMAL(38,18))) AS DOUBLE) AS ra
+        FROM edges a
+        JOIN edges b ON a.p = b.p AND a.s < b.s
+        JOIN pdeg d ON d.p = a.p
+        GROUP BY 1, 2
+    )
+    SELECT supp_a, supp_b, shared_parts,
+           {_pr("ra", 6)} AS ra_score
+    FROM pairs
+    WHERE shared_parts >= 5
+    ORDER BY ra_score DESC, supp_a, supp_b
+    LIMIT 1000
+    """,
+)
+def q_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation link prediction over the part–supplier
+    bipartite graph: supplier pairs scored by Σ 1/deg(z) over shared
+    parts z — the harder-decaying sibling of q_adamic_adar (1/deg vs
+    1/ln·deg: a widely-shared part contributes almost nothing), which
+    empirically wins on dense graphs. Same cell-term determinism (each
+    1/deg term 12dp-rounds then sums in DECIMAL; 1/deg ≤ 0.5 so the
+    floor round can't saturate) and the same deterministic top-1000
+    output bound as q_jaccard_neighbors. Scale: identical posture to
+    adamic_adar — C(k,2) pair fanout bounded by suppliers-per-part,
+    degree join on the same part key as the expansion."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = bounded_persist(
+        li.select(
+            F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+        ).distinct(),
+        "ra-edges",
+    )
+    pdeg = edges.groupBy("p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pd")
+    )
+    a = edges.select(F.col("p"), F.col("s").alias("supp_a"))
+    b = edges.select(F.col("p"), F.col("s").alias("supp_b"))
+    term = portable_round(F.lit(1.0) / F.col("pd"), 12).cast(_DEC18)
+    pairs = (
+        a.join(b, "p")
+        .filter(F.col("supp_a") < F.col("supp_b"))
+        .join(pdeg, "p")
+        .groupBy("supp_a", "supp_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("shared_parts"),
+            F.sum(term).cast("double").alias("ra"),
+        )
+    )
+    return (
+        pairs.filter(F.col("shared_parts") >= 5)
+        .select(
+            "supp_a",
+            "supp_b",
+            "shared_parts",
+            portable_round(F.col("ra"), 6).cast("double").alias("ra_score"),
+        )
+        .orderBy(F.col("ra_score").desc(), "supp_a", "supp_b")
+        .limit(1000)
+    )

@@ -733,3 +733,196 @@ def q_aroon(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol", "bar_ts")
     )
+
+
+@query(
+    "q_trix",
+    oracle=f"""
+    WITH RECURSIVE {_duck_ohlcv("hour")},
+    nb AS (
+        SELECT symbol, bar_ts, close,
+               row_number() OVER (PARTITION BY symbol ORDER BY bar_ts) AS rn
+        FROM bars
+    ),
+    packed AS (
+        SELECT symbol, list(close ORDER BY rn) AS xs,
+               len(list(close)) AS n
+        FROM nb GROUP BY symbol
+    ),
+    r1 AS (
+        SELECT symbol, xs, n, 1 AS rn, xs[1] AS e FROM packed
+        UNION ALL
+        SELECT symbol, xs, n, rn + 1, 0.875 * e + 0.125 * xs[rn + 1]
+        FROM r1 WHERE rn < n
+    ),
+    p1 AS (
+        SELECT symbol, list(e ORDER BY rn) AS xs, len(list(e)) AS n
+        FROM r1 GROUP BY symbol
+    ),
+    r2 AS (
+        SELECT symbol, xs, n, 1 AS rn, xs[1] AS e FROM p1
+        UNION ALL
+        SELECT symbol, xs, n, rn + 1, 0.875 * e + 0.125 * xs[rn + 1]
+        FROM r2 WHERE rn < n
+    ),
+    p2 AS (
+        SELECT symbol, list(e ORDER BY rn) AS xs, len(list(e)) AS n
+        FROM r2 GROUP BY symbol
+    ),
+    r3 AS (
+        SELECT symbol, xs, n, 1 AS rn, xs[1] AS e FROM p2
+        UNION ALL
+        SELECT symbol, xs, n, rn + 1, 0.875 * e + 0.125 * xs[rn + 1]
+        FROM r3 WHERE rn < n
+    ),
+    tr AS (
+        SELECT symbol, rn, e,
+               lag(e) OVER (PARTITION BY symbol ORDER BY rn) AS pe
+        FROM r3
+    )
+    SELECT nb.symbol, nb.bar_ts,
+           {_pr6("tr.e")} AS ema3,
+           CASE WHEN tr.pe IS NULL OR tr.pe = 0 THEN NULL
+                ELSE {_pr6("100.0 * (tr.e / tr.pe - 1.0)")} END AS trix
+    FROM nb JOIN tr ON tr.symbol = nb.symbol AND tr.rn = nb.rn
+    ORDER BY nb.symbol, nb.bar_ts
+    """,
+)
+def q_trix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIX(15): 1-bar % rate of change of the TRIPLE 0.125-smoothed
+    EMA of hourly closes (alpha = 2/(15+1)) — the triple smoothing kills
+    sub-cycle noise, the rate-of-change restores momentum sign. Like
+    q_ewma this recurrence is inherently sequential, so it's the
+    documented (b)-path custom operator: one Arrow-batched
+    ``applyInPandas`` per symbol runs all three EMA passes in a single
+    vectorized visit (no 3x shuffle); the oracle chains three
+    packed-list recursive CTEs with the identical 0.875*e + 0.125*x
+    multiply-add order, so float64 results agree bit-for-bit. Scale:
+    per-symbol state is one float per pass; partition count = symbols
+    (the q_ewma posture — time-range chunking with carried seed is the
+    giant-series escape hatch)."""
+    import pandas as pd
+
+    bars = _ohlcv_bars(spark, sf_dir, "hour").select("symbol", "bar_ts", "close")
+
+    def trix_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bar_ts").reset_index(drop=True)
+        series = list(pdf["close"])
+        for _ in range(3):
+            out, prev = [], None
+            for x in series:
+                prev = x if prev is None else 0.875 * prev + 0.125 * x
+                out.append(prev)
+            series = out
+        pdf["ema3"] = series
+        return pdf
+
+    long = bars.groupBy("symbol").applyInPandas(
+        trix_group, "symbol string, bar_ts timestamp, close double, ema3 double"
+    )
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    pe = F.lag("ema3").over(w)
+    return (
+        long.select(
+            "symbol",
+            "bar_ts",
+            portable_round("ema3", 6).alias("ema3_r"),
+            F.when(pe.isNull() | (pe == 0), F.lit(None).cast("double"))
+            .otherwise(
+                portable_round(F.lit(100.0) * (F.col("ema3") / pe - 1.0), 6)
+            )
+            .alias("trix"),
+        )
+        .withColumnRenamed("ema3_r", "ema3")
+        .orderBy("symbol", "bar_ts")
+    )
+
+
+@query(
+    "q_heikin_ashi",
+    oracle=f"""
+    WITH RECURSIVE {_duck_ohlcv("hour")},
+    nb AS (
+        SELECT symbol, bar_ts, open, high, low, close,
+               (open + high + low + close) / 4.0 AS hc,
+               row_number() OVER (PARTITION BY symbol ORDER BY bar_ts) AS rn
+        FROM bars
+    ),
+    packed AS (
+        SELECT symbol,
+               list(hc ORDER BY rn) AS hcs,
+               first(open ORDER BY rn) AS o1,
+               first(close ORDER BY rn) AS c1,
+               len(list(hc)) AS n
+        FROM nb GROUP BY symbol
+    ),
+    rec AS (
+        SELECT symbol, hcs, n, 1 AS rn, (o1 + c1) / 2.0 AS ho FROM packed
+        UNION ALL
+        SELECT symbol, hcs, n, rn + 1, 0.5 * ho + 0.5 * hcs[rn]
+        FROM rec WHERE rn < n
+    )
+    SELECT nb.symbol, nb.bar_ts,
+           {_pr6("r.ho")} AS ha_open,
+           {_pr6("nb.hc")} AS ha_close,
+           {_pr6("greatest(nb.high, r.ho, nb.hc)")} AS ha_high,
+           {_pr6("least(nb.low, r.ho, nb.hc)")} AS ha_low,
+           CAST(CASE WHEN nb.hc > r.ho THEN 1 ELSE 0 END AS INTEGER)
+               AS bullish
+    FROM nb JOIN rec r ON r.symbol = nb.symbol AND r.rn = nb.rn
+    ORDER BY nb.symbol, nb.bar_ts
+    """,
+)
+def q_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heikin-Ashi candles from hourly OHLC bars: ha_close =
+    (O+H+L+C)/4 map-side; ha_open is the sequential recurrence
+    ha_open_t = (ha_open_{t-1} + ha_close_{t-1})/2 seeded at
+    (O_1+C_1)/2 — the trend-smoothing candle transform charting
+    pipelines apply before pattern rules. Same custom-operator path as
+    q_ewma/q_trix: one ``applyInPandas`` pass per symbol with the
+    identical 0.5*a + 0.5*b multiply-add order as the oracle's
+    packed-list recursion (bit-identical float64); ha_high/ha_low are
+    pure greatest/least trees. Scale: per-symbol state is one float;
+    everything else stays map-side over the bar table."""
+    import pandas as pd
+
+    bars = _ohlcv_bars(spark, sf_dir, "hour")
+    hc = ((F.col("open") + F.col("high") + F.col("low") + F.col("close")) / 4.0)
+    nb = bars.select("symbol", "bar_ts", "open", "high", "low", "close", hc.alias("hc"))
+
+    def ha_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bar_ts").reset_index(drop=True)
+        ho, out = None, []
+        prev_hc = None
+        for i, row in enumerate(zip(pdf["open"], pdf["close"], pdf["hc"])):
+            o, c, h = row
+            ho = (o + c) / 2.0 if i == 0 else 0.5 * ho + 0.5 * prev_hc
+            prev_hc = h
+            out.append(ho)
+        pdf["ho"] = out
+        return pdf
+
+    long = nb.groupBy("symbol").applyInPandas(
+        ha_group,
+        "symbol string, bar_ts timestamp, open double, high double,"
+        " low double, close double, hc double, ho double",
+    )
+    return (
+        long.select(
+            "symbol",
+            "bar_ts",
+            portable_round("ho", 6).alias("ha_open"),
+            portable_round("hc", 6).alias("ha_close"),
+            portable_round(
+                F.greatest(F.col("high"), F.col("ho"), F.col("hc")), 6
+            ).alias("ha_high"),
+            portable_round(
+                F.least(F.col("low"), F.col("ho"), F.col("hc")), 6
+            ).alias("ha_low"),
+            F.when(F.col("hc") > F.col("ho"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("bullish"),
+        )
+        .orderBy("symbol", "bar_ts")
+    )

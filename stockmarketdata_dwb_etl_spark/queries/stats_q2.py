@@ -669,3 +669,103 @@ def q_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("chi2"),
         (F.col("k") - 1).cast("bigint").alias("df"),
     )
+
+
+@query(
+    "q_cochran_q",
+    oracle=f"""
+    WITH {_duck_ohlcv("day")},
+    x AS (
+        SELECT symbol, bar_ts,
+               CASE WHEN close > open THEN 1 ELSE 0 END AS up
+        FROM bars
+    ),
+    kk AS (SELECT CAST(COUNT(DISTINCT symbol) AS BIGINT) AS k FROM x),
+    full_days AS (
+        SELECT bar_ts FROM x GROUP BY bar_ts
+        HAVING COUNT(*) = (SELECT k FROM kk)
+    ),
+    xf AS (SELECT x.* FROM x JOIN full_days USING (bar_ts)),
+    cj AS (
+        SELECT symbol, CAST(SUM(up) AS BIGINT) AS c FROM xf GROUP BY 1
+    ),
+    ri AS (
+        SELECT bar_ts, CAST(SUM(up) AS BIGINT) AS r FROM xf GROUP BY 1
+    ),
+    parts AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cj) AS k,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ri) AS b,
+               (SELECT CAST(SUM(c) AS BIGINT) FROM cj) AS n,
+               (SELECT CAST(SUM(c * c) AS BIGINT) FROM cj) AS scc,
+               (SELECT CAST(SUM(r * r) AS BIGINT) FROM ri) AS srr
+    )
+    SELECT k, b, n,
+           CASE WHEN k * n - srr = 0 THEN NULL
+                ELSE {_pr(
+                    "CAST(k - 1 AS DOUBLE) * (k * scc - CAST(n AS DOUBLE) * n)"
+                    " / (CAST(k AS DOUBLE) * n - srr)", 6)} END AS q,
+           CAST(k - 1 AS BIGINT) AS df
+    FROM parts
+    """,
+)
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test on the binary up-day indicator (close > open)
+    across the k symbols over complete trading days — do the symbols
+    share the same up-day probability, the binary-response companion
+    to q_friedman: Q = (k−1)[k·ΣCⱼ² − N²]/(kN − ΣRᵢ²) from column
+    (symbol) and row (day) success totals. EVERY input to Q is an
+    exact integer (no rank, no float accumulation anywhere); only the
+    final ratio is double, on an identical tree. Degenerate margin
+    (all rows all-up/all-down ⇒ kN = ΣRᵢ²) → NULL. Scale: two tiny
+    hash-aggs over the daily-bar table."""
+    bars = _ohlcv_bars(spark, sf_dir, "day")
+    x = bars.select(
+        "symbol",
+        "bar_ts",
+        F.when(F.col("close") > F.col("open"), 1).otherwise(0).alias("up"),
+    )
+    kk = x.agg(F.countDistinct("symbol").cast("bigint").alias("k"))
+    full_days = (
+        x.groupBy("bar_ts")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(kk))
+        .filter(F.col("cnt") == F.col("k"))
+        .select("bar_ts")
+    )
+    xf = x.join(F.broadcast(full_days), "bar_ts")
+    cj = xf.groupBy("symbol").agg(F.sum("up").cast("bigint").alias("c"))
+    ri = xf.groupBy("bar_ts").agg(F.sum("up").cast("bigint").alias("r"))
+    cagg = cj.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("scc"),
+    )
+    ragg = ri.agg(
+        F.count(F.lit(1)).cast("bigint").alias("b"),
+        F.sum(F.col("r") * F.col("r")).cast("bigint").alias("srr"),
+    )
+    parts = cagg.crossJoin(ragg)
+    denom = (
+        F.col("k").cast("double") * F.col("n") - F.col("srr").cast("double")
+    )
+    q = (
+        (F.col("k") - 1).cast("double")
+        * (
+            F.col("k") * F.col("scc")
+            - F.col("n").cast("double") * F.col("n")
+        )
+        / denom
+    )
+    return parts.select(
+        "k",
+        "b",
+        "n",
+        F.when(
+            F.col("k") * F.col("n") - F.col("srr") == 0,
+            F.lit(None).cast("double"),
+        )
+        .otherwise(portable_round(q, 6))
+        .cast("double")
+        .alias("q"),
+        (F.col("k") - 1).cast("bigint").alias("df"),
+    )

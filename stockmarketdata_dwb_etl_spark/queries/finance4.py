@@ -926,3 +926,312 @@ def q_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol", "bar_ts")
     )
+
+
+@query(
+    "q_kalman_filter",
+    oracle=f"""
+    WITH RECURSIVE {_duck_ohlcv("hour")},
+    nb AS (
+        SELECT symbol, bar_ts, close,
+               row_number() OVER (PARTITION BY symbol ORDER BY bar_ts) AS rn
+        FROM bars
+    ),
+    packed AS (
+        SELECT symbol, list(close ORDER BY rn) AS xs,
+               len(list(close)) AS n
+        FROM nb GROUP BY symbol
+    ),
+    rec AS (
+        SELECT symbol, xs, n, 1 AS rn,
+               -- CAST: a bare 1.0 anchors the recursion at DECIMAL(2,1)
+               -- and every later p silently rounds to one decimal
+               xs[1] AS x, CAST(1.0 AS DOUBLE) AS p
+        FROM packed
+        UNION ALL
+        SELECT symbol, xs, n, rn + 1,
+               x + ((p + 0.001) / ((p + 0.001) + 0.1))
+                   * (xs[rn + 1] - x),
+               (1.0 - ((p + 0.001) / ((p + 0.001) + 0.1))) * (p + 0.001)
+        FROM rec WHERE rn < n
+    )
+    SELECT nb.symbol, nb.bar_ts, nb.close,
+           {_pr6("r.x")} AS kalman,
+           {_pr6("nb.close - r.x")} AS residual
+    FROM nb JOIN rec r ON r.symbol = nb.symbol AND r.rn = nb.rn
+    ORDER BY nb.symbol, nb.bar_ts
+    """,
+)
+def q_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D local-level Kalman filter over hourly closes (process noise
+    q = 0.001, measurement noise r = 0.1, seeded at the first close
+    with unit variance): the optimal recursive smoother risk systems
+    run where an EMA's fixed alpha is too blunt — the gain adapts as
+    the state variance converges. Predict/update collapse to
+    p⁻ = p + q; k = p⁻/(p⁻ + r); x += k(z − x); p = (1−k)p⁻. Same
+    custom-operator path as q_ewma/q_trix: the recurrence is
+    inherently sequential, so one Arrow-batched ``applyInPandas`` per
+    symbol, with the oracle's packed-list recursion using the
+    IDENTICAL float op order (gain computed once per step from
+    (p+q)). Scale: O(1) state per symbol; partition count = symbols;
+    giant single series would chunk by time range with carried
+    (x, p) seed."""
+    import pandas as pd
+
+    bars = _ohlcv_bars(spark, sf_dir, "hour").select("symbol", "bar_ts", "close")
+
+    def kalman_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bar_ts").reset_index(drop=True)
+        out = []
+        x, p = None, 1.0
+        for z in pdf["close"]:
+            if x is None:
+                x = z
+            else:
+                pm = p + 0.001
+                k = pm / (pm + 0.1)
+                x = x + k * (z - x)
+                p = (1.0 - k) * pm
+            out.append(x)
+        pdf["kalman"] = out
+        return pdf
+
+    long = bars.groupBy("symbol").applyInPandas(
+        kalman_group,
+        "symbol string, bar_ts timestamp, close double, kalman double",
+    )
+    return (
+        long.select(
+            "symbol",
+            "bar_ts",
+            "close",
+            portable_round("kalman", 6).alias("kalman_r"),
+            portable_round(F.col("close") - F.col("kalman"), 6).alias(
+                "residual"
+            ),
+        )
+        .withColumnRenamed("kalman_r", "kalman")
+        .orderBy("symbol", "bar_ts")
+    )
+
+
+_DUCK_RETS_MKT = """
+    cbars AS (
+        SELECT event_type AS symbol,
+               date_trunc('hour', ts) AS bar_ts,
+               arg_max(value, printf('%020d-%012d', epoch_us(ts), event_id))
+                   AS close
+        FROM events GROUP BY 1, 2
+    ),
+    rets AS (
+        SELECT symbol, bar_ts,
+               close / lag(close) OVER (PARTITION BY symbol
+                                        ORDER BY bar_ts) - 1.0 AS r
+        FROM cbars
+        QUALIFY r IS NOT NULL
+    ),
+    mkt AS (
+        SELECT bar_ts,
+               CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE)
+                   / COUNT(*) AS rm
+        FROM rets GROUP BY bar_ts
+    )
+"""
+
+
+def _rets_mkt(spark: SparkSession, sf_dir: str):
+    """Hourly simple returns + the equal-weight market benchmark (the
+    q_beta_capm/finance3 construction, re-derived here so finance4 has
+    no import-order coupling)."""
+    from stockmarketdata_dwb_etl_spark.catalog import load_table
+    from stockmarketdata_dwb_etl_spark.queries.timeseries import _spark_ord
+
+    ev = load_table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("hour", F.col("ts")).alias("bar_ts"),
+    ).agg(F.max_by("value", _spark_ord()).alias("close"))
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    rets = bars.select(
+        "symbol",
+        "bar_ts",
+        (F.col("close") / F.lag("close").over(w) - F.lit(1.0)).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    mkt = rets.groupBy("bar_ts").agg(
+        (
+            F.sum(F.col("r").cast(_DEC18)).cast("double") / F.count(F.lit(1))
+        ).alias("rm")
+    )
+    return rets, mkt
+
+
+@query(
+    "q_treynor",
+    oracle=f"""
+    WITH {_DUCK_RETS_MKT},
+    j AS (
+        SELECT s.symbol, s.r, m.rm
+        FROM rets s JOIN mkt m ON s.bar_ts = m.bar_ts
+    ),
+    mo AS (
+        SELECT symbol,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS sr,
+               CAST(SUM(CAST(rm AS DECIMAL(38,18))) AS DOUBLE) AS sm,
+               CAST(SUM(CAST(r * rm AS DECIMAL(38,18))) AS DOUBLE) AS srm,
+               CAST(SUM(CAST(rm * rm AS DECIMAL(38,18))) AS DOUBLE) AS smm
+        FROM j GROUP BY 1
+    ),
+    b AS (
+        SELECT symbol, n, sr,
+               (n * srm - sr * sm) / (n * smm - sm * sm) AS beta,
+               n * smm - sm * sm AS mvar
+        FROM mo
+    )
+    SELECT symbol, n,
+           {_pr6("beta")} AS beta,
+           CASE WHEN mvar = 0 OR abs(beta) < 1e-9 THEN NULL
+                ELSE {_pr6("(sr / n) * 8760.0 / beta")} END AS treynor_ann
+    FROM b ORDER BY symbol
+    """,
+)
+def q_treynor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treynor ratio per symbol against the equal-weight market:
+    annualized mean return over CAPM beta — reward per unit of
+    SYSTEMATIC risk, the market-risk twin of q_sharpe (total risk) and
+    q_information_ratio (active risk). Beta from exact DECIMAL joint
+    moments (the q_beta_capm construction); annualization is linear
+    (·8760), never pow. Near-zero beta → NULL (ratio undefined).
+    Scale: one returns window + broadcast-joined market + one moments
+    hash-agg."""
+    rets, mkt = _rets_mkt(spark, sf_dir)
+    j = rets.join(F.broadcast(mkt), "bar_ts").select("symbol", "r", "rm")
+    mo = j.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("r").cast(_DEC18)).cast("double").alias("sr"),
+        F.sum(F.col("rm").cast(_DEC18)).cast("double").alias("sm"),
+        F.sum((F.col("r") * F.col("rm")).cast(_DEC18))
+        .cast("double")
+        .alias("srm"),
+        F.sum((F.col("rm") * F.col("rm")).cast(_DEC18))
+        .cast("double")
+        .alias("smm"),
+    )
+    mvar = F.col("n") * F.col("smm") - F.col("sm") * F.col("sm")
+    beta = (F.col("n") * F.col("srm") - F.col("sr") * F.col("sm")) / mvar
+    return (
+        mo.select(
+            "symbol",
+            "n",
+            portable_round(beta, 6).cast("double").alias("beta"),
+            F.when(
+                (mvar == 0) | (F.abs(beta) < 1e-9), F.lit(None).cast("double")
+            )
+            .otherwise(
+                portable_round(
+                    (F.col("sr") / F.col("n")) * F.lit(8760.0) / beta, 6
+                )
+            )
+            .cast("double")
+            .alias("treynor_ann"),
+        )
+        .orderBy("symbol")
+    )
+
+
+@query(
+    "q_kelly_criterion",
+    oracle=f"""
+    WITH {_DUCK_RETS_MKT},
+    mo AS (
+        SELECT symbol,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS sr,
+               CAST(SUM(CAST(r * r AS DECIMAL(38,18))) AS DOUBLE) AS srr,
+               CAST(SUM(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_up,
+               CAST(SUM(CASE WHEN r > 0 THEN CAST(r AS DECIMAL(38,18))
+                        ELSE CAST(0 AS DECIMAL(38,18)) END) AS DOUBLE)
+                   AS s_win,
+               CAST(SUM(CASE WHEN r < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dn,
+               CAST(SUM(CASE WHEN r < 0 THEN CAST(-r AS DECIMAL(38,18))
+                        ELSE CAST(0 AS DECIMAL(38,18)) END) AS DOUBLE)
+                   AS s_loss
+        FROM rets GROUP BY symbol
+    )
+    SELECT symbol, n, n_up, n_dn,
+           CASE WHEN srr / n - (sr / n) * (sr / n) <= 0 THEN NULL
+                ELSE {_pr6(
+                    "(sr / n) / (srr / n - (sr / n) * (sr / n))")} END
+               AS kelly_continuous,
+           CASE WHEN n_up = 0 OR n_dn = 0 OR s_loss = 0 OR s_win = 0
+                     OR n = 0 THEN NULL
+                ELSE {_pr6(
+                    "CAST(n_up AS DOUBLE) / n"
+                    " - (1.0 - CAST(n_up AS DOUBLE) / n)"
+                    "   / ((s_win / n_up) / (s_loss / n_dn))")} END
+               AS kelly_binary
+    FROM mo ORDER BY symbol
+    """,
+)
+def q_kelly_criterion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kelly optimal-fraction sizing per symbol from hourly returns,
+    both standard forms: continuous f* = mu/sigma^2 (the
+    log-wealth-maximizing stake under small-edge approximation) and the
+    discrete win/loss form f* = p - (1-p)/b with p = up-bar frequency
+    and b = mean win / mean loss. Up/down counts are exact integers;
+    win/loss mass and power sums accumulate in DECIMAL; degenerate
+    one-sided histories emit NULL. Scale: one returns window + one
+    moments hash-agg (O(1) group state)."""
+    rets, _ = _rets_mkt(spark, sf_dir)
+    zero = F.lit(0).cast(_DEC18)
+    mo = rets.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("r").cast(_DEC18)).cast("double").alias("sr"),
+        F.sum((F.col("r") * F.col("r")).cast(_DEC18))
+        .cast("double")
+        .alias("srr"),
+        F.sum(F.when(F.col("r") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_up"),
+        F.sum(F.when(F.col("r") > 0, F.col("r").cast(_DEC18)).otherwise(zero))
+        .cast("double")
+        .alias("s_win"),
+        F.sum(F.when(F.col("r") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dn"),
+        F.sum(
+            F.when(F.col("r") < 0, (-F.col("r")).cast(_DEC18)).otherwise(zero)
+        )
+        .cast("double")
+        .alias("s_loss"),
+    )
+    mu = F.col("sr") / F.col("n")
+    var = F.col("srr") / F.col("n") - mu * mu
+    p = F.col("n_up").cast("double") / F.col("n")
+    b = (F.col("s_win") / F.col("n_up")) / (F.col("s_loss") / F.col("n_dn"))
+    return (
+        mo.select(
+            "symbol",
+            "n",
+            "n_up",
+            "n_dn",
+            F.when(var <= 0, F.lit(None).cast("double"))
+            .otherwise(portable_round(mu / var, 6))
+            .cast("double")
+            .alias("kelly_continuous"),
+            F.when(
+                (F.col("n_up") == 0)
+                | (F.col("n_dn") == 0)
+                | (F.col("s_loss") == 0)
+                | (F.col("s_win") == 0)
+                | (F.col("n") == 0),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(portable_round(p - (F.lit(1.0) - p) / b, 6))
+            .cast("double")
+            .alias("kelly_binary"),
+        )
+        .orderBy("symbol")
+    )

@@ -769,3 +769,154 @@ def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("q"),
         (F.col("k") - 1).cast("bigint").alias("df"),
     )
+
+
+@query(
+    "q_moments",
+    oracle=f"""
+    WITH mo AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,18))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(value * value AS DECIMAL(38,18))) AS DOUBLE)
+                   AS s2,
+               CAST(SUM(CAST(value * value * value AS DECIMAL(38,18)))
+                    AS DOUBLE) AS s3,
+               CAST(SUM(CAST(value * value * value * value
+                    AS DECIMAL(38,18))) AS DOUBLE) AS s4
+        FROM events GROUP BY 1
+    ),
+    c AS (
+        SELECT event_type, n,
+               s1 / n AS m1,
+               s2 / n - (s1 / n) * (s1 / n) AS m2,
+               s3 / n - 3.0 * (s1 / n) * (s2 / n)
+                   + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+               s4 / n - 4.0 * (s1 / n) * (s3 / n)
+                   + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+                   - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        FROM mo
+    )
+    SELECT event_type, n,
+           {_pr("m1", 6)} AS mean,
+           {_pr("sqrt(m2)", 6)} AS stddev_pop,
+           CASE WHEN m2 <= 0 THEN NULL
+                ELSE {_pr("m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2))", 6)} END
+               AS skewness,
+           CASE WHEN m2 <= 0 THEN NULL
+                ELSE {_pr("m4 / (m2 * m2) - 3.0", 6)} END AS excess_kurtosis
+    FROM c ORDER BY event_type
+    """,
+)
+def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape profile per event type: mean, population
+    stddev, skewness m₃/m₂^1.5 and excess kurtosis m₄/m₂² − 3 from
+    raw power sums Σx..Σx⁴ — the moments engine behind q_jarque_bera,
+    exposed as a per-group profile (and deliberately NOT Spark's
+    built-in skewness/kurtosis, whose partition-merge accumulation is
+    float-order dependent: raw power sums in exact DECIMAL make the
+    whole computation order-independent, then the central-moment
+    conversion is one identical double tree). Zero-variance groups
+    emit NULL shape. Scale: ONE hash-agg, O(1) group state — the
+    one-pass moments pattern that holds at any row count."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    mo = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(v.cast(_DEC18)).cast("double").alias("s1"),
+        F.sum((v * v).cast(_DEC18)).cast("double").alias("s2"),
+        F.sum((v * v * v).cast(_DEC18)).cast("double").alias("s3"),
+        F.sum((v * v * v * v).cast(_DEC18)).cast("double").alias("s4"),
+    )
+    m1 = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - m1 * m1
+    m3 = (
+        F.col("s3") / F.col("n")
+        - F.lit(3.0) * m1 * (F.col("s2") / F.col("n"))
+        + F.lit(2.0) * m1 * m1 * m1
+    )
+    m4 = (
+        F.col("s4") / F.col("n")
+        - F.lit(4.0) * m1 * (F.col("s3") / F.col("n"))
+        + F.lit(6.0) * m1 * m1 * (F.col("s2") / F.col("n"))
+        - F.lit(3.0) * m1 * m1 * m1 * m1
+    )
+    sd = F.sqrt(m2)
+    return (
+        mo.select(
+            "event_type",
+            "n",
+            portable_round(m1, 6).cast("double").alias("mean"),
+            portable_round(sd, 6).cast("double").alias("stddev_pop"),
+            F.when(m2 <= 0, F.lit(None).cast("double"))
+            .otherwise(portable_round(m3 / (sd * sd * sd), 6))
+            .cast("double")
+            .alias("skewness"),
+            F.when(m2 <= 0, F.lit(None).cast("double"))
+            .otherwise(portable_round(m4 / (m2 * m2) - F.lit(3.0), 6))
+            .cast("double")
+            .alias("excess_kurtosis"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_trimmed_mean",
+    oracle=f"""
+    WITH r AS (
+        SELECT event_type, value,
+               CAST(row_number() OVER (PARTITION BY event_type
+                   ORDER BY value, event_id) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM events
+    ),
+    kept AS (
+        SELECT event_type, value, n
+        FROM r
+        WHERE rn > n // 10 AND rn <= n - n // 10
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_total,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           {_pr(
+               "CAST(SUM(CAST(value AS DECIMAL(38,18))) AS DOUBLE)"
+               " / COUNT(*)", 6)} AS trimmed_mean
+    FROM kept GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% two-sided trimmed mean per event type: drop the lowest and
+    highest ⌊n/10⌋ observations BY RANK (total order (value, event_id)
+    — the repo's unique-tie-break policy, so the trim boundary is
+    identical on both engines even through tied values) and average
+    the rest in exact DECIMAL — the outlier-robust location estimate
+    beside q_winsorize (which clamps instead of dropping). Scale: one
+    rank window per group + one hash-agg; the window partitions by the
+    group key, no global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wr).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+    lo = F.floor(F.col("n") / 10).cast("bigint")
+    kept = r.filter((F.col("rn") > lo) & (F.col("rn") <= F.col("n") - lo))
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_total"),
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            portable_round(
+                F.sum(F.col("value").cast(_DEC18)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            )
+            .cast("double")
+            .alias("trimmed_mean"),
+        )
+        .orderBy("event_type")
+    )

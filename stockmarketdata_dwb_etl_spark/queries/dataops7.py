@@ -749,3 +749,202 @@ def q_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ra_score").desc(), "supp_a", "supp_b")
         .limit(1000)
     )
+
+
+_DUCK_SCORED = f"""
+    feat AS (
+        SELECT doc_id, lang,
+               CAST(len(w) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                   / len(w) AS avg_wlen,
+               CAST(len(list_filter(w, x -> x IN
+                   ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                   / len(w) AS stop_ratio,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                   / length(text) AS digit_ratio
+        FROM (SELECT doc_id, lang, text,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents)
+        WHERE len(w) > 0 AND length(text) > 0
+    ),
+    scored AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               {{score_round}} AS score
+        FROM feat
+    )
+"""
+
+
+def _duck_scored() -> str:
+    return _DUCK_SCORED.format(
+        score_round=_pr(
+            "1.0 / (1.0 + exp(-("
+            "-2.0 + 0.02 * least(n_words, 200) + 6.0 * stop_ratio"
+            " - 8.0 * digit_ratio + 0.3 * avg_wlen)))",
+            6,
+        )
+    )
+
+
+def _spark_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(y, score) pairs: the q_roc_auc quality-classifier score
+    predicting lang='en' — the shared eval fixture for the classifier
+    metric family."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    feat = (
+        docs.select("doc_id", "lang", "text", words.alias("w"))
+        .filter((F.size("w") > 0) & (F.length("text") > 0))
+        .select(
+            (F.col("lang") == "en").cast("int").alias("y"),
+            F.size("w").cast("bigint").alias("n_words"),
+            (
+                F.aggregate(
+                    "w", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+                ).cast("double")
+                / F.size("w")
+            ).alias("avg_wlen"),
+            (
+                F.size(
+                    F.filter(
+                        "w",
+                        lambda x: x.isin(
+                            "the", "a", "of", "and", "to", "in", "is"
+                        ),
+                    )
+                ).cast("double")
+                / F.size("w")
+            ).alias("stop_ratio"),
+            (
+                F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double")
+                / F.length("text")
+            ).alias("digit_ratio"),
+        )
+    )
+    z = (
+        F.lit(-2.0)
+        + F.lit(0.02) * F.least(F.col("n_words"), F.lit(200)).cast("double")
+        + F.lit(6.0) * F.col("stop_ratio")
+        - F.lit(8.0) * F.col("digit_ratio")
+        + F.lit(0.3) * F.col("avg_wlen")
+    )
+    return feat.select(
+        "y",
+        portable_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+    )
+
+
+@query(
+    "q_mcc",
+    oracle=f"""
+    WITH {_duck_scored()},
+    cm AS (
+        SELECT CAST(SUM(CASE WHEN score >= 0.5 AND y = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN score >= 0.5 AND y = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN score < 0.5 AND y = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fn,
+               CAST(SUM(CASE WHEN score < 0.5 AND y = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tn
+        FROM scored
+    )
+    SELECT tp, fp, fn, tn,
+           CASE WHEN (tp + fp) = 0 OR (tp + fn) = 0
+                     OR (tn + fp) = 0 OR (tn + fn) = 0 THEN NULL
+                ELSE {_pr(
+                    "(CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)"
+                    " / sqrt((CAST(tp AS DOUBLE) + fp)"
+                    "        * (CAST(tp AS DOUBLE) + fn)"
+                    "        * (CAST(tn AS DOUBLE) + fp)"
+                    "        * (CAST(tn AS DOUBLE) + fn))", 6)} END AS mcc
+    FROM cm
+    """,
+)
+def q_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient of the quality classifier at
+    the 0.5 threshold — the single-number confusion-matrix summary
+    that stays honest under class imbalance (unlike accuracy/F1),
+    completing the q_class_prf / q_cohens_kappa tier. The confusion
+    matrix is exact integers from one scan; products cast to double
+    BEFORE multiplying (int64-safe at any scale), identical trees both
+    engines; any empty margin → NULL. Scale: one map + one 1-row agg."""
+    scored = _spark_scored(spark, sf_dir)
+    pred = F.col("score") >= 0.5
+    cm = scored.agg(
+        F.sum(F.when(pred & (F.col("y") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when(pred & (F.col("y") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when(~pred & (F.col("y") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum(F.when(~pred & (F.col("y") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c).cast("double") for c in ("tp", "fp", "fn", "tn"))
+    num = tp * F.col("tn") - fp * F.col("fn")
+    den = F.sqrt((tp + F.col("fp")) * (tp + F.col("fn")) * (tn + F.col("fp")) * (tn + F.col("fn")))
+    margin_empty = (
+        ((F.col("tp") + F.col("fp")) == 0)
+        | ((F.col("tp") + F.col("fn")) == 0)
+        | ((F.col("tn") + F.col("fp")) == 0)
+        | ((F.col("tn") + F.col("fn")) == 0)
+    )
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(margin_empty, F.lit(None).cast("double"))
+        .otherwise(portable_round(num / den, 6))
+        .cast("double")
+        .alias("mcc"),
+    )
+
+
+@query(
+    "q_log_loss",
+    oracle=f"""
+    WITH {_duck_scored()},
+    t AS (
+        SELECT y,
+               greatest(least(score, 0.999999), 0.000001) AS p
+        FROM scored
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           {_pr(
+               "CAST(SUM(CAST("
+               + _pr("-(y * ln(p) + (1 - y) * ln(1.0 - p))", 12)
+               + " AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)", 6)}
+               AS log_loss
+    FROM t
+    """,
+)
+def q_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean binary cross-entropy of the quality-classifier score —
+    the proper scoring rule beside q_brier_score (squared loss):
+    −[y·ln p + (1−y)·ln(1−p)] with p clamped to [1e-6, 1−1e-6] so a
+    confidently-wrong score can't emit infinity. Scores are already
+    6dp-rounded (identical bits), each row's loss term rounds to 12dp
+    (|term| ≤ ~13.8 — saturation-safe) and sums in DECIMAL. Scale:
+    map-only scoring + one 1-row agg."""
+    scored = _spark_scored(spark, sf_dir)
+    p = F.greatest(F.least(F.col("score"), F.lit(0.999999)), F.lit(0.000001))
+    term = -(
+        F.col("y") * F.log(p) + (1 - F.col("y")) * F.log(F.lit(1.0) - p)
+    )
+    t = scored.select("y", term.alias("loss"))
+    return t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        portable_round(
+            F.sum(portable_round(F.col("loss"), 12).cast(_DEC18)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        )
+        .cast("double")
+        .alias("log_loss"),
+    )

@@ -29,6 +29,7 @@ from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.operators.rank import global_prefix_sum
 from stockmarketdata_dwb_etl_spark.queries.finance2 import _duck_ohlcv, _ohlcv_bars
+from stockmarketdata_dwb_etl_spark.queries.timeseries import _spark_ord
 from stockmarketdata_dwb_etl_spark.registry import query
 
 _DEC18 = "decimal(38,18)"
@@ -919,4 +920,232 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("trimmed_mean"),
         )
         .orderBy("event_type")
+    )
+
+
+_QS = [round(0.05 * i, 2) for i in range(1, 20)]
+
+
+@query(
+    "q_qq_points",
+    oracle=f"""
+    WITH qa AS (
+        SELECT quantile_cont(value, {_QS}) AS qs
+        FROM events WHERE event_type = 'click'
+    ),
+    qb AS (
+        SELECT quantile_cont(value, {_QS}) AS qs
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST(i AS BIGINT) AS i,
+           CAST(0.05 * i AS DOUBLE) AS p,
+           {_pr("qa.qs[CAST(i AS INTEGER)]", 6)} AS q_click,
+           {_pr("qb.qs[CAST(i AS INTEGER)]", 6)} AS q_purchase,
+           {_pr(
+               "qb.qs[CAST(i AS INTEGER)] - qa.qs[CAST(i AS INTEGER)]",
+               6)} AS diff
+    FROM qa, qb, range(1, 20) t(i)
+    ORDER BY i
+    """,
+)
+def q_qq_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-Q table comparing the 'click' vs 'purchase' value
+    distributions at the 19 vigintiles (p = 0.05..0.95): the
+    distribution-comparison plot primitive behind q_ks_test's single
+    max-gap statistic — WHERE the distributions diverge, not just by
+    how much. Both engines compute the exact interpolated quantile
+    array in ONE pass per group (constant-probability array form — the
+    round-3 lesson: quantile params must be constants) and explode it
+    against a 19-row index spine. Scale: two single-group exact
+    percentiles (sort-based, per-group state) + a 19-row projection."""
+    ev = load_table(spark, sf_dir, "events")
+    qs = F.lit(_QS)
+    qa = (
+        ev.filter(F.col("event_type") == "click")
+        .agg(F.percentile("value", qs).alias("qs"))
+    )
+    qb = (
+        ev.filter(F.col("event_type") == "purchase")
+        .agg(F.percentile("value", qs).alias("qs_b"))
+    )
+    spine = spark.range(1, 20).select(F.col("id").cast("bigint").alias("i"))
+    j = spine.crossJoin(F.broadcast(qa)).crossJoin(F.broadcast(qb))
+    idx = F.col("i").cast("int")
+    q_a = F.element_at(F.col("qs"), idx)
+    q_b = F.element_at(F.col("qs_b"), idx)
+    return (
+        j.select(
+            "i",
+            (F.lit(0.05) * F.col("i")).cast("double").alias("p"),
+            portable_round(q_a, 6).cast("double").alias("q_click"),
+            portable_round(q_b, 6).cast("double").alias("q_purchase"),
+            portable_round(q_b - q_a, 6).cast("double").alias("diff"),
+        )
+        .orderBy("i")
+    )
+
+
+@query(
+    "q_granger_lite",
+    oracle=f"""
+    WITH cbars AS (
+        SELECT event_type AS symbol,
+               date_trunc('hour', ts) AS bar_ts,
+               arg_max(value, printf('%020d-%012d', epoch_us(ts), event_id))
+                   AS close
+        FROM events GROUP BY 1, 2
+    ),
+    rets0 AS (
+        SELECT symbol, bar_ts,
+               close / lag(close) OVER (PARTITION BY symbol
+                                        ORDER BY bar_ts) - 1.0 AS r
+        FROM cbars
+    ),
+    rets AS (
+        SELECT symbol, bar_ts, r,
+               lag(r) OVER (PARTITION BY symbol ORDER BY bar_ts) AS rl
+        FROM rets0
+    ),
+    ta AS (
+        SELECT symbol AS sa, bar_ts, r AS y, rl AS x1
+        FROM rets WHERE r IS NOT NULL AND rl IS NOT NULL
+    ),
+    tb AS (
+        SELECT symbol AS sb, bar_ts, rl AS x2
+        FROM rets WHERE rl IS NOT NULL
+    ),
+    j AS (
+        SELECT sa, sb, y, x1, x2
+        FROM ta JOIN tb USING (bar_ts)
+        WHERE sa <> sb
+    ),
+    mo AS (
+        SELECT sa, sb,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(x1 AS DECIMAL(38,18))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(x2 AS DECIMAL(38,18))) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,18))) AS DOUBLE) AS s11,
+               CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,18))) AS DOUBLE) AS s22,
+               CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,18))) AS DOUBLE) AS s12,
+               CAST(SUM(CAST(x1 * y AS DECIMAL(38,18))) AS DOUBLE) AS s1y,
+               CAST(SUM(CAST(x2 * y AS DECIMAL(38,18))) AS DOUBLE) AS s2y
+        FROM j GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT sa, sb, n,
+               syy - sy * sy / n AS cyy,
+               s11 - s1 * s1 / n AS c11,
+               s22 - s2 * s2 / n AS c22,
+               s12 - s1 * s2 / n AS c12,
+               s1y - s1 * sy / n AS c1y,
+               s2y - s2 * sy / n AS c2y
+        FROM mo
+    ),
+    fit AS (
+        SELECT sa, sb, n, cyy, c11, c1y,
+               c11 * c22 - c12 * c12 AS det,
+               (c22 * c1y - c12 * c2y) AS b1n,
+               (c11 * c2y - c12 * c1y) AS b2n,
+               c2y, c12, c22
+        FROM c
+    ),
+    rss AS (
+        SELECT sa, sb, n,
+               cyy - (b1n / det) * c1y - (b2n / det) * c2y AS rss_u,
+               cyy - c1y * c1y / c11 AS rss_r,
+               det, c11, b2n
+        FROM fit
+    )
+    SELECT sa AS symbol_y, sb AS symbol_x, n,
+           CASE WHEN det <= 0 THEN NULL
+                ELSE {_pr("b2n / det", 8)} END AS cross_lag_beta,
+           CASE WHEN det <= 0 OR c11 <= 0 OR rss_u <= 0 OR n <= 3 THEN NULL
+                ELSE {_pr(
+                    "(rss_r - rss_u) / (rss_u / (n - 3))", 6)} END AS f_stat
+    FROM rss ORDER BY symbol_y, symbol_x
+    """,
+)
+def q_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise lag-1 Granger-causality screen over hourly returns:
+    for every ordered symbol pair (y, x), regress r_y(t) on its own
+    lag AND r_x(t−1), and F-test whether the cross lag adds predictive
+    power over the restricted own-lag model — the lead-lag DISCOVERY
+    matrix beside q_lead_lag_xcorr's fixed-lag correlation. Closed-form
+    2-regressor OLS from centered DECIMAL joint moments (no iterative
+    solver); F = (RSS_r − RSS_u)/(RSS_u/(n−3)); singular design or
+    degenerate residuals → NULL. Scale: one returns window, one
+    bar_ts-co-partitioned pair join (k² fanout bounded by the symbol
+    catalog), one moments hash-agg per pair."""
+    ev = load_table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("hour", F.col("ts")).alias("bar_ts"),
+    ).agg(F.max_by("value", _spark_ord()).alias("close"))
+    ws = Window.partitionBy("symbol").orderBy("bar_ts")
+    r = (F.col("close") / F.lag("close").over(ws) - F.lit(1.0))
+    rets = bars.select("symbol", "bar_ts", r.alias("r")).select(
+        "symbol", "bar_ts", "r", F.lag("r").over(ws).alias("rl")
+    )
+    ta = rets.filter(
+        F.col("r").isNotNull() & F.col("rl").isNotNull()
+    ).select(
+        F.col("symbol").alias("sa"),
+        "bar_ts",
+        F.col("r").alias("y"),
+        F.col("rl").alias("x1"),
+    )
+    tb = rets.filter(F.col("rl").isNotNull()).select(
+        F.col("symbol").alias("sb"), "bar_ts", F.col("rl").alias("x2")
+    )
+    j = ta.join(tb, "bar_ts").filter(F.col("sa") != F.col("sb"))
+
+    def dsum(col, alias):
+        return F.sum(col.cast(_DEC18)).cast("double").alias(alias)
+
+    y, x1, x2 = F.col("y"), F.col("x1"), F.col("x2")
+    mo = j.groupBy("sa", "sb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(y, "sy"),
+        dsum(y * y, "syy"),
+        dsum(x1, "s1"),
+        dsum(x2, "s2"),
+        dsum(x1 * x1, "s11"),
+        dsum(x2 * x2, "s22"),
+        dsum(x1 * x2, "s12"),
+        dsum(x1 * y, "s1y"),
+        dsum(x2 * y, "s2y"),
+    )
+    n = F.col("n")
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    c11 = F.col("s11") - F.col("s1") * F.col("s1") / n
+    c22 = F.col("s22") - F.col("s2") * F.col("s2") / n
+    c12 = F.col("s12") - F.col("s1") * F.col("s2") / n
+    c1y = F.col("s1y") - F.col("s1") * F.col("sy") / n
+    c2y = F.col("s2y") - F.col("s2") * F.col("sy") / n
+    det = c11 * c22 - c12 * c12
+    b1n = c22 * c1y - c12 * c2y
+    b2n = c11 * c2y - c12 * c1y
+    rss_u = cyy - (b1n / det) * c1y - (b2n / det) * c2y
+    rss_r = cyy - c1y * c1y / c11
+    f_stat = (rss_r - rss_u) / (rss_u / (n - 3))
+    return (
+        mo.select(
+            F.col("sa").alias("symbol_y"),
+            F.col("sb").alias("symbol_x"),
+            "n",
+            F.when(det <= 0, F.lit(None).cast("double"))
+            .otherwise(portable_round(b2n / det, 8))
+            .cast("double")
+            .alias("cross_lag_beta"),
+            F.when(
+                (det <= 0) | (c11 <= 0) | (rss_u <= 0) | (n <= 3),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(portable_round(f_stat, 6))
+            .cast("double")
+            .alias("f_stat"),
+        )
+        .orderBy("symbol_y", "symbol_x")
     )

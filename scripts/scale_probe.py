@@ -59,6 +59,10 @@ PROBES = (
     "q_chunk_documents",    # map-side token-window chunk fan-out over documents
     "q_sentence_dedup",     # sentence-digest frequency shuffle over documents
     "q_spearman_corr",      # per-pair midrank windows over events
+    "q_cci",                # bounded array-carrying window over bars (round 6)
+    "q_kalman_filter",      # applyInPandas sequential recurrence (round 6)
+    "q_kruskal_wallis",     # value-histogram + global prefix sum (round 6)
+    "q_granger_lite",       # bar_ts-co-partitioned pair join + moments (round 6)
 )
 
 

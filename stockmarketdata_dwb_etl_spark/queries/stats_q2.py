@@ -27,6 +27,7 @@ from pyspark.sql.window import Window
 
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
+from stockmarketdata_dwb_etl_spark.operators.cache import bounded_persist
 from stockmarketdata_dwb_etl_spark.operators.rank import global_prefix_sum
 from stockmarketdata_dwb_etl_spark.queries.finance2 import _duck_ohlcv, _ohlcv_bars
 from stockmarketdata_dwb_etl_spark.queries.timeseries import _spark_ord
@@ -130,11 +131,19 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: (value,group) hash-agg → value-grain prefix sum → k-row
     reduce."""
     ev = load_table(spark, sf_dir, "events")
-    hist = ev.groupBy("value", "event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    # hist feeds BOTH the value-grain rollup and the rank-sum join; pre
+    # feeds BOTH the rank-sum join and the tie term — persist each once
+    # or the event scan + histogram agg re-execute per consumer.
+    hist = bounded_persist(
+        ev.groupBy("value", "event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        ),
+        "kw-hist",
     )
     vt = hist.groupBy("value").agg(F.sum("cnt").cast("bigint").alias("t"))
-    pre = global_prefix_sum(vt, "t", ["value"], out="cum_less")
+    pre = bounded_persist(
+        global_prefix_sum(vt, "t", ["value"], out="cum_less"), "kw-pre"
+    )
     rj = (
         hist.join(pre, "value")
         .groupBy("event_type")

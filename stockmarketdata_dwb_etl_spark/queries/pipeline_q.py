@@ -137,3 +137,78 @@ def q_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("merge_action")
     )
+
+
+CORPUS_PIPELINE_ORACLE = """
+    WITH canon AS (
+        SELECT doc_id, lang,
+               trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS ctext
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, lang, ctext,
+               md5(ctext) AS digest,
+               CAST(len(ws) AS BIGINT) AS n_tokens,
+               (CAST(floor(CAST((CASE WHEN len(ws) < 3 THEN 1.0
+                    ELSE CAST(len(list_distinct(list_transform(
+                         generate_series(1, greatest(len(ws) - 2, 0)),
+                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))
+                         AS DOUBLE)
+                         / greatest(len(ws) - 2, 1) END) AS DOUBLE)
+                    * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS distinct_ratio,
+               (CAST(floor(CAST((CAST(length(regexp_replace(ctext,
+                    '[^a-z ]', '', 'g')) AS DOUBLE)
+                    / greatest(length(ctext), 1)) AS DOUBLE)
+                    * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS alpha_ratio
+        FROM (SELECT doc_id, lang, ctext,
+                     list_filter(string_split(ctext, ' '), x -> x <> '') AS ws
+              FROM canon)
+    ),
+    gated AS (
+        SELECT *,
+               (strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               AS bucket
+        FROM sig
+        WHERE n_tokens >= 30 AND distinct_ratio >= 0.6 AND alpha_ratio >= 0.6
+    ),
+    deduped AS (
+        SELECT *,
+               CASE WHEN bucket < 230 THEN 'train'
+                    WHEN bucket < 243 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT *, row_number() OVER (PARTITION BY digest
+                                           ORDER BY doc_id) AS rn
+              FROM gated)
+        WHERE rn = 1
+    )
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST((CAST(floor(CAST((CAST(SUM(CAST(distinct_ratio
+                AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)) AS DOUBLE)
+                * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE)
+               AS avg_distinct_ratio,
+           md5(string_agg(digest, '' ORDER BY doc_id)) AS corpus_digest
+    FROM deduped
+    GROUP BY split, lang
+    ORDER BY split, lang
+"""
+
+
+@query("q_corpus_pipeline", oracle=CORPUS_PIPELINE_ORACLE)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM corpus-curation pipeline end to end
+    (pipelines/corpus_curation.py): canonicalize → quality gate →
+    digest-keyed exact dedup → deterministic hash split → per-(split,
+    lang) accounting with a byte-certifying corpus digest — the corpus
+    twin of q_stock_pipeline, composing the individually-proven
+    operator families (q_text_canonicalize, q_quality_gate,
+    q_dedup_exact, q_hash_split) into one integration query. Scale:
+    map-only until the digest window (one 32-char-key shuffle; text
+    never shuffles twice) and the final (split, lang) hash-agg."""
+    from pipelines.corpus_curation import build_gold as corpus_gold
+
+    return corpus_gold(spark, sf_dir)

@@ -60,3 +60,28 @@ def test_warehouse_sink_truncate_load(spark):
         BigQuerySink("proj", "ds").load(
             gold, "StockMktData", "StockData", REFERENCE_STOCK_SCHEMA
         )
+
+
+def test_corpus_pipeline_materializes_and_near_dedup_only_removes(
+    spark, tmp_path
+):
+    """run_pipeline writes all three layers; the near-dedup stage can
+    only REMOVE docs relative to the exact-dedup corpus, never add or
+    alter, and the gold accounting stays consistent with the corpus."""
+    from tests.conftest import SF_DIR
+
+    from pipelines.corpus_curation import build_deduped, run_pipeline
+
+    out = str(tmp_path / "corpus_out")
+    gold = run_pipeline(spark, SF_DIR, out, near_dedup=True)
+    rows = gold.collect()
+    assert rows, "gold layer is empty"
+    corpus = spark.read.parquet(f"{out}/corpus.parquet")
+    exact = build_deduped(spark, SF_DIR)
+    n_corpus, n_exact = corpus.count(), exact.count()
+    assert 0 < n_corpus <= n_exact
+    # near-dedup survivors are a subset of the exact-dedup survivors
+    extra = corpus.select("doc_id").subtract(exact.select("doc_id")).count()
+    assert extra == 0
+    # gold totals reconcile with the materialized corpus
+    assert sum(r["n_docs"] for r in rows) == n_corpus

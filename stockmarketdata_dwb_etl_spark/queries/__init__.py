@@ -27,6 +27,7 @@ from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
     finance2,
     finance3,
     finance4,
+    finance5,
     dataops6,
     dataops7,
     stats_q,

@@ -948,3 +948,146 @@ def q_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("log_loss"),
     )
+
+
+@query(
+    "q_burrows_delta",
+    oracle=f"""
+    WITH words AS (
+        SELECT source, unnest(list_filter(string_split(
+                   trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' '),
+                   x -> x <> '')) AS w
+        FROM documents
+    ),
+    wc AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM words GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT source, CAST(SUM(cnt) AS BIGINT) AS total FROM wc GROUP BY 1
+    ),
+    top AS (
+        SELECT w FROM (
+            SELECT w, CAST(SUM(cnt) AS BIGINT) AS gcnt FROM wc GROUP BY w
+        ) ORDER BY gcnt DESC, w LIMIT 20
+    ),
+    f AS (
+        SELECT t.source, p.w,
+               CAST(COALESCE(wc.cnt, 0) AS DOUBLE) / t.total AS freq
+        FROM totals t CROSS JOIN top p
+        LEFT JOIN wc ON wc.source = t.source AND wc.w = p.w
+    ),
+    stats AS (
+        SELECT w,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(freq AS DECIMAL(38,18))) AS DOUBLE) AS sf,
+               CAST(SUM(CAST(freq * freq AS DECIMAL(38,18))) AS DOUBLE) AS sff
+        FROM f GROUP BY w
+    ),
+    z AS (
+        SELECT f.source, f.w,
+               (f.freq - s.sf / s.k)
+               / sqrt(s.sff / s.k - (s.sf / s.k) * (s.sf / s.k)) AS z
+        FROM f JOIN stats s ON s.w = f.w
+        WHERE s.sff / s.k - (s.sf / s.k) * (s.sf / s.k) > 0
+    ),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(CAST((CAST(floor(CAST((abs(a.z - b.z)) AS DOUBLE)
+                   * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0)
+                   AS DECIMAL(38,18))) AS DOUBLE) AS sdz
+        FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_words,
+           {_pr("sdz / n_words", 6)} AS delta
+    FROM pairs ORDER BY source_a, source_b
+    """,
+)
+def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between corpus sources:
+    relative frequencies of the 20 globally most-frequent words
+    (deterministic tie-break by word), z-scored ACROSS sources per
+    word (population σ; zero-variance words drop), Delta(a,b) = mean
+    |z_a − z_b| — the authorship/register-attribution measure corpus
+    audits use to spot a source whose style drifted. Canonical text
+    (the q_text_canonicalize pass) feeds the counts; the cell terms
+    |Δz| round 12dp (|z| is a few units — saturation-safe) and sum in
+    DECIMAL; missing (source, word) cells materialize as true zero
+    frequencies via the totals×top spine. Scale: one word-grain
+    shuffle for counts, a 20-row broadcast vocabulary, k×20 z-cells —
+    the pair join is catalog-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    ctext = F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " "))
+    words = docs.select(
+        "source",
+        F.explode(F.filter(F.split(ctext, " "), lambda x: x != "")).alias("w"),
+    )
+    wc = bounded_persist(
+        words.groupBy("source", "w").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        ),
+        "bd-wc",
+    )
+    totals = wc.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("total")
+    )
+    top = (
+        wc.groupBy("w")
+        .agg(F.sum("cnt").cast("bigint").alias("gcnt"))
+        .orderBy(F.col("gcnt").desc(), "w")
+        .limit(20)
+        .select("w")
+    )
+    f = (
+        totals.crossJoin(F.broadcast(top))
+        .join(wc, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            (
+                F.coalesce(F.col("cnt"), F.lit(0)).cast("double")
+                / F.col("total")
+            ).alias("freq"),
+        )
+    )
+    stats = f.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("freq").cast(_DEC18)).cast("double").alias("sf"),
+        F.sum((F.col("freq") * F.col("freq")).cast(_DEC18))
+        .cast("double")
+        .alias("sff"),
+    )
+    mean = F.col("sf") / F.col("k")
+    var = F.col("sff") / F.col("k") - mean * mean
+    z = (
+        f.join(F.broadcast(stats), "w")
+        .filter(var > 0)
+        .select(
+            "source", "w", ((F.col("freq") - mean) / F.sqrt(var)).alias("z")
+        )
+    )
+    a = z.select(F.col("source").alias("source_a"), "w", F.col("z").alias("za"))
+    b = z.select(F.col("source").alias("source_b"), "w", F.col("z").alias("zb"))
+    term = portable_round(F.abs(F.col("za") - F.col("zb")), 12).cast(_DEC18)
+    pairs = (
+        a.join(b, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(term).cast("double").alias("sdz"),
+        )
+    )
+    return (
+        pairs.select(
+            "source_a",
+            "source_b",
+            "n_words",
+            portable_round(F.col("sdz") / F.col("n_words"), 6)
+            .cast("double")
+            .alias("delta"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -1,0 +1,503 @@
+"""Market-microstructure / dependence batch: Lo–MacKinlay variance
+ratio, lower-tail dependence, Engle–Granger-style cointegration screen,
+and de Prado dollar bars.
+
+Extends finance.py–finance4.py with the random-walk diagnostic, the
+joint-extreme-risk estimate, the pairs-trading screen, and the
+information-driven bar construction — the quant-research tier beyond
+per-series indicators. Reference analysis tier:
+/root/reference/dump_bigq.py:135-149.
+
+Determinism: DECIMAL accumulation for every cross-row double sum,
+integer counts for all probabilities, identical double trees, portable
+floor rounds on reported doubles, and the padded (ts,event_id) ordering
+key wherever tick order matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stockmarketdata_dwb_etl_spark.catalog import load_table
+from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
+from stockmarketdata_dwb_etl_spark.operators.cache import bounded_persist
+from stockmarketdata_dwb_etl_spark.queries.timeseries import _DUCK_ORD, _spark_ord
+from stockmarketdata_dwb_etl_spark.registry import query
+
+_DEC18 = "decimal(38,18)"
+
+_DUCK_LOGRETS = f"""
+    cbars AS (
+        SELECT event_type AS symbol,
+               date_trunc('hour', ts) AS bar_ts,
+               arg_max(value, {_DUCK_ORD}) AS close
+        FROM events GROUP BY 1, 2
+    ),
+    lr AS (
+        SELECT symbol, bar_ts,
+               ln(close / lag(close) OVER (PARTITION BY symbol
+                                           ORDER BY bar_ts)) AS r
+        FROM cbars
+        WHERE close > 0
+        QUALIFY lag(close) OVER (PARTITION BY symbol ORDER BY bar_ts) > 0
+            AND r IS NOT NULL
+    )
+"""
+
+
+def _pr(expr: str, n: int) -> str:
+    scale = float(10**n)
+    return (
+        f"CAST((CAST(floor(CAST(({expr}) AS DOUBLE) * {scale} + 0.5)"
+        f" AS DOUBLE) / {scale}) AS DOUBLE)"
+    )
+
+
+def _logrets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol hourly log returns (positive closes only)."""
+    ev = load_table(spark, sf_dir, "events")
+    bars = (
+        ev.groupBy(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc("hour", F.col("ts")).alias("bar_ts"),
+        )
+        .agg(F.max_by("value", _spark_ord()).alias("close"))
+        .filter(F.col("close") > 0)
+    )
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    return (
+        bars.select(
+            "symbol",
+            "bar_ts",
+            F.lag("close").over(w).alias("pc"),
+            "close",
+        )
+        .filter(F.col("pc").isNotNull() & (F.col("pc") > 0))
+        .select(
+            "symbol", "bar_ts", F.log(F.col("close") / F.col("pc")).alias("r")
+        )
+    )
+
+
+@query(
+    "q_variance_ratio",
+    oracle=f"""
+    WITH {_DUCK_LOGRETS},
+    nr AS (
+        SELECT symbol, bar_ts, r,
+               CAST(sum(CAST(r AS DECIMAL(38,18))) OVER w4 AS DOUBLE) AS rq,
+               row_number() OVER (PARTITION BY symbol ORDER BY bar_ts) AS rn
+        FROM lr
+        WINDOW w4 AS (PARTITION BY symbol ORDER BY bar_ts
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    ),
+    m1 AS (
+        SELECT symbol,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(r * r AS DECIMAL(38,18))) AS DOUBLE) AS ss
+        FROM nr GROUP BY 1
+    ),
+    m4 AS (
+        SELECT symbol,
+               CAST(COUNT(*) AS BIGINT) AS nq,
+               CAST(SUM(CAST(rq AS DECIMAL(38,18))) AS DOUBLE) AS sq,
+               CAST(SUM(CAST(rq * rq AS DECIMAL(38,18))) AS DOUBLE) AS ssq
+        FROM nr WHERE rn >= 4 GROUP BY 1
+    ),
+    vr AS (
+        SELECT m1.symbol, m1.n,
+               (m4.ssq / m4.nq - (m4.sq / m4.nq) * (m4.sq / m4.nq))
+               / (4.0 * (m1.ss / m1.n - (m1.s / m1.n) * (m1.s / m1.n)))
+                   AS vratio
+        FROM m1 JOIN m4 ON m1.symbol = m4.symbol
+        WHERE m1.ss / m1.n - (m1.s / m1.n) * (m1.s / m1.n) > 0
+    )
+    SELECT symbol, n,
+           {_pr("vratio", 6)} AS vr4,
+           {_pr(
+               "(vratio - 1.0) * sqrt(CAST(n AS DOUBLE) * 4.0 / 6.0)",
+               6)} AS z_naive
+    FROM vr ORDER BY symbol
+    """,
+)
+def q_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo–MacKinlay variance ratio VR(4) per symbol over hourly log
+    returns: Var(4-period overlapping sums)/(4·Var(1-period)) — 1 under
+    a random walk, >1 for momentum, <1 for mean reversion — with the
+    naive homoskedastic z ≈ (VR−1)·√(nq/(2(q−1))) (uncorrected form,
+    documented). The 4-sums come from one bounded DECIMAL window
+    (overlapping — no row loss beyond the 3-row warmup); both variance
+    estimates from DECIMAL power sums. Zero base variance drops the
+    symbol. Scale: one window + two moments hash-aggs."""
+    lr = _logrets(spark, sf_dir)
+    w4 = (
+        Window.partitionBy("symbol")
+        .orderBy("bar_ts")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    wn = Window.partitionBy("symbol").orderBy("bar_ts")
+    nr = bounded_persist(
+        lr.select(
+            "symbol",
+            "bar_ts",
+            "r",
+            F.sum(F.col("r").cast(_DEC18)).over(w4).cast("double").alias("rq"),
+            F.row_number().over(wn).alias("rn"),
+        ),
+        "vr-nr",
+    )
+    m1 = nr.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("r").cast(_DEC18)).cast("double").alias("s"),
+        F.sum((F.col("r") * F.col("r")).cast(_DEC18))
+        .cast("double")
+        .alias("ss"),
+    )
+    m4 = (
+        nr.filter(F.col("rn") >= 4)
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nq"),
+            F.sum(F.col("rq").cast(_DEC18)).cast("double").alias("sq"),
+            F.sum((F.col("rq") * F.col("rq")).cast(_DEC18))
+            .cast("double")
+            .alias("ssq"),
+        )
+    )
+    j = m1.join(m4, "symbol")
+    var1 = F.col("ss") / F.col("n") - (F.col("s") / F.col("n")) * (
+        F.col("s") / F.col("n")
+    )
+    var4 = F.col("ssq") / F.col("nq") - (F.col("sq") / F.col("nq")) * (
+        F.col("sq") / F.col("nq")
+    )
+    vratio = var4 / (F.lit(4.0) * var1)
+    return (
+        j.filter(var1 > 0)
+        .select(
+            "symbol",
+            "n",
+            portable_round(vratio, 6).cast("double").alias("vr4"),
+            portable_round(
+                (vratio - F.lit(1.0))
+                * F.sqrt(F.col("n").cast("double") * 4.0 / 6.0),
+                6,
+            )
+            .cast("double")
+            .alias("z_naive"),
+        )
+        .orderBy("symbol")
+    )
+
+
+@query(
+    "q_tail_dependence",
+    oracle=f"""
+    WITH {_DUCK_LOGRETS},
+    thr AS (
+        SELECT symbol, quantile_cont(r, 0.1) AS q10 FROM lr GROUP BY 1
+    ),
+    flags AS (
+        SELECT l.symbol, l.bar_ts,
+               CASE WHEN l.r <= t.q10 THEN 1 ELSE 0 END AS low
+        FROM lr l JOIN thr t USING (symbol)
+    ),
+    pairs AS (
+        SELECT a.symbol AS symbol_a, b.symbol AS symbol_b,
+               CAST(COUNT(*) AS BIGINT) AS n_joint,
+               CAST(SUM(a.low * b.low) AS BIGINT) AS joint_low
+        FROM flags a
+        JOIN flags b ON a.bar_ts = b.bar_ts AND a.symbol < b.symbol
+        GROUP BY 1, 2
+    )
+    SELECT symbol_a, symbol_b, n_joint, joint_low,
+           CASE WHEN n_joint = 0 THEN NULL
+                ELSE {_pr(
+                    "10.0 * CAST(joint_low AS DOUBLE) / n_joint", 6)} END
+               AS lambda_lower
+    FROM pairs ORDER BY symbol_a, symbol_b
+    """,
+)
+def q_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical lower-tail dependence per symbol pair: λ_L ≈
+    P(both returns in their own bottom decile)/0.1 — 1 under perfect
+    tail co-movement, ~0.1·10=co-independence baseline 1·0.1/0.1... the
+    joint-crash risk number a correlation matrix hides (Gaussian
+    copulas have λ=0 at any ρ<1). Per-symbol decile thresholds are
+    exact interpolated percentiles; everything after is integer
+    counting — the λ estimate is a pure ratio of exact integers.
+    Scale: per-symbol percentile + broadcast threshold join + one
+    bar_ts-co-partitioned pair join bounded by the symbol catalog."""
+    lr = _logrets(spark, sf_dir)
+    thr = lr.groupBy("symbol").agg(F.percentile("r", 0.1).alias("q10"))
+    flags = lr.join(F.broadcast(thr), "symbol").select(
+        "symbol",
+        "bar_ts",
+        F.when(F.col("r") <= F.col("q10"), 1).otherwise(0).alias("low"),
+    )
+    a = flags.select(
+        F.col("symbol").alias("symbol_a"), "bar_ts", F.col("low").alias("la")
+    )
+    b = flags.select(
+        F.col("symbol").alias("symbol_b"), "bar_ts", F.col("low").alias("lb")
+    )
+    pairs = (
+        a.join(b, "bar_ts")
+        .filter(F.col("symbol_a") < F.col("symbol_b"))
+        .groupBy("symbol_a", "symbol_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_joint"),
+            F.sum(F.col("la") * F.col("lb")).cast("bigint").alias("joint_low"),
+        )
+    )
+    return (
+        pairs.select(
+            "symbol_a",
+            "symbol_b",
+            "n_joint",
+            "joint_low",
+            F.when(F.col("n_joint") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                portable_round(
+                    F.lit(10.0)
+                    * F.col("joint_low").cast("double")
+                    / F.col("n_joint"),
+                    6,
+                )
+            )
+            .cast("double")
+            .alias("lambda_lower"),
+        )
+        .orderBy("symbol_a", "symbol_b")
+    )
+
+
+@query(
+    "q_cointegration_screen",
+    oracle=f"""
+    WITH cbars AS (
+        SELECT event_type AS symbol,
+               date_trunc('hour', ts) AS bar_ts,
+               arg_max(value, {_DUCK_ORD}) AS close
+        FROM events GROUP BY 1, 2
+    ),
+    lp AS (
+        SELECT symbol, bar_ts, ln(close) AS l
+        FROM cbars WHERE close > 0
+    ),
+    j AS (
+        SELECT a.symbol AS symbol_a, b.symbol AS symbol_b, a.bar_ts,
+               a.l AS la, b.l AS lb
+        FROM lp a JOIN lp b ON a.bar_ts = b.bar_ts AND a.symbol < b.symbol
+    ),
+    mo AS (
+        SELECT symbol_a, symbol_b,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(la AS DECIMAL(38,18))) AS DOUBLE) AS sa,
+               CAST(SUM(CAST(lb AS DECIMAL(38,18))) AS DOUBLE) AS sb,
+               CAST(SUM(CAST(la * lb AS DECIMAL(38,18))) AS DOUBLE) AS sab,
+               CAST(SUM(CAST(lb * lb AS DECIMAL(38,18))) AS DOUBLE) AS sbb
+        FROM j GROUP BY 1, 2
+    ),
+    fit AS (
+        SELECT symbol_a, symbol_b, n,
+               (n * sab - sa * sb) / (n * sbb - sb * sb) AS beta,
+               sa / n - (n * sab - sa * sb) / (n * sbb - sb * sb) * sb / n
+                   AS alpha
+        FROM mo WHERE n * sbb - sb * sb > 0
+    ),
+    res AS (
+        SELECT j.symbol_a, j.symbol_b, j.bar_ts, f.beta,
+               j.la - f.alpha - f.beta * j.lb AS e
+        FROM j JOIN fit f USING (symbol_a, symbol_b)
+    ),
+    dres AS (
+        SELECT symbol_a, symbol_b, beta, e,
+               e - lag(e) OVER (PARTITION BY symbol_a, symbol_b
+                                ORDER BY bar_ts) AS de
+        FROM res
+    ),
+    dw AS (
+        SELECT symbol_a, symbol_b,
+               CAST(MAX(beta) AS DOUBLE) AS beta,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(e * e AS DECIMAL(38,18))) AS DOUBLE) AS see,
+               CAST(SUM(CASE WHEN de IS NULL
+                        THEN CAST(0 AS DECIMAL(38,18))
+                        ELSE CAST(de * de AS DECIMAL(38,18)) END) AS DOUBLE)
+                   AS sdd
+        FROM dres GROUP BY 1, 2
+    )
+    SELECT symbol_a, symbol_b, n,
+           {_pr("beta", 6)} AS hedge_beta,
+           CASE WHEN see = 0 THEN NULL
+                ELSE {_pr("sdd / see", 6)} END AS durbin_watson
+    FROM dw ORDER BY symbol_a, symbol_b
+    """,
+)
+def q_cointegration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle–Granger-style pairs screen over hourly log prices: per
+    unordered symbol pair, OLS hedge ratio ln(Pa) = α + β·ln(Pb) in
+    closed form from DECIMAL moments, then the Durbin–Watson statistic
+    of the residual spread (DW → 0 means a sticky, slowly-reverting
+    spread — candidate pair; DW ≈ 2 means white-noise residuals). The
+    residual pass re-joins the fitted (α, β) back to the SAME
+    co-partitioned pair table (persisted — two consumers), so the
+    price series shuffles once. Scale: bar_ts-co-partitioned pair join
+    bounded by the symbol catalog + one residual window per pair."""
+    ev = load_table(spark, sf_dir, "events")
+    lp = (
+        ev.groupBy(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc("hour", F.col("ts")).alias("bar_ts"),
+        )
+        .agg(F.max_by("value", _spark_ord()).alias("close"))
+        .filter(F.col("close") > 0)
+        .select("symbol", "bar_ts", F.log("close").alias("l"))
+    )
+    a = lp.select(F.col("symbol").alias("symbol_a"), "bar_ts", F.col("l").alias("la"))
+    b = lp.select(F.col("symbol").alias("symbol_b"), "bar_ts", F.col("l").alias("lb"))
+    j = bounded_persist(
+        a.join(b, "bar_ts").filter(F.col("symbol_a") < F.col("symbol_b")),
+        "coint-pairs",
+    )
+    mo = j.groupBy("symbol_a", "symbol_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("la").cast(_DEC18)).cast("double").alias("sa"),
+        F.sum(F.col("lb").cast(_DEC18)).cast("double").alias("sb"),
+        F.sum((F.col("la") * F.col("lb")).cast(_DEC18))
+        .cast("double")
+        .alias("sab"),
+        F.sum((F.col("lb") * F.col("lb")).cast(_DEC18))
+        .cast("double")
+        .alias("sbb"),
+    )
+    det = F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")
+    beta = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")) / det
+    alpha = F.col("sa") / F.col("n") - beta * F.col("sb") / F.col("n")
+    fit = mo.filter(det > 0).select(
+        "symbol_a", "symbol_b", beta.alias("beta"), alpha.alias("alpha")
+    )
+    res = j.join(F.broadcast(fit), ["symbol_a", "symbol_b"]).select(
+        "symbol_a",
+        "symbol_b",
+        "bar_ts",
+        "beta",
+        (F.col("la") - F.col("alpha") - F.col("beta") * F.col("lb")).alias("e"),
+    )
+    wp = Window.partitionBy("symbol_a", "symbol_b").orderBy("bar_ts")
+    dres = res.withColumn("de", F.col("e") - F.lag("e").over(wp))
+    zero = F.lit(0).cast(_DEC18)
+    dw = dres.groupBy("symbol_a", "symbol_b").agg(
+        F.max("beta").cast("double").alias("beta"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("e") * F.col("e")).cast(_DEC18))
+        .cast("double")
+        .alias("see"),
+        F.sum(
+            F.when(
+                F.col("de").isNull(), zero
+            ).otherwise((F.col("de") * F.col("de")).cast(_DEC18))
+        )
+        .cast("double")
+        .alias("sdd"),
+    )
+    return (
+        dw.select(
+            "symbol_a",
+            "symbol_b",
+            "n",
+            portable_round(F.col("beta"), 6).cast("double").alias("hedge_beta"),
+            F.when(F.col("see") == 0, F.lit(None).cast("double"))
+            .otherwise(portable_round(F.col("sdd") / F.col("see"), 6))
+            .cast("double")
+            .alias("durbin_watson"),
+        )
+        .orderBy("symbol_a", "symbol_b")
+    )
+
+
+@query(
+    "q_dollar_bars",
+    oracle=f"""
+    WITH t AS (
+        SELECT event_type AS symbol, value,
+               {_DUCK_ORD} AS ord,
+               CAST(sum(CAST(value AS DECIMAL(38,6))) OVER (
+                   PARTITION BY event_type ORDER BY {_DUCK_ORD}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS DOUBLE) AS cum_before
+        FROM events
+    ),
+    bt AS (
+        SELECT symbol, value, ord,
+               CAST(floor(COALESCE(cum_before, 0.0) / 5000.0) AS BIGINT)
+                   AS bar_id
+        FROM t
+    )
+    SELECT symbol, bar_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           arg_min(value, ord) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ord) AS close,
+           {_pr(
+               "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)", 4)}
+               AS dollar_volume
+    FROM bt GROUP BY symbol, bar_id
+    ORDER BY symbol, bar_id
+    """,
+)
+def q_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dollar bars (de Prado information-driven sampling): per symbol,
+    ticks bucket into a new bar every 5000 units of traded value —
+    bar_id = ⌊cum-value-BEFORE-this-tick / 5000⌋ over the exact
+    DECIMAL running sum on the padded (ts,event_id) tick order — then
+    OHLC + tick count + dollar volume per bar. Unlike time bars, bar
+    density follows activity, which stabilizes per-bar information
+    content (the sampling scheme microstructure models prefer).
+    Scale: one symbol-partition running-sum window + one (symbol,
+    bar_id) hash-agg; a giant single symbol would route the prefix sum
+    through operators/rank.py::global_prefix_sum instead."""
+    ev = load_table(spark, sf_dir, "events")
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy(_spark_ord())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = ev.select(
+        F.col("event_type").alias("symbol"),
+        "value",
+        _spark_ord().alias("ord"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .over(wo)
+        .cast("double")
+        .alias("cum_before"),
+    )
+    bt = t.select(
+        "symbol",
+        "value",
+        "ord",
+        F.floor(F.coalesce(F.col("cum_before"), F.lit(0.0)) / 5000.0)
+        .cast("bigint")
+        .alias("bar_id"),
+    )
+    return (
+        bt.groupBy("symbol", "bar_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+            F.min_by("value", "ord").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ord").alias("close"),
+            portable_round(
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 4
+            )
+            .cast("double")
+            .alias("dollar_volume"),
+        )
+        .orderBy("symbol", "bar_id")
+    )

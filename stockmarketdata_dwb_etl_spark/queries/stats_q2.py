@@ -729,10 +729,16 @@ def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (all rows all-up/all-down ⇒ kN = ΣRᵢ²) → NULL. Scale: two tiny
     hash-aggs over the daily-bar table."""
     bars = _ohlcv_bars(spark, sf_dir, "day")
-    x = bars.select(
-        "symbol",
-        "bar_ts",
-        F.when(F.col("close") > F.col("open"), 1).otherwise(0).alias("up"),
+    # x feeds kk + day counts + the block join, and the gated table
+    # feeds both margin aggs — persist each or the tick→bar agg
+    # re-executes once per consumer.
+    x = bounded_persist(
+        bars.select(
+            "symbol",
+            "bar_ts",
+            F.when(F.col("close") > F.col("open"), 1).otherwise(0).alias("up"),
+        ),
+        "cq-updays",
     )
     kk = x.agg(F.countDistinct("symbol").cast("bigint").alias("k"))
     full_days = (
@@ -742,7 +748,9 @@ def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") == F.col("k"))
         .select("bar_ts")
     )
-    xf = x.join(F.broadcast(full_days), "bar_ts")
+    xf = bounded_persist(
+        x.join(F.broadcast(full_days), "bar_ts"), "cq-full-blocks"
+    )
     cj = xf.groupBy("symbol").agg(F.sum("up").cast("bigint").alias("c"))
     ri = xf.groupBy("bar_ts").agg(F.sum("up").cast("bigint").alias("r"))
     cagg = cj.agg(

@@ -99,3 +99,61 @@ def test_kalman_matches_reference_recursion(spark):
         p = (1.0 - k) * pm
         expected.append(x)
     assert [r["kalman"] for r in got] == pytest.approx(expected, abs=0)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _queries():
+    from stockmarketdata_dwb_etl_spark import registry
+
+    registry.load_all()
+    return registry.QUERIES
+
+
+def test_round6_sequential_ops_are_arrow_not_row_python(spark):
+    """TRIX / Heikin-Ashi / Kalman are the (b)-path custom operators:
+    one Arrow-batched FlatMapGroupsInPandas each, never row-at-a-time
+    BatchEvalPython."""
+    from tests.conftest import SF_DIR
+
+    for name in ("q_trix", "q_heikin_ashi", "q_kalman_filter"):
+        plan = _plan(_queries()[name](spark, SF_DIR))
+        assert "FlatMapGroupsInPandas" in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_indicator_windows_shuffle_once_on_symbol(spark):
+    """The finance4 channel indicators are single-symbol-shuffle window
+    passes: exactly TWO hash exchanges total — the inherent tick→bar
+    aggregation on (event_type, hour) and ONE symbol partition shared
+    by every window function — and zero joins. A third hash exchange
+    means some window spec stopped sharing the symbol shuffle."""
+    from tests.conftest import SF_DIR
+
+    for name in ("q_donchian", "q_cci", "q_mfi", "q_cmf", "q_keltner"):
+        plan = _plan(_queries()[name](spark, SF_DIR))
+        assert "Join" not in plan, name
+        n_hash_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_hash_exchanges == 2, (name, n_hash_exchanges)
+
+
+def test_granger_broadcasts_nothing_bigger_than_market(spark):
+    """q_granger_lite's pair join must stay co-partitioned on bar_ts —
+    a catalog-bounded join, no nested-loop blowup."""
+    from tests.conftest import SF_DIR
+
+    plan = _plan(_queries()["q_granger_lite"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_jaccard_and_ra_topk_use_take_ordered(spark):
+    """The bounded link-prediction outputs must plan as TakeOrdered,
+    not a global sort + limit."""
+    from tests.conftest import SF_DIR
+
+    for name in ("q_jaccard_neighbors", "q_resource_allocation"):
+        plan = _plan(_queries()[name](spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan, name

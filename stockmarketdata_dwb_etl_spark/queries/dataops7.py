@@ -1091,3 +1091,134 @@ def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@query(
+    "q_concordance",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(
+                   trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' '),
+                   x -> x <> '') AS ws
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               COALESCE(array_to_string(ws[greatest(i - 3, 1):i - 1], ' '),
+                        '') AS left_ctx,
+               COALESCE(array_to_string(ws[i + 1:least(i + 3, len(ws))], ' '),
+                        '') AS right_ctx
+        FROM toks, range(1, 10000) t(i)
+        WHERE i <= len(ws) AND ws[CAST(i AS INTEGER)] = 'spark'
+    )
+    SELECT doc_id, pos, left_ctx, 'spark' AS keyword, right_ctx
+    FROM hits
+    ORDER BY doc_id, pos
+    LIMIT 500
+    """,
+)
+def q_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context (KWIC) concordance for the term 'spark' over
+    the canonical token stream: every occurrence with its ±3-word
+    context windows — the corpus-inspection primitive behind
+    collocation review and contamination forensics (SEE the hits, not
+    just count them à la q_contamination). Map-side position explode +
+    array slicing, deterministic (doc_id, pos) order with a 500-row
+    cap. Scale: map-only — the per-doc position spine is the token
+    array's own index space; no shuffle until the bounded TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    ctext = F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " "))
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(ctext, " "), lambda x: x != "").alias("ws"),
+    )
+    hits = (
+        toks.select(
+            "doc_id",
+            "ws",
+            F.posexplode("ws").alias("pos0", "w"),
+        )
+        .filter(F.col("w") == "spark")
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("bigint").alias("pos"),
+            F.array_join(
+                F.slice(
+                    F.col("ws"),
+                    F.greatest(F.col("pos0") - 2, F.lit(1)),
+                    F.least(F.col("pos0"), F.lit(3)),
+                ),
+                " ",
+            ).alias("left_ctx"),
+            F.lit("spark").alias("keyword"),
+            F.array_join(
+                F.slice(
+                    F.col("ws"),
+                    F.col("pos0") + 2,
+                    F.lit(3),
+                ),
+                " ",
+            ).alias("right_ctx"),
+        )
+    )
+    return hits.select(
+        "doc_id", "pos", "left_ctx", "keyword", "right_ctx"
+    ).orderBy("doc_id", "pos").limit(500)
+
+
+@query(
+    "q_skipgram_cooc",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(
+                   trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' '),
+                   x -> x <> '') AS ws
+        FROM documents
+    ),
+    pairs AS (
+        SELECT ws[CAST(i AS INTEGER)] AS w,
+               ws[CAST(i + d AS INTEGER)] AS c
+        FROM toks, range(1, 10000) t(i), range(1, 3) o(d)
+        WHERE i + d <= len(ws)
+    ),
+    cnt AS (
+        SELECT w, c, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pairs WHERE w <> c
+        GROUP BY 1, 2
+    )
+    SELECT w, c, n FROM cnt
+    ORDER BY n DESC, w, c
+    LIMIT 50
+    """,
+)
+def q_skipgram_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counts (forward window ±2, excluding
+    self-pairs): the (center, context) pair table a word2vec-style
+    embedding trainer consumes — the windowed generalization of
+    q_pmi_bigrams' adjacent pairs. Pairs generate MAP-SIDE from each
+    token array (position × offset comprehension — no self-join of a
+    position table, the q_pair_affinity rule), then one (w, c)
+    hash-agg; top-50 by exact integer count with full lexicographic
+    tie-break. Scale: fanout is a constant ×2 of token count; one
+    shuffle on the pair key; TakeOrdered for the cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    ctext = F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " "))
+    toks = docs.select(
+        F.filter(F.split(ctext, " "), lambda x: x != "").alias("ws")
+    )
+    pair_list = F.expr(
+        "flatten(transform(ws, (x, i) ->"
+        " filter(transform(sequence(1, 2),"
+        "   d -> IF(i + d + 1 <= size(ws),"
+        "        struct(x AS w, element_at(ws, i + d + 1) AS c), NULL)),"
+        "  p -> p IS NOT NULL)))"
+    )
+    pairs = toks.select(F.explode(pair_list).alias("p")).select("p.w", "p.c")
+    cnt = (
+        pairs.filter(F.col("w") != F.col("c"))
+        .groupBy("w", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return cnt.orderBy(F.col("n").desc(), "w", "c").limit(50)

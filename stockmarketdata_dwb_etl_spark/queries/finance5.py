@@ -798,3 +798,151 @@ def q_newey_west(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+@query(
+    "q_seasonal_strength",
+    oracle=f"""
+    WITH cbars AS (
+        SELECT event_type AS symbol,
+               date_trunc('hour', ts) AS bar_ts,
+               arg_max(value, {_DUCK_ORD}) AS close
+        FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT symbol, bar_ts, close, hour(bar_ts) AS hod,
+               row_number() OVER (PARTITION BY symbol ORDER BY bar_ts) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY symbol) AS BIGINT) AS n
+        FROM cbars
+    ),
+    trend AS (
+        SELECT symbol, hod, close, rn, n,
+               CAST(SUM(CAST(close AS DECIMAL(38,6))) OVER w AS DOUBLE) / 25
+                 AS trend
+        FROM seq
+        WINDOW w AS (PARTITION BY symbol ORDER BY rn
+                     ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    resid AS (
+        SELECT symbol, hod, close - trend AS r
+        FROM trend WHERE rn > 12 AND rn <= n - 12
+    ),
+    season AS (
+        SELECT symbol, hod,
+               (CAST(floor(CAST((CAST(SUM(CAST(r AS DECIMAL(38,18)))
+                    AS DOUBLE) / COUNT(*)) AS DOUBLE) * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0) AS s
+        FROM resid GROUP BY 1, 2
+    ),
+    rem AS (
+        SELECT resid.symbol, resid.r, resid.r - season.s AS e
+        FROM resid JOIN season USING (symbol, hod)
+    ),
+    mo AS (
+        SELECT symbol,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS sr,
+               CAST(SUM(CAST(r * r AS DECIMAL(38,18))) AS DOUBLE) AS srr,
+               CAST(SUM(CAST(e AS DECIMAL(38,18))) AS DOUBLE) AS se,
+               CAST(SUM(CAST(e * e AS DECIMAL(38,18))) AS DOUBLE) AS see
+        FROM rem GROUP BY 1
+    )
+    SELECT symbol, n,
+           {_pr("srr / n - (sr / n) * (sr / n)", 8)} AS var_detrended,
+           {_pr("see / n - (se / n) * (se / n)", 8)} AS var_remainder,
+           CASE WHEN srr / n - (sr / n) * (sr / n) <= 0 THEN NULL
+                ELSE {_pr(
+                    "greatest(0.0, 1.0 - (see / n - (se / n) * (se / n))"
+                    " / (srr / n - (sr / n) * (sr / n)))", 6)} END
+               AS seasonal_strength
+    FROM mo ORDER BY symbol
+    """,
+)
+def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman seasonal-strength measure per symbol: F_s = max(0, 1 −
+    Var(remainder)/Var(detrended)) over the classical decomposition
+    (centered 25-bar MA trend, hour-of-day seasonal means — the
+    q_seasonal_decompose construction) — 0 means the hod profile
+    explains nothing, →1 means the series is almost purely seasonal;
+    the single number that decides whether q_seasonal_decompose's
+    profile is worth serving. The seasonal means are 6dp-rounded
+    before subtraction (identical inputs both engines); all variances
+    from DECIMAL power sums. Scale: one symbol window + one (symbol,
+    hod) hash-agg (24·k-row broadcast join-back) + one moments agg."""
+    ev = load_table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("hour", F.col("ts")).alias("bar_ts"),
+    ).agg(F.max_by("value", _spark_ord()).alias("close"))
+    wseq = Window.partitionBy("symbol").orderBy("bar_ts")
+    wall = Window.partitionBy("symbol").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    seq = bars.select(
+        "symbol",
+        "close",
+        F.hour("bar_ts").alias("hod"),
+        F.row_number().over(wseq).alias("rn"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+        "bar_ts",
+    )
+    wtrend = Window.partitionBy("symbol").orderBy("rn").rowsBetween(-12, 12)
+    trend = seq.select(
+        "symbol",
+        "hod",
+        "close",
+        "rn",
+        "n",
+        (
+            F.sum(F.col("close").cast("decimal(38,6)"))
+            .over(wtrend)
+            .cast("double")
+            / F.lit(25)
+        ).alias("trend"),
+    )
+    resid = bounded_persist(
+        trend.filter((F.col("rn") > 12) & (F.col("rn") <= F.col("n") - 12))
+        .select("symbol", "hod", (F.col("close") - F.col("trend")).alias("r")),
+        "sstr-resid",
+    )
+    season = resid.groupBy("symbol", "hod").agg(
+        portable_round(
+            F.sum(F.col("r").cast(_DEC18)).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("s")
+    )
+    rem = resid.join(F.broadcast(season), ["symbol", "hod"]).select(
+        "symbol", "r", (F.col("r") - F.col("s")).alias("e")
+    )
+    mo = rem.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("r").cast(_DEC18)).cast("double").alias("sr"),
+        F.sum((F.col("r") * F.col("r")).cast(_DEC18))
+        .cast("double")
+        .alias("srr"),
+        F.sum(F.col("e").cast(_DEC18)).cast("double").alias("se"),
+        F.sum((F.col("e") * F.col("e")).cast(_DEC18))
+        .cast("double")
+        .alias("see"),
+    )
+    vr = F.col("srr") / F.col("n") - (F.col("sr") / F.col("n")) * (
+        F.col("sr") / F.col("n")
+    )
+    ve = F.col("see") / F.col("n") - (F.col("se") / F.col("n")) * (
+        F.col("se") / F.col("n")
+    )
+    return (
+        mo.select(
+            "symbol",
+            "n",
+            portable_round(vr, 8).cast("double").alias("var_detrended"),
+            portable_round(ve, 8).cast("double").alias("var_remainder"),
+            F.when(vr <= 0, F.lit(None).cast("double"))
+            .otherwise(
+                portable_round(F.greatest(F.lit(0.0), F.lit(1.0) - ve / vr), 6)
+            )
+            .cast("double")
+            .alias("seasonal_strength"),
+        )
+        .orderBy("symbol")
+    )

@@ -594,3 +594,79 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = run_stream_to_parquet(agg, "ohlc_bars")
     return spark.read.parquet(sink).orderBy("symbol", "window_start")
+
+
+@query(
+    "q_stream_quality_gate",
+    oracle="""
+    WITH sig AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n_tokens,
+               CASE WHEN len(list_filter(string_split(text, ' '),
+                             x -> x <> '')) < 3 THEN 1.0 ELSE
+                 len(list_distinct(list_transform(
+                     generate_series(1, greatest(len(list_filter(
+                         string_split(text, ' '), x -> x <> '')) - 2, 0)),
+                     i -> list_filter(string_split(text, ' '),
+                              x -> x <> '')[i] || ' '
+                          || list_filter(string_split(text, ' '),
+                              x -> x <> '')[i+1] || ' '
+                          || list_filter(string_split(text, ' '),
+                              x -> x <> '')[i+2])))::DOUBLE
+                 / greatest(len(list_filter(string_split(text, ' '),
+                       x -> x <> '')) - 2, 1) END AS distinct_ratio,
+               length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE
+                 / greatest(length(text), 1) AS alpha_ratio
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           (n_tokens >= 30 AND distinct_ratio >= 0.6 AND alpha_ratio >= 0.6)
+               AS keep
+    FROM sig
+    """,
+)
+def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run of the corpus quality gate: the documents
+    table replays as doc_id-range chunks (one file per microbatch) and
+    the q_quality_gate signal/verdict expressions run MAP-ONLY inside
+    the stream — the stateless-transform streaming pattern every live
+    ingestion filter uses (no watermark, no state store; append mode).
+    The parquet sink must hold exactly the batch gate's verdict for
+    every document, which IS the oracle — streaming adds arrival
+    batching, not semantics, for a stateless operator. Scale: the gate
+    streams the corpus once with zero shuffles per microbatch."""
+    from stockmarketdata_dwb_etl_spark.streaming.jobs import (
+        prepare_doc_chunks,
+        read_docs_stream,
+    )
+
+    chunks = prepare_doc_chunks(spark, sf_dir)
+    stream = read_docs_stream(spark, chunks)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    with_toks = stream.withColumn("__toks", toks)
+    g3 = F.expr(
+        "transform(sequence(1, greatest(size(__toks) - 2, 0)),"
+        " i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1),"
+        " ' ', element_at(__toks, i + 2)))"
+    )
+    n_tok = F.size("__toks")
+    distinct_ratio = F.when(F.size("__toks") < 3, F.lit(1.0)).otherwise(
+        F.size(F.array_distinct(g3)).cast("double")
+        / F.greatest(F.size("__toks") - 2, F.lit(1))
+    )
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", "[^A-Za-z ]", "")).cast("double")
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    gated = with_toks.select(
+        "doc_id",
+        "lang",
+        n_tok.cast("bigint").alias("n_tokens"),
+        (
+            (n_tok >= 30) & (distinct_ratio >= 0.6) & (alpha_ratio >= 0.6)
+        ).alias("keep"),
+    )
+    sink = run_stream_to_parquet(gated, "stream_quality_gate")
+    return spark.read.parquet(sink)

@@ -111,6 +111,52 @@ def prepare_event_chunks(spark: SparkSession, sf_dir: str, n_chunks: int = 4) ->
     return out
 
 
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def prepare_doc_chunks(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
+    """Materialize documents as n_chunks doc_id-range-partitioned parquet
+    files — the corpus replay source (the events-chunk recipe applied to
+    the documents table; mtimes stamped in chunk order so the file
+    stream replays deterministically). Idempotent per sf_dir."""
+    from stockmarketdata_dwb_etl_spark.scratch import fixture_tag
+
+    tag = fixture_tag(sf_dir)
+    out = os.path.join(SCRATCH, "doc_chunks", tag)
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            load_table(spark, sf_dir, "documents")
+            .repartitionByRange(n_chunks, "doc_id")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        import glob
+
+        base = 1_600_000_000
+        for i, path in enumerate(sorted(glob.glob(os.path.join(out, "part-*")))):
+            os.utime(path, (base + i, base + i))
+    return out
+
+
+def read_docs_stream(spark: SparkSession, chunk_dir: str) -> DataFrame:
+    """File-source stream over the corpus replay chunks, one file per
+    microbatch."""
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+    )
+
+
 def read_events_stream(spark: SparkSession, chunk_dir: str) -> DataFrame:
     """File-source stream over the replay chunks, one file per microbatch
     so watermarks advance across batches like a live source."""

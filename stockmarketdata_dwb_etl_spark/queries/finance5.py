@@ -946,3 +946,121 @@ def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+@query(
+    "q_partial_corr",
+    oracle=f"""
+    WITH {_DUCK_LOGRETS},
+    mkt AS (
+        SELECT bar_ts,
+               CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
+                   AS rm
+        FROM lr GROUP BY 1
+    ),
+    tri AS (
+        SELECT a.symbol AS symbol_a, b.symbol AS symbol_b,
+               a.r AS ra, b.r AS rb, m.rm
+        FROM lr a
+        JOIN lr b ON a.bar_ts = b.bar_ts AND a.symbol < b.symbol
+        JOIN mkt m ON m.bar_ts = a.bar_ts
+    ),
+    mo AS (
+        SELECT symbol_a, symbol_b,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ra AS DECIMAL(38,18))) AS DOUBLE) AS sa,
+               CAST(SUM(CAST(rb AS DECIMAL(38,18))) AS DOUBLE) AS sb,
+               CAST(SUM(CAST(rm AS DECIMAL(38,18))) AS DOUBLE) AS sm,
+               CAST(SUM(CAST(ra * rb AS DECIMAL(38,18))) AS DOUBLE) AS sab,
+               CAST(SUM(CAST(ra * rm AS DECIMAL(38,18))) AS DOUBLE) AS sam,
+               CAST(SUM(CAST(rb * rm AS DECIMAL(38,18))) AS DOUBLE) AS sbm,
+               CAST(SUM(CAST(ra * ra AS DECIMAL(38,18))) AS DOUBLE) AS saa,
+               CAST(SUM(CAST(rb * rb AS DECIMAL(38,18))) AS DOUBLE) AS sbb,
+               CAST(SUM(CAST(rm * rm AS DECIMAL(38,18))) AS DOUBLE) AS smm
+        FROM tri GROUP BY 1, 2
+    ),
+    rho AS (
+        SELECT symbol_a, symbol_b, n,
+               (n * sab - sa * sb)
+                 / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)) AS rab,
+               (n * sam - sa * sm)
+                 / sqrt((n * saa - sa * sa) * (n * smm - sm * sm)) AS ram,
+               (n * sbm - sb * sm)
+                 / sqrt((n * sbb - sb * sb) * (n * smm - sm * sm)) AS rbm
+        FROM mo
+        WHERE (n * saa - sa * sa) > 0 AND (n * sbb - sb * sb) > 0
+          AND (n * smm - sm * sm) > 0
+    )
+    SELECT symbol_a, symbol_b, n,
+           {_pr("rab", 6)} AS corr_raw,
+           CASE WHEN (1.0 - ram * ram) * (1.0 - rbm * rbm) <= 0 THEN NULL
+                ELSE {_pr(
+                    "(rab - ram * rbm)"
+                    " / sqrt((1.0 - ram * ram) * (1.0 - rbm * rbm))",
+                    6)} END AS partial_corr
+    FROM rho ORDER BY symbol_a, symbol_b
+    """,
+)
+def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation per symbol pair controlling for
+    the equal-weight market: ρ_ab·m = (ρ_ab − ρ_am·ρ_bm)/
+    √((1−ρ_am²)(1−ρ_bm²)) — how much co-movement SURVIVES once the
+    common market factor is removed, the residual-dependence screen
+    beside q_corr_pairs' raw matrix (two symbols can show ρ ≈ 0.9 and
+    partial ρ ≈ 0 purely through beta). All three correlations from
+    one DECIMAL joint-moment pass over the bar_ts-aligned triple
+    (ra, rb, rm); degenerate variances → row drops; |ρ·m| denominators
+    ≤ 0 → NULL. Scale: one bar_ts-co-partitioned pair join bounded by
+    the symbol catalog + one moments hash-agg."""
+    lr = bounded_persist(_logrets(spark, sf_dir), "pcorr-lr")
+    mkt = lr.groupBy("bar_ts").agg(
+        (
+            F.sum(F.col("r").cast(_DEC18)).cast("double") / F.count(F.lit(1))
+        ).alias("rm")
+    )
+    a = lr.select(F.col("symbol").alias("symbol_a"), "bar_ts", F.col("r").alias("ra"))
+    b = lr.select(F.col("symbol").alias("symbol_b"), "bar_ts", F.col("r").alias("rb"))
+    tri = (
+        a.join(b, "bar_ts")
+        .filter(F.col("symbol_a") < F.col("symbol_b"))
+        .join(F.broadcast(mkt), "bar_ts")
+    )
+
+    def dsum(col, alias):
+        return F.sum(col.cast(_DEC18)).cast("double").alias(alias)
+
+    ra, rb, rmc = F.col("ra"), F.col("rb"), F.col("rm")
+    mo = tri.groupBy("symbol_a", "symbol_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(ra, "sa"),
+        dsum(rb, "sb"),
+        dsum(rmc, "sm"),
+        dsum(ra * rb, "sab"),
+        dsum(ra * rmc, "sam"),
+        dsum(rb * rmc, "sbm"),
+        dsum(ra * ra, "saa"),
+        dsum(rb * rb, "sbb"),
+        dsum(rmc * rmc, "smm"),
+    )
+    n = F.col("n")
+    va = n * F.col("saa") - F.col("sa") * F.col("sa")
+    vb = n * F.col("sbb") - F.col("sb") * F.col("sb")
+    vm = n * F.col("smm") - F.col("sm") * F.col("sm")
+    rab = (n * F.col("sab") - F.col("sa") * F.col("sb")) / F.sqrt(va * vb)
+    ram = (n * F.col("sam") - F.col("sa") * F.col("sm")) / F.sqrt(va * vm)
+    rbm = (n * F.col("sbm") - F.col("sb") * F.col("sm")) / F.sqrt(vb * vm)
+    denom = (F.lit(1.0) - ram * ram) * (F.lit(1.0) - rbm * rbm)
+    return (
+        mo.filter((va > 0) & (vb > 0) & (vm > 0))
+        .select(
+            "symbol_a",
+            "symbol_b",
+            "n",
+            portable_round(rab, 6).cast("double").alias("corr_raw"),
+            F.when(denom <= 0, F.lit(None).cast("double"))
+            .otherwise(portable_round((rab - ram * rbm) / F.sqrt(denom), 6))
+            .cast("double")
+            .alias("partial_corr"),
+        )
+        .orderBy("symbol_a", "symbol_b")
+    )

@@ -1166,3 +1166,133 @@ def q_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol_y", "symbol_x")
     )
+
+
+@query(
+    "q_mutual_information",
+    oracle=f"""
+    WITH cells AS (
+        SELECT event_type,
+               least(CAST(floor(value / 50.0) AS BIGINT), 9) AS vb,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells),
+    rm AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS nr
+           FROM cells GROUP BY 1),
+    cm AS (SELECT vb, CAST(SUM(n) AS BIGINT) AS nc FROM cells GROUP BY 1),
+    terms AS (
+        SELECT c.n, t.nn, r.nr, m.nc
+        FROM cells c
+        JOIN rm r USING (event_type)
+        JOIN cm m USING (vb)
+        CROSS JOIN tot t
+    ),
+    mi AS (
+        SELECT CAST(MAX(nn) AS BIGINT) AS n,
+               CAST(SUM({_dterm(
+                   "(CAST(n AS DOUBLE) / nn)"
+                   " * ln((CAST(n AS DOUBLE) * nn)"
+                   "      / (CAST(nr AS DOUBLE) * nc))", 12)}) AS DOUBLE)
+                   AS mi_nats
+        FROM terms
+    ),
+    hr AS (
+        SELECT CAST(SUM({_dterm(
+            "-(CAST(nr AS DOUBLE) / t.nn)"
+            " * ln(CAST(nr AS DOUBLE) / t.nn)", 12)}) AS DOUBLE) AS h_row
+        FROM rm CROSS JOIN tot t
+    ),
+    hc AS (
+        SELECT CAST(SUM({_dterm(
+            "-(CAST(nc AS DOUBLE) / t.nn)"
+            " * ln(CAST(nc AS DOUBLE) / t.nn)", 12)}) AS DOUBLE) AS h_col
+        FROM cm CROSS JOIN tot t
+    )
+    SELECT n,
+           {_pr("mi_nats", 6)} AS mi_nats,
+           CASE WHEN h_row * h_col <= 0 THEN NULL
+                ELSE {_pr("mi_nats / sqrt(h_row * h_col)", 6)} END
+               AS nmi
+    FROM mi, hr, hc
+    """,
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and the value band
+    (50-unit fixed-width buckets capped at 9): MI = ΣΣ p_ij·ln(p_ij/
+    (p_i·p_j)) in nats plus the normalized NMI = MI/√(H_row·H_col) —
+    the dependence measure q_chi_square's significance test doesn't
+    quantify, and the same construction q_cluster_purity's NMI uses,
+    exposed standalone over a contingency grid. Every probability is a
+    ratio of exact integers; each ln cell term rounds 12dp (|term| ≤
+    ln N — saturation-safe) and sums in DECIMAL. Scale: one (type,
+    band) hash-agg — cell-count state, not row state."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = bounded_persist(
+        ev.groupBy(
+            "event_type",
+            F.least(F.floor(F.col("value") / 50.0).cast("bigint"), F.lit(9)).alias(
+                "vb"
+            ),
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n")),
+        "mi-cells",
+    )
+    tot = cells.agg(F.sum("n").cast("bigint").alias("nn"))
+    rm = cells.groupBy("event_type").agg(F.sum("n").cast("bigint").alias("nr"))
+    cm = cells.groupBy("vb").agg(F.sum("n").cast("bigint").alias("nc"))
+    terms = (
+        cells.join(rm, "event_type")
+        .join(cm, "vb")
+        .crossJoin(F.broadcast(tot))
+    )
+    nd = F.col("n").cast("double")
+    mi_term = (nd / F.col("nn")) * F.log(
+        (nd * F.col("nn")) / (F.col("nr").cast("double") * F.col("nc"))
+    )
+    mi = terms.agg(
+        F.max("nn").cast("bigint").alias("n"),
+        F.sum(_sterm(mi_term, 12)).cast("double").alias("mi_nats"),
+    )
+    hr = (
+        rm.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                _sterm(
+                    -(F.col("nr").cast("double") / F.col("nn"))
+                    * F.log(F.col("nr").cast("double") / F.col("nn")),
+                    12,
+                )
+            )
+            .cast("double")
+            .alias("h_row")
+        )
+    )
+    hc = (
+        cm.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                _sterm(
+                    -(F.col("nc").cast("double") / F.col("nn"))
+                    * F.log(F.col("nc").cast("double") / F.col("nn")),
+                    12,
+                )
+            )
+            .cast("double")
+            .alias("h_col")
+        )
+    )
+    j = mi.crossJoin(hr).crossJoin(hc)
+    return j.select(
+        "n",
+        portable_round(F.col("mi_nats"), 6).cast("double").alias("mi_nats"),
+        F.when(
+            F.col("h_row") * F.col("h_col") <= 0, F.lit(None).cast("double")
+        )
+        .otherwise(
+            portable_round(
+                F.col("mi_nats") / F.sqrt(F.col("h_row") * F.col("h_col")), 6
+            )
+        )
+        .cast("double")
+        .alias("nmi"),
+    )

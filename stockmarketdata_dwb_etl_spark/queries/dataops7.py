@@ -1222,3 +1222,98 @@ def q_skipgram_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
     return cnt.orderBy(F.col("n").desc(), "w", "c").limit(50)
+
+
+@query(
+    "q_word_burstiness",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(
+                   trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' '),
+                   x -> x <> '') AS ws
+        FROM documents
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM toks),
+    wc AS (
+        SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest(ws) AS w FROM toks)
+        GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT w,
+               CAST(SUM(c) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(c * c) AS BIGINT) AS scc
+        FROM wc GROUP BY w
+    ),
+    top AS (
+        SELECT s.*, d.n_docs FROM stats s CROSS JOIN nd d
+        ORDER BY s.total DESC, s.w LIMIT 30
+    ),
+    vm AS (
+        SELECT w, total, df, n_docs,
+               CAST(total AS DOUBLE) / n_docs AS mean_c,
+               CAST(scc AS DOUBLE) / n_docs
+                   - (CAST(total AS DOUBLE) / n_docs)
+                     * (CAST(total AS DOUBLE) / n_docs) AS var_c
+        FROM top
+    )
+    SELECT w, total, df,
+           CAST((CAST(floor(CAST((mean_c) AS DOUBLE) * 1000000.0 + 0.5)
+                AS DOUBLE) / 1000000.0) AS DOUBLE) AS mean_per_doc,
+           CASE WHEN mean_c = 0 THEN NULL
+                ELSE CAST((CAST(floor(CAST((var_c / mean_c) AS DOUBLE)
+                     * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE)
+                END AS burstiness_vmr
+    FROM vm ORDER BY total DESC, w
+    """,
+)
+def q_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word burstiness for the 30 most frequent words: the
+    variance-to-mean ratio of per-document counts (zeros included via
+    the corpus doc count — a word in few docs but in bursts has VMR ≫
+    1; a function word spread evenly sits near Poisson's VMR ≈ 1) —
+    the dispersion diagnostic behind stopword lists and tf saturation
+    choices, beside q_tfidf_topterms' df weighting. Counts, doc
+    frequencies, and squared-count sums are exact integers; only the
+    final VMR divides. Scale: one (doc, word) hash-agg + one
+    word-grain rollup; top-30 by exact count with lexicographic
+    tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    ctext = F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " "))
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(ctext, " "), lambda x: x != "").alias("ws"),
+    )
+    nd = toks.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    wc = (
+        toks.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    stats = wc.groupBy("w").agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("scc"),
+    )
+    top = (
+        stats.crossJoin(F.broadcast(nd))
+        .orderBy(F.col("total").desc(), "w")
+        .limit(30)
+    )
+    mean_c = F.col("total").cast("double") / F.col("n_docs")
+    var_c = F.col("scc").cast("double") / F.col("n_docs") - mean_c * mean_c
+    return (
+        top.select(
+            "w",
+            "total",
+            "df",
+            portable_round(mean_c, 6).cast("double").alias("mean_per_doc"),
+            F.when(mean_c == 0, F.lit(None).cast("double"))
+            .otherwise(portable_round(var_c / mean_c, 6))
+            .cast("double")
+            .alias("burstiness_vmr"),
+        )
+        .orderBy(F.col("total").desc(), "w")
+    )

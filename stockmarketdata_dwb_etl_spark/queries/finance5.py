@@ -1064,3 +1064,189 @@ def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol_a", "symbol_b")
     )
+
+
+@query(
+    "q_adf_lite",
+    oracle=f"""
+    WITH cbars AS (
+        SELECT event_type AS symbol,
+               date_trunc('hour', ts) AS bar_ts,
+               arg_max(value, {_DUCK_ORD}) AS close
+        FROM events GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT symbol,
+               lag(close) OVER ws AS xl,
+               close - lag(close) OVER ws AS dx
+        FROM cbars
+        WINDOW ws AS (PARTITION BY symbol ORDER BY bar_ts)
+        QUALIFY lag(close) OVER ws IS NOT NULL
+    ),
+    mo AS (
+        SELECT symbol,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(xl AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(dx AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(xl * xl AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(xl * dx AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(dx * dx AS DECIMAL(38,18))) AS DOUBLE) AS syy
+        FROM d GROUP BY 1
+    ),
+    fit AS (
+        SELECT symbol, n,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+               (syy - sy * sy / n
+                - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                  * (sxy - sx * sy / n)) / (n - 2) AS s2,
+               sxx - sx * sx / n AS cxx
+        FROM mo WHERE n > 2 AND n * sxx - sx * sx > 0
+    )
+    SELECT symbol, n,
+           {_pr("beta", 8)} AS gamma,
+           CASE WHEN s2 <= 0 OR cxx <= 0 THEN NULL
+                ELSE {_pr("beta / sqrt(s2 / cxx)", 6)} END AS df_t
+    FROM fit ORDER BY symbol
+    """,
+)
+def q_adf_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey–Fuller unit-root test (zero augmentation lags) per
+    symbol: regress Δclose on close_{t−1} with intercept; γ < 0 with a
+    large-magnitude t rejects the unit root (mean reversion), γ ≈ 0
+    means a random walk — the stationarity screen upstream of
+    q_cointegration_screen's residual diagnostics. Closed-form OLS
+    slope, residual variance, and t = γ̂/√(s²/Sxx) from one DECIMAL
+    joint-moment pass; degenerate regressor variance → row drops.
+    Scale: one lag window + one moments hash-agg."""
+    ev = load_table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("hour", F.col("ts")).alias("bar_ts"),
+    ).agg(F.max_by("value", _spark_ord()).alias("close"))
+    ws = Window.partitionBy("symbol").orderBy("bar_ts")
+    d = (
+        bars.select(
+            "symbol",
+            F.lag("close").over(ws).alias("xl"),
+            (F.col("close") - F.lag("close").over(ws)).alias("dx"),
+        )
+        .filter(F.col("xl").isNotNull())
+    )
+    xl, dx = F.col("xl"), F.col("dx")
+    mo = d.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xl.cast(_DEC18)).cast("double").alias("sx"),
+        F.sum(dx.cast(_DEC18)).cast("double").alias("sy"),
+        F.sum((xl * xl).cast(_DEC18)).cast("double").alias("sxx"),
+        F.sum((xl * dx).cast(_DEC18)).cast("double").alias("sxy"),
+        F.sum((dx * dx).cast(_DEC18)).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    cxx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    beta = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    s2 = (
+        F.col("syy")
+        - F.col("sy") * F.col("sy") / n
+        - beta * (F.col("sxy") - F.col("sx") * F.col("sy") / n)
+    ) / (n - 2)
+    return (
+        mo.filter(
+            (n > 2) & (n * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+        )
+        .select(
+            "symbol",
+            "n",
+            portable_round(beta, 8).cast("double").alias("gamma"),
+            F.when((s2 <= 0) | (cxx <= 0), F.lit(None).cast("double"))
+            .otherwise(portable_round(beta / F.sqrt(s2 / cxx), 6))
+            .cast("double")
+            .alias("df_t"),
+        )
+        .orderBy("symbol")
+    )
+
+
+@query(
+    "q_page_hinkley",
+    oracle=f"""
+    WITH {_DUCK_LOGRETS},
+    mu AS (
+        SELECT symbol,
+               CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
+                   AS mu
+        FROM lr GROUP BY 1
+    ),
+    cum AS (
+        SELECT l.symbol, l.bar_ts,
+               CAST(SUM(CAST((CAST(floor(CAST((l.r - m.mu - 0.0001)
+                    AS DOUBLE) * 1000000000000.0 + 0.5) AS DOUBLE)
+                    / 1000000000000.0) AS DECIMAL(38,18))) OVER w
+                    AS DOUBLE) AS c
+        FROM lr l JOIN mu m USING (symbol)
+        WINDOW w AS (PARTITION BY l.symbol ORDER BY l.bar_ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    ph AS (
+        SELECT symbol, bar_ts, c,
+               c - min(c) OVER (PARTITION BY symbol ORDER BY bar_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS ph_t
+        FROM cum
+    )
+    SELECT symbol,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {_pr("max(ph_t)", 8)} AS ph_stat,
+           CAST(CASE WHEN max(ph_t) > 0.05 THEN 1 ELSE 0 END AS INTEGER)
+               AS drift_alarm
+    FROM ph GROUP BY symbol ORDER BY symbol
+    """,
+)
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley upward-drift statistic per symbol over hourly log
+    returns (δ = 1e-4, λ = 0.05): PH = max_t (C_t − min_{s≤t} C_s)
+    with C_t the running sum of (x − x̄ − δ) — the classic sequential
+    changepoint detector, here rewritten from its per-step recurrence
+    into PREFIX SUM − RUNNING MIN, so it stays in two stacked JVM
+    windows with no Python and no iterative state (the q_cusum
+    lesson applied to the mean-shift detector streaming-ML libraries
+    ship). Each summand 12dp-rounds then accumulates in DECIMAL (the
+    prefix sum must be identical on both engines at EVERY t, not just
+    in total). Scale: one broadcast mean join + two stacked windows on
+    the symbol partition."""
+    lr = _logrets(spark, sf_dir)
+    mu = lr.groupBy("symbol").agg(
+        (
+            F.sum(F.col("r").cast(_DEC18)).cast("double") / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    term = portable_round(
+        F.col("r") - F.col("mu") - F.lit(0.0001), 12
+    ).cast(_DEC18)
+    wc = (
+        Window.partitionBy("symbol")
+        .orderBy("bar_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = lr.join(F.broadcast(mu), "symbol").select(
+        "symbol",
+        "bar_ts",
+        F.sum(term).over(wc).cast("double").alias("c"),
+    )
+    ph = cum.select(
+        "symbol",
+        (F.col("c") - F.min("c").over(wc)).alias("ph_t"),
+    )
+    return (
+        ph.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            portable_round(F.max("ph_t"), 8).cast("double").alias("ph_stat"),
+            F.when(F.max("ph_t") > 0.05, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("drift_alarm"),
+        )
+        .orderBy("symbol")
+    )

@@ -1296,3 +1296,155 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("nmi"),
     )
+
+
+@query(
+    "q_odds_ratio",
+    oracle=f"""
+    WITH cm AS (
+        SELECT CAST(SUM(CASE WHEN event_type = 'click' AND value >= 50
+                        THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN event_type = 'click' AND value < 50
+                        THEN 1 ELSE 0 END) AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN event_type = 'purchase' AND value >= 50
+                        THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN event_type = 'purchase' AND value < 50
+                        THEN 1 ELSE 0 END) AS BIGINT) AS d
+        FROM events WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT a, b, c, d,
+           CASE WHEN b * c = 0 THEN NULL
+                ELSE {_pr(
+                    "(CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c)",
+                    6)} END AS odds_ratio,
+           CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL
+                ELSE {_pr(
+                    "exp(ln((CAST(a AS DOUBLE) * d)"
+                    "        / (CAST(b AS DOUBLE) * c))"
+                    "    - 1.959963984540054"
+                    "      * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d))",
+                    6)} END AS ci_lo,
+           CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL
+                ELSE {_pr(
+                    "exp(ln((CAST(a AS DOUBLE) * d)"
+                    "        / (CAST(b AS DOUBLE) * c))"
+                    "    + 1.959963984540054"
+                    "      * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d))",
+                    6)} END AS ci_hi
+    FROM cm
+    """,
+)
+def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio with Woolf 95% CI for the 2×2 (click vs purchase) ×
+    (value ≥ 50) table: OR = ad/bc, CI = exp(ln OR ± z·√(1/a+1/b+1/c
+    +1/d)) — the effect-size companion to q_chi_square/q_mcnemar that
+    A/B analyses report beside the p-value. Cell counts exact integers
+    from one scan; the z quantile enters as a LITERAL
+    (1.959963984540054 — the cross-libm rule: never compute a
+    normalizing constant through two different libms); any empty cell
+    → NULL CI. Scale: one filter-pushed scan, one 1-row agg."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin("click", "purchase"))
+    hi = F.col("value") >= 50
+    click = F.col("event_type") == "click"
+    cm = s.agg(
+        F.sum(F.when(click & hi, 1).otherwise(0)).cast("bigint").alias("a"),
+        F.sum(F.when(click & ~hi, 1).otherwise(0)).cast("bigint").alias("b"),
+        F.sum(F.when(~click & hi, 1).otherwise(0)).cast("bigint").alias("c"),
+        F.sum(F.when(~click & ~hi, 1).otherwise(0)).cast("bigint").alias("d"),
+    )
+    a, b, c, d = (F.col(x).cast("double") for x in ("a", "b", "c", "d"))
+    orr = (a * F.col("d")) / (b * F.col("c"))
+    se = F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    z = F.lit(1.959963984540054)
+    any_zero = (
+        (F.col("a") == 0) | (F.col("b") == 0) | (F.col("c") == 0) | (F.col("d") == 0)
+    )
+    return cm.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.when(F.col("b") * F.col("c") == 0, F.lit(None).cast("double"))
+        .otherwise(portable_round(orr, 6))
+        .cast("double")
+        .alias("odds_ratio"),
+        F.when(any_zero, F.lit(None).cast("double"))
+        .otherwise(portable_round(F.exp(F.log(orr) - z * se), 6))
+        .cast("double")
+        .alias("ci_lo"),
+        F.when(any_zero, F.lit(None).cast("double"))
+        .otherwise(portable_round(F.exp(F.log(orr) + z * se), 6))
+        .cast("double")
+        .alias("ci_hi"),
+    )
+
+
+@query(
+    "q_poisson_rate_test",
+    oracle=f"""
+    WITH span AS (
+        SELECT CAST(date_diff('hour', MIN(ts), MAX(ts)) + 1 AS BIGINT)
+                   AS hours
+        FROM events
+    ),
+    k AS (
+        SELECT CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k1,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k2
+        FROM events
+    )
+    SELECT k1, k2, hours,
+           {_pr("CAST(k1 AS DOUBLE) / hours", 6)} AS rate_click,
+           {_pr("CAST(k2 AS DOUBLE) / hours", 6)} AS rate_error,
+           CASE WHEN k1 + k2 = 0 THEN NULL
+                ELSE {_pr(
+                    "(CAST(k1 AS DOUBLE) - k2)"
+                    " / sqrt(CAST(k1 AS DOUBLE) + k2)", 6)} END AS z
+    FROM k CROSS JOIN span
+    """,
+)
+def q_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Poisson rate comparison (click vs error arrivals over
+    the shared observation window): under H₀ of equal rates the count
+    difference normalizes as z = (k₁−k₂)/√(k₁+k₂) (the conditional
+    binomial form — exact integers until the final ratio), with the
+    per-hour rates reported over the fixture's hour span. The
+    event-rate drift check an ingestion monitor runs beside
+    q_interarrival_stats' gap profile. Scale: one scan, two 1-row
+    aggs."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        (
+            (
+                F.expr(
+                    "timestampdiff(HOUR, min(ts), max(ts))"
+                )
+            )
+            + 1
+        )
+        .cast("bigint")
+        .alias("hours")
+    )
+    k = ev.agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("k1"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("k2"),
+    )
+    j = k.crossJoin(span)
+    k1, k2 = F.col("k1").cast("double"), F.col("k2").cast("double")
+    return j.select(
+        "k1",
+        "k2",
+        "hours",
+        portable_round(k1 / F.col("hours"), 6).cast("double").alias("rate_click"),
+        portable_round(k2 / F.col("hours"), 6).cast("double").alias("rate_error"),
+        F.when(F.col("k1") + F.col("k2") == 0, F.lit(None).cast("double"))
+        .otherwise(portable_round((k1 - k2) / F.sqrt(k1 + k2), 6))
+        .cast("double")
+        .alias("z"),
+    )

@@ -63,6 +63,7 @@ PROBES = (
     "q_kalman_filter",      # applyInPandas sequential recurrence (round 6)
     "q_kruskal_wallis",     # value-histogram + global prefix sum (round 6)
     "q_granger_lite",       # bar_ts-co-partitioned pair join + moments (round 6)
+    "q_corpus_pipeline",    # canonicalize→gate→dedup→split integration (round 6)
 )
 
 

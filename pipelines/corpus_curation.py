@@ -108,17 +108,46 @@ def build_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def build_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-(split, lang) accounting over the surviving corpus."""
+    """Per-(split, lang) accounting over the surviving corpus.
+
+    The corpus digest is TWO-LEVEL so no aggregation state is ever
+    proportional to group size (the scale fix over
+    q_text_canonicalize's single-level ordered collect): docs hash
+    into 64 doc_id-buckets, each bucket folds its doc_id-ordered
+    digests into one md5 (bucket-bounded array), then the group digest
+    folds the ≤64 ordered bucket digests — both levels deterministic
+    on both engines, state O(bucket count) per group at any corpus
+    size."""
     kept = build_deduped(spark, sf_dir)
-    return (
-        kept.groupBy("split", "lang")
+    bucket = (F.col("doc_id") % 64).cast("int")
+    bdig = (
+        kept.groupBy("split", "lang", bucket.alias("bkt"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum(F.col("distinct_ratio").cast(_DEC18)).alias("sum_dr"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("doc_id", F.col("digest").alias("h"))
+                            )
+                        ),
+                        lambda s: s["h"],
+                    ),
+                    "",
+                ).cast("binary")
+            ).alias("bdigest"),
+        )
+    )
+    return (
+        bdig.groupBy("split", "lang")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("total_tokens").cast("bigint").alias("total_tokens"),
             portable_round(
-                F.sum(F.col("distinct_ratio").cast(_DEC18)).cast("double")
-                / F.count(F.lit(1)),
-                4,
+                F.sum("sum_dr").cast("double") / F.sum("n_docs"), 4
             )
             .cast("double")
             .alias("avg_distinct_ratio"),
@@ -127,7 +156,7 @@ def build_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.transform(
                         F.array_sort(
                             F.collect_list(
-                                F.struct("doc_id", F.col("digest").alias("h"))
+                                F.struct("bkt", F.col("bdigest").alias("h"))
                             )
                         ),
                         lambda s: s["h"],

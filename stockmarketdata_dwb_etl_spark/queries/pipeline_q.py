@@ -183,16 +183,25 @@ CORPUS_PIPELINE_ORACLE = """
                                            ORDER BY doc_id) AS rn
               FROM gated)
         WHERE rn = 1
+    ),
+    bdig AS (
+        SELECT split, lang, CAST(doc_id % 64 AS INTEGER) AS bkt,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               SUM(CAST(distinct_ratio AS DECIMAL(38,18))) AS sum_dr,
+               md5(string_agg(digest, '' ORDER BY doc_id)) AS bdigest
+        FROM deduped
+        GROUP BY 1, 2, 3
     )
     SELECT split, lang,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-           CAST((CAST(floor(CAST((CAST(SUM(CAST(distinct_ratio
-                AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)) AS DOUBLE)
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(total_tokens) AS BIGINT) AS total_tokens,
+           CAST((CAST(floor(CAST((CAST(SUM(sum_dr) AS DOUBLE)
+                / SUM(n_docs)) AS DOUBLE)
                 * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE)
                AS avg_distinct_ratio,
-           md5(string_agg(digest, '' ORDER BY doc_id)) AS corpus_digest
-    FROM deduped
+           md5(string_agg(bdigest, '' ORDER BY bkt)) AS corpus_digest
+    FROM bdig
     GROUP BY split, lang
     ORDER BY split, lang
 """

@@ -1317,3 +1317,265 @@ def q_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("total").desc(), "w")
     )
+
+
+_HEXD = "0123456789abcdef"
+
+
+def _duck_hex1(expr: str) -> str:
+    """DuckDB: first hex digit of md5(expr) as an integer 0..15."""
+    return f"(strpos('{_HEXD}', substr(md5({expr}), 1, 1)) - 1)"
+
+
+@query(
+    "q_span_corruption",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(
+                   trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' '),
+                   x -> x <> '') AS ws
+        FROM documents
+    ),
+    flags AS (
+        SELECT doc_id, len(ws) AS n_tokens,
+               list_transform(generate_series(1, len(ws)), i ->
+                   CASE WHEN
+                       ({_duck_hex1(
+                           "CAST(doc_id AS VARCHAR) || '-' "
+                           "|| CAST(i AS VARCHAR)")}) % 10 = 0
+                    OR (i > 1 AND ({_duck_hex1(
+                           "CAST(doc_id AS VARCHAR) || '-' "
+                           "|| CAST(i - 1 AS VARCHAR)")}) % 10 = 0)
+                    OR (i > 2 AND ({_duck_hex1(
+                           "CAST(doc_id AS VARCHAR) || '-' "
+                           "|| CAST(i - 2 AS VARCHAR)")}) % 10 = 0)
+                   THEN 1 ELSE 0 END) AS m
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(list_sum(m) AS BIGINT) AS n_masked,
+           CAST((CAST(floor(CAST((CAST(list_sum(m) AS DOUBLE)
+                / greatest(n_tokens, 1)) AS DOUBLE) * 10000.0 + 0.5)
+                AS DOUBLE) / 10000.0) AS DOUBLE) AS mask_ratio
+    FROM flags
+    ORDER BY doc_id
+    """,
+)
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption mask plan per document: every token
+    position is a span START with probability 1/10 decided by a HASH
+    of (doc_id, position) — not an RNG, so the exact same mask
+    materializes on any engine, partitioning, or rerun (the
+    q_bootstrap_ci / q_hash_split determinism discipline applied to
+    denoising-objective data generation) — and each span covers 3
+    tokens (a position is masked if it or either of its two
+    predecessors starts a span). Reports the per-doc mask plan
+    (tokens, masked count, realized mask ratio ≈ the 26% a 10%/len-3
+    scheme implies). Scale: map-only — per-position flags are pure
+    hash arithmetic inside one array transform; no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    ctext = F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " "))
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(ctext, " "), lambda x: x != "").alias("ws"),
+    )
+
+    def start(i):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "-", F.col("doc_id").cast("string"), i.cast("string")
+                        )
+                    ),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 10
+            == 0
+        )
+
+    flags = toks.select(
+        "doc_id",
+        F.size("ws").alias("n_tokens"),
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws")),
+            lambda i: F.when(
+                start(i)
+                | ((i > 1) & start(i - 1))
+                | ((i > 2) & start(i - 2)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        ).alias("m"),
+    )
+    n_masked = F.aggregate(
+        "m", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    return (
+        flags.select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            n_masked.alias("n_masked"),
+            portable_round(
+                n_masked.cast("double") / F.greatest("n_tokens", F.lit(1)), 4
+            )
+            .cast("double")
+            .alias("mask_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_lm_cross_split",
+    oracle="""
+    WITH b AS (
+        SELECT *,
+               (strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               AS bucket
+        FROM documents
+    ),
+    sp AS (
+        SELECT doc_id, lang,
+               CASE WHEN bucket < 230 THEN 'train'
+                    WHEN bucket < 243 THEN 'val'
+                    ELSE 'test' END AS split,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM b
+    ),
+    tr_uni AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS c_a
+        FROM (SELECT unnest(ws) AS t FROM sp WHERE split = 'train')
+        GROUP BY t
+    ),
+    vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM tr_uni),
+    tr_big AS (
+        SELECT bg.a AS a, bg.b AS b, CAST(COUNT(*) AS BIGINT) AS c_ab
+        FROM (SELECT unnest(list_transform(
+                  generate_series(1, greatest(len(ws) - 1, 0)),
+                  i -> struct_pack(a := ws[i], b := ws[i+1])),
+                  recursive := false) AS bg
+              FROM sp WHERE split = 'train')
+        GROUP BY 1, 2
+    ),
+    val_big AS (
+        SELECT doc_id, lang, bg.a AS a, bg.b AS b
+        FROM (SELECT doc_id, lang, unnest(list_transform(
+                  generate_series(1, greatest(len(ws) - 1, 0)),
+                  i -> struct_pack(a := ws[i], b := ws[i+1])),
+                  recursive := false) AS bg
+              FROM sp WHERE split = 'val')
+    ),
+    scored AS (
+        SELECT vb.lang,
+               CASE WHEN tb.c_ab IS NULL THEN 1 ELSE 0 END AS oov,
+               CAST(floor(CAST((ln((COALESCE(tb.c_ab, 0) + 1.0)
+                    / (COALESCE(tu.c_a, 0) + vc.v))) AS DOUBLE)
+                    * 1000000000000.0 + 0.5) AS DOUBLE)
+                    / 1000000000000.0 AS ll
+        FROM val_big vb
+        LEFT JOIN tr_big tb ON tb.a = vb.a AND tb.b = vb.b
+        LEFT JOIN tr_uni tu ON tu.t = vb.a
+        CROSS JOIN vocab vc
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(oov) AS BIGINT) AS n_unseen,
+           CAST((CAST(floor(CAST((CAST(SUM(CAST(ll AS DECIMAL(38,18)))
+                AS DOUBLE) / COUNT(*)) AS DOUBLE) * 1000000.0 + 0.5)
+                AS DOUBLE) / 1000000.0) AS DOUBLE) AS mean_ll
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+)
+def q_lm_cross_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split LM evaluation — the train/eval hygiene check: an
+    add-one-smoothed bigram LM trained ONLY on the q_hash_split train
+    docs scores the VAL split's bigrams, reported per language as mean
+    log-likelihood + unseen-bigram count (ln P(b|a) = ln((c_ab+1)/
+    (c_a+V)) — unlike q_lm_score's self-perplexity there is no
+    train/eval leakage, so this number can legitimately gate a data
+    release). Each ln term is an identical double tree (12dp-rounded,
+    DECIMAL mean); splits are the md5-bucket rule so membership is
+    engine-exact. Scale: train count tables shuffle on the token key;
+    the val join keys on the same bigram key; vocab is a 1-row
+    broadcast."""
+    from stockmarketdata_dwb_etl_spark.queries.reports import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket("doc_id", 256)
+    split = (
+        F.when(bucket < 230, "train").when(bucket < 243, "val").otherwise("test")
+    )
+    # sp feeds the train unigram/bigram counters AND the val side —
+    # persist once or the tokenizing scan re-executes per consumer
+    sp = bounded_persist(
+        docs.select(
+            "doc_id",
+            "lang",
+            split.alias("split"),
+            F.filter(F.split("text", " "), lambda x: x != "").alias("ws"),
+        ),
+        "lmx-split-tokens",
+    )
+    bigs = F.expr(
+        "transform(sequence(1, greatest(size(ws) - 1, 0)),"
+        " i -> struct(element_at(ws, i) AS a, element_at(ws, i + 1) AS b))"
+    )
+    tr = sp.filter(F.col("split") == "train")
+    tr_uni = (
+        tr.select(F.explode("ws").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_a"))
+    )
+    vocab = tr_uni.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    tr_big = (
+        tr.select(F.explode(bigs).alias("bg"))
+        .select("bg.a", "bg.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+    )
+    val_big = (
+        sp.filter(F.col("split") == "val")
+        .select("doc_id", "lang", F.explode(bigs).alias("bg"))
+        .select("doc_id", "lang", "bg.a", "bg.b")
+    )
+    scored = (
+        val_big.join(tr_big, ["a", "b"], "left")
+        .join(tr_uni.withColumnRenamed("t", "a"), "a", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            F.when(F.col("c_ab").isNull(), 1).otherwise(0).alias("oov"),
+            portable_round(
+                F.log(
+                    (F.coalesce(F.col("c_ab"), F.lit(0)) + F.lit(1.0))
+                    / (F.coalesce(F.col("c_a"), F.lit(0)) + F.col("v"))
+                ),
+                12,
+            ).alias("ll"),
+        )
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("oov").cast("bigint").alias("n_unseen"),
+            portable_round(
+                F.sum(F.col("ll").cast(_DEC18)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            )
+            .cast("double")
+            .alias("mean_ll"),
+        )
+        .orderBy("lang")
+    )

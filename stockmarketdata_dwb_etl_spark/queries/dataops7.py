@@ -1579,3 +1579,158 @@ def q_lm_cross_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@query(
+    "q_tokenizer_fertility",
+    oracle=f"""
+    WITH f AS (
+        SELECT lang,
+               CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT)
+                   AS n_bpe,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS BIGINT) AS n_words
+        FROM documents
+    ),
+    d AS (
+        SELECT lang, n_bpe, n_words,
+               CAST(n_bpe AS DOUBLE) / n_words AS fert
+        FROM f WHERE n_words > 0
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST((CAST(floor(CAST((CAST(SUM(n_bpe) AS DOUBLE)
+                / SUM(n_words)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE)
+                / 10000.0) AS DOUBLE) AS fertility,
+           CAST((CAST(floor(CAST((quantile_cont(fert, 0.9)) AS DOUBLE)
+                * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE)
+               AS fertility_p90
+    FROM d GROUP BY lang ORDER BY lang
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace
+    word (corpus-level ratio of exact integer counts + the per-doc p90
+    via exact percentile) — THE cross-language tokenizer-quality metric
+    (a language whose fertility runs 2× pays 2× the context budget for
+    the same text), beside q_token_count_bpe's chars-per-token and
+    q_vocab_coverage's OOV rate. Same saturation-free regex on both
+    engines. Scale: map-only counts + one lang hash-agg (the percentile
+    is per-group exact, catalog-sized group count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # F.lit carries the pattern without SQL string-literal escape
+    # mangling (an F.expr literal would eat the \\s)
+    n_bpe = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0))
+    ).cast("bigint")
+    n_words = F.size(
+        F.filter(F.split("text", " "), lambda x: x != "")
+    ).cast("bigint")
+    d = (
+        docs.select("lang", n_bpe.alias("n_bpe"), n_words.alias("n_words"))
+        .filter(F.col("n_words") > 0)
+        .withColumn(
+            "fert", F.col("n_bpe").cast("double") / F.col("n_words")
+        )
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bpe").cast("bigint").alias("total_bpe"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+            portable_round(
+                F.sum("n_bpe").cast("double") / F.sum("n_words"), 4
+            )
+            .cast("double")
+            .alias("fertility"),
+            portable_round(F.percentile("fert", 0.9), 4)
+            .cast("double")
+            .alias("fertility_p90"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q_dedup_prefix",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, n_chars,
+               list_filter(string_split(
+                   trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' '),
+                   x -> x <> '') AS ws
+        FROM documents
+    ),
+    pfx AS (
+        SELECT doc_id, n_chars,
+               md5(array_to_string(ws[1:least(50, len(ws))], ' ')) AS ph
+        FROM toks WHERE len(ws) > 0
+    ),
+    cl AS (
+        SELECT ph,
+               CAST(COUNT(*) AS BIGINT) AS cluster_size,
+               CAST(MIN(doc_id) AS BIGINT) AS canonical_doc,
+               CAST(SUM(n_chars) - MAX(n_chars) AS BIGINT)
+                   AS removable_chars
+        FROM pfx GROUP BY ph
+        HAVING COUNT(*) >= 2
+    )
+    SELECT ph AS prefix_hash, cluster_size, canonical_doc, removable_chars
+    FROM cl
+    ORDER BY cluster_size DESC, canonical_doc
+    LIMIT 100
+    """,
+)
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-duplicate detection: documents whose first 50 canonical
+    tokens hash identically — the partial-duplicate class full-document
+    digests MISS (same article with different trailing boilerplate,
+    truncated re-crawls) and MinHash only catches above its whole-doc
+    Jaccard threshold. Clusters of ≥2 report size, the canonical
+    (lowest-id) survivor, and the removable character mass (keep the
+    LONGEST member — the truncation-aware convention). One shuffle on
+    the 32-char prefix hash; text never moves. Scale: the
+    q_dedup_exact posture with a prefix key; top-100 deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    ctext = F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " "))
+    toks = docs.select(
+        "doc_id",
+        "n_chars",
+        F.filter(F.split(ctext, " "), lambda x: x != "").alias("ws"),
+    ).filter(F.size("ws") > 0)
+    pfx = toks.select(
+        "doc_id",
+        "n_chars",
+        F.md5(
+            F.array_join(
+                F.slice(F.col("ws"), 1, F.least(F.lit(50), F.size("ws"))), " "
+            ).cast("binary")
+        ).alias("ph"),
+    )
+    cl = (
+        pfx.groupBy("ph")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+            F.min("doc_id").cast("bigint").alias("canonical_doc"),
+            (F.sum("n_chars") - F.max("n_chars"))
+            .cast("bigint")
+            .alias("removable_chars"),
+        )
+        .filter(F.col("cluster_size") >= 2)
+    )
+    return (
+        cl.select(
+            F.col("ph").alias("prefix_hash"),
+            "cluster_size",
+            "canonical_doc",
+            "removable_chars",
+        )
+        .orderBy(F.col("cluster_size").desc(), "canonical_doc")
+        .limit(100)
+    )

@@ -670,3 +670,80 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = run_stream_to_parquet(gated, "stream_quality_gate")
     return spark.read.parquet(sink)
+
+
+@query(
+    "q_stream_dollar_bars",
+    oracle=f"""
+    WITH t AS (
+        SELECT event_type AS symbol, value,
+               printf('%020d-%012d', epoch_us(ts), event_id) AS ord,
+               CAST(sum(CAST(value AS DECIMAL(38,6))) OVER (
+                   PARTITION BY event_type
+                   ORDER BY printf('%020d-%012d', epoch_us(ts), event_id)
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS DOUBLE) AS cum_before
+        FROM events
+    ),
+    bt AS (
+        SELECT symbol, value, ord,
+               CAST(floor(COALESCE(cum_before, 0.0) / 5000.0) AS BIGINT)
+                   AS bar_id
+        FROM t
+    )
+    SELECT symbol, bar_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           arg_min(value, ord) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ord) AS close,
+           CAST((CAST(floor(CAST((CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE)
+                / 10000.0) AS DOUBLE) AS dollar_volume
+    FROM bt GROUP BY symbol, bar_id
+    ORDER BY symbol, bar_id
+    """,
+)
+def q_stream_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run of dollar-bar construction
+    (streaming/jobs.py::stateful_dollar_bars): the event replay streams
+    per symbol through a custom stateful operator whose ONLY state is
+    the cumulative traded value in exact integer cents, emitting
+    partial per-bar aggregates each microbatch; bars spanning
+    microbatches merge here with MERGEABLE aggregates (sum / min / max
+    / ord-keyed min_by-max_by — the two-level-aggregate pattern), so
+    no bar-close logic or timeout exists anywhere. The merged sink
+    must equal the batch q_dollar_bars table exactly — the oracle IS
+    that batch query (integer-cents state cannot drift from the batch
+    DECIMAL running sum, and the bar_id floor runs the identical
+    double op order). Scale: state is one bigint per symbol; the
+    partial-bar merge shuffles on (symbol, bar_id) only."""
+    from stockmarketdata_dwb_etl_spark.queries.timeseries import _spark_ord
+    from stockmarketdata_dwb_etl_spark.streaming.jobs import (
+        stateful_dollar_bars,
+    )
+
+    chunks = prepare_event_chunks(spark, sf_dir)
+    stream = read_events_stream(spark, chunks).select(
+        "event_type", "value", _spark_ord().alias("ord")
+    )
+    sink = run_stream_to_parquet(
+        stateful_dollar_bars(stream), "stream_dollar_bars"
+    )
+    parts = spark.read.parquet(sink)
+    return (
+        parts.groupBy("symbol", "bar_id")
+        .agg(
+            F.sum("n_ticks").cast("bigint").alias("n_ticks"),
+            F.min_by("open", "open_ord").alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", "close_ord").alias("close"),
+            portable_round(
+                F.sum("dollar_cents").cast("double") / F.lit(100.0), 4
+            )
+            .cast("double")
+            .alias("dollar_volume"),
+        )
+        .orderBy("symbol", "bar_id")
+    )

@@ -438,3 +438,78 @@ def run_stream_incremental_merge_partitioned(
         )
         q.awaitTermination()
     return snapshot
+
+
+def stateful_dollar_bars(stream: DataFrame, threshold_cents: int = 500_000) -> DataFrame:
+    """Dollar-bar construction as a custom stateful streaming operator
+    (``applyInPandasWithState`` per symbol): the ONLY carried state is
+    the cumulative traded value in exact INTEGER CENTS (one bigint per
+    symbol — integer so cross-batch accumulation can never drift from
+    the batch engine's DECIMAL running sum). Each microbatch sorts its
+    ticks on the padded (ts,event_id) key, assigns
+    bar_id = floor((cents_before/100)/5000) with the IDENTICAL
+    double-division/floor op order as the batch q_dollar_bars plan, and
+    emits PARTIAL per-bar aggregates (tick count, ord-keyed open/close
+    candidates, high/low, dollar cents). Bars spanning microbatches
+    merge downstream with mergeable aggregates (sum/min/max/min_by/
+    max_by) — the two-level-aggregate pattern, so the stream needs no
+    bar-close logic and no timeout handling.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: tuple, pdfs, state: GroupState):
+        (cents,) = state.get if state.exists else (0,)
+        frames = []
+        for pdf in pdfs:
+            if len(pdf):
+                frames.append(pdf)
+        if not frames:
+            state.update((cents,))
+            return
+        batch = pd.concat(frames).sort_values("ord").reset_index(drop=True)
+        rows = []
+        for ordk, value in zip(batch["ord"], batch["value"]):
+            v_cents = int(round(float(value) * 100))
+            # identical op order to the batch plan: decimal cents ->
+            # double units -> /5000.0 -> floor
+            bar_id = int(((cents / 100.0) / 5000.0) // 1)
+            rows.append((bar_id, ordk, float(value), v_cents))
+            cents += v_cents
+        out = pd.DataFrame(
+            rows, columns=["bar_id", "ord", "value", "v_cents"]
+        )
+        g = out.groupby("bar_id", sort=True)
+        part = pd.DataFrame(
+            {
+                "symbol": key[0],
+                "bar_id": g.size().index.astype("int64"),
+                "n_ticks": g.size().astype("int64").values,
+                "open_ord": g["ord"].min().values,
+                "open": g.apply(
+                    lambda x: x.loc[x["ord"].idxmin(), "value"]
+                ).values,
+                "high": g["value"].max().values,
+                "low": g["value"].min().values,
+                "close_ord": g["ord"].max().values,
+                "close": g.apply(
+                    lambda x: x.loc[x["ord"].idxmax(), "value"]
+                ).values,
+                "dollar_cents": g["v_cents"].sum().astype("int64").values,
+            }
+        )
+        state.update((int(cents),))
+        yield part
+
+    return stream.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "symbol string, bar_id bigint, n_ticks bigint,"
+            " open_ord string, open double, high double, low double,"
+            " close_ord string, close double, dollar_cents bigint"
+        ),
+        stateStructType="cents bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -122,20 +122,35 @@ def minhash_signatures(
     plit = F.lit([[float(a), float(b)] for a, b in params])
     P = F.lit(MERSENNE_P31).cast("bigint")
     hashes = F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), P))
+    # Let-bind the shingle-hash array so xxhash64 runs ONCE per doc, not
+    # once per permutation (ADVICE r6): a plain column hoist gets
+    # re-inlined by CollapseProject and HOF lambdas see no subexpression
+    # elimination, so the binding must live in the expression tree —
+    # wrap the hash array in a 1-element array and transform over it;
+    # the lambda variable ``h_arr`` holds the evaluated array for all
+    # n_perm inner loops. Verified: identical signatures, ~n_perm×
+    # fewer xxhash64 calls.
+    sig = F.element_at(
+        F.transform(
+            F.array(hashes),
+            lambda h_arr: F.transform(
+                plit,
+                lambda ab: F.array_min(
+                    F.transform(
+                        h_arr,
+                        lambda h: F.pmod(
+                            h * ab[0].cast("bigint") + ab[1].cast("bigint"), P
+                        ),
+                    )
+                ),
+            ),
+        ),
+        1,
+    )
     return shingled.select(
         "id",
         F.size("shingles").alias("n_shingles"),
-        F.transform(
-            plit,
-            lambda ab: F.array_min(
-                F.transform(
-                    hashes,
-                    lambda h: F.pmod(
-                        h * ab[0].cast("bigint") + ab[1].cast("bigint"), P
-                    ),
-                )
-            ),
-        ).alias("sig"),
+        sig.alias("sig"),
     ).filter(F.col("n_shingles") > 0)
 
 
@@ -144,14 +159,26 @@ def lsh_candidate_pairs(
     n_bands: int = 16,
     rows_per_band: int = 2,
     max_bucket: int = 200,
+    size_ratio: float | None = None,
 ) -> DataFrame:
     """Distinct (id_a < id_b) candidate pairs sharing ≥1 LSH band bucket.
 
     ``max_bucket`` caps pathological buckets (boilerplate-heavy corpora)
     so the within-bucket self-join stays near-linear.
+
+    ``size_ratio`` (= the verify threshold t) enables the LOSSLESS
+    set-size pre-filter: Jaccard(A,B) ≥ t requires
+    min(|A|,|B|)/max(|A|,|B|) ≥ t (|A∩B| ≤ min, |A∪B| ≥ max), so pairs
+    failing the ratio can never verify. The sizes ride along from the
+    signature table's ``n_shingles`` — the filter runs MAP-SIDE inside
+    the bucket pair comprehension, shrinking both the pair ``distinct``
+    shuffle and the verify join's fan-in with zero recall loss
+    (VERDICT r06 #3: the exact-Jaccard verify dominated the ×10 probe).
     """
     bands = sigs.select(
-        "id",
+        F.struct(
+            F.col("id"), F.col("n_shingles").cast("bigint").alias("n")
+        ).alias("m"),
         F.explode(
             F.array(
                 *[
@@ -166,7 +193,7 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("b"),
-    ).select("id", "b.band_id", "b.bh")
+    ).select("m", "b.band_id", "b.bh")
 
     # ONE shuffle: fold each bucket's members into an array, cap, and
     # generate the ordered pairs with a JVM array comprehension. This
@@ -174,26 +201,37 @@ def lsh_candidate_pairs(
     # self-join (second shuffle) formulation — same output, ~2 fewer
     # exchanges over the 16×N band table; per-bucket pair work stays
     # O(cap²)-bounded exactly as before (capped buckets are SKIPPED,
-    # the documented recall trade).
+    # the documented recall trade). array_sort over (id, n) structs
+    # orders by id (unique), preserving the pre-filter-era pair order.
     buckets = (
         bands.groupBy("band_id", "bh")
-        .agg(F.collect_list("id").alias("ids"))
+        .agg(F.collect_list("m").alias("ms"))
         .filter(
-            (F.size("ids") >= 2) & (F.size("ids") <= max_bucket)
+            (F.size("ms") >= 2) & (F.size("ms") <= max_bucket)
         )
-        .select(F.array_sort("ids").alias("ids"))
+        .select(F.array_sort("ms").alias("ms"))
     )
+    rlit = F.lit(float(size_ratio)) if size_ratio is not None else None
     pair = F.explode(
         F.flatten(
             F.transform(
-                "ids",
-                lambda x, i: F.transform(
-                    F.slice(
-                        F.col("ids"), i + F.lit(2), F.size("ids")
+                "ms",
+                lambda x, i: F.filter(
+                    F.transform(
+                        F.slice(
+                            F.col("ms"), i + F.lit(2), F.size("ms")
+                        ),
+                        lambda y: F.struct(
+                            x["id"].alias("id_a"),
+                            y["id"].alias("id_b"),
+                            x["n"].alias("n_a"),
+                            y["n"].alias("n_b"),
+                        ),
                     ),
-                    lambda y: F.struct(
-                        x.alias("id_a"), y.alias("id_b")
-                    ),
+                    lambda p: F.lit(True)
+                    if rlit is None
+                    else F.least(p["n_a"], p["n_b"]).cast("double")
+                    >= rlit * F.greatest(p["n_a"], p["n_b"]),
                 ),
             )
         )
@@ -212,6 +250,7 @@ def lsh_cross_candidate_pairs(
     rows_per_band: int = 2,
     max_bucket: int = 200,
     max_probe_per_bucket: int = 50,
+    size_ratio: float | None = None,
 ) -> DataFrame:
     """Distinct (id_a < id_b) candidate pairs where EXACTLY ONE member
     satisfies ``is_probe(id_column)`` — the decontamination variant of
@@ -228,9 +267,15 @@ def lsh_cross_candidate_pairs(
     (bucket − probe) × cap pairs. Deterministic (ids sorted before the
     cap) — the recall trade is the same documented one as the bucket
     skip, and the exact-oracle differential certifies it doesn't bite on
-    the test fixture."""
+    the test fixture.
+
+    ``size_ratio`` is the same lossless min/max shingle-count pre-filter
+    as :func:`lsh_candidate_pairs` — applied map-side inside the
+    corpus×probe comprehension."""
     bands = sigs.select(
-        "id",
+        F.struct(
+            F.col("id"), F.col("n_shingles").cast("bigint").alias("n")
+        ).alias("m"),
         F.explode(
             F.array(
                 *[
@@ -245,31 +290,42 @@ def lsh_cross_candidate_pairs(
                 ]
             )
         ).alias("b"),
-    ).select("id", "b.band_id", "b.bh")
+    ).select("m", "b.band_id", "b.bh")
 
     buckets = (
         bands.groupBy("band_id", "bh")
-        .agg(F.collect_list("id").alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
-        .select(F.array_sort("ids").alias("ids"))
+        .agg(F.collect_list("m").alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
+        .select(F.array_sort("ms").alias("ms"))
         .select(
             F.slice(
-                F.filter("ids", is_probe), 1, max_probe_per_bucket
-            ).alias("probe_ids"),
-            F.filter("ids", lambda x: ~is_probe(x)).alias("corpus_ids"),
+                F.filter("ms", lambda m: is_probe(m["id"])),
+                1,
+                max_probe_per_bucket,
+            ).alias("probe_ms"),
+            F.filter("ms", lambda m: ~is_probe(m["id"])).alias("corpus_ms"),
         )
-        .filter((F.size("probe_ids") >= 1) & (F.size("corpus_ids") >= 1))
+        .filter((F.size("probe_ms") >= 1) & (F.size("corpus_ms") >= 1))
     )
+    rlit = F.lit(float(size_ratio)) if size_ratio is not None else None
     pair = F.explode(
         F.flatten(
             F.transform(
-                "corpus_ids",
-                lambda c: F.transform(
-                    "probe_ids",
-                    lambda p: F.struct(
-                        F.least(c, p).alias("id_a"),
-                        F.greatest(c, p).alias("id_b"),
+                "corpus_ms",
+                lambda c: F.filter(
+                    F.transform(
+                        "probe_ms",
+                        lambda p: F.struct(
+                            F.least(c["id"], p["id"]).alias("id_a"),
+                            F.greatest(c["id"], p["id"]).alias("id_b"),
+                            c["n"].alias("n_c"),
+                            p["n"].alias("n_p"),
+                        ),
                     ),
+                    lambda q: F.lit(True)
+                    if rlit is None
+                    else F.least(q["n_c"], q["n_p"]).cast("double")
+                    >= rlit * F.greatest(q["n_c"], q["n_p"]),
                 ),
             )
         )
@@ -319,7 +375,9 @@ def minhash_near_dups(
     sigs = minhash_signatures(
         docs, id_col, text_col, seed=seed, shingle_k=shingle_k, shingled=shingled
     )
-    return verify_jaccard(shingled, lsh_candidate_pairs(sigs), threshold)
+    return verify_jaccard(
+        shingled, lsh_candidate_pairs(sigs, size_ratio=threshold), threshold
+    )
 
 
 def minhash_cross_near_dups(
@@ -342,7 +400,9 @@ def minhash_cross_near_dups(
         docs, id_col, text_col, seed=seed, shingle_k=shingle_k, shingled=shingled
     )
     return verify_jaccard(
-        shingled, lsh_cross_candidate_pairs(sigs, is_probe), threshold
+        shingled,
+        lsh_cross_candidate_pairs(sigs, is_probe, size_ratio=threshold),
+        threshold,
     )
 
 

@@ -1384,7 +1384,8 @@ def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_poisson_rate_test",
     oracle=f"""
     WITH span AS (
-        SELECT CAST(date_diff('hour', MIN(ts), MAX(ts)) + 1 AS BIGINT)
+        SELECT CAST(date_diff('hour', date_trunc('hour', MIN(ts)),
+                              date_trunc('hour', MAX(ts))) + 1 AS BIGINT)
                    AS hours
         FROM events
     ),
@@ -1415,12 +1416,16 @@ def q_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_interarrival_stats' gap profile. Scale: one scan, two 1-row
     aggs."""
     ev = load_table(spark, sf_dir, "events")
+    # Hour-truncate both endpoints before differencing: Spark's
+    # timestampdiff counts COMPLETE elapsed hours while DuckDB's
+    # date_diff counts hour-BOUNDARY crossings (00:59->02:01 is 1 vs 2).
+    # On truncated endpoints the two definitions coincide exactly
+    # (same precedent as q_missing_bars in timeseries3.py).
     span = ev.agg(
         (
-            (
-                F.expr(
-                    "timestampdiff(HOUR, min(ts), max(ts))"
-                )
+            F.expr(
+                "timestampdiff(HOUR, date_trunc('hour', min(ts)),"
+                " date_trunc('hour', max(ts)))"
             )
             + 1
         )

@@ -35,88 +35,104 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 #: Registry iteration order for a budget-capped driver: the driver
 #: evaluates the FIRST ~50 registry entries each round, so the front of
-#: the dict must be the queries with the LEAST driver evidence. Round 6
-#: ordering (per VERDICT r04 "Next round" #2): positions 1-50 are the
-#: next tranche of the 187 queries with ZERO driver evidence after
-#: r01-r05 (cumulative driver-green 174/361) — the round-2/3 TPC-H
-#: reports, the UDF/arrow family, sources/quarantine, corpus sampling,
-#: and one streaming entry (q_stream_foreachbatch; the family already holds r02/r03 driver evidence on seven other entries). The tranche is RUNTIME-BUDGETED: every
-#: candidate was timed at sf0.01 via driver_sim (spark+oracle, round-6
-#: quiet run) and the front-50 sums to 44.3 s, inside the ~60 s driver
-#: window that VERDICT r04 #2 warned the streaming-heavy block would
-#: blow (q_stream_static_join / q_stream_merge_partitioned /
-#: q_stream_transform_state / q_dedup_embedding, 2.7-4.2 s each,
-#: deferred to 51+; a final end-to-end pass of the exact front-50 with
-#: round-6 code measured 53-58 s, so the third streaming entry traded
-#: for q_pseudonymize to restore margin). Positions
-#: 51-187 are the remaining never-driver-tested queries in the same
-#: breadth-interleaved order; the 174 already driver-green follow in
-#: module order (re-testing them buys nothing under the cap).
+#: the dict must be the queries with the LEAST driver evidence. Round 7
+#: rotation (per VERDICT r06 "Next round" #1-2): after r01-r06 the
+#: cumulative driver-green set is 224/419 and ALL of them passed on
+#: their latest evidence, so re-testing any of them buys nothing; the
+#: 195 still-unsampled queries fill positions 1-195 below, split into
+#: FOUR runtime-budgeted tranches (every query timed at sf0.01 via a
+#: single quiet driver_sim pass, round-7 machine):
+#:   r07 positions   1-50:  48.0 s  (2 streaming)
+#:   r08 positions  51-100: 53.9 s  (3 streaming)
+#:   r09 positions 101-150: 55.9 s  (2 streaming)
+#:   r10 positions 151-195: 49.4 s  (0 streaming)
+#: Each tranche keeps the spark+oracle sum under the ~60 s driver
+#: window (r06 precedent: a 44.3 s sum measured 53-58 s end-to-end, so
+#: overhead is ~+10 s) and carries at most 3 streaming entries
+#: (2.7-6.3 s each). The packing is feasibility-aware in-order greedy:
+#: walk the breadth-interleaved never-tested list, take an entry iff
+#: the cheapest possible fill of the remaining slots still fits the
+#: tranche budget — heavy entries (q_stream_static_join 6.3 s,
+#: q_dedup_keep_canonical 5.0 s, q_corpus_pipeline 3.7 s, ...) are
+#: spread across rounds instead of starving one. Rounds 8/9/10 only
+#: need to move the matching tranche block to the front (or simply
+#: leave the order alone: after CORRECTNESS_r07 the r07 block is green
+#: and the driver's next 50 is exactly the r08 block only if the r07
+#: block is REMOVED from the front -- so each round DOES re-front the
+#: list; the blocks below make that a cut-and-paste). The 224
+#: already-green queries follow in module order. Any NEW query added in
+#: r07+ starts with zero evidence and slots at the head of the NEXT
+#: round's tranche.
 PRIORITY = (
-    "q_join_full", "q_tpch_q8", "q_rollup_cascade",
-    "q_dedup_incremental", "q_udaf_window", "q_csv_permissive",
-    "q_stream_foreachbatch", "q_agg_salted_skew", "q_tpch_q10",
-    "q_user_path", "q_tfidf_topterms", "q_cogroup_pandas",
-    "q_json_quarantine", "q_embed_norm_audit", "q_join_range_binned",
-    "q_tpch_q13", "q_regression", "q_url_extract",
-    "q_observe_metrics", "q_orc_roundtrip", "q_pseudonymize",
-    "q_date_funcs", "q_tpch_q14", "q_unpivot_long",
-    "q_dq_expectations", "q_udf_scalar_iter", "q_hash_split",
-    "q_case_null", "q_tpch_q15", "q_tpch_q7",
-    "q_variant_json", "q_tpch_q18", "q_compact_small_files",
-    "q_cap_per_group", "q_map_in_arrow", "q_sample_stratified",
-    "q_tpch_q21", "q_streaks", "q_repetition_score",
-    "q_pmi_bigrams", "q_sample_weighted", "q_embed_centroids",
-    "q_kmeans_assign", "q_text_canonicalize", "q_except_all",
-    "q_ngram_jaccard", "q_doc_fingerprint", "q_ann_ivf_topk",
-    "q_multimodal_features", "q_dedup_transitive",
-    # --- 51+: remaining never-driver-tested, breadth-interleaved ---
     "q_stream_static_join", "q_stream_merge_partitioned", "q_dedup_embedding",
     "q_ann_ivf_pruned", "q_multimodal_frames", "q_edit_distance",
     "q_multimodal_resize", "q_bm25_topk", "q_mad_outliers",
     "q_psi_drift", "q_word_entropy", "q_dedup_keep_canonical",
     "q_skew_report", "q_tpch_q2", "q_tpch_q9",
     "q_tpch_q11", "q_tpch_q16", "q_tpch_q20",
-    "q_markov_transitions", "q_rfm_segmentation", "q_rolling_corr",
-    "q_scd2_lookup", "q_embed_quantize", "q_pair_affinity",
-    "q_bpe_pair_counts", "q_sessionize_batch", "q_bollinger_bands",
-    "q_join_asof_forward", "q_boilerplate_ratio", "q_weighted_median",
-    "q_null_impute", "q_window_dist_funcs", "q_cusum_changepoint",
-    "q_interval_overlap", "q_date_spine", "q_skyline_pareto",
-    "q_abc_analysis", "q_running_distinct", "q_allocation_largest_remainder",
-    "q_lateral_topn", "q_exists_correlated", "q_grouping_id",
-    "q_hof_arrays", "q_zipf_slope", "q_containment",
-    "q_seasonal_decompose", "q_forecast_linear", "q_outlier_iqr",
-    "q_ab_test_proportions", "q_yoy_growth", "q_index_rebase",
-    "q_dedup_blocked_edit", "q_feature_scale", "q_one_hot_encode",
-    "q_bitmap_distinct", "q_percentile_disc", "q_binaryfile_source",
-    "q_power_iteration", "q_disorder_audit", "q_missing_bars",
-    "q_tick_rule", "q_partial_agg_merge", "q_percentile_cont",
-    "q_quality_classifier", "q_agg_filtered", "q_global_median",
-    "q_hll_union_rollup", "q_attribution_last_touch", "q_text_source_lines",
-    "q_stream_transform_state", "q_ri_audit", "q_multimodal_dedup",
-    "q_stream_stream_join", "q_stream_ohlc", "q_bucketed_agg",
-    "q_token_budget_trim", "q_dedup_chunks", "q_target_encoding",
-    "q_survival_churn", "q_cohort_ltv", "q_embedding_drift",
-    "q_join_asof_nearest", "q_active_users", "q_audience_overlap",
-    "q_csv_multiline", "q_time_to_convert", "q_lsh_tuning_curve",
-    "q_gram_matrix", "q_vocab_coverage", "q_volume_profile",
-    "q_overnight_gaps", "q_price_clustering", "q_var_cvar",
-    "q_drawdown_duration", "q_source_overlap", "q_dup_cluster_histogram",
-    "q_sla_lateness", "q_reactivation", "q_kyle_lambda",
-    "q_event_study_jumps", "q_arch_effect", "q_hhi_concentration",
-    "q_roll_spread", "q_association_rules", "q_graph_components",
-    "q_ttr_by_length", "q_entropy_rate", "q_adamic_adar",
-    "q_degree_assortativity", "q_ulcer_index", "q_information_ratio",
-    "q_updown_capture", "q_kendall_tau", "q_hurst_exponent",
-    "q_spearman_corr", "q_theil_sen", "q_permutation_entropy",
-    "q_calmar", "q_omega_ratio", "q_mix_weights",
+    "q_markov_transitions", "q_embed_quantize", "q_bpe_pair_counts",
+    "q_join_asof_forward", "q_interval_overlap", "q_date_spine",
+    "q_skyline_pareto", "q_exists_correlated", "q_hof_arrays",
+    "q_zipf_slope", "q_ab_test_proportions", "q_yoy_growth",
+    "q_dedup_blocked_edit", "q_bitmap_distinct", "q_percentile_disc",
+    "q_binaryfile_source", "q_disorder_audit", "q_missing_bars",
+    "q_partial_agg_merge", "q_attribution_last_touch", "q_embedding_drift",
+    "q_csv_multiline", "q_price_clustering", "q_hhi_concentration",
+    "q_ttr_by_length", "q_mcnemar", "q_chunk_documents",
+    "q_log_loss", "q_concordance", "q_dedup_prefix",
+    "q_qq_points", "q_poisson_rate_test",
+    # --- pre-staged r08 tranche: 50 queries, 53.9s at sf0.01 ---
+    "q_rfm_segmentation", "q_rolling_corr", "q_scd2_lookup",
+    "q_pair_affinity", "q_sessionize_batch", "q_bollinger_bands",
+    "q_boilerplate_ratio", "q_weighted_median", "q_null_impute",
+    "q_window_dist_funcs", "q_cusum_changepoint", "q_abc_analysis",
+    "q_running_distinct", "q_allocation_largest_remainder", "q_lateral_topn",
+    "q_grouping_id", "q_containment", "q_seasonal_decompose",
+    "q_forecast_linear", "q_outlier_iqr", "q_index_rebase",
+    "q_feature_scale", "q_one_hot_encode", "q_power_iteration",
+    "q_tick_rule", "q_percentile_cont", "q_quality_classifier",
+    "q_agg_filtered", "q_global_median", "q_hll_union_rollup",
+    "q_text_source_lines", "q_stream_transform_state", "q_ri_audit",
+    "q_multimodal_dedup", "q_stream_stream_join", "q_stream_ohlc",
+    "q_bucketed_agg", "q_token_budget_trim", "q_dedup_chunks",
+    "q_target_encoding", "q_survival_churn", "q_time_to_convert",
+    "q_sla_lateness", "q_mix_weights", "q_brier_score",
+    "q_sentence_stats", "q_cohens_d", "q_pivot_points",
+    "q_mcc", "q_word_burstiness",
+    # --- pre-staged r09 tranche: 50 queries, 55.9s at sf0.01 ---
+    "q_cohort_ltv", "q_join_asof_nearest", "q_active_users",
+    "q_audience_overlap", "q_lsh_tuning_curve", "q_gram_matrix",
+    "q_vocab_coverage", "q_volume_profile", "q_overnight_gaps",
+    "q_var_cvar", "q_drawdown_duration", "q_source_overlap",
+    "q_dup_cluster_histogram", "q_reactivation", "q_kyle_lambda",
+    "q_event_study_jumps", "q_arch_effect", "q_roll_spread",
+    "q_association_rules", "q_graph_components", "q_entropy_rate",
+    "q_adamic_adar", "q_degree_assortativity", "q_ulcer_index",
+    "q_information_ratio", "q_updown_capture", "q_kendall_tau",
+    "q_hurst_exponent", "q_spearman_corr", "q_theil_sen",
+    "q_permutation_entropy", "q_calmar", "q_omega_ratio",
     "q_winnowing", "q_mann_whitney", "q_ngram_novelty",
     "q_ndcg", "q_retrieval_metrics", "q_cohens_kappa",
-    "q_class_prf", "q_brier_score", "q_sentence_stats",
-    "q_sentence_dedup", "q_quantile_normalize", "q_cramers_v",
-    "q_cohens_d", "q_mcnemar", "q_chunk_documents",
-    "q_rolling_median", "q_sax_symbols",
+    "q_class_prf", "q_sentence_dedup", "q_quantile_normalize",
+    "q_cramers_v", "q_rolling_median", "q_sax_symbols",
+    "q_corpus_pipeline", "q_stream_quality_gate", "q_stream_dollar_bars",
+    "q_donchian", "q_tokenizer_fertility",
+    # --- pre-staged r10 tranche: 45 queries, 49.4s at sf0.01 ---
+    "q_williams_r", "q_cci", "q_mfi",
+    "q_cmf", "q_ichimoku", "q_keltner",
+    "q_aroon", "q_trix", "q_heikin_ashi",
+    "q_kalman_filter", "q_treynor", "q_kelly_criterion",
+    "q_variance_ratio", "q_tail_dependence", "q_cointegration_screen",
+    "q_dollar_bars", "q_bootstrap_ci", "q_newey_west",
+    "q_seasonal_strength", "q_partial_corr", "q_adf_lite",
+    "q_page_hinkley", "q_regression_metrics", "q_lift_gains",
+    "q_clustering_coeff", "q_jaccard_neighbors", "q_flesch_reading",
+    "q_theil_u", "q_resource_allocation", "q_burrows_delta",
+    "q_skipgram_cooc", "q_span_corruption", "q_lm_cross_split",
+    "q_kruskal_wallis", "q_levene_bf", "q_wilcoxon_signed",
+    "q_friedman", "q_grubbs", "q_bartlett",
+    "q_cochran_q", "q_moments", "q_trimmed_mean",
+    "q_granger_lite", "q_mutual_information", "q_odds_ratio",
 )
 
 

@@ -459,6 +459,11 @@ def stateful_dollar_bars(stream: DataFrame, threshold_cents: int = 500_000) -> D
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # Bar width in display units, derived from the threshold parameter so
+    # a non-default threshold actually changes the bars (ADVICE r6: the
+    # divisor used to be hard-coded at 5000.0 == the default).
+    bar_units = threshold_cents / 100.0
+
     def update(key: tuple, pdfs, state: GroupState):
         (cents,) = state.get if state.exists else (0,)
         frames = []
@@ -473,8 +478,8 @@ def stateful_dollar_bars(stream: DataFrame, threshold_cents: int = 500_000) -> D
         for ordk, value in zip(batch["ord"], batch["value"]):
             v_cents = int(round(float(value) * 100))
             # identical op order to the batch plan: decimal cents ->
-            # double units -> /5000.0 -> floor
-            bar_id = int(((cents / 100.0) / 5000.0) // 1)
+            # double units -> /bar_units -> floor
+            bar_id = int(((cents / 100.0) / bar_units) // 1)
             rows.append((bar_id, ordk, float(value), v_cents))
             cents += v_cents
         out = pd.DataFrame(

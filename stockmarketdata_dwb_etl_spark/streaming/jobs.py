@@ -326,6 +326,8 @@ def run_stream_to_parquet(stream_df: DataFrame, name: str, output_mode: str = "a
 def run_stream_incremental_merge(
     stream_df: DataFrame, name: str, key_cols: list[str],
     output_mode: str = "append",
+    resume: bool = False,
+    batch_hook=None,
 ) -> str:
     """foreachBatch sink: every microbatch MERGEs into a keyed parquet
     snapshot — the true incremental upgrade of the reference's @daily
@@ -341,17 +343,26 @@ def run_stream_incremental_merge(
     restartable (a replayed batch re-merges idempotently — MERGE is the
     exactly-once-friendly sink shape). At 100 TB the snapshot would be a
     partitioned table and the merge a partition-pruned join keyed like
-    q_merge_upsert; the foreachBatch contract is identical."""
+    q_merge_upsert; the foreachBatch contract is identical.
+
+    ``resume=True`` keeps the existing checkpoint + snapshot so a killed
+    run continues from the last committed microbatch (the restart path a
+    production job takes after a crash). ``batch_hook(batch_id)`` runs at
+    the top of every merge — the recovery test injects a crash there;
+    production callers leave it None."""
     import shutil
 
     name = _scoped(name, stream_df.sparkSession)
     snapshot = os.path.join(SCRATCH, "stream_snapshot", name)
     ckpt = os.path.join(SCRATCH, "stream_ckpt", name)
-    for p in (snapshot, ckpt, snapshot + "__tmp"):
-        if os.path.exists(p):
-            shutil.rmtree(p)
+    if not resume:
+        for p in (snapshot, ckpt, snapshot + "__tmp"):
+            if os.path.exists(p):
+                shutil.rmtree(p)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_hook is not None:
+            batch_hook(batch_id)
         spark = batch_df.sparkSession
         batch_df = batch_df.dropDuplicates(key_cols)
         if os.path.exists(os.path.join(snapshot, "_SUCCESS")):

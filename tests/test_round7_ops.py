@@ -120,3 +120,57 @@ def test_lsh_size_ratio_prefilter_is_lossless(spark):
     n_all = lsh_candidate_pairs(sigs).count()
     n_flt = lsh_candidate_pairs(sigs, size_ratio=0.7).count()
     assert n_flt <= n_all
+
+
+def test_foreachbatch_restart_recovers_to_identical_snapshot(spark):
+    """Kill the incremental-merge stream mid-run (crash injected at the
+    top of microbatch 2), restart it against the SAME checkpoint, and the
+    recovered snapshot must equal a clean uninterrupted run — the one
+    streaming property the suite had not yet asserted (VERDICT r06 #7)."""
+    import pytest as _pytest
+
+    from stockmarketdata_dwb_etl_spark.streaming.jobs import (
+        prepare_event_chunks,
+        read_events_stream,
+        run_stream_incremental_merge,
+    )
+
+    chunks = prepare_event_chunks(spark, SF_DIR)
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+
+    def stream():
+        return read_events_stream(spark, chunks).select(*cols)
+
+    class Crash(RuntimeError):
+        pass
+
+    def crash_on_2(batch_id: int) -> None:
+        if batch_id == 2:
+            raise Crash("injected mid-run failure")
+
+    with _pytest.raises(Exception):  # StreamingQueryException wraps Crash
+        run_stream_incremental_merge(
+            stream(), "r7_recovery", ["event_id"], batch_hook=crash_on_2
+        )
+    # the crash landed after batches 0-1 committed: snapshot exists but is
+    # genuinely partial (2 of 4 replay chunks)
+    import os
+
+    from stockmarketdata_dwb_etl_spark.scratch import SCRATCH
+    from stockmarketdata_dwb_etl_spark.streaming.jobs import _scoped
+
+    snap_path = os.path.join(
+        SCRATCH, "stream_snapshot", _scoped("r7_recovery", spark)
+    )
+    n_partial = spark.read.parquet(snap_path).count()
+    # restart from the surviving checkpoint — no cleanup, no hook
+    snap = run_stream_incremental_merge(
+        stream(), "r7_recovery", ["event_id"], resume=True
+    )
+    recovered = spark.read.parquet(snap).orderBy("event_id").collect()
+    assert 0 < n_partial < len(recovered)
+    clean = run_stream_incremental_merge(
+        stream(), "r7_recovery_clean", ["event_id"]
+    )
+    expected = spark.read.parquet(clean).orderBy("event_id").collect()
+    assert recovered == expected and len(expected) > 0

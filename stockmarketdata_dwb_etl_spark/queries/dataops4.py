@@ -771,6 +771,161 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_K = 4
+
+
+def _bpe_oracle(k: int = _BPE_K) -> str:
+    """Generated chained-CTE oracle for k BPE merge rounds: each round is
+    a (pair-count, argmax, rewrite) CTE triple — the bounded loop
+    unrolled, which keeps the oracle plain SQL instead of a recursive
+    CTE carrying the whole vocabulary as list state. The rewrite is the
+    delimiter-anchored greedy fold (see q_bpe_merge_iterative)."""
+    ctes = [
+        f"""wf AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest({_DUCK_TOKENS}) AS word FROM documents)
+        WHERE regexp_matches(word, '^[a-z0-9]+$')
+        GROUP BY word
+    ),
+    v0 AS (
+        SELECT array_to_string(list_transform(
+                   range(1, length(word) + 1),
+                   i -> substring(word, i, 1)), '|') AS syms, n
+        FROM wf WHERE length(word) >= 2
+    )"""
+    ]
+    for r in range(1, k + 1):
+        ctes.append(f"""p{r} AS (
+        SELECT u.pr.sym_a AS sym_a, u.pr.sym_b AS sym_b,
+               CAST(SUM(u.n) AS BIGINT) AS cnt
+        FROM (
+            SELECT unnest(list_transform(
+                       range(1, len(s)),
+                       i -> struct_pack(sym_a := s[i], sym_b := s[i+1])))
+                       AS pr, n
+            FROM (SELECT string_split(syms, '|') AS s, n FROM v{r - 1})
+        ) u
+        GROUP BY 1, 2
+    ),
+    b{r} AS (
+        SELECT sym_a, sym_b, cnt FROM p{r}
+        ORDER BY cnt DESC, sym_a, sym_b LIMIT 1
+    ),
+    v{r} AS (
+        SELECT list_reduce(string_split(v.syms, '|'),
+                   (acc, s) -> CASE WHEN (acc = b.sym_a
+                                          OR ends_with(acc, '|' || b.sym_a))
+                                         AND s = b.sym_b
+                               THEN acc || s ELSE acc || '|' || s END) AS syms,
+               v.n
+        FROM v{r - 1} v CROSS JOIN b{r} b
+    )""")
+    unions = "\n        UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, sym_a, sym_b,"
+        f" sym_a || sym_b AS merged, cnt FROM b{r}"
+        for r in range(1, k + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT * FROM ({unions})
+    ORDER BY merge_round
+    """
+    )
+
+
+@query("q_bpe_merge_iterative", oracle=_bpe_oracle())
+def q_bpe_merge_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE BPE tokenizer training — the bounded merge loop on top
+    of q_bpe_pair_counts' single step (VERDICT r06 #8): k rounds of
+    (count adjacent symbol pairs weighted by word frequency) → (argmax
+    pair, ties broken by pair text) → (merge every greedy left-to-right
+    occurrence in the vocabulary), returning the learned merge table
+    (merge_round, sym_a, sym_b, merged, cnt) — the artifact a real BPE
+    trainer ships. Scale design: the loop runs over the DISTINCT
+    VOCABULARY (Zipf-small even at 100 TB — the corpus is scanned once
+    for word counts), each superstep is ONE pair-count shuffle plus a
+    broadcast of the single winning pair into a map-side fold rewrite
+    (array `aggregate`, no explode of rewritten words), and the
+    vocabulary localCheckpoints at every superstep boundary so round
+    r+1's plan does not re-execute rounds 1..r (the pagerank superstep
+    rule). The greedy fold merges strictly left-to-right with the
+    PRE-merge tail check, so 'lllll' under (l,l) becomes (ll)(ll)(l) —
+    canonical BPE semantics, reproduced bit-identically by the oracle's
+    delimiter-anchored string fold. k is a constant (4): driver-side
+    loop bounds are data-independent, so the physical plan count never
+    depends on the corpus."""
+    k = _BPE_K
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+        .filter(F.col("word").rlike("^[a-z0-9]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .filter(F.length("word") >= 2)
+    )
+    vocab = wf.select(
+        F.filter(F.split("word", ""), lambda c: c != "").alias("syms"), "n"
+    ).localCheckpoint(eager=True)
+
+    def pair_counts(v: DataFrame) -> DataFrame:
+        return (
+            v.select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.get(F.col("syms"), i - 1).alias("sym_a"),
+                            F.get(F.col("syms"), i).alias("sym_b"),
+                        ),
+                    )
+                ).alias("p"),
+                "n",
+            )
+            .groupBy("p.sym_a", "p.sym_b")
+            .agg(F.sum("n").cast("bigint").alias("cnt"))
+        )
+
+    merges = []
+    for r in range(1, k + 1):
+        best = (
+            pair_counts(vocab)
+            .orderBy(F.desc("cnt"), "sym_a", "sym_b")
+            .limit(1)
+            .localCheckpoint(eager=True)  # 1 row; reused by 2 branches
+        )
+        merges.append(best.select(F.lit(r).cast("bigint").alias("merge_round"), "*"))
+        a, b = F.col("sym_a"), F.col("sym_b")
+        rewritten = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            # F.get is null-safe: on the empty accumulator the tail read
+            # yields NULL, the condition is false, and the fold appends
+            lambda acc, s: F.when(
+                (F.get(acc, F.size(acc) - 1) == a) & (s == b),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(a, b)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        if r < k:  # the last rewrite is never observed
+            vocab = (
+                vocab.crossJoin(F.broadcast(best.select("sym_a", "sym_b")))
+                .select(rewritten.alias("syms"), "n")
+                .localCheckpoint(eager=True)
+            )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.select(
+        "merge_round",
+        "sym_a",
+        "sym_b",
+        F.concat("sym_a", "sym_b").alias("merged"),
+        "cnt",
+    ).orderBy("merge_round")
+
+
 @query(
     "q_boilerplate_ratio",
     oracle=f"""

@@ -81,7 +81,10 @@ PRIORITY = (
     "q_ttr_by_length", "q_mcnemar", "q_chunk_documents",
     "q_log_loss", "q_concordance", "q_dedup_prefix",
     "q_qq_points", "q_poisson_rate_test",
-    # --- pre-staged r08 tranche: 50 queries, 53.9s at sf0.01 ---
+    # --- pre-staged r08 tranche: 51 queries, 58.5s at sf0.01 ---
+    # (q_bpe_merge_iterative is new in r07 — zero evidence, 4.6s, so it
+    # heads the next tranche per the new-query rule above)
+    "q_bpe_merge_iterative",
     "q_rfm_segmentation", "q_rolling_corr", "q_scd2_lookup",
     "q_pair_affinity", "q_sessionize_batch", "q_bollinger_bands",
     "q_boilerplate_ratio", "q_weighted_median", "q_null_impute",

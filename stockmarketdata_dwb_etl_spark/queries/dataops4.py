@@ -774,12 +774,14 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_K = 4
 
 
-def _bpe_oracle(k: int = _BPE_K) -> str:
-    """Generated chained-CTE oracle for k BPE merge rounds: each round is
-    a (pair-count, argmax, rewrite) CTE triple — the bounded loop
+def _bpe_ctes(k: int = _BPE_K) -> str:
+    """Generated CTE chain for k BPE merge rounds: each round is a
+    (pair-count, argmax, rewrite) CTE triple — the bounded loop
     unrolled, which keeps the oracle plain SQL instead of a recursive
     CTE carrying the whole vocabulary as list state. The rewrite is the
-    delimiter-anchored greedy fold (see q_bpe_merge_iterative)."""
+    delimiter-anchored greedy fold (see q_bpe_merge_iterative). The
+    final vocabulary CTE ``v{k}`` carries (word, syms, n); the per-round
+    winners are ``b1..b{k}``."""
     ctes = [
         f"""wf AS (
         SELECT word, CAST(COUNT(*) AS BIGINT) AS n
@@ -788,7 +790,7 @@ def _bpe_oracle(k: int = _BPE_K) -> str:
         GROUP BY word
     ),
     v0 AS (
-        SELECT array_to_string(list_transform(
+        SELECT word, array_to_string(list_transform(
                    range(1, length(word) + 1),
                    i -> substring(word, i, 1)), '|') AS syms, n
         FROM wf WHERE length(word) >= 2
@@ -812,7 +814,8 @@ def _bpe_oracle(k: int = _BPE_K) -> str:
         ORDER BY cnt DESC, sym_a, sym_b LIMIT 1
     ),
     v{r} AS (
-        SELECT list_reduce(string_split(v.syms, '|'),
+        SELECT v.word,
+               list_reduce(string_split(v.syms, '|'),
                    (acc, s) -> CASE WHEN (acc = b.sym_a
                                           OR ends_with(acc, '|' || b.sym_a))
                                          AND s = b.sym_b
@@ -820,41 +823,35 @@ def _bpe_oracle(k: int = _BPE_K) -> str:
                v.n
         FROM v{r - 1} v CROSS JOIN b{r} b
     )""")
+    return "WITH " + ",\n    ".join(ctes)
+
+
+def _bpe_oracle(k: int = _BPE_K) -> str:
     unions = "\n        UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS merge_round, sym_a, sym_b,"
         f" sym_a || sym_b AS merged, cnt FROM b{r}"
         for r in range(1, k + 1)
     )
     return (
-        "WITH " + ",\n    ".join(ctes) + f"""
+        _bpe_ctes(k)
+        + f"""
     SELECT * FROM ({unions})
     ORDER BY merge_round
     """
     )
 
 
-@query("q_bpe_merge_iterative", oracle=_bpe_oracle())
-def q_bpe_merge_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ITERATIVE BPE tokenizer training — the bounded merge loop on top
-    of q_bpe_pair_counts' single step (VERDICT r06 #8): k rounds of
-    (count adjacent symbol pairs weighted by word frequency) → (argmax
-    pair, ties broken by pair text) → (merge every greedy left-to-right
-    occurrence in the vocabulary), returning the learned merge table
-    (merge_round, sym_a, sym_b, merged, cnt) — the artifact a real BPE
-    trainer ships. Scale design: the loop runs over the DISTINCT
-    VOCABULARY (Zipf-small even at 100 TB — the corpus is scanned once
-    for word counts), each superstep is ONE pair-count shuffle plus a
-    broadcast of the single winning pair into a map-side fold rewrite
-    (array `aggregate`, no explode of rewritten words), and the
-    vocabulary localCheckpoints at every superstep boundary so round
-    r+1's plan does not re-execute rounds 1..r (the pagerank superstep
-    rule). The greedy fold merges strictly left-to-right with the
-    PRE-merge tail check, so 'lllll' under (l,l) becomes (ll)(ll)(l) —
-    canonical BPE semantics, reproduced bit-identically by the oracle's
-    delimiter-anchored string fold. k is a constant (4): driver-side
-    loop bounds are data-independent, so the physical plan count never
-    depends on the corpus."""
-    k = _BPE_K
+def _bpe_learn(
+    spark: SparkSession, sf_dir: str, k: int = _BPE_K, rewrite_last: bool = True
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Run k BPE merge rounds over the distinct corpus vocabulary.
+
+    Returns (vocab, merges): vocab is the (word, syms, n) table after the
+    rewrites (after k rounds when ``rewrite_last``, else after k-1 — the
+    merge-table-only caller skips the unobserved final rewrite), merges a
+    list of k 1-row (merge_round, sym_a, sym_b, cnt) DataFrames. Both are
+    localCheckpointed at every superstep boundary — see
+    q_bpe_merge_iterative's docstring for the scale rationale."""
     docs = load_table(spark, sf_dir, "documents")
     wf = (
         docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
@@ -864,7 +861,9 @@ def q_bpe_merge_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("word") >= 2)
     )
     vocab = wf.select(
-        F.filter(F.split("word", ""), lambda c: c != "").alias("syms"), "n"
+        "word",
+        F.filter(F.split("word", ""), lambda c: c != "").alias("syms"),
+        "n",
     ).localCheckpoint(eager=True)
 
     def pair_counts(v: DataFrame) -> DataFrame:
@@ -893,7 +892,9 @@ def q_bpe_merge_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .localCheckpoint(eager=True)  # 1 row; reused by 2 branches
         )
-        merges.append(best.select(F.lit(r).cast("bigint").alias("merge_round"), "*"))
+        merges.append(
+            best.select(F.lit(r).cast("bigint").alias("merge_round"), "*")
+        )
         a, b = F.col("sym_a"), F.col("sym_b")
         rewritten = F.aggregate(
             "syms",
@@ -908,12 +909,37 @@ def q_bpe_merge_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).otherwise(F.concat(acc, F.array(s))),
         )
-        if r < k:  # the last rewrite is never observed
+        if r < k or rewrite_last:
             vocab = (
                 vocab.crossJoin(F.broadcast(best.select("sym_a", "sym_b")))
-                .select(rewritten.alias("syms"), "n")
+                .select("word", rewritten.alias("syms"), "n")
                 .localCheckpoint(eager=True)
             )
+    return vocab, merges
+
+
+@query("q_bpe_merge_iterative", oracle=_bpe_oracle())
+def q_bpe_merge_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE BPE tokenizer training — the bounded merge loop on top
+    of q_bpe_pair_counts' single step (VERDICT r06 #8): k rounds of
+    (count adjacent symbol pairs weighted by word frequency) → (argmax
+    pair, ties broken by pair text) → (merge every greedy left-to-right
+    occurrence in the vocabulary), returning the learned merge table
+    (merge_round, sym_a, sym_b, merged, cnt) — the artifact a real BPE
+    trainer ships. Scale design: the loop runs over the DISTINCT
+    VOCABULARY (Zipf-small even at 100 TB — the corpus is scanned once
+    for word counts), each superstep is ONE pair-count shuffle plus a
+    broadcast of the single winning pair into a map-side fold rewrite
+    (array `aggregate`, no explode of rewritten words), and the
+    vocabulary localCheckpoints at every superstep boundary so round
+    r+1's plan does not re-execute rounds 1..r (the pagerank superstep
+    rule). The greedy fold merges strictly left-to-right with the
+    PRE-merge tail check, so 'lllll' under (l,l) becomes (ll)(ll)(l) —
+    canonical BPE semantics, reproduced bit-identically by the oracle's
+    delimiter-anchored string fold. k is a constant (4): driver-side
+    loop bounds are data-independent, so the physical plan count never
+    depends on the corpus."""
+    _, merges = _bpe_learn(spark, sf_dir, _BPE_K, rewrite_last=False)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
@@ -924,6 +950,80 @@ def q_bpe_merge_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat("sym_a", "sym_b").alias("merged"),
         "cnt",
     ).orderBy("merge_round")
+
+
+def _bpe_apply_oracle(k: int = _BPE_K) -> str:
+    return (
+        _bpe_ctes(k)
+        + f""",
+    vk AS (
+        SELECT word, CAST(len(string_split(syms, '|')) AS BIGINT) AS n_tok
+        FROM v{k}
+    ),
+    corpus AS (
+        SELECT source, word
+        FROM (SELECT source, unnest({_DUCK_TOKENS}) AS word FROM documents)
+        WHERE regexp_matches(word, '^[a-z0-9]+$') AND length(word) >= 2
+    )
+    SELECT c.source,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(length(c.word)) AS BIGINT) AS n_chars,
+           CAST(SUM(vk.n_tok) AS BIGINT) AS n_tokens,
+           CAST((CAST(floor(CAST((CAST(SUM(vk.n_tok) AS DOUBLE)
+                / COUNT(*)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)
+                / 1000000.0) AS DOUBLE) AS tokens_per_word,
+           CAST((CAST(floor(CAST((CAST(SUM(length(c.word)) AS DOUBLE)
+                / SUM(vk.n_tok)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)
+                / 1000000.0) AS DOUBLE) AS chars_per_token
+    FROM corpus c JOIN vk ON vk.word = c.word
+    GROUP BY c.source
+    ORDER BY c.source
+    """
+    )
+
+
+@query("q_bpe_apply", oracle=_bpe_apply_oracle())
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE tokenizer back to the corpus — the second
+    half of the train→apply pipeline (q_bpe_merge_iterative learns the
+    merge table; this measures what it bought): per source, corpus word
+    occurrences join the post-merge vocabulary for their token counts,
+    reporting tokens-per-word and chars-per-token compression. Scale
+    design: the vocabulary (word → n_tokens after k merges) is the
+    Zipf-small trained artifact, so the application is ONE broadcast
+    join onto the exploded corpus words — the corpus is never rewritten
+    row-by-row, and the per-source aggregate is a partial-agg shuffle on
+    source. Only trainable words (alnum, len ≥ 2, the training filter)
+    are scored, identically on both engines. Integer counts; the two
+    ratios are single divisions rounded via the portable floor form."""
+    k = _BPE_K
+    vocab, _ = _bpe_learn(spark, sf_dir, k, rewrite_last=True)
+    vk = vocab.select("word", F.size("syms").cast("bigint").alias("n_tok"))
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = (
+        docs.select("source", F.explode(tokenize(F.col("text"))).alias("word"))
+        .filter(F.col("word").rlike("^[a-z0-9]+$") & (F.length("word") >= 2))
+    )
+    return (
+        corpus.join(F.broadcast(vk), "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            portable_round(
+                F.sum("n_tok").cast("double") / F.count(F.lit(1)), 6
+            )
+            .cast("double")
+            .alias("tokens_per_word"),
+            portable_round(
+                F.sum(F.length("word")).cast("double") / F.sum("n_tok"), 6
+            )
+            .cast("double")
+            .alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )
 
 
 @query(

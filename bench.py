@@ -59,10 +59,14 @@ def main() -> None:
     # plan unchanged since round 1) best-of-3 AFTER warm-up captures the
     # machine state of this run; normalize any cross-round comparison by
     # the ratio of machine_state values before concluding a regression.
-    machine_state = round(min(run("q_orderby_limit") for _ in range(3)), 3)
+    pre = min(run("q_orderby_limit") for _ in range(3))
 
     # best-of-2: steady-state throughput, not first-run plan compilation
     timings = {name: round(min(run(name), run(name)), 3) for name in HEADLINE}
+
+    # the probe query re-runs inside the battery fully warm; take the
+    # overall best so early-JVM jitter can't inflate the marker
+    machine_state = round(min(pre, timings["q_orderby_limit"]), 3)
 
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     try:

@@ -151,6 +151,11 @@ def load_all() -> None:
 
     if next(iter(QUERIES), None) == PRIORITY[0]:
         return  # already rotated
+    if len(set(PRIORITY)) != len(PRIORITY):
+        from collections import Counter
+
+        dups = [n for n, c in Counter(PRIORITY).items() if c > 1]
+        raise ValueError(f"duplicate PRIORITY entries: {dups}")
     missing = [n for n in PRIORITY if n not in QUERIES]
     if missing:
         raise KeyError(f"PRIORITY names not registered: {missing}")

@@ -938,11 +938,11 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     n_tok = F.size(toks)
-    g3 = F.expr(
-        "transform(sequence(1, greatest(size(__toks) - 2, 0)),"
-        " i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1),"
-        " ' ', element_at(__toks, i + 2)))"
-    )
+    # slice/zip_with form (functions/text.py::word_shingles): an
+    # element_at comprehension re-evaluates __toks per gram per position
+    # whenever an optimizer rewrite (predicate pushdown, collapse)
+    # inlines the alias — the corpus-pipeline round-7 bug class.
+    g3 = word_shingles(F.col("__toks"), 3)
     with_toks = docs.withColumn("__toks", toks)
     distinct_ratio = F.when(F.size("__toks") < 3, F.lit(1.0)).otherwise(
         F.size(F.array_distinct(g3)).cast("double")

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.exact import exact_sum, sql_exact_sum
+from stockmarketdata_dwb_etl_spark.functions.text import word_shingles
 from stockmarketdata_dwb_etl_spark.registry import query
 from stockmarketdata_dwb_etl_spark.streaming.jobs import (
     instant_of,
@@ -646,11 +647,11 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_docs_stream(spark, chunks)
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     with_toks = stream.withColumn("__toks", toks)
-    g3 = F.expr(
-        "transform(sequence(1, greatest(size(__toks) - 2, 0)),"
-        " i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1),"
-        " ' ', element_at(__toks, i + 2)))"
-    )
+    # slice/zip_with form (functions/text.py::word_shingles): an
+    # element_at comprehension re-evaluates __toks per gram per position
+    # whenever an optimizer rewrite (predicate pushdown, collapse)
+    # inlines the alias — the corpus-pipeline round-7 bug class.
+    g3 = word_shingles(F.col("__toks"), 3)
     n_tok = F.size("__toks")
     distinct_ratio = F.when(F.size("__toks") < 3, F.lit(1.0)).otherwise(
         F.size(F.array_distinct(g3)).cast("double")

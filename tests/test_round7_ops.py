@@ -207,3 +207,22 @@ def test_bpe_greedy_fold_semantics(spark):
         " THEN acc || s ELSE acc || '|' || s END)"
     ).fetchone()[0]
     assert got == "ll|ll|l"
+
+
+def test_corpus_gate_filter_carries_no_inlined_comprehension(spark):
+    """Predicate pushdown inlines alias expressions into the pushed
+    filter; with an element_at 3-gram comprehension that meant
+    re-evaluating filter(split(ctext)) per gram per position (gated
+    silver: 0.9s -> 13.8s over 5000 docs). Pin the fixed shape: the
+    dedup stage's optimized plan must contain no element_at anywhere
+    (the slice/zip_with shingle form has none), so no rewrite can
+    resurrect the quadratic."""
+    from pipelines.corpus_curation import build_deduped
+
+    plan = (
+        build_deduped(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "element_at" not in plan, plan[:2000]

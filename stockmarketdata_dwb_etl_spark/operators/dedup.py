@@ -212,30 +212,26 @@ def lsh_candidate_pairs(
         .select(F.array_sort("ms").alias("ms"))
     )
     rlit = F.lit(float(size_ratio)) if size_ratio is not None else None
-    pair = F.explode(
-        F.flatten(
-            F.transform(
-                "ms",
-                lambda x, i: F.filter(
-                    F.transform(
-                        F.slice(
-                            F.col("ms"), i + F.lit(2), F.size("ms")
-                        ),
-                        lambda y: F.struct(
-                            x["id"].alias("id_a"),
-                            y["id"].alias("id_b"),
-                            x["n"].alias("n_a"),
-                            y["n"].alias("n_b"),
-                        ),
-                    ),
-                    lambda p: F.lit(True)
-                    if rlit is None
-                    else F.least(p["n_a"], p["n_b"]).cast("double")
-                    >= rlit * F.greatest(p["n_a"], p["n_b"]),
-                ),
-            )
+
+    def _pairs_of(x, i):
+        cands = F.transform(
+            F.slice(F.col("ms"), i + F.lit(2), F.size("ms")),
+            lambda y: F.struct(
+                x["id"].alias("id_a"),
+                y["id"].alias("id_b"),
+                x["n"].alias("n_a"),
+                y["n"].alias("n_b"),
+            ),
         )
-    ).alias("p")
+        if rlit is None:
+            return cands
+        return F.filter(
+            cands,
+            lambda p: F.least(p["n_a"], p["n_b"]).cast("double")
+            >= rlit * F.greatest(p["n_a"], p["n_b"]),
+        )
+
+    pair = F.explode(F.flatten(F.transform("ms", _pairs_of))).alias("p")
     return (
         buckets.select(pair)
         .select("p.id_a", "p.id_b")
@@ -308,28 +304,28 @@ def lsh_cross_candidate_pairs(
         .filter((F.size("probe_ms") >= 1) & (F.size("corpus_ms") >= 1))
     )
     rlit = F.lit(float(size_ratio)) if size_ratio is not None else None
-    pair = F.explode(
-        F.flatten(
-            F.transform(
-                "corpus_ms",
-                lambda c: F.filter(
-                    F.transform(
-                        "probe_ms",
-                        lambda p: F.struct(
-                            F.least(c["id"], p["id"]).alias("id_a"),
-                            F.greatest(c["id"], p["id"]).alias("id_b"),
-                            c["n"].alias("n_c"),
-                            p["n"].alias("n_p"),
-                        ),
-                    ),
-                    lambda q: F.lit(True)
-                    if rlit is None
-                    else F.least(q["n_c"], q["n_p"]).cast("double")
-                    >= rlit * F.greatest(q["n_c"], q["n_p"]),
-                ),
-            )
+
+    def _cross_pairs_of(c):
+        cands = F.transform(
+            "probe_ms",
+            lambda p: F.struct(
+                F.least(c["id"], p["id"]).alias("id_a"),
+                F.greatest(c["id"], p["id"]).alias("id_b"),
+                c["n"].alias("n_c"),
+                p["n"].alias("n_p"),
+            ),
         )
-    ).alias("p")
+        if rlit is None:
+            return cands
+        return F.filter(
+            cands,
+            lambda q: F.least(q["n_c"], q["n_p"]).cast("double")
+            >= rlit * F.greatest(q["n_c"], q["n_p"]),
+        )
+
+    pair = F.explode(F.flatten(F.transform("corpus_ms", _cross_pairs_of))).alias(
+        "p"
+    )
     return buckets.select(pair).select("p.id_a", "p.id_b").distinct()
 
 

@@ -1926,3 +1926,106 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("bigint").alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     ).orderBy("doc_id", "chunk_id")
+
+
+@query(
+    "q_sequence_packing",
+    oracle="""
+    WITH t AS (
+        SELECT source, doc_id,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT source, doc_id, n_tokens,
+               COALESCE(CAST(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) // 2048 AS seq_id
+        FROM t
+    ),
+    seqs AS (
+        SELECT source, seq_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        FROM packed GROUP BY source, seq_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_seqs,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST((CAST(floor(CAST((CAST(SUM(n_docs) AS DOUBLE) / COUNT(*))
+                AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE)
+               AS docs_per_seq,
+           CAST((CAST(floor(CAST((CAST(SUM(n_tokens) AS DOUBLE)
+                / (COUNT(*) * 2048)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE)
+                / 10000.0) AS DOUBLE) AS fill_ratio
+    FROM seqs
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential PACKING of documents into fixed 2048-token
+    training sequences — the batch-construction step a pretraining data
+    loader runs after curation (docs too short to fill a context window
+    concatenate; the metric that matters is fill ratio, the padding
+    waste a packed dataset avoids). Assignment is the cumsum-floor
+    pattern proven by q_dollar_bars: within each source stream, ordered
+    by doc_id, a doc joins sequence floor(tokens_before / 2048) —
+    integer arithmetic end-to-end, so the per-source window is
+    bit-deterministic on both engines (doc_id is the unique order key;
+    COALESCE(...,0) pins the first row's empty frame identically).
+    Output is per-source packing efficiency (sequences, docs/seq, fill
+    ratio vs the 2048 capacity). Scale: ONE window shuffle on source
+    (the packing key — in production the curation pipeline's split or
+    shard id), one partial-agg rollup; no data-dependent plan. A doc
+    longer than the capacity spans sequences exactly as a real packer
+    with cross-boundary continuation would."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        "doc_id",
+        F.size(tokenize(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    packed = t.select(
+        "source",
+        "n_tokens",
+        cum_before.alias("__cb"),
+    ).select(
+        "source",
+        "n_tokens",
+        F.expr("__cb div 2048").cast("bigint").alias("seq_id"),
+    )
+    seqs = packed.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    return (
+        seqs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_seqs"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            portable_round(
+                F.sum("n_docs").cast("double") / F.count(F.lit(1)), 4
+            )
+            .cast("double")
+            .alias("docs_per_seq"),
+            portable_round(
+                F.sum("n_tokens").cast("double")
+                / (F.count(F.lit(1)) * F.lit(2048)),
+                4,
+            )
+            .cast("double")
+            .alias("fill_ratio"),
+        )
+        .orderBy("source")
+    )

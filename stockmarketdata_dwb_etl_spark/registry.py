@@ -87,7 +87,7 @@ PRIORITY = (
     # zero evidence, so they head the next tranche per the new-query
     # rule above; the r08 rotation should re-budget: this block now sums
     # past the ~55s comfort line, so push 2-3 cheap tail entries to r09)
-    "q_bpe_merge_iterative", "q_bpe_apply",
+    "q_bpe_merge_iterative", "q_bpe_apply", "q_sequence_packing",
     "q_rfm_segmentation",
     "q_pair_affinity",
     "q_null_impute",

@@ -76,17 +76,16 @@ PRIORITY = (
     "q_sessionize_batch", "q_bollinger_bands", "q_tpch_q11",
     "q_ann_ivf_pruned", "q_weighted_median", "q_rolling_corr",
     "q_multimodal_frames", "q_stream_static_join",
-    # --- pre-staged r08 tranche (62 entries incl r07 deferrals + the two
-    # new BPE queries; r08 MUST re-budget: measured dry-run cost of a
+    # --- pre-staged r08 tranche (63 entries: r07 deferrals + the three
+    # new round-7 queries; r08 MUST re-budget: measured dry-run cost of a
     # FRESH 50-query session runs ~1.5x the warm per-query budget sums
     # below, so pick ~45 cheap-heavy-balanced entries and order them
     # cheapest-first) ---
     "q_dedup_keep_canonical", "q_stream_merge_partitioned", "q_dedup_embedding",
     "q_embed_quantize", "q_psi_drift", "q_concordance",
-    # (q_bpe_merge_iterative 4.6s and q_bpe_apply 4.0s are new in r07 —
-    # zero evidence, so they head the next tranche per the new-query
-    # rule above; the r08 rotation should re-budget: this block now sums
-    # past the ~55s comfort line, so push 2-3 cheap tail entries to r09)
+    # (q_bpe_merge_iterative 4.6s, q_bpe_apply 4.0s and q_sequence_packing
+    # 1.6s are new in r07 — zero evidence, so they head the next tranche
+    # per the new-query rule above)
     "q_bpe_merge_iterative", "q_bpe_apply", "q_sequence_packing",
     "q_rfm_segmentation",
     "q_pair_affinity",

@@ -2029,3 +2029,86 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_destutter",
+    oracle="""
+    WITH t AS (
+        SELECT source,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    marked AS (
+        SELECT source,
+               CAST(len(ws) AS BIGINT) AS n_before,
+               CAST(len(list_filter(
+                   list_zip(ws, list_prepend(
+                       NULL, ws[1:greatest(len(ws) - 1, 0)])),
+                   p -> p[1] IS DISTINCT FROM p[2])) AS BIGINT) AS n_after
+        FROM t
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_after < n_before THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_stuttered_docs,
+           CAST(SUM(n_before) AS BIGINT) AS tokens_before,
+           CAST(SUM(n_after) AS BIGINT) AS tokens_after,
+           CAST((CAST(floor(CAST((CAST(SUM(n_before) - SUM(n_after)
+                AS DOUBLE) / SUM(n_before)) AS DOUBLE) * 1000000.0 + 0.5)
+                AS DOUBLE) / 1000000.0) AS DOUBLE) AS removed_ratio
+    FROM marked
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_destutter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-duplicate-token removal accounting (de-stuttering —
+    the C4/Dolma line-dedup rule at word grain): a token survives iff it
+    differs from its immediate predecessor, so 'table table table' keeps
+    one. The survivor mark is a ZIP of the token array against its
+    1-shifted self — two bounded references to the array, never an
+    element_at-per-position comprehension (the round-7 pushdown-inlining
+    bug class), and the null-safe inequality pins the first token's
+    NULL-predecessor case identically on both engines (eqNullSafe /
+    IS DISTINCT FROM). Map-only per document; ONE (source) hash-agg for
+    the corpus accounting — at 100 TB this pass rides the same scan as
+    the other quality signals. Integer counts; one final ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = tokenize(F.col("text"))
+    t = docs.select("source", ws.alias("ws"))
+    prev = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(F.col("ws"), 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+    )
+    keep_marks = F.zip_with(
+        F.col("ws"), prev, lambda c, p: (~c.eqNullSafe(p)).cast("int")
+    )
+    marked = t.select(
+        "source",
+        F.size("ws").cast("bigint").alias("n_before"),
+        F.aggregate(
+            keep_marks, F.lit(0).cast("bigint"), lambda acc, m: acc + m
+        ).alias("n_after"),
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.col("n_after") < F.col("n_before"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_stuttered_docs"),
+            F.sum("n_before").cast("bigint").alias("tokens_before"),
+            F.sum("n_after").cast("bigint").alias("tokens_after"),
+            portable_round(
+                (F.sum("n_before") - F.sum("n_after")).cast("double")
+                / F.sum("n_before"),
+                6,
+            )
+            .cast("double")
+            .alias("removed_ratio"),
+        )
+        .orderBy("source")
+    )

@@ -2112,3 +2112,102 @@ def q_destutter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_gopher_repetition",
+    oracle="""
+    WITH t AS (
+        SELECT source,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    g AS (
+        SELECT source,
+               list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                              i -> ws[i] || ' ' || ws[i+1]) AS g2
+        FROM t
+    ),
+    sig AS (
+        SELECT source,
+               CAST(len(g2) AS BIGINT) AS n_2grams,
+               CASE WHEN len(g2) = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(len(list_filter(g2,
+                         x -> x = list_aggregate(g2, 'mode'))) AS BIGINT)
+               END AS max_freq
+        FROM g
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_2grams > 0
+                         AND CAST(max_freq AS DOUBLE) / n_2grams > 0.2
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(SUM(max_freq) AS BIGINT) AS sum_max_freq,
+           CAST(SUM(n_2grams) AS BIGINT) AS sum_2grams,
+           CAST((CAST(floor(CAST((CAST(SUM(max_freq) AS DOUBLE)
+                / SUM(n_2grams)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)
+                / 1000000.0) AS DOUBLE) AS avg_top2_fraction
+    FROM sig
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher repetition rule the distinct-ratio signals miss: the
+    TOP-2-GRAM FRACTION (share of a document's 2-grams taken by its
+    single most frequent 2-gram; Gopher drops docs above 0.20 — a page
+    that repeats one phrase scores high here while its distinct ratio
+    can still look healthy). The max frequency computes MAP-SIDE as the
+    longest run of the doc's SORTED 2-gram array via one expression
+    fold carrying (prev, run, best) — no explode, no per-doc shuffle;
+    the oracle takes the equivalent mode-count over the same list. The
+    2-grams come from the bounded-reference slice/zip shingle form
+    (never element_at comprehensions). Per-source accounting: docs
+    flagged at the 0.2 threshold and the corpus-level average fraction.
+    One (source) hash-agg; integer counts until the final ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    g2 = F.array_sort(word_shingles(tokenize(F.col("text")), 2))
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best"),
+    )
+
+    def step(a, x):
+        run = (
+            F.when(x == a["prev"], a["run"] + F.lit(1))
+            .otherwise(F.lit(1))
+            .cast("bigint")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(a["best"], run).alias("best"),
+        )
+
+    max_freq = F.aggregate(g2, acc0, step, lambda a: a["best"])
+    sig = docs.select(
+        "source",
+        F.size(g2).cast("bigint").alias("n_2grams"),
+        max_freq.alias("max_freq"),
+    )
+    flagged = (F.col("n_2grams") > 0) & (
+        F.col("max_freq").cast("double") / F.col("n_2grams") > 0.2
+    )
+    return (
+        sig.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(flagged, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.sum("max_freq").cast("bigint").alias("sum_max_freq"),
+            F.sum("n_2grams").cast("bigint").alias("sum_2grams"),
+            portable_round(
+                F.sum("max_freq").cast("double") / F.sum("n_2grams"), 6
+            )
+            .cast("double")
+            .alias("avg_top2_fraction"),
+        )
+        .orderBy("source")
+    )

@@ -226,3 +226,59 @@ def test_corpus_gate_filter_carries_no_inlined_comprehension(spark):
         .toString()
     )
     assert "element_at" not in plan, plan[:2000]
+
+
+def test_round7_corpus_op_semantics_on_crafted_rows(spark):
+    """Crafted-input pins for the round-7 corpus ops: packing respects
+    the 2048 capacity with spanning docs, de-stutter keeps exactly one
+    of each run, and the sorted-run fold equals a brute-force mode
+    count."""
+    # sequence packing: tokens 1000,1000,1000 -> cum_before 0,1000,2000
+    # -> seqs 0,0,0? no: 2000 div 2048 = 0, so all three pack into seq 0
+    # until cum_before crosses 2048: 4th doc (cum 3000) starts seq 1.
+    rows = [(1, 1000), (2, 1000), (3, 1000), (4, 1000)]
+    df = spark.createDataFrame(rows, "doc_id int, n int")
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    seq = F.expr("cb div 2048")
+    got = (
+        df.select("doc_id", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("cb"))
+        .select("doc_id", seq.alias("s"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r["s"] for r in got] == [0, 0, 0, 1]
+
+    # de-stutter mark: one survivor per run, first element survives
+    d = spark.createDataFrame([(["a", "a", "b", "b", "b", "a"],)], "ws array<string>")
+    prev = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(F.col("ws"), 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+    )
+    marks = F.zip_with(F.col("ws"), prev, lambda c, p: (~c.eqNullSafe(p)).cast("int"))
+    n_after = F.aggregate(marks, F.lit(0), lambda a, m: a + m)
+    assert d.select(n_after.alias("k")).collect()[0]["k"] == 3  # a, b, a
+
+    # sorted-run fold == brute-force max frequency
+    arr = ["x y"] * 5 + ["a b"] * 2 + ["c d"]
+    d2 = spark.createDataFrame([(sorted(arr),)], "g2 array<string>")
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best"),
+    )
+
+    def step(a, x):
+        run = (
+            F.when(x == a["prev"], a["run"] + F.lit(1))
+            .otherwise(F.lit(1))
+            .cast("bigint")
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(a["best"], run).alias("best")
+        )
+
+    mf = F.aggregate("g2", acc0, step, lambda a: a["best"])
+    assert d2.select(mf.alias("m")).collect()[0]["m"] == 5

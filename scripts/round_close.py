@@ -1,0 +1,81 @@
+"""End-of-round checklist, one command: the four checks every round runs
+before the driver takes over, with the round-7 budgeting rules baked in.
+
+Usage: python scripts/round_close.py [--skip-battery]
+
+1. rotation: front-50 must be fully never-driver-tested
+   (scripts/rotation_check.py logic inline).
+2. front-50 dry run: the EXACT front-50 through the driver gate in one
+   fresh session, wall-clock reported against the ~60 s window and the
+   1.5x fresh-session rule.
+3. full battery at sf0.01 (skippable; ~5 min).
+4. bench.py (prints the JSON line with machine_state).
+
+Exit nonzero on any correctness failure or a stale rotation.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    skip_battery = "--skip-battery" in sys.argv
+    from stockmarketdata_dwb_etl_spark import registry
+
+    registry.load_all()
+
+    green: set[str] = set()
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        green |= set(json.load(open(f)))
+    front = list(registry.QUERIES)[:50]
+    stale = [n for n in front if n in green]
+    print(f"[1/4] rotation: {len(stale)} of front-50 already driver-green")
+    if stale:
+        print("      STALE:", stale)
+        return 1
+
+    t0 = time.time()
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "driver_sim.py"),
+         "/root/testdata/sf0.01", *front],
+        capture_output=True, text=True,
+    )
+    wall = time.time() - t0
+    tail = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "?"
+    print(f"[2/4] front-50 dry run: {tail} | wall {wall:.0f}s "
+          f"({'OVER' if wall > 80 else 'within'} the risk band; heavies "
+          f"must sit LAST so a driver time-cut only costs the tail)")
+    if r.returncode != 0:
+        return 1
+
+    if skip_battery:
+        print("[3/4] full battery: SKIPPED (--skip-battery)")
+    else:
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "driver_sim.py"),
+             "/root/testdata/sf0.01"],
+            capture_output=True, text=True,
+        )
+        tail = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "?"
+        print(f"[3/4] full battery: {tail}")
+        if r.returncode != 0:
+            return 1
+
+    r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                       capture_output=True, text=True)
+    line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "?"
+    print(f"[4/4] bench: {line}")
+    return r.returncode
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -748,3 +748,61 @@ def q_stream_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol", "bar_id")
     )
+
+
+@query(
+    "q_stream_heavy_hitters",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY event_type, user_id
+    ),
+    r AS (
+        SELECT event_type, user_id, cnt,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cnt DESC, user_id) AS rn
+        FROM c
+    )
+    SELECT event_type, CAST(user_id AS BIGINT) AS user_id, cnt
+    FROM r WHERE rn <= 10
+    ORDER BY event_type, cnt DESC, user_id
+    """,
+)
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run of the bounded-state heavy-hitters operator
+    (streaming/jobs.py::stateful_heavy_hitters): per event type, a
+    mergeable Misra-Gries summary of user activity maintained in group
+    state across the replay microbatches, at most k=4096 counters per
+    key no matter how many users arrive. Each microbatch emits the
+    snapshot stamped with a per-key sequence; the reader keeps each
+    key's LAST snapshot and ranks its top-10 users. The fixture's
+    cardinality (1.5k users/type) sits under k, so no eviction fires
+    and the summary is EXACT — the oracle is the exact batch top-10
+    (count desc, user_id tie-break). At production cardinality the
+    identical plan holds with the documented est >= true - n/k bound.
+    Scale: state is O(k) per key, emission O(k) per key per batch, the
+    final rank one tiny window over key-count rows."""
+    from stockmarketdata_dwb_etl_spark.streaming.jobs import (
+        stateful_heavy_hitters,
+    )
+
+    from pyspark.sql.window import Window
+
+    chunks = prepare_event_chunks(spark, sf_dir)
+    stream = read_events_stream(spark, chunks).select("event_type", "user_id")
+    sink = run_stream_to_parquet(
+        stateful_heavy_hitters(stream), "stream_heavy_hitters"
+    )
+    snaps = spark.read.parquet(sink)
+    w_last = Window.partitionBy("event_type")
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.desc("cnt"), "user_id"
+    )
+    return (
+        snaps.withColumn("__mx", F.max("batch_seq").over(w_last))
+        .filter(F.col("batch_seq") == F.col("__mx"))
+        .withColumn("__rn", F.row_number().over(w_rank))
+        .filter(F.col("__rn") <= 10)
+        .select("event_type", "user_id", "cnt")
+        .orderBy("event_type", F.desc("cnt"), "user_id")
+    )

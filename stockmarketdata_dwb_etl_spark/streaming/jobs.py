@@ -529,3 +529,68 @@ def stateful_dollar_bars(stream: DataFrame, threshold_cents: int = 500_000) -> D
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_heavy_hitters(stream: DataFrame, k: int = 4096) -> DataFrame:
+    """Streaming heavy hitters per group key: a MERGEABLE Misra-Gries
+    summary (Agarwal et al., "Mergeable Summaries") as a custom stateful
+    operator — the bounded-state answer to "top users per event type"
+    when the key cardinality is unbounded. State per group is at most k
+    (user, counter) pairs; each microbatch merges its exact batch counts
+    into the summary (vectorized value_counts, no per-row Python), then
+    restores the bound by subtracting the (k+1)-th largest counter and
+    dropping non-positives — the classic guarantee (est >= true - n/k)
+    survives arbitrary merges. With k above the key cardinality (the
+    test fixtures: 1,500 users per type vs k=4096) NO eviction ever
+    fires and the summary is EXACT — which is what makes the operator
+    SQL-oracle-able; at production cardinalities the same k caps state
+    and the summary degrades gracefully to the documented bound. Emits
+    the full (bounded) counter snapshot per microbatch stamped with a
+    per-key batch sequence; the reader keeps each key's LAST snapshot.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: tuple, pdfs, state: GroupState):
+        if state.exists:
+            users, counts, seq = state.get
+            summary = pd.Series(list(counts), index=list(users), dtype="int64")
+        else:
+            summary, seq = pd.Series(dtype="int64"), 0
+        batch = pd.concat(list(pdfs), ignore_index=True) if pdfs else None
+        if batch is None or not len(batch):
+            state.update((list(summary.index), [int(c) for c in summary], seq))
+            return
+        merged = summary.add(
+            batch["user_id"].value_counts().astype("int64"), fill_value=0
+        ).astype("int64")
+        if len(merged) > k:
+            cut = merged.nlargest(k + 1).iloc[-1]
+            merged = (merged - int(cut)).pipe(lambda s: s[s > 0])
+        seq += 1
+        state.update(
+            (
+                [int(u) for u in merged.index],
+                [int(c) for c in merged],
+                int(seq),
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": key[0],
+                "batch_seq": int(seq),
+                "user_id": merged.index.astype("int64"),
+                "cnt": merged.values,
+            }
+        )
+
+    return stream.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_type string, batch_seq bigint, user_id bigint, cnt bigint"
+        ),
+        stateStructType="users array<bigint>, counts array<bigint>, seq bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

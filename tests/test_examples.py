@@ -51,3 +51,18 @@ def test_submit_entry_main_exit_codes(tmp_path, monkeypatch):
     )
     mod = _load(mod_path, "run_stock_pipeline")
     assert mod.main() == 0
+
+
+def test_corpus_submit_entry_main_exit_codes(tmp_path, monkeypatch):
+    """The corpus-curation spark-submit entry runs end-to-end at sf0.001
+    (silver/deduped/gold land; exit 0 on non-empty gold) — the corpus
+    twin of the stock entry, same orchestrator contract."""
+    mod_path = os.path.join(REPO, "examples", "run_corpus_pipeline.py")
+    from tests.conftest import SF_DIR
+
+    monkeypatch.setattr(
+        sys, "argv", [mod_path, SF_DIR, str(tmp_path / "cwh")]
+    )
+    mod = _load(mod_path, "run_corpus_pipeline")
+    assert mod.main() == 0
+    assert os.path.exists(str(tmp_path / "cwh" / "gold.parquet"))

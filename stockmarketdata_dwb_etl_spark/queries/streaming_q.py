@@ -806,3 +806,61 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "user_id", "cnt")
         .orderBy("event_type", F.desc("cnt"), "user_id")
     )
+
+
+@query(
+    "q_stream_warm_start",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST((CAST(floor(CAST((CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE)
+                / 10000.0) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_stream_warm_start(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill→live CUTOVER of a stateful job: the first half of the
+    event history is pre-aggregated by a batch job into per-user summary
+    rows, the stream bootstraps its state from those summaries IN-BAND
+    (they replay as microbatch 0 — the compacted-bootstrap-topic /
+    state-changelog-restore pattern), then raw events from the second
+    half accumulate on top (streaming/jobs.py::stateful_warm_start_totals
+    + prepare_warm_start_stream). The final per-user snapshot must equal
+    the batch aggregate over the WHOLE history — the oracle — proving the
+    cutover loses and double-counts nothing. All accumulation is exact
+    integer cents, so cross-batch order cannot drift the 4dp round.
+    Scale: the bootstrap file is the ONLY extra input (keys × 3 bigints);
+    state is O(1) per user and co-partitioned with the group key."""
+    from stockmarketdata_dwb_etl_spark.streaming.jobs import (
+        WARM_START_SCHEMA,
+        prepare_warm_start_stream,
+        stateful_warm_start_totals,
+    )
+    from pyspark.sql.window import Window
+
+    src_dir = prepare_warm_start_stream(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(WARM_START_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    sink = run_stream_to_parquet(
+        stateful_warm_start_totals(stream), "stream_warm_start"
+    )
+    snaps = spark.read.parquet(sink)
+    w_last = Window.partitionBy("user_id")
+    return (
+        snaps.withColumn("__mx", F.max("batch_seq").over(w_last))
+        .filter(F.col("batch_seq") == F.col("__mx"))
+        .select(
+            "user_id",
+            "n_events",
+            portable_round(F.col("cents").cast("double") / F.lit(100.0), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )

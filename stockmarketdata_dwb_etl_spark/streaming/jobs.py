@@ -594,3 +594,130 @@ def stateful_heavy_hitters(stream: DataFrame, k: int = 4096) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def prepare_warm_start_stream(
+    spark: SparkSession, sf_dir: str, split_at: int = 2, n_chunks: int = 4
+) -> str:
+    """Bootstrap-topic replay dir for the warm-start cutover pattern:
+    file 0 carries per-user SUMMARY rows (the batch backfill's totals,
+    exact integer cents), later files carry the remaining raw event
+    chunks — one uniform schema, mtimes stamped so the summaries replay
+    FIRST. This is how a stateful job cold-starts against a compacted
+    bootstrap topic / state changelog in production: the state restore
+    is IN-BAND data, not an engine feature, so it works on any runtime
+    (transformWithStateInPandas' initialState needs protobuf this
+    container lacks). Idempotent per (sf_dir, split_at)."""
+    import glob
+    import shutil
+
+    from stockmarketdata_dwb_etl_spark.scratch import fixture_tag
+
+    chunks = prepare_event_chunks(spark, sf_dir, n_chunks)
+    tag = f"{fixture_tag(sf_dir)}_split{split_at}"
+    out = os.path.join(SCRATCH, "warm_start", tag)
+    marker = os.path.join(out, "_BOOTSTRAP_READY")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    parts = sorted(glob.glob(os.path.join(chunks, "part-*")))
+    head, tail = parts[:split_at], parts[split_at:]
+    summary = (
+        spark.read.schema(EVENTS_SCHEMA)
+        .parquet(*head)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.sum(F.col("value").cast("decimal(38,6)")) * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .select(
+            "user_id",
+            F.lit("summary").alias("kind"),
+            "n",
+            "cents",
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    tmp = os.path.join(out, "__tmp_summary")
+    summary.coalesce(1).write.mode("overwrite").parquet(tmp)
+    (src_file,) = glob.glob(os.path.join(tmp, "part-*"))
+    os.rename(src_file, os.path.join(out, "chunk-000-summary.parquet"))
+    shutil.rmtree(tmp)
+    for i, p in enumerate(tail, start=1):
+        ev = (
+            spark.read.schema(EVENTS_SCHEMA)
+            .parquet(p)
+            .select(
+                "user_id",
+                F.lit("event").alias("kind"),
+                F.lit(None).cast("bigint").alias("n"),
+                F.lit(None).cast("bigint").alias("cents"),
+                "value",
+            )
+        )
+        tmp = os.path.join(out, f"__tmp_{i}")
+        ev.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (src_file,) = glob.glob(os.path.join(tmp, "part-*"))
+        os.rename(src_file, os.path.join(out, f"chunk-{i:03d}-events.parquet"))
+        shutil.rmtree(tmp)
+    base = 1_600_000_000
+    for i, p in enumerate(sorted(glob.glob(os.path.join(out, "chunk-*")))):
+        os.utime(p, (base + i, base + i))
+    open(marker, "w").close()
+    return out
+
+
+WARM_START_SCHEMA = (
+    "user_id bigint, kind string, n bigint, cents bigint, value double"
+)
+
+
+def stateful_warm_start_totals(stream: DataFrame) -> DataFrame:
+    """Per-user running (n_events, cents) totals that BOOTSTRAP from
+    in-band summary rows (see :func:`prepare_warm_start_stream`): a
+    summary row adds its pre-aggregated counters to the group state, an
+    event row accumulates exact integer cents — after the replay the
+    last snapshot per user must equal the full batch aggregate, which is
+    the backfill→live cutover guarantee. State is (n, cents, seq) — two
+    bigints of exact-integer accumulation (no float drift across
+    batches) plus the snapshot sequence the reader keys on."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: tuple, pdfs, state: GroupState):
+        n, cents, seq = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            summaries = pdf[pdf["kind"] == "summary"]
+            if len(summaries):
+                n += int(summaries["n"].sum())
+                cents += int(summaries["cents"].sum())
+            events = pdf[pdf["kind"] == "event"]
+            if len(events):
+                n += len(events)
+                cents += int(
+                    events["value"].map(lambda v: int(round(float(v) * 100))).sum()
+                )
+        seq += 1
+        state.update((int(n), int(cents), int(seq)))
+        yield pd.DataFrame(
+            {
+                "user_id": key[0],
+                "batch_seq": [int(seq)],
+                "n_events": [int(n)],
+                "cents": [int(cents)],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id bigint, batch_seq bigint, n_events bigint, cents bigint"
+        ),
+        stateStructType="n bigint, cents bigint, seq bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1228,3 +1228,160 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+_W1_TYPES = ("click", "error", "purchase", "signup", "view")
+_W1_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_W1_TYPES)
+    for b in _W1_TYPES[i + 1 :]
+]
+
+
+def _w1_pair_sql(a: str, b: str) -> str:
+    term = (
+        f"CAST(floor(CAST((abs(f_{a} - f_{b}) * gap) AS DOUBLE)"
+        " * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0"
+    )
+    return (
+        f"SELECT '{a}' AS type_a, '{b}' AS type_b,\n"
+        f"       CAST((CAST(floor(CAST((CAST(SUM(CAST(({term})"
+        " AS DECIMAL(38,18))) AS DOUBLE)) AS DOUBLE) * 1000000.0 + 0.5)"
+        " AS DOUBLE) / 1000000.0) AS DOUBLE) AS w1\n"
+        "    FROM o WHERE gap IS NOT NULL"
+    )
+
+
+@query(
+    "q_wasserstein_drift",
+    oracle="""
+    WITH n AS (
+        SELECT """
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{t}"
+        for t in _W1_TYPES
+    )
+    + """
+        FROM events
+    ),
+    o AS (
+        SELECT """
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+        f" OVER w AS DOUBLE) / n.n_{t} AS f_{t}"
+        for t in _W1_TYPES
+    )
+    + """,
+               lead(value) OVER w - value AS gap
+        FROM events CROSS JOIN n
+        WINDOW w AS (ORDER BY value, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT * FROM ("""
+    + "\n    UNION ALL ".join(_w1_pair_sql(a, b) for a, b in _W1_PAIRS)
+    + """)
+    ORDER BY type_a, type_b
+    """,
+)
+def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs Wasserstein-1 (earth-mover) distance between the event
+    types' value distributions — the drift metric that, unlike PSI's
+    fixed bins (q_psi_drift), integrates |F_a − F_b| over the ACTUAL
+    merged support: W1 = Σ_i |F_a(x_i) − F_b(x_i)|·(x_{i+1} − x_i) over
+    the globally sorted pooled sample. Scale design: the global sort is
+    the global_row_number recipe (operators/rank.py) — ONE range
+    shuffle, per-partition conditional cumsums for all 5 types in a
+    single local window pass, per-partition totals (P rows, the only
+    global window) broadcast back as offsets, and the cross-partition
+    gap closed by broadcasting each partition's first value to its
+    predecessor — no single-reducer stage, all 10 pairs priced in one
+    pass. Determinism: F_t = integer-cum / integer-total (exact inputs,
+    one IEEE division), each pair term rounded to 12dp and summed as
+    DECIMAL(38,18) (the Σ-of-rounded-terms policy), final 6dp round."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "value", "event_id", "event_type"
+    )
+    ranged = (
+        ev.repartitionByRange("value", "event_id")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    ind = {t: (F.col("event_type") == t).cast("bigint") for t in _W1_TYPES}
+    part = ranged.groupBy("__pid").agg(
+        *[F.sum(ind[t]).alias(f"pt_{t}") for t in _W1_TYPES],
+        F.min(F.struct("value", "event_id")).alias("first_key"),
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_next = Window.orderBy("__pid")
+    offsets = part.select(
+        "__pid",
+        *[
+            F.coalesce(F.sum(f"pt_{t}").over(w_off), F.lit(0)).alias(f"off_{t}")
+            for t in _W1_TYPES
+        ],
+        *[F.sum(f"pt_{t}").over(w_tot).alias(f"n_{t}") for t in _W1_TYPES],
+        F.lead("first_key").over(w_next)["value"].alias("next_first"),
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy("value", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_lead = Window.partitionBy("__pid").orderBy("value", "event_id")
+    rows = (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .select(
+            "value",
+            # cross-partition gap: the partition's last row reaches into
+            # the NEXT partition's first value (broadcast, P rows)
+            F.coalesce(F.lead("value").over(w_lead), F.col("next_first"))
+            .alias("nxt"),
+            *[
+                (
+                    (F.col(f"off_{t}") + F.sum(ind[t]).over(w_local)).cast(
+                        "double"
+                    )
+                    / F.col(f"n_{t}")
+                ).alias(f"f_{t}")
+                for t in _W1_TYPES
+            ],
+        )
+        .withColumn("gap", F.col("nxt") - F.col("value"))
+        .filter(F.col("nxt").isNotNull())
+    )
+    sums = rows.agg(
+        *[
+            F.sum(
+                portable_round(
+                    F.abs(F.col(f"f_{a}") - F.col(f"f_{b}")) * F.col("gap"),
+                    12,
+                ).cast(_DEC18_T)
+            ).alias(f"w1_{a}_{b}")
+            for a, b in _W1_PAIRS
+        ]
+    )
+    stacked = sums.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("type_a"),
+                        F.lit(b).alias("type_b"),
+                        portable_round(
+                            F.col(f"w1_{a}_{b}").cast("double"), 6
+                        )
+                        .cast("double")
+                        .alias("w1"),
+                    )
+                    for a, b in _W1_PAIRS
+                ]
+            )
+        ).alias("p")
+    )
+    return stacked.select("p.type_a", "p.type_b", "p.w1").orderBy(
+        "type_a", "type_b"
+    )

@@ -87,7 +87,7 @@ PRIORITY = (
     # 1.6s are new in r07 — zero evidence, so they head the next tranche
     # per the new-query rule above)
     "q_bpe_merge_iterative", "q_bpe_apply", "q_sequence_packing",
-    "q_destutter", "q_gopher_repetition", "q_stream_heavy_hitters", "q_stream_warm_start",
+    "q_destutter", "q_gopher_repetition", "q_stream_heavy_hitters", "q_stream_warm_start", "q_wasserstein_drift",
     "q_rfm_segmentation",
     "q_pair_affinity",
     "q_null_impute",

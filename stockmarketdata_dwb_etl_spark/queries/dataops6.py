@@ -1385,3 +1385,52 @@ def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stacked.select("p.type_a", "p.type_b", "p.w1").orderBy(
         "type_a", "type_b"
     )
+
+
+@query(
+    "q_rare_label_fold",
+    oracle="""
+    WITH c AS (
+        SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n
+        FROM part GROUP BY p_brand
+    ),
+    r AS (
+        SELECT p_brand, n,
+               row_number() OVER (ORDER BY n DESC, p_brand) AS rk
+        FROM c
+    )
+    SELECT CASE WHEN rk <= 10 THEN p_brand ELSE 'OTHER' END AS label,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_source_labels
+    FROM r
+    GROUP BY 1
+    ORDER BY n_rows DESC, label
+    """,
+)
+def q_rare_label_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-category consolidation — the boundedness step BEFORE one-hot
+    encoding (q_one_hot_encode needs a closed label set; this closes
+    it): the top-10 labels by (count, label tie-break) survive, the long
+    tail folds into 'OTHER'. Rank-based rather than threshold-based so
+    the rule is scale-independent (a frequency cutoff silently keeps
+    more labels as data grows). Two tiny aggregations over the label
+    COUNTS (cardinality-sized, never row-sized): the rank window runs
+    over one row per distinct label — at 100 TB the label table is the
+    small side regardless of corpus size. Integer counts only."""
+    from pyspark.sql.window import Window as W
+
+    part = load_table(spark, sf_dir, "part")
+    c = part.groupBy("p_brand").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    rk = F.row_number().over(W.orderBy(F.desc("n"), "p_brand"))
+    folded = c.select(
+        F.when(rk <= 10, F.col("p_brand")).otherwise("OTHER").alias("label"),
+        "n",
+    )
+    return (
+        folded.groupBy("label")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_source_labels"),
+        )
+        .orderBy(F.desc("n_rows"), "label")
+    )

@@ -88,6 +88,7 @@ PRIORITY = (
     # per the new-query rule above)
     "q_bpe_merge_iterative", "q_bpe_apply", "q_sequence_packing",
     "q_destutter", "q_gopher_repetition", "q_stream_heavy_hitters", "q_stream_warm_start", "q_wasserstein_drift",
+    "q_rare_label_fold",
     "q_rfm_segmentation",
     "q_pair_affinity",
     "q_null_impute",

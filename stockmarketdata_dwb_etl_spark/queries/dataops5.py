@@ -1978,11 +1978,14 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-deterministic on both engines (doc_id is the unique order key;
     COALESCE(...,0) pins the first row's empty frame identically).
     Output is per-source packing efficiency (sequences, docs/seq, fill
-    ratio vs the 2048 capacity). Scale: ONE window shuffle on source
-    (the packing key — in production the curation pipeline's split or
-    shard id), one partial-agg rollup; no data-dependent plan. A doc
-    longer than the capacity spans sequences exactly as a real packer
-    with cross-boundary continuation would."""
+    ratio vs the 2048 capacity). A doc longer than the capacity keeps
+    its whole token count in its starting sequence (the skipped bin ids
+    are simply unoccupied), so an occupied sequence's fill can exceed
+    1.0 — the OVERALL fill ratio still measures padding waste exactly,
+    because total tokens and occupied-sequence count are both exact.
+    Scale: ONE window shuffle on source (the packing key — in
+    production the curation pipeline's split or shard id), one
+    partial-agg rollup; no data-dependent plan."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "source",

@@ -76,16 +76,19 @@ PRIORITY = (
     "q_sessionize_batch", "q_bollinger_bands", "q_tpch_q11",
     "q_ann_ivf_pruned", "q_weighted_median", "q_rolling_corr",
     "q_multimodal_frames", "q_stream_static_join",
-    # --- pre-staged r08 tranche (63 entries: r07 deferrals + the three
-    # new round-7 queries; r08 MUST re-budget: measured dry-run cost of a
-    # FRESH 50-query session runs ~1.5x the warm per-query budget sums
-    # below, so pick ~45 cheap-heavy-balanced entries and order them
-    # cheapest-first) ---
+    # --- pre-staged r08 tranche: the r07 deferrals + EVERY query added
+    # during round 7 (all zero-evidence; the block is OVERSIZE and
+    # streaming-heavy by design — r08 MUST re-budget: time the block at
+    # sf0.01, apply the 1.5x fresh-session rule, pick ~45-50
+    # cheap-heavy-balanced entries ordered cheapest-first with <=3
+    # streaming, dry-run the exact front-50, push the rest to r09) ---
     "q_dedup_keep_canonical", "q_stream_merge_partitioned", "q_dedup_embedding",
     "q_embed_quantize", "q_psi_drift", "q_concordance",
-    # (q_bpe_merge_iterative 4.6s, q_bpe_apply 4.0s and q_sequence_packing
-    # 1.6s are new in r07 — zero evidence, so they head the next tranche
-    # per the new-query rule above)
+    # (round-7 additions, sf0.01 spark+oracle costs: bpe_merge 4.6s,
+    # bpe_apply 4.0s, sequence_packing 1.6s, destutter ~1.4s,
+    # gopher_repetition ~1.9s, stream_heavy_hitters ~9s cold,
+    # stream_warm_start ~9s cold, wasserstein_drift ~4s,
+    # rare_label_fold ~1.1s)
     "q_bpe_merge_iterative", "q_bpe_apply", "q_sequence_packing",
     "q_destutter", "q_gopher_repetition", "q_stream_heavy_hitters", "q_stream_warm_start", "q_wasserstein_drift",
     "q_rare_label_fold",

@@ -1434,3 +1434,117 @@ def q_rare_label_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_rows"), "label")
     )
+
+
+_SPLIT_BUCKET_SQL = (
+    "((strpos('0123456789abcdef', substr(md5(CAST({k} AS VARCHAR)), 1, 1))"
+    " - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(CAST({k} AS VARCHAR)), 2, 1))"
+    " - 1)) % 256"
+)
+
+
+@query(
+    "q_split_leakage",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 3000000 AS doc_id, text || ' zz9 zz8'
+        FROM documents WHERE doc_id % 16 = 0
+    ),
+    lab AS (
+        SELECT doc_id, text,
+               CASE WHEN ({_SPLIT_BUCKET_SQL.format(k='doc_id')}) < 230
+                        THEN 'train' ELSE 'eval' END AS split
+        FROM base
+    ),
+    sh AS (
+        SELECT doc_id, split,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+        FROM (SELECT doc_id, split,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM lab)
+    ),
+    sizes AS (SELECT doc_id, split, len(shingles) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jac AS (
+        SELECT i.id_a, i.id_b, sa.split AS split_a, sb.split AS split_b,
+               CAST((CAST(floor(CAST((i.c::DOUBLE / (sa.n + sb.n - i.c))
+                    AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0)
+                    AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE (CAST(floor(CAST((i.c::DOUBLE / (sa.n + sb.n - i.c))
+              AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) >= 0.7
+          AND sa.split <> sb.split
+    )
+    SELECT CAST(CASE WHEN split_a = 'train' THEN id_a ELSE id_b END
+               AS BIGINT) AS train_id,
+           CAST(CASE WHEN split_a = 'train' THEN id_b ELSE id_a END
+               AS BIGINT) AS eval_id,
+           jaccard
+    FROM jac
+    ORDER BY train_id, eval_id
+    """,
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval SPLIT-LEAKAGE audit — the check a pretraining team runs
+    after splitting: near-duplicate pairs whose members land on OPPOSITE
+    sides of the deterministic hash split (q_hash_split's md5-bucket
+    rule, train <230/256) leak training text into evaluation. The same
+    banded MinHash-LSH + cross-side-only candidate machinery as
+    q_dedup_cross_corpus (operators/dedup.py::minhash_cross_near_dups
+    with the split rule as the probe predicate — only train×eval pairs
+    are ever verified, never train×train), over the corpus plus planted
+    near-dup re-entries (every 16th doc, suffixed, under a shifted id)
+    whose md5 buckets scatter across the split — so the fixture
+    guarantees genuine cross-split leaks for the oracle's exact inverted
+    index to certify. Scale posture inherited: shuffles on
+    (doc_id)/(band_hash) only, size-ratio prefilter, bounded buckets."""
+    from stockmarketdata_dwb_etl_spark.operators.dedup import (
+        minhash_cross_near_dups,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") % 16 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" zz9 zz8")).alias("text"),
+    )
+    base = docs.select("doc_id", "text").unionByName(planted)
+
+    def is_eval(c):
+        h = F.md5(c.cast("string"))
+        return (
+            F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % F.lit(256)
+        ) >= 230
+
+    pairs = minhash_cross_near_dups(
+        base, is_eval, id_col="doc_id", text_col="text"
+    )
+    a_eval = is_eval(F.col("id_a"))
+    return (
+        pairs.select(
+            F.when(a_eval, F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .cast("bigint")
+            .alias("train_id"),
+            F.when(a_eval, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .cast("bigint")
+            .alias("eval_id"),
+            "jaccard",
+        )
+        # shuffle barrier before the presentation sort (the range sampler
+        # would re-execute the verify stage — the cross_corpus precedent)
+        .repartition("train_id")
+        .orderBy("train_id", "eval_id")
+    )

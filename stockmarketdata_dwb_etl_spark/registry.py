@@ -91,7 +91,7 @@ PRIORITY = (
     # rare_label_fold ~1.1s)
     "q_bpe_merge_iterative", "q_bpe_apply", "q_sequence_packing",
     "q_destutter", "q_gopher_repetition", "q_stream_heavy_hitters", "q_stream_warm_start", "q_wasserstein_drift",
-    "q_rare_label_fold",
+    "q_rare_label_fold", "q_split_leakage",
     "q_rfm_segmentation",
     "q_pair_affinity",
     "q_null_impute",

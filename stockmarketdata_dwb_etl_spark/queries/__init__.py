@@ -28,6 +28,7 @@ from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
     finance3,
     finance4,
     finance5,
+    finance6,
     dataops6,
     dataops7,
     stats_q,

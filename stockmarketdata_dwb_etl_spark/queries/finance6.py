@@ -404,3 +404,155 @@ def q_yang_zhang_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("yz_vol"),
     ).orderBy("symbol")
+
+
+@query(
+    "q_adx",
+    oracle=f"""
+    WITH RECURSIVE {_BARS_SQL},
+    lagged AS (
+        SELECT symbol, bar_ts, high, low,
+               lag(high) OVER w AS ph,
+               lag(low) OVER w AS pl,
+               lag(close) OVER w AS pc
+        FROM bars
+        WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts)
+    ),
+    m AS (
+        SELECT symbol, bar_ts,
+               CASE WHEN (high - ph) > (pl - low) AND (high - ph) > 0.0
+                    THEN high - ph ELSE 0.0 END AS pdm,
+               CASE WHEN (pl - low) > (high - ph) AND (pl - low) > 0.0
+                    THEN pl - low ELSE 0.0 END AS mdm,
+               greatest(high - low, abs(high - pc), abs(low - pc)) AS tr,
+               row_number() OVER (PARTITION BY symbol ORDER BY bar_ts) AS rn
+        FROM lagged WHERE pc IS NOT NULL
+    ),
+    packed AS (
+        SELECT symbol,
+               list(pdm ORDER BY rn) AS ps,
+               list(mdm ORDER BY rn) AS ms,
+               list(tr ORDER BY rn) AS trs,
+               len(list(tr)) AS n
+        FROM m GROUP BY symbol
+    ),
+    r1 AS (
+        SELECT symbol, ps, ms, trs, n, 1 AS rn,
+               ps[1] AS sp, ms[1] AS sm, trs[1] AS st
+        FROM packed
+        UNION ALL
+        SELECT symbol, ps, ms, trs, n, rn + 1,
+               0.875 * sp + 0.125 * ps[rn + 1],
+               0.875 * sm + 0.125 * ms[rn + 1],
+               0.875 * st + 0.125 * trs[rn + 1]
+        FROM r1 WHERE rn < n
+    ),
+    di AS (
+        SELECT symbol, rn,
+               CASE WHEN st = 0.0 THEN NULL
+                    ELSE 100.0 * (sp / st) END AS dip,
+               CASE WHEN st = 0.0 THEN NULL
+                    ELSE 100.0 * (sm / st) END AS dim
+        FROM r1
+    ),
+    dx AS (
+        SELECT symbol, rn, dip, dim,
+               CASE WHEN dip IS NULL OR dip + dim = 0.0 THEN NULL
+                    ELSE 100.0 * (abs(dip - dim) / (dip + dim)) END AS dxv
+        FROM di
+    ),
+    dpacked AS (
+        SELECT symbol, list(dxv ORDER BY rn) AS dxs,
+               len(list(rn)) AS n
+        FROM dx GROUP BY symbol
+    ),
+    r2 AS (
+        SELECT symbol, dxs, n, 1 AS rn, dxs[1] AS adx FROM dpacked
+        UNION ALL
+        SELECT symbol, dxs, n, rn + 1,
+               CASE WHEN dxs[rn + 1] IS NULL THEN adx
+                    WHEN adx IS NULL THEN dxs[rn + 1]
+                    ELSE 0.875 * adx + 0.125 * dxs[rn + 1] END
+        FROM r2 WHERE rn < n
+    )
+    SELECT m.symbol, m.bar_ts,
+           {sql_portable_round("d.dip", 6)} AS di_plus,
+           {sql_portable_round("d.dim", 6)} AS di_minus,
+           {sql_portable_round("r2.adx", 6)} AS adx
+    FROM m
+    JOIN dx d ON d.symbol = m.symbol AND d.rn = m.rn
+    JOIN r2 ON r2.symbol = m.symbol AND r2.rn = m.rn
+    ORDER BY m.symbol, m.bar_ts
+    """,
+)
+def q_adx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilder's Average Directional Index (period 8 — alpha = 0.125 is
+    exact in binary, the q_trix precedent) over hourly bars: directional
+    movements +DM/−DM (the larger of the up/down moves, when positive),
+    true range, Wilder-smoothed via the seeded EWMA recurrence
+    s_t = 0.875·s_{t−1} + 0.125·x_t, DI± = 100·sDM/sTR,
+    DX = 100·|DI+ − DI−|/(DI+ + DI−), and ADX = the same recurrence over
+    DX (NULL DX carries the previous ADX; the first non-NULL seeds) —
+    the trend-STRENGTH gauge that tells a strategy whether q_macd-style
+    signals are trustworthy. Three sequential recurrences (sDM+, sDM−,
+    sTR) run in ONE Arrow-batched ``applyInPandas`` visit per symbol
+    plus the ADX pass, multiply-add order matched term-for-term by the
+    packed-list recursive-CTE oracle (bit-identical float64; zero-range
+    and zero-DI frames take the identical NULL path on both engines).
+    Scale: the q_ewma posture — tick->bar hash-agg is the only
+    full-data shuffle; per-symbol state is three floats."""
+    import pandas as pd
+
+    bars = _hourly_bars(spark, sf_dir)
+
+    def adx_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bar_ts").reset_index(drop=True)
+        rows = []
+        sp = sm = st = adx = None
+        ph = pl = pc = None
+        for h, lo, c, bts in zip(
+            pdf["high"], pdf["low"], pdf["close"], pdf["bar_ts"]
+        ):
+            if pc is not None:
+                up, down = h - ph, pl - lo
+                pdm = up if (up > down and up > 0.0) else 0.0
+                mdm = down if (down > up and down > 0.0) else 0.0
+                tr = max(h - lo, abs(h - pc), abs(lo - pc))
+                if sp is None:
+                    sp, sm, st = pdm, mdm, tr
+                else:
+                    sp = 0.875 * sp + 0.125 * pdm
+                    sm = 0.875 * sm + 0.125 * mdm
+                    st = 0.875 * st + 0.125 * tr
+                if st == 0.0:
+                    dip = dim = dxv = None
+                else:
+                    dip = 100.0 * (sp / st)
+                    dim = 100.0 * (sm / st)
+                    dxv = (
+                        None
+                        if dip + dim == 0.0
+                        else 100.0 * (abs(dip - dim) / (dip + dim))
+                    )
+                if dxv is not None:
+                    adx = dxv if adx is None else 0.875 * adx + 0.125 * dxv
+                rows.append((bts, dip, dim, adx))
+            ph, pl, pc = h, lo, c
+        out = pd.DataFrame(
+            rows, columns=["bar_ts", "di_plus", "di_minus", "adx"]
+        )
+        out.insert(0, "symbol", pdf["symbol"].iloc[0])
+        return out
+
+    long = bars.groupBy("symbol").applyInPandas(
+        adx_group,
+        "symbol string, bar_ts timestamp, di_plus double,"
+        " di_minus double, adx double",
+    )
+    return long.select(
+        "symbol",
+        "bar_ts",
+        portable_round("di_plus", 6).alias("di_plus"),
+        portable_round("di_minus", 6).alias("di_minus"),
+        portable_round("adx", 6).alias("adx"),
+    ).orderBy("symbol", "bar_ts")

@@ -70,3 +70,29 @@ def test_yang_zhang_components_reconcile(spark):
     for _, row in out.iterrows():
         assert row["yz_var"] >= 0.0
         assert abs(row["yz_vol"] ** 2 - row["yz_var"]) < 2e-3
+
+
+def test_adx_bounded_and_di_nonnegative(spark):
+    """ADX and both DIs live in [0, 100] by construction (each is a
+    ratio of a smoothed non-negative part to the smoothed total, or a
+    convex combination of such ratios); rows start at the second bar of
+    every symbol."""
+    from stockmarketdata_dwb_etl_spark.queries.finance6 import (
+        _hourly_bars,
+        q_adx,
+    )
+
+    out = q_adx(spark, SF_DIR).toPandas()
+    for colname in ("di_plus", "di_minus", "adx"):
+        vals = out[colname].dropna()
+        assert ((vals >= 0.0) & (vals <= 100.0)).all(), colname
+    bars = (
+        _hourly_bars(spark, SF_DIR)
+        .groupBy("symbol")
+        .count()
+        .toPandas()
+        .set_index("symbol")["count"]
+    )
+    per_sym = out.groupby("symbol").size()
+    for sym, n in per_sym.items():
+        assert n == bars[sym] - 1

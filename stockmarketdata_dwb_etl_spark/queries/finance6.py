@@ -556,3 +556,149 @@ def q_adx(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable_round("di_minus", 6).alias("di_minus"),
         portable_round("adx", 6).alias("adx"),
     ).orderBy("symbol", "bar_ts")
+
+
+@query(
+    "q_durbin_watson",
+    oracle=f"""
+    WITH {_BARS_SQL},
+    nb AS (
+        SELECT symbol, bar_ts, close,
+               row_number() OVER (PARTITION BY symbol ORDER BY bar_ts) AS rn
+        FROM bars
+    ),
+    mom AS (
+        SELECT symbol,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(rn) AS BIGINT) AS sx,
+               CAST(SUM(rn * rn) AS BIGINT) AS sxx,
+               SUM(CAST({sql_portable_round("close", 12)}
+                   AS DECIMAL(38,18))) AS sy,
+               SUM(CAST({sql_portable_round("close * rn", 12)}
+                   AS DECIMAL(38,18))) AS sxy
+        FROM nb GROUP BY symbol HAVING COUNT(*) >= 3
+    ),
+    fit AS (
+        SELECT symbol, n,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 AS b,
+               sy, sx
+        FROM mom WHERE n * sxx - sx * sx <> 0
+    ),
+    ab AS (
+        SELECT symbol, n, b,
+               (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / n AS a
+        FROM fit
+    ),
+    res AS (
+        SELECT nb.symbol, nb.rn,
+               nb.close - (ab.a + ab.b * nb.rn) AS e
+        FROM nb JOIN ab ON ab.symbol = nb.symbol
+    ),
+    terms AS (
+        SELECT symbol,
+               CAST({sql_portable_round("e * e", 12)}
+                   AS DECIMAL(38,18)) AS e2,
+               CAST({sql_portable_round(
+                   "(e - lag(e) OVER (PARTITION BY symbol ORDER BY rn))"
+                   " * (e - lag(e) OVER (PARTITION BY symbol ORDER BY rn))",
+                   12)} AS DECIMAL(38,18)) AS d2
+        FROM res
+    )
+    SELECT t.symbol, ab.n AS n_bars,
+           CAST({sql_portable_round("ab.b", 6)} AS DOUBLE) AS slope,
+           CAST({sql_portable_round(
+               "CAST(SUM(t.d2) AS DOUBLE)"
+               " / nullif(CAST(SUM(t.e2) AS DOUBLE), 0.0)", 4)}
+               AS DOUBLE) AS dw
+    FROM terms t JOIN ab ON ab.symbol = t.symbol
+    GROUP BY t.symbol, ab.n, ab.b
+    ORDER BY t.symbol
+    """,
+)
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic per symbol on the residuals of the
+    close-vs-time OLS trend line: DW = Σ(e_t − e_{t−1})²/Σe_t² ∈ [0,4]
+    (≈2 means no serial correlation, →0 momentum, →4 mean-reversion) —
+    the diagnostic that says whether q_regression's trend fit left
+    structure on the table. Slope/intercept come from exact moment sums
+    (integer Σx/Σx², 12dp-DECIMAL Σy/Σxy) with ONE double division
+    each, so both engines' residuals are bit-identical; residual
+    difference-squares are 12dp-rounded DECIMAL sums. Scale: tick->bar
+    hash-agg, a per-symbol moment agg, a broadcast fit join-back, one
+    lag window — the bar table is persisted once (it feeds the moment
+    and residual branches)."""
+    from stockmarketdata_dwb_etl_spark.operators.cache import bounded_persist
+
+    bars = _hourly_bars(spark, sf_dir).select("symbol", "bar_ts", "close")
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    nb = bounded_persist(
+        bars.withColumn("rn", F.row_number().over(w)), "dw-bars"
+    )
+    mom = (
+        nb.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("rn").cast("bigint").alias("sx"),
+            F.sum(F.col("rn") * F.col("rn")).cast("bigint").alias("sxx"),
+            F.sum(portable_round(F.col("close"), 12).cast(_DEC18)).alias("sy"),
+            F.sum(
+                portable_round(F.col("close") * F.col("rn"), 12).cast(_DEC18)
+            ).alias("sxy"),
+        )
+        .filter(
+            (F.col("n") >= 3)
+            & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") != 0)
+        )
+    )
+    b = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    ab = (
+        mom.withColumn("b", b)
+        .withColumn(
+            "a",
+            (F.col("sy").cast("double") - F.col("b") * F.col("sx").cast("double"))
+            / F.col("n"),
+        )
+        .select("symbol", "n", "b", "a")
+    )
+    res = nb.join(F.broadcast(ab), "symbol").select(
+        "symbol",
+        "rn",
+        "n",
+        "b",
+        (F.col("close") - (F.col("a") + F.col("b") * F.col("rn"))).alias("e"),
+    )
+    wlag = Window.partitionBy("symbol").orderBy("rn")
+    d = F.col("e") - F.lag("e").over(wlag)
+    terms = res.select(
+        "symbol",
+        "n",
+        "b",
+        portable_round(F.col("e") * F.col("e"), 12).cast(_DEC18).alias("e2"),
+        portable_round(d * d, 12).cast(_DEC18).alias("d2"),
+    )
+    return (
+        terms.groupBy("symbol", "n", "b")
+        .agg(
+            portable_round(
+                F.sum("d2").cast("double")
+                / F.nullif(F.sum("e2").cast("double"), F.lit(0.0)),
+                4,
+            )
+            .cast("double")
+            .alias("dw"),
+        )
+        .select(
+            "symbol",
+            F.col("n").alias("n_bars"),
+            portable_round("b", 6).cast("double").alias("slope"),
+            "dw",
+        )
+        .orderBy("symbol")
+    )

@@ -93,8 +93,8 @@ PRIORITY = (
     "q_destutter", "q_gopher_repetition", "q_stream_heavy_hitters", "q_stream_warm_start", "q_wasserstein_drift",
     "q_rare_label_fold", "q_split_leakage",
     # (round-7 late additions, sf0.01 spark+oracle costs: chande ~2.4s,
-    # vortex ~2.2s, yang_zhang ~2.9s, adx ~5.3s)
-    "q_chande_momentum", "q_vortex", "q_yang_zhang_vol", "q_adx",
+    # vortex ~2.2s, yang_zhang ~2.9s, adx ~5.3s, durbin_watson ~3.9s)
+    "q_chande_momentum", "q_vortex", "q_yang_zhang_vol", "q_adx", "q_durbin_watson",
     "q_rfm_segmentation",
     "q_pair_affinity",
     "q_null_impute",

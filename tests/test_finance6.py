@@ -96,3 +96,13 @@ def test_adx_bounded_and_di_nonnegative(spark):
     per_sym = out.groupby("symbol").size()
     for sym, n in per_sym.items():
         assert n == bars[sym] - 1
+
+
+def test_durbin_watson_bounded(spark):
+    """DW lives in [0, 4] and every symbol with >= 3 bars reports."""
+    from stockmarketdata_dwb_etl_spark.queries.finance6 import q_durbin_watson
+
+    out = q_durbin_watson(spark, SF_DIR).toPandas()
+    assert len(out) == 5
+    vals = out["dw"].dropna()
+    assert ((vals >= 0.0) & (vals <= 4.0)).all()

@@ -31,6 +31,7 @@ from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
     finance6,
     dataops6,
     dataops7,
+    dataops8,
     stats_q,
     stats_q2,
     relational,

@@ -93,8 +93,10 @@ PRIORITY = (
     "q_destutter", "q_gopher_repetition", "q_stream_heavy_hitters", "q_stream_warm_start", "q_wasserstein_drift",
     "q_rare_label_fold", "q_split_leakage",
     # (round-7 late additions, sf0.01 spark+oracle costs: chande ~2.4s,
-    # vortex ~2.2s, yang_zhang ~2.9s, adx ~5.3s, durbin_watson ~3.9s)
+    # vortex ~2.2s, yang_zhang ~2.9s, adx ~5.3s, durbin_watson ~3.9s,
+    # dsir ~3.5s, lang_id_confusion ~0.9s)
     "q_chande_momentum", "q_vortex", "q_yang_zhang_vol", "q_adx", "q_durbin_watson",
+    "q_dsir_importance", "q_lang_id_confusion",
     "q_rfm_segmentation",
     "q_pair_affinity",
     "q_null_impute",

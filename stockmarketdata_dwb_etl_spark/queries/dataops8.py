@@ -227,3 +227,95 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("correct"),
     ).orderBy("lang", "predicted")
+
+
+@query(
+    "q_mips_norm_augment",
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    probe AS (
+        SELECT v AS pv, sqrt(list_dot_product(v, v)) AS pnorm
+        FROM vecs WHERE vec_id = 0
+    ),
+    docs AS (
+        SELECT vec_id, label, v,
+               list_dot_product(v, v) AS norm2
+        FROM vecs WHERE vec_id <> 0
+    ),
+    mx AS (SELECT MAX(norm2) AS m2 FROM docs),
+    scored AS (
+        SELECT d.vec_id, d.label,
+               list_dot_product(d.v, p.pv) AS ip,
+               sqrt(greatest(m.m2 - d.norm2, 0.0)) AS aug_dim,
+               list_dot_product(d.v, p.pv)
+                   / nullif(sqrt(m.m2) * p.pnorm, 0.0) AS cos_aug
+        FROM docs d CROSS JOIN probe p CROSS JOIN mx m
+    )
+    SELECT vec_id, label,
+           CAST({sql_portable_round("ip", 6)} AS DOUBLE) AS ip,
+           CAST({sql_portable_round("aug_dim", 6)} AS DOUBLE) AS aug_dim,
+           CAST({sql_portable_round("cos_aug", 6)} AS DOUBLE) AS cos_aug
+    FROM scored
+    ORDER BY ip DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_mips_norm_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search via the norm-augmentation reduction
+    (Bachrach et al. 2014): append sqrt(M² − |x|²) to every doc vector
+    (M = max norm) and a 0 to the query — all augmented docs then share
+    norm M, so cosine order on the augmented space EQUALS inner-product
+    order on the original (cos_aug = ip/(M·|q|), a positive monotone
+    map; the output carries ip, the augmented dimension, and cos_aug so
+    the equivalence is checkable row-by-row). This is the bridge that
+    lets every cosine-ANN structure in the repo (hyperplane LSH, IVF)
+    serve MIPS workloads — recommendation scoring — without new index
+    code. Exact top-10 by ip here is the ground-truth baseline (the
+    q_cosine_topk posture: broadcast probe + one scan + TakeOrdered);
+    fold order of the JVM aggregate matches DuckDB's list_dot_product
+    index order, single divisions, 6dp portable rounds."""
+    from stockmarketdata_dwb_etl_spark.functions.vectors import dot, norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("pv"),
+        norm(F.col("embedding")).alias("pnorm"),
+    )
+    docs = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        "label",
+        "embedding",
+        dot(F.col("embedding"), F.col("embedding")).alias("norm2"),
+    )
+    mx = docs.agg(F.max("norm2").alias("m2"))
+    scored = docs.crossJoin(F.broadcast(probe)).crossJoin(
+        F.broadcast(mx)
+    ).select(
+        "vec_id",
+        "label",
+        dot(F.col("embedding"), F.col("pv")).alias("ip"),
+        F.sqrt(F.greatest(F.col("m2") - F.col("norm2"), F.lit(0.0))).alias(
+            "aug_dim"
+        ),
+        (
+            dot(F.col("embedding"), F.col("pv"))
+            / F.nullif(F.sqrt(F.col("m2")) * F.col("pnorm"), F.lit(0.0))
+        ).alias("cos_aug"),
+    )
+    # round BEFORE the top-k sort: DuckDB's ORDER BY ip binds the
+    # rounded output alias, so Spark must rank on the rounded value too
+    # or 6dp-equal raw values tie-break differently across engines
+    return (
+        scored.select(
+            "vec_id",
+            "label",
+            portable_round("ip", 6).cast("double").alias("ip"),
+            portable_round("aug_dim", 6).cast("double").alias("aug_dim"),
+            portable_round("cos_aug", 6).cast("double").alias("cos_aug"),
+        )
+        .orderBy(F.col("ip").desc(), "vec_id")
+        .limit(10)
+    )

@@ -1453,3 +1453,169 @@ def q_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("z"),
     )
+
+
+@query(
+    "q_anderson_darling",
+    oracle=f"""
+    WITH mom AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM({_dterm("value", 12)}) AS sv,
+               SUM({_dterm("value * value", 10)}) AS svv
+        FROM events GROUP BY event_type HAVING COUNT(*) >= 8
+    ),
+    ms AS (
+        SELECT event_type, n,
+               CAST(sv AS DOUBLE) / n AS mean,
+               sqrt((CAST(svv AS DOUBLE)
+                     - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n)
+                    / (n - 1)) AS std
+        FROM mom
+    ),
+    z AS (
+        SELECT e.event_type, ms.n,
+               (e.value - ms.mean) / ms.std AS z,
+               row_number() OVER (PARTITION BY e.event_type
+                                  ORDER BY e.value, e.event_id) AS i
+        FROM events e JOIN ms ON ms.event_type = e.event_type
+        WHERE ms.std > 0
+    ),
+    phi AS (
+        -- clamp to (0,1) with identical literals: exp underflow at
+        -- extreme z drives the logistic to exactly 0/1 and ln() throws
+        SELECT event_type, n, i,
+               greatest(least(
+                   1.0 / (1.0 + exp(-(1.5976 * z
+                                      + 0.070565992 * (z * z * z)))),
+                   0.999999999999999), 1.0e-15) AS p
+        FROM z
+    ),
+    terms AS (
+        SELECT event_type, n,
+               {_dterm(
+                   "(2.0 * i - 1.0) * ln(p)"
+                   " + (2.0 * (n - i) + 1.0) * ln(1.0 - p)", 8)} AS t
+        FROM phi
+    ),
+    a AS (
+        SELECT event_type, n,
+               -CAST(n AS DOUBLE) - CAST(SUM(t) AS DOUBLE) / n AS a2
+        FROM terms GROUP BY event_type, n
+    )
+    SELECT a.event_type, a.n,
+           {_pr("ms.mean", 6)} AS mean,
+           {_pr("ms.std", 6)} AS std,
+           {_pr("a.a2", 4)} AS a2,
+           {_pr("a.a2 * (1.0 + 0.75 / a.n + 2.25 / (a.n * a.n))", 4)}
+               AS a2_star
+    FROM a JOIN ms ON ms.event_type = a.event_type
+    ORDER BY a.event_type
+    """,
+)
+def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anderson-Darling normality statistic per event type over the raw
+    value distribution: A² = −n − (1/n)·Σ[(2i−1)lnΦ(zᵢ) +
+    (2(n−i)+1)ln(1−Φ(zᵢ))] on the ascending z-scores (the
+    self-join-free single-pass form), plus the small-sample-corrected
+    A*² = A²(1+0.75/n+2.25/n²) — the tail-sensitive complement to
+    q_ks_test/q_jarque_bera (AD weights the tails where KS is blind).
+    Φ uses the Bowling et al. (2009) logistic approximation
+    1/(1+exp(−(1.5976z+0.070565992z³))) — max |error| < 1.4e-4 —
+    embedded as IDENTICAL literals on both engines (no cross-libm
+    normal-CDF dependency; exp/ln ulp noise is absorbed by the 8dp term
+    round before the DECIMAL Σ, magnitude-bounded per the _dterm
+    contract). Moments come from 12dp/10dp DECIMAL power sums with one
+    double division each, so z is bit-identical cross-engine; the only
+    heavy op is the per-type rank window (one shuffle), which at 100 TB
+    is the distributed-sort price any exact order statistic pays."""
+    ev = load_table(spark, sf_dir, "events")
+    mom = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(_sterm(F.col("value"), 12)).alias("sv"),
+            F.sum(_sterm(F.col("value") * F.col("value"), 10)).alias("svv"),
+        )
+        .filter(F.col("n") >= 8)
+    )
+    ms = mom.select(
+        "event_type",
+        "n",
+        (F.col("sv").cast("double") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (
+                F.col("svv").cast("double")
+                - F.col("sv").cast("double")
+                * F.col("sv").cast("double")
+                / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("std"),
+    ).filter(F.col("std") > 0)
+    wi = Window.partitionBy("event_type").orderBy("value", "event_id")
+    z = (
+        ev.join(F.broadcast(ms), "event_type")
+        .select(
+            "event_type",
+            "n",
+            ((F.col("value") - F.col("mean")) / F.col("std")).alias("z"),
+            F.row_number().over(wi).alias("i"),
+        )
+    )
+    # clamp to (0,1) with identical literals: exp underflow at extreme z
+    # drives the logistic to exactly 0/1 and ln() is undefined there
+    p = F.greatest(
+        F.least(
+            1.0
+            / (
+                1.0
+                + F.exp(
+                    -(
+                        1.5976 * F.col("z")
+                        + 0.070565992
+                        * (F.col("z") * F.col("z") * F.col("z"))
+                    )
+                )
+            ),
+            F.lit(0.999999999999999),
+        ),
+        F.lit(1.0e-15),
+    )
+    terms = z.select(
+        "event_type",
+        "n",
+        _sterm(
+            (2.0 * F.col("i") - 1.0) * F.log(p)
+            + (2.0 * (F.col("n") - F.col("i")) + 1.0) * F.log(1.0 - p),
+            8,
+        ).alias("t"),
+    )
+    a = terms.groupBy("event_type", "n").agg(
+        (
+            -F.col("n").cast("double")
+            - F.sum("t").cast("double") / F.col("n")
+        ).alias("a2")
+    )
+    return (
+        a.join(ms.select("event_type", "mean", "std"), "event_type")
+        .select(
+            "event_type",
+            "n",
+            portable_round("mean", 6).cast("double").alias("mean"),
+            portable_round("std", 6).cast("double").alias("std"),
+            portable_round("a2", 4).cast("double").alias("a2"),
+            portable_round(
+                F.col("a2")
+                * (
+                    1.0
+                    + 0.75 / F.col("n")
+                    + 2.25 / (F.col("n") * F.col("n"))
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("a2_star"),
+        )
+        .orderBy("event_type")
+    )

@@ -94,9 +94,10 @@ PRIORITY = (
     "q_rare_label_fold", "q_split_leakage",
     # (round-7 late additions, sf0.01 spark+oracle costs: chande ~2.4s,
     # vortex ~2.2s, yang_zhang ~2.9s, adx ~5.3s, durbin_watson ~3.9s,
-    # dsir ~3.5s, lang_id_confusion ~0.9s)
+    # dsir ~3.5s, lang_id_confusion ~0.9s, mips ~1.4s, anderson ~2.4s)
     "q_chande_momentum", "q_vortex", "q_yang_zhang_vol", "q_adx", "q_durbin_watson",
-    "q_dsir_importance", "q_lang_id_confusion",
+    "q_dsir_importance", "q_lang_id_confusion", "q_mips_norm_augment",
+    "q_anderson_darling",
     "q_rfm_segmentation",
     "q_pair_affinity",
     "q_null_impute",

@@ -36,3 +36,35 @@ def test_lang_id_confusion_reconciles(spark):
     assert set(out["predicted"]) <= {"en", "es", "de"}
     for _, g in out.groupby("lang"):
         assert abs(g["row_share"].sum() - 1.0) < 5e-4
+
+
+def test_mips_augmented_cosine_preserves_ip_order(spark):
+    """The demonstration the query exists for: cos_aug must be ordered
+    identically to ip (positive monotone map), and every augmented-dim
+    value must be real (M² >= |x|²)."""
+    from stockmarketdata_dwb_etl_spark.queries.dataops8 import (
+        q_mips_norm_augment,
+    )
+
+    out = q_mips_norm_augment(spark, SF_DIR).toPandas()
+    assert len(out) == 10
+    assert (out["aug_dim"] >= 0.0).all()
+    ranked_by_aug = out.sort_values(
+        ["cos_aug", "vec_id"], ascending=[False, True]
+    )["vec_id"].tolist()
+    assert ranked_by_aug == out["vec_id"].tolist()
+
+
+def test_anderson_darling_detects_uniform_tails(spark):
+    """events.value is bounded (uniform-ish) — nothing like a normal's
+    tails — so A² must reject normality decisively (A*² far above the
+    1% critical value 1.092) for every type, and std/mean must be
+    positive."""
+    from stockmarketdata_dwb_etl_spark.queries.stats_q2 import (
+        q_anderson_darling,
+    )
+
+    out = q_anderson_darling(spark, SF_DIR).toPandas()
+    assert len(out) == 5
+    assert (out["std"] > 0).all() and (out["mean"] > 0).all()
+    assert (out["a2_star"] > 1.092).all()

@@ -48,8 +48,9 @@ def main() -> int:
     if stale:
         print("  " + " ".join(stale))
         print(
-            f"ROTATE: promote the next never-tested block "
-            f"(see round-6 procedure in .claude/skills/verify/SKILL.md)"
+            "ROTATE: move the stale names out of the front block and "
+            "promote the next never-tested tranche (re-budget at sf0.01, "
+            "cheapest-first, <=3 streaming; see registry.PRIORITY notes)"
         )
         return 1
     print("front block is fully fresh — no rotation needed")

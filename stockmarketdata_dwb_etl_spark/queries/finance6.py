@@ -574,13 +574,14 @@ def q_adx(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(rn * rn) AS BIGINT) AS sxx,
                SUM(CAST({sql_portable_round("close", 12)}
                    AS DECIMAL(38,18))) AS sy,
-               SUM(CAST({sql_portable_round("close * rn", 12)}
+               SUM(CAST({sql_portable_round("close * rn", 6)}
                    AS DECIMAL(38,18))) AS sxy
         FROM nb GROUP BY symbol HAVING COUNT(*) >= 3
     ),
     fit AS (
         SELECT symbol, n,
-               CAST(n * sxy - sx * sy AS DOUBLE)
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                  / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
                  AS b,
                sy, sx
@@ -623,9 +624,15 @@ def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≈2 means no serial correlation, →0 momentum, →4 mean-reversion) —
     the diagnostic that says whether q_regression's trend fit left
     structure on the table. Slope/intercept come from exact moment sums
-    (integer Σx/Σx², 12dp-DECIMAL Σy/Σxy) with ONE double division
-    each, so both engines' residuals are bit-identical; residual
-    difference-squares are 12dp-rounded DECIMAL sums. Scale: tick->bar
+    (integer Σx/Σx²; Σy at 12dp, Σxy at 6dp — close·rn·10^dp must stay
+    under the _dterm int64 floor bound, so 6dp holds to |close·rn| <
+    9.2e12 ≈ a million years of hourly bars at price 1e3 where 12dp
+    saturated at ~1 year) cast to DOUBLE before the slope numerator so
+    BOTH engines evaluate the identical double tree (mixed
+    BIGINT×DECIMAL trees quantize differently per engine); residuals
+    are then bit-identical cross-engine. Residual difference-squares
+    are 12dp-rounded DECIMAL sums (bound: |e|² < 9.2e6, i.e. prices to
+    ~3e4). Scale: tick->bar
     hash-agg, a per-symbol moment agg, a broadcast fit join-back, one
     lag window — the bar table is persisted once (it feeds the moment
     and residual branches)."""
@@ -644,7 +651,7 @@ def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("rn") * F.col("rn")).cast("bigint").alias("sxx"),
             F.sum(portable_round(F.col("close"), 12).cast(_DEC18)).alias("sy"),
             F.sum(
-                portable_round(F.col("close") * F.col("rn"), 12).cast(_DEC18)
+                portable_round(F.col("close") * F.col("rn"), 6).cast(_DEC18)
             ).alias("sxy"),
         )
         .filter(
@@ -652,8 +659,9 @@ def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") != 0)
         )
     )
-    b = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-        "double"
+    b = (
+        F.col("n").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
     ) / (
         F.col("n").cast("double") * F.col("sxx")
         - F.col("sx").cast("double") * F.col("sx")

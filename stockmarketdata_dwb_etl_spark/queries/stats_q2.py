@@ -1524,8 +1524,15 @@ def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
     1/(1+exp(−(1.5976z+0.070565992z³))) — max |error| < 1.4e-4 —
     embedded as IDENTICAL literals on both engines (no cross-libm
     normal-CDF dependency; exp/ln ulp noise is absorbed by the 8dp term
-    round before the DECIMAL Σ, magnitude-bounded per the _dterm
-    contract). Moments come from 12dp/10dp DECIMAL power sums with one
+    round before the DECIMAL Σ). Unlike most _dterm call sites the term
+    bound here GROWS with the group size — |t| ≤ 2n·|ln 1e-15| ≈ 69n —
+    so the 8dp round saturates Spark's int64 floor once a single
+    event_type exceeds ~1.3e9 rows (and the DECIMAL(38,18) Σ ≈ 69n²
+    overflows near the same n). Explicit validity bound: n per group
+    < 1e9; beyond that, drop the term round to 4dp (pushes the bound to
+    ~1.3e13) — A² is a ratio of O(n)-magnitude sums, so 4dp term noise
+    is invisible at the 4dp presentation round.
+    Moments come from 12dp/10dp DECIMAL power sums with one
     double division each, so z is bit-identical cross-engine; the only
     heavy op is the per-type rank window (one shuffle), which at 100 TB
     is the distributed-sort price any exact order statistic pays."""

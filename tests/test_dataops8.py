@@ -39,9 +39,12 @@ def test_lang_id_confusion_reconciles(spark):
 
 
 def test_mips_augmented_cosine_preserves_ip_order(spark):
-    """The demonstration the query exists for: cos_aug must be ordered
-    identically to ip (positive monotone map), and every augmented-dim
-    value must be real (M² >= |x|²)."""
+    """The demonstration the query exists for: cos_aug is a positive
+    monotone map of ip, so walking the frame in ip order it must never
+    increase (ties allowed — the 6dp presentation round can collapse
+    distinct ips to one cos_aug, so an exact tie-broken resort is NOT
+    required to agree); every augmented-dim value must be real
+    (M² >= |x|²)."""
     from stockmarketdata_dwb_etl_spark.queries.dataops8 import (
         q_mips_norm_augment,
     )
@@ -49,10 +52,8 @@ def test_mips_augmented_cosine_preserves_ip_order(spark):
     out = q_mips_norm_augment(spark, SF_DIR).toPandas()
     assert len(out) == 10
     assert (out["aug_dim"] >= 0.0).all()
-    ranked_by_aug = out.sort_values(
-        ["cos_aug", "vec_id"], ascending=[False, True]
-    )["vec_id"].tolist()
-    assert ranked_by_aug == out["vec_id"].tolist()
+    cos_aug = out["cos_aug"].tolist()  # frame is already in ip order
+    assert all(a >= b for a, b in zip(cos_aug, cos_aug[1:]))
 
 
 def test_anderson_darling_detects_uniform_tails(spark):

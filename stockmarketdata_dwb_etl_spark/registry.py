@@ -35,87 +35,55 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 #: Registry iteration order for a budget-capped driver: the driver
 #: evaluates the FIRST ~50 registry entries each round, so the front of
-#: the dict must be the queries with the LEAST driver evidence. Round 7
-#: rotation (per VERDICT r06 "Next round" #1-2): after r01-r06 the
-#: cumulative driver-green set is 224/419, all passing on latest
-#: evidence, so the 197 still-unsampled queries (195 + the two new
-#: round-7 BPE queries) fill positions 1-197, split into four
-#: pre-staged tranches (r07 pos 1-50, then r08/r09/r10 blocks below).
+#: the dict must be the queries with the LEAST driver evidence. After
+#: r01-r07 the cumulative driver-green set is 274/438 (the r07 front-50
+#: converted 50/50); the 164 still-unsampled queries fill positions
+#: 1-164 as three pre-staged tranches (r08 pos 1-50, r09/r10 below).
 #:
-#: Round-7 measurement that reshaped the packing: a FRESH 50-query
-#: driver session costs ~1.5x the warm per-query sums from a long
-#: uniform timing pass (~0.3 s/query median cold tax: codegen compiles
-#: per distinct plan, cold parquet footers, cold scratch). The original
-#: 48.0 s-sum front-50 dry-ran at 87 s wall. The committed front-50 is
-#: therefore (a) SLIMMED — budget sum 37.8 s, dry-run 76 s wall
-#: end-to-end on the round-7 machine — and (b) ordered CHEAPEST-FIRST
-#: with the one streaming entry and the multimodal/ANN heavies LAST, so
-#: if the driver enforces a time window, a cut costs only the expensive
-#: tail (they simply retry in r08); if it does not, all 50 convert.
-#: Deferred heavies (q_dedup_keep_canonical, q_stream_merge_partitioned,
-#: q_dedup_embedding, q_embed_quantize, q_psi_drift, q_concordance)
-#: head the r08 block. Rounds 8-10: delete the just-greened front block
-#: (scripts/rotation_check.py verifies), re-budget ~45-50 entries
-#: against the 1.5x fresh-session rule, order cheapest-first. The 224
-#: already-green queries follow in module order.
+#: Budget rule (measured round 7, re-applied round 8): a FRESH 50-query
+#: driver session costs ~1.5x the warm per-query sums (+~0.3 s/query
+#: cold tax: per-plan codegen, cold parquet footers, cold scratch), so
+#: the front-50 targets a <=43 s warm sum (1.5x + startup lands under
+#: the ~80 s risk band). Round-8 front-50: warm sum 42.7 s = the 49
+#: cheapest non-streaming entries of the oversize r08 block + the one
+#: cheapest streaming entry, ordered CHEAPEST-FIRST with the streaming
+#: entry last, so a driver time-cut only costs the retryable tail.
+#: Timings: scripts/tranche_timings_r08.json (the nine late round-7
+#: additions re-timed warm this round). The 19 deferred heavies (sum
+#: 80.2 s, five of the six remaining streaming entries among them) head
+#: the r09 block — r09 MUST re-budget the same way: re-time, pick
+#: ~45-50 cheapest-first with <=3 streaming, dry-run the exact front-50
+#: (scripts/round_close.py), push the rest back. The 274 already-green
+#: queries follow in module order.
 PRIORITY = (
-    "q_skyline_pareto", "q_price_clustering", "q_hhi_concentration",
-    "q_chunk_documents", "q_poisson_rate_test", "q_edit_distance",
-    "q_exists_correlated", "q_ab_test_proportions", "q_yoy_growth",
-    "q_bitmap_distinct", "q_embedding_drift", "q_csv_multiline",
-    "q_ttr_by_length", "q_mcnemar", "q_log_loss",
-    "q_dedup_prefix", "q_qq_points", "q_skew_report",
-    "q_bpe_pair_counts", "q_join_asof_forward", "q_interval_overlap",
-    "q_date_spine", "q_hof_arrays", "q_zipf_slope",
-    "q_dedup_blocked_edit", "q_percentile_disc", "q_binaryfile_source",
-    "q_disorder_audit", "q_missing_bars", "q_partial_agg_merge",
-    "q_attribution_last_touch", "q_multimodal_resize", "q_markov_transitions",
-    "q_scd2_lookup", "q_tpch_q16", "q_boilerplate_ratio",
-    "q_bm25_topk", "q_word_entropy", "q_tpch_q9",
-    "q_mad_outliers", "q_tpch_q2", "q_tpch_q20",
-    "q_sessionize_batch", "q_bollinger_bands", "q_tpch_q11",
-    "q_ann_ivf_pruned", "q_weighted_median", "q_rolling_corr",
-    "q_multimodal_frames", "q_stream_static_join",
-    # --- pre-staged r08 tranche: the r07 deferrals + EVERY query added
-    # during round 7 (all zero-evidence; the block is OVERSIZE and
-    # streaming-heavy by design — r08 MUST re-budget: time the block at
-    # sf0.01, apply the 1.5x fresh-session rule, pick ~45-50
-    # cheap-heavy-balanced entries ordered cheapest-first with <=3
-    # streaming, dry-run the exact front-50, push the rest to r09) ---
+    "q_concordance", "q_brier_score", "q_cohens_d",
+    "q_mcc", "q_mix_weights", "q_pivot_points",
+    "q_sentence_stats", "q_sla_lateness", "q_time_to_convert",
+    "q_word_burstiness", "q_abc_analysis", "q_agg_filtered",
+    "q_containment", "q_embed_quantize", "q_feature_scale",
+    "q_forecast_linear", "q_grouping_id", "q_hll_union_rollup",
+    "q_lateral_topn", "q_multimodal_dedup", "q_one_hot_encode",
+    "q_outlier_iqr", "q_percentile_cont", "q_target_encoding",
+    "q_text_source_lines", "q_index_rebase", "q_lang_id_confusion",
+    "q_null_impute", "q_quality_classifier", "q_survival_churn",
+    "q_tick_rule", "q_allocation_largest_remainder", "q_mips_norm_augment",
+    "q_seasonal_decompose", "q_cusum_changepoint", "q_dedup_chunks",
+    "q_ri_audit", "q_running_distinct", "q_window_dist_funcs",
+    "q_rare_label_fold", "q_token_budget_trim", "q_bucketed_agg",
+    "q_anderson_darling", "q_destutter", "q_psi_drift",
+    "q_sequence_packing", "q_vortex", "q_yang_zhang_vol",
+    "q_gopher_repetition", "q_stream_ohlc",
+    # --- pre-staged r09 tranche: the 19 round-8 deferrals (sum 80.2 s
+    # warm at sf0.01 — OVERSIZE and streaming-heavy by design, five
+    # streaming entries; r09 re-budgets per the rule above) + the
+    # original r09 block (50 queries, 55.9 s at sf0.01) ---
     "q_dedup_keep_canonical", "q_stream_merge_partitioned", "q_dedup_embedding",
-    "q_embed_quantize", "q_psi_drift", "q_concordance",
-    # (round-7 additions, sf0.01 spark+oracle costs: bpe_merge 4.6s,
-    # bpe_apply 4.0s, sequence_packing 1.6s, destutter ~1.4s,
-    # gopher_repetition ~1.9s, stream_heavy_hitters ~9s cold,
-    # stream_warm_start ~9s cold, wasserstein_drift ~4s,
-    # rare_label_fold ~1.1s)
-    "q_bpe_merge_iterative", "q_bpe_apply", "q_sequence_packing",
-    "q_destutter", "q_gopher_repetition", "q_stream_heavy_hitters", "q_stream_warm_start", "q_wasserstein_drift",
-    "q_rare_label_fold", "q_split_leakage",
-    # (round-7 late additions, sf0.01 spark+oracle costs: chande ~2.4s,
-    # vortex ~2.2s, yang_zhang ~2.9s, adx ~5.3s, durbin_watson ~3.9s,
-    # dsir ~3.5s, lang_id_confusion ~0.9s, mips ~1.4s, anderson ~2.4s)
-    "q_chande_momentum", "q_vortex", "q_yang_zhang_vol", "q_adx", "q_durbin_watson",
-    "q_dsir_importance", "q_lang_id_confusion", "q_mips_norm_augment",
-    "q_anderson_darling",
-    "q_rfm_segmentation",
-    "q_pair_affinity",
-    "q_null_impute",
-    "q_window_dist_funcs", "q_cusum_changepoint", "q_abc_analysis",
-    "q_running_distinct", "q_allocation_largest_remainder", "q_lateral_topn",
-    "q_grouping_id", "q_containment", "q_seasonal_decompose",
-    "q_forecast_linear", "q_outlier_iqr", "q_index_rebase",
-    "q_feature_scale", "q_one_hot_encode", "q_power_iteration",
-    "q_tick_rule", "q_percentile_cont", "q_quality_classifier",
-    "q_agg_filtered", "q_global_median", "q_hll_union_rollup",
-    "q_text_source_lines", "q_stream_transform_state", "q_ri_audit",
-    "q_multimodal_dedup", "q_stream_stream_join", "q_stream_ohlc",
-    "q_bucketed_agg", "q_token_budget_trim", "q_dedup_chunks",
-    "q_target_encoding", "q_survival_churn", "q_time_to_convert",
-    "q_sla_lateness", "q_mix_weights", "q_brier_score",
-    "q_sentence_stats", "q_cohens_d", "q_pivot_points",
-    "q_mcc", "q_word_burstiness",
-    # --- pre-staged r09 tranche: 50 queries, 55.9s at sf0.01 ---
+    "q_bpe_merge_iterative", "q_bpe_apply", "q_stream_heavy_hitters",
+    "q_stream_warm_start", "q_wasserstein_drift", "q_split_leakage",
+    "q_chande_momentum", "q_adx", "q_durbin_watson",
+    "q_dsir_importance", "q_rfm_segmentation", "q_pair_affinity",
+    "q_power_iteration", "q_global_median", "q_stream_transform_state",
+    "q_stream_stream_join",
     "q_cohort_ltv", "q_join_asof_nearest", "q_active_users",
     "q_audience_overlap", "q_lsh_tuning_curve", "q_gram_matrix",
     "q_vocab_coverage", "q_volume_profile", "q_overnight_gaps",

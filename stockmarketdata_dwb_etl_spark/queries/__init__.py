@@ -29,15 +29,18 @@ from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
     finance4,
     finance5,
     finance6,
+    finance7,
     dataops6,
     dataops7,
     dataops8,
+    dataops9,
     stats_q,
     stats_q2,
     relational,
     dataops5,
     timeseries3,
     analytics3,
+    analytics4,
     dataops3,
     dataops4,
     timeseries,

@@ -1,0 +1,385 @@
+"""LLM-corpus operations, part 9: deterministic epoch shuffling,
+curriculum staging, URL canonicalization, and the quality-filter funnel.
+
+Training-data pipeline operators beyond the reference's scrape surface
+(the reference ships raw rows to a warehouse, ``/root/reference/
+dump_bigq.py:131-149``; a 100 TB corpus pipeline additionally needs
+reproducible shuffle order, difficulty staging, URL-level dedup keys and
+filter observability). All four are map-side + hash-agg shapes: no
+self-joins, no collect, engine-portable md5 keys where determinism must
+survive an engine swap (the q_hash_split property).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stockmarketdata_dwb_etl_spark.catalog import load_table
+from stockmarketdata_dwb_etl_spark.functions.exact import (
+    portable_round,
+    sql_portable_round,
+)
+from stockmarketdata_dwb_etl_spark.registry import query
+
+_HEX = "0123456789abcdef"
+
+
+def _duck_hex_bucket(expr: str, n: int) -> str:
+    """First-two-hex-digit md5 bucket in [0, n) — DuckDB twin of
+    reports.py::hash_bucket (md5 agrees bit-for-bit across engines)."""
+    return (
+        f"((strpos('{_HEX}', substr(md5({expr}), 1, 1)) - 1) * 16"
+        f" + (strpos('{_HEX}', substr(md5({expr}), 2, 1)) - 1)) % {n}"
+    )
+
+
+@query(
+    "q_epoch_shuffle",
+    oracle=f"""
+    WITH epochs AS (SELECT * FROM (VALUES (0), (1), (2)) e(epoch)),
+    keyed AS (
+        SELECT e.epoch, d.doc_id, d.n_chars,
+               md5(CAST(e.epoch AS VARCHAR) || ':'
+                   || CAST(d.doc_id AS VARCHAR)) AS k,
+               {_duck_hex_bucket(
+                   "CAST(e.epoch AS VARCHAR) || ':'"
+                   " || CAST(d.doc_id AS VARCHAR)", 16)} AS shard
+        FROM documents d CROSS JOIN epochs e
+    )
+    SELECT epoch, shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           arg_min(doc_id, k) AS first_doc_id
+    FROM keyed GROUP BY epoch, shard ORDER BY epoch, shard
+    """,
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-epoch corpus shuffle: each (epoch, doc) pair
+    gets the order key md5(epoch:doc_id), docs are sharded by the first
+    two hex digits of the same key, and within a shard the key IS the
+    read order — so every epoch visits the corpus in a different but
+    perfectly reproducible permutation with no persisted shuffle state
+    (the property data loaders need for resumable training; compare
+    q_hash_split's split assignment). Reported per (epoch, shard):
+    size, char mass, and the first doc in shuffle order (arg_min by
+    key) — enough for the oracle to pin both the assignment AND the
+    head of the order. The epoch explode is a 3-literal array (no
+    join); everything else is map-side + one hash-agg. At 100 TB the
+    shard count scales with the cluster (16 here), and the md5 keys
+    make the shuffle engine-portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("epoch"),
+        "doc_id",
+        "n_chars",
+    ).withColumn(
+        "k",
+        F.md5(
+            F.concat(
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+    )
+    shard = F.conv(F.substring("k", 1, 2), 16, 10).cast("int") % F.lit(16)
+    return (
+        keyed.withColumn("shard", shard)
+        .groupBy("epoch", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min_by("doc_id", F.col("k")).alias("first_doc_id"),
+        )
+        .orderBy("epoch", "shard")
+    )
+
+
+@query(
+    "q_curriculum_buckets",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS lex_div
+        FROM documents
+    ),
+    staged AS (
+        SELECT lang, n_chars, lex_div,
+               ntile(5) OVER (PARTITION BY lang
+                              ORDER BY n_chars, lex_div, doc_id) AS stage
+        FROM scored
+    )
+    SELECT lang, stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST({sql_portable_round(
+               "CAST(SUM(CAST(" + sql_portable_round("lex_div", 8)
+               + " AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)", 6)}
+               AS DOUBLE) AS avg_lex_div
+    FROM staged GROUP BY lang, stage ORDER BY lang, stage
+    """,
+)
+def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging: rank documents per language by difficulty
+    (length, then lexical diversity = distinct-word ratio) and cut the
+    ordered corpus into 5 ntile stages — the short-and-simple-first
+    schedule curriculum training consumes. The ntile order is made
+    total with the doc_id tiebreak so stage assignment is deterministic
+    on both engines; per-stage lexical diversity is an 8dp-rounded term
+    in an exact DECIMAL mean. Scales: map-side scoring (split/distinct
+    are per-row JVM array ops), ONE window shuffle on lang for the
+    ntile, then a 5·|lang| hash-agg; at 100 TB the per-lang global sort
+    is the distributed-sort price any exact quantile staging pays (the
+    approximate alternative is q_decile_assign's percentile_approx
+    path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (
+            F.size(F.array_distinct(words)).cast("double") / F.size(words)
+        ).alias("lex_div"),
+    )
+    stage = F.ntile(5).over(
+        Window.partitionBy("lang").orderBy("n_chars", "lex_div", "doc_id")
+    )
+    return (
+        scored.withColumn("stage", stage)
+        .groupBy("lang", "stage")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            portable_round(
+                F.sum(
+                    portable_round(F.col("lex_div"), 8).cast("decimal(38,18)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            )
+            .cast("double")
+            .alias("avg_lex_div"),
+        )
+        .orderBy("lang", "stage")
+    )
+
+
+# Deterministic messy synthetic URL per doc (the fixture ships no URL
+# column — same convention as q_url_extract): mixed-case scheme/host,
+# default ports, utm_* tracking params around a meaningful id param, and
+# fragments. Both engines build the IDENTICAL string, then both apply
+# the same canonicalization, so any divergence in the string ops
+# themselves fails the differential.
+_URL_HOSTS = [
+    "EN.Wikipedia.org", "GitHub.COM", "arxiv.org",
+    "News.YCombinator.com", "docs.Python.org",
+]
+
+
+def _duck_raw_url() -> str:
+    hosts = ", ".join(f"'{h}'" for h in _URL_HOSTS)
+    return f"""
+        (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+        || '://' || list_extract([{hosts}], CAST(doc_id % 5 AS INT) + 1)
+        || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+        || '/Articles/' || CAST(doc_id % 97 AS VARCHAR)
+        || '?utm_source=feed&id=' || CAST(doc_id % 97 AS VARCHAR)
+        || '&utm_campaign=x'
+        || (CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END)
+    """
+
+
+@query(
+    "q_url_canonicalize",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, {_duck_raw_url()} AS url FROM documents
+    ),
+    canon AS (
+        SELECT url,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         lower(substr(url, 1, strpos(url, '/Articles') - 1))
+                           || substr(url, strpos(url, '/Articles')),
+                         '#.*$', '', 'g'),
+                       '[?]utm_[a-z]+=[^&#]*&', '?', 'g'),
+                     '&utm_[a-z]+=[^&#]*', '', 'g'),
+                   '[?]utm_[a-z]+=[^&#]*$', '', 'g'),
+                 ':(443|80)/', '/', 'g') AS curl
+        FROM raw
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_urls,
+           CAST(COUNT(DISTINCT curl) AS BIGINT) AS n_canonical,
+           CAST(MIN(curl) AS VARCHAR) AS sample_min,
+           CAST(MAX(curl) AS VARCHAR) AS sample_max
+    FROM canon
+    """,
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for web-corpus dedup keys: lowercase the
+    scheme+host, strip the fragment, strip utm_* tracking params, strip
+    default ports (:443/:80) — the normalization pass that turns a raw
+    crawl's URL column into a dedup/join key (the step before
+    q_dedup_exact on url). Each doc gets a deterministic MESSY synthetic
+    URL (mixed-case host, tracking params, fragments — the fixture ships
+    none), and BOTH engines apply the identical regexp chain, so the
+    canonical-key cardinality collapse (n_raw_urls → n_canonical) is
+    verified cross-engine along with min/max sample keys. Map-only +
+    one global agg; the regexps are anchored single-pass patterns valid
+    in both Java and RE2 regex dialects."""
+    docs = load_table(spark, sf_dir, "documents")
+    host = F.element_at(
+        F.array(*[F.lit(h) for h in _URL_HOSTS]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    scheme = F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS")).otherwise(
+        F.lit("https")
+    )
+    port = F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit(""))
+    frag = F.when(F.col("doc_id") % 5 == 0, F.lit("#section-2")).otherwise(
+        F.lit("")
+    )
+    slug = (F.col("doc_id") % 97).cast("string")
+    url = F.concat(
+        scheme, F.lit("://"), host, port, F.lit("/Articles/"), slug,
+        F.lit("?utm_source=feed&id="), slug, F.lit("&utm_campaign=x"), frag,
+    )
+    # lowercase the authority (everything before the path — the path
+    # itself stays case-sensitive per URL semantics; the synthetic path
+    # always starts '/Articles'), then the same regexp chain as the
+    # oracle (Spark regexp_replace is global by default; DuckDB needs
+    # the explicit 'g' flag — an engine trap this oracle pins)
+    sep = F.instr(url, "/Articles")
+    lowered = F.concat(
+        F.lower(F.substring(url, F.lit(1), sep - 1)),
+        F.substr(url, sep),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(lowered, F.lit("#.*$"), F.lit("")),
+                    F.lit(r"[?]utm_[a-z]+=[^&#]*&"),
+                    F.lit("?"),
+                ),
+                F.lit(r"&utm_[a-z]+=[^&#]*"),
+                F.lit(""),
+            ),
+            F.lit(r"[?]utm_[a-z]+=[^&#]*$"),
+            F.lit(""),
+        ),
+        F.lit(":(443|80)/"),
+        F.lit("/"),
+    )
+    pairs = docs.select(url.alias("url"), curl.alias("curl"))
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("url").cast("bigint").alias("n_raw_urls"),
+        F.countDistinct("curl").cast("bigint").alias("n_canonical"),
+        F.min("curl").alias("sample_min"),
+        F.max("curl").alias("sample_max"),
+    )
+
+
+@query(
+    "q_filter_funnel",
+    oracle=f"""
+    WITH flags AS (
+        SELECT n_chars BETWEEN 50 AND 20000 AS f_len,
+               len(string_split(text, ' ')) >= 12 AS f_words,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) >= 0.3 AS f_diverse,
+               lang IN ('en', 'es', 'de') AS f_lang
+        FROM documents
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS c0,
+               CAST(COUNT(*) FILTER (WHERE f_len) AS BIGINT) AS c1,
+               CAST(COUNT(*) FILTER (WHERE f_len AND f_words) AS BIGINT)
+                   AS c2,
+               CAST(COUNT(*) FILTER (WHERE f_len AND f_words AND f_diverse)
+                   AS BIGINT) AS c3,
+               CAST(COUNT(*) FILTER (WHERE f_len AND f_words AND f_diverse
+                                       AND f_lang) AS BIGINT) AS c4
+        FROM flags
+    )
+    SELECT stage, stage_name, n_surviving,
+           CAST({sql_portable_round(
+               "CAST(n_surviving AS DOUBLE) / c0", 6)} AS DOUBLE)
+               AS survival_rate
+    FROM (
+        SELECT 0 AS stage, 'all' AS stage_name, c0 AS n_surviving, c0 FROM agg
+        UNION ALL SELECT 1, 'length', c1, c0 FROM agg
+        UNION ALL SELECT 2, 'min_words', c2, c0 FROM agg
+        UNION ALL SELECT 3, 'lexical_diversity', c3, c0 FROM agg
+        UNION ALL SELECT 4, 'lang_allowlist', c4, c0 FROM agg
+    )
+    ORDER BY stage
+    """,
+)
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel observability: apply the standard corpus
+    gate stages CUMULATIVELY (length band → min word count → lexical
+    diversity → language allowlist) and report survivors + survival
+    rate per stage — the report a curation pipeline publishes so a
+    sudden corpus-mix change is attributable to a specific gate (the
+    monitoring face of q_quality_gate, which applies the gates; this
+    measures them). Single pass: every flag is computed map-side once,
+    the five cumulative counts come from ONE conditional aggregation
+    (no re-scan per stage — the round-7 corpus-pipeline lesson), and
+    the 5-row funnel is unpivoted from the single agg row with stack().
+    At 100 TB this is one scan + a 1-row exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    flags = docs.select(
+        F.col("n_chars").between(50, 20000).alias("f_len"),
+        (F.size(words) >= 12).alias("f_words"),
+        (
+            F.size(F.array_distinct(words)).cast("double") / F.size(words)
+            >= 0.3
+        ).alias("f_diverse"),
+        F.col("lang").isin("en", "es", "de").alias("f_lang"),
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("c0"),
+        cnt(F.col("f_len")).alias("c1"),
+        cnt(F.col("f_len") & F.col("f_words")).alias("c2"),
+        cnt(F.col("f_len") & F.col("f_words") & F.col("f_diverse")).alias(
+            "c3"
+        ),
+        cnt(
+            F.col("f_len")
+            & F.col("f_words")
+            & F.col("f_diverse")
+            & F.col("f_lang")
+        ).alias("c4"),
+    )
+    funnel = agg.select(
+        F.expr(
+            "stack(5, 0, 'all', c0, 1, 'length', c1, 2, 'min_words', c2,"
+            " 3, 'lexical_diversity', c3, 4, 'lang_allowlist', c4)"
+            " AS (stage, stage_name, n_surviving)"
+        ),
+        F.col("c0"),
+    )
+    return funnel.select(
+        "stage",
+        "stage_name",
+        "n_surviving",
+        portable_round(
+            F.col("n_surviving").cast("double") / F.col("c0"), 6
+        )
+        .cast("double")
+        .alias("survival_rate"),
+    ).orderBy("stage")

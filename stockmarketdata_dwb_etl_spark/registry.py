@@ -117,6 +117,13 @@ PRIORITY = (
     "q_friedman", "q_grubbs", "q_bartlett",
     "q_cochran_q", "q_moments", "q_trimmed_mean",
     "q_granger_lite", "q_mutual_information", "q_odds_ratio",
+    # (round-8 additions, appended at the BACK of the r10 tranche per
+    # the hold-the-line rule; sf0.01 warm spark+oracle costs recorded
+    # in scripts/tranche_timings_r08.json in the same commit)
+    "q_parkinson_vol", "q_ultimate_oscillator", "q_force_index",
+    "q_chaikin_ad", "q_dpo", "q_epoch_shuffle",
+    "q_curriculum_buckets", "q_url_canonicalize", "q_filter_funnel",
+    "q_attribution_position", "q_lorenz_curve", "q_weekday_seasonality",
 )
 
 

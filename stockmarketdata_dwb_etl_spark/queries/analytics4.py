@@ -351,3 +351,80 @@ def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol", "dow")
     )
+
+
+@query(
+    "q_waterfall_contribution",
+    oracle=f"""
+    WITH per AS (
+        SELECT o_orderpriority AS segment,
+               SUM(CASE WHEN year(o_orderdate) = 1996
+                        THEN CAST({sql_portable_round("o_totalprice", 4)}
+                             AS DECIMAL(38,6)) END) AS rev_base,
+               SUM(CASE WHEN year(o_orderdate) = 1997
+                        THEN CAST({sql_portable_round("o_totalprice", 4)}
+                             AS DECIMAL(38,6)) END) AS rev_next
+        FROM orders
+        WHERE year(o_orderdate) IN (1996, 1997)
+        GROUP BY o_orderpriority
+    )
+    SELECT segment,
+           CAST({sql_portable_round("CAST(rev_base AS DOUBLE)", 2)}
+               AS DOUBLE) AS rev_base,
+           CAST({sql_portable_round("CAST(rev_next AS DOUBLE)", 2)}
+               AS DOUBLE) AS rev_next,
+           CAST({sql_portable_round(
+               "CAST(rev_next - rev_base AS DOUBLE)", 2)} AS DOUBLE)
+               AS delta,
+           CAST({sql_portable_round(
+               "CAST(rev_next - rev_base AS DOUBLE)"
+               " / nullif(CAST(SUM(rev_next - rev_base) OVER ()"
+               " AS DOUBLE), 0.0)", 6)} AS DOUBLE) AS delta_share
+    FROM per ORDER BY segment
+    """,
+)
+def q_waterfall_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period waterfall decomposition: each order-priority
+    segment's 1996→1997 revenue delta and its share of the TOTAL
+    year-over-year change — the bridge chart every revenue review opens
+    with (which segments drove the move). Both period sums come from
+    ONE conditional aggregation over a single scan (no per-period
+    re-scan or self-join — the q_filter_funnel shape); revenue
+    accumulates as 4dp-rounded terms in exact DECIMAL; the share
+    denominator is a window over the 5-row segment table with a
+    zero-total guard. Scales: one pushed-down scan + one hash-agg on a
+    5-value key."""
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    price = portable_round(F.col("o_totalprice"), 4).cast("decimal(38,6)")
+    per = (
+        orders.filter(yr.isin(1996, 1997))
+        .groupBy(F.col("o_orderpriority").alias("segment"))
+        .agg(
+            F.sum(F.when(yr == 1996, price)).alias("rev_base"),
+            F.sum(F.when(yr == 1997, price)).alias("rev_next"),
+        )
+    )
+    w_tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    delta = F.col("rev_next") - F.col("rev_base")
+    return per.select(
+        "segment",
+        portable_round(F.col("rev_base").cast("double"), 2)
+        .cast("double")
+        .alias("rev_base"),
+        portable_round(F.col("rev_next").cast("double"), 2)
+        .cast("double")
+        .alias("rev_next"),
+        portable_round(delta.cast("double"), 2)
+        .cast("double")
+        .alias("delta"),
+        portable_round(
+            delta.cast("double")
+            / F.nullif(F.sum(delta).over(w_tot).cast("double"), F.lit(0.0)),
+            6,
+        )
+        .cast("double")
+        .alias("delta_share"),
+    ).orderBy("segment")

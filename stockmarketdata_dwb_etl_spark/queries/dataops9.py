@@ -383,3 +383,106 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("survival_rate"),
     ).orderBy("stage")
+
+
+@query(
+    "q_ngram_coverage",
+    oracle=f"""
+    WITH base AS (
+        SELECT lang,
+               CASE WHEN {_duck_hex_bucket("CAST(doc_id AS VARCHAR)", 256)}
+                         < 230 THEN 'train'
+                    WHEN {_duck_hex_bucket("CAST(doc_id AS VARCHAR)", 256)}
+                         >= 243 THEN 'test' END AS split,
+               string_split(text, ' ') AS ws
+        FROM documents
+    ),
+    bg AS (
+        SELECT DISTINCT lang, split,
+               unnest(list_transform(range(1, len(ws)),
+                                     i -> ws[i] || ' ' || ws[i + 1])) AS bg
+        FROM base WHERE split IS NOT NULL AND len(ws) >= 2
+    ),
+    flags AS (
+        SELECT lang, bg,
+               SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) > 0
+                   AS in_train,
+               SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) > 0
+                   AS in_test
+        FROM bg GROUP BY lang, bg
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_test_bigrams,
+           CAST(SUM(CASE WHEN in_train THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_covered,
+           CAST({sql_portable_round(
+               "CAST(SUM(CASE WHEN in_train THEN 1 ELSE 0 END) AS DOUBLE)"
+               " / COUNT(*)", 6)} AS DOUBLE) AS coverage
+    FROM flags WHERE in_test GROUP BY lang ORDER BY lang
+    """,
+)
+def q_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test n-gram coverage: the fraction of the test split's
+    DISTINCT word bigrams that also occur in the train split, per
+    language — the generalization-pressure metric a corpus team reads
+    next to q_contamination (contamination asks "did test LEAK into
+    train?"; coverage asks "does train PREPARE you for test?"). Splits
+    are the same md5 doc_id buckets as q_hash_split (engine-portable,
+    join-free); bigrams come from the slice/zip_with form (bounded
+    references — the round-7 pushdown-inlining defense), deduped per
+    (lang, split) BEFORE the presence agg so the shuffle carries
+    distinct bigrams, not corpus-sized token streams. Scales: explode →
+    distinct hash-agg on (lang, split, bigram) → presence hash-agg on
+    (lang, bigram) → 3-row report; vocabulary-sized state, never
+    corpus-sized."""
+    from stockmarketdata_dwb_etl_spark.queries.reports import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket("doc_id", 256)
+    split = (
+        F.when(bucket < 230, F.lit("train"))
+        .when(bucket >= 243, F.lit("test"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    bigrams = F.expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),"
+        " (a, b) -> concat(a, ' ', b))"
+    )
+    bg = (
+        docs.select(
+            "lang",
+            split.alias("split"),
+            F.split(F.col("text"), " ").alias("ws"),
+        )
+        .filter(F.col("split").isNotNull() & (F.size("ws") >= 2))
+        .select("lang", "split", F.explode(bigrams).alias("bg"))
+        .distinct()
+    )
+    flags = bg.groupBy("lang", "bg").agg(
+        (
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)) > 0
+        ).alias("in_train"),
+        (
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0)) > 0
+        ).alias("in_test"),
+    )
+    return (
+        flags.filter(F.col("in_test"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test_bigrams"),
+            F.sum(F.when(F.col("in_train"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_covered"),
+            portable_round(
+                F.sum(F.when(F.col("in_train"), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            )
+            .cast("double")
+            .alias("coverage"),
+        )
+        .orderBy("lang")
+    )

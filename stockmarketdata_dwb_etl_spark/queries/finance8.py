@@ -1,0 +1,417 @@
+"""Market-indicator battery, part 8: Coppock curve, Know Sure Thing,
+Elder-Ray power, log NVI/PVI volume indices, and cross-sectional market
+breadth.
+
+Same warehouse surface as finance.py (reference analytics tier:
+``/root/reference/dump_bigq.py:47-56``), extended to the multi-horizon
+rate-of-change family and the first CROSS-SECTIONAL indicator (breadth
+aggregates across symbols per bar instead of along time per symbol).
+
+Determinism policy (finance.py): frame sums accumulate term-rounded
+exact DECIMAL; lag/WMA arithmetic is pure double through identical
+trees; ln terms are 12dp-rounded before the DECIMAL Σ so cross-libm ulp
+noise is absorbed (the q_volatility_gk / q_parkinson_vol convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stockmarketdata_dwb_etl_spark.functions.exact import (
+    portable_round,
+    sql_portable_round,
+)
+from stockmarketdata_dwb_etl_spark.queries.finance2 import (
+    _duck_ohlcv,
+    _ohlcv_bars,
+)
+from stockmarketdata_dwb_etl_spark.registry import query
+
+_DEC18 = "decimal(38,18)"
+
+
+@query(
+    "q_coppock",
+    oracle=f"""
+    WITH {_duck_ohlcv("hour")},
+    roc AS (
+        SELECT symbol, bar_ts,
+               row_number() OVER w AS rn,
+               100.0 * (close / lag(close, 14) OVER w - 1.0)
+                 + 100.0 * (close / lag(close, 11) OVER w - 1.0) AS x
+        FROM bars
+        WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts)
+    )
+    SELECT symbol, bar_ts,
+           CAST({sql_portable_round(
+               "(10.0 * x + 9.0 * lag(x, 1) OVER w + 8.0 * lag(x, 2) OVER w"
+               " + 7.0 * lag(x, 3) OVER w + 6.0 * lag(x, 4) OVER w"
+               " + 5.0 * lag(x, 5) OVER w + 4.0 * lag(x, 6) OVER w"
+               " + 3.0 * lag(x, 7) OVER w + 2.0 * lag(x, 8) OVER w"
+               " + lag(x, 9) OVER w) / 55.0", 4)} AS DOUBLE) AS coppock
+    FROM roc
+    WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts)
+    QUALIFY rn >= 24
+    ORDER BY symbol, bar_ts
+    """,
+)
+def q_coppock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coppock curve per symbol over hourly bars (the classic monthly
+    10/14/11 parameters at bar grain): x = ROC₁₄ + ROC₁₁ (in percent),
+    Coppock = 10-bar front-weighted WMA of x (weights 10..1, divisor
+    55). The WMA is an EXPLICIT 10-lag linear combination over one
+    window partition — pure double arithmetic through the identical
+    tree on both engines (no unordered sum, so no DECIMAL needed), and
+    ten lag() functions over the SAME window spec collapse into a
+    single window pass (the q_acf_correlogram lesson). Rows emit from
+    rn ≥ 24 (ROC₁₄ defined from rn=15, plus 9 WMA lags). Scales: bar
+    hash-agg + one window shuffle on symbol."""
+    bars = _ohlcv_bars(spark, sf_dir, "hour")
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    roc = bars.select(
+        "symbol",
+        "bar_ts",
+        F.row_number().over(w).alias("rn"),
+        (
+            F.lit(100.0) * (F.col("close") / F.lag("close", 14).over(w) - 1.0)
+            + F.lit(100.0)
+            * (F.col("close") / F.lag("close", 11).over(w) - 1.0)
+        ).alias("x"),
+    )
+    wma = (
+        F.lit(10.0) * F.col("x")
+        + F.lit(9.0) * F.lag("x", 1).over(w)
+        + F.lit(8.0) * F.lag("x", 2).over(w)
+        + F.lit(7.0) * F.lag("x", 3).over(w)
+        + F.lit(6.0) * F.lag("x", 4).over(w)
+        + F.lit(5.0) * F.lag("x", 5).over(w)
+        + F.lit(4.0) * F.lag("x", 6).over(w)
+        + F.lit(3.0) * F.lag("x", 7).over(w)
+        + F.lit(2.0) * F.lag("x", 8).over(w)
+        + F.lag("x", 9).over(w)
+    ) / F.lit(55.0)
+    return (
+        roc.select(
+            "symbol",
+            "bar_ts",
+            "rn",
+            portable_round(wma, 4).cast("double").alias("coppock"),
+        )
+        .filter(F.col("rn") >= 24)
+        .drop("rn")
+        .orderBy("symbol", "bar_ts")
+    )
+
+
+@query(
+    "q_kst",
+    oracle=f"""
+    WITH {_duck_ohlcv("hour")},
+    roc AS (
+        SELECT symbol, bar_ts,
+               row_number() OVER w AS rn,
+               CAST({sql_portable_round(
+                   "100.0 * (close / lag(close, 10) OVER w - 1.0)", 8)}
+                   AS DECIMAL(38,18)) AS r10,
+               CAST({sql_portable_round(
+                   "100.0 * (close / lag(close, 15) OVER w - 1.0)", 8)}
+                   AS DECIMAL(38,18)) AS r15,
+               CAST({sql_portable_round(
+                   "100.0 * (close / lag(close, 20) OVER w - 1.0)", 8)}
+                   AS DECIMAL(38,18)) AS r20,
+               CAST({sql_portable_round(
+                   "100.0 * (close / lag(close, 30) OVER w - 1.0)", 8)}
+                   AS DECIMAL(38,18)) AS r30
+        FROM bars
+        WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts)
+    )
+    SELECT symbol, bar_ts,
+           CAST({sql_portable_round(
+               "1.0 * (CAST(SUM(r10) OVER f10 AS DOUBLE) / 10.0)"
+               " + 2.0 * (CAST(SUM(r15) OVER f10 AS DOUBLE) / 10.0)"
+               " + 3.0 * (CAST(SUM(r20) OVER f10 AS DOUBLE) / 10.0)"
+               " + 4.0 * (CAST(SUM(r30) OVER f15 AS DOUBLE) / 15.0)",
+               4)} AS DOUBLE) AS kst
+    FROM roc
+    WINDOW f10 AS (PARTITION BY symbol ORDER BY bar_ts
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+           f15 AS (PARTITION BY symbol ORDER BY bar_ts
+                   ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
+    QUALIFY rn >= 45
+    ORDER BY symbol, bar_ts
+    """,
+)
+def q_kst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pring's Know Sure Thing per symbol over hourly bars:
+    KST = 1·SMA₁₀(ROC₁₀) + 2·SMA₁₀(ROC₁₅) + 3·SMA₁₀(ROC₂₀) +
+    4·SMA₁₅(ROC₃₀) — four rate-of-change horizons smoothed and blended
+    with increasing weight on the slowest. Each ROC is an 8dp-rounded
+    double summed in exact DECIMAL frames; all four ROCs and all four
+    SMAs ride ONE window partition on symbol (one shuffle, one window
+    pass — same-spec window functions coalesce). Rows emit from rn ≥ 45
+    (ROC₃₀ from rn=31 plus the 15-bar smoothing). Scales: bar hash-agg
+    + one window shuffle."""
+    bars = _ohlcv_bars(spark, sf_dir, "hour")
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+
+    def roc(n: int):
+        return portable_round(
+            F.lit(100.0) * (F.col("close") / F.lag("close", n).over(w) - 1.0),
+            8,
+        ).cast(_DEC18)
+
+    seq = bars.select(
+        "symbol",
+        "bar_ts",
+        F.row_number().over(w).alias("rn"),
+        roc(10).alias("r10"),
+        roc(15).alias("r15"),
+        roc(20).alias("r20"),
+        roc(30).alias("r30"),
+    )
+    f10 = Window.partitionBy("symbol").orderBy("bar_ts").rowsBetween(-9, 0)
+    f15 = Window.partitionBy("symbol").orderBy("bar_ts").rowsBetween(-14, 0)
+    kst = (
+        F.lit(1.0) * (F.sum("r10").over(f10).cast("double") / F.lit(10.0))
+        + F.lit(2.0) * (F.sum("r15").over(f10).cast("double") / F.lit(10.0))
+        + F.lit(3.0) * (F.sum("r20").over(f10).cast("double") / F.lit(10.0))
+        + F.lit(4.0) * (F.sum("r30").over(f15).cast("double") / F.lit(15.0))
+    )
+    return (
+        seq.select(
+            "symbol",
+            "bar_ts",
+            "rn",
+            portable_round(kst, 4).cast("double").alias("kst"),
+        )
+        .filter(F.col("rn") >= 45)
+        .drop("rn")
+        .orderBy("symbol", "bar_ts")
+    )
+
+
+@query(
+    "q_elder_ray",
+    oracle=f"""
+    WITH {_duck_ohlcv("hour")},
+    base AS (
+        SELECT symbol, bar_ts, high, low,
+               row_number() OVER (PARTITION BY symbol ORDER BY bar_ts)
+                   AS rn,
+               CAST(SUM(CAST({sql_portable_round("close", 8)}
+                             AS DECIMAL(38,18)))
+                    OVER (PARTITION BY symbol ORDER BY bar_ts
+                          ROWS BETWEEN 12 PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) / 13.0 AS sma13
+        FROM bars
+    )
+    SELECT symbol, bar_ts,
+           CAST({sql_portable_round("high - sma13", 4)} AS DOUBLE)
+               AS bull_power,
+           CAST({sql_portable_round("low - sma13", 4)} AS DOUBLE)
+               AS bear_power
+    FROM base
+    WHERE rn >= 13
+    ORDER BY symbol, bar_ts
+    """,
+)
+def q_elder_ray(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elder-Ray index per symbol over hourly bars: bull power = high −
+    MA₁₃(close), bear power = low − MA₁₃(close) — how far the extremes
+    stretch above/below consensus value (the SMA variant, consistent
+    with q_rsi/q_atr/q_force_index taking the SMA form of classically
+    EMA-smoothed indicators; the EMA form is the documented sequential
+    (b)-path family). Close terms are 8dp-rounded into the exact
+    DECIMAL frame sum. Rows emit from rn ≥ 13 (full MA window).
+    Scales: bar hash-agg + one window shuffle on symbol."""
+    bars = _ohlcv_bars(spark, sf_dir, "hour")
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    f13 = Window.partitionBy("symbol").orderBy("bar_ts").rowsBetween(-12, 0)
+    base = bars.select(
+        "symbol",
+        "bar_ts",
+        "high",
+        "low",
+        F.row_number().over(w).alias("rn"),
+        (
+            F.sum(portable_round(F.col("close"), 8).cast(_DEC18))
+            .over(f13)
+            .cast("double")
+            / F.lit(13.0)
+        ).alias("sma13"),
+    )
+    return (
+        base.filter(F.col("rn") >= 13)
+        .select(
+            "symbol",
+            "bar_ts",
+            portable_round(F.col("high") - F.col("sma13"), 4)
+            .cast("double")
+            .alias("bull_power"),
+            portable_round(F.col("low") - F.col("sma13"), 4)
+            .cast("double")
+            .alias("bear_power"),
+        )
+        .orderBy("symbol", "bar_ts")
+    )
+
+
+@query(
+    "q_nvi_pvi",
+    oracle=f"""
+    WITH {_duck_ohlcv("hour")},
+    base AS (
+        SELECT symbol, bar_ts, close, volume,
+               lag(close) OVER w AS prev_c,
+               lag(volume) OVER w AS prev_v
+        FROM bars
+        WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts)
+    ),
+    terms AS (
+        SELECT symbol, bar_ts,
+               CAST({sql_portable_round(
+                   "CASE WHEN volume < prev_v AND close > 0 AND prev_c > 0"
+                   " THEN ln(close / prev_c) ELSE 0.0 END", 12)}
+                   AS DECIMAL(38,18)) AS nvi_t,
+               CAST({sql_portable_round(
+                   "CASE WHEN volume > prev_v AND close > 0 AND prev_c > 0"
+                   " THEN ln(close / prev_c) ELSE 0.0 END", 12)}
+                   AS DECIMAL(38,18)) AS pvi_t
+        FROM base WHERE prev_c IS NOT NULL
+    )
+    SELECT symbol, bar_ts,
+           CAST({sql_portable_round(
+               "CAST(SUM(nvi_t) OVER cum AS DOUBLE)", 6)} AS DOUBLE)
+               AS nvi_log,
+           CAST({sql_portable_round(
+               "CAST(SUM(pvi_t) OVER cum AS DOUBLE)", 6)} AS DOUBLE)
+               AS pvi_log
+    FROM terms
+    WINDOW cum AS (PARTITION BY symbol ORDER BY bar_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY symbol, bar_ts
+    """,
+)
+def q_nvi_pvi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative/Positive Volume Index per symbol over hourly bars, in
+    LOG form: the classic NVI multiplies an index by (1 + r) only on
+    falling-volume bars (smart-money days) and PVI on rising-volume
+    bars — a multiplicative recursion that becomes a plain cumulative
+    sum in log space: nvi_log = Σ ln(C/prevC)·[V < prevV] (and the
+    dual for PVI), so the level index is exp(nvi_log)·base for anyone
+    who wants it. The log form is what makes the operator DISTRIBUTED:
+    a cumulative product needs sequential state, a cumulative sum of
+    12dp-rounded DECIMAL terms is an ordinary window (the
+    ln-term-rounding convention of q_volatility_gk absorbs cross-libm
+    ulp noise). Scales: bar hash-agg + one running-sum window on
+    symbol."""
+    bars = _ohlcv_bars(spark, sf_dir, "hour")
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    base = bars.select(
+        "symbol",
+        "bar_ts",
+        "close",
+        "volume",
+        F.lag("close").over(w).alias("prev_c"),
+        F.lag("volume").over(w).alias("prev_v"),
+    ).filter(F.col("prev_c").isNotNull())
+    lr = F.log(F.col("close") / F.col("prev_c"))
+    ok = (F.col("close") > 0) & (F.col("prev_c") > 0)
+
+    def term(cond):
+        return (
+            portable_round(
+                F.when(cond & ok, lr).otherwise(F.lit(0.0)), 12
+            ).cast(_DEC18)
+        )
+
+    terms = base.select(
+        "symbol",
+        "bar_ts",
+        term(F.col("volume") < F.col("prev_v")).alias("nvi_t"),
+        term(F.col("volume") > F.col("prev_v")).alias("pvi_t"),
+    )
+    cum = (
+        Window.partitionBy("symbol")
+        .orderBy("bar_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return terms.select(
+        "symbol",
+        "bar_ts",
+        portable_round(F.sum("nvi_t").over(cum).cast("double"), 6)
+        .cast("double")
+        .alias("nvi_log"),
+        portable_round(F.sum("pvi_t").over(cum).cast("double"), 6)
+        .cast("double")
+        .alias("pvi_log"),
+    ).orderBy("symbol", "bar_ts")
+
+
+@query(
+    "q_market_breadth",
+    oracle=f"""
+    WITH {_duck_ohlcv("hour")},
+    rets AS (
+        SELECT symbol, bar_ts,
+               close - lag(close) OVER (PARTITION BY symbol
+                                        ORDER BY bar_ts) AS chg
+        FROM bars
+        QUALIFY chg IS NOT NULL
+    ),
+    cross_section AS (
+        SELECT bar_ts,
+               CAST(COUNT(*) FILTER (WHERE chg > 0) AS BIGINT) AS n_adv,
+               CAST(COUNT(*) FILTER (WHERE chg < 0) AS BIGINT) AS n_dec,
+               CAST(COUNT(*) FILTER (WHERE chg = 0) AS BIGINT) AS n_flat
+        FROM rets GROUP BY bar_ts
+    )
+    SELECT bar_ts, n_adv, n_dec, n_flat,
+           CAST(SUM(n_adv - n_dec)
+                OVER (ORDER BY bar_ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS ad_line
+    FROM cross_section ORDER BY bar_ts
+    """,
+)
+def q_market_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market breadth: per bar, how many symbols advanced / declined /
+    held across the whole universe, plus the cumulative advance-decline
+    line — the CROSS-SECTIONAL health indicator (every other indicator
+    here runs along time within a symbol; breadth aggregates across
+    symbols within a bar). All-integer arithmetic — exact on any
+    engine. The final running sum is a global window over the BAR-TS
+    GRAIN table (one row per hour — time-bounded, ~9e4 rows/decade —
+    not data-sized; the same dimension-bounded-global-window class as
+    q_lsh_tuning_curve, documented per the SCALE.md audit). Scales:
+    bar hash-agg, one lag window on symbol, one hash-agg on bar_ts."""
+    bars = _ohlcv_bars(spark, sf_dir, "hour")
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    rets = bars.select(
+        "bar_ts",
+        (F.col("close") - F.lag("close").over(w)).alias("chg"),
+    ).filter(F.col("chg").isNotNull())
+    cs = rets.groupBy("bar_ts").agg(
+        F.sum(F.when(F.col("chg") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_adv"),
+        F.sum(F.when(F.col("chg") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dec"),
+        F.sum(F.when(F.col("chg") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flat"),
+    )
+    cum = Window.orderBy("bar_ts").rowsBetween(Window.unboundedPreceding, 0)
+    return cs.select(
+        "bar_ts",
+        "n_adv",
+        "n_dec",
+        "n_flat",
+        F.sum(F.col("n_adv") - F.col("n_dec"))
+        .over(cum)
+        .cast("bigint")
+        .alias("ad_line"),
+    ).orderBy("bar_ts")

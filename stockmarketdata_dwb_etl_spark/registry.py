@@ -124,6 +124,9 @@ PRIORITY = (
     "q_chaikin_ad", "q_dpo", "q_epoch_shuffle",
     "q_curriculum_buckets", "q_url_canonicalize", "q_filter_funnel",
     "q_attribution_position", "q_lorenz_curve", "q_weekday_seasonality",
+    "q_coppock", "q_kst", "q_elder_ray",
+    "q_nvi_pvi", "q_market_breadth", "q_ngram_coverage",
+    "q_waterfall_contribution",
 )
 
 

@@ -232,3 +232,133 @@ def test_weekday_seasonality_partitions_the_bars(spark):
     per_sym = out.groupby("symbol")["n_bars"].sum()
     for _, row in rets.iterrows():
         assert per_sym[row["symbol"]] == row["count"]
+
+
+def test_coppock_matches_manual_wma(spark):
+    """Recompute the 10-lag front-weighted WMA of ROC14+ROC11 in pandas
+    and compare."""
+    from stockmarketdata_dwb_etl_spark.queries.finance2 import _ohlcv_bars
+    from stockmarketdata_dwb_etl_spark.queries.finance8 import q_coppock
+
+    out = q_coppock(spark, SF_DIR).toPandas()
+    bars = _ohlcv_bars(spark, SF_DIR, "hour").toPandas()
+    sym = out["symbol"].iloc[0]
+    g = bars[bars["symbol"] == sym].sort_values("bar_ts").reset_index(
+        drop=True
+    )
+    x = 100.0 * (g["close"] / g["close"].shift(14) - 1.0) + 100.0 * (
+        g["close"] / g["close"].shift(11) - 1.0
+    )
+    weights = list(range(10, 0, -1))
+    want = sum(
+        w * x.shift(k) for k, w in enumerate(weights)
+    ) / 55.0
+    got = out[out["symbol"] == sym].sort_values("bar_ts")["coppock"]
+    for gv, wv in zip(got, want[23:]):
+        assert abs(gv - wv) < 1e-3
+
+
+def test_kst_weights_order_horizons(spark):
+    """KST must be finite and respond to all four horizons: recompute
+    one symbol's series in pandas."""
+    from stockmarketdata_dwb_etl_spark.queries.finance2 import _ohlcv_bars
+    from stockmarketdata_dwb_etl_spark.queries.finance8 import q_kst
+
+    out = q_kst(spark, SF_DIR).toPandas()
+    bars = _ohlcv_bars(spark, SF_DIR, "hour").toPandas()
+    sym = out["symbol"].iloc[0]
+    g = bars[bars["symbol"] == sym].sort_values("bar_ts").reset_index(
+        drop=True
+    )
+    c = g["close"]
+    kst = (
+        1.0 * (100.0 * (c / c.shift(10) - 1.0)).rolling(10).mean()
+        + 2.0 * (100.0 * (c / c.shift(15) - 1.0)).rolling(10).mean()
+        + 3.0 * (100.0 * (c / c.shift(20) - 1.0)).rolling(10).mean()
+        + 4.0 * (100.0 * (c / c.shift(30) - 1.0)).rolling(15).mean()
+    )
+    got = out[out["symbol"] == sym].sort_values("bar_ts")["kst"]
+    for gv, wv in zip(got, kst[44:]):
+        assert abs(gv - wv) < 1e-2
+
+
+def test_elder_ray_brackets_the_sma(spark):
+    """bull_power ≥ bear_power always (high ≥ low), and bull−bear =
+    high−low exactly."""
+    from stockmarketdata_dwb_etl_spark.queries.finance2 import _ohlcv_bars
+    from stockmarketdata_dwb_etl_spark.queries.finance8 import q_elder_ray
+
+    out = q_elder_ray(spark, SF_DIR).toPandas()
+    assert (out["bull_power"] >= out["bear_power"]).all()
+    hl = (
+        _ohlcv_bars(spark, SF_DIR, "hour")
+        .selectExpr("symbol", "bar_ts", "high - low AS range")
+        .toPandas()
+        .set_index(["symbol", "bar_ts"])["range"]
+    )
+    for (sym, ts), row in out.set_index(["symbol", "bar_ts"]).iterrows():
+        assert abs(
+            (row["bull_power"] - row["bear_power"]) - hl.loc[(sym, ts)]
+        ) < 1e-3
+
+
+def test_nvi_pvi_split_the_log_return(spark):
+    """On every bar exactly one of {NVI, PVI} may move (or neither when
+    volume is flat): the two cumulative logs must be step-wise
+    complementary, i.e. nvi_log + pvi_log equals the cumulative log
+    return over bars where volume changed."""
+    from stockmarketdata_dwb_etl_spark.queries.finance8 import q_nvi_pvi
+
+    out = q_nvi_pvi(spark, SF_DIR).toPandas()
+    for sym, g in out.groupby("symbol"):
+        g = g.sort_values("bar_ts")
+        dn = g["nvi_log"].diff().fillna(g["nvi_log"].iloc[0])
+        dp = g["pvi_log"].diff().fillna(g["pvi_log"].iloc[0])
+        both_moved = (dn.abs() > 1e-9) & (dp.abs() > 1e-9)
+        assert not both_moved.any()
+
+
+def test_market_breadth_counts_and_adline(spark):
+    """Per bar, adv+dec+flat = #symbols with a defined change that hour,
+    and ad_line is the running sum of (adv − dec)."""
+    from stockmarketdata_dwb_etl_spark.queries.finance8 import (
+        q_market_breadth,
+    )
+
+    out = q_market_breadth(spark, SF_DIR).toPandas().sort_values("bar_ts")
+    assert (
+        out["ad_line"].to_numpy()
+        == (out["n_adv"] - out["n_dec"]).cumsum().to_numpy()
+    ).all()
+    assert ((out["n_adv"] + out["n_dec"] + out["n_flat"]) <= 5).all()
+
+
+def test_ngram_coverage_bounded_and_consistent(spark):
+    """Coverage ∈ [0,1], n_covered ≤ n_test_bigrams, and every fixture
+    language appears."""
+    from stockmarketdata_dwb_etl_spark.queries.dataops9 import (
+        q_ngram_coverage,
+    )
+
+    out = q_ngram_coverage(spark, SF_DIR).toPandas()
+    assert (out["n_covered"] <= out["n_test_bigrams"]).all()
+    assert out["coverage"].between(0.0, 1.0).all()
+    assert (
+        out["coverage"]
+        - out["n_covered"] / out["n_test_bigrams"]
+    ).abs().max() < 1e-6
+
+
+def test_waterfall_contribution_shares_sum_to_one(spark):
+    """delta = rev_next − rev_base per segment and the delta shares sum
+    to 1 (the waterfall reconciles to the total move)."""
+    from stockmarketdata_dwb_etl_spark.queries.analytics4 import (
+        q_waterfall_contribution,
+    )
+
+    out = q_waterfall_contribution(spark, SF_DIR).toPandas()
+    assert len(out) == 5
+    assert (
+        (out["rev_next"] - out["rev_base"]) - out["delta"]
+    ).abs().max() < 1e-2
+    assert abs(out["delta_share"].sum() - 1.0) < 1e-4

@@ -64,6 +64,10 @@ PROBES = (
     "q_kruskal_wallis",     # value-histogram + global prefix sum (round 6)
     "q_granger_lite",       # bar_ts-co-partitioned pair join + moments (round 6)
     "q_corpus_pipeline",    # canonicalize→gate→dedup→split integration (round 6)
+    "q_ngram_coverage",     # vocabulary-sized distinct-bigram shuffles (round 8)
+    "q_attribution_position",  # journey windows over events (round 8)
+    "q_curriculum_buckets",    # per-lang ntile sort over documents (round 8)
+    "q_lorenz_curve",          # global_row_number rank path over custkey agg (round 8)
 )
 
 

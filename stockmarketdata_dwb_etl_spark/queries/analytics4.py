@@ -428,3 +428,164 @@ def q_waterfall_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("delta_share"),
     ).orderBy("segment")
+
+
+@query(
+    "q_window_funnel",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        FROM events GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN u ON u.user_id = e.user_id
+        WHERE e.event_type = 'click' AND u.t1 IS NOT NULL AND e.ts > u.t1
+          AND epoch_us(e.ts) - epoch_us(u.t1) <= 86400000000
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e
+        JOIN u ON u.user_id = e.user_id
+        JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'signup' AND e.ts > s2.t2
+          AND epoch_us(e.ts) - epoch_us(u.t1) <= 86400000000
+        GROUP BY e.user_id
+    ),
+    s4 AS (
+        SELECT e.user_id, MIN(e.ts) AS t4
+        FROM events e
+        JOIN u ON u.user_id = e.user_id
+        JOIN s3 ON s3.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s3.t3
+          AND epoch_us(e.ts) - epoch_us(u.t1) <= 86400000000
+        GROUP BY e.user_id
+    ),
+    depth AS (
+        SELECT u.user_id,
+               CASE WHEN s4.t4 IS NOT NULL THEN 4
+                    WHEN s3.t3 IS NOT NULL THEN 3
+                    WHEN s2.t2 IS NOT NULL THEN 2
+                    WHEN u.t1 IS NOT NULL THEN 1
+                    ELSE 0 END AS depth
+        FROM u
+        LEFT JOIN s2 ON s2.user_id = u.user_id
+        LEFT JOIN s3 ON s3.user_id = u.user_id
+        LEFT JOIN s4 ON s4.user_id = u.user_id
+    )
+    SELECT depth,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST({sql_portable_round(
+               "CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER ()", 6)}
+               AS DOUBLE) AS user_share
+    FROM depth GROUP BY depth ORDER BY depth
+    """,
+)
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-window funnel (the windowFunnel operator): per user, the
+    deepest prefix of view → click → signup → purchase completed IN
+    ORDER within 24h of the user's FIRST view — the earliest-chain
+    deterministic variant (each step takes the earliest qualifying
+    event after the previous step; window anchored at step 1), vs
+    q_funnel's unordered step counts. Spark computes all four step
+    timestamps in ONE pass over a single user_id window partition:
+    t1 = min view ts (full-frame), then each t_k = min ts of the next
+    step type after t_{k−1} within the window — four window exprs over
+    the same shuffle, no self-joins (the oracle uses chained
+    aggregation CTEs for the same semantics). Scales: one window
+    shuffle on user_id + a 5-row depth hash-agg."""
+    ev = load_table(spark, sf_dir, "events")
+    g = Window.partitionBy("user_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    in_win = lambda t1: (  # noqa: E731
+        F.expr(f"timestampdiff(MICROSECOND, {t1}, ts)") <= 86_400_000_000
+    )
+    step1 = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        .over(g)
+        .alias("t1"),
+    )
+    step2 = step1.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "t1",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & F.col("t1").isNotNull()
+                & (F.col("ts") > F.col("t1"))
+                & in_win("t1"),
+                F.col("ts"),
+            )
+        )
+        .over(g)
+        .alias("t2"),
+    )
+    step3 = step2.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "t1",
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "signup")
+                & F.col("t2").isNotNull()
+                & (F.col("ts") > F.col("t2"))
+                & in_win("t1"),
+                F.col("ts"),
+            )
+        )
+        .over(g)
+        .alias("t3"),
+    )
+    step4 = step3.select(
+        "user_id",
+        "t1",
+        "t2",
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("t3").isNotNull()
+                & (F.col("ts") > F.col("t3"))
+                & in_win("t1"),
+                F.col("ts"),
+            )
+        )
+        .over(g)
+        .alias("t4"),
+    )
+    per_user = step4.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("t4").isNotNull(), 4)
+            .when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .when(F.col("t1").isNotNull(), 1)
+            .otherwise(0)
+        ).alias("depth")
+    )
+    w_tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    counts = per_user.groupBy("depth").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    return counts.select(
+        "depth",
+        "n_users",
+        portable_round(
+            F.col("n_users").cast("double")
+            / F.sum("n_users").over(w_tot),
+            6,
+        )
+        .cast("double")
+        .alias("user_share"),
+    ).orderBy("depth")

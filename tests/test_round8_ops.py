@@ -413,3 +413,41 @@ def test_window_funnel_depths_partition_users(spark):
     assert out["n_users"].sum() == n_users
     assert abs(out["user_share"].sum() - 1.0) < 1e-4
     assert out["depth"].between(0, 4).all()
+
+
+def test_kcore_is_stable_and_degrees_hold(spark):
+    """Every survivor must have core_degree ≥ 3, and the survivor set
+    must be peel-stable: recomputing degrees within the reported core
+    (from the same edge table) keeps everyone ≥ 3."""
+    from stockmarketdata_dwb_etl_spark.queries.graph import (
+        _graph,
+        q_kcore_peel,
+    )
+
+    out = q_kcore_peel(spark, SF_DIR).toPandas()
+    assert (out["core_degree"] >= 3).all()
+    edges, _, _ = _graph(spark, SF_DIR)
+    e = edges.toPandas()
+    core = set(out["node"])
+    within = e[e["src"].isin(core) & e["dst"].isin(core)]
+    deg = within.groupby("src").size()
+    assert set(deg.index) == core
+    assert (deg >= 3).all()
+
+
+def test_bfs_layers_cover_all_nodes(spark):
+    """Layer counts sum to the node count; layer 0 is exactly the seed
+    (the minimum node); layers are in {-1, 0..4}."""
+    from stockmarketdata_dwb_etl_spark.queries.graph import (
+        _graph,
+        q_bfs_layers,
+    )
+
+    out = q_bfs_layers(spark, SF_DIR).toPandas()
+    _, _, nodes = _graph(spark, SF_DIR)
+    n = nodes.count()
+    assert out["n_nodes"].sum() == n
+    l0 = out[out["layer"] == 0]
+    assert len(l0) == 1 and l0["n_nodes"].iloc[0] == 1
+    assert l0["min_node"].iloc[0] == nodes.toPandas()["node"].min()
+    assert out["layer"].isin([-1, 0, 1, 2, 3, 4]).all()

@@ -415,3 +415,278 @@ def q_market_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ad_line"),
     ).orderBy("bar_ts")
+
+
+# chi-square(5) critical value at alpha=0.01, embedded as a LITERAL on
+# both engines (never engine-computed — the cross-libm rule)
+_CHI2_5_01 = 15.086272469388987
+
+
+@query(
+    "q_ljung_box",
+    oracle=f"""
+    WITH cbars AS (
+        SELECT event_type AS symbol,
+               date_trunc('hour', ts) AS bar_ts,
+               arg_max(value, printf('%020d-%012d', epoch_us(ts), event_id))
+                   AS close
+        FROM events GROUP BY 1, 2
+    ),
+    rets AS (
+        SELECT symbol, bar_ts,
+               close / lag(close) OVER (PARTITION BY symbol
+                                        ORDER BY bar_ts) - 1.0 AS r
+        FROM cbars QUALIFY r IS NOT NULL
+    ),
+    mom AS (
+        SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST({sql_portable_round("r", 12)}
+                   AS DECIMAL(38,18))) AS DOUBLE) AS sr
+        FROM rets GROUP BY symbol
+    ),
+    e AS (
+        SELECT r.symbol, r.bar_ts, m.n,
+               r.r - m.sr / m.n AS e
+        FROM rets r JOIN mom m ON m.symbol = r.symbol
+    ),
+    sse AS (
+        SELECT symbol, n,
+               CAST(SUM(CAST({sql_portable_round("e * e", 6)}
+                   AS DECIMAL(38,18))) AS DOUBLE) AS sse
+        FROM e GROUP BY symbol, n
+    ),
+    pairs AS (
+        SELECT * FROM (
+            SELECT symbol, 1 AS lag, e AS y, lag(e, 1) OVER
+                (PARTITION BY symbol ORDER BY bar_ts) AS x FROM e
+            UNION ALL
+            SELECT symbol, 2, e, lag(e, 2) OVER
+                (PARTITION BY symbol ORDER BY bar_ts) FROM e
+            UNION ALL
+            SELECT symbol, 3, e, lag(e, 3) OVER
+                (PARTITION BY symbol ORDER BY bar_ts) FROM e
+            UNION ALL
+            SELECT symbol, 4, e, lag(e, 4) OVER
+                (PARTITION BY symbol ORDER BY bar_ts) FROM e
+            UNION ALL
+            SELECT symbol, 5, e, lag(e, 5) OVER
+                (PARTITION BY symbol ORDER BY bar_ts) FROM e
+        ) WHERE x IS NOT NULL
+    ),
+    rho AS (
+        SELECT p.symbol, p.lag, s.n,
+               CAST(SUM(CAST({sql_portable_round("p.x * p.y", 6)}
+                   AS DECIMAL(38,18))) AS DOUBLE) / s.sse AS rho
+        FROM pairs p JOIN sse s ON s.symbol = p.symbol
+        GROUP BY p.symbol, p.lag, s.n, s.sse
+    )
+    SELECT symbol, n,
+           CAST({sql_portable_round(
+               "n * (n + 2.0) * SUM(rho * rho / (n - lag))", 4)}
+               AS DOUBLE) AS q_stat,
+           CAST(n * (n + 2.0) * SUM(rho * rho / (n - lag))
+                > {_CHI2_5_01} AS BOOLEAN) AS reject_01
+    FROM rho GROUP BY symbol, n ORDER BY symbol
+    """,
+)
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test (h=5) per symbol on hourly returns:
+    Q = n(n+2)·Σ_{{k=1..5}} ρ̂_k²/(n−k) with the standard sample ACF
+    (global demeaning, global Σe² denominator) — the "is there ANY
+    serial correlation in the first h lags" gate run before fitting any
+    ARMA structure (the multi-lag complement of q_durbin_watson's
+    lag-1 diagnostic). ρ̂ numerators/denominator are 6dp-rounded (the fixture's synthetic 'returns' reach |e| ~1e4, so e²·10^12 would saturate Spark's int64 floor — the _dterm bound picks 6dp: |e²| < 9.2e12 holds to |e| ~3e6)
+    demeaned products in exact DECIMAL sums; the mean enters through
+    ONE double division so e is bit-identical cross-engine; the
+    chi-square(5) 1% critical value 15.0863 is an embedded literal.
+    All five lags ride one window pass (the q_acf_correlogram explode
+    pattern); Q's Σ over 5 rho rows is a tiny per-symbol agg. Scale:
+    bar hash-agg, moment agg + broadcast join-back, one lag window —
+    the audited returns-pipeline shape."""
+    from stockmarketdata_dwb_etl_spark.queries.finance2 import _returns
+
+    rets = _returns(spark, sf_dir)
+    mom = rets.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(portable_round(F.col("r"), 12).cast(_DEC18))
+        .cast("double")
+        .alias("sr"),
+    )
+    e = rets.join(F.broadcast(mom), "symbol").select(
+        "symbol",
+        "bar_ts",
+        "n",
+        (F.col("r") - F.col("sr") / F.col("n")).alias("e"),
+    )
+    sse = e.groupBy("symbol", "n").agg(
+        F.sum(portable_round(F.col("e") * F.col("e"), 6).cast(_DEC18))
+        .cast("double")
+        .alias("sse")
+    )
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    lagged = e.select(
+        "symbol",
+        F.col("e").alias("y"),
+        *[F.lag("e", k).over(w).alias(f"__x{k}") for k in range(1, 6)],
+    )
+    pairs = (
+        lagged.select(
+            "symbol",
+            "y",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("lag"),
+                            F.col(f"__x{k}").alias("x"),
+                        )
+                        for k in range(1, 6)
+                    ]
+                )
+            ).alias("__lx"),
+        )
+        .select(
+            "symbol", F.col("__lx.lag").alias("lag"), F.col("__lx.x").alias("x"), "y"
+        )
+        .filter(F.col("x").isNotNull())
+    )
+    rho = (
+        pairs.groupBy("symbol", "lag")
+        .agg(
+            F.sum(
+                portable_round(F.col("x") * F.col("y"), 6).cast(_DEC18)
+            )
+            .cast("double")
+            .alias("cross")
+        )
+        .join(F.broadcast(sse), "symbol")
+        .select(
+            "symbol",
+            "lag",
+            "n",
+            (F.col("cross") / F.col("sse")).alias("rho"),
+        )
+    )
+    q = F.col("n") * (F.col("n") + F.lit(2.0)) * F.sum(
+        F.col("rho") * F.col("rho") / (F.col("n") - F.col("lag"))
+    )
+    return (
+        rho.groupBy("symbol", "n")
+        .agg(
+            portable_round(q, 4).cast("double").alias("q_stat"),
+            (q > F.lit(_CHI2_5_01)).alias("reject_01"),
+        )
+        .orderBy("symbol")
+    )
+
+
+@query(
+    "q_half_life",
+    oracle=f"""
+    WITH cbars AS (
+        SELECT event_type AS symbol,
+               date_trunc('hour', ts) AS bar_ts,
+               arg_max(value, printf('%020d-%012d', epoch_us(ts), event_id))
+                   AS close
+        FROM events GROUP BY 1, 2
+    ),
+    rets AS (
+        SELECT symbol, bar_ts,
+               close / lag(close) OVER (PARTITION BY symbol
+                                        ORDER BY bar_ts) - 1.0 AS r
+        FROM cbars QUALIFY r IS NOT NULL
+    ),
+    mom AS (
+        SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST({sql_portable_round("r", 12)}
+                   AS DECIMAL(38,18))) AS DOUBLE) AS sr
+        FROM rets GROUP BY symbol
+    ),
+    e AS (
+        SELECT r.symbol, r.bar_ts, m.n, r.r - m.sr / m.n AS e
+        FROM rets r JOIN mom m ON m.symbol = r.symbol
+    ),
+    lagged AS (
+        SELECT symbol, n, e AS y,
+               lag(e) OVER (PARTITION BY symbol ORDER BY bar_ts) AS x
+        FROM e QUALIFY x IS NOT NULL
+    ),
+    fit AS (
+        SELECT symbol, n,
+               CAST(SUM(CAST({sql_portable_round("x * y", 6)}
+                   AS DECIMAL(38,18))) AS DOUBLE)
+               / nullif(CAST(SUM(CAST({sql_portable_round("x * x", 6)}
+                   AS DECIMAL(38,18))) AS DOUBLE), 0.0) AS phi
+        FROM lagged GROUP BY symbol, n
+    )
+    SELECT symbol, n,
+           CAST({sql_portable_round("phi", 6)} AS DOUBLE) AS phi,
+           CAST(CASE WHEN phi > 0 AND phi < 1 THEN
+               {sql_portable_round("-0.6931471805599453 / ln(phi)", 4)}
+               ELSE NULL END AS DOUBLE) AS half_life_bars
+    FROM fit ORDER BY symbol
+    """,
+)
+def q_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-reversion half-life per symbol: fit the AR(1) e_t = φ·e_{{t−1}}
+    on demeaned hourly returns (no-intercept OLS: φ = Σxy/Σx²), then
+    half-life = ln(½)/ln(φ) bars when 0 < φ < 1 (no mean reversion to
+    time when φ ≤ 0 or a unit root when φ ≥ 1 — NULL) — the
+    position-sizing horizon the Ornstein-Uhlenbeck playbook reads off
+    a pairs/spread series (complements q_hurst_exponent's regime
+    classification and q_adf_lite's stationarity gate). Moment sums are
+    6dp-rounded DECIMAL (demeaned products reach ~1e8 on the synthetic
+    series — 12dp would saturate the int64 floor, the _dterm bound); φ comes through one double division; ln(½)
+    is an embedded literal and ln(φ) runs on identical input bits with
+    the 4dp presentation round absorbing libm ulp (the hurst-class
+    exp/ln posture). Scale: moment agg + broadcast join-back + one lag
+    window on symbol."""
+    from stockmarketdata_dwb_etl_spark.queries.finance2 import _returns
+
+    rets = _returns(spark, sf_dir)
+    mom = rets.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(portable_round(F.col("r"), 12).cast(_DEC18))
+        .cast("double")
+        .alias("sr"),
+    )
+    e = rets.join(F.broadcast(mom), "symbol").select(
+        "symbol",
+        "bar_ts",
+        "n",
+        (F.col("r") - F.col("sr") / F.col("n")).alias("e"),
+    )
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    lagged = e.select(
+        "symbol",
+        "n",
+        F.col("e").alias("y"),
+        F.lag("e").over(w).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    fit = lagged.groupBy("symbol", "n").agg(
+        (
+            F.sum(
+                portable_round(F.col("x") * F.col("y"), 6).cast(_DEC18)
+            ).cast("double")
+            / F.nullif(
+                F.sum(
+                    portable_round(F.col("x") * F.col("x"), 6).cast(_DEC18)
+                ).cast("double"),
+                F.lit(0.0),
+            )
+        ).alias("phi")
+    )
+    return fit.select(
+        "symbol",
+        "n",
+        portable_round("phi", 6).cast("double").alias("phi"),
+        F.when(
+            (F.col("phi") > 0) & (F.col("phi") < 1),
+            portable_round(
+                F.lit(-0.6931471805599453) / F.log(F.col("phi")), 4
+            ),
+        )
+        .otherwise(F.lit(None))
+        .cast("double")
+        .alias("half_life_bars"),
+    ).orderBy("symbol")

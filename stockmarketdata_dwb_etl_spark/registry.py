@@ -128,7 +128,7 @@ PRIORITY = (
     "q_nvi_pvi", "q_market_breadth", "q_ngram_coverage",
     "q_waterfall_contribution", "q_semdedup_clusters",
     "q_context_window_stats", "q_window_funnel",
-    "q_kcore_peel", "q_bfs_layers",
+    "q_kcore_peel", "q_bfs_layers", "q_ljung_box", "q_half_life",
 )
 
 

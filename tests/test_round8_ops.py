@@ -451,3 +451,49 @@ def test_bfs_layers_cover_all_nodes(spark):
     assert len(l0) == 1 and l0["n_nodes"].iloc[0] == 1
     assert l0["min_node"].iloc[0] == nodes.toPandas()["node"].min()
     assert out["layer"].isin([-1, 0, 1, 2, 3, 4]).all()
+
+
+def test_ljung_box_matches_manual(spark):
+    """Recompute Q for one symbol in pandas with the standard sample
+    ACF and compare; reject flag must equal q_stat > 15.0863."""
+    from stockmarketdata_dwb_etl_spark.queries.finance2 import _returns
+    from stockmarketdata_dwb_etl_spark.queries.finance8 import q_ljung_box
+
+    out = q_ljung_box(spark, SF_DIR).toPandas().set_index("symbol")
+    pdf = _returns(spark, SF_DIR).toPandas()
+    for sym, g in pdf.groupby("symbol"):
+        g = g.sort_values("bar_ts")
+        e = g["r"] - g["r"].mean()
+        n = len(e)
+        sse = (e * e).sum()
+        q = 0.0
+        for k in range(1, 6):
+            rho = (e.iloc[k:].to_numpy() * e.iloc[:-k].to_numpy()).sum() / sse
+            q += rho * rho / (n - k)
+        q *= n * (n + 2.0)
+        assert abs(out.loc[sym, "q_stat"] - q) < 2e-3, (sym, q)
+        assert out.loc[sym, "reject_01"] == (
+            out.loc[sym, "q_stat"] > 15.086272469388987
+        )
+
+
+def test_half_life_matches_ar1_fit(spark):
+    """phi must equal the no-intercept OLS of e_t on e_{t-1}; half-life
+    only reported for 0 < phi < 1."""
+    import math
+
+    from stockmarketdata_dwb_etl_spark.queries.finance2 import _returns
+    from stockmarketdata_dwb_etl_spark.queries.finance8 import q_half_life
+
+    out = q_half_life(spark, SF_DIR).toPandas().set_index("symbol")
+    pdf = _returns(spark, SF_DIR).toPandas()
+    for sym, g in pdf.groupby("symbol"):
+        g = g.sort_values("bar_ts")
+        e = (g["r"] - g["r"].mean()).to_numpy()
+        phi = (e[1:] * e[:-1]).sum() / (e[:-1] * e[:-1]).sum()
+        assert abs(out.loc[sym, "phi"] - phi) < 1e-5, (sym, phi)
+        hl = out.loc[sym, "half_life_bars"]
+        if 0 < phi < 1:
+            assert abs(hl - math.log(0.5) / math.log(phi)) < 1e-3
+        else:
+            assert hl != hl  # NaN / NULL

@@ -771,3 +771,211 @@ def q_context_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("token_retention"),
     ).orderBy("ctx")
+
+
+@query(
+    "q_embedding_outliers",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, label, u.idx, u.val
+        FROM embeddings,
+             LATERAL (SELECT UNNEST(generate_series(1, len(embedding))) AS idx,
+                             UNNEST(embedding) AS val) u
+    ), cent AS (
+        SELECT label, idx,
+               CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*) AS mean_d
+        FROM ex GROUP BY label, idx
+    ), d2 AS (
+        SELECT e.vec_id, e.label,
+               (CAST(floor(CAST((SUM((e.val - c.mean_d) * (e.val - c.mean_d))) AS DOUBLE) * 1000000000.0 + 0.5) AS DOUBLE) / 1000000000.0) AS d2
+        FROM ex e JOIN cent c ON c.label = e.label AND c.idx = e.idx
+        GROUP BY e.vec_id, e.label
+    ), mom AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(d2 AS DECIMAL(38,18))) AS DOUBLE) AS sd,
+               CAST(SUM(CAST((CAST(floor(CAST((d2 * d2) AS DOUBLE) * 100000000.0 + 0.5) AS DOUBLE) / 100000000.0) AS DECIMAL(38,18))) AS DOUBLE) AS sdd
+        FROM d2 GROUP BY label
+    ), stats AS (
+        SELECT label, n, sd / n AS mean_d2,
+               sqrt((sdd - sd * sd / n) / (n - 1)) AS std_d2
+        FROM mom WHERE n >= 2
+    )
+    SELECT s.label, s.n AS n_vecs,
+           CAST((CAST(floor(CAST((s.mean_d2) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS mean_d2,
+           CAST((CAST(floor(CAST((s.std_d2) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS std_d2,
+           CAST(COUNT(*) FILTER (WHERE d.d2 > s.mean_d2 + 3.0 * s.std_d2)
+               AS BIGINT) AS n_outliers
+    FROM d2 d JOIN stats s ON s.label = d.label
+    GROUP BY s.label, s.n, s.mean_d2, s.std_d2
+    ORDER BY s.label
+    """,
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection per label: distance² to the
+    OWN-label decimal-exact centroid, flag vectors beyond mean + 3σ —
+    the mislabeled/noise-vector screen run before any embedding-derived
+    training signal is trusted (the geometric sibling of
+    q_zscore_outliers; SemDeDup removes near-DUPLICATES, this removes
+    far-OUTLIERS). d² is 9dp-rounded (the kmeans near-tie defense) and
+    its moments are DECIMAL sums (d²² terms 8dp — magnitude ~1e6, far
+    under the int64 floor bound); the 3σ cut runs through the identical
+    double tree on both engines. Scale: one (label,dim) centroid agg, a
+    broadcast join, map-side fold per vector, one label agg — no vector
+    ever joins another vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("idx0", "val")
+    ).select("vec_id", "label", (F.col("idx0") + 1).alias("idx"), "val")
+    cent = (
+        ex.groupBy("label", "idx")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_d")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "mean_d"))),
+                lambda s: s["mean_d"],
+            ).alias("centroid")
+        )
+    )
+    d2x = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("centroid"),
+            lambda v, c: (v - c) * (v - c),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    from stockmarketdata_dwb_etl_spark.operators.cache import bounded_persist
+
+    d2 = bounded_persist(
+        emb.join(F.broadcast(cent), "label").select(
+            "vec_id", "label", portable_round(d2x, 9).alias("d2")
+        ),
+        "embed-outlier-d2",
+    )
+    mom = d2.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("d2").cast("decimal(38,18)")).cast("double").alias("sd"),
+        F.sum(
+            portable_round(F.col("d2") * F.col("d2"), 8).cast(
+                "decimal(38,18)"
+            )
+        )
+        .cast("double")
+        .alias("sdd"),
+    )
+    stats = mom.filter(F.col("n") >= 2).select(
+        "label",
+        "n",
+        (F.col("sd") / F.col("n")).alias("mean_d2"),
+        F.sqrt(
+            (F.col("sdd") - F.col("sd") * F.col("sd") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("std_d2"),
+    )
+    return (
+        d2.join(F.broadcast(stats), "label")
+        .groupBy("label", "n", "mean_d2", "std_d2")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("d2")
+                    > F.col("mean_d2") + F.lit(3.0) * F.col("std_d2"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(
+            "label",
+            F.col("n").alias("n_vecs"),
+            portable_round("mean_d2", 6).cast("double").alias("mean_d2"),
+            portable_round("std_d2", 6).cast("double").alias("std_d2"),
+            "n_outliers",
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "q_dup_ngram_mass",
+    oracle=f"""
+    WITH d AS (
+        SELECT lang, string_split(text, ' ') AS ws FROM documents
+    ),
+    g AS (
+        SELECT lang,
+               md5(unnest(list_transform(range(1, len(ws) - 3),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        || ' ' || ws[i+3] || ' ' || ws[i+4]))) AS h
+        FROM d WHERE len(ws) >= 5
+    ),
+    c AS (
+        SELECT lang, h, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM g GROUP BY lang, h
+    )
+    SELECT lang,
+           CAST(SUM(cnt) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+               AS dup_mass,
+           CAST({sql_portable_round(
+               "CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)"
+               " / SUM(cnt)", 6)} AS DOUBLE) AS dup_share
+    FROM c GROUP BY lang ORDER BY lang
+    """,
+)
+def q_dup_ngram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicate n-gram mass per language: the share of all
+    word 5-grams whose gram occurs more than once ANYWHERE in the
+    corpus — the cross-document repetition-health metric (FineWeb-class
+    corpus audit) complementing q_gopher_repetition's WITHIN-document
+    score and q_contamination's cross-split probe. Grams shuffle as
+    md5 DIGESTS, never as raw strings (fixed 32-byte keys — the
+    q_dedup_exact posture: text mass stays map-side), built from the
+    slice/zip_with-safe transform; the per-(lang, digest) count agg is
+    vocabulary-sized and the final report is |lang| rows. Scale: one
+    explode + two hash-aggs, partials collapse the gram exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = F.expr(
+        "transform(slice(ws, 1, size(ws) - 4), (x, i) ->"
+        " md5(concat(x, ' ', element_at(ws, i + 2), ' ',"
+        " element_at(ws, i + 3), ' ', element_at(ws, i + 4), ' ',"
+        " element_at(ws, i + 5))))"
+    )
+    g = (
+        docs.select("lang", F.split(F.col("text"), " ").alias("ws"))
+        .filter(F.size("ws") >= 5)
+        .select("lang", F.explode(grams).alias("h"))
+    )
+    c = g.groupBy("lang", "h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    return (
+        c.groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_grams"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("dup_mass"),
+            portable_round(
+                F.sum(
+                    F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)
+                ).cast("double")
+                / F.sum("cnt"),
+                6,
+            )
+            .cast("double")
+            .alias("dup_share"),
+        )
+        .orderBy("lang")
+    )

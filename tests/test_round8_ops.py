@@ -497,3 +497,48 @@ def test_half_life_matches_ar1_fit(spark):
             assert abs(hl - math.log(0.5) / math.log(phi)) < 1e-3
         else:
             assert hl != hl  # NaN / NULL
+
+
+def test_embedding_outliers_three_sigma(spark):
+    """Recompute per-label mean/std of centroid distances in pandas and
+    confirm the outlier counts; outliers are a small minority."""
+    import numpy as np
+
+    from stockmarketdata_dwb_etl_spark.catalog import load_table
+    from stockmarketdata_dwb_etl_spark.queries.dataops9 import (
+        q_embedding_outliers,
+    )
+
+    out = q_embedding_outliers(spark, SF_DIR).toPandas().set_index("label")
+    emb = load_table(spark, SF_DIR, "embeddings").toPandas()
+    for label, g in emb.groupby("label"):
+        v = np.array(g["embedding"].tolist(), dtype=float)
+        c = v.mean(axis=0)
+        d2 = ((v - c) ** 2).sum(axis=1)
+        mean, std = d2.mean(), d2.std(ddof=1)
+        row = out.loc[label]
+        assert abs(row["mean_d2"] - mean) < 1e-3
+        assert abs(row["std_d2"] - std) < 1e-3
+        assert row["n_outliers"] == int((d2 > mean + 3 * std).sum())
+        assert row["n_outliers"] <= 0.1 * row["n_vecs"]
+
+
+def test_dup_ngram_mass_reconciles(spark):
+    """dup_mass ≤ n_grams, n_distinct ≤ n_grams, share = mass/total,
+    and total gram count equals Σ max(0, words−4) over the corpus."""
+    from stockmarketdata_dwb_etl_spark.catalog import load_table
+    from stockmarketdata_dwb_etl_spark.queries.dataops9 import (
+        q_dup_ngram_mass,
+    )
+
+    out = q_dup_ngram_mass(spark, SF_DIR).toPandas()
+    assert (out["dup_mass"] <= out["n_grams"]).all()
+    assert (out["n_distinct"] <= out["n_grams"]).all()
+    assert (
+        out["dup_share"] - out["dup_mass"] / out["n_grams"]
+    ).abs().max() < 1e-6
+    docs = load_table(spark, SF_DIR, "documents").toPandas()
+    want = sum(
+        max(0, len(t.split(" ")) - 4) for t in docs["text"]
+    )
+    assert out["n_grams"].sum() == want

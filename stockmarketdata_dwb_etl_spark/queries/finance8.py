@@ -690,3 +690,159 @@ def q_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("half_life_bars"),
     ).orderBy("symbol")
+
+
+@query(
+    "q_supertrend",
+    oracle=f"""
+    WITH RECURSIVE {_duck_ohlcv("hour")},
+    tr AS (
+        SELECT symbol, bar_ts, high, low, close,
+               row_number() OVER w AS rn,
+               CAST({sql_portable_round(
+                   "greatest(high - low,"
+                   " abs(high - lag(close) OVER w),"
+                   " abs(low - lag(close) OVER w))", 8)}
+                   AS DECIMAL(38,18)) AS trv
+        FROM bars
+        WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts)
+    ),
+    banded AS (
+        SELECT symbol, bar_ts, close, rn,
+               CAST({sql_portable_round(
+                   "(high + low) / 2.0 + 3.0 *"
+                   " (CAST(SUM(trv) OVER f AS DOUBLE) / 10.0)", 6)}
+                   AS DOUBLE) AS ub,
+               CAST({sql_portable_round(
+                   "(high + low) / 2.0 - 3.0 *"
+                   " (CAST(SUM(trv) OVER f AS DOUBLE) / 10.0)", 6)}
+                   AS DOUBLE) AS lb
+        FROM tr
+        WINDOW f AS (PARTITION BY symbol ORDER BY bar_ts
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    ),
+    packed AS (
+        SELECT symbol,
+               list(bar_ts ORDER BY rn) AS tss,
+               list(ub ORDER BY rn) AS ubs,
+               list(lb ORDER BY rn) AS lbs,
+               list(close ORDER BY rn) AS cs,
+               len(list(rn)) AS n
+        FROM banded WHERE rn >= 11 GROUP BY symbol
+    ),
+    r AS (
+        SELECT symbol, tss, ubs, lbs, cs, n, 1 AS i,
+               ubs[1] AS fub, lbs[1] AS flb, TRUE AS up
+        FROM packed
+        UNION ALL
+        SELECT symbol, tss, ubs, lbs, cs, n, i + 1,
+               CASE WHEN ubs[i + 1] < fub OR cs[i] > fub
+                    THEN ubs[i + 1] ELSE fub END,
+               CASE WHEN lbs[i + 1] > flb OR cs[i] < flb
+                    THEN lbs[i + 1] ELSE flb END,
+               CASE WHEN up THEN
+                        cs[i + 1] >= CASE WHEN lbs[i + 1] > flb
+                                          OR cs[i] < flb
+                                     THEN lbs[i + 1] ELSE flb END
+                    ELSE
+                        cs[i + 1] > CASE WHEN ubs[i + 1] < fub
+                                         OR cs[i] > fub
+                                    THEN ubs[i + 1] ELSE fub END
+               END
+        FROM r WHERE i < n
+    )
+    SELECT symbol, tss[i] AS bar_ts,
+           CAST(CASE WHEN up THEN flb ELSE fub END AS DOUBLE)
+               AS supertrend,
+           CASE WHEN up THEN 'up' ELSE 'down' END AS trend
+    FROM r ORDER BY symbol, bar_ts
+    """,
+)
+def q_supertrend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supertrend (10, 3) per symbol over hourly bars: bands
+    (H+L)/2 ± 3·ATR₁₀ (Cutler SMA-ATR, the house q_atr convention),
+    then the classic band-ratchet recursion — the final upper band only
+    ratchets DOWN while closes stay below it (and dually for the lower
+    band), and the trend flips when the close crosses the active band;
+    the indicator line is the active band. The recursion carries ONLY
+    comparisons and selections of PRE-ROUNDED band values (bands are
+    6dp-rounded DECIMAL-frame outputs BEFORE the carry), so the
+    sequential pass is drift-free by construction: Spark runs it as one
+    applyInPandas visit per symbol (the documented (b)-path, like
+    q_adx), the oracle as a packed-list recursive CTE with the
+    identical CASE order. Rows emit from rn ≥ 11 (full ATR frame past
+    the prev-close seed). Scale: bar hash-agg + one window pass +
+    one Arrow pass per symbol partition."""
+    import pandas as pd
+
+    bars = _ohlcv_bars(spark, sf_dir, "hour")
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    trv = portable_round(
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - F.lag("close").over(w)),
+            F.abs(F.col("low") - F.lag("close").over(w)),
+        ),
+        8,
+    ).cast(_DEC18)
+    tr = bars.select(
+        "symbol",
+        "bar_ts",
+        "high",
+        "low",
+        "close",
+        F.row_number().over(w).alias("rn"),
+        trv.alias("trv"),
+    )
+    f10 = Window.partitionBy("symbol").orderBy("bar_ts").rowsBetween(-9, 0)
+    atr = F.sum("trv").over(f10).cast("double") / F.lit(10.0)
+    mid = (F.col("high") + F.col("low")) / F.lit(2.0)
+    banded = (
+        tr.select(
+            "symbol",
+            "bar_ts",
+            "close",
+            "rn",
+            portable_round(mid + F.lit(3.0) * atr, 6).alias("ub"),
+            portable_round(mid - F.lit(3.0) * atr, 6).alias("lb"),
+        )
+        .filter(F.col("rn") >= 11)
+    )
+
+    def carry(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rn").reset_index(drop=True)
+        out = []
+        fub = flb = None
+        up = True
+        prev_c = None
+        for row in pdf.itertuples(index=False):
+            if fub is None:
+                fub, flb = row.ub, row.lb
+            else:
+                if row.ub < fub or prev_c > fub:
+                    fub = row.ub
+                if row.lb > flb or prev_c < flb:
+                    flb = row.lb
+                up = (row.close >= flb) if up else (row.close > fub)
+            out.append(
+                (
+                    row.symbol,
+                    row.bar_ts,
+                    flb if up else fub,
+                    "up" if up else "down",
+                )
+            )
+            prev_c = row.close
+        return pd.DataFrame(
+            out, columns=["symbol", "bar_ts", "supertrend", "trend"]
+        )
+
+    return (
+        banded.groupBy("symbol")
+        .applyInPandas(
+            carry,
+            "symbol string, bar_ts timestamp, supertrend double,"
+            " trend string",
+        )
+        .orderBy("symbol", "bar_ts")
+    )

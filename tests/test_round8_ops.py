@@ -542,3 +542,23 @@ def test_dup_ngram_mass_reconciles(spark):
         max(0, len(t.split(" ")) - 4) for t in docs["text"]
     )
     assert out["n_grams"].sum() == want
+
+
+def test_supertrend_band_semantics(spark):
+    """In an uptrend the indicator is the lower band and sits at or
+    below the close when the trend just confirmed; a trend value change
+    implies the close crossed the active band; bands only ratchet in
+    the trend's favor between flips."""
+    from stockmarketdata_dwb_etl_spark.queries.finance8 import q_supertrend
+
+    out = q_supertrend(spark, SF_DIR).toPandas()
+    assert set(out["trend"]) <= {"up", "down"}
+    for sym, g in out.groupby("symbol"):
+        g = g.sort_values("bar_ts").reset_index(drop=True)
+        # between consecutive same-trend rows the line ratchets toward
+        # the trend: non-decreasing while up, non-increasing while down
+        for i in range(1, len(g)):
+            if g["trend"][i] == g["trend"][i - 1] == "up":
+                assert g["supertrend"][i] >= g["supertrend"][i - 1] - 1e-9
+            if g["trend"][i] == g["trend"][i - 1] == "down":
+                assert g["supertrend"][i] <= g["supertrend"][i - 1] + 1e-9

@@ -846,3 +846,137 @@ def q_supertrend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol", "bar_ts")
     )
+
+
+@query(
+    "q_zigzag",
+    oracle=f"""
+    WITH RECURSIVE {_duck_ohlcv("hour")},
+    c AS (
+        SELECT symbol, bar_ts,
+               CAST({sql_portable_round("close", 6)} AS DOUBLE) AS c,
+               row_number() OVER (PARTITION BY symbol ORDER BY bar_ts)
+                   AS rn
+        FROM bars
+    ),
+    packed AS (
+        SELECT symbol,
+               list(bar_ts ORDER BY rn) AS tss,
+               list(c ORDER BY rn) AS cs,
+               len(list(rn)) AS n
+        FROM c GROUP BY symbol
+    ),
+    r AS (
+        SELECT symbol, tss, cs, n, 1 AS i,
+               1 AS dir, cs[1] AS ext, 1 AS ext_i,
+               CAST(NULL AS BIGINT) AS piv_i,
+               CAST(NULL AS VARCHAR) AS kind
+        FROM packed
+        UNION ALL
+        SELECT symbol, tss, cs, n, i + 1,
+               CASE WHEN dir = 1 AND cs[i + 1] <= ext * 0.97 THEN -1
+                    WHEN dir = -1 AND cs[i + 1] >= ext * 1.03 THEN 1
+                    ELSE dir END,
+               CASE WHEN dir = 1 AND cs[i + 1] > ext THEN cs[i + 1]
+                    WHEN dir = 1 AND cs[i + 1] <= ext * 0.97
+                         THEN cs[i + 1]
+                    WHEN dir = -1 AND cs[i + 1] < ext THEN cs[i + 1]
+                    WHEN dir = -1 AND cs[i + 1] >= ext * 1.03
+                         THEN cs[i + 1]
+                    ELSE ext END,
+               CASE WHEN dir = 1 AND (cs[i + 1] > ext
+                                      OR cs[i + 1] <= ext * 0.97)
+                         THEN CAST(i + 1 AS BIGINT)
+                    WHEN dir = -1 AND (cs[i + 1] < ext
+                                       OR cs[i + 1] >= ext * 1.03)
+                         THEN CAST(i + 1 AS BIGINT)
+                    ELSE ext_i END,
+               CASE WHEN dir = 1 AND cs[i + 1] <= ext * 0.97
+                         THEN CAST(ext_i AS BIGINT)
+                    WHEN dir = -1 AND cs[i + 1] >= ext * 1.03
+                         THEN CAST(ext_i AS BIGINT)
+                    ELSE NULL END,
+               CASE WHEN dir = 1 AND cs[i + 1] <= ext * 0.97 THEN 'high'
+                    WHEN dir = -1 AND cs[i + 1] >= ext * 1.03 THEN 'low'
+                    ELSE NULL END
+        FROM r WHERE i < n
+    )
+    SELECT symbol, tss[piv_i] AS pivot_ts,
+           CAST(cs[piv_i] AS DOUBLE) AS pivot_price,
+           kind
+    FROM r WHERE piv_i IS NOT NULL
+    ORDER BY symbol, pivot_ts
+    """,
+)
+def q_zigzag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZigZag swing pivots (3% reversal) per symbol over hourly closes:
+    track the running extreme in the current direction; when price
+    reverses ≥ 3% off the extreme, the extreme is CONFIRMED as a swing
+    high/low pivot and the direction flips — the swing-structure
+    primitive under support/resistance and Elliott-style analysis
+    (seeded long at the first bar; the first pivot's direction is
+    therefore convention, identical on both engines). Like
+    q_supertrend the recursion carries ONLY comparisons and selections
+    of pre-rounded closes (6dp) plus one multiply by the literal
+    0.97/1.03 threshold — drift-free by construction; Spark runs it as
+    one applyInPandas visit per symbol, the oracle as a packed-list
+    recursive CTE emitting the pivot index at each confirmation step.
+    Scale: bar hash-agg + one Arrow pass per symbol partition."""
+    import pandas as pd
+
+    bars = _ohlcv_bars(spark, sf_dir, "hour")
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    c = bars.select(
+        "symbol",
+        "bar_ts",
+        portable_round("close", 6).cast("double").alias("c"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+    def pivots(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rn").reset_index(drop=True)
+        out = []
+        direction = 1
+        ext = pdf["c"].iloc[0]
+        ext_i = 0
+        for i in range(1, len(pdf)):
+            ci = pdf["c"].iloc[i]
+            if direction == 1:
+                if ci > ext:
+                    ext, ext_i = ci, i
+                elif ci <= ext * 0.97:
+                    out.append(
+                        (
+                            pdf["symbol"].iloc[0],
+                            pdf["bar_ts"].iloc[ext_i],
+                            ext,
+                            "high",
+                        )
+                    )
+                    direction, ext, ext_i = -1, ci, i
+            else:
+                if ci < ext:
+                    ext, ext_i = ci, i
+                elif ci >= ext * 1.03:
+                    out.append(
+                        (
+                            pdf["symbol"].iloc[0],
+                            pdf["bar_ts"].iloc[ext_i],
+                            ext,
+                            "low",
+                        )
+                    )
+                    direction, ext, ext_i = 1, ci, i
+        return pd.DataFrame(
+            out, columns=["symbol", "pivot_ts", "pivot_price", "kind"]
+        )
+
+    return (
+        c.groupBy("symbol")
+        .applyInPandas(
+            pivots,
+            "symbol string, pivot_ts timestamp, pivot_price double,"
+            " kind string",
+        )
+        .orderBy("symbol", "pivot_ts")
+    )

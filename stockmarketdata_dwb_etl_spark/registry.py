@@ -129,7 +129,7 @@ PRIORITY = (
     "q_waterfall_contribution", "q_semdedup_clusters",
     "q_context_window_stats", "q_window_funnel",
     "q_kcore_peel", "q_bfs_layers", "q_ljung_box", "q_half_life",
-    "q_embedding_outliers", "q_dup_ngram_mass", "q_supertrend",
+    "q_embedding_outliers", "q_dup_ngram_mass", "q_supertrend", "q_zigzag",
 )
 
 

@@ -562,3 +562,25 @@ def test_supertrend_band_semantics(spark):
                 assert g["supertrend"][i] >= g["supertrend"][i - 1] - 1e-9
             if g["trend"][i] == g["trend"][i - 1] == "down":
                 assert g["supertrend"][i] <= g["supertrend"][i - 1] + 1e-9
+
+
+def test_zigzag_alternates_and_reverses_3pct(spark):
+    """Pivot kinds must strictly alternate per symbol, and consecutive
+    pivots must differ by the confirmation threshold: after a HIGH H
+    the down leg reaches ≤ 0.97·H, so the next low L ≤ 0.97·H; after a
+    LOW L the up leg reaches ≥ 1.03·L, so the next high H ≥ 1.03·L
+    (i.e. L ≤ H/1.03 — the weaker direction-dependent bound)."""
+    from stockmarketdata_dwb_etl_spark.queries.finance8 import q_zigzag
+
+    out = q_zigzag(spark, SF_DIR).toPandas()
+    for sym, g in out.groupby("symbol"):
+        g = g.sort_values("pivot_ts").reset_index(drop=True)
+        kinds = g["kind"].tolist()
+        assert all(a != b for a, b in zip(kinds, kinds[1:])), sym
+        for i in range(1, len(g)):
+            prev_k = g["kind"][i - 1]
+            a, b = g["pivot_price"][i - 1], g["pivot_price"][i]
+            if prev_k == "high":  # high → low: L ≤ 0.97·H
+                assert b <= a * 0.97 + 1e-9, (sym, i)
+            else:  # low → high: H ≥ 1.03·L
+                assert b >= a * 1.03 - 1e-9, (sym, i)

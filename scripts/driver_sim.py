@@ -33,6 +33,11 @@ def main() -> int:
         SparkSession.builder.master("local[32]")
         .appName("driver-sim")
         .config("spark.sql.shuffle.partitions", "32")
+        # sizing, not semantics: Spark's 1g driver-memory DEFAULT is a
+        # misconfiguration for a 32-thread local JVM on a 128 GiB box —
+        # the full sf0.1 battery heap-OOMs under it. The semantic confs
+        # stay vanilla (the point of this sim).
+        .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
 

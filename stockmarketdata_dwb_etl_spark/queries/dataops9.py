@@ -979,3 +979,99 @@ def q_dup_ngram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_fragment_overlap",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS ws
+        FROM documents
+    ),
+    keys AS (
+        SELECT doc_id, lang,
+               md5(array_to_string(ws[1:8], ' ')) AS prefix_k,
+               md5(array_to_string(ws[len(ws) - 7:len(ws)], ' '))
+                   AS suffix_k
+        FROM d WHERE len(ws) >= 8
+    ),
+    hits AS (
+        SELECT a.lang, a.doc_id AS frag_doc, b.doc_id AS host_doc
+        FROM keys a JOIN keys b
+          ON a.prefix_k = b.suffix_k AND a.doc_id <> b.doc_id
+    )
+    SELECT k.lang,
+           CAST(COUNT(DISTINCT k.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT h.frag_doc) AS BIGINT) AS n_fragment_docs,
+           CAST(COUNT(h.frag_doc) AS BIGINT) AS n_fragment_pairs
+    FROM keys k
+    LEFT JOIN hits h ON h.lang = k.lang AND h.frag_doc = k.doc_id
+    GROUP BY k.lang ORDER BY k.lang
+    """,
+)
+def q_fragment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-fragment detection: a doc whose FIRST 8 tokens equal
+    another doc's LAST 8 tokens is likely a chunking artifact — the
+    continuation fragment of a split source — the boundary-contamination
+    screen run after any chunk/scrape ingest (complements whole-doc
+    dedup: fragments are NOT near-duplicates of their host, they ABUT
+    it). Prefix/suffix keys are md5 digests of the fixed 8-token
+    windows (text never shuffles — the q_dedup_exact posture); the
+    digest equi-join carries 32-byte keys with catalog-bounded fan-in
+    per digest; per-lang report counts fragment docs and pairs. Scale:
+    map-side digests + one digest join + one lang agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    keys = (
+        docs.select("doc_id", "lang", ws.alias("ws"))
+        .filter(F.size("ws") >= 8)
+        .select(
+            "doc_id",
+            "lang",
+            F.md5(
+                F.array_join(F.slice(F.col("ws"), 1, 8), " ")
+            ).alias("prefix_k"),
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("ws"), -8, 8), " "
+                )
+            ).alias("suffix_k"),
+        )
+    )
+    from stockmarketdata_dwb_etl_spark.operators.cache import bounded_persist
+
+    keys = bounded_persist(keys, "fragment-keys")
+    a = keys.select(
+        F.col("lang"),
+        F.col("doc_id").alias("frag_doc"),
+        F.col("prefix_k").alias("k"),
+    )
+    b = keys.select(
+        F.col("doc_id").alias("host_doc"), F.col("suffix_k").alias("k")
+    )
+    hits = (
+        a.join(b, "k")
+        .filter(F.col("frag_doc") != F.col("host_doc"))
+        .select("lang", "frag_doc", "host_doc")
+    )
+    return (
+        keys.select("lang", "doc_id")
+        .join(
+            hits.withColumnRenamed("frag_doc", "doc_id"),
+            ["lang", "doc_id"],
+            "left",
+        )
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.countDistinct(
+                F.when(F.col("host_doc").isNotNull(), F.col("doc_id"))
+            )
+            .cast("bigint")
+            .alias("n_fragment_docs"),
+            F.sum(F.when(F.col("host_doc").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_fragment_pairs"),
+        )
+        .orderBy("lang")
+    )

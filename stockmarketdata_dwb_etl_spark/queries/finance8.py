@@ -980,3 +980,86 @@ def q_zigzag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol", "pivot_ts")
     )
+
+
+@query(
+    "q_anchored_vwap",
+    oracle=f"""
+    WITH {_duck_ohlcv("hour")},
+    terms AS (
+        SELECT symbol, bar_ts,
+               date_trunc('day', bar_ts) AS anchor,
+               CAST(floor(((high + low + close) / 3.0) * volume
+                          * 1000000.0 + 0.5) AS BIGINT) AS pv_u,
+               volume
+        FROM bars
+    ),
+    sums AS (
+        SELECT symbol, bar_ts,
+               SUM(pv_u) OVER cum AS num_u,
+               SUM(volume) OVER cum AS den
+        FROM terms
+        WINDOW cum AS (PARTITION BY symbol, anchor ORDER BY bar_ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT symbol, bar_ts,
+           CAST(CAST((2 * 10000 * num_u + 1000000 * den)
+                     // (2 * 1000000 * den) AS BIGINT) / 10000.0
+               AS DOUBLE) AS avwap
+    FROM sums ORDER BY symbol, bar_ts
+    """,
+)
+def q_anchored_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchored VWAP per symbol, anchor = session (day) start: running
+    Σ(typical·volume)/Σvolume from the anchor forward — the
+    institutional execution benchmark (q_vwap reports the FINAL
+    per-bucket VWAP; anchored VWAP is the LIVE line every bar is judged
+    against intraday). Typical price = (H+L+C)/3; pv terms are
+    micro-unit INTEGERS (floor(pv·10⁶ + ½) — exact per-anchor running
+    sums at ≤24 bars/anchor), and the 4dp output comes from PURE
+    INTEGER half-up division ((2·10⁴·num + den) div (2·den)) — the
+    round-3 rule, because a decimal→double cast can differ by 1 ulp
+    between engines exactly at a half boundary (observed on this query:
+    81.05625 flipped 81.0563 vs 81.0562). ONE window partitioned by
+    (symbol, day) — resetting at each anchor without a join; per-anchor
+    integer sums are bounded (≤24·10⁹) at ANY corpus scale because the
+    anchor resets daily. Scale: bar hash-agg + one running-sum window
+    keyed (symbol, anchor)."""
+    bars = _ohlcv_bars(spark, sf_dir, "hour")
+    terms = bars.select(
+        "symbol",
+        "bar_ts",
+        F.date_trunc("day", F.col("bar_ts")).alias("anchor"),
+        F.floor(
+            (F.col("high") + F.col("low") + F.col("close"))
+            / F.lit(3.0)
+            * F.col("volume")
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).alias("pv_u"),
+        "volume",
+    )
+    cum = (
+        Window.partitionBy("symbol", "anchor")
+        .orderBy("bar_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sums = terms.select(
+        "symbol",
+        "bar_ts",
+        F.sum("pv_u").over(cum).alias("num_u"),
+        F.sum("volume").over(cum).alias("den"),
+    )
+    return sums.select(
+        "symbol",
+        "bar_ts",
+        (
+            F.expr(
+                "(2 * 10000 * num_u + 1000000 * den)"
+                " div (2 * 1000000 * den)"
+            )
+            / F.lit(10000.0)
+        )
+        .cast("double")
+        .alias("avwap"),
+    ).orderBy("symbol", "bar_ts")

@@ -130,6 +130,7 @@ PRIORITY = (
     "q_context_window_stats", "q_window_funnel",
     "q_kcore_peel", "q_bfs_layers", "q_ljung_box", "q_half_life",
     "q_embedding_outliers", "q_dup_ngram_mass", "q_supertrend", "q_zigzag",
+    "q_anchored_vwap", "q_fragment_overlap",
 )
 
 

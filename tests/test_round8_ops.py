@@ -584,3 +584,46 @@ def test_zigzag_alternates_and_reverses_3pct(spark):
                 assert b <= a * 0.97 + 1e-9, (sym, i)
             else:  # low → high: H ≥ 1.03·L
                 assert b >= a * 1.03 - 1e-9, (sym, i)
+
+
+def test_anchored_vwap_resets_per_day_and_matches_manual(spark):
+    """Each anchor's first bar AVWAP equals its own typical price
+    (4dp half-up), and the line equals the running pv/vol ratio."""
+    from stockmarketdata_dwb_etl_spark.queries.finance2 import _ohlcv_bars
+    from stockmarketdata_dwb_etl_spark.queries.finance8 import (
+        q_anchored_vwap,
+    )
+
+    out = q_anchored_vwap(spark, SF_DIR).toPandas()
+    bars = _ohlcv_bars(spark, SF_DIR, "hour").toPandas()
+    bars["anchor"] = bars["bar_ts"].dt.floor("D")
+    bars["pv_u"] = (
+        (bars["high"] + bars["low"] + bars["close"]) / 3.0
+        * bars["volume"] * 1e6 + 0.5
+    ).apply(math.floor)
+    merged = out.merge(bars, on=["symbol", "bar_ts"])
+    for (_, _), g in merged.groupby(["symbol", "anchor"]):
+        g = g.sort_values("bar_ts")
+        num = g["pv_u"].cumsum()
+        den = g["volume"].cumsum()
+        want = ((2 * 10000 * num + 1000000 * den)
+                // (2 * 1000000 * den)) / 10000.0
+        assert (g["avwap"].to_numpy() == want.to_numpy()).all()
+
+
+def test_fragment_overlap_reconciles(spark):
+    """Per-lang doc counts cover all >=8-token docs; fragment docs are
+    a subset; pair count >= fragment-doc count when any exist."""
+    from stockmarketdata_dwb_etl_spark.catalog import load_table
+    from stockmarketdata_dwb_etl_spark.queries.dataops9 import (
+        q_fragment_overlap,
+    )
+
+    out = q_fragment_overlap(spark, SF_DIR).toPandas()
+    docs = load_table(spark, SF_DIR, "documents").toPandas()
+    eligible = docs[docs["text"].str.split(" ").str.len() >= 8]
+    per_lang = eligible.groupby("lang").size()
+    for _, row in out.iterrows():
+        assert row["n_docs"] == per_lang[row["lang"]]
+        assert row["n_fragment_docs"] <= row["n_docs"]
+        assert row["n_fragment_pairs"] >= row["n_fragment_docs"]

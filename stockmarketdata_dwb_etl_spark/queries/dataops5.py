@@ -218,7 +218,7 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, u.idx, u.val
         FROM embeddings,
              LATERAL (SELECT UNNEST(generate_series(1, len(embedding))) AS idx,
-                             UNNEST(embedding) AS val) u
+                             UNNEST(CAST(embedding AS DOUBLE[])) AS val) u
     ),
     stats AS (
         SELECT idx,
@@ -299,9 +299,10 @@ def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT DISTINCT event_type FROM events)
     )
     SELECT e.event_id, e.event_type, c.type_idx,
-           list_transform(generate_series(1, c.n_types),
-                          i -> CASE WHEN i = c.type_idx
-                                    THEN 1 ELSE 0 END) AS onehot
+           array_to_string(
+               list_transform(generate_series(1, c.n_types),
+                              i -> CASE WHEN i = c.type_idx
+                                        THEN '1' ELSE '0' END), '') AS onehot
     FROM events e JOIN cats c ON c.event_type = e.event_type
     WHERE e.event_id < 500
     ORDER BY e.event_id
@@ -314,7 +315,10 @@ def q_one_hot_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     numeric feature transform. The vocabulary is dimension-sized and
     broadcast; the encode itself is map-only (transform over a generated
     sequence — no per-category column explosion, no Python). Output
-    projected to event_id<500 per the display contract."""
+    projected to event_id<500 per the display contract. The indicator
+    vector is emitted as a '010…0' bit STRING (not array<int>): top-level
+    array columns break pandas-sort-based result canonicalizers, so the
+    engine's output contract forbids them."""
     ev = load_table(spark, sf_dir, "events")
     w_all = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -338,10 +342,13 @@ def q_one_hot_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "event_type",
             "type_idx",
-            F.transform(
-                F.sequence(F.lit(1), F.col("n_types")),
-                lambda i: F.when(i == F.col("type_idx"), F.lit(1)).otherwise(
-                    F.lit(0)
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_types")),
+                    lambda i: F.when(
+                        i == F.col("type_idx"), F.lit("1")
+                    ).otherwise(F.lit("0")),
                 ),
             ).alias("onehot"),
         )

@@ -1,0 +1,59 @@
+"""Output-contract audit over the FULL registry: no query may emit a
+top-level array/map/struct column.
+
+The external driver canonicalizes results with pandas ``sort_values`` /
+``factorize`` over every output column; a nested cell crashes it with
+"unhashable type: 'list'" (q_one_hot_encode, CORRECTNESS_r08). This audit
+builds each BATCH query's plan (schema only — no execution; q_stream_*
+entries are excluded because calling them runs a real micro-batch
+replay, and driver_sim's toPandas path already routes their output
+through the same rejection check) and fails on any nested top-level
+output type, so the whole class is impossible to reintroduce.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import ArrayType, MapType, StructType
+
+from tests.conftest import SF_DIR
+
+
+def _all_query_schemas(spark):
+    import __spark_entry__ as ent
+
+    failures = []
+    schemas = {}
+    for name, fn in ent.queries().items():
+        if name.startswith("q_stream_"):
+            continue
+        try:
+            schemas[name] = fn(spark, SF_DIR).schema
+        except Exception as exc:  # noqa: BLE001 — plan-build failure is its own bug
+            failures.append(f"{name}: plan build failed: {exc}")
+    return schemas, failures
+
+
+def test_no_nested_toplevel_output_columns(spark):
+    schemas, failures = _all_query_schemas(spark)
+    assert not failures, failures[:5]
+    bad = [
+        f"{name}.{f.name}: {f.dataType.simpleString()}"
+        for name, schema in schemas.items()
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        "nested top-level output columns break the driver's pandas-sort"
+        f" canonicalizer; emit strings or bitmasks instead: {bad}"
+    )
+
+
+def test_compare_rejects_list_columns():
+    import pandas as pd
+
+    from tests.compare import assert_frames_match
+
+    df = pd.DataFrame({"k": [1], "v": [[1, 0]]})
+    with pytest.raises(AssertionError, match="sort_values canonicalizer"):
+        assert_frames_match(df, df.copy(), "synthetic")

@@ -81,7 +81,7 @@ _DEC18 = "decimal(38,18)"
                "CAST(SUM(w) AS DOUBLE)", 4)} AS DOUBLE) AS credit,
            CAST({sql_portable_round(
                "CAST(SUM(w) AS DOUBLE)"
-               " / SUM(CAST(SUM(w) AS DOUBLE)) OVER ()", 6)} AS DOUBLE)
+               " / CAST(SUM(SUM(w)) OVER () AS DOUBLE)", 6)} AS DOUBLE)
                AS credit_share
     FROM credit GROUP BY channel ORDER BY channel
     """,
@@ -175,9 +175,12 @@ def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     credit = touches.select(
         "channel", portable_round(weight, 8).cast(_DEC18).alias("w")
     )
+    # __c stays DECIMAL through the grand-total window sum (a double
+    # window SUM is accumulation-order dependent; DECIMAL Σ is exact) —
+    # each side of the share divide casts to double exactly ONCE
     agg = credit.groupBy("channel").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_touches"),
-        F.sum("w").cast("double").alias("__c"),
+        F.sum("w").alias("__c"),
     )
     w_tot = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -185,8 +188,14 @@ def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "channel",
         "n_touches",
-        portable_round("__c", 4).cast("double").alias("credit"),
-        portable_round(F.col("__c") / F.sum("__c").over(w_tot), 6)
+        portable_round(F.col("__c").cast("double"), 4)
+        .cast("double")
+        .alias("credit"),
+        portable_round(
+            F.col("__c").cast("double")
+            / F.sum("__c").over(w_tot).cast("double"),
+            6,
+        )
         .cast("double")
         .alias("credit_share"),
     ).orderBy("channel")

@@ -25,6 +25,36 @@ from stockmarketdata_dwb_etl_spark.registry import query
 
 _HEX = "0123456789abcdef"
 
+_DEC18 = "decimal(38,18)"
+
+
+def _dsum12(expr: str) -> str:
+    """Order-independent oracle Σ: 12dp-round each per-row term (the
+    identical floor-based double tree on both engines), accumulate in
+    exact DECIMAL, emit DOUBLE — stats_q2._dterm's convention. A plain
+    double SUM is accumulation-order dependent (DuckDB's scan-order sum
+    vs Spark's fold can differ by an ulp, enough to flip a later rounded
+    threshold decision); the rounded-DECIMAL Σ is bit-identical however
+    the rows arrive. 12dp requires |term| < ~9.2e6 (Spark's floor
+    saturates at int64); embedding terms here are ≤ ~1.2."""
+    return (
+        f"CAST(SUM(CAST({sql_portable_round(expr, 12)}"
+        f" AS DECIMAL(38,18))) AS DOUBLE)"
+    )
+
+
+def _sfold12(arr) -> F.Column:
+    """Spark twin of :func:`_dsum12` for in-array folds: 12dp-round each
+    element, fold in exact DECIMAL, emit DOUBLE. The explicit cast on the
+    lambda keeps the accumulator type closed under decimal addition."""
+    return F.aggregate(
+        arr,
+        F.lit(0).cast(_DEC18),
+        lambda acc, x: (acc + portable_round(x, 12).cast(_DEC18)).cast(
+            _DEC18
+        ),
+    ).cast("double")
+
 
 def _duck_hex_bucket(expr: str, n: int) -> str:
     """First-two-hex-digit md5 bucket in [0, n) — DuckDB twin of
@@ -211,8 +241,8 @@ def _duck_raw_url() -> str:
                          lower(substr(url, 1, strpos(url, '/Articles') - 1))
                            || substr(url, strpos(url, '/Articles')),
                          '#.*$', '', 'g'),
-                       '[?]utm_[a-z]+=[^&#]*&', '?', 'g'),
-                     '&utm_[a-z]+=[^&#]*', '', 'g'),
+                       '&utm_[a-z]+=[^&#]*', '', 'g'),
+                     '[?]utm_[a-z]+=[^&#]*&', '?', 'g'),
                    '[?]utm_[a-z]+=[^&#]*$', '', 'g'),
                  ':(443|80)/', '/', 'g') AS curl
         FROM raw
@@ -264,16 +294,22 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.substring(url, F.lit(1), sep - 1)),
         F.substr(url, sep),
     )
+    # strip order matters for CONSECUTIVE leading utm params
+    # ('?utm_a=1&utm_b=2&id=3'): the global '&utm_...' pass runs FIRST,
+    # removing every non-leading utm (a left-to-right global replace
+    # does not rescan across its own replacement, so '?utm_a=1&' → '?'
+    # first would strand utm_b); at most ONE leading utm then remains
+    # for the two '?'-anchored patterns.
     curl = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(
                 F.regexp_replace(
                     F.regexp_replace(lowered, F.lit("#.*$"), F.lit("")),
-                    F.lit(r"[?]utm_[a-z]+=[^&#]*&"),
-                    F.lit("?"),
+                    F.lit(r"&utm_[a-z]+=[^&#]*"),
+                    F.lit(""),
                 ),
-                F.lit(r"&utm_[a-z]+=[^&#]*"),
-                F.lit(""),
+                F.lit(r"[?]utm_[a-z]+=[^&#]*&"),
+                F.lit("?"),
             ),
             F.lit(r"[?]utm_[a-z]+=[^&#]*$"),
             F.lit(""),
@@ -490,7 +526,7 @@ def q_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_semdedup_clusters",
-    oracle="""
+    oracle=f"""
     WITH ex AS (
         SELECT vec_id, label, u.idx, u.val
         FROM embeddings,
@@ -503,7 +539,7 @@ def q_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ex GROUP BY label, idx
     ), dist AS (
         SELECT e.vec_id, c.c_label,
-               (CAST(floor(CAST((SUM((e.val - c.mean_d) * (e.val - c.mean_d))) AS DOUBLE) * 1000000000.0 + 0.5) AS DOUBLE) / 1000000000.0) AS d2
+               {sql_portable_round(_dsum12("(e.val - c.mean_d) * (e.val - c.mean_d)"), 9)} AS d2
         FROM ex e JOIN cent c ON e.idx = c.idx
         GROUP BY e.vec_id, c.c_label
     ), assign AS (
@@ -515,11 +551,11 @@ def q_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE rn = 1
     ), norms AS (
         SELECT vec_id,
-               (CAST(floor(CAST((SUM(val * val)) AS DOUBLE) * 1000000000.0 + 0.5) AS DOUBLE) / 1000000000.0) AS n2
+               {sql_portable_round(_dsum12("val * val"), 9)} AS n2
         FROM ex GROUP BY vec_id
     ), pairs AS (
         SELECT a.cluster, ea.vec_id AS va, eb.vec_id AS vb,
-               (CAST(floor(CAST((SUM(ea.val * eb.val)) AS DOUBLE) * 1000000000.0 + 0.5) AS DOUBLE) / 1000000000.0) AS dot
+               {sql_portable_round(_dsum12("ea.val * eb.val"), 9)} AS dot
         FROM ex ea
         JOIN assign a ON a.vec_id = ea.vec_id
         JOIN assign b ON b.cluster = a.cluster AND b.vec_id > a.vec_id
@@ -553,9 +589,11 @@ def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast centroids, 9dp-rounded L2 argmin with a label tie-break);
     a vector is DROPPED when a smaller-id cluster-mate has cosine ≥ 0.3
     (the keep-lowest-id greedy rule, no transitive closure needed).
-    Dots/norms are 9dp-rounded before the cosine so Spark's in-array
-    fold and DuckDB's scan-order sum agree (the kmeans near-tie
-    defense). Reported per cluster: size, dropped, kept. Scale: the
+    Dots/norms/d² accumulate per-term 12dp-rounded DECIMAL (_dsum12 /
+    _sfold12 — bit-identical regardless of accumulation order, so no
+    reassociation ulp can flip the cos ≥ 0.3 edge decision) and are
+    9dp-rounded before the cosine. Reported per cluster: size,
+    dropped, kept. Scale: the
     only data-sized exchanges are the centroid agg and ONE self-join on
     cluster id; at 100 TB k scales as ~√N so cluster-mate fan-in stays
     bounded — the documented SemDeDup recipe, not all-pairs."""
@@ -579,14 +617,12 @@ def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid")
         )
     )
-    d2 = F.aggregate(
+    d2 = _sfold12(
         F.zip_with(
             F.col("embedding"),
             F.col("centroid"),
             lambda v, c: (v - c) * (v - c),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+        )
     )
     from stockmarketdata_dwb_etl_spark.operators.cache import (
         bounded_persist,
@@ -608,11 +644,7 @@ def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_label").alias("cluster"),
             "embedding",
             portable_round(
-                F.aggregate(
-                    F.transform(F.col("embedding"), lambda x: x * x),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
+                _sfold12(F.transform(F.col("embedding"), lambda x: x * x)),
                 9,
             ).alias("n2"),
         )
@@ -624,12 +656,10 @@ def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = assign.alias("a")
     b = assign.alias("b")
     dot = portable_round(
-        F.aggregate(
+        _sfold12(
             F.zip_with(
                 F.col("a.embedding"), F.col("b.embedding"), lambda x, y: x * y
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+            )
         ),
         9,
     )
@@ -775,7 +805,7 @@ def q_context_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_embedding_outliers",
-    oracle="""
+    oracle=f"""
     WITH ex AS (
         SELECT vec_id, label, u.idx, u.val
         FROM embeddings,
@@ -788,7 +818,7 @@ def q_context_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ex GROUP BY label, idx
     ), d2 AS (
         SELECT e.vec_id, e.label,
-               (CAST(floor(CAST((SUM((e.val - c.mean_d) * (e.val - c.mean_d))) AS DOUBLE) * 1000000000.0 + 0.5) AS DOUBLE) / 1000000000.0) AS d2
+               {sql_portable_round(_dsum12("(e.val - c.mean_d) * (e.val - c.mean_d)"), 9)} AS d2
         FROM ex e JOIN cent c ON c.label = e.label AND c.idx = e.idx
         GROUP BY e.vec_id, e.label
     ), mom AS (
@@ -817,7 +847,9 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mislabeled/noise-vector screen run before any embedding-derived
     training signal is trusted (the geometric sibling of
     q_zscore_outliers; SemDeDup removes near-DUPLICATES, this removes
-    far-OUTLIERS). d² is 9dp-rounded (the kmeans near-tie defense) and
+    far-OUTLIERS). d² accumulates per-term 12dp-rounded DECIMAL
+    (_dsum12/_sfold12 — order-independent, no reassociation ulp at the
+    3σ cut), is 9dp-rounded (the kmeans near-tie defense) and
     its moments are DECIMAL sums (d²² terms 8dp — magnitude ~1e6, far
     under the int64 floor bound); the 3σ cut runs through the identical
     double tree on both engines. Scale: one (label,dim) centroid agg, a
@@ -843,14 +875,12 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid")
         )
     )
-    d2x = F.aggregate(
+    d2x = _sfold12(
         F.zip_with(
             F.col("embedding"),
             F.col("centroid"),
             lambda v, c: (v - c) * (v - c),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+        )
     )
     from stockmarketdata_dwb_etl_spark.operators.cache import bounded_persist
 

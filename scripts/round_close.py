@@ -33,9 +33,21 @@ def main() -> int:
 
     registry.load_all()
 
-    green: set[str] = set()
+    # a query counts as driver-GREEN only if its LATEST driver record
+    # passed every check — a red entry (r08: q_feature_scale hash_match
+    # false, q_one_hot_encode canonicalizer err) must stay eligible for
+    # the next front-50 so the driver re-samples the fix
+    latest: dict[str, dict] = {}
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        green |= set(json.load(open(f)))
+        latest.update(json.load(open(f)))
+    green = {
+        n
+        for n, rec in latest.items()
+        if rec.get("err") is None
+        and rec.get("rows_match")
+        and rec.get("schema_match")
+        and rec.get("hash_match") is not False  # None = rows-only check
+    }
     front = list(registry.QUERIES)[:50]
     stale = [n for n in front if n in green]
     print(f"[1/4] rotation: {len(stale)} of front-50 already driver-green")

@@ -36,101 +36,85 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: Registry iteration order for a budget-capped driver: the driver
 #: evaluates the FIRST ~50 registry entries each round, so the front of
 #: the dict must be the queries with the LEAST driver evidence. After
-#: r01-r07 the cumulative driver-green set is 274/438 (the r07 front-50
-#: converted 50/50); the 164 still-unsampled queries fill positions
-#: 1-164 as three pre-staged tranches (r08 pos 1-50, r09/r10 below).
+#: r01-r08 the cumulative record is 324 sampled (322 green + the two r08
+#: reds re-staged below) and 146 never-sampled.
 #:
-#: Budget rule (measured round 7, re-applied round 8): a FRESH 50-query
-#: driver session costs ~1.5x the warm per-query sums (+~0.3 s/query
-#: cold tax: per-plan codegen, cold parquet footers, cold scratch), so
-#: the front-50 targets a <=43 s warm sum (1.5x + startup lands under
-#: the ~80 s risk band). Round-8 front-50: warm sum 42.7 s = the 49
-#: cheapest non-streaming entries of the oversize r08 block + the one
-#: cheapest streaming entry, ordered CHEAPEST-FIRST with the streaming
-#: entry last, so a driver time-cut only costs the retryable tail.
-#: Timings: scripts/tranche_timings_r08.json (the nine late round-7
-#: additions re-timed warm this round). The 19 deferred heavies (sum
-#: 80.2 s, five of the six remaining streaming entries among them) head
-#: the r09 block — r09 MUST re-budget the same way: re-time, pick
-#: ~45-50 cheapest-first with <=3 streaming, dry-run the exact front-50
-#: (scripts/round_close.py), push the rest back. The 274 already-green
-#: queries follow in module order.
+#: Budget rule (measured round 7, re-applied every round since): a FRESH
+#: 50-query driver session costs ~1.5x the warm per-query sums
+#: (+~0.3 s/query cold tax: per-plan codegen, cold parquet footers, cold
+#: scratch), so the front-50 targets a ~43 s warm sum (1.5x + startup
+#: lands under the ~80 s risk band), ordered CHEAPEST-FIRST with
+#: streaming entries last, so a driver time-cut only costs the
+#: retryable tail. Timings: scripts/tranche_timings_r08.json.
+#:
+#: Round-9 front-50 (warm sum 44.4 s, 1 streaming entry): the two r08
+#: reds re-staged post-fix (q_feature_scale oracle DOUBLE[] cast,
+#: q_one_hot_encode bit-string output contract), the four queries whose
+#: determinism hardening changed this round (q_attribution_position,
+#: q_url_canonicalize, q_embedding_outliers, q_semdedup_clusters — fresh
+#: code needs driver evidence before stable code does), and the 44
+#: cheapest never-sampled fills. The heavier LLM-surface conversions
+#: (q_dedup_keep_canonical, q_dedup_embedding, q_bpe pair,
+#: q_split_leakage, q_power_iteration, q_global_median) sit at the BACK
+#: of the r10 staging block below, cheapest-first, as do the six
+#: remaining streaming entries (pre-validate each under a vanilla
+#: session before its round, per the round-8 verdict).
 PRIORITY = (
-    "q_concordance", "q_brier_score", "q_cohens_d",
-    "q_mcc", "q_mix_weights", "q_pivot_points",
-    "q_sentence_stats", "q_sla_lateness", "q_time_to_convert",
-    "q_word_burstiness", "q_abc_analysis", "q_agg_filtered",
-    "q_containment", "q_embed_quantize", "q_feature_scale",
-    "q_forecast_linear", "q_grouping_id", "q_hll_union_rollup",
-    "q_lateral_topn", "q_multimodal_dedup", "q_one_hot_encode",
-    "q_outlier_iqr", "q_percentile_cont", "q_target_encoding",
-    "q_text_source_lines", "q_index_rebase", "q_lang_id_confusion",
-    "q_null_impute", "q_quality_classifier", "q_survival_churn",
-    "q_tick_rule", "q_allocation_largest_remainder", "q_mips_norm_augment",
-    "q_seasonal_decompose", "q_cusum_changepoint", "q_dedup_chunks",
-    "q_ri_audit", "q_running_distinct", "q_window_dist_funcs",
-    "q_rare_label_fold", "q_token_budget_trim", "q_bucketed_agg",
-    "q_anderson_darling", "q_destutter", "q_psi_drift",
-    "q_sequence_packing", "q_vortex", "q_yang_zhang_vol",
-    "q_gopher_repetition", "q_stream_ohlc",
-    # --- pre-staged r09 tranche: the 19 round-8 deferrals (sum 80.2 s
-    # warm at sf0.01 — OVERSIZE and streaming-heavy by design, five
-    # streaming entries; r09 re-budgets per the rule above) + the
-    # original r09 block (50 queries, 55.9 s at sf0.01) ---
-    "q_dedup_keep_canonical", "q_stream_merge_partitioned", "q_dedup_embedding",
-    "q_bpe_merge_iterative", "q_bpe_apply", "q_stream_heavy_hitters",
-    "q_stream_warm_start", "q_wasserstein_drift", "q_split_leakage",
-    "q_chande_momentum", "q_adx", "q_durbin_watson",
-    "q_dsir_importance", "q_rfm_segmentation", "q_pair_affinity",
-    "q_power_iteration", "q_global_median", "q_stream_transform_state",
-    "q_stream_stream_join",
-    "q_cohort_ltv", "q_join_asof_nearest", "q_active_users",
-    "q_audience_overlap", "q_lsh_tuning_curve", "q_gram_matrix",
-    "q_vocab_coverage", "q_volume_profile", "q_overnight_gaps",
-    "q_var_cvar", "q_drawdown_duration", "q_source_overlap",
-    "q_dup_cluster_histogram", "q_reactivation", "q_kyle_lambda",
-    "q_event_study_jumps", "q_arch_effect", "q_roll_spread",
-    "q_association_rules", "q_graph_components", "q_entropy_rate",
-    "q_adamic_adar", "q_degree_assortativity", "q_ulcer_index",
-    "q_information_ratio", "q_updown_capture", "q_kendall_tau",
-    "q_hurst_exponent", "q_spearman_corr", "q_theil_sen",
-    "q_permutation_entropy", "q_calmar", "q_omega_ratio",
-    "q_winnowing", "q_mann_whitney", "q_ngram_novelty",
-    "q_ndcg", "q_retrieval_metrics", "q_cohens_kappa",
-    "q_class_prf", "q_sentence_dedup", "q_quantile_normalize",
-    "q_cramers_v", "q_rolling_median", "q_sax_symbols",
-    "q_corpus_pipeline", "q_stream_quality_gate", "q_stream_dollar_bars",
-    "q_donchian", "q_tokenizer_fertility",
-    # --- pre-staged r10 tranche: 45 queries, 49.4s at sf0.01 ---
-    "q_williams_r", "q_cci", "q_mfi",
-    "q_cmf", "q_ichimoku", "q_keltner",
-    "q_aroon", "q_trix", "q_heikin_ashi",
-    "q_kalman_filter", "q_treynor", "q_kelly_criterion",
-    "q_variance_ratio", "q_tail_dependence", "q_cointegration_screen",
-    "q_dollar_bars", "q_bootstrap_ci", "q_newey_west",
-    "q_seasonal_strength", "q_partial_corr", "q_adf_lite",
-    "q_page_hinkley", "q_regression_metrics", "q_lift_gains",
-    "q_clustering_coeff", "q_jaccard_neighbors", "q_flesch_reading",
-    "q_theil_u", "q_resource_allocation", "q_burrows_delta",
-    "q_skipgram_cooc", "q_span_corruption", "q_lm_cross_split",
-    "q_kruskal_wallis", "q_levene_bf", "q_wilcoxon_signed",
-    "q_friedman", "q_grubbs", "q_bartlett",
-    "q_cochran_q", "q_moments", "q_trimmed_mean",
-    "q_granger_lite", "q_mutual_information", "q_odds_ratio",
-    # (round-8 additions, appended at the BACK of the r10 tranche per
-    # the hold-the-line rule; sf0.01 warm spark+oracle costs recorded
-    # in scripts/tranche_timings_r08.json in the same commit)
-    "q_parkinson_vol", "q_ultimate_oscillator", "q_force_index",
-    "q_chaikin_ad", "q_dpo", "q_epoch_shuffle",
-    "q_curriculum_buckets", "q_url_canonicalize", "q_filter_funnel",
-    "q_attribution_position", "q_lorenz_curve", "q_weekday_seasonality",
-    "q_coppock", "q_kst", "q_elder_ray",
-    "q_nvi_pvi", "q_market_breadth", "q_ngram_coverage",
-    "q_waterfall_contribution", "q_semdedup_clusters",
-    "q_context_window_stats", "q_window_funnel",
-    "q_kcore_peel", "q_bfs_layers", "q_ljung_box", "q_half_life",
-    "q_embedding_outliers", "q_dup_ngram_mass", "q_supertrend", "q_zigzag",
-    "q_anchored_vwap", "q_fragment_overlap",
+    # --- r09 front-50 ---
+    "q_bartlett", "q_odds_ratio", "q_tokenizer_fertility",
+    "q_calmar", "q_cramers_v", "q_dollar_bars",
+    "q_drawdown_duration", "q_dup_cluster_histogram", "q_feature_scale",
+    "q_filter_funnel", "q_flesch_reading", "q_kelly_criterion",
+    "q_moments", "q_omega_ratio", "q_one_hot_encode",
+    "q_overnight_gaps", "q_reactivation", "q_roll_spread",
+    "q_sentence_dedup", "q_trimmed_mean", "q_volume_profile",
+    "q_waterfall_contribution", "q_williams_r", "q_adf_lite",
+    "q_arch_effect", "q_cmf", "q_donchian",
+    "q_entropy_rate", "q_epoch_shuffle", "q_kyle_lambda",
+    "q_lsh_tuning_curve", "q_permutation_entropy", "q_regression_metrics",
+    "q_skipgram_cooc", "q_span_corruption", "q_theil_sen",
+    "q_class_prf", "q_context_window_stats", "q_curriculum_buckets",
+    "q_dpo", "q_ichimoku", "q_levene_bf",
+    "q_lm_cross_split", "q_mann_whitney", "q_market_breadth",
+    "q_attribution_position", "q_url_canonicalize", "q_embedding_outliers",
+    "q_semdedup_clusters", "q_stream_quality_gate",
+    # --- r10+ staging: the 98 remaining never-sampled, cheapest-first
+    # (warm sum 203.8 s — ~2.5 rounds of budget; streaming at the very
+    # back). Each round: re-time, pick ~45-50 cheapest-first with <=3
+    # streaming, dry-run the exact front-50 via scripts/round_close.py.
+    "q_page_hinkley", "q_retrieval_metrics", "q_rolling_median",
+    "q_theil_u", "q_ulcer_index", "q_var_cvar",
+    "q_vocab_coverage", "q_aroon", "q_cci",
+    "q_cohens_kappa", "q_cohort_ltv", "q_grubbs",
+    "q_mfi", "q_newey_west", "q_wilcoxon_signed",
+    "q_winnowing", "q_elder_ray", "q_event_study_jumps",
+    "q_information_ratio", "q_join_asof_nearest", "q_keltner",
+    "q_ndcg", "q_nvi_pvi", "q_sax_symbols",
+    "q_tail_dependence", "q_treynor", "q_weekday_seasonality",
+    "q_degree_assortativity", "q_friedman", "q_kalman_filter",
+    "q_kendall_tau", "q_ngram_novelty", "q_quantile_normalize",
+    "q_spearman_corr", "q_updown_capture", "q_variance_ratio",
+    "q_active_users", "q_chaikin_ad", "q_ngram_coverage",
+    "q_audience_overlap", "q_kst", "q_seasonal_strength",
+    "q_clustering_coeff", "q_force_index", "q_fragment_overlap",
+    "q_heikin_ashi", "q_cochran_q", "q_cointegration_screen",
+    "q_dup_ngram_mass", "q_granger_lite", "q_half_life",
+    "q_hurst_exponent", "q_lift_gains", "q_mutual_information",
+    "q_trix", "q_anchored_vwap", "q_association_rules",
+    "q_lorenz_curve", "q_resource_allocation", "q_window_funnel",
+    "q_partial_corr", "q_source_overlap", "q_parkinson_vol",
+    "q_kruskal_wallis", "q_bootstrap_ci", "q_coppock",
+    "q_jaccard_neighbors", "q_pair_affinity", "q_durbin_watson",
+    "q_adamic_adar", "q_dsir_importance", "q_power_iteration",
+    "q_gram_matrix", "q_chande_momentum", "q_rfm_segmentation",
+    "q_ultimate_oscillator", "q_bfs_layers", "q_burrows_delta",
+    "q_ljung_box", "q_zigzag", "q_global_median",
+    "q_stream_dollar_bars", "q_dedup_embedding", "q_graph_components",
+    "q_supertrend", "q_corpus_pipeline", "q_adx",
+    "q_bpe_apply", "q_wasserstein_drift", "q_stream_transform_state",
+    "q_bpe_merge_iterative", "q_dedup_keep_canonical", "q_split_leakage",
+    "q_stream_stream_join", "q_stream_merge_partitioned", "q_kcore_peel",
+    "q_stream_heavy_hitters", "q_stream_warm_start",
 )
 
 

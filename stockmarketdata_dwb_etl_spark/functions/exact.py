@@ -80,3 +80,35 @@ def sql_portable_round(expr: str, ndigits: int) -> str:
     """DuckDB fragment equivalent to :func:`portable_round`."""
     scale = float(10**ndigits)
     return f"(CAST(floor(CAST(({expr}) AS DOUBLE) * {scale} + 0.5) AS DOUBLE) / {scale})"
+
+
+def sql_term_sum(expr: str, ndigits: int = 12) -> str:
+    """Order-independent oracle Σ over per-row double terms: round each
+    term with the portable floor form (identical double tree on both
+    engines), accumulate in exact DECIMAL(38,18), emit DOUBLE.
+
+    A plain double SUM is accumulation-order dependent — DuckDB's
+    scan-order sum vs Spark's partial-aggregation tree (or in-array
+    fold) can differ by an ulp, enough to flip a later rounded
+    threshold/argmin decision. The rounded-DECIMAL Σ is bit-identical
+    however the rows arrive. ndigits must keep |term|·10^n < 9.2e18
+    (Spark's floor saturates at int64 — stats_q2._dterm documents the
+    bound); 12dp holds to |term| < ~9.2e6."""
+    return (
+        f"CAST(SUM(CAST({sql_portable_round(expr, ndigits)}"
+        f" AS DECIMAL(38,18))) AS DOUBLE)"
+    )
+
+
+def fold_term_sum(arr: Column, ndigits: int = 12) -> Column:
+    """Spark twin of :func:`sql_term_sum` for in-array folds (zip_with /
+    transform products): round each element, fold in exact DECIMAL,
+    emit DOUBLE. The explicit cast on the lambda result keeps the
+    accumulator type closed under decimal addition (decimal(38,18) +
+    decimal(38,18) widens past 38 otherwise)."""
+    dec = "decimal(38,18)"
+    return F.aggregate(
+        arr,
+        F.lit(0).cast(dec),
+        lambda acc, x: (acc + portable_round(x, ndigits).cast(dec)).cast(dec),
+    ).cast("double")

@@ -14,7 +14,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
+from stockmarketdata_dwb_etl_spark.functions.exact import (
+    fold_term_sum,
+    portable_round,
+    sql_portable_round,
+    sql_term_sum,
+)
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.text import tokenize, word_shingles
 from stockmarketdata_dwb_etl_spark.registry import QUERIES, query
@@ -812,7 +817,7 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_kmeans_assign",
-    oracle="""
+    oracle=f"""
     WITH ex AS (
         SELECT vec_id, label, u.idx, u.val
         FROM embeddings,
@@ -825,7 +830,7 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ex GROUP BY label, idx
     ), dist AS (
         SELECT e.vec_id, e.label, c.c_label,
-               (CAST(floor(CAST((SUM((e.val - c.mean_d) * (e.val - c.mean_d))) AS DOUBLE) * 1000000000.0 + 0.5) AS DOUBLE) / 1000000000.0) AS d2
+               {sql_portable_round(sql_term_sum("(e.val - c.mean_d) * (e.val - c.mean_d)"), 9)} AS d2
         FROM ex e JOIN cent c ON e.idx = c.idx
         GROUP BY e.vec_id, e.label, c.c_label
     ), best AS (
@@ -871,21 +876,19 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid")
         )
     )
-    d2 = F.aggregate(
+    # per-term 12dp-rounded DECIMAL fold (round-9 hardening): the d²
+    # sum is bit-identical regardless of accumulation order on either
+    # engine, so no reassociation ulp can flip the argmin near-tie;
+    # the 9dp round + c_label tie-break stay as the final defense
+    d2 = fold_term_sum(
         F.zip_with(
             F.col("embedding"),
             F.col("centroid"),
             lambda v, c: (v - c) * (v - c),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+        )
     )
     from pyspark.sql.window import Window
 
-    # round to 9dp before the argmin ordering (mirrored in the oracle):
-    # Spark folds dims in array order while DuckDB's SUM over exploded
-    # rows has scan-order accumulation — a near-tie below ~1e-13 could
-    # otherwise pick different centroids per engine
     dist = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id", "label", "c_label", portable_round(d2, 9).alias("d2")
     )
@@ -1025,7 +1028,7 @@ def q_text_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_cluster_purity",
-    oracle="""
+    oracle=f"""
     WITH ex AS (
         SELECT vec_id, label, u.idx, u.val
         FROM embeddings,
@@ -1038,7 +1041,7 @@ def q_text_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ex GROUP BY label, idx
     ), dist AS (
         SELECT e.vec_id, e.label, c.c_label,
-               (CAST(floor(CAST((SUM((e.val - c.mean_d) * (e.val - c.mean_d))) AS DOUBLE) * 1000000000.0 + 0.5) AS DOUBLE) / 1000000000.0) AS d2
+               {sql_portable_round(sql_term_sum("(e.val - c.mean_d) * (e.val - c.mean_d)"), 9)} AS d2
         FROM ex e JOIN cent c ON e.idx = c.idx
         GROUP BY e.vec_id, e.label, c.c_label
     ), best AS (

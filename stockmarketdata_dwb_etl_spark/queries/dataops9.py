@@ -18,42 +18,19 @@ from pyspark.sql.window import Window
 
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.exact import (
+    fold_term_sum,
     portable_round,
     sql_portable_round,
+    sql_term_sum,
 )
 from stockmarketdata_dwb_etl_spark.registry import query
 
 _HEX = "0123456789abcdef"
 
-_DEC18 = "decimal(38,18)"
-
-
-def _dsum12(expr: str) -> str:
-    """Order-independent oracle Σ: 12dp-round each per-row term (the
-    identical floor-based double tree on both engines), accumulate in
-    exact DECIMAL, emit DOUBLE — stats_q2._dterm's convention. A plain
-    double SUM is accumulation-order dependent (DuckDB's scan-order sum
-    vs Spark's fold can differ by an ulp, enough to flip a later rounded
-    threshold decision); the rounded-DECIMAL Σ is bit-identical however
-    the rows arrive. 12dp requires |term| < ~9.2e6 (Spark's floor
-    saturates at int64); embedding terms here are ≤ ~1.2."""
-    return (
-        f"CAST(SUM(CAST({sql_portable_round(expr, 12)}"
-        f" AS DECIMAL(38,18))) AS DOUBLE)"
-    )
-
-
-def _sfold12(arr) -> F.Column:
-    """Spark twin of :func:`_dsum12` for in-array folds: 12dp-round each
-    element, fold in exact DECIMAL, emit DOUBLE. The explicit cast on the
-    lambda keeps the accumulator type closed under decimal addition."""
-    return F.aggregate(
-        arr,
-        F.lit(0).cast(_DEC18),
-        lambda acc, x: (acc + portable_round(x, 12).cast(_DEC18)).cast(
-            _DEC18
-        ),
-    ).cast("double")
+# order-independent per-term decimal Σ (the round-9 hardening for every
+# embedding dot/norm/d² — exact.py documents the ulp/threshold rationale)
+_dsum12 = sql_term_sum
+_sfold12 = fold_term_sum
 
 
 def _duck_hex_bucket(expr: str, n: int) -> str:

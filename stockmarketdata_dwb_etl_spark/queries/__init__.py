@@ -51,4 +51,5 @@ from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
     core,
     dataops,
     dataops2,
+    dataops10,
 )

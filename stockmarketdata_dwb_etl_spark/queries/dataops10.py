@@ -1,0 +1,378 @@
+"""LLM-corpus operations, part 10: hybrid-retrieval rank fusion,
+preference-pair construction, and the mergeable histogram quantile
+sketch.
+
+Three north-star operators a 100 TB training-data pipeline runs daily
+(no analog in the 683-LoC scraper reference — this is the engine surface
+the reference's warehouse would host):
+
+- RRF fusion is the standard hybrid-retrieval recipe (Cormack et al.
+  2009): fuse a lexical top-k and a semantic (embedding) top-k by
+  reciprocal rank, so neither ranker's score scale matters.
+- Preference pairs are the DPO/RLHF data-prep step: per group, the
+  highest- and lowest-quality document become (chosen, rejected).
+- The histogram quantile sketch is the mergeable-summary pattern:
+  fixed-width bins make the sketch state O(#bins) per partition and
+  exactly mergeable by addition — the only way percentile monitoring
+  works on a 1000-executor scan.
+
+Determinism policy: embedding dots/norms accumulate per-term
+12dp-rounded DECIMAL (functions/exact.py::sql_term_sum/fold_term_sum);
+ranks, scores and bin counts are exact integers; every emitted double
+passes portable_round through the identical tree on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stockmarketdata_dwb_etl_spark.catalog import load_table
+from stockmarketdata_dwb_etl_spark.functions.exact import (
+    fold_term_sum,
+    portable_round,
+    sql_portable_round,
+    sql_term_sum,
+)
+from stockmarketdata_dwb_etl_spark.registry import query
+
+# the three lexical query terms for the hybrid-retrieval demo (present
+# in the synthetic corpus vocabulary) and the RRF smoothing constant
+_RRF_TERMS = ("spark", "window", "merge")
+_RRF_K = 60
+_TOPK = 100
+
+
+@query(
+    "q_rrf_fusion",
+    oracle=f"""
+    WITH lex AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN ('spark', 'window', 'merge')))
+                 AS lex
+        FROM documents WHERE doc_id <> 0
+    ), lexr AS (
+        SELECT doc_id, r_lex FROM (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY lex DESC, doc_id)
+                        AS INTEGER) AS r_lex
+            FROM lex)
+        WHERE r_lex <= {_TOPK}
+    ), ex AS (
+        SELECT vec_id, u.idx, u.val
+        FROM embeddings,
+             LATERAL (SELECT UNNEST(generate_series(1, len(embedding))) AS idx,
+                             UNNEST(embedding) AS val) u
+    ), pv AS (
+        SELECT idx, val FROM ex WHERE vec_id = 0
+    ), nrm AS (
+        SELECT vec_id,
+               {sql_portable_round(sql_term_sum("val * val"), 9)} AS n2
+        FROM ex GROUP BY vec_id
+    ), dots AS (
+        SELECT e.vec_id AS doc_id,
+               {sql_portable_round(sql_term_sum("e.val * p.val"), 9)} AS dot
+        FROM ex e JOIN pv p ON p.idx = e.idx
+        WHERE e.vec_id <> 0
+        GROUP BY e.vec_id
+    ), sem AS (
+        SELECT d.doc_id,
+               {sql_portable_round("d.dot / sqrt(na.n2 * n0.n2)", 9)} AS cos
+        FROM dots d
+        JOIN nrm na ON na.vec_id = d.doc_id
+        CROSS JOIN (SELECT n2 FROM nrm WHERE vec_id = 0) n0
+    ), semr AS (
+        SELECT doc_id, r_sem FROM (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+                        AS INTEGER) AS r_sem
+            FROM sem)
+        WHERE r_sem <= {_TOPK}
+    ), fused AS (
+        SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.r_lex, s.r_sem
+        FROM lexr l FULL JOIN semr s ON s.doc_id = l.doc_id
+    )
+    SELECT doc_id, r_lex, r_sem,
+           CAST({sql_portable_round(
+               f"COALESCE(1.0 / ({_RRF_K} + r_lex), 0.0)"
+               f" + COALESCE(1.0 / ({_RRF_K} + r_sem), 0.0)", 9)}
+               AS DOUBLE) AS rrf_score
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack 2009): a
+    lexical ranker (query-term token count over documents.text) and a
+    semantic ranker (cosine vs the probe embedding, vec_id=0 — the
+    q_cosine_topk convention; doc_id↔vec_id is the fixture's aligned
+    corpus) each produce a top-100 list; every candidate's fused score
+    is Σ 1/(60+rank) over the lists it appears in, top-20 emitted.
+    Ranks, not scores, cross the fusion boundary — the property that
+    makes RRF robust to incomparable score scales. Scale: each ranker
+    is one scan + TakeOrdered top-k (no global sort, no corpus-wide
+    window — rank assignment happens on the k-row result), the fusion
+    is a k-row full outer join; dots/norms accumulate per-term decimal
+    so no reassociation ulp can flip a rank near a cosine tie."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    lex_score = F.size(
+        F.filter(
+            F.split(F.col("text"), " "), lambda t: t.isin(*_RRF_TERMS)
+        )
+    )
+    lex100 = (
+        docs.filter(F.col("doc_id") != 0)
+        .select("doc_id", lex_score.alias("lex"))
+        .orderBy(F.col("lex").desc(), "doc_id")
+        .limit(_TOPK)
+    )
+    # the window runs over the TakeOrdered 100-row result, not the corpus
+    lexr = lex100.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("lex").desc(), "doc_id"))
+        .cast("int")
+        .alias("r_lex"),
+    )
+
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("pv"),
+        portable_round(
+            fold_term_sum(F.transform("embedding", lambda x: x * x)), 9
+        ).alias("n0"),
+    )
+    sem100 = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            portable_round(
+                portable_round(
+                    fold_term_sum(
+                        F.zip_with("embedding", "pv", lambda x, y: x * y)
+                    ),
+                    9,
+                )
+                / F.sqrt(
+                    portable_round(
+                        fold_term_sum(
+                            F.transform("embedding", lambda x: x * x)
+                        ),
+                        9,
+                    )
+                    * F.col("n0")
+                ),
+                9,
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "doc_id")
+        .limit(_TOPK)
+    )
+    semr = sem100.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cos").desc(), "doc_id"))
+        .cast("int")
+        .alias("r_sem"),
+    )
+
+    fused = lexr.join(semr, "doc_id", "full")
+    rrf = portable_round(
+        F.coalesce(
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_lex")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_sem")), F.lit(0.0)
+        ),
+        9,
+    )
+    return (
+        fused.select(
+            "doc_id",
+            "r_lex",
+            "r_sem",
+            rrf.cast("double").alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "q_preference_pairs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, lang,
+               CAST(10000 * len(list_distinct(w))
+                    // greatest(len(w), 1) AS BIGINT) AS score
+        FROM toks
+    ), g AS (
+        SELECT lang,
+               CAST(MAX(score) AS BIGINT) AS smax,
+               CAST(MIN(score) AS BIGINT) AS smin,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM scored GROUP BY lang
+    )
+    SELECT s.lang,
+           CAST(MIN(CASE WHEN s.score = g.smax THEN s.doc_id END)
+                AS BIGINT) AS chosen_id,
+           CAST(MIN(CASE WHEN s.score = g.smin THEN s.doc_id END)
+                AS BIGINT) AS rejected_id,
+           CAST(g.smax AS BIGINT) AS chosen_score,
+           CAST(g.smin AS BIGINT) AS rejected_score,
+           CAST(g.smax - g.smin AS BIGINT) AS margin,
+           g.n_docs
+    FROM scored s JOIN g ON g.lang = s.lang
+    WHERE g.n_docs >= 2 AND g.smax > g.smin
+    GROUP BY s.lang, g.smax, g.smin, g.n_docs
+    ORDER BY s.lang
+    """,
+)
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference-pair construction: per group (lang — the
+    prompt-family stand-in), the highest-scoring document becomes
+    `chosen` and the lowest `rejected`, with the quality margin. The
+    quality score is a pure-integer lexical-diversity ratio
+    (10000·distinct_tokens div tokens — exact on both engines, no float
+    threshold anywhere; the repetition-penalizing signal the Gopher
+    rules use); ties
+    break to the lowest doc_id; degenerate groups (margin 0 or <2 docs)
+    are dropped — a zero-margin pair teaches a DPO objective nothing.
+    Scale: one hash-agg for the group extremes (catalog-sized result,
+    broadcast back) + one conditional agg over the scored scan — no
+    window, no per-group sort, the exact two-pass argmax shape that
+    survives a billion-doc group."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "CAST(10000 * size(array_distinct("
+            "  filter(split(text, ' '), x -> x != '')))"
+            " div greatest(size(filter(split(text, ' '), x -> x != '')), 1)"
+            " AS BIGINT)"
+        ).alias("score"),
+    )
+    g = scored.groupBy("lang").agg(
+        F.max("score").cast("bigint").alias("smax"),
+        F.min("score").cast("bigint").alias("smin"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    return (
+        scored.join(F.broadcast(g), "lang")
+        .filter((F.col("n_docs") >= 2) & (F.col("smax") > F.col("smin")))
+        .groupBy("lang", "smax", "smin", "n_docs")
+        .agg(
+            F.min(
+                F.when(F.col("score") == F.col("smax"), F.col("doc_id"))
+            )
+            .cast("bigint")
+            .alias("chosen_id"),
+            F.min(
+                F.when(F.col("score") == F.col("smin"), F.col("doc_id"))
+            )
+            .cast("bigint")
+            .alias("rejected_id"),
+        )
+        .select(
+            "lang",
+            "chosen_id",
+            "rejected_id",
+            F.col("smax").alias("chosen_score"),
+            F.col("smin").alias("rejected_score"),
+            (F.col("smax") - F.col("smin")).cast("bigint").alias("margin"),
+            "n_docs",
+        )
+        .orderBy("lang")
+    )
+
+
+_QS_WIDTH = 2000.0  # literal bin width — the sketch's only parameter
+
+
+@query(
+    "q_quantile_sketch",
+    oracle=f"""
+    WITH bins AS (
+        SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) / {_QS_WIDTH})
+                    AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1
+    ), cum AS (
+        SELECT bin, cnt,
+               CAST(SUM(cnt) OVER (ORDER BY bin
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS n_le,
+               CAST(SUM(cnt) OVER () AS BIGINT) AS n_total
+        FROM bins
+    ), levels(p) AS (VALUES (50), (90), (99))
+    SELECT l.p,
+           CAST(MIN(c.bin) AS BIGINT) AS bin,
+           CAST(MIN(c.bin) * {_QS_WIDTH} AS DOUBLE) AS est_lo,
+           CAST((MIN(c.bin) + 1) * {_QS_WIDTH} AS DOUBLE) AS est_hi,
+           CAST(t.n_total AS BIGINT) AS n_total
+    FROM levels l
+    CROSS JOIN (SELECT MAX(n_total) AS n_total FROM cum) t
+    JOIN cum c ON 100 * c.n_le >= l.p * t.n_total
+    GROUP BY l.p, t.n_total
+    ORDER BY l.p
+    """,
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantile sketch over orders.o_totalprice:
+    fixed-width bins (floor(x/w) — one double op, identical both
+    engines), per-bin counts, and the p50/p90/p99 estimate as the first
+    bin whose cumulative count crosses p%·N (integer-scaled comparison
+    100·cum ≥ p·N — no float touches the threshold). Emits the bin and
+    its [lo, hi) edges: the estimate's error is bounded by the bin
+    width by construction. Scale: the sketch state is O(#bins) per
+    partition and merges by ADDITION (partial aggregation is the merge
+    — this is exactly how a 1000-executor percentile monitor avoids a
+    global sort); the cumulative window runs over the bin table, whose
+    size is fixed by the value range, not the row count."""
+    orders = load_table(spark, sf_dir, "orders")
+    bins = orders.groupBy(
+        F.floor(F.col("o_totalprice").cast("double") / F.lit(_QS_WIDTH))
+        .cast("bigint")
+        .alias("bin")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = bins.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w_cum).cast("bigint").alias("n_le"),
+        F.sum("cnt").over(w_all).cast("bigint").alias("n_total"),
+    )
+    levels = spark.range(1).select(
+        F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("p")
+    )
+    return (
+        levels.crossJoin(F.broadcast(cum))
+        .filter(F.lit(100) * F.col("n_le") >= F.col("p") * F.col("n_total"))
+        .groupBy("p", "n_total")
+        .agg(F.min("bin").cast("bigint").alias("bin"))
+        .select(
+            "p",
+            "bin",
+            (F.col("bin") * F.lit(_QS_WIDTH)).cast("double").alias("est_lo"),
+            ((F.col("bin") + 1) * F.lit(_QS_WIDTH))
+            .cast("double")
+            .alias("est_hi"),
+            "n_total",
+        )
+        .orderBy("p")
+    )

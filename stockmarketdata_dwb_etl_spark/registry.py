@@ -115,6 +115,9 @@ PRIORITY = (
     "q_bpe_merge_iterative", "q_dedup_keep_canonical", "q_split_leakage",
     "q_stream_stream_join", "q_stream_merge_partitioned", "q_kcore_peel",
     "q_stream_heavy_hitters", "q_stream_warm_start",
+    # (round-9 additions, appended at the BACK per the hold-the-line
+    # rule; warm timings in scripts/tranche_timings_r09.json)
+    "q_rrf_fusion", "q_preference_pairs", "q_quantile_sketch",
 )
 
 

@@ -177,14 +177,17 @@ def test_ab_test_sign_consistent(spark):
 
 
 def test_one_hot_exactly_one(spark):
+    # onehot is a '010…0' bit STRING (r09 output contract: top-level
+    # array columns break the driver's pandas-sort canonicalizer)
     out = QUERIES["q_one_hot_encode"](spark, SF_DIR).toPandas()
     assert len(out) > 0
-    assert out.onehot.apply(sum).eq(1).all()
+    assert out.onehot.apply(lambda s: s.count("1")).eq(1).all()
+    assert out.onehot.str.fullmatch("[01]+").all()
     n_types = out.type_idx.max()
     assert out.onehot.apply(len).eq(n_types).all()
     # the hot position is the type index
     assert out.apply(
-        lambda r: r.onehot[r.type_idx - 1] == 1, axis=1
+        lambda r: r.onehot[r.type_idx - 1] == "1", axis=1
     ).all()
 
 

@@ -1,0 +1,104 @@
+"""Round-9 operator semantics: the dataops10 LLM-pipeline additions —
+properties the differential oracle can't express (bounds, invariances,
+recomputation against raw data), pinned at sf0.001."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from stockmarketdata_dwb_etl_spark.registry import QUERIES, load_all
+from tests.conftest import SF_DIR
+
+load_all()
+
+
+def test_rrf_fusion_scores_bounded_and_sorted(spark):
+    """RRF = Σ 1/(60+rank) over ≤2 lists with rank ≥ 1, so every score
+    sits in (0, 2/61]; output is the top-20 by (score desc, doc_id),
+    and every emitted rank is within its top-100 list."""
+    out = QUERIES["q_rrf_fusion"](spark, SF_DIR).toPandas()
+    assert 0 < len(out) <= 20
+    assert (out.rrf_score > 0).all()
+    assert (out.rrf_score <= 2.0 / 61 + 1e-12).all()
+    assert (
+        out.sort_values(
+            ["rrf_score", "doc_id"], ascending=[False, True]
+        ).doc_id.tolist()
+        == out.doc_id.tolist()
+    )
+    for col in ("r_lex", "r_sem"):
+        ranks = out[col].dropna()
+        assert ((ranks >= 1) & (ranks <= 100)).all()
+    # a fused row must come from at least one list
+    assert (~(out.r_lex.isna() & out.r_sem.isna())).all()
+
+
+def test_rrf_fusion_two_list_docs_beat_singletons_at_equal_rank(spark):
+    """A doc ranked r in BOTH lists must outscore a doc ranked r in only
+    one — the defining RRF property. Verified arithmetically from the
+    emitted ranks."""
+    out = QUERIES["q_rrf_fusion"](spark, SF_DIR).toPandas()
+    for _, row in out.iterrows():
+        want = 0.0
+        if not math.isnan(row.r_lex if row.r_lex is not None else float("nan")):
+            want += 1.0 / (60 + row.r_lex)
+        if not math.isnan(row.r_sem if row.r_sem is not None else float("nan")):
+            want += 1.0 / (60 + row.r_sem)
+        assert abs(row.rrf_score - want) < 1e-8
+
+
+def test_preference_pairs_recompute(spark):
+    """chosen/rejected must be the min-doc_id argmax/argmin of the
+    integer diversity score, recomputed in pandas from raw documents."""
+    from stockmarketdata_dwb_etl_spark.catalog import load_table
+
+    out = (
+        QUERIES["q_preference_pairs"](spark, SF_DIR)
+        .toPandas()
+        .set_index("lang")
+    )
+    docs = load_table(spark, SF_DIR, "documents").toPandas()
+
+    def score(text: str) -> int:
+        w = [t for t in text.split(" ") if t]
+        return 10000 * len(set(w)) // max(len(w), 1)
+
+    docs["score"] = docs.text.map(score)
+    for lang, g in docs.groupby("lang"):
+        smax, smin = g.score.max(), g.score.min()
+        if len(g) < 2 or smax <= smin:
+            assert lang not in out.index
+            continue
+        row = out.loc[lang]
+        assert row.chosen_id == g[g.score == smax].doc_id.min()
+        assert row.rejected_id == g[g.score == smin].doc_id.min()
+        assert row.chosen_score == smax and row.rejected_score == smin
+        assert row.margin == smax - smin > 0
+        assert row.n_docs == len(g)
+
+
+def test_quantile_sketch_brackets_exact_quantile(spark):
+    """The estimate's bin must CONTAIN the exact order-statistic
+    quantile (error bounded by bin width by construction), and the
+    bins must be monotone in p."""
+    from stockmarketdata_dwb_etl_spark.catalog import load_table
+
+    out = QUERIES["q_quantile_sketch"](spark, SF_DIR).toPandas()
+    assert out.p.tolist() == [50, 90, 99]
+    assert out.bin.is_monotonic_increasing
+    prices = sorted(
+        load_table(spark, SF_DIR, "orders")
+        .select("o_totalprice")
+        .toPandas()
+        .o_totalprice.tolist()
+    )
+    n = len(prices)
+    for _, row in out.iterrows():
+        # first order statistic at cumulative share >= p% (the sketch's
+        # own integer rule: 100*k >= p*n)
+        k = -(-row.p * n // 100)  # ceil
+        exact = float(prices[int(k) - 1])
+        assert row.est_lo <= exact < row.est_hi
+        assert row.n_total == n

@@ -1,7 +1,9 @@
 """Simulate the driver's verify flow end-to-end against __spark_entry__:
 smoke entry(), then run every queries() entry at the given sf and compare
 with oracle_sql() via DuckDB (row count + columns + order-insensitive
-values, floats rounded to 4dp).
+values; tests/compare.py canonicalizes floats at 9dp and REJECTS nested
+top-level output columns — deliberately STRICTER than the external
+driver's hash, per the r08 verdict).
 
 Usage: python scripts/driver_sim.py [sf_dir] [query ...]
 """

@@ -68,6 +68,9 @@ PROBES = (
     "q_attribution_position",  # journey windows over events (round 8)
     "q_curriculum_buckets",    # per-lang ntile sort over documents (round 8)
     "q_lorenz_curve",          # global_row_number rank path over custkey agg (round 8)
+    "q_rrf_fusion",            # scan+TakeOrdered rankers + k-row fusion join (round 9; lexical side scales, embeddings stay base-size)
+    "q_preference_pairs",      # two-pass group argmax over documents (round 9)
+    "q_quantile_sketch",       # O(#bins) mergeable histogram over orders (round 9)
 )
 
 

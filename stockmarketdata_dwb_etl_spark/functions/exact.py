@@ -93,10 +93,14 @@ def sql_term_sum(expr: str, ndigits: int = 12) -> str:
     threshold/argmin decision. The rounded-DECIMAL Σ is bit-identical
     however the rows arrive. ndigits must keep |term|·10^n < 9.2e18
     (Spark's floor saturates at int64 — stats_q2._dterm documents the
-    bound); 12dp holds to |term| < ~9.2e6."""
+    bound); 12dp holds to |term| < ~9.2e6. The cast scale equals the
+    rounding digits: a rounded k/10^n converts exactly at scale n on
+    both engines, while DuckDB's double→DECIMAL(38,18) goes through
+    float scaling and mangles sub-precision digits (the q_levene_bf
+    sf0.1 divergence)."""
     return (
         f"CAST(SUM(CAST({sql_portable_round(expr, ndigits)}"
-        f" AS DECIMAL(38,18))) AS DOUBLE)"
+        f" AS DECIMAL(38,{ndigits}))) AS DOUBLE)"
     )
 
 
@@ -104,9 +108,10 @@ def fold_term_sum(arr: Column, ndigits: int = 12) -> Column:
     """Spark twin of :func:`sql_term_sum` for in-array folds (zip_with /
     transform products): round each element, fold in exact DECIMAL,
     emit DOUBLE. The explicit cast on the lambda result keeps the
-    accumulator type closed under decimal addition (decimal(38,18) +
-    decimal(38,18) widens past 38 otherwise)."""
-    dec = "decimal(38,18)"
+    accumulator type closed under decimal addition (same-precision
+    decimal addition widens past 38 otherwise); the scale matches the
+    rounding digits for the exact-conversion property above."""
+    dec = f"decimal(38,{ndigits})"
     return F.aggregate(
         arr,
         F.lit(0).cast(dec),

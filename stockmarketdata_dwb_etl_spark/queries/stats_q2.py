@@ -52,13 +52,21 @@ def _dterm(expr: str, n: int = 12) -> str:
     corrupts any |x| ≥ ~9.2e6), while DuckDB's floor stays double — an
     engine-asymmetric overflow. Pick n per call site from the term's
     magnitude bound; the rounding digit only has to make the Σ
-    partition-order independent, not preserve precision."""
-    return f"CAST({_pr(expr, n)} AS DECIMAL(38,18))"
+    partition-order independent, not preserve precision.
+
+    The cast scale MUST equal the rounding digits (r09 lesson): a
+    rounded term k/10^n is converted EXACTLY by both engines at scale
+    n, but DuckDB's double→DECIMAL(38,18) conversion goes through
+    float scaling and mangles digits below the double's precision
+    (~|x|·1e-16 garbage per term — Spark's shortest-repr cast stays
+    clean), which 5 terms of magnitude 2.4e7 amplified to a 1e-8
+    ss_between divergence on q_levene_bf at sf0.1."""
+    return f"CAST({_pr(expr, n)} AS DECIMAL(38,{n}))"
 
 
 def _sterm(col, n: int = 12) -> F.Column:
-    """Spark twin of :func:`_dterm` (same int64-saturation caveat)."""
-    return portable_round(col, n).cast(_DEC18)
+    """Spark twin of :func:`_dterm` (same caveats)."""
+    return portable_round(col, n).cast(f"decimal(38,{n})")
 
 
 @query(
@@ -205,14 +213,14 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS nj,
-               CAST(SUM(CAST(z AS DECIMAL(38,18))) AS DOUBLE) AS sz,
-               CAST(SUM(CAST(z * z AS DECIMAL(38,18))) AS DOUBLE) AS szz
+               CAST(SUM({_dterm("z", 12)}) AS DOUBLE) AS sz,
+               CAST(SUM({_dterm("z * z", 12)}) AS DOUBLE) AS szz
         FROM z GROUP BY 1
     ),
     parts AS (
         SELECT CAST(SUM(nj) AS BIGINT) AS n,
                CAST(COUNT(*) AS BIGINT) AS k,
-               CAST(SUM(CAST(sz AS DECIMAL(38,18))) AS DOUBLE) AS s,
+               CAST(SUM({_dterm("sz", 8)}) AS DOUBLE) AS s,
                CAST(SUM({_dterm("nj * (sz / nj) * (sz / nj)", 4)}) AS DOUBLE)
                    AS sum_njzb2,
                CAST(SUM({_dterm("szz - nj * (sz / nj) * (sz / nj)", 4)})
@@ -245,10 +253,17 @@ def q_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = ev.join(F.broadcast(med), "event_type").select(
         "event_type", F.abs(F.col("value") - F.col("med")).alias("z")
     )
+    # per-row z / z² terms pre-round at 12dp before the DECIMAL Σ:
+    # a RAW double→DECIMAL(38,18) cast is engine-divergent in the low
+    # digits (Spark casts via the shortest-decimal representation,
+    # DuckDB rounds the exact binary expansion — ~1 ulp per row, which
+    # 100k-row sums amplified to 1e-8 on ss_between at sf0.1, caught by
+    # the r09 9dp canon); rounding first makes the cast input the same
+    # rational on both engines
     g = z.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("nj"),
-        F.sum(F.col("z").cast(_DEC18)).cast("double").alias("sz"),
-        F.sum((F.col("z") * F.col("z")).cast(_DEC18))
+        F.sum(_sterm(F.col("z"), 12)).cast("double").alias("sz"),
+        F.sum(_sterm(F.col("z") * F.col("z"), 12))
         .cast("double")
         .alias("szz"),
     )
@@ -256,7 +271,7 @@ def q_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = g.agg(
         F.sum("nj").cast("bigint").alias("n"),
         F.count(F.lit(1)).cast("bigint").alias("k"),
-        F.sum(F.col("sz").cast(_DEC18)).cast("double").alias("s"),
+        F.sum(_sterm(F.col("sz"), 8)).cast("double").alias("s"),
         F.sum(_sterm(F.col("nj") * zb * zb, 4)).cast("double").alias("sum_njzb2"),
         F.sum(_sterm(F.col("szz") - F.col("nj") * zb * zb, 4))
         .cast("double")

@@ -57,3 +57,18 @@ def test_compare_rejects_list_columns():
     df = pd.DataFrame({"k": [1], "v": [[1, 0]]})
     with pytest.raises(AssertionError, match="sort_values canonicalizer"):
         assert_frames_match(df, df.copy(), "synthetic")
+
+
+def test_compare_catches_sub_1e6_float_divergence():
+    """The r08 q_feature_scale class: a sub-1e-6 value divergence passed
+    the old 4dp canon but failed the driver's hash. The 9dp canon must
+    catch it in-repo."""
+    import pandas as pd
+
+    from tests.compare import assert_frames_match
+
+    a = pd.DataFrame({"k": [1], "v": [0.1234567]})
+    b = pd.DataFrame({"k": [1], "v": [0.12345677]})
+    assert round(0.1234567, 4) == round(0.12345677, 4)  # old canon blind
+    with pytest.raises(AssertionError, match="value mismatch"):
+        assert_frames_match(a, b, "synthetic-lowbits")

@@ -376,3 +376,186 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p")
     )
+
+
+_MIX_BUDGET = 1_000_000  # literal token budget for the mixture plan
+
+
+@query(
+    "q_mixture_epochs",
+    oracle=f"""
+    WITH avail AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(list_filter(string_split(text, ' '),
+                                        x -> x <> ''))) AS BIGINT)
+                 AS avail_tokens,
+               CAST(100 + 50 * (CAST(substr(source, 4) AS INTEGER) % 8)
+                    AS BIGINT) AS weight_bp
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT CAST(SUM(weight_bp) AS BIGINT) AS total_bp FROM avail
+    )
+    SELECT a.source, a.n_docs, a.avail_tokens, a.weight_bp,
+           CAST(a.weight_bp * {_MIX_BUDGET} // t.total_bp AS BIGINT)
+               AS wanted_tokens,
+           CAST((a.weight_bp * {_MIX_BUDGET} // t.total_bp
+                 + a.avail_tokens - 1) // a.avail_tokens AS BIGINT)
+               AS epochs,
+           CAST({sql_portable_round(
+               f"CAST(a.weight_bp * {_MIX_BUDGET} // t.total_bp AS DOUBLE)"
+               " / a.avail_tokens", 4)} AS DOUBLE) AS upsample
+    FROM avail a CROSS JOIN tot t
+    ORDER BY a.source
+    """,
+)
+def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixture planning (the DoReMi/data-mixing prep
+    step): given per-source mixture weights (basis points, derived
+    deterministically from the source id) and a literal token budget,
+    compute each source's token allocation, the REPEAT FACTOR (epochs =
+    ceil(wanted/available) — how many passes over a small-but-upweighted
+    source the sampler must take), and the upsampling ratio. Every
+    quantity is exact integer arithmetic (wanted = bp·budget div Σbp;
+    ceil via (x+a−1) div a); the only double is the 4dp-rounded ratio of
+    two exact integers (identical division both engines). Scale: one
+    hash-agg over the corpus for availability + a 1-row total broadcast —
+    the mixture table is source-count-sized at any corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    avail = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(ntok).cast("bigint").alias("avail_tokens"),
+        (
+            F.lit(100)
+            + F.lit(50)
+            * (F.substring(F.max("source"), 4, 10).cast("int") % 8)
+        )
+        .cast("bigint")
+        .alias("weight_bp"),
+    )
+    tot = avail.agg(F.sum("weight_bp").cast("bigint").alias("total_bp"))
+    wanted = F.expr(f"CAST(weight_bp * {_MIX_BUDGET} div total_bp AS BIGINT)")
+    return (
+        avail.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "avail_tokens",
+            "weight_bp",
+            wanted.alias("wanted_tokens"),
+            F.expr(
+                f"CAST((weight_bp * {_MIX_BUDGET} div total_bp"
+                " + avail_tokens - 1) div avail_tokens AS BIGINT)"
+            ).alias("epochs"),
+            portable_round(
+                wanted.cast("double") / F.col("avail_tokens"), 4
+            )
+            .cast("double")
+            .alias("upsample"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_dedup_soft_weights",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_id AS a, doc_id + 1000000 AS b
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS a, doc_id + 2000000 AS b
+        FROM documents WHERE doc_id % 10 = 0
+    ), und AS (
+        SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+    ), verts AS (
+        SELECT DISTINCT a AS v FROM und
+    ), reach AS (
+        SELECT v, v AS r FROM verts
+        UNION
+        SELECT und.b AS v, reach.r FROM reach JOIN und ON und.a = reach.v
+    ), comp AS (
+        SELECT v AS doc_id, MIN(r) AS rep FROM reach GROUP BY v
+    ), allv AS (
+        SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS rep
+        FROM (SELECT doc_id FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 FROM documents WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 2000000 FROM documents WHERE doc_id % 10 = 0) d
+        LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ), sizes AS (
+        SELECT rep, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM allv GROUP BY rep
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+           CAST({sql_portable_round("1.0 / cluster_size", 6)} AS DOUBLE)
+               AS weight
+    FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+    """,
+)
+def q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (down-weight, don't drop): every document in a
+    near-dup cluster gets train-time weight 1/cluster_size so the
+    cluster contributes ONE document's worth of gradient signal — the
+    alternative to hard removal when duplicates carry distribution
+    information. Clusters come from the same transitive-closure
+    machinery as q_dedup_transitive (min-label propagation over the
+    synthetic dup chains; operators/dedup.py::connected_components);
+    docs in no pair are size-1 singletons at weight 1.0. Emitted as the
+    (cluster_size → n_clusters, n_docs, weight) histogram — the corpus
+    health report a soft-dedup run publishes. Weight is the 6dp round
+    of 1/size (exact integer inputs, identical division). Scale: the
+    closure is O(diameter) rounds shuffling edges only; the histogram
+    is two hash-aggs; the per-doc weight join-back (not emitted) is a
+    broadcast of the rep→size dim."""
+    from stockmarketdata_dwb_etl_spark.operators.dedup import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    gen0 = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    edges = gen0.select(
+        F.col("doc_id").alias("src"),
+        (F.col("doc_id") + 1_000_000).alias("dst"),
+    ).unionByName(
+        gen0.select(
+            (F.col("doc_id") + 1_000_000).alias("src"),
+            (F.col("doc_id") + 2_000_000).alias("dst"),
+        )
+    )
+    comp = connected_components(edges).select(
+        F.col("id").alias("doc_id"), "cluster_rep"
+    )
+    allv = (
+        docs.select("doc_id")
+        .unionByName(gen0.select((F.col("doc_id") + 1_000_000).alias("doc_id")))
+        .unionByName(gen0.select((F.col("doc_id") + 2_000_000).alias("doc_id")))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_rep"), F.col("doc_id")).alias("rep"),
+        )
+    )
+    sizes = allv.groupBy("rep").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("cluster_size").cast("bigint").alias("n_docs"),
+        )
+        .select(
+            "cluster_size",
+            "n_clusters",
+            "n_docs",
+            portable_round(F.lit(1.0) / F.col("cluster_size"), 6)
+            .cast("double")
+            .alias("weight"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -102,3 +102,37 @@ def test_quantile_sketch_brackets_exact_quantile(spark):
         exact = float(prices[int(k) - 1])
         assert row.est_lo <= exact < row.est_hi
         assert row.n_total == n
+
+
+def test_mixture_epochs_invariants(spark):
+    """Allocations must sum to <= budget (integer div rounds down),
+    epochs must be the exact ceil of wanted/available, and a source
+    wanting less than it has must get epochs == 1."""
+    out = QUERIES["q_mixture_epochs"](spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    assert out.wanted_tokens.sum() <= 1_000_000
+    for _, r in out.iterrows():
+        assert r.epochs == -(-r.wanted_tokens // r.avail_tokens)
+        if r.wanted_tokens <= r.avail_tokens:
+            assert r.epochs == 1
+        assert abs(r.upsample - round(r.wanted_tokens / r.avail_tokens, 4)) < 1e-9
+
+
+def test_dedup_soft_weights_conservation(spark):
+    """Σ n_docs must equal real docs + 2 synthetic dups per chain; every
+    cluster's total weight is n_clusters * size * (1/size) = n_clusters,
+    i.e. the weighted corpus equals the cluster count (the soft-dedup
+    invariant); chains are size 3, singletons size 1."""
+    from stockmarketdata_dwb_etl_spark.catalog import load_table
+
+    out = QUERIES["q_dedup_soft_weights"](spark, SF_DIR).toPandas()
+    docs = load_table(spark, SF_DIR, "documents").toPandas()
+    n_docs, n_gen0 = len(docs), (docs.doc_id % 10 == 0).sum()
+    assert set(out.cluster_size) == {1, 3}
+    assert out.n_docs.sum() == n_docs + 2 * n_gen0
+    row3 = out.set_index("cluster_size").loc[3]
+    assert row3.n_clusters == n_gen0 and row3.n_docs == 3 * n_gen0
+    row1 = out.set_index("cluster_size").loc[1]
+    assert row1.n_docs == row1.n_clusters == n_docs - n_gen0
+    assert abs(row3.weight - round(1.0 / 3, 6)) < 1e-9
+    assert row1.weight == 1.0

@@ -71,6 +71,8 @@ PROBES = (
     "q_rrf_fusion",            # scan+TakeOrdered rankers + k-row fusion join (round 9; lexical side scales, embeddings stay base-size)
     "q_preference_pairs",      # two-pass group argmax over documents (round 9)
     "q_quantile_sketch",       # O(#bins) mergeable histogram over orders (round 9)
+    "q_mixture_epochs",        # per-source token hash-agg + 1-row broadcast (round 9)
+    "q_dedup_soft_weights",    # transitive-closure supersteps + histogram aggs (round 9)
 )
 
 

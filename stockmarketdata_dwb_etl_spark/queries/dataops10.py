@@ -390,7 +390,8 @@ _MIX_BUDGET = 1_000_000  # literal token budget for the mixture plan
                CAST(SUM(len(list_filter(string_split(text, ' '),
                                         x -> x <> ''))) AS BIGINT)
                  AS avail_tokens,
-               CAST(100 + 50 * (CAST(substr(source, 4) AS INTEGER) % 8)
+               CAST(100 + 50 * (COALESCE(TRY_CAST(substr(source, 4)
+                                         AS INTEGER), 0) % 8)
                     AS BIGINT) AS weight_bp
         FROM documents GROUP BY source
     ), tot AS (
@@ -426,10 +427,19 @@ def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     avail = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(ntok).cast("bigint").alias("avail_tokens"),
+        # TRY_CAST/COALESCE on BOTH sides: a regenerated fixture vintage
+        # with non-numeric source names must degrade identically (weight
+        # floor 100bp), not DuckDB-error vs Spark-NULL
         (
             F.lit(100)
             + F.lit(50)
-            * (F.substring(F.max("source"), 4, 10).cast("int") % 8)
+            * (
+                F.coalesce(
+                    F.substring(F.max("source"), 4, 10).cast("int"),
+                    F.lit(0),
+                )
+                % 8
+            )
         )
         .cast("bigint")
         .alias("weight_bp"),

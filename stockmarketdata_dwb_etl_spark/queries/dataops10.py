@@ -569,3 +569,120 @@ def q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@query(
+    "q_cdc_chunks",
+    oracle=f"""
+    WITH toks AS (
+        SELECT d.doc_id, d.lang, u.pos, u.tok
+        FROM (SELECT doc_id, lang,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS ws
+              FROM documents) d,
+             LATERAL (SELECT UNNEST(generate_series(1, len(ws))) AS pos,
+                             UNNEST(ws) AS tok) u
+    ), flagged AS (
+        SELECT doc_id, lang, pos, tok,
+               CASE WHEN substr(md5(tok), 2, 1) = '0'
+                    THEN 1 ELSE 0 END AS b
+        FROM toks
+    ), cid AS (
+        SELECT doc_id, lang, pos, tok,
+               COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING), 0)
+                 AS chunk_id
+        FROM flagged
+    ), chunks AS (
+        SELECT doc_id, lang, chunk_id,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n_toks
+        FROM cid GROUP BY doc_id, lang, chunk_id
+    ), hs AS (
+        SELECT lang, h,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(n_toks) AS BIGINT) AS toks
+        FROM chunks GROUP BY lang, h
+    )
+    SELECT lang,
+           CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+           CAST({sql_portable_round(
+               "CAST(SUM(toks) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)", 4)}
+               AS DOUBLE) AS avg_chunk_tokens
+    FROM hs GROUP BY lang ORDER BY lang
+    """,
+)
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the FastCDC/rsync idea at token
+    granularity): a chunk boundary falls AFTER every token whose md5's
+    second hex digit is '0' (a stateless 1/16 content gate), so chunk
+    identities are ANCHORED TO CONTENT — inserting or editing one token
+    reshapes at most the chunks touching the edit, while fixed-window
+    chunking (q_chunk_documents) shifts every downstream chunk. That
+    stability is what makes chunk-hash dedup work on near-identical
+    documents with small edits. Emits the per-lang chunk-dedup health
+    report: chunk count, distinct chunk hashes, duplicated-chunk mass,
+    4dp mean chunk length (ratio of exact integers). Scale: one
+    doc-partitioned window for the running boundary count (partitions
+    are document-sized), chunk reassembly is a (doc, chunk) hash-agg
+    with the proven array_sort(collect_list) fold, and the dedup report
+    shuffles md5 digests only — fixed-width keys, vocabulary-sized
+    state, no document ever joins another document."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("pos0", "tok"),
+    ).select("doc_id", "lang", (F.col("pos0") + 1).alias("pos"), "tok")
+    b = F.when(F.substring(F.md5("tok"), 2, 1) == "0", 1).otherwise(0)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cid = toks.select(
+        "doc_id",
+        "lang",
+        "pos",
+        "tok",
+        F.coalesce(F.sum(b).over(w), F.lit(0)).alias("chunk_id"),
+    )
+    chunks = cid.groupBy("doc_id", "lang", "chunk_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("h"),
+        F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+    )
+    hs = chunks.groupBy("lang", "h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("n_toks").cast("bigint").alias("toks"),
+    )
+    return (
+        hs.groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_chunks"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+            portable_round(
+                F.sum("toks").cast("double")
+                / F.sum("cnt").cast("double"),
+                4,
+            )
+            .cast("double")
+            .alias("avg_chunk_tokens"),
+        )
+        .orderBy("lang")
+    )

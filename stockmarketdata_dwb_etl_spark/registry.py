@@ -118,7 +118,7 @@ PRIORITY = (
     # (round-9 additions, appended at the BACK per the hold-the-line
     # rule; warm timings in scripts/tranche_timings_r09.json)
     "q_rrf_fusion", "q_preference_pairs", "q_quantile_sketch",
-    "q_mixture_epochs", "q_dedup_soft_weights",
+    "q_mixture_epochs", "q_dedup_soft_weights", "q_cdc_chunks",
 )
 
 

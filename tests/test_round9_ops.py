@@ -136,3 +136,65 @@ def test_dedup_soft_weights_conservation(spark):
     assert row1.n_docs == row1.n_clusters == n_docs - n_gen0
     assert abs(row3.weight - round(1.0 / 3, 6)) < 1e-9
     assert row1.weight == 1.0
+
+
+def _cdc_chunks_py(text: str) -> list[str]:
+    """Reference CDC chunker: boundary AFTER any token whose md5 hex
+    digit 2 is '0' (matches the engine's stateless gate)."""
+    import hashlib
+
+    toks = [t for t in text.split(" ") if t]
+    chunks, cur = [], []
+    for t in toks:
+        cur.append(t)
+        if hashlib.md5(t.encode()).hexdigest()[1] == "0":
+            chunks.append(" ".join(cur))
+            cur = []
+    if cur:
+        chunks.append(" ".join(cur))
+    return chunks
+
+
+def test_cdc_chunks_edit_stability(spark):
+    """The CDC property: editing ONE token changes only the chunk
+    containing it (the gate is per-token, so every other boundary is
+    unmoved — at most the edited chunk splits in two if the new token
+    is itself a boundary). Fixed-window chunking shifts every
+    downstream chunk; CDC must not."""
+    from stockmarketdata_dwb_etl_spark.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").toPandas()
+    text = max(docs.text, key=len)
+    toks = [t for t in text.split(" ") if t]
+    mid = len(toks) // 2
+    edited = " ".join(toks[:mid] + ["zzzedited"] + toks[mid + 1 :])
+    a, b = _cdc_chunks_py(text), _cdc_chunks_py(edited)
+    sa, sb = set(a), set(b)
+    # symmetric difference is the touched chunk(s) only: <=1 lost from
+    # the original, <=2 gained (split case) — never a wholesale reshape
+    assert len(sa - sb) <= 1 and len(sb - sa) <= 2
+    assert len(sa & sb) >= len(a) - 1
+
+
+def test_cdc_chunks_report_consistency(spark):
+    """The engine's per-lang report must agree with the python reference
+    chunker recomputed over the raw corpus."""
+    from collections import Counter
+
+    from stockmarketdata_dwb_etl_spark.catalog import load_table
+
+    out = QUERIES["q_cdc_chunks"](spark, SF_DIR).toPandas().set_index("lang")
+    docs = load_table(spark, SF_DIR, "documents").toPandas()
+    for lang, g in docs.groupby("lang"):
+        counts = Counter()
+        toks = 0
+        for text in g.text:
+            for c in _cdc_chunks_py(text):
+                counts[c] += 1
+                toks += len(c.split(" "))
+        row = out.loc[lang]
+        n_chunks = sum(counts.values())
+        assert row.n_chunks == n_chunks
+        assert row.n_distinct == len(counts)
+        assert row.n_dup_chunks == sum(v for v in counts.values() if v > 1)
+        assert abs(row.avg_chunk_tokens - round(toks / n_chunks, 4)) < 1e-9

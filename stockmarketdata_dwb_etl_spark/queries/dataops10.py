@@ -686,3 +686,121 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# oracle is IDENTICAL to q_dedup_cross_corpus's: the materialized-index
+# probe must produce exactly the pairs the in-plan pipeline produces
+# (same split, same LSH parameters, same exact-verify threshold) — the
+# only difference is WHERE the corpus signatures come from.
+_CROSS_CORPUS_ORACLE = """
+    WITH corp AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, text || ' qq1 qq2 qq3' AS text
+        FROM documents WHERE doc_id % 14 = 0
+    ),
+    hold AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+    aug AS (SELECT * FROM corp UNION ALL SELECT * FROM hold),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM aug)
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jac AS (
+        SELECT i.id_a, i.id_b,
+               CAST((CAST(floor(CAST((i.c::DOUBLE / (sa.n + sb.n - i.c)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE)
+                   AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE (CAST(floor(CAST((i.c::DOUBLE / (sa.n + sb.n - i.c)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) >= 0.7
+    )
+    SELECT CAST(CASE WHEN id_a % 7 = 0 THEN id_b ELSE id_a END AS BIGINT)
+               AS corpus_id,
+           CAST(CASE WHEN id_a % 7 = 0 THEN id_a ELSE id_b END AS BIGINT)
+               AS holdout_id,
+           jaccard
+    FROM jac
+    WHERE (id_a % 7 = 0) <> (id_b % 7 = 0)
+    ORDER BY corpus_id, holdout_id
+"""
+
+
+@query("q_dedup_index_probe", oracle=_CROSS_CORPUS_ORACLE)
+def q_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a MATERIALIZED MinHash signature index —
+    the daily-ingest shape of near-dup decontamination: the corpus's
+    signatures are computed ONCE and written to parquet (the dedup twin
+    of q_ann_ivf_pruned's materialized IVF index); each probe batch
+    (here the holdout split) computes only ITS OWN signatures, unions
+    them with the stored table, and runs the banded cross-candidate join
+    + exact-Jaccard verify. At 100 TB this is the difference between
+    re-shingling the whole corpus per ingest batch and touching only the
+    day's arrivals plus a signature table ~1000× smaller than the text.
+    Same split, LSH parameters, and 0.7 verify threshold as
+    q_dedup_cross_corpus, so the oracle is IDENTICAL and
+    tests/test_round9_ops.py asserts result equality with the in-plan
+    pipeline — proof the index path loses nothing. Verify re-reads only
+    candidate documents' shingles; probe-side bucket caps and the
+    size-ratio prefilter carry over unchanged."""
+    import os
+
+    from stockmarketdata_dwb_etl_spark.operators.dedup import (
+        _persist_shingles,
+        lsh_cross_candidate_pairs,
+        minhash_signatures,
+        shingle_sets,
+        verify_jaccard,
+    )
+    from stockmarketdata_dwb_etl_spark.scratch import fixture_tag
+
+    docs = load_table(spark, sf_dir, "documents")
+    corp = docs.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 14 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" qq1 qq2 qq3")).alias("text"),
+    )
+    hold = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    corpus_side = corp.unionByName(planted)
+
+    tag = fixture_tag(sf_dir)
+    path = os.path.join("/root/repo/.scratch/minhash_index", tag)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        minhash_signatures(corpus_side).write.mode("overwrite").parquet(path)
+    corpus_sigs = spark.read.parquet(path)
+    probe_sigs = minhash_signatures(hold)
+
+    sigs = corpus_sigs.unionByName(probe_sigs)
+    cands = lsh_cross_candidate_pairs(
+        sigs, lambda c: c % 7 == 0, size_ratio=0.7
+    )
+    shingled = _persist_shingles(
+        shingle_sets(corpus_side.unionByName(hold), "doc_id", "text")
+    )
+    pairs = verify_jaccard(shingled, cands, 0.7)
+    a_hold = F.col("id_a") % 7 == 0
+    return (
+        pairs.select(
+            F.when(a_hold, F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .cast("bigint")
+            .alias("corpus_id"),
+            F.when(a_hold, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .cast("bigint")
+            .alias("holdout_id"),
+            F.col("jaccard").cast("double").alias("jaccard"),
+        )
+        .orderBy("corpus_id", "holdout_id")
+    )

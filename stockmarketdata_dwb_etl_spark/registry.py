@@ -119,6 +119,7 @@ PRIORITY = (
     # rule; warm timings in scripts/tranche_timings_r09.json)
     "q_rrf_fusion", "q_preference_pairs", "q_quantile_sketch",
     "q_mixture_epochs", "q_dedup_soft_weights", "q_cdc_chunks",
+    "q_dedup_index_probe",
 )
 
 

@@ -198,3 +198,25 @@ def test_cdc_chunks_report_consistency(spark):
         assert row.n_distinct == len(counts)
         assert row.n_dup_chunks == sum(v for v in counts.values() if v > 1)
         assert abs(row.avg_chunk_tokens - round(toks / n_chunks, 4)) < 1e-9
+
+
+def test_dedup_index_probe_equals_inplan_pipeline(spark):
+    """The materialized-signature probe path must produce EXACTLY the
+    pairs the in-plan q_dedup_cross_corpus pipeline produces — the
+    index loses nothing (same split, LSH params, verify threshold)."""
+    via_index = (
+        QUERIES["q_dedup_index_probe"](spark, SF_DIR)
+        .toPandas()
+        .sort_values(["corpus_id", "holdout_id"])
+        .reset_index(drop=True)
+    )
+    in_plan = (
+        QUERIES["q_dedup_cross_corpus"](spark, SF_DIR)
+        .toPandas()
+        .sort_values(["corpus_id", "holdout_id"])
+        .reset_index(drop=True)
+    )
+    assert len(via_index) == len(in_plan) > 0
+    assert (via_index.corpus_id == in_plan.corpus_id).all()
+    assert (via_index.holdout_id == in_plan.holdout_id).all()
+    assert (via_index.jaccard == in_plan.jaccard).all()

@@ -435,7 +435,11 @@ def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(50)
             * (
                 F.coalesce(
-                    F.substring(F.max("source"), 4, 10).cast("int"),
+                    # unbounded substring (no length arg), matching the
+                    # oracle's substr(source, 4): an 11+-digit suffix must
+                    # overflow-to-NULL identically in both engines instead
+                    # of Spark int-casting a 10-char truncation
+                    F.expr("substring(max(source), 4)").cast("int"),
                     F.lit(0),
                 )
                 % 8
@@ -774,10 +778,22 @@ def q_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     hold = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
     corpus_side = corp.unionByName(planted)
 
-    tag = fixture_tag(sf_dir)
+    # cache key folds the signature parameters (n_perm/seed/shingle_k
+    # defaults of minhash_signatures) into the directory name so a
+    # parameter change can never serve a stale index; build under a
+    # temp dir + atomic rename so a concurrent session either sees the
+    # finished index or none at all
+    tag = fixture_tag(sf_dir) + "_p32s42k3"
     path = os.path.join("/root/repo/.scratch/minhash_index", tag)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        minhash_signatures(corpus_side).write.mode("overwrite").parquet(path)
+        tmp = path + f".tmp-{os.getpid()}"
+        minhash_signatures(corpus_side).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:  # lost the race: another session published first
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     corpus_sigs = spark.read.parquet(path)
     probe_sigs = minhash_signatures(hold)
 

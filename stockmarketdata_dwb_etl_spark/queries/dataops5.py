@@ -222,13 +222,13 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     stats AS (
         SELECT idx,
-               CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
+               CAST(SUM(CAST((CAST(floor(CAST(val AS DOUBLE) * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
                  AS mu,
-               sqrt(CAST(SUM(CAST(val * val AS DECIMAL(38,12))) AS DOUBLE)
+               sqrt(CAST(SUM(CAST((CAST(floor(CAST(val * val AS DOUBLE) * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0) AS DECIMAL(38,12))) AS DOUBLE)
                     / COUNT(*)
-                    - (CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
+                    - (CAST(SUM(CAST((CAST(floor(CAST(val AS DOUBLE) * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0) AS DECIMAL(38,12))) AS DOUBLE)
                        / COUNT(*))
-                      * (CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
+                      * (CAST(SUM(CAST((CAST(floor(CAST(val AS DOUBLE) * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0) AS DECIMAL(38,12))) AS DOUBLE)
                          / COUNT(*))) AS sigma
         FROM ex GROUP BY idx
     )
@@ -257,21 +257,21 @@ def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             "idx0", "val"
         ),
     ).select("vec_id", (F.col("idx0") + 1).alias("idx"), "val")
+    # round-then-cast (scale == rounding digits): a raw double→DECIMAL
+    # conversion is engine-asymmetric below double precision (the
+    # q_levene_bf root cause — see stats_q2._dterm); |val| < 1 so 12dp
+    # is far inside the int64 floor bound
     dec12 = "decimal(38,12)"
+    s_val = F.sum(portable_round(F.col("val"), 12).cast(dec12))
+    s_val2 = F.sum(
+        portable_round(F.col("val") * F.col("val"), 12).cast(dec12)
+    )
     stats = ex.groupBy("idx").agg(
-        (F.sum(F.col("val").cast(dec12)).cast("double") / F.count(F.lit(1)))
-        .alias("mu"),
+        (s_val.cast("double") / F.count(F.lit(1))).alias("mu"),
         F.sqrt(
-            F.sum((F.col("val") * F.col("val")).cast(dec12)).cast("double")
-            / F.count(F.lit(1))
-            - (
-                F.sum(F.col("val").cast(dec12)).cast("double")
-                / F.count(F.lit(1))
-            )
-            * (
-                F.sum(F.col("val").cast(dec12)).cast("double")
-                / F.count(F.lit(1))
-            )
+            s_val2.cast("double") / F.count(F.lit(1))
+            - (s_val.cast("double") / F.count(F.lit(1)))
+            * (s_val.cast("double") / F.count(F.lit(1)))
         ).alias("sigma"),
     )
     return (

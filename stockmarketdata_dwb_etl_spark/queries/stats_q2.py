@@ -33,9 +33,6 @@ from stockmarketdata_dwb_etl_spark.queries.finance2 import _duck_ohlcv, _ohlcv_b
 from stockmarketdata_dwb_etl_spark.queries.timeseries import _spark_ord
 from stockmarketdata_dwb_etl_spark.registry import query
 
-_DEC18 = "decimal(38,18)"
-
-
 def _pr(expr: str, n: int) -> str:
     scale = float(10**n)
     return (
@@ -514,8 +511,8 @@ def q_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
         SELECT symbol,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS s,
-               CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS ss
+               CAST(SUM({_dterm("x", 12)}) AS DOUBLE) AS s,
+               CAST(SUM({_dterm("x * x", 12)}) AS DOUBLE) AS ss
         FROM x GROUP BY 1
     ),
     dev AS (
@@ -555,8 +552,8 @@ def q_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = x.groupBy("symbol").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("x").cast(_DEC18)).cast("double").alias("s"),
-        F.sum((F.col("x") * F.col("x")).cast(_DEC18))
+        F.sum(_sterm(F.col("x"), 12)).cast("double").alias("s"),
+        F.sum(_sterm(F.col("x") * F.col("x"), 12))
         .cast("double")
         .alias("ss"),
     )
@@ -601,8 +598,8 @@ def q_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS nj,
-               CAST(SUM(CAST(value AS DECIMAL(38,18))) AS DOUBLE) AS s,
-               CAST(SUM(CAST(value * value AS DECIMAL(38,18))) AS DOUBLE)
+               CAST(SUM({_dterm("value", 12)}) AS DOUBLE) AS s,
+               CAST(SUM({_dterm("value * value", 12)}) AS DOUBLE)
                    AS ss
         FROM events GROUP BY 1
         HAVING COUNT(*) > 1
@@ -647,8 +644,8 @@ def q_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("nj"),
-            F.sum(F.col("value").cast(_DEC18)).cast("double").alias("s"),
-            F.sum((F.col("value") * F.col("value")).cast(_DEC18))
+            F.sum(_sterm(F.col("value"), 12)).cast("double").alias("s"),
+            F.sum(_sterm(F.col("value") * F.col("value"), 12))
             .cast("double")
             .alias("ss"),
         )
@@ -810,13 +807,13 @@ def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH mo AS (
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(38,18))) AS DOUBLE) AS s1,
-               CAST(SUM(CAST(value * value AS DECIMAL(38,18))) AS DOUBLE)
+               CAST(SUM({_dterm("value", 12)}) AS DOUBLE) AS s1,
+               CAST(SUM({_dterm("value * value", 12)}) AS DOUBLE)
                    AS s2,
-               CAST(SUM(CAST(value * value * value AS DECIMAL(38,18)))
+               CAST(SUM({_dterm("value * value * value", 10)})
                     AS DOUBLE) AS s3,
-               CAST(SUM(CAST(value * value * value * value
-                    AS DECIMAL(38,18))) AS DOUBLE) AS s4
+               CAST(SUM({_dterm("value * value * value * value", 7)})
+                    AS DOUBLE) AS s4
         FROM events GROUP BY 1
     ),
     c AS (
@@ -854,12 +851,16 @@ def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-pass moments pattern that holds at any row count."""
     ev = load_table(spark, sf_dir, "events")
     v = F.col("value")
+    # rounding digits shrink with the power so |term|·10^n stays under
+    # the int64 floor bound (_dterm): value ≤ ~561 → v³ ≤ 1.8e8 (10dp),
+    # v⁴ ≤ 1e11 (7dp) — still finer than the double ulp at those
+    # magnitudes, so no precision is lost, only order dependence
     mo = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(v.cast(_DEC18)).cast("double").alias("s1"),
-        F.sum((v * v).cast(_DEC18)).cast("double").alias("s2"),
-        F.sum((v * v * v).cast(_DEC18)).cast("double").alias("s3"),
-        F.sum((v * v * v * v).cast(_DEC18)).cast("double").alias("s4"),
+        F.sum(_sterm(v, 12)).cast("double").alias("s1"),
+        F.sum(_sterm(v * v, 12)).cast("double").alias("s2"),
+        F.sum(_sterm(v * v * v, 10)).cast("double").alias("s3"),
+        F.sum(_sterm(v * v * v * v, 7)).cast("double").alias("s4"),
     )
     m1 = F.col("s1") / F.col("n")
     m2 = F.col("s2") / F.col("n") - m1 * m1
@@ -913,7 +914,7 @@ def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(n) AS BIGINT) AS n_total,
            CAST(COUNT(*) AS BIGINT) AS n_kept,
            {_pr(
-               "CAST(SUM(CAST(value AS DECIMAL(38,18))) AS DOUBLE)"
+               f"CAST(SUM({_dterm('value', 12)}) AS DOUBLE)"
                " / COUNT(*)", 6)} AS trimmed_mean
     FROM kept GROUP BY event_type ORDER BY event_type
     """,
@@ -944,7 +945,7 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").cast("bigint").alias("n_total"),
             F.count(F.lit(1)).cast("bigint").alias("n_kept"),
             portable_round(
-                F.sum(F.col("value").cast(_DEC18)).cast("double")
+                F.sum(_sterm(F.col("value"), 12)).cast("double")
                 / F.count(F.lit(1)),
                 6,
             )
@@ -1054,15 +1055,15 @@ def q_qq_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     mo AS (
         SELECT sa, sb,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy,
-               CAST(SUM(CAST(x1 AS DECIMAL(38,18))) AS DOUBLE) AS s1,
-               CAST(SUM(CAST(x2 AS DECIMAL(38,18))) AS DOUBLE) AS s2,
-               CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,18))) AS DOUBLE) AS s11,
-               CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,18))) AS DOUBLE) AS s22,
-               CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,18))) AS DOUBLE) AS s12,
-               CAST(SUM(CAST(x1 * y AS DECIMAL(38,18))) AS DOUBLE) AS s1y,
-               CAST(SUM(CAST(x2 * y AS DECIMAL(38,18))) AS DOUBLE) AS s2y
+               CAST(SUM({_dterm("y", 12)}) AS DOUBLE) AS sy,
+               CAST(SUM({_dterm("y * y", 10)}) AS DOUBLE) AS syy,
+               CAST(SUM({_dterm("x1", 12)}) AS DOUBLE) AS s1,
+               CAST(SUM({_dterm("x2", 12)}) AS DOUBLE) AS s2,
+               CAST(SUM({_dterm("x1 * x1", 10)}) AS DOUBLE) AS s11,
+               CAST(SUM({_dterm("x2 * x2", 10)}) AS DOUBLE) AS s22,
+               CAST(SUM({_dterm("x1 * x2", 10)}) AS DOUBLE) AS s12,
+               CAST(SUM({_dterm("x1 * y", 10)}) AS DOUBLE) AS s1y,
+               CAST(SUM({_dterm("x2 * y", 10)}) AS DOUBLE) AS s2y
         FROM j GROUP BY 1, 2
     ),
     c AS (
@@ -1133,16 +1134,19 @@ def q_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = ta.join(tb, "bar_ts").filter(F.col("sa") != F.col("sb"))
 
-    def dsum(col, alias):
-        return F.sum(col.cast(_DEC18)).cast("double").alias(alias)
+    # linear return terms round 12dp; PRODUCTS round 10dp — a near-zero
+    # lag close makes |r| reach ~1e4 at sf0.1, so r·r ~1e8 would
+    # overflow the int64 floor bound at 12dp (_dterm)
+    def dsum(col, alias, n=10):
+        return F.sum(_sterm(col, n)).cast("double").alias(alias)
 
     y, x1, x2 = F.col("y"), F.col("x1"), F.col("x2")
     mo = j.groupBy("sa", "sb").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        dsum(y, "sy"),
+        dsum(y, "sy", 12),
         dsum(y * y, "syy"),
-        dsum(x1, "s1"),
-        dsum(x2, "s2"),
+        dsum(x1, "s1", 12),
+        dsum(x2, "s2", 12),
         dsum(x1 * x1, "s11"),
         dsum(x2 * x2, "s22"),
         dsum(x1 * x2, "s12"),

@@ -82,14 +82,17 @@ def reject_unsortable_columns(df: pd.DataFrame, name: str, side: str):
     for c in df.columns:
         if df[c].dtype != object:
             continue
-        v = _first_non_null(df[c])
-        if isinstance(v, (list, tuple, set, dict, np.ndarray)):
-            raise AssertionError(
-                f"{name}: {side} column {c!r} is a top-level"
-                f" {type(v).__name__} — nested output columns break the"
-                " driver's sort_values canonicalizer; emit a string"
-                " (concat_ws/to_json) or an integer bitmask instead"
-            )
+        # scan EVERY value, not just the first non-null: a mixed column
+        # whose first non-null is a scalar but whose later rows hold
+        # lists/dicts must not slip past this gate (ADVICE r09)
+        for v in df[c]:
+            if isinstance(v, (list, tuple, set, dict, np.ndarray)):
+                raise AssertionError(
+                    f"{name}: {side} column {c!r} holds a top-level"
+                    f" {type(v).__name__} — nested output columns break the"
+                    " driver's sort_values canonicalizer; emit a string"
+                    " (concat_ws/to_json) or an integer bitmask instead"
+                )
 
 
 def canon_frame(df: pd.DataFrame) -> list[tuple]:

@@ -4,11 +4,15 @@ top-level array/map/struct column.
 The external driver canonicalizes results with pandas ``sort_values`` /
 ``factorize`` over every output column; a nested cell crashes it with
 "unhashable type: 'list'" (q_one_hot_encode, CORRECTNESS_r08). This audit
-builds each BATCH query's plan (schema only — no execution; q_stream_*
-entries are excluded because calling them runs a real micro-batch
-replay, and driver_sim's toPandas path already routes their output
-through the same rejection check) and fails on any nested top-level
-output type, so the whole class is impossible to reintroduce.
+calls each BATCH query function to obtain its output schema — no result
+is collected, but plan-BUILD itself may run real Spark jobs for queries
+that materialize scratch caches in their bodies (q_dedup_index_probe
+writes its parquet MinHash index; roundtrip/bucketed queries write and
+re-read scratch tables). q_stream_* entries are excluded because calling
+them runs a full micro-batch replay, and driver_sim's toPandas path
+already routes their output through the same rejection check. The audit
+fails on any nested top-level output type, so the whole class is
+impossible to reintroduce.
 """
 
 from __future__ import annotations

@@ -154,6 +154,9 @@ def build_scaled(spark, out_dir: str, n: int) -> None:
 def main() -> None:
     quick = "--quick" in sys.argv
     scales = (1, 10) if quick else SCALES
+    only: tuple[str, ...] = ()
+    if "--only" in sys.argv:
+        only = tuple(sys.argv[sys.argv.index("--only") + 1 :])
 
     from stockmarketdata_dwb_etl_spark.registry import QUERIES, load_all
     from stockmarketdata_dwb_etl_spark.scratch import SCRATCH, fixture_tag
@@ -176,17 +179,43 @@ def main() -> None:
 
     run("q_agg_groupby", dirs[scales[0]])  # warm-up
 
+    def steady(name: str, sf_dir: str) -> float:
+        """Plateau timing (same rule as bench.py): keep rerunning while a
+        run improves the best by >20% (min 2, cap 6). On the r10 VM the
+        first executions of a heavy codegen method measure JIT tier-up,
+        not throughput — and since the x1 point runs coldest, best-of-2
+        would systematically DEFLATE ratio_10x (cold x1 denominator,
+        warm x10 numerator)."""
+        best = min(run(name, sf_dir), run(name, sf_dir))
+        for _ in range(4):
+            t = run(name, sf_dir)
+            improved = t < best * 0.8
+            best = min(best, t)
+            if not improved:
+                break
+        return round(best, 3)
+
     results: dict[str, dict] = {}
-    for name in PROBES:
+    for name in only if only else PROBES:
         row = {}
         for nn in scales:
-            row[f"x{nn}"] = round(min(run(name, dirs[nn]), run(name, dirs[nn])), 3)
+            row[f"x{nn}"] = steady(name, dirs[nn])
         row["ratio_10x"] = round(row[f"x{scales[-1]}"] / max(row[f"x{scales[0]}"], 1e-9), 2)
         results[name] = row
         print(name, row, flush=True)
 
+    if only:  # merge a targeted re-probe into the existing file
+        try:
+            with open("SCALEPROBE.json") as f:
+                prior = json.load(f)
+        except (OSError, ValueError):
+            prior = {"base_sf": 0.1, "scales": list(scales), "probes": {}}
+        prior["probes"].update(results)
+        payload = prior
+    else:
+        payload = {"base_sf": 0.1, "scales": list(scales), "probes": results}
     with open("SCALEPROBE.json", "w") as f:
-        json.dump({"base_sf": 0.1, "scales": list(scales), "probes": results}, f, indent=2)
+        json.dump(payload, f, indent=2)
     print("wrote SCALEPROBE.json")
 
 

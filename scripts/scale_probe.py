@@ -73,6 +73,9 @@ PROBES = (
     "q_quantile_sketch",       # O(#bins) mergeable histogram over orders (round 9)
     "q_mixture_epochs",        # per-source token hash-agg + 1-row broadcast (round 9)
     "q_dedup_soft_weights",    # transitive-closure supersteps + histogram aggs (round 9)
+    "q_record_linkage",        # blocked self-join + pattern agg + m/u reduce (round 10; customer stays base-size, so this probes fixed-cost flatness)
+    "q_heaps_law",             # token explode + two range-partitioned prefix sums + OLS reduce (round 10)
+    "q_zipf_fit",              # token hash-agg + vocab-bounded top-k + OLS reduce (round 10)
 )
 
 

@@ -52,4 +52,5 @@ from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
     dataops,
     dataops2,
     dataops10,
+    dataops11,
 )

@@ -76,6 +76,8 @@ PROBES = (
     "q_record_linkage",        # blocked self-join + pattern agg + m/u reduce (round 10; customer stays base-size, so this probes fixed-cost flatness)
     "q_heaps_law",             # token explode + two range-partitioned prefix sums + OLS reduce (round 10)
     "q_zipf_fit",              # token hash-agg + vocab-bounded top-k + OLS reduce (round 10)
+    "q_var_backtest",          # bounded 50-row array-carrying VaR window over events (round 10)
+    "q_bitemporal_asof",       # version union + probe join + struct-argmax hash-agg over orders (round 10)
 )
 
 

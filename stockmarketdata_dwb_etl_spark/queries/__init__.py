@@ -53,4 +53,5 @@ from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
     dataops2,
     dataops10,
     dataops11,
+    dataops12,
 )

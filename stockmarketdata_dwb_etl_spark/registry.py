@@ -59,11 +59,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #:     q_tail_dependence .. q_dedup_soft_weights cheapest-first, then
 #:     q_dedup_index_probe + q_stream_heavy_hitters and
 #:     q_stream_merge_partitioned (pre-validate 2x fresh first).
-#:   - r12 tranche (final 11): q_stream_dollar_bars, q_stream_stream_join,
-#:     the six round-10 dataops11 additions (q_record_linkage,
+#:   - r12 tranche (final 16): q_stream_dollar_bars, q_stream_stream_join,
+#:     the eleven round-10 additions (dataops11: q_record_linkage,
 #:     q_blocking_quality, q_zipf_fit, q_heaps_law, q_group_kfold,
-#:     q_negative_sampling — all cheap, warm <2 s each) + any r10/r11
-#:     time-cut leftovers -> full 483/483 driver coverage.
+#:     q_negative_sampling; dataops12: q_var_backtest, q_bitemporal_asof,
+#:     q_matryoshka_eval, q_dp_count_release, q_degree_powerlaw — all
+#:     cheap, warm <3 s each) + any r10/r11 time-cut leftovers -> full
+#:     488/488 driver coverage.
 #: Each round: re-time, re-front-load, dry-run the EXACT front-50 via
 #: scripts/round_close.py before the driver takes over.
 PRIORITY = (
@@ -104,10 +106,12 @@ PRIORITY = (
     "q_kruskal_wallis", "q_rfm_segmentation", "q_vocab_coverage",
     "q_cdc_chunks", "q_kcore_peel", "q_kalman_filter",
     "q_gram_matrix", "q_dedup_soft_weights", "q_dedup_index_probe",
-    # round-10 additions (dataops11; both-scale validated r10) — r11/r12
-    # rotation material alongside the staging block above
+    # round-10 additions (dataops11/dataops12; both-scale validated r10)
+    # — r11/r12 rotation material alongside the staging block above
     "q_negative_sampling", "q_group_kfold", "q_blocking_quality",
     "q_zipf_fit", "q_heaps_law", "q_record_linkage",
+    "q_dp_count_release", "q_bitemporal_asof", "q_matryoshka_eval",
+    "q_var_backtest", "q_degree_powerlaw",
     "q_stream_heavy_hitters", "q_stream_merge_partitioned", "q_stream_dollar_bars",
     "q_stream_stream_join",
 )

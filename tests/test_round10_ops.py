@@ -159,3 +159,101 @@ def test_negative_sampling_deterministic_and_valid(spark):
         assert row.pos_id == (row.anchor_id + 1) % n_docs
     # anchors with all 4 draws valid appear 4 times
     assert (out.groupby("anchor_id").size() <= 4).all()
+
+
+# --- dataops12 (round-10 batch 2) ---
+
+
+def test_var_backtest_recompute_violations(spark):
+    """Violations recomputed with a pandas rolling exact order statistic
+    must match; LR is nonnegative and zero iff x/n == 0.05 exactly."""
+    out = QUERIES["q_var_backtest"](spark, SF_DIR).toPandas()
+    from stockmarketdata_dwb_etl_spark.queries.finance2 import _returns
+
+    rets = _returns(spark, SF_DIR).toPandas()
+    for _, row in out.iterrows():
+        rs = (
+            rets[rets.symbol == row.symbol]
+            .sort_values("bar_ts")
+            .r.tolist()
+        )
+        x = n = 0
+        for i in range(len(rs)):
+            hist = rs[max(0, i - 50) : i]
+            if len(hist) < 50:
+                continue
+            var95 = sorted(hist)[2]
+            n += 1
+            x += rs[i] < var95
+        assert row.n == n and row.x == x, (row.symbol, n, x, row.n, row.x)
+        assert row.lr_pof >= -1e-9
+
+
+def test_bitemporal_asof_restatement_rule(spark):
+    """Exactly the %5 orders are restated; t1 always sees the booking
+    price; t2 sees the 1.1x corrected price for restated orders."""
+    out = QUERIES["q_bitemporal_asof"](spark, SF_DIR).toPandas()
+    orders = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .toPandas()
+        .set_index("o_orderkey")
+    )
+    for _, row in out.iterrows():
+        base = orders.loc[row.o_orderkey, "o_totalprice"]
+        assert abs(row.price_asof_t1 - round(base, 2)) < 0.011
+        if row.o_orderkey % 5 == 0:
+            assert row.restated == 1
+            assert row.price_asof_t2 > row.price_asof_t1
+        else:
+            assert row.restated == 0
+            assert row.price_asof_t2 == row.price_asof_t1
+
+
+def test_matryoshka_deviation_monotone(spark):
+    """Truncating harder can only lose more cosine structure: the mean
+    absolute deviation from the 64-dim cosine is non-increasing in
+    dims, exactly 0 at full width, and mean cos stays in [-1, 1]."""
+    out = (
+        QUERIES["q_matryoshka_eval"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("dims")
+    )
+    assert out.dims.tolist() == [8, 16, 32, 64]
+    devs = out.mean_abs_dev.tolist()
+    assert devs[-1] == 0.0
+    assert all(devs[i] >= devs[i + 1] - 1e-9 for i in range(len(devs) - 1))
+    assert ((out.mean_cos >= -1.000001) & (out.mean_cos <= 1.000001)).all()
+    assert (out.n_pairs == out.n_pairs.iloc[0]).all()
+
+
+def test_dp_release_noise_bounded_and_deterministic(spark):
+    """released = n + Laplace(1) noise recomputed from hashlib; |noise|
+    is ln-bounded by the md5 uniform's granularity."""
+    out = QUERIES["q_dp_count_release"](spark, SF_DIR).toPandas()
+    for _, row in out.iterrows():
+        h = int(
+            hashlib.md5(row.event_type.encode()).hexdigest()[:5], 16
+        )
+        u = (h + 0.5) / 16**5
+        noise = -1.0 * (1.0 if u >= 0.5 else -1.0) * math.log(
+            1.0 - 2.0 * abs(u - 0.5)
+        )
+        assert abs(row.released_count - (row.true_count + noise)) < 1e-5
+        assert row.epsilon == 1.0
+
+
+def test_degree_powerlaw_recompute(spark):
+    """alpha recomputed in pandas from raw degree counts matches 6dp."""
+    out = QUERIES["q_degree_powerlaw"](spark, SF_DIR).toPandas().iloc[0]
+    orders = load_table(spark, SF_DIR, "orders").toPandas()
+    li = load_table(spark, SF_DIR, "lineitem").toPandas()
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    deg = j.groupby("o_custkey").l_partkey.nunique()
+    tail = deg[deg >= 2]
+    alpha = 1.0 + len(tail) / sum(math.log(d / 1.5) for d in tail)
+    assert out.n_nodes == len(deg)
+    assert out.n_tail == len(tail)
+    assert out.max_degree == tail.max()
+    assert abs(out.alpha - alpha) < 1e-4
+    assert out.alpha > 1

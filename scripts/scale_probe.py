@@ -78,6 +78,8 @@ PROBES = (
     "q_zipf_fit",              # token hash-agg + vocab-bounded top-k + OLS reduce (round 10)
     "q_var_backtest",          # bounded 50-row array-carrying VaR window over events (round 10)
     "q_bitemporal_asof",       # version union + probe join + struct-argmax hash-agg over orders (round 10)
+    "q_er_golden_record",      # blocked pair join + folded-closure supersteps + survivorship windows (round 10; customer base-size → fixed-cost flatness probe)
+    "q_croston_forecast",      # sparse demand windows + closed-form SES hash-agg over lineitem (round 10)
 )
 
 

@@ -54,4 +54,5 @@ from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
     dataops10,
     dataops11,
     dataops12,
+    dataops13,
 )

@@ -257,3 +257,116 @@ def test_degree_powerlaw_recompute(spark):
     assert out.max_degree == tail.max()
     assert abs(out.alpha - alpha) < 1e-4
     assert out.alpha > 1
+
+
+# --- dataops13 (round-10 batch 3) ---
+
+
+def test_er_golden_record_survivorship_rules(spark):
+    """Every golden record's cluster has >1 member; twin clusters keep
+    the base name when the twin grew a ' JR' suffix is FALSE — the
+    longest-name rule prefers the suffixed twin; modal segment and mean
+    balance recomputed for a spot-check cluster."""
+    out = QUERIES["q_er_golden_record"](spark, SF_DIR).toPandas()
+    assert (out.n_members > 1).all()
+    # cluster_rep is the min member id = the base custkey for pure twin
+    # pairs; for custkey%20==0 twins the golden name carries ' JR'
+    # (longest-name survivorship), otherwise it's the base name
+    cust = (
+        load_table(spark, SF_DIR, "customer")
+        .select("c_custkey", "c_name")
+        .toPandas()
+        .set_index("c_custkey")
+    )
+    pure = out[out.n_members == 2]
+    assert len(pure) > 0
+    for _, row in pure.iterrows():
+        k = row.cluster_rep
+        if k in cust.index:
+            base = cust.loc[k, "c_name"]
+            if k % 20 == 0:
+                assert row.golden_name == base + " JR"
+            else:
+                assert row.golden_name == base
+
+
+def test_er_golden_record_covers_expected_twin_matches(spark):
+    """Recompute exactly which twin pairs pass the >=2-of-3 agreement
+    gate in the same block (the noise modes CORRELATE — every failing
+    twin is a multiple of 20 — so only a subset of twins match) and
+    assert every such pair's records are absorbed into some cluster:
+    total membership >= 2x expected pairs, and each expected pair's
+    base id appears as a rep or is reachable under a smaller rep."""
+    out = QUERIES["q_er_golden_record"](spark, SF_DIR).toPandas()
+    cust = load_table(spark, SF_DIR, "customer").toPandas()
+    import math as _m
+
+    expected = []
+    for _, c in cust[cust.c_custkey % 10 == 0].iterrows():
+        k = int(c.c_custkey)
+        name_ok = k % 20 != 0
+        seg_ok = (k % 40 != 0) or c.c_mktsegment == "MACHINERY"
+        pert = ((k % 7) - 3) * 0.01
+        bal_ok = abs(pert) <= 0.02
+        same_block = _m.floor(c.c_acctbal / 100.0) == _m.floor(
+            (c.c_acctbal + pert) / 100.0
+        )
+        if same_block and (name_ok + seg_ok + bal_ok) >= 2:
+            expected.append(k)
+    assert len(expected) > 0
+    # every expected pair contributes 2 records to some cluster
+    assert out.n_members.sum() >= 2 * len(expected)
+    # reps are min member ids, so each expected base is a rep unless a
+    # smaller record chained into its cluster
+    reps = set(out.cluster_rep)
+    n_as_rep = sum(1 for k in expected if k in reps)
+    assert n_as_rep >= 0.7 * len(expected)
+
+
+def test_croston_recompute(spark):
+    """Level and interval recomputed with the literal SES recurrence in
+    python must match the closed-form Spark output to 4dp."""
+    out = QUERIES["q_croston_forecast"](spark, SF_DIR).toPandas()
+    li = load_table(spark, SF_DIR, "lineitem").toPandas()
+    orders = load_table(spark, SF_DIR, "orders").toPandas()
+    j = li[li.l_partkey % 20 == 0].merge(
+        orders, left_on="l_orderkey", right_on="o_orderkey"
+    )
+    j["day"] = j.o_orderdate.dt.date
+    for part, grp in j.groupby("l_partkey"):
+        days = sorted(grp.groupby("day").size().items())
+        if len(days) < 2:
+            assert part not in set(out.part)
+            continue
+        z = float(days[0][1])
+        for _, d in days[1:]:
+            z = 0.1 * d + 0.9 * z
+        gaps = [
+            (days[i][0] - days[i - 1][0]).days for i in range(1, len(days))
+        ]
+        p = float(gaps[0])
+        for g in gaps[1:]:
+            p = 0.1 * g + 0.9 * p
+        row = out[out.part == part].iloc[0]
+        assert row.n_demands == len(days)
+        assert abs(row.level - z) < 5e-4, (part, z, row.level)
+        assert abs(row.interval_days - p) < 5e-4
+        assert abs(row.croston_forecast - z / p) < 5e-4
+
+
+def test_esd_outliers_unmasking_structure(spark):
+    """Exactly 3 rounds per symbol; within a symbol the suspect days are
+    distinct (each round removes its suspect); round-1 suspect equals
+    q_grubbs' single-outlier suspect."""
+    out = QUERIES["q_esd_outliers"](spark, SF_DIR).toPandas()
+    grubbs = QUERIES["q_grubbs"](spark, SF_DIR).toPandas()
+    for sym, grp in out.groupby("symbol"):
+        assert sorted(grp["round"]) == [1, 2, 3]
+        assert grp.suspect_day.nunique() == 3
+        g = grubbs[grubbs.symbol == sym].iloc[0]
+        r1 = grp[grp["round"] == 1].iloc[0]
+        assert r1.suspect_day == g.suspect_day
+        # R statistic definition differences: grubbs uses the same
+        # studentized deviation, so round 1 must match it to 6dp
+        if g.g is not None and not math.isnan(g.g):
+            assert abs(r1.r_stat - g.g) < 2e-6

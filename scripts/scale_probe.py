@@ -80,6 +80,8 @@ PROBES = (
     "q_bitemporal_asof",       # version union + probe join + struct-argmax hash-agg over orders (round 10)
     "q_er_golden_record",      # blocked pair join + folded-closure supersteps + survivorship windows (round 10; customer base-size → fixed-cost flatness probe)
     "q_croston_forecast",      # sparse demand windows + closed-form SES hash-agg over lineitem (round 10)
+    "q_countmin_freq",         # mergeable counter-matrix hash-agg over events (round 10)
+    "q_conformal_intervals",   # rank windows + bounded calibration collect over events (round 10)
 )
 
 

@@ -55,4 +55,5 @@ from stockmarketdata_dwb_etl_spark.queries import (  # noqa: F401
     dataops11,
     dataops12,
     dataops13,
+    dataops14,
 )

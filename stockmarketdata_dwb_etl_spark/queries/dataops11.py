@@ -394,20 +394,22 @@ _ZIPF_TOPK = 10_000
     "q_zipf_fit",
     oracle=f"""
     WITH freq AS (
-        SELECT tok, CAST(COUNT(*) AS BIGINT) AS f
-        FROM (SELECT unnest(list_filter(string_split(text, ' '),
+        SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS f
+        FROM (SELECT lang,
+                     unnest(list_filter(string_split(text, ' '),
                                         x -> x <> '')) AS tok
               FROM documents)
-        GROUP BY tok
+        GROUP BY lang, tok
     ),
     ranked AS (
-        SELECT f, CAST(row_number() OVER (ORDER BY f DESC, tok)
-                       AS BIGINT) AS r
+        SELECT lang, f,
+               CAST(row_number() OVER (PARTITION BY lang
+                                       ORDER BY f DESC, tok) AS BIGINT) AS r
         FROM freq
-        ORDER BY f DESC, tok LIMIT {_ZIPF_TOPK}
+        QUALIFY r <= {_ZIPF_TOPK}
     ),
     s AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
                {_dsum("log10(CAST(r AS DOUBLE))")} AS sx,
                {_dsum("log10(CAST(f AS DOUBLE))")} AS sy,
                {_dsum("log10(CAST(r AS DOUBLE)) * log10(CAST(r AS DOUBLE))")}
@@ -416,9 +418,9 @@ _ZIPF_TOPK = 10_000
                    AS syy,
                {_dsum("log10(CAST(r AS DOUBLE)) * log10(CAST(f AS DOUBLE))")}
                    AS sxy
-        FROM ranked
+        FROM ranked GROUP BY lang
     )
-    SELECT n AS n_vocab,
+    SELECT lang, n AS n_vocab,
            CAST({sql_portable_round(
                "(n * sxy - sx * sy) / (n * sxx - sx * sx)", 6)} AS DOUBLE)
                AS zipf_slope,
@@ -429,39 +431,38 @@ _ZIPF_TOPK = 10_000
                "(n * sxy - sx * sy) * (n * sxy - sx * sy)"
                " / ((n * sxx - sx * sx) * (n * syy - sy * sy))", 6)}
                AS DOUBLE) AS r2
-    FROM s
+    FROM s ORDER BY lang
     """,
 )
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zipf power-law fit over the corpus vocabulary: token frequencies,
-    rank by (freq DESC, token) — the repo's unique-tie-break policy —
-    and the OLS slope of log10(freq) on log10(rank) over the top-10k
-    vocabulary (slope ≈ −1 for natural language; large drift flags
-    boilerplate or synthetic spam). Log terms round 8dp before exact
-    DECIMAL summation so libm differences can't leak into the moment
-    sums. Scale: one token hash-agg (partial map-side), TakeOrdered
-    top-10k (vocabulary-bounded, never corpus-bounded), rank window on
-    the 10k-row result only, one 1-row reduce."""
+    """PER-LANGUAGE Zipf power-law fits — the comparative corpus-health
+    profile beside q_zipf_slope's single global scalar (dataops5): each
+    language's token frequencies rank within the language and get their
+    own OLS slope/intercept/r² of log10(freq) on log10(rank) over the
+    per-lang top-10k — the report that flags ONE language's spam or
+    boilerplate skew that a pooled fit averages away (and the slope gap
+    between languages is itself the signal for per-lang quality gates).
+    Log terms round 8dp before exact DECIMAL summation. Scale: one
+    (lang, token) hash-agg (partial map-side), rank windows PARTITIONED
+    BY LANG (vocabulary-bounded per group, never corpus-bounded), one
+    lang-count-sized reduce."""
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
     freq = (
-        docs.select(F.explode(tokenize(F.col("text"))).alias("tok"))
-        .groupBy("tok")
+        docs.select(
+            "lang", F.explode(tokenize(F.col("text"))).alias("tok")
+        )
+        .groupBy("lang", "tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
-        .orderBy(F.col("f").desc(), "tok")
-        .limit(_ZIPF_TOPK)
     )
+    w = Window.partitionBy("lang").orderBy(F.col("f").desc(), "tok")
     ranked = freq.select(
-        "f",
-        F.row_number()
-        .over(Window.orderBy(F.col("f").desc(), "tok"))
-        .cast("bigint")
-        .alias("r"),
-    )
+        "lang", "f", F.row_number().over(w).cast("bigint").alias("r")
+    ).filter(F.col("r") <= _ZIPF_TOPK)
     x = F.log10(F.col("r").cast("double"))
     y = F.log10(F.col("f").cast("double"))
-    s = ranked.agg(
+    s = ranked.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         _ssum(x).alias("sx"),
         _ssum(y).alias("sy"),
@@ -475,13 +476,14 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     vy = n * F.col("syy") - F.col("sy") * F.col("sy")
     slope = cov / vx
     return s.select(
+        "lang",
         n.alias("n_vocab"),
         portable_round(slope, 6).cast("double").alias("zipf_slope"),
         portable_round((F.col("sy") - slope * F.col("sx")) / n, 6)
         .cast("double")
         .alias("intercept"),
         portable_round(cov * cov / (vx * vy), 6).cast("double").alias("r2"),
-    )
+    ).orderBy("lang")
 
 
 @query(

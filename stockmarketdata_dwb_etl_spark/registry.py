@@ -59,15 +59,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #:     q_tail_dependence .. q_dedup_soft_weights cheapest-first, then
 #:     q_dedup_index_probe + q_stream_heavy_hitters and
 #:     q_stream_merge_partitioned (pre-validate 2x fresh first).
-#:   - r12 tranche (final 23): q_stream_dollar_bars, q_stream_stream_join,
-#:     the eighteen round-10 additions (dataops11: q_record_linkage,
+#:   - r12 tranche (final 25): q_stream_dollar_bars, q_stream_stream_join,
+#:     the twenty round-10 additions (dataops11: q_record_linkage,
 #:     q_blocking_quality, q_zipf_fit, q_heaps_law, q_group_kfold,
 #:     q_negative_sampling; dataops12: q_var_backtest, q_bitemporal_asof,
 #:     q_matryoshka_eval, q_dp_count_release, q_degree_powerlaw;
 #:     dataops13: q_er_golden_record, q_croston_forecast, q_esd_outliers;
 #:     dataops14: q_countmin_freq, q_mutual_knn, q_conformal_intervals,
-#:     q_diff_in_diff — all cheap warm) + any r10/r11 time-cut leftovers
-#:     -> full 495/495 driver coverage.
+#:     q_diff_in_diff; dataops15: q_shapley_attribution,
+#:     q_label_propagation — all cheap warm) + any r10/r11 time-cut
+#:     leftovers -> full 497/497 driver coverage.
 #: Each round: re-time, re-front-load, dry-run the EXACT front-50 via
 #: scripts/round_close.py before the driver takes over.
 PRIORITY = (
@@ -116,7 +117,7 @@ PRIORITY = (
     "q_var_backtest", "q_degree_powerlaw",
     "q_croston_forecast", "q_esd_outliers", "q_er_golden_record",
     "q_diff_in_diff", "q_countmin_freq", "q_conformal_intervals",
-    "q_mutual_knn",
+    "q_mutual_knn", "q_shapley_attribution", "q_label_propagation",
     "q_stream_heavy_hitters", "q_stream_merge_partitioned", "q_stream_dollar_bars",
     "q_stream_stream_join",
 )

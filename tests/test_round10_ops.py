@@ -511,3 +511,36 @@ def test_label_propagation_partitions_nodes(spark):
     edges, _, _ = _graph(spark, SF_DIR)
     n_nodes = edges.select("src").distinct().count()
     assert out.n_members.sum() == n_nodes
+
+
+def test_matched_pairs_att_recompute(spark):
+    """ATT recomputed with a pandas greedy-by-(|gap|, id) matcher must
+    agree; matching only ever pairs identical (nation, segment) strata;
+    naive diff equals the raw group mean gap."""
+    out = QUERIES["q_matched_pairs_att"](spark, SF_DIR).toPandas().iloc[0]
+    cust = load_table(spark, SF_DIR, "customer").toPandas()
+    orders = load_table(spark, SF_DIR, "orders").toPandas()
+    spend = orders.groupby("o_custkey").o_totalprice.sum()
+    cust["spend"] = cust.c_custkey.map(spend).fillna(0.0)
+    cust["treated"] = (cust.c_custkey % 2 == 1).astype(int)
+    naive = (
+        cust[cust.treated == 1].spend.mean()
+        - cust[cust.treated == 0].spend.mean()
+    )
+    assert abs(out.naive_diff - naive) < 2e-3
+    diffs, gaps = [], []
+    for _, t in cust[cust.treated == 1].iterrows():
+        pool = cust[
+            (cust.treated == 0)
+            & (cust.c_nationkey == t.c_nationkey)
+            & (cust.c_mktsegment == t.c_mktsegment)
+        ]
+        if len(pool) == 0:
+            continue
+        pool = pool.assign(gap=(pool.c_acctbal - t.c_acctbal).abs())
+        m = pool.sort_values(["gap", "c_custkey"]).iloc[0]
+        diffs.append(t.spend - m.spend)
+        gaps.append(m.gap)
+    assert out.n_matched == len(diffs)
+    assert abs(out.att - sum(diffs) / len(diffs)) < 2e-3
+    assert abs(out.mean_bal_gap - sum(gaps) / len(gaps)) < 1e-4

@@ -67,8 +67,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #:     dataops13: q_er_golden_record, q_croston_forecast, q_esd_outliers;
 #:     dataops14: q_countmin_freq, q_mutual_knn, q_conformal_intervals,
 #:     q_diff_in_diff; dataops15: q_shapley_attribution,
-#:     q_label_propagation, q_matched_pairs_att — all cheap warm) + any
-#:     r10/r11 time-cut leftovers -> full 498/498 driver coverage.
+#:     q_label_propagation, q_matched_pairs_att; dataops16:
+#:     q_cuped_adjustment, q_raking_weights — all cheap warm) + any
+#:     r10/r11 time-cut leftovers -> full 500/500 driver coverage.
 #: Each round: re-time, re-front-load, dry-run the EXACT front-50 via
 #: scripts/round_close.py before the driver takes over.
 PRIORITY = (
@@ -118,7 +119,7 @@ PRIORITY = (
     "q_croston_forecast", "q_esd_outliers", "q_er_golden_record",
     "q_diff_in_diff", "q_countmin_freq", "q_conformal_intervals",
     "q_mutual_knn", "q_shapley_attribution", "q_label_propagation",
-    "q_matched_pairs_att",
+    "q_matched_pairs_att", "q_cuped_adjustment", "q_raking_weights",
     "q_stream_heavy_hitters", "q_stream_merge_partitioned", "q_stream_dollar_bars",
     "q_stream_stream_join",
 )

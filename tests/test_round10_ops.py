@@ -544,3 +544,74 @@ def test_matched_pairs_att_recompute(spark):
     assert out.n_matched == len(diffs)
     assert abs(out.att - sum(diffs) / len(diffs)) < 2e-3
     assert abs(out.mean_bal_gap - sum(gaps) / len(gaps)) < 1e-4
+
+
+# --- dataops16 (round-10 batch 7) ---
+
+
+def test_cuped_recompute_and_variance_reduction(spark):
+    """theta, raw diff and adjusted diff recomputed from per-customer
+    pandas sums; variance reduction equals the squared x-y correlation
+    (the CUPED identity) and lies in [0, 1]."""
+    out = QUERIES["q_cuped_adjustment"](spark, SF_DIR).toPandas().iloc[0]
+    cust = load_table(spark, SF_DIR, "customer").toPandas()
+    orders = load_table(spark, SF_DIR, "orders").toPandas()
+    import pandas as pd
+
+    split = pd.Timestamp("1998-01-01")
+    pre = orders[orders.o_orderdate < split].groupby("o_custkey").o_totalprice.sum()
+    post = orders[orders.o_orderdate >= split].groupby("o_custkey").o_totalprice.sum()
+    cust["x"] = cust.c_custkey.map(pre).fillna(0.0)
+    cust["y"] = cust.c_custkey.map(post).fillna(0.0)
+    cust["t"] = (cust.c_custkey % 2 == 1).astype(int)
+    import numpy as np
+
+    theta = np.cov(cust.x, cust.y, ddof=0)[0, 1] / cust.x.var(ddof=0)
+    assert abs(out.theta - theta) < 1e-4
+    tmask = cust.t == 1
+    raw = cust[tmask].y.mean() - cust[~tmask].y.mean()
+    adj = (cust[tmask].y.mean() - theta * cust[tmask].x.mean()) - (
+        cust[~tmask].y.mean() - theta * cust[~tmask].x.mean()
+    )
+    assert abs(out.raw_diff - raw) < 2e-3
+    assert abs(out.cuped_diff - adj) < 2e-3
+    rho2 = np.corrcoef(cust.x, cust.y)[0, 1] ** 2
+    assert abs(out.var_reduction - rho2) < 1e-4
+    assert 0 <= out.var_reduction <= 1
+    assert out.n_customers == len(cust)
+
+
+def test_raking_hits_margins(spark):
+    """After the final segment scaling, segment margins are EXACT
+    (rel_err ~ 0); achieved totals sum to the population size; weights
+    recomputed with a literal 2-round pandas IPF match."""
+    out = QUERIES["q_raking_weights"](spark, SF_DIR).toPandas()
+    cust = load_table(spark, SF_DIR, "customer").toPandas()
+    assert len(out) == cust.c_mktsegment.nunique()
+    assert (out.rel_err < 1e-9).all()  # last scaling is by segment
+    assert abs(out.achieved_n.sum() - len(cust)) < 1e-3
+    # literal IPF recompute
+    sample = cust[cust.c_custkey % 3 == 0]
+    cells = (
+        sample.groupby(["c_nationkey", "c_mktsegment"])
+        .size()
+        .rename("n_s")
+        .reset_index()
+    )
+    cells["wgt"] = 1.0
+    ntar = cust.groupby("c_nationkey").size()
+    star = cust.groupby("c_mktsegment").size()
+    for _ in range(2):
+        cur = cells.groupby("c_nationkey").apply(
+            lambda g: (g.wgt * g.n_s).sum()
+        )
+        cells["wgt"] *= cells.c_nationkey.map(ntar / cur)
+        cur = cells.groupby("c_mktsegment").apply(
+            lambda g: (g.wgt * g.n_s).sum()
+        )
+        cells["wgt"] *= cells.c_mktsegment.map(star / cur)
+    for seg, grp in cells.groupby("c_mktsegment"):
+        row = out[out.segment == seg].iloc[0]
+        assert abs(row.achieved_n - (grp.wgt * grp.n_s).sum()) < 1e-2
+        assert abs(row.max_weight - grp.wgt.max()) < 1e-4
+        assert abs(row.min_weight - grp.wgt.min()) < 1e-4

@@ -84,6 +84,8 @@ PROBES = (
     "q_conformal_intervals",   # rank windows + bounded calibration collect over events (round 10)
     "q_shapley_attribution",   # (user,day) mask hash-agg + 16-row lattice over events (round 10)
     "q_label_propagation",     # kNN-sparsified edge build + 2 sync LPA rounds over lineitem (round 10)
+    "q_cuped_adjustment",      # one-pass covariate/metric moment agg over orders (round 10)
+    "q_matched_pairs_att",     # stratified nearest-neighbor match join over customer x orders (round 10; customer base-size -> fixed-cost flatness)
 )
 
 

@@ -71,7 +71,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #:     q_cuped_adjustment, q_raking_weights — all cheap warm) + any
 #:     r10/r11 time-cut leftovers -> full 500/500 driver coverage.
 #: Each round: re-time, re-front-load, dry-run the EXACT front-50 via
-#: scripts/round_close.py before the driver takes over.
+#: scripts/round_close.py before the driver takes over. Round-10 VM
+#: re-timings for the whole staging block (positions 51+, streaming
+#: excluded): scripts/tranche_timings_r10.json — use THESE for the r11
+#: cheapest-first ordering, not the r09 file (different machine).
 PRIORITY = (
     # --- r10 front-50 (warm 60.3 s, cheapest-first, streaming last) ---
     "q_parkinson_vol", "q_quantile_sketch", "q_weekday_seasonality",

@@ -85,6 +85,20 @@ def main() -> None:
     # overall best so early-JVM jitter can't inflate the marker
     machine_state = round(min(pre, timings["q_orderby_limit"]), 3)
 
+    # Cross-round normalization (VERDICT r10 #3): the probe plan has been
+    # frozen since round 1, so machine_state differences between rounds
+    # are pure VM speed. BASELINE_PROBE is the round-9 VM's probe value —
+    # the machine the rotation-plan timings were calibrated on; the r10
+    # VM read 0.273 (1.59x slower) and its raw 12.162 s battery was a
+    # false regression. value_normalized = value * BASELINE_PROBE /
+    # machine_state is the number to compare across rounds.
+    BASELINE_PROBE = 0.172
+    value_normalized = (
+        round(sum(timings.values()) * BASELINE_PROBE / machine_state, 3)
+        if machine_state > 0
+        else None
+    )
+
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     try:
         sf_val: float | str = float(sf)
@@ -99,6 +113,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "machine_state": machine_state,
+                "baseline_probe": BASELINE_PROBE,
+                "value_normalized": value_normalized,
             }
         )
     )

@@ -778,22 +778,43 @@ def q_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     hold = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
     corpus_side = corp.unionByName(planted)
 
-    # cache key folds the signature parameters (n_perm/seed/shingle_k
-    # defaults of minhash_signatures) into the directory name so a
-    # parameter change can never serve a stale index; build under a
-    # temp dir + atomic rename so a concurrent session either sees the
-    # finished index or none at all
-    tag = fixture_tag(sf_dir) + "_p32s42k3"
+    # cache key folds the signature parameters (n_perm/seed/shingle_k,
+    # read from minhash_signatures' actual defaults so a parameter
+    # change can never silently desynchronize the key) into the
+    # directory name; build under a temp dir + atomic rename so a
+    # concurrent session either sees the finished index or none at all
+    import inspect
+
+    sig_defaults = {
+        p.name: p.default
+        for p in inspect.signature(minhash_signatures).parameters.values()
+    }
+    tag = fixture_tag(sf_dir) + (
+        f"_p{sig_defaults['n_perm']}"
+        f"s{sig_defaults['seed']}"
+        f"k{sig_defaults['shingle_k']}"
+    )
     path = os.path.join("/root/repo/.scratch/minhash_index", tag)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    success = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(success):
         tmp = path + f".tmp-{os.getpid()}"
         minhash_signatures(corpus_side).write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, path)
-        except OSError:  # lost the race: another session published first
+        except OSError:
+            # Either we lost the publish race (another session renamed
+            # first — fine) or the rename failed for a different reason
+            # (stale partial dir at path, cross-device tmp). Only the
+            # presence of _SUCCESS distinguishes the two; never read a
+            # partial index.
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(success):
+                shutil.rmtree(path, ignore_errors=True)
+                minhash_signatures(corpus_side).write.mode(
+                    "overwrite"
+                ).parquet(path)
     corpus_sigs = spark.read.parquet(path)
     probe_sigs = minhash_signatures(hold)
 

@@ -327,7 +327,7 @@ def _duck_esd_round(prev: str, rnd: int) -> str:
     return f"""
     m{rnd} AS (
         SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
-               {_dsum("x", 12)} AS s, {_dsum("x * x", 12)} AS ss
+               {_dsum("x", 12)} AS s, {_dsum("x * x", 10)} AS ss
         FROM {prev} GROUP BY symbol
     ),
     top{rnd} AS (
@@ -417,8 +417,15 @@ def q_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(portable_round(F.col("x"), 12).cast(dec12))
             .cast("double")
             .alias("s"),
+            # x = close/open - 1 can reach ~1e4 on this events table, so
+            # x*x ~ 1e8: at 12dp the portable_round floor term hits
+            # |x^2|*1e12 ~ 1e20 > int64 max and Spark saturates while
+            # DuckDB stays double (engine-asymmetric). 10dp keeps the
+            # scaled term under 9.2e18 (granger_lite discipline).
             F.sum(
-                portable_round(F.col("x") * F.col("x"), 12).cast(dec12)
+                portable_round(F.col("x") * F.col("x"), 10).cast(
+                    "decimal(38,10)"
+                )
             )
             .cast("double")
             .alias("ss"),

@@ -93,7 +93,8 @@ _POPCNT_SQL = (
         JOIN vtab w ON w.s = (wo.s | c.bit)
     )
     SELECT ch AS channel,
-           CAST({sql_portable_round("SUM(t)", 6)} AS DOUBLE) AS shapley_phi,
+           CAST({sql_portable_round(_dsum("t", 12), 6)} AS DOUBLE)
+               AS shapley_phi,
            CAST((SELECT {sql_portable_round("MAX(v)", 6)}
                  FROM vtab WHERE s = 15) AS DOUBLE) AS v_grand,
            CAST((SELECT SUM(n_j) FROM mstats) AS BIGINT) AS n_journeys
@@ -193,7 +194,11 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         terms.groupBy("channel")
         .agg(
-            portable_round(F.sum("t"), 6)
+            # the 8 coalition terms per channel are unrounded doubles;
+            # _ssum (12dp round → exact DECIMAL Σ) makes the per-channel
+            # sum accumulation-order independent across engines
+            # (|t| ≤ 1, so the 12dp floor term is nowhere near int64)
+            portable_round(_ssum(F.col("t"), 12), 6)
             .cast("double")
             .alias("shapley_phi")
         )

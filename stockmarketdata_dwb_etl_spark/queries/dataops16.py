@@ -18,8 +18,11 @@ batch 7).
 Determinism: all counts exact integers; covariate/metric moment sums
 round-then-cast into exact DECIMAL (2dp products — per-customer spend
 sums reach ~5e6, so 2dp keeps |term|·10^n under the int64 floor bound);
-IPF weight updates are ratios of exact-int-derived doubles through
-identical trees; emitted doubles are portable_round.
+IPF scale factors divide margin targets by _ssum/_dsum
+(8dp-round-then-DECIMAL) cell-weight sums so every SUM(wgt * n_s) is
+accumulation-order independent across engines; the per-cell wgt * f
+updates are then exact products of identical doubles; emitted doubles
+are portable_round.
 """
 
 from __future__ import annotations
@@ -191,7 +194,7 @@ def _duck_ipf_round(prev: str, rnd: int) -> str:
     then to the segment margin."""
     return f"""
     nscale{rnd} AS (
-        SELECT c.nation, tn.target / SUM(c.wgt * c.n_s) AS f
+        SELECT c.nation, tn.target / {_dsum("c.wgt * c.n_s", 8)} AS f
         FROM {prev} c JOIN ntarget tn ON tn.nation = c.nation
         GROUP BY c.nation, tn.target
     ),
@@ -200,7 +203,7 @@ def _duck_ipf_round(prev: str, rnd: int) -> str:
         FROM {prev} c JOIN nscale{rnd} ns ON ns.nation = c.nation
     ),
     sscale{rnd} AS (
-        SELECT c.segment, ts.target / SUM(c.wgt * c.n_s) AS f
+        SELECT c.segment, ts.target / {_dsum("c.wgt * c.n_s", 8)} AS f
         FROM half{rnd} c JOIN starget ts ON ts.segment = c.segment
         GROUP BY c.segment, ts.target
     ),
@@ -234,9 +237,10 @@ def _duck_ipf_round(prev: str, rnd: int) -> str:
     SELECT c.segment,
            CAST(ts.target AS DOUBLE) AS target_n,
            CAST({sql_portable_round(
-               "SUM(c.wgt * c.n_s)", 4)} AS DOUBLE) AS achieved_n,
+               _dsum("c.wgt * c.n_s", 8), 4)} AS DOUBLE) AS achieved_n,
            CAST({sql_portable_round(
-               "abs(SUM(c.wgt * c.n_s) - ts.target) / ts.target", 6)}
+               f"abs({_dsum('c.wgt * c.n_s', 8)} - ts.target) / ts.target",
+               6)}
                AS DOUBLE) AS rel_err,
            CAST({sql_portable_round("MIN(c.wgt)", 6)} AS DOUBLE)
                AS min_weight,
@@ -280,9 +284,16 @@ def q_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("s_target")
     )
     for _rnd in range(_IPF_ROUNDS):
+        # Every SUM(wgt * n_s) routes through _ssum/_dsum (8dp round →
+        # exact DECIMAL Σ): from the first scaling onward wgt is an
+        # arbitrary double, so a plain double sum would be accumulation-
+        # order dependent (Spark partial-agg tree vs DuckDB scan order)
+        # and a 1-ulp drift compounded through four scalings could flip
+        # the 4dp/6dp output rounds. |wgt*n_s| stays ≤ ~1e6 here, so the
+        # 8dp floor term is far under the int64 saturation bound.
         nscale = (
             cells.groupBy("nation")
-            .agg(F.sum(F.col("wgt") * F.col("n_s")).alias("cur"))
+            .agg(_ssum(F.col("wgt") * F.col("n_s"), 8).alias("cur"))
             .join(F.broadcast(ntarget), "nation")
             .select("nation", (F.col("n_target") / F.col("cur")).alias("f"))
         )
@@ -291,7 +302,7 @@ def q_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sscale = (
             cells.groupBy("segment")
-            .agg(F.sum(F.col("wgt") * F.col("n_s")).alias("cur"))
+            .agg(_ssum(F.col("wgt") * F.col("n_s"), 8).alias("cur"))
             .join(F.broadcast(starget), "segment")
             .select(
                 "segment", (F.col("s_target") / F.col("cur")).alias("f")
@@ -303,7 +314,7 @@ def q_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cells.groupBy("segment")
         .agg(
-            F.sum(F.col("wgt") * F.col("n_s")).alias("achieved"),
+            _ssum(F.col("wgt") * F.col("n_s"), 8).alias("achieved"),
             F.min("wgt").alias("wmin"),
             F.max("wgt").alias("wmax"),
         )

@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.text import tokenize, word_shingles
+from stockmarketdata_dwb_etl_spark.queries.dataops11 import _dsum, _ssum
 from stockmarketdata_dwb_etl_spark.registry import query
 
 _DEC18 = "decimal(38,18)"
@@ -24,7 +25,7 @@ _DEC18 = "decimal(38,18)"
 
 @query(
     "q_zipf_slope",
-    oracle="""
+    oracle=f"""
     WITH words AS (
         SELECT unnest(string_split(text, ' ')) AS word FROM documents
     ),
@@ -43,11 +44,11 @@ _DEC18 = "decimal(38,18)"
     ),
     s AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
-               CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy
+               {_dsum("x", 12)} AS sx,
+               {_dsum("y", 12)} AS sy,
+               {_dsum("x * y", 12)} AS sxy,
+               {_dsum("x * x", 12)} AS sxx,
+               {_dsum("y * y", 12)} AS syy
         FROM xy
     )
     SELECT n AS n_terms,
@@ -89,13 +90,18 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log(F.col("rk").cast("double")).alias("x"),
         F.log(F.col("cnt").cast("double")).alias("y"),
     )
+    # 12dp round-then-DECIMAL (r09 _dterm lesson): a RAW double →
+    # DECIMAL(38,18) cast is engine-asymmetric (DuckDB's conversion
+    # mangles digits below double precision, Spark's shortest-repr cast
+    # does not); rounding first makes the conversion exact on both.
+    # |x| ≤ ln 500, |y*y| ≤ ~625, so the 12dp floor term is safe.
     s = xy.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("x").cast(_DEC18)).cast("double").alias("sx"),
-        F.sum(F.col("y").cast(_DEC18)).cast("double").alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast(_DEC18)).cast("double").alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast(_DEC18)).cast("double").alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast(_DEC18)).cast("double").alias("syy"),
+        _ssum(F.col("x"), 12).alias("sx"),
+        _ssum(F.col("y"), 12).alias("sy"),
+        _ssum(F.col("x") * F.col("y"), 12).alias("sxy"),
+        _ssum(F.col("x") * F.col("x"), 12).alias("sxx"),
+        _ssum(F.col("y") * F.col("y"), 12).alias("syy"),
     )
     n = F.col("n")
     sx, sy, sxy, sxx, syy = (

@@ -16,6 +16,31 @@ from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.registry import query
 
+#: Floor on the freqItems support argument: the candidate pass collects
+#: up to 1/support items to the driver, so the floor caps driver-side
+#: state at ~112 candidates (1 / (0.01 * 0.9)) regardless of key
+#: cardinality. A caller wanting rarer heavy hitters should raise the
+#: pass-2 threshold, not lower pass 1 below the bound.
+_FREQ_SUPPORT_FLOOR = 0.01
+
+
+def _freq_item_candidates(df: DataFrame, col: str, support: float) -> list:
+    """Pass-1 candidate heavy hitters via ``df.stat.freqItems`` with the
+    bounded-driver-state invariant ENFORCED: support below
+    ``_FREQ_SUPPORT_FLOOR`` would collect more than 1/floor items to the
+    driver, so it raises instead of silently degrading.
+
+    freqItems only guarantees items with share STRICTLY ABOVE its
+    support argument; probe at 0.9x so an item sitting exactly at the
+    >= boundary still reaches pass 2's exact filter."""
+    if support < _FREQ_SUPPORT_FLOOR:
+        raise ValueError(
+            f"freqItems support {support} below floor {_FREQ_SUPPORT_FLOOR}:"
+            " the candidate collect would exceed the bounded-driver-state"
+            " invariant (1/support items)"
+        )
+    return list(df.stat.freqItems([col], support * 0.9).collect()[0][0])
+
 
 @query(
     "q_sketch_rollup",
@@ -100,12 +125,7 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching ~1/support candidate keys."""
     ev = load_table(spark, sf_dir, "events")
     support = 0.15
-    # freqItems only guarantees items with share STRICTLY ABOVE its
-    # support argument; probe slightly below so an item sitting exactly at
-    # the >= boundary still reaches pass 2's exact filter
-    candidates = [
-        r for r in ev.stat.freqItems(["event_type"], support * 0.9).collect()[0][0]
-    ]
+    candidates = _freq_item_candidates(ev, "event_type", support)
     total = ev.count()
     return (
         ev.filter(F.col("event_type").isin(candidates))

@@ -91,9 +91,15 @@ def sql_term_sum(expr: str, ndigits: int = 12) -> str:
     scan-order sum vs Spark's partial-aggregation tree (or in-array
     fold) can differ by an ulp, enough to flip a later rounded
     threshold/argmin decision. The rounded-DECIMAL Σ is bit-identical
-    however the rows arrive. ndigits must keep |term|·10^n < 9.2e18
-    (Spark's floor saturates at int64 — stats_q2._dterm documents the
-    bound); 12dp holds to |term| < ~9.2e6. The cast scale equals the
+    however the rows arrive. ndigits must keep |term|·10^n < 2^53
+    ≈ 9.0e15 — NOT merely under the int64 9.2e18 floor-saturation
+    bound: once k = round(|term|·10^n) exceeds 2^53, the double k/10^n
+    no longer round-trips through ≤17 significant digits, so Spark's
+    shortest-repr double→DECIMAL and DuckDB's float-scaled conversion
+    produce DIFFERENT approximations (observed round 11: q_anova_hod
+    s_g ~1e6-scale terms at 12dp flipped an 8dp output round). 12dp
+    therefore holds to |term| < ~9e3; for wider dynamic ranges use a
+    two-bucket split sum (stats_q._ssum2/_dsum2). The cast scale equals the
     rounding digits: a rounded k/10^n converts exactly at scale n on
     both engines, while DuckDB's double→DECIMAL(38,18) goes through
     float scaling and mangles sub-precision digits (the q_levene_bf

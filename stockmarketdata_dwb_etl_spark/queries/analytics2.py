@@ -818,7 +818,7 @@ def q_allocation_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFram
                    -(CAST(n AS DOUBLE) / total)
                    * ln(CAST(n AS DOUBLE) / row_n)
                  ) AS DOUBLE) * 1000000000000.0 + 0.5) AS DOUBLE)
-                 / 1000000000000.0) AS DECIMAL(38,18))) AS DOUBLE) AS h
+                 / 1000000000000.0) AS DECIMAL(38,12))) AS DOUBLE) AS h
         FROM terms
     ),
     k AS (

@@ -72,7 +72,7 @@ _DEC18 = "decimal(38,18)"
                    " WHEN n_touch = 2 THEN 0.5"
                    " WHEN pos = 1 OR pos = n_touch THEN 0.4"
                    " ELSE 0.2 / (n_touch - 2) END", 8)}
-                   AS DECIMAL(38,18)) AS w
+                   AS DECIMAL(38,8)) AS w
         FROM touches
     )
     SELECT channel,
@@ -317,7 +317,7 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_bars,
            CAST({sql_portable_round(
                "CAST(SUM(CAST(" + sql_portable_round("r", 12)
-               + " AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)", 8)}
+               + " AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)", 8)}
                AS DOUBLE) AS mean_ret,
            CAST(COUNT(*) FILTER (WHERE r > 0) AS BIGINT) AS n_up
     FROM rets GROUP BY symbol, dow ORDER BY symbol, dow

@@ -1068,7 +1068,7 @@ def q_text_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT SUM(CAST((CAST(floor(CAST(((CAST(cm.n AS DOUBLE) / t.nn)
                    * ln(CAST(t.nn AS DOUBLE) * cm.n
                         / (CAST(ml.m AS DOUBLE) * mc.m))) AS DOUBLE) * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0)
-               AS DECIMAL(38,18))) AS mi_sum
+               AS DECIMAL(38,12))) AS mi_sum
         FROM cm CROSS JOIN tot t
         JOIN marg ml ON ml.side = 'l' AND ml.k = cm.label
         JOIN marg mc ON mc.side = 'c' AND mc.k = cm.c_label
@@ -1076,7 +1076,7 @@ def q_text_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT side,
                SUM(CAST((CAST(floor(CAST((-(CAST(m AS DOUBLE) / t.nn)
                               * ln(CAST(m AS DOUBLE) / t.nn)) AS DOUBLE) * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0)
-                   AS DECIMAL(38,18))) AS h
+                   AS DECIMAL(38,12))) AS h
         FROM marg CROSS JOIN tot t GROUP BY side
     )
     SELECT t.nn AS n_vecs, t.n_clusters,

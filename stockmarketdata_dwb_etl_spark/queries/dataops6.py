@@ -468,13 +468,13 @@ _R12 = "CAST(floor(CAST(({x}) AS DOUBLE) * 1000000000000.0 + 0.5) AS DOUBLE) / 1
         SELECT probe_id, probe_label, MAX(n_rel) AS n_rel,
                CAST(SUM(CAST(CASE WHEN rank <= 10 AND rel = 1
                    THEN {_R12.format(x='1.0 / log2(rank + 1)')}
-                   ELSE 0 END AS DECIMAL(38,18))) AS DOUBLE) AS dcg
+                   ELSE 0 END AS DECIMAL(38,12))) AS DOUBLE) AS dcg
         FROM ranked GROUP BY probe_id, probe_label
     ),
     ideal AS (
         SELECT probe_id,
                CAST(SUM(CAST({_R12.format(x='1.0 / log2(t.i + 1)')}
-                   AS DECIMAL(38,18))) AS DOUBLE) AS idcg
+                   AS DECIMAL(38,12))) AS DOUBLE) AS idcg
         FROM g, unnest(generate_series(1, least(10, g.n_rel))) AS t(i)
         GROUP BY probe_id
     )
@@ -887,7 +887,7 @@ def q_class_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(y) AS BIGINT) AS n_pos,
                CAST(SUM(CAST((CAST(floor(CAST(((p - y) * (p - y)) AS DOUBLE)
                    * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0)
-                   AS DECIMAL(38,18))) AS DOUBLE) AS sq_sum
+                   AS DECIMAL(38,12))) AS DOUBLE) AS sq_sum
         FROM probs
     )
     SELECT n_scored, n_pos,
@@ -1246,7 +1246,7 @@ def _w1_pair_sql(a: str, b: str) -> str:
     return (
         f"SELECT '{a}' AS type_a, '{b}' AS type_b,\n"
         f"       CAST((CAST(floor(CAST((CAST(SUM(CAST(({term})"
-        " AS DECIMAL(38,18))) AS DOUBLE)) AS DOUBLE) * 1000000.0 + 0.5)"
+        " AS DECIMAL(38,12))) AS DOUBLE)) AS DOUBLE) * 1000000.0 + 0.5)"
         " AS DOUBLE) / 1000000.0) AS DOUBLE) AS w1\n"
         "    FROM o WHERE gap IS NOT NULL"
     )

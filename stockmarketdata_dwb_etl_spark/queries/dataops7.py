@@ -690,7 +690,7 @@ def q_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(*) AS BIGINT) AS shared_parts,
                CAST(SUM(CAST((CAST(floor(CAST((1.0 / d.pd) AS DOUBLE)
                    * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0)
-                   AS DECIMAL(38,18))) AS DOUBLE) AS ra
+                   AS DECIMAL(38,12))) AS DOUBLE) AS ra
         FROM edges a
         JOIN edges b ON a.p = b.p AND a.s < b.s
         JOIN pdeg d ON d.p = a.p
@@ -996,7 +996,7 @@ def q_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(*) AS BIGINT) AS n_words,
                CAST(SUM(CAST((CAST(floor(CAST((abs(a.z - b.z)) AS DOUBLE)
                    * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0)
-                   AS DECIMAL(38,18))) AS DOUBLE) AS sdz
+                   AS DECIMAL(38,12))) AS DOUBLE) AS sdz
         FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
         GROUP BY 1, 2
     )

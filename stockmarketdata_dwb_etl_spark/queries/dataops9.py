@@ -125,7 +125,7 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(n_chars) AS BIGINT) AS max_chars,
            CAST({sql_portable_round(
                "CAST(SUM(CAST(" + sql_portable_round("lex_div", 8)
-               + " AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)", 6)}
+               + " AS DECIMAL(38,8))) AS DOUBLE) / COUNT(*)", 6)}
                AS DOUBLE) AS avg_lex_div
     FROM staged GROUP BY lang, stage ORDER BY lang, stage
     """,
@@ -801,7 +801,7 @@ def q_context_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), mom AS (
         SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(CAST(d2 AS DECIMAL(38,18))) AS DOUBLE) AS sd,
-               CAST(SUM(CAST((CAST(floor(CAST((d2 * d2) AS DOUBLE) * 100000000.0 + 0.5) AS DOUBLE) / 100000000.0) AS DECIMAL(38,18))) AS DOUBLE) AS sdd
+               CAST(SUM(CAST((CAST(floor(CAST((d2 * d2) AS DOUBLE) * 100000000.0 + 0.5) AS DOUBLE) / 100000000.0) AS DECIMAL(38,8))) AS DOUBLE) AS sdd
         FROM d2 GROUP BY label
     ), stats AS (
         SELECT label, n, sd / n AS mean_d2,

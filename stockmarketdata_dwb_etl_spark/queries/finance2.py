@@ -1948,7 +1948,7 @@ def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
         SELECT symbol,
                CAST(COUNT(*) AS BIGINT) AS k,
-               CAST(SUM(CAST((CAST(floor(CAST((ln(ar / x_min)) AS DOUBLE) * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0) AS DECIMAL(38,18)))
+               CAST(SUM(CAST((CAST(floor(CAST((ln(ar / x_min)) AS DOUBLE) * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0) AS DECIMAL(38,12)))
                     AS DOUBLE) AS sum_log
         FROM topk GROUP BY symbol
     )

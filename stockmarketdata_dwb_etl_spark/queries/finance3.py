@@ -906,7 +906,7 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
                    -(CAST(cnt AS DOUBLE) / total)
                    * ln(CAST(cnt AS DOUBLE) / total)
                  ) AS DOUBLE) * 1000000000000.0 + 0.5) AS DOUBLE)
-                 / 1000000000000.0) AS DECIMAL(38,18))) AS DOUBLE) AS h
+                 / 1000000000000.0) AS DECIMAL(38,12))) AS DOUBLE) AS h
         FROM cnts GROUP BY symbol
     )
     SELECT symbol, n_windows, n_patterns,

@@ -1182,7 +1182,7 @@ def q_adf_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l.symbol, l.bar_ts,
                CAST(SUM(CAST((CAST(floor(CAST((l.r - m.mu - 0.0001)
                     AS DOUBLE) * 1000000000000.0 + 0.5) AS DOUBLE)
-                    / 1000000000000.0) AS DECIMAL(38,18))) OVER w
+                    / 1000000000000.0) AS DECIMAL(38,12))) OVER w
                     AS DOUBLE) AS c
         FROM lr l JOIN mu m USING (symbol)
         WINDOW w AS (PARTITION BY l.symbol ORDER BY l.bar_ts

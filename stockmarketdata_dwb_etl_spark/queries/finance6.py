@@ -89,10 +89,10 @@ def _hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT symbol, bar_ts,
                CAST({sql_portable_round(
                    "greatest(close - pc, 0.0)", 12)}
-                   AS DECIMAL(38,18)) AS gain,
+                   AS DECIMAL(38,12)) AS gain,
                CAST({sql_portable_round(
                    "greatest(-(close - pc), 0.0)", 12)}
-                   AS DECIMAL(38,18)) AS loss
+                   AS DECIMAL(38,12)) AS loss
         FROM lagged WHERE pc IS NOT NULL
     ),
     s AS (
@@ -184,14 +184,14 @@ def q_chande_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- its vortex movements stay NULL — an inconsistent frame)
         SELECT symbol, bar_ts,
                CAST({sql_portable_round("abs(high - pl)", 12)}
-                   AS DECIMAL(38,18)) AS vmp,
+                   AS DECIMAL(38,12)) AS vmp,
                CAST({sql_portable_round("abs(low - ph)", 12)}
-                   AS DECIMAL(38,18)) AS vmm,
+                   AS DECIMAL(38,12)) AS vmm,
                CAST({sql_portable_round(
                    "greatest(high - low,"
                    " abs(high - pc),"
                    " abs(low - pc))", 12)}
-                   AS DECIMAL(38,18)) AS tr
+                   AS DECIMAL(38,12)) AS tr
         FROM lagged WHERE pc IS NOT NULL
     ),
     s AS (
@@ -292,18 +292,18 @@ def q_vortex(spark: SparkSession, sf_dir: str) -> DataFrame:
     t AS (
         SELECT symbol,
                CAST({sql_portable_round("ln(open / pc)", 12)}
-                   AS DECIMAL(38,18)) AS o1,
+                   AS DECIMAL(38,12)) AS o1,
                CAST({sql_portable_round("ln(open / pc) * ln(open / pc)", 12)}
-                   AS DECIMAL(38,18)) AS o2,
+                   AS DECIMAL(38,12)) AS o2,
                CAST({sql_portable_round("ln(close / open)", 12)}
-                   AS DECIMAL(38,18)) AS c1,
+                   AS DECIMAL(38,12)) AS c1,
                CAST({sql_portable_round(
                    "ln(close / open) * ln(close / open)", 12)}
-                   AS DECIMAL(38,18)) AS c2,
+                   AS DECIMAL(38,12)) AS c2,
                CAST({sql_portable_round(
                    "ln(high / close) * ln(high / open)"
                    " + ln(low / close) * ln(low / open)", 12)}
-                   AS DECIMAL(38,18)) AS rs
+                   AS DECIMAL(38,12)) AS rs
         FROM lagged
         WHERE pc IS NOT NULL AND low > 0 AND pc > 0 AND open > 0
     ),
@@ -573,9 +573,9 @@ def q_adx(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(rn) AS BIGINT) AS sx,
                CAST(SUM(rn * rn) AS BIGINT) AS sxx,
                SUM(CAST({sql_portable_round("close", 12)}
-                   AS DECIMAL(38,18))) AS sy,
+                   AS DECIMAL(38,12))) AS sy,
                SUM(CAST({sql_portable_round("close * rn", 6)}
-                   AS DECIMAL(38,18))) AS sxy
+                   AS DECIMAL(38,6))) AS sxy
         FROM nb GROUP BY symbol HAVING COUNT(*) >= 3
     ),
     fit AS (
@@ -600,11 +600,11 @@ def q_adx(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms AS (
         SELECT symbol,
                CAST({sql_portable_round("e * e", 12)}
-                   AS DECIMAL(38,18)) AS e2,
+                   AS DECIMAL(38,12)) AS e2,
                CAST({sql_portable_round(
                    "(e - lag(e) OVER (PARTITION BY symbol ORDER BY rn))"
                    " * (e - lag(e) OVER (PARTITION BY symbol ORDER BY rn))",
-                   12)} AS DECIMAL(38,18)) AS d2
+                   12)} AS DECIMAL(38,12)) AS d2
         FROM res
     )
     SELECT t.symbol, ab.n AS n_bars,

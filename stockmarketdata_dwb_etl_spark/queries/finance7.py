@@ -47,7 +47,7 @@ _INV_4LN2 = 0.3606737602222409
         SELECT symbol,
                CAST({sql_portable_round(
                    "ln(high / low) * ln(high / low)", 10)}
-                   AS DECIMAL(38,18)) AS hl2
+                   AS DECIMAL(38,10)) AS hl2
         FROM bars WHERE low > 0
     )
     SELECT symbol,
@@ -106,10 +106,10 @@ def q_parkinson_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT symbol, bar_ts, rn,
                CAST({sql_portable_round(
                    "close - least(low, prev_c)", 8)}
-                   AS DECIMAL(38,18)) AS bp,
+                   AS DECIMAL(38,8)) AS bp,
                CAST({sql_portable_round(
                    "greatest(high, prev_c) - least(low, prev_c)", 8)}
-                   AS DECIMAL(38,18)) AS tr
+                   AS DECIMAL(38,8)) AS tr
         FROM base WHERE prev_c IS NOT NULL
     ),
     sums AS (
@@ -228,7 +228,7 @@ def q_ultimate_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER w AS rn,
                CAST({sql_portable_round(
                    "(close - lag(close) OVER w) * volume", 6)}
-                   AS DECIMAL(38,18)) AS fi
+                   AS DECIMAL(38,6)) AS fi
         FROM bars
         WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts)
     )
@@ -296,7 +296,7 @@ def q_force_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST({sql_portable_round(
                    "CASE WHEN high = low THEN 0.0"
                    " ELSE ((close - low) - (high - close)) / (high - low)"
-                   " END * volume", 8)} AS DECIMAL(38,18)) AS mfv
+                   " END * volume", 8)} AS DECIMAL(38,8)) AS mfv
         FROM bars
     )
     SELECT symbol, bar_ts,
@@ -356,7 +356,7 @@ def q_chaikin_ad(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER w AS rn,
                lag(close, 11) OVER w AS displaced,
                CAST(SUM(CAST({sql_portable_round("close", 8)}
-                             AS DECIMAL(38,18)))
+                             AS DECIMAL(38,8)))
                     OVER (PARTITION BY symbol ORDER BY bar_ts
                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
                     AS DOUBLE) / 20.0 AS sma20

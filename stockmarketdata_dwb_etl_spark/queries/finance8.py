@@ -114,16 +114,16 @@ def q_coppock(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER w AS rn,
                CAST({sql_portable_round(
                    "100.0 * (close / lag(close, 10) OVER w - 1.0)", 8)}
-                   AS DECIMAL(38,18)) AS r10,
+                   AS DECIMAL(38,8)) AS r10,
                CAST({sql_portable_round(
                    "100.0 * (close / lag(close, 15) OVER w - 1.0)", 8)}
-                   AS DECIMAL(38,18)) AS r15,
+                   AS DECIMAL(38,8)) AS r15,
                CAST({sql_portable_round(
                    "100.0 * (close / lag(close, 20) OVER w - 1.0)", 8)}
-                   AS DECIMAL(38,18)) AS r20,
+                   AS DECIMAL(38,8)) AS r20,
                CAST({sql_portable_round(
                    "100.0 * (close / lag(close, 30) OVER w - 1.0)", 8)}
-                   AS DECIMAL(38,18)) AS r30
+                   AS DECIMAL(38,8)) AS r30
         FROM bars
         WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts)
     )
@@ -201,7 +201,7 @@ def q_kst(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY symbol ORDER BY bar_ts)
                    AS rn,
                CAST(SUM(CAST({sql_portable_round("close", 8)}
-                             AS DECIMAL(38,18)))
+                             AS DECIMAL(38,8)))
                     OVER (PARTITION BY symbol ORDER BY bar_ts
                           ROWS BETWEEN 12 PRECEDING AND CURRENT ROW)
                     AS DOUBLE) / 13.0 AS sma13
@@ -274,11 +274,11 @@ def q_elder_ray(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST({sql_portable_round(
                    "CASE WHEN volume < prev_v AND close > 0 AND prev_c > 0"
                    " THEN ln(close / prev_c) ELSE 0.0 END", 12)}
-                   AS DECIMAL(38,18)) AS nvi_t,
+                   AS DECIMAL(38,12)) AS nvi_t,
                CAST({sql_portable_round(
                    "CASE WHEN volume > prev_v AND close > 0 AND prev_c > 0"
                    " THEN ln(close / prev_c) ELSE 0.0 END", 12)}
-                   AS DECIMAL(38,18)) AS pvi_t
+                   AS DECIMAL(38,12)) AS pvi_t
         FROM base WHERE prev_c IS NOT NULL
     )
     SELECT symbol, bar_ts,
@@ -441,7 +441,7 @@ _CHI2_5_01 = 15.086272469388987
     mom AS (
         SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(CAST({sql_portable_round("r", 12)}
-                   AS DECIMAL(38,18))) AS DOUBLE) AS sr
+                   AS DECIMAL(38,12))) AS DOUBLE) AS sr
         FROM rets GROUP BY symbol
     ),
     e AS (
@@ -452,7 +452,7 @@ _CHI2_5_01 = 15.086272469388987
     sse AS (
         SELECT symbol, n,
                CAST(SUM(CAST({sql_portable_round("e * e", 6)}
-                   AS DECIMAL(38,18))) AS DOUBLE) AS sse
+                   AS DECIMAL(38,6))) AS DOUBLE) AS sse
         FROM e GROUP BY symbol, n
     ),
     pairs AS (
@@ -476,7 +476,7 @@ _CHI2_5_01 = 15.086272469388987
     rho AS (
         SELECT p.symbol, p.lag, s.n,
                CAST(SUM(CAST({sql_portable_round("p.x * p.y", 6)}
-                   AS DECIMAL(38,18))) AS DOUBLE) / s.sse AS rho
+                   AS DECIMAL(38,6))) AS DOUBLE) / s.sse AS rho
         FROM pairs p JOIN sse s ON s.symbol = p.symbol
         GROUP BY p.symbol, p.lag, s.n, s.sse
     )
@@ -599,7 +599,7 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     mom AS (
         SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(CAST({sql_portable_round("r", 12)}
-                   AS DECIMAL(38,18))) AS DOUBLE) AS sr
+                   AS DECIMAL(38,12))) AS DOUBLE) AS sr
         FROM rets GROUP BY symbol
     ),
     e AS (
@@ -614,9 +614,9 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit AS (
         SELECT symbol, n,
                CAST(SUM(CAST({sql_portable_round("x * y", 6)}
-                   AS DECIMAL(38,18))) AS DOUBLE)
+                   AS DECIMAL(38,6))) AS DOUBLE)
                / nullif(CAST(SUM(CAST({sql_portable_round("x * x", 6)}
-                   AS DECIMAL(38,18))) AS DOUBLE), 0.0) AS phi
+                   AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS phi
         FROM lagged GROUP BY symbol, n
     )
     SELECT symbol, n,
@@ -703,7 +703,7 @@ def q_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "greatest(high - low,"
                    " abs(high - lag(close) OVER w),"
                    " abs(low - lag(close) OVER w))", 8)}
-                   AS DECIMAL(38,18)) AS trv
+                   AS DECIMAL(38,8)) AS trv
         FROM bars
         WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts)
     ),

@@ -511,7 +511,7 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(*) AS BIGINT) AS shared_parts,
                CAST(SUM(CAST((CAST(floor(CAST((1.0 / ln(d.pd)) AS DOUBLE)
                    * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0)
-                   AS DECIMAL(38,18))) AS DOUBLE) AS aa
+                   AS DECIMAL(38,12))) AS DOUBLE) AS aa
         FROM edges a
         JOIN edges b ON a.p = b.p AND a.s < b.s
         JOIN pdeg d ON d.p = a.p

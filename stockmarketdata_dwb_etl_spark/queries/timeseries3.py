@@ -21,6 +21,7 @@ from pyspark.sql.window import Window
 
 from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.catalog import load_table
+from stockmarketdata_dwb_etl_spark.queries.dataops11 import _dsum, _ssum
 from stockmarketdata_dwb_etl_spark.queries.timeseries import _DUCK_ORD, _spark_ord
 from stockmarketdata_dwb_etl_spark.registry import query
 
@@ -492,7 +493,7 @@ def q_tick_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_interarrival_stats",
-    oracle="""
+    oracle=f"""
     WITH gaps AS (
         SELECT event_type,
                (epoch_us(ts) - epoch_us(lag(ts) OVER
@@ -504,9 +505,8 @@ def q_tick_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(dt_s AS DECIMAL(38,18))) AS DOUBLE) AS s,
-               CAST(SUM(CAST(dt_s * dt_s AS DECIMAL(38,18))) AS DOUBLE)
-                   AS ss
+               {_dsum("dt_s", 6)} AS s,
+               {_dsum("dt_s * dt_s", 6)} AS ss
         FROM gaps GROUP BY event_type
     )
     SELECT event_type, n,
@@ -537,13 +537,14 @@ def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1_000_000.0)
         ).alias("dt_s"),
     ).filter(F.col("dt_s").isNotNull())
-    dec18 = "decimal(38,18)"
+    # 6dp round-then-DECIMAL: dt_s is an exact microsecond multiple, so
+    # the 6dp round is LOSSLESS on s while making the raw
+    # double→DECIMAL conversion exact on both engines (DuckDB's is
+    # lossy); dt_s² ≤ ~1e10 keeps the 6dp floor term under int64.
     m = gaps.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("dt_s").cast(dec18)).cast("double").alias("s"),
-        F.sum((F.col("dt_s") * F.col("dt_s")).cast(dec18))
-        .cast("double")
-        .alias("ss"),
+        _ssum(F.col("dt_s"), 6).alias("s"),
+        _ssum(F.col("dt_s") * F.col("dt_s"), 6).alias("ss"),
     )
     mu = F.col("s") / F.col("n")
     sd = F.sqrt(F.greatest(F.col("ss") / F.col("n") - mu * mu, F.lit(0.0)))

@@ -129,7 +129,7 @@ def build_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-            F.sum(F.col("distinct_ratio").cast(_DEC18)).alias("sum_dr"),
+            F.sum(F.col("distinct_ratio").cast("decimal(38,4)")).alias("sum_dr"),
             F.md5(
                 F.array_join(
                     F.transform(

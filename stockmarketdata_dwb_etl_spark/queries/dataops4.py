@@ -565,8 +565,12 @@ def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            CAST((CAST(floor(CAST((scale) AS DOUBLE) * 1000000000.0 + 0.5) AS DOUBLE) / 1000000000.0) AS DOUBLE) AS scale,
-           CAST((CAST(floor(CAST((SUM(CAST((v - q * scale) * (v - q * scale)
-                               AS DECIMAL(38,18)))) AS DOUBLE) * 1000000000.0 + 0.5) AS DOUBLE) / 1000000000.0) AS DOUBLE) AS l2_err,
+           CAST((CAST(floor(CAST((SUM(CAST(
+                               (CAST(floor(CAST(((v - q * scale)
+                               * (v - q * scale)) AS DOUBLE)
+                               * 1000000000000.0 + 0.5) AS DOUBLE)
+                               / 1000000000000.0)
+                               AS DECIMAL(38,12)))) AS DOUBLE) * 1000000000.0 + 0.5) AS DOUBLE) / 1000000000.0) AS DOUBLE) AS l2_err,
            CAST(SUM(CASE WHEN q <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz
     FROM quant
     GROUP BY vec_id, scale
@@ -607,7 +611,12 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         quant.groupBy("vec_id", "scale")
         .agg(
-            portable_round(F.sum(err.cast("decimal(38,18)")), 9)
+            # quantization residuals² ≤ (scale/2)² ≤ ~1: round at 12dp
+            # before the exact-DECIMAL sum (raw double→DECIMAL casts are
+            # engine-asymmetric), well under the 2^53 round-trip bound
+            portable_round(
+                F.sum(portable_round(err, 12).cast("decimal(38,12)")), 9
+            )
             .cast("double")
             .alias("l2_err"),
             F.sum(F.when(F.col("q") != 0, 1).otherwise(0))

@@ -633,7 +633,7 @@ def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(least(CAST(floor(score * 10) AS BIGINT), 9) AS BIGINT)
                AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST((CAST(floor(CAST((CAST(SUM(CAST(score AS DECIMAL(38,18))) AS DOUBLE)
+           CAST((CAST(floor(CAST((CAST(SUM(CAST(score AS DECIMAL(38,6))) AS DOUBLE)
                       / COUNT(*)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS avg_score
     FROM scored GROUP BY 1 ORDER BY 1
     """,
@@ -706,7 +706,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             portable_round(
-                F.sum(F.col("score").cast("decimal(38,18)")).cast("double")
+                F.sum(F.col("score").cast("decimal(38,6)")).cast("double")
                 / F.count(F.lit(1)),
                 6,
             )
@@ -886,7 +886,7 @@ def q_embed_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
            CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
-           CAST((CAST(floor(CAST((CAST(SUM(CAST(score AS DECIMAL(38,18))) AS DOUBLE)
+           CAST((CAST(floor(CAST((CAST(SUM(CAST(score AS DECIMAL(38,6))) AS DOUBLE)
                       / COUNT(*)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS avg_score
     FROM ranked, budget
     WHERE cum <= budget.b
@@ -972,7 +972,7 @@ def q_token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_docs_kept"),
             F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
             portable_round(
-                F.sum(F.col("score").cast("decimal(38,18)")).cast("double")
+                F.sum(F.col("score").cast("decimal(38,6)")).cast("double")
                 / F.count(F.lit(1)),
                 6,
             )

@@ -530,8 +530,8 @@ def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            {_pr(
-               "CAST(SUM(CAST(flesch AS DECIMAL(38,18))) AS DOUBLE)"
-               " / COUNT(*)", 6)} AS avg_flesch,
+               "CAST(SUM(CAST(" + _pr("flesch", 10) + " AS DECIMAL(38,10)))"
+               " AS DOUBLE) / COUNT(*)", 6)} AS avg_flesch,
            {_pr("min(flesch)", 6)} AS min_flesch,
            {_pr("max(flesch)", 6)} AS max_flesch
     FROM sc GROUP BY source ORDER BY source
@@ -574,8 +574,13 @@ def q_flesch_reading(spark: SparkSession, sf_dir: str) -> DataFrame:
         sc.groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            # per-doc flesch rounds at 10dp before the exact-DECIMAL sum
+            # (raw double→DECIMAL is engine-asymmetric; |flesch| ≤ ~1e4
+            # keeps the 10dp floor term far under the 2^53 bound)
             portable_round(
-                F.sum(F.col("flesch").cast(_DEC18)).cast("double")
+                F.sum(
+                    portable_round(F.col("flesch"), 10).cast("decimal(38,10)")
+                ).cast("double")
                 / F.count(F.lit(1)),
                 6,
             )

@@ -800,7 +800,7 @@ def q_context_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY e.vec_id, e.label
     ), mom AS (
         SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(d2 AS DECIMAL(38,18))) AS DOUBLE) AS sd,
+               CAST(SUM(CAST(d2 AS DECIMAL(38,9))) AS DOUBLE) AS sd,
                CAST(SUM(CAST((CAST(floor(CAST((d2 * d2) AS DOUBLE) * 100000000.0 + 0.5) AS DOUBLE) / 100000000.0) AS DECIMAL(38,8))) AS DOUBLE) AS sdd
         FROM d2 GROUP BY label
     ), stats AS (
@@ -869,10 +869,10 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mom = d2.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("d2").cast("decimal(38,18)")).cast("double").alias("sd"),
+        F.sum(F.col("d2").cast("decimal(38,9)")).cast("double").alias("sd"),
         F.sum(
             portable_round(F.col("d2") * F.col("d2"), 8).cast(
-                "decimal(38,18)"
+                "decimal(38,8)"
             )
         )
         .cast("double")

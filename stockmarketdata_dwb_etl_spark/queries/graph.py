@@ -93,8 +93,11 @@ def _pr_level_sql(prev: str, out: str) -> str:
         FROM nodes n CROSS JOIN ncount nn
         LEFT JOIN (
             SELECT e.dst,
-                   CAST(SUM(CAST(p.rank * (CAST(e.w AS DOUBLE) / d.wdeg)
-                                 AS DECIMAL(38,18))) AS DOUBLE) AS s
+                   CAST(SUM(CAST((CAST(floor(CAST((p.rank
+                                 * (CAST(e.w AS DOUBLE) / d.wdeg))
+                                 AS DOUBLE) * 1000000000000.0 + 0.5)
+                                 AS DOUBLE) / 1000000000000.0)
+                                 AS DECIMAL(38,12))) AS DOUBLE) AS s
             FROM edges e
             JOIN {prev} p ON p.node = e.src
             JOIN wdeg d ON d.src = e.src
@@ -135,13 +138,19 @@ def q_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.select(
         "node", portable_round(F.lit(1.0) / n_nodes, 12).cast("double").alias("rank")
     )
-    contrib_expr = F.col("rank") * (F.col("w").cast("double") / F.col("wdeg"))
+    # contributions round at 12dp before the exact-DECIMAL sum: the raw
+    # double->DECIMAL(38,18) cast is engine-asymmetric (DuckDB converts
+    # via float scaling), and rank*(w/wdeg) <= 1 keeps the 12dp floor
+    # term far under the 2^53 round-trip bound
+    contrib_expr = portable_round(
+        F.col("rank") * (F.col("w").cast("double") / F.col("wdeg")), 12
+    )
     for _ in range(_ITERS):
         contribs = (
             edges.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(F.col("dst"), contrib_expr.alias("c"))
             .groupBy("dst")
-            .agg(F.sum(F.col("c").cast("decimal(38,18)")).cast("double").alias("s"))
+            .agg(F.sum(F.col("c").cast("decimal(38,12)")).cast("double").alias("s"))
         )
         ranks = (
             nodes.join(

@@ -188,7 +188,7 @@ CORPUS_PIPELINE_ORACLE = """
         SELECT split, lang, CAST(doc_id % 64 AS INTEGER) AS bkt,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-               SUM(CAST(distinct_ratio AS DECIMAL(38,18))) AS sum_dr,
+               SUM(CAST(distinct_ratio AS DECIMAL(38,4))) AS sum_dr,
                md5(string_agg(digest, '' ORDER BY doc_id)) AS bdigest
         FROM deduped
         GROUP BY 1, 2, 3

@@ -63,9 +63,14 @@ def main() -> int:
     )
     wall = time.time() - t0
     tail = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "?"
+    # Risk-band history: r10 front-50 dry-ran ~80 s and the driver
+    # completed 50/50; r11's graph-heavy front-50 dry-ran 127 s and is
+    # the operative upper reference. Over ~130 s, expect a possible
+    # driver time-cut — keep heavies LAST so only the retryable tail
+    # is at risk.
     print(f"[2/4] front-50 dry run: {tail} | wall {wall:.0f}s "
-          f"({'OVER' if wall > 80 else 'within'} the risk band; heavies "
-          f"must sit LAST so a driver time-cut only costs the tail)")
+          f"({'OVER' if wall > 130 else 'within'} the measured band; "
+          f"heavies must sit LAST so a time-cut only costs the tail)")
     if r.returncode != 0:
         return 1
 

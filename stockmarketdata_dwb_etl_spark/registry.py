@@ -66,8 +66,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #:     q_stream_merge_partitioned -> cumulative 472/500.
 #:   - r12 tranche (final 28, staged below cheapest-first):
 #:     q_lift_gains .. q_wasserstein_drift, then q_stream_dollar_bars +
-#:     q_stream_stream_join (pre-validate 2x fresh in r12 before the
-#:     driver runs) + any r11 time-cut leftovers -> full 500/500.
+#:     q_stream_stream_join (ALREADY pre-validated 2x on fresh JVMs in
+#:     r11: 9.4/9.0 s and 13.1/11.7 s, both passes green — re-confirm
+#:     once on the r12 VM before handoff) + any r11 time-cut leftovers
+#:     -> full 500/500.
 #: Each round: re-time, re-front-load, dry-run the EXACT front-50 via
 #: scripts/round_close.py before handoff. Round-11 VM re-timings for the
 #: whole staging block: scripts/tranche_timings_r11.json (the r10 file

@@ -37,8 +37,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: evaluates the FIRST ~50 registry entries each round, so the front of
 #: the dict must be the queries with the LEAST driver evidence. After
 #: r01-r10 the cumulative record is 422 sampled (422 green, 0 red) and
-#: 78 never-sampled; PRIORITY lists exactly those 78, split into the
-#: round-11 front-50 and the r12 final 28.
+#: 78 never-sampled; PRIORITY lists those 78 plus the six round-11
+#: additions (dataops17), split into the round-11 front-50 and the r12
+#: final 34.
 #:
 #: Budget rule (measured round 7, re-applied every round since): a FRESH
 #: 50-query driver session costs ~1.5x the warm per-query sums
@@ -64,12 +65,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #:   - r11 tranche (THIS front-50): 10 graph + q_dedup_index_probe +
 #:     37 cheapest fills + q_stream_heavy_hitters/
 #:     q_stream_merge_partitioned -> cumulative 472/500.
-#:   - r12 tranche (final 28, staged below cheapest-first):
+#:   - r12 tranche (final 34 = 28 staged below cheapest-first + the
+#:     six round-11 dataops17 additions):
 #:     q_lift_gains .. q_wasserstein_drift, then q_stream_dollar_bars +
 #:     q_stream_stream_join (ALREADY pre-validated 2x on fresh JVMs in
 #:     r11: 9.4/9.0 s and 13.1/11.7 s, both passes green — re-confirm
 #:     once on the r12 VM before handoff) + any r11 time-cut leftovers
-#:     -> full 500/500.
+#:     -> full 506/506.
 #: Each round: re-time, re-front-load, dry-run the EXACT front-50 via
 #: scripts/round_close.py before handoff. Round-11 VM re-timings for the
 #: whole staging block: scripts/tranche_timings_r11.json (the r10 file
@@ -104,8 +106,13 @@ PRIORITY = (
     "q_kruskal_wallis", "q_heikin_ashi", "q_vocab_coverage",
     "q_gram_matrix", "q_hurst_exponent", "q_kalman_filter",
     "q_bootstrap_ci", "q_burrows_delta", "q_tail_dependence",
-    "q_dsir_importance", "q_wasserstein_drift", "q_stream_dollar_bars",
-    "q_stream_stream_join",
+    "q_dsir_importance", "q_wasserstein_drift",
+    # round-11 additions (dataops17, both-scale validated at birth):
+    # data-curation screens — staged behind the frozen r11 front-50 so
+    # they join the r12 tranche (28 + 6 = 34, still one tranche)
+    "q_class_balance_weights", "q_temperature_mix", "q_fdr_bh",
+    "q_whitening_stats", "q_label_noise_knn", "q_coreset_kcenter",
+    "q_stream_dollar_bars", "q_stream_stream_join",
 )
 
 

@@ -68,7 +68,7 @@ PROBES = (
     "q_attribution_position",  # journey windows over events (round 8)
     "q_curriculum_buckets",    # per-lang ntile sort over documents (round 8)
     "q_lorenz_curve",          # global_row_number rank path over custkey agg (round 8)
-    "q_rrf_fusion",            # scan+TakeOrdered rankers + k-row fusion join (round 9; lexical side scales, embeddings stay base-size)
+    "q_rrf_fusion",            # scan+TakeOrdered rankers + k-row fusion join (round 9; both ranker sides scale since r11 replicates embeddings)
     "q_preference_pairs",      # two-pass group argmax over documents (round 9)
     "q_quantile_sketch",       # O(#bins) mergeable histogram over orders (round 9)
     "q_mixture_epochs",        # per-source token hash-agg + 1-row broadcast (round 9)
@@ -86,6 +86,8 @@ PROBES = (
     "q_label_propagation",     # kNN-sparsified edge build + 2 sync LPA rounds over lineitem (round 10)
     "q_cuped_adjustment",      # one-pass covariate/metric moment agg over orders (round 10)
     "q_matched_pairs_att",     # stratified nearest-neighbor match join over customer x orders (round 10; customer base-size -> fixed-cost flatness)
+    "q_coreset_kcenter",        # k-1 supersteps of argmax + broadcast tighten over embeddings (round 11)
+    "q_whitening_stats",        # d(d-1)/2-per-vector pair fan-out + (dim,dim) hash-agg over embeddings (round 11)
 )
 
 
@@ -156,8 +158,25 @@ def build_scaled(spark, out_dir: str, n: int) -> None:
         ],
         ).write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
 
+    emb = load_table(spark, BASE_SF, "embeddings")
+    if not done("embeddings"):
+        # replicate with vec_id offsets (embedding values / labels copied):
+        # the round-11 embedding-table probes (q_coreset_kcenter,
+        # q_whitening_stats) need the VECTOR COUNT to scale or their
+        # ratios trivially measure a fixed input. Replica vectors being
+        # exact duplicates is fine for these shapes (scan-, fan-out- and
+        # agg-bound, not result-size-bound). Note vec 0 stays unique, so
+        # seeded operators keep their seed.
+        reps(
+        emb,
+        lambda i: [
+            (F.col("vec_id") + i * 1_000_000).alias("vec_id"),
+            *[c for c in emb.columns if c != "vec_id"],
+        ],
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+
     # unscaled dims the probe queries join against
-    for t in ("customer", "supplier", "part", "nation", "region", "embeddings"):
+    for t in ("customer", "supplier", "part", "nation", "region"):
         if not done(t):
             load_table(spark, BASE_SF, t).write.mode("overwrite").parquet(
                 os.path.join(out_dir, f"{t}.parquet")

@@ -37,9 +37,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: evaluates the FIRST ~50 registry entries each round, so the front of
 #: the dict must be the queries with the LEAST driver evidence. After
 #: r01-r10 the cumulative record is 422 sampled (422 green, 0 red) and
-#: 78 never-sampled; PRIORITY lists those 78 plus the six round-11
-#: additions (dataops17), split into the round-11 front-50 and the r12
-#: final 34.
+#: 78 never-sampled; PRIORITY lists those 78 plus the twelve round-11
+#: additions (dataops17 + dataops18), split into the round-11 front-50
+#: and the r12 final 40.
 #:
 #: Budget rule (measured round 7, re-applied every round since): a FRESH
 #: 50-query driver session costs ~1.5x the warm per-query sums
@@ -65,13 +65,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #:   - r11 tranche (THIS front-50): 10 graph + q_dedup_index_probe +
 #:     37 cheapest fills + q_stream_heavy_hitters/
 #:     q_stream_merge_partitioned -> cumulative 472/500.
-#:   - r12 tranche (final 34 = 28 staged below cheapest-first + the
-#:     six round-11 dataops17 additions):
+#:   - r12 tranche (final 40 = 28 staged below cheapest-first + the
+#:     twelve round-11 dataops17/dataops18 additions):
 #:     q_lift_gains .. q_wasserstein_drift, then q_stream_dollar_bars +
 #:     q_stream_stream_join (ALREADY pre-validated 2x on fresh JVMs in
 #:     r11: 9.4/9.0 s and 13.1/11.7 s, both passes green — re-confirm
 #:     once on the r12 VM before handoff) + any r11 time-cut leftovers
-#:     -> full 506/506.
+#:     -> full 512/512.
 #: Each round: re-time, re-front-load, dry-run the EXACT front-50 via
 #: scripts/round_close.py before handoff. Round-11 VM re-timings for the
 #: whole staging block: scripts/tranche_timings_r11.json (the r10 file
@@ -112,6 +112,10 @@ PRIORITY = (
     # they join the r12 tranche (28 + 6 = 34, still one tranche)
     "q_class_balance_weights", "q_temperature_mix", "q_fdr_bh",
     "q_whitening_stats", "q_label_noise_knn", "q_coreset_kcenter",
+    # round-11 additions, batch 2 (dataops18, both-scale validated at
+    # birth) — r12 tranche grows to 40, still one 50-query tranche
+    "q_mann_kendall", "q_hampel_filter", "q_js_divergence",
+    "q_kneser_ney_lm", "q_intrinsic_dim", "q_ppr_seed",
     "q_stream_dollar_bars", "q_stream_stream_join",
 )
 

@@ -88,6 +88,8 @@ PROBES = (
     "q_matched_pairs_att",     # stratified nearest-neighbor match join over customer x orders (round 10; customer base-size -> fixed-cost flatness)
     "q_coreset_kcenter",        # k-1 supersteps of argmax + broadcast tighten over embeddings (round 11)
     "q_whitening_stats",        # d(d-1)/2-per-vector pair fan-out + (dim,dim) hash-agg over embeddings (round 11)
+    "q_kneser_ney_lm",          # map-side bigram build + vocab-sized KN model joins over documents (round 11)
+    "q_js_divergence",          # word-count hash-agg + |sources|^2 x 200 pair table over documents (round 11)
 )
 
 

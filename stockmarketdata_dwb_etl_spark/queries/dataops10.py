@@ -797,24 +797,36 @@ def q_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join("/root/repo/.scratch/minhash_index", tag)
     success = os.path.join(path, "_SUCCESS")
     if not os.path.exists(success):
-        tmp = path + f".tmp-{os.getpid()}"
-        minhash_signatures(corpus_side).write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            # Either we lost the publish race (another session renamed
-            # first — fine) or the rename failed for a different reason
-            # (stale partial dir at path, cross-device tmp). Only the
-            # presence of _SUCCESS distinguishes the two; never read a
-            # partial index.
-            import shutil
+        import shutil
 
-            shutil.rmtree(tmp, ignore_errors=True)
-            if not os.path.exists(success):
+        for attempt in range(3):
+            tmp = path + f".tmp-{os.getpid()}-{attempt}"
+            minhash_signatures(corpus_side).write.mode("overwrite").parquet(
+                tmp
+            )
+            try:
+                os.rename(tmp, path)
+                break
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+                if os.path.exists(success):
+                    # Lost the publish race — another session renamed a
+                    # finished index first. Read theirs.
+                    break
+                # Rename failed without a published index (stale
+                # partial dir at path, cross-device tmp, ...): clear
+                # the unpublished target and RETRY the tmp-write +
+                # atomic-rename publish. NEVER write the final path in
+                # place — a concurrent session that just passed the
+                # _SUCCESS check, or is mid-read, must only ever
+                # observe a complete renamed index, not a
+                # mid-overwrite one.
                 shutil.rmtree(path, ignore_errors=True)
-                minhash_signatures(corpus_side).write.mode(
-                    "overwrite"
-                ).parquet(path)
+        else:
+            raise RuntimeError(
+                f"could not publish minhash index at {path} after 3 "
+                "tmp-write + atomic-rename attempts"
+            )
     corpus_sigs = spark.read.parquet(path)
     probe_sigs = minhash_signatures(hold)
 

@@ -65,7 +65,14 @@ def _md5_int(col: Column, k: int) -> Column:
 
 def _ssum(col: Column, n: int = 8) -> Column:
     """Order-independent Σ of double terms: n-dp portable round, exact
-    DECIMAL accumulation, DOUBLE out (stats_q2._sterm discipline)."""
+    DECIMAL accumulation, DOUBLE out (stats_q2._sterm discipline).
+
+    Pick n so |term|·10^n < 2^53 ≈ 9.0e15 — NOT the int64 9.2e18 floor
+    bound: beyond 2^53 the rounded k/10^n stops round-tripping through
+    a double's ≤17 significant digits, so Spark's shortest-repr and
+    DuckDB's float-scaled double→DECIMAL conversions become DIFFERENT
+    approximations (the q_anova_hod failure). Terms with a wide dynamic
+    range that can't fit one n: use stats_q._ssum2/_dsum2."""
     return F.sum(portable_round(col, n).cast(f"decimal(38,{n})")).cast("double")
 
 

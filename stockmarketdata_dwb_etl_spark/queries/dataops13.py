@@ -41,6 +41,7 @@ from stockmarketdata_dwb_etl_spark.queries.dataops11 import (
     _linkage_records,
     _ssum,
 )
+from stockmarketdata_dwb_etl_spark.queries.stats_q import _dsum2, _ssum2
 from stockmarketdata_dwb_etl_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -327,7 +328,7 @@ def _duck_esd_round(prev: str, rnd: int) -> str:
     return f"""
     m{rnd} AS (
         SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
-               {_dsum("x", 12)} AS s, {_dsum("x * x", 10)} AS ss
+               {_dsum2("x", 12, 8)} AS s, {_dsum2("x * x", 12, 6)} AS ss
         FROM {prev} GROUP BY symbol
     ),
     top{rnd} AS (
@@ -409,26 +410,20 @@ def q_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = bars.filter(F.col("open") != 0).select(
         "symbol", "day", (F.col("close") / F.col("open") - 1.0).alias("x")
     )
-    dec12 = "decimal(38,12)"
     outs = []
     for rnd in range(1, _ESD_ROUNDS + 1):
+        # x = close/open - 1 can reach ~1e4 on this events table, so
+        # x*x ~ 1e8. Round-then-DECIMAL terms are cross-engine identical
+        # only while |term|*10^n < 2^53 ~ 9.0e15 (NOT the int64 floor
+        # bound — beyond 2^53 the rounded k/10^n stops round-tripping a
+        # double and Spark's shortest-repr vs DuckDB's float-scaled
+        # DECIMAL conversions diverge, the q_anova_hod failure). Split
+        # sums keep every bucket under it: x at (12,8) -> |x|*1e8 ~ 1e12,
+        # x^2 at (12,6) -> |x^2|*1e6 ~ 1e14, both < 9.0e15.
         m = keep.groupBy("symbol").agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum(portable_round(F.col("x"), 12).cast(dec12))
-            .cast("double")
-            .alias("s"),
-            # x = close/open - 1 can reach ~1e4 on this events table, so
-            # x*x ~ 1e8: at 12dp the portable_round floor term hits
-            # |x^2|*1e12 ~ 1e20 > int64 max and Spark saturates while
-            # DuckDB stays double (engine-asymmetric). 10dp keeps the
-            # scaled term under 9.2e18 (granger_lite discipline).
-            F.sum(
-                portable_round(F.col("x") * F.col("x"), 10).cast(
-                    "decimal(38,10)"
-                )
-            )
-            .cast("double")
-            .alias("ss"),
+            _ssum2(F.col("x"), 12, 8).alias("s"),
+            _ssum2(F.col("x") * F.col("x"), 12, 6).alias("ss"),
         )
         j = keep.join(m, "symbol")
         w = Window.partitionBy("symbol").orderBy(

@@ -756,16 +756,21 @@ def q_whitening_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sx").alias("sxa"),
         F.col("sxx").alias("sxxa"),
     )
+    # dim_b carries its OWN count ny (oracle: y.n) — identical to nx
+    # only while every vector contributes a value to every dimension; a
+    # ragged or null-element vector must not silently desynchronize the
+    # engines.
     dy = dims.select(
         F.col("idx").alias("db"),
+        F.col("n").alias("ny"),
         F.col("sx").alias("sxb"),
         F.col("sxx").alias("sxxb"),
     )
     mx = F.col("sxa") / F.col("nx")
-    my = F.col("sxb") / F.col("nx")
+    my = F.col("sxb") / F.col("ny")
     cov = F.col("sxy") / F.col("nx") - mx * my
     sda = F.sqrt(F.col("sxxa") / F.col("nx") - mx * mx)
-    sdb = F.sqrt(F.col("sxxb") / F.col("nx") - my * my)
+    sdb = F.sqrt(F.col("sxxb") / F.col("ny") - my * my)
     corr = (
         pairs.join(F.broadcast(dx), "da")
         .join(F.broadcast(dy), "db")

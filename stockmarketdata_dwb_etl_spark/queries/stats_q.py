@@ -150,8 +150,10 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").alias("__r"),
         F.countDistinct("is_weekend").alias("__c"),
         # 8dp round-then-DECIMAL: a raw double→DECIMAL(38,18) cast is
-        # engine-asymmetric (DuckDB converts via float scaling); |c| is
-        # O(N) so 8dp keeps the floor term under int64 to ~1e10 events
+        # engine-asymmetric (DuckDB converts via float scaling). The
+        # cross-engine bound is 2^53 ≈ 9.0e15 (see _ssum2), so 8dp is
+        # safe while |c| < ~9e7; each cell's c is O(o) and the 2-level
+        # contingency keeps cells far below that at any plausible sf.
         _ssum(F.col("c"), 8).alias("__chi2"),
         F.max("n").cast("bigint").alias("n"),
     )

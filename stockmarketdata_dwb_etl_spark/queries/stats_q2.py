@@ -44,12 +44,16 @@ def _pr(expr: str, n: int) -> str:
 def _dterm(expr: str, n: int = 12) -> str:
     """DuckDB: n-dp-round a double term and cast DECIMAL for exact Σ.
 
-    n must keep |term|·10^n < 9.2e18: Spark's ``floor(double)`` returns
-    BIGINT and SATURATES at int64 max (observed: portable_round(x, 12)
-    corrupts any |x| ≥ ~9.2e6), while DuckDB's floor stays double — an
-    engine-asymmetric overflow. Pick n per call site from the term's
+    n must keep |term|·10^n < 2^53 ≈ 9.0e15 (the superseding r11 bound;
+    see stats_q._ssum2). Two distinct failure modes above it: at int64
+    max (9.2e18) Spark's ``floor(double)`` returns BIGINT and SATURATES
+    while DuckDB's floor stays double, but already past 2^53 the rounded
+    k/10^n stops round-tripping a double's ≤17 significant digits and
+    the two engines' double→DECIMAL conversions diverge (the
+    q_anova_hod failure). Pick n per call site from the term's
     magnitude bound; the rounding digit only has to make the Σ
-    partition-order independent, not preserve precision.
+    partition-order independent, not preserve precision. Wide dynamic
+    range: use stats_q._ssum2/_dsum2 (two-bucket split).
 
     The cast scale MUST equal the rounding digits (r09 lesson): a
     rounded term k/10^n is converted EXACTLY by both engines at scale

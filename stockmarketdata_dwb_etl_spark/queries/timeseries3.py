@@ -22,6 +22,7 @@ from pyspark.sql.window import Window
 from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.queries.dataops11 import _dsum, _ssum
+from stockmarketdata_dwb_etl_spark.queries.stats_q import _dsum2, _ssum2
 from stockmarketdata_dwb_etl_spark.queries.timeseries import _DUCK_ORD, _spark_ord
 from stockmarketdata_dwb_etl_spark.registry import query
 
@@ -506,7 +507,7 @@ def q_tick_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
                {_dsum("dt_s", 6)} AS s,
-               {_dsum("dt_s * dt_s", 6)} AS ss
+               {_dsum2("dt_s * dt_s", 6, 0)} AS ss
         FROM gaps GROUP BY event_type
     )
     SELECT event_type, n,
@@ -538,13 +539,16 @@ def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dt_s"),
     ).filter(F.col("dt_s").isNotNull())
     # 6dp round-then-DECIMAL: dt_s is an exact microsecond multiple, so
-    # the 6dp round is LOSSLESS on s while making the raw
-    # double→DECIMAL conversion exact on both engines (DuckDB's is
-    # lossy); dt_s² ≤ ~1e10 keeps the 6dp floor term under int64.
+    # the 6dp round is LOSSLESS on s, and |dt_s|·1e6 stays under the
+    # 2^53 ≈ 9.0e15 cross-engine round-trip bound to gaps of ~285
+    # years. dt_s² has no such cap (a single 26h+ gap breaches 2^53 at
+    # 6dp), so the squared sum routes through the two-bucket split:
+    # sub-second gaps keep 6dp, larger gaps round to integer seconds²
+    # (safe to |dt_s| < ~9.5e7 s ≈ 3 years — beyond any table span).
     m = gaps.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         _ssum(F.col("dt_s"), 6).alias("s"),
-        _ssum(F.col("dt_s") * F.col("dt_s"), 6).alias("ss"),
+        _ssum2(F.col("dt_s") * F.col("dt_s"), 6, 0).alias("ss"),
     )
     mu = F.col("s") / F.col("n")
     sd = F.sqrt(F.greatest(F.col("ss") / F.col("n") - mu * mu, F.lit(0.0)))

@@ -209,3 +209,86 @@ def ivf_probe_index(
         portable_round(cosine(F.col("embedding"), F.col("pv")), 4).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(k)
+
+
+def probe_pool_candidates(
+    probes: DataFrame,
+    pool: DataFrame,
+    probe_id: str = "ip",
+    pool_id: str = "iq",
+    probe_vec: str = "vp",
+    pool_vec: str = "vq",
+    brute_force_limit: int = 200_000,
+    n_planes: int = 32,
+    n_bands: int = 4,
+    seed: int = 7,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Candidate (probe, pool) rows for the multi-probe kNN audits
+    (q_label_noise_knn's neighbor vote, q_intrinsic_dim's TwoNN ratio):
+    the EXACT probes×pool grid while the pool fits under
+    ``brute_force_limit`` rows, and banded hyperplane-LSH bucket
+    candidates above it — the executable form of the q_mutual_knn
+    "sample-bounded, LSH at corpus scale" contract, so a caller can no
+    longer hit an O(|probes|·N) nested-loop join on a 100 TB pool by
+    accident.
+
+    LSH path (the :func:`~stockmarketdata_dwb_etl_spark.operators.dedup
+    .embedding_near_dups` band shape, cross-side): both sides take
+    ``n_planes`` sign bits on the same fixed-seed hyperplanes, split
+    into ``n_bands`` bands, and candidates equi-join on
+    (band_id, band_val) — shuffling only (id, band) rows, never the
+    vectors, never all pairs. Pool-side buckets above ``max_bucket``
+    rows are dropped so one degenerate dense region can't recreate the
+    quadratic join this path exists to avoid (the repo-wide LSH cap
+    discipline). Candidates are id-only until the final join-back of
+    both sides' full rows, and the output schema matches the
+    brute-force grid exactly — downstream rank/vote logic is
+    path-independent. Above the threshold the audit is explicitly
+    approximate: per-band recall for a cos≈0.9 true neighbor is
+    ~1-(1-(1-θ/π)^(planes/bands))^bands ≈ 0.74 at the defaults, the
+    standard LSH recall/cost dial (raise n_bands to trade shuffle
+    volume for recall)."""
+    if pool.count() <= brute_force_limit:
+        return probes.join(pool, F.col(probe_id) != F.col(pool_id))
+
+    planes = hyperplanes(n_planes=n_planes, seed=seed)
+    bits = n_planes // n_bands
+
+    def _bands(df: DataFrame, idc: str, vc: str) -> DataFrame:
+        return df.select(
+            F.col(idc),
+            bucket_expr(F.col(vc), planes).alias("__sig"),
+        ).select(
+            F.col(idc),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band_id"),
+                            F.shiftright("__sig", j * bits)
+                            .bitwiseAND(F.lit((1 << bits) - 1))
+                            .alias("band_val"),
+                        )
+                        for j in range(n_bands)
+                    ]
+                )
+            ).alias("b"),
+        ).select(idc, "b.band_id", "b.band_val")
+
+    pband = _bands(probes, probe_id, probe_vec)
+    qband = _bands(pool, pool_id, pool_vec)
+    qcap = (
+        qband.groupBy("band_id", "band_val")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= max_bucket)
+        .select("band_id", "band_val")
+    )
+    pairs = (
+        pband.join(qband.join(qcap, ["band_id", "band_val"]),
+                   ["band_id", "band_val"])
+        .filter(F.col(probe_id) != F.col(pool_id))
+        .select(probe_id, pool_id)
+        .distinct()
+    )
+    return pairs.join(probes, probe_id).join(pool, pool_id)

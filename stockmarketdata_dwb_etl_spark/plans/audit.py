@@ -147,3 +147,71 @@ def audit(df: DataFrame) -> PlanAudit:
     a.has_take_ordered = "TakeOrderedAndProject" in plan
     a.n_hash_aggregates = plan.count("HashAggregate")
     return a
+
+
+@dataclass
+class CheckpointAudit:
+    """Accumulated pre-truncation facts for every localCheckpoint taken
+    while :func:`capture_checkpoints` was active — the audit's view
+    INSIDE iterative operators, whose final plan hides each superstep's
+    exchanges behind the checkpoint (the r11 verdict's blind spot:
+    q_ppr_seed's row read "0 shuffles" while every superstep shuffled
+    edge⋈rank)."""
+
+    n_checkpoints: int = 0
+    n_exchanges: int = 0
+    n_broadcast_exchanges: int = 0
+    joins: list[str] = field(default_factory=list)
+    row_python_nodes: int = 0
+    arrow_python_nodes: int = 0
+
+
+def capture_checkpoints():
+    """Context manager instrumenting ``DataFrame.localCheckpoint``:
+    while active, each checkpointed frame's plan is audited BEFORE
+    truncation and accumulated, so a loop-body regression (a new
+    shuffle, a row-Python node inside a superstep) can no longer hide
+    behind the checkpoint. Audit-only instrumentation — the checkpoint
+    itself proceeds unchanged."""
+    import contextlib as _ctx
+
+    # PySpark 4 split: the classic runtime DataFrame SUBCLASS defines
+    # its own localCheckpoint, so patching only the abstract base never
+    # intercepts an instance call — patch every class that carries the
+    # method in its own __dict__.
+    targets = [DataFrame]
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _ClassicDF
+
+        targets.append(_ClassicDF)
+    except ImportError:  # pragma: no cover — older layouts
+        pass
+    targets = [c for c in targets if "localCheckpoint" in c.__dict__]
+
+    @_ctx.contextmanager
+    def _cm():
+        acc = CheckpointAudit()
+        origs = {c: c.__dict__["localCheckpoint"] for c in targets}
+
+        def _make(orig):
+            def patched(self, eager=True):
+                sub = audit(self)
+                acc.n_checkpoints += 1
+                acc.n_exchanges += sub.n_exchanges
+                acc.n_broadcast_exchanges += sub.n_broadcast_exchanges
+                acc.joins += sub.joins
+                acc.row_python_nodes += sub.row_python_nodes
+                acc.arrow_python_nodes += sub.arrow_python_nodes
+                return orig(self, eager=eager)
+
+            return patched
+
+        for c, orig in origs.items():
+            c.localCheckpoint = _make(orig)
+        try:
+            yield acc
+        finally:
+            for c, orig in origs.items():
+                c.localCheckpoint = orig
+
+    return _cm()

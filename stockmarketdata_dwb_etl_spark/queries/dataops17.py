@@ -600,11 +600,16 @@ def q_label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     count of high-suspicion probes (≥ 4/5
     disagreeing neighbors). Disagreement stays in exact integers (the
     average is one exact-int division), cosines are sequential folds
-    rounded at 8dp before the rank (iq tie-break). Scale: the probe
-    sample bounds the candidate join (probes × pool, the q_mutual_knn
-    contract — at corpus scale the candidate source is the LSH bucket
-    machinery of q_dedup_embedding, not an all-pairs join).
+    rounded at 8dp before the rank (iq tie-break). Scale: candidates
+    come from operators/similarity.probe_pool_candidates — the exact
+    probes × pool grid at fixture scale (oracle-identical), switching
+    to banded hyperplane-LSH bucket candidates above its enforced
+    200k-row pool threshold, so the O(|probes|·N) join can no longer
+    be hit at corpus scale (the now-executable q_mutual_knn contract).
     """
+    from stockmarketdata_dwb_etl_spark.operators.similarity import (
+        probe_pool_candidates,
+    )
     emb = load_table(spark, sf_dir, "embeddings")
     pool = emb.select(
         F.col("vec_id").alias("iq"),
@@ -623,7 +628,7 @@ def q_label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     np_ = fold(F.zip_with("vp", "vp", lambda x, y: x * y))
     nq = fold(F.zip_with("vq", "vq", lambda x, y: x * y))
     denom = F.sqrt(np_) * F.sqrt(nq)
-    sims = probes.join(pool, F.col("ip") != F.col("iq")).select(
+    sims = probe_pool_candidates(probes, pool).select(
         "ip",
         "lp",
         "iq",

@@ -755,9 +755,16 @@ def q_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     much thinner manifold. Distances are sequential folds rounded at
     8dp before the rank (iq tie-break); μ = ½·ln(d²-ratio) rounds at
     10dp and accumulates in matching DECIMAL. Probes sample every 5th
-    vector (the q_mutual_knn candidate contract — corpus-scale
-    candidate generation belongs to the LSH machinery). HAVING r₁ > 0
+    vector; candidates come from operators/similarity.
+    probe_pool_candidates — the exact probes × pool grid at fixture
+    scale (oracle-identical), banded hyperplane-LSH buckets above its
+    enforced 200k-row pool threshold (the executable q_mutual_knn
+    contract). HAVING r₁ > 0
     drops exact-duplicate probes, which have no ratio information."""
+    from stockmarketdata_dwb_etl_spark.operators.similarity import (
+        probe_pool_candidates,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     pool = emb.select(
         F.col("vec_id").alias("iq"),
@@ -772,7 +779,7 @@ def q_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    dists = probes.join(pool, F.col("ip") != F.col("iq")).select(
+    dists = probe_pool_candidates(probes, pool).select(
         "ip", "iq", portable_round(d2, 8).alias("d2")
     )
     w = Window.partitionBy("ip").orderBy("d2", "iq")

@@ -1,0 +1,119 @@
+"""Semantic tests for the round-12 operator batch (dataops19) — the
+properties the driver's oracle hash can't see: mathematical invariants
+of G², Neyman shares, BM25, winsorized moments, Haar energies, HITS
+normalization, MMD non-negativity, CKA boundedness."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _run(spark, name):
+    from stockmarketdata_dwb_etl_spark.registry import QUERIES, load_all
+
+    load_all()
+    return QUERIES[name](spark, SF_DIR).collect()
+
+
+def test_collocation_llr_invariants(spark):
+    rows = _run(spark, "q_collocation_llr")
+    assert 0 < len(rows) <= 15
+    for r in rows:
+        assert r["c_ab"] >= 5
+        assert r["g2"] >= 0.0, "G² is a likelihood RATIO statistic"
+    g2s = [r["g2"] for r in rows]
+    assert g2s == sorted(g2s, reverse=True)
+
+
+def test_neyman_allocation_shares(spark):
+    rows = _run(spark, "q_neyman_allocation")
+    assert len(rows) == 5  # TPC-H market segments
+    total_share = sum(r["alloc_share"] for r in rows)
+    assert total_share == pytest.approx(1.0, abs=1e-4)
+    # rounding each share independently can drift a few units off the
+    # budget, never more than n_strata/2
+    assert abs(sum(r["n_alloc"] for r in rows) - 1000) <= 3
+    for r in rows:
+        assert r["s_h"] >= 0.0 and r["n_alloc"] >= 0
+
+
+def test_bm25_scores_positive_and_ranked(spark):
+    rows = _run(spark, "q_bm25_scores")
+    assert len(rows) == 10
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r["bm25"] > 0.0
+        assert 1 <= r["n_terms_hit"] <= 3
+
+
+def test_winsorized_stats_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from stockmarketdata_dwb_etl_spark.catalog import load_table
+
+    rows = _run(spark, "q_winsorized_stats")
+    raw = {
+        r["event_type"]: r
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(
+            F.stddev_pop("value").alias("sd"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert len(rows) > 0
+    for r in rows:
+        assert r["p10"] <= r["win_mean"] <= r["p90"]
+        assert 0 <= r["n_clamped"] <= r["n"]
+        assert r["n"] == raw[r["event_type"]]["n"]
+        # clamping can only shrink dispersion
+        assert r["win_sd"] <= raw[r["event_type"]]["sd"] + 1e-9
+
+
+def test_haar_energy_nonnegative(spark):
+    rows = _run(spark, "q_haar_energy")
+    assert len(rows) > 0
+    for r in rows:
+        assert r["e1"] >= 0.0 and r["e2"] >= 0.0 and r["e3"] >= 0.0
+        if r["n_days"] >= 2:
+            # a non-constant daily return series has level-1 detail
+            assert r["e1"] > 0.0
+
+
+def test_hits_scores_normalized(spark):
+    rows = _run(spark, "q_hits_scores")
+    assert len(rows) == 10
+    auths = [r["auth"] for r in rows]
+    assert auths == sorted(auths, reverse=True)
+    for r in rows:
+        assert 0.0 < r["auth"] <= 1.0
+        assert 0.0 <= r["hub"] <= 1.0
+    # L1 normalization: the full vector sums to 1, so the top-10 can't
+    # exceed it
+    assert sum(auths) <= 1.0 + 1e-6
+
+
+def test_mmd_drift_nonnegative_and_small(spark):
+    rows = _run(spark, "q_mmd_drift")
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_a"] + r["n_b"] > 0
+    assert r["mmd2"] >= 0.0
+    # even/odd halves of the SAME distribution: the drift score must be
+    # near zero (cos features are bounded by 1, so MMD² ≤ 4)
+    assert r["mmd2"] < 0.1
+
+
+def test_cka_alignment_bounded(spark):
+    rows = _run(spark, "q_cka_alignment")
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["hsic_xx"] > 0.0 and r["hsic_yy"] > 0.0
+    assert r["hsic_xy"] >= 0.0
+    # CKA is a normalized inner product: Cauchy–Schwarz bounds it in
+    # [0, 1] (rounding slack)
+    assert -1e-6 <= r["cka"] <= 1.0 + 1e-6

@@ -90,6 +90,11 @@ PROBES = (
     "q_whitening_stats",        # d(d-1)/2-per-vector pair fan-out + (dim,dim) hash-agg over embeddings (round 11)
     "q_kneser_ney_lm",          # map-side bigram build + vocab-sized KN model joins over documents (round 11)
     "q_js_divergence",          # word-count hash-agg + |sources|^2 x 200 pair table over documents (round 11)
+    "q_collocation_llr",        # bigram/unigram token-key shuffles + broadcast marginals over documents (round 12)
+    "q_winsorized_stats",       # type-keyed rank window + split-sum moment agg over events (round 12)
+    "q_haar_energy",            # 3 halving (symbol,pair) hash-aggs over events (round 12)
+    "q_mmd_drift",              # map-side RFF projection + (side,feature) agg over embeddings (round 12)
+    "q_cka_alignment",          # d^2-bounded pair fan + (dim,dim) hash-agg over embeddings (round 12)
 )
 
 

@@ -117,3 +117,48 @@ def test_cka_alignment_bounded(spark):
     # CKA is a normalized inner product: Cauchy–Schwarz bounds it in
     # [0, 1] (rounding slack)
     assert -1e-6 <= r["cka"] <= 1.0 + 1e-6
+
+
+def test_binseg_split_bounds(spark):
+    rows = _run(spark, "q_binseg_split")
+    assert len(rows) > 0
+    for r in rows:
+        assert 2 <= r["split_idx"] <= r["n_days"] - 2
+        # splitting can only reduce SSE (gain ≥ 0 up to rounding)
+        assert r["sse_gain"] >= -1e-6
+
+
+def test_semantic_outliers_shape(spark):
+    from collections import Counter
+
+    rows = _run(spark, "q_semantic_outliers")
+    per_label = Counter(r["label"] for r in rows)
+    assert all(c == 5 for c in per_label.values())
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["cos_centroid"] <= 1.0 + 1e-9
+    # ascending cosine within each label (least typical first)
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r["cos_centroid"])
+    for vals in by_label.values():
+        assert vals == sorted(vals)
+
+
+def test_effective_rank_bounds(spark):
+    rows = _run(spark, "q_effective_rank")
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["ambient_dim"] == 64
+    assert r["trace_cov"] > 0.0 and r["fro2_cov"] > 0.0
+    # PR of a d-dim covariance lies in [1, d]
+    assert 1.0 - 1e-6 <= r["effective_rank"] <= 64.0 + 1e-6
+
+
+def test_temperature_scaling_unique_winner(spark):
+    rows = _run(spark, "q_temperature_scaling")
+    assert len(rows) == 6
+    assert sum(1 for r in rows if r["is_best"]) == 1
+    best = next(r for r in rows if r["is_best"])
+    for r in rows:
+        assert r["mean_nll"] > 0.0
+        assert best["mean_nll"] <= r["mean_nll"] + 1e-9

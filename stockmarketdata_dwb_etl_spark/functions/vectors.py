@@ -36,3 +36,41 @@ def norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity; NULL when either side has zero norm."""
     return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
+
+
+def dim_pair_products(df, vec_col: str = "v", id_cols: tuple = ()):
+    """(ia, ib, prod) rows for EVERY ordered dimension pair of an
+    array<double> column, generated MAP-SIDE from each row's own array
+    — the q_pair_affinity design applied to dimension pairs.
+
+    Replaces the exploded-table self-join (ex ⋈ ex ON vec_id) that
+    q_whitening_stats/q_cka_alignment/q_effective_rank first shipped:
+    the join shuffles 2·d·n exploded rows on the vector id before
+    producing the d²·n pair rows, while this form produces them in the
+    scan's own task and lets the downstream groupBy(ia, ib) partial-
+    aggregate them down to d² rows per partition BEFORE its shuffle —
+    at 100 TB the only exchange left is the d²-key final agg. The
+    caller filters pairs (ia < ib, block masks) map-side and applies
+    its own rounding discipline to ``prod``."""
+    vec = F.col(vec_col)
+    d = F.size(vec)
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), d),
+                lambda i: F.transform(
+                    F.sequence(F.lit(1), d),
+                    lambda j: F.struct(
+                        i.alias("ia"),
+                        j.alias("ib"),
+                        (F.element_at(vec, i) * F.element_at(vec, j)).alias(
+                            "prod"
+                        ),
+                    ),
+                ),
+            )
+        )
+    ).alias("p")
+    return df.select(*id_cols, pair).select(
+        *id_cols, "p.ia", "p.ib", "p.prod"
+    )

@@ -740,20 +740,20 @@ def q_whitening_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ssum(F.col("val"), 12).alias("sx"),
         _ssum(F.col("val") * F.col("val"), 12).alias("sxx"),
     )
-    a = ex.select(
-        F.col("vec_id").alias("vid"),
-        F.col("idx").alias("da"),
-        F.col("val").alias("va"),
+    from stockmarketdata_dwb_etl_spark.functions.vectors import (
+        dim_pair_products,
     )
-    b = ex.select(
-        F.col("vec_id").alias("vid"),
-        F.col("idx").alias("db"),
-        F.col("val").alias("vb"),
-    )
+
+    # pair products generate MAP-SIDE from each vector's own array (no
+    # exploded self-join; the groupBy partial-aggregates the d(d−1)/2
+    # keys per partition before its only shuffle — dim_pair_products)
     pairs = (
-        a.join(b, (a["vid"] == b["vid"]) & (a["da"] < b["db"]))
-        .groupBy("da", "db")
-        .agg(_ssum(F.col("va") * F.col("vb"), 12).alias("sxy"))
+        dim_pair_products(
+            emb.select(F.col("embedding").cast("array<double>").alias("v"))
+        )
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy(F.col("ia").alias("da"), F.col("ib").alias("db"))
+        .agg(_ssum(F.col("prod"), 12).alias("sxy"))
     )
     dx = dims.select(
         F.col("idx").alias("da"),

@@ -977,24 +977,20 @@ def q_cka_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         _ssum(F.col("val"), 12).alias("sx"),
     )
-    a = ex.select(
-        F.col("vec_id").alias("vid"),
-        F.col("idx").alias("ia"),
-        F.col("val").alias("va"),
+    from stockmarketdata_dwb_etl_spark.functions.vectors import (
+        dim_pair_products,
     )
-    b = ex.select(
-        F.col("vec_id").alias("vid"),
-        F.col("idx").alias("ib"),
-        F.col("val").alias("vb"),
-    )
+
+    # pair products generate MAP-SIDE from each vector's own array (no
+    # exploded self-join: the groupBy partial-aggregates d² keys per
+    # partition before its only shuffle — see dim_pair_products)
     pairs = (
-        a.join(
-            b,
-            (a["vid"] == b["vid"])
-            & ~((F.col("ia") > 32) & (F.col("ib") <= 32)),
+        dim_pair_products(
+            emb.select(F.col("embedding").cast("array<double>").alias("v"))
         )
+        .filter(~((F.col("ia") > 32) & (F.col("ib") <= 32)))
         .groupBy("ia", "ib")
-        .agg(_ssum(F.col("va") * F.col("vb"), 12).alias("sxy"))
+        .agg(_ssum(F.col("prod"), 12).alias("sxy"))
     )
     dx = dims.select(
         F.col("idx").alias("ia"),

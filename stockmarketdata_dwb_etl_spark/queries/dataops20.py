@@ -390,20 +390,17 @@ def q_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         _ssum(F.col("val"), 12).alias("sx"),
     )
-    a = ex.select(
-        F.col("vec_id").alias("vid"),
-        F.col("idx").alias("ia"),
-        F.col("val").alias("va"),
+    from stockmarketdata_dwb_etl_spark.functions.vectors import (
+        dim_pair_products,
     )
-    b = ex.select(
-        F.col("vec_id").alias("vid"),
-        F.col("idx").alias("ib"),
-        F.col("val").alias("vb"),
-    )
+
+    # map-side pair products — no exploded self-join (dim_pair_products)
     pairs = (
-        a.join(b, "vid")
+        dim_pair_products(
+            emb.select(F.col("embedding").cast("array<double>").alias("v"))
+        )
         .groupBy("ia", "ib")
-        .agg(_ssum(F.col("va") * F.col("vb"), 12).alias("sxy"))
+        .agg(_ssum(F.col("prod"), 12).alias("sxy"))
     )
     dx = dims.select(
         F.col("idx").alias("ia"),

@@ -63,11 +63,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 PRIORITY = (
     # --- r12 front-50: EVERY remaining never-driver-sampled query —
     # the 40 staged from r11 (26 cheapest-first originals + the 12
-    # dataops17/18 additions) + the 8 round-12 additions (dataops19,
-    # both-scale validated at birth) + the 2 pre-validated streaming
-    # entries = 48 (a front-50 driver pass picks up two already-
-    # certified entries after them) -> full 520/520 cumulative
-    # certification if the driver runs the whole tranche.
+    # dataops17/18 additions) + 10 round-12 additions (all 8 of
+    # dataops19 + the 2 cheapest of dataops20, each both-scale
+    # validated at birth), with the 2 pre-validated streaming entries
+    # at 49-50 = exactly 50 -> 522/524 cumulative certification if the
+    # driver runs the whole tranche (the 2 heavier dataops20 entries
+    # stage at positions 51-52 for r13).
     # Ordering stays cheapest-first
     # (round-11-VM warm timings, scripts/tranche_timings_r11.json, with
     # the round-12 additions slotted by their birth-run timings), the
@@ -81,7 +82,8 @@ PRIORITY = (
     "q_hampel_filter", "q_js_divergence", "q_intrinsic_dim",
     "q_lift_gains", "q_ljung_box", "q_source_overlap",
     "q_mmd_drift", "q_supertrend", "q_collocation_llr",
-    "q_neyman_allocation", "q_bm25_scores", "q_cointegration_screen",
+    "q_neyman_allocation", "q_bm25_scores", "q_binseg_split",
+    "q_semantic_outliers", "q_cointegration_screen",
     "q_er_golden_record", "q_temperature_mix", "q_audience_overlap",
     "q_rfm_segmentation", "q_partial_corr", "q_cci",
     "q_variance_ratio", "q_granger_lite", "q_heaps_law",
@@ -95,6 +97,10 @@ PRIORITY = (
     "q_wasserstein_drift", "q_coreset_kcenter", "q_hits_scores",
     "q_cka_alignment",
     "q_stream_dollar_bars", "q_stream_stream_join",
+    # positions 51-52: outside the driver's front-50 — the two
+    # heavier round-12 batch-2 additions (both-scale validated at
+    # birth) stage here for the r13 tranche
+    "q_effective_rank", "q_temperature_scaling",
 )
 
 

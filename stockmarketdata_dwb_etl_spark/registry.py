@@ -97,10 +97,11 @@ PRIORITY = (
     "q_wasserstein_drift", "q_coreset_kcenter", "q_hits_scores",
     "q_cka_alignment",
     "q_stream_dollar_bars", "q_stream_stream_join",
-    # positions 51-52: outside the driver's front-50 — the two
-    # heavier round-12 batch-2 additions (both-scale validated at
-    # birth) stage here for the r13 tranche
+    # positions 51+: outside the driver's front-50 — the heavier
+    # round-12 batch-2 additions and the batch-3 quartet (all
+    # both-scale validated at birth) stage here for the r13 tranche
     "q_effective_rank", "q_temperature_scaling",
+    "q_logrank_test", "q_ipw_ate", "q_stump_split", "q_freshness_decay",
 )
 
 

@@ -162,3 +162,53 @@ def test_temperature_scaling_unique_winner(spark):
     for r in rows:
         assert r["mean_nll"] > 0.0
         assert best["mean_nll"] <= r["mean_nll"] + 1e-9
+
+
+def test_logrank_consistency(spark):
+    rows = _run(spark, "q_logrank_test")
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_times"] > 0 and r["o1"] >= 0
+    assert r["e1"] > 0.0
+    if r["chi2"] is not None:
+        assert r["chi2"] >= 0.0
+
+
+def test_ipw_ate_identities(spark):
+    rows = _run(spark, "q_ipw_ate")
+    r = rows[0]
+    assert r["n_treated"] > 0 and r["n_control"] > 0
+    # Hajek ratio means live inside the outcome range
+    assert 0.0 < r["mean_treated"] and 0.0 < r["mean_control"]
+    assert r["ate"] == pytest.approx(
+        r["mean_treated"] - r["mean_control"], abs=2e-4
+    )
+    # ESS can never exceed the group size
+    assert 0 < r["ess_treated"] <= r["n_treated"]
+    assert 0 < r["ess_control"] <= r["n_control"]
+
+
+def test_stump_split_unique_best(spark):
+    rows = _run(spark, "q_stump_split")
+    assert len(rows) == 19
+    assert sum(1 for r in rows if r["is_best"]) == 1
+    best = next(r for r in rows if r["is_best"])
+    for r in rows:
+        assert r["gini_gain"] >= -1e-9, "a split cannot increase impurity"
+        assert best["gini_gain"] >= r["gini_gain"] - 1e-9
+        assert r["n_left"] > 0 and r["n_right"] > 0
+    # thresholds monotone in rank (order statistics)
+    thrs = [r["threshold"] for r in rows]
+    assert thrs == sorted(thrs)
+
+
+def test_freshness_decay_shares(spark):
+    rows = _run(spark, "q_freshness_decay")
+    assert len(rows) > 0
+    assert sum(r["mass_share"] for r in rows) == pytest.approx(
+        1.0, abs=1e-4
+    )
+    for r in rows:
+        assert 0.0 < r["fresh_mass"] <= r["n"]
+        assert 0.0 < r["ess"] <= r["n"]
+        assert r["mean_age_days"] >= 0.0

@@ -61,15 +61,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: staged block: scripts/tranche_timings_r11.json; round-12 additions
 #: timed at birth (this file's PRIORITY comment).
 PRIORITY = (
-    # --- r12 front-50: EVERY remaining never-driver-sampled query —
-    # the 40 staged from r11 (26 cheapest-first originals + the 12
-    # dataops17/18 additions) + 10 round-12 additions (all 8 of
-    # dataops19 + the 2 cheapest of dataops20, each both-scale
-    # validated at birth), with the 2 pre-validated streaming entries
-    # at 49-50 = exactly 50 -> 522/524 cumulative certification if the
-    # driver runs the whole tranche (the 2 heavier dataops20 entries
-    # stage at positions 51-52 for r13).
-    # Ordering stays cheapest-first
+    # --- r12 front-50: the 40 staged from r11 (26 cheapest-first
+    # originals + the 12 dataops17/18 additions) + the 10 CHEAPEST
+    # round-12 additions (6 of dataops19, 2 of dataops20, 2 of
+    # dataops21 — each both-scale validated at birth), with the 2
+    # pre-validated streaming entries at 49-50 = exactly 50 ->
+    # 522/528 cumulative certification if the driver runs the whole
+    # tranche (the 6 heavier additions stage at positions 51+ for
+    # r13). Ordering stays cheapest-first
     # (round-11-VM warm timings, scripts/tranche_timings_r11.json, with
     # the round-12 additions slotted by their birth-run timings), the
     # six heaviest non-streaming entries at positions 43-48 and the
@@ -94,14 +93,17 @@ PRIORITY = (
     "q_hurst_exponent", "q_haar_energy", "q_kalman_filter",
     "q_bootstrap_ci", "q_fdr_bh", "q_burrows_delta",
     "q_tail_dependence", "q_ppr_seed", "q_dsir_importance",
-    "q_wasserstein_drift", "q_coreset_kcenter", "q_hits_scores",
-    "q_cka_alignment",
+    "q_wasserstein_drift", "q_coreset_kcenter", "q_ipw_ate",
+    "q_freshness_decay",
     "q_stream_dollar_bars", "q_stream_stream_join",
     # positions 51+: outside the driver's front-50 — the heavier
-    # round-12 batch-2 additions and the batch-3 quartet (all
-    # both-scale validated at birth) stage here for the r13 tranche
+    # round-12 additions (HITS/CKA swapped out of the front for the
+    # two cheapest batch-3 entries: same 50-query certification count,
+    # ~27 s less wall at the driver) stage here for the r13 tranche,
+    # all both-scale validated at birth
+    "q_hits_scores", "q_cka_alignment",
     "q_effective_rank", "q_temperature_scaling",
-    "q_logrank_test", "q_ipw_ate", "q_stump_split", "q_freshness_decay",
+    "q_logrank_test", "q_stump_split",
 )
 
 

@@ -104,6 +104,8 @@ PRIORITY = (
     "q_hits_scores", "q_cka_alignment",
     "q_effective_rank", "q_temperature_scaling",
     "q_logrank_test", "q_stump_split",
+    "q_aipw_ate", "q_price_elasticity", "q_isotonic_calibration",
+    "q_markov_attribution",
 )
 
 

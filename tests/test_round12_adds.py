@@ -212,3 +212,50 @@ def test_freshness_decay_shares(spark):
         assert 0.0 < r["fresh_mass"] <= r["n"]
         assert 0.0 < r["ess"] <= r["n"]
         assert r["mean_age_days"] >= 0.0
+
+
+def test_markov_attribution_shares(spark):
+    rows = _run(spark, "q_markov_attribution")
+    assert len(rows) == 4  # click, error, signup, view
+    assert sum(r["attribution_share"] for r in rows) == pytest.approx(
+        1.0, abs=1e-3
+    )
+    for r in rows:
+        assert 0.0 <= r["base_conv"] <= 1.0
+        assert 0.0 <= r["removal_conv"] <= 1.0
+        # removing a channel cannot RAISE conversion
+        assert r["removal_conv"] <= r["base_conv"] + 1e-9
+        assert 0.0 <= r["removal_effect"] <= 1.0
+
+
+def test_isotonic_calibration_monotone(spark):
+    rows = _run(spark, "q_isotonic_calibration")
+    assert len(rows) >= 2
+    iso = [r["iso_rate"] for r in rows]
+    assert iso == sorted(iso), "PAV output must be non-decreasing"
+    for r in rows:
+        assert 0.0 <= r["iso_rate"] <= 1.0
+        assert 0.0 <= r["raw_rate"] <= 1.0
+    # PAV preserves the overall mean (up to rounding)
+    n_tot = sum(r["n"] for r in rows)
+    mean_raw = sum(r["pos"] for r in rows) / n_tot
+    mean_iso = sum(r["iso_rate"] * r["n"] for r in rows) / n_tot
+    assert mean_iso == pytest.approx(mean_raw, abs=1e-4)
+
+
+def test_price_elasticity_bounds(spark):
+    rows = _run(spark, "q_price_elasticity")
+    assert len(rows) == 25  # TPC-H brands
+    for r in rows:
+        assert r["n"] > 0
+        if r["r2"] is not None:
+            assert -1e-9 <= r["r2"] <= 1.0 + 1e-9
+
+
+def test_aipw_close_to_ipw(spark):
+    aipw = _run(spark, "q_aipw_ate")[0]
+    ipw = _run(spark, "q_ipw_ate")[0]
+    assert aipw["n"] == ipw["n_treated"] + ipw["n_control"]
+    # same propensity, near-random treatment: the two estimators must
+    # land in the same ballpark (loose sanity band, not equality)
+    assert abs(aipw["ate_aipw"] - ipw["ate"]) < 20000.0

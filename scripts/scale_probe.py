@@ -95,6 +95,9 @@ PROBES = (
     "q_haar_energy",            # 3 halving (symbol,pair) hash-aggs over events (round 12)
     "q_mmd_drift",              # map-side RFF projection + (side,feature) agg over embeddings (round 12)
     "q_cka_alignment",          # d^2-bounded pair fan + (dim,dim) hash-agg over embeddings (round 12)
+    "q_markov_attribution",     # one user-keyed journey shuffle + variants x states value iteration (round 12)
+    "q_price_elasticity",       # broadcast part join + brand-keyed moment agg over lineitem (round 12)
+    "q_stump_split",            # distributed global rank + 19-threshold broadcast grid over customer (round 12; customer base-size -> fixed-cost flatness)
 )
 
 

@@ -106,6 +106,8 @@ PRIORITY = (
     "q_logrank_test", "q_stump_split",
     "q_aipw_ate", "q_price_elasticity", "q_isotonic_calibration",
     "q_markov_attribution",
+    "q_sprt_ab", "q_nrr_retention", "q_dedup_phonetic",
+    "q_geometric_median",
 )
 
 

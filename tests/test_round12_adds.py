@@ -259,3 +259,56 @@ def test_aipw_close_to_ipw(spark):
     # same propensity, near-random treatment: the two estimators must
     # land in the same ballpark (loose sanity band, not equality)
     assert abs(aipw["ate_aipw"] - ipw["ate"]) < 20000.0
+
+
+def test_sprt_llr_and_single_first_decision(spark):
+    rows = _run(spark, "q_sprt_ab")
+    assert len(rows) > 0
+    llrs = [r["llr"] for r in rows]
+    cums = [(r["cum_n"], r["cum_c"]) for r in rows]
+    assert cums == sorted(cums), "cumulative counts must be monotone"
+    assert sum(1 for r in rows if r["first_decision"]) <= 1
+    import math
+
+    # recompute one LLR from its own counts
+    r = rows[-1]
+    expect = r["cum_c"] * math.log(0.14 / 0.10) + (
+        r["cum_n"] - r["cum_c"]
+    ) * math.log(0.86 / 0.90)
+    assert r["llr"] == pytest.approx(expect, abs=1e-5)
+
+
+def test_nrr_waterfall_identity(spark):
+    rows = _run(spark, "q_nrr_retention")
+    assert len(rows) > 1
+    for r in rows:
+        if r["nrr"] is not None and r["starting_rev"] > 0:
+            ident = (
+                r["starting_rev"]
+                + r["expansion"]
+                - r["contraction"]
+                - r["churned"]
+            ) / r["starting_rev"]
+            assert r["nrr"] == pytest.approx(ident, abs=1e-5)
+        for c in ("expansion", "contraction", "churned", "new_rev"):
+            assert r[c] >= 0.0
+
+
+def test_dedup_phonetic_recovers_planted(spark):
+    rows = _run(spark, "q_dedup_phonetic")
+    assert len(rows) > 0
+    for r in rows:
+        assert r["dup_id"] == r["src_id"] + 3_000_000
+        assert 0 <= r["edit_dist"] <= 3
+        assert r["src_id"] % 10 == 0
+
+
+def test_geometric_median_robustness_direction(spark):
+    rows = _run(spark, "q_geometric_median")
+    assert len(rows) == 64
+    for r in rows:
+        # the GM of a roughly symmetric cloud stays near the mean
+        assert abs(r["shift"]) < 0.05
+        assert r["gm_coord"] == pytest.approx(
+            r["mean_coord"] + r["shift"], abs=2e-6
+        )

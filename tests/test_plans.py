@@ -460,3 +460,43 @@ def test_minhash_signatures_are_map_side(spark):
     plan = _plan(_queries()["q_dedup_minhash"](spark, SF_DIR))
     assert "array_min" in plan
     assert "partial_min" not in plan
+
+
+def test_mmd_drift_is_single_scan_no_kernel_join(spark):
+    """RFF-MMD's whole point is linearity: the feature projection is
+    map-side and the only joins combine the 8-row per-feature means —
+    a pairwise kernel matrix (any join carrying embeddings on both
+    sides, or a cartesian) must never appear."""
+    from stockmarketdata_dwb_etl_spark.plans import audit
+
+    df = _queries()["q_mmd_drift"](spark, SF_DIR)
+    a = audit(df)
+    assert "CartesianProduct" not in a.joins, a
+    assert "SortMergeJoin" not in a.joins, a
+    assert a.row_python_nodes == 0
+
+
+def test_dim_pair_fan_has_no_exploded_self_join(spark):
+    """whitening/CKA/effective-rank generate dimension-pair products
+    map-side (dim_pair_products): the exploded (vec_id, dim, val)
+    self-join — a SortMergeJoin on the vector id — must not return."""
+    from stockmarketdata_dwb_etl_spark.plans import audit
+
+    for name in ("q_whitening_stats", "q_cka_alignment", "q_effective_rank"):
+        a = audit(_queries()[name](spark, SF_DIR))
+        assert "SortMergeJoin" not in a.joins, (name, a)
+        assert "CartesianProduct" not in a.joins, (name, a)
+
+
+def test_probe_pool_brute_path_is_bounded_bnlj_only(spark):
+    """Under the pool threshold the kNN audits run the documented
+    probes×pool nested loop (sample-bounded); nothing row-Python, and
+    the only join strategies are broadcast-based."""
+    from stockmarketdata_dwb_etl_spark.plans import audit
+
+    a = audit(_queries()["q_label_noise_knn"](spark, SF_DIR))
+    assert a.row_python_nodes == 0
+    assert set(a.joins) <= {
+        "BroadcastNestedLoopJoin",
+        "BroadcastHashJoin",
+    }, a

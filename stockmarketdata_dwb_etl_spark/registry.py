@@ -108,6 +108,8 @@ PRIORITY = (
     "q_markov_attribution",
     "q_sprt_ab", "q_nrr_retention", "q_dedup_phonetic",
     "q_geometric_median",
+    "q_spectral_power", "q_histogram_bins", "q_group_sequential",
+    "q_chow_test",
 )
 
 

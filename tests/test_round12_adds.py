@@ -312,3 +312,52 @@ def test_geometric_median_robustness_direction(spark):
         assert r["gm_coord"] == pytest.approx(
             r["mean_coord"] + r["shift"], abs=2e-6
         )
+
+
+def test_spectral_power_parseval_direction(spark):
+    rows = _run(spark, "q_spectral_power")
+    assert len(rows) > 0
+    shares: dict = {}
+    for r in rows:
+        assert r["power"] >= 0.0
+        shares.setdefault(r["symbol"], 0.0)
+        shares[r["symbol"]] += r["power_share"]
+    for s, tot in shares.items():
+        assert tot == pytest.approx(1.0, abs=1e-3), s
+
+
+def test_histogram_bins_unique_best(spark):
+    rows = _run(spark, "q_histogram_bins")
+    assert len(rows) == 10
+    assert sum(1 for r in rows if r["is_best"]) == 1
+    best = next(r for r in rows if r["is_best"])
+    for r in rows:
+        assert best["penalized"] >= r["penalized"] - 1e-9
+        # LL of a finer partition can only grow (nesting ⇒ monotone)
+    lls = [r["loglik"] for r in sorted(rows, key=lambda r: r["n_bins"])]
+    assert all(b >= a - 1e-6 for a, b in zip(lls, lls[1:]))
+
+
+def test_group_sequential_boundaries(spark):
+    rows = _run(spark, "q_group_sequential")
+    assert len(rows) == 4
+    bounds = [r["of_bound"] for r in rows]
+    assert bounds == sorted(bounds, reverse=True), "OF bounds tighten late"
+    ns = [(r["n_treat"], r["n_ctrl"]) for r in rows]
+    assert ns == sorted(ns), "cumulative look sizes must be monotone"
+    for r in rows:
+        if r["z_stat"] is None:
+            # degenerate look (pooled rate 0 or 1): no decision possible
+            assert r["crossed"] in (None, False)
+        else:
+            assert r["crossed"] == (abs(r["z_stat"]) >= r["of_bound"])
+
+
+def test_chow_test_nonnegative_f(spark):
+    rows = _run(spark, "q_chow_test")
+    assert len(rows) > 0
+    for r in rows:
+        # splitting can only reduce SSE
+        assert r["sse_split"] <= r["sse_pooled"] + 1e-6
+        if r["f_stat"] is not None:
+            assert r["f_stat"] >= -1e-9

@@ -91,6 +91,15 @@ def main() -> int:
                        capture_output=True, text=True)
     line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "?"
     print(f"[4/4] bench: {line}")
+    if r.returncode == 0:
+        # r11 verdict #7: the handoff bench line must carry the probe
+        # calibration so BENCH_r{N}.json stays machine-comparable
+        rec = json.loads(line)
+        missing = [k for k in ("machine_state", "baseline_probe",
+                               "value_normalized") if k not in rec]
+        if missing:
+            print(f"      bench JSON missing calibration fields: {missing}")
+            return 1
     return r.returncode
 
 

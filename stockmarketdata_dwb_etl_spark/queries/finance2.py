@@ -24,11 +24,25 @@ from pyspark.sql.window import Window
 
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
+from stockmarketdata_dwb_etl_spark.queries.stats_q import (
+    _dsum2,
+    _ssum2,
+    _wdsum2,
+    _wssum2,
+)
 from stockmarketdata_dwb_etl_spark.queries.timeseries import _DUCK_ORD, _spark_ord
 from stockmarketdata_dwb_etl_spark.registry import query
 
 _DEC = "decimal(38,6)"
-_DEC18 = "decimal(38,18)"
+
+# Return-moment sums here route through the two-bucket split sum
+# (stats_q._ssum2/_dsum2, 2^53 rule in tests/test_split_sum.py): hourly
+# simple returns spike to |r| ~1.5e3 when a close lands near 0, so the
+# legacy raw double->DECIMAL(38,18) cast breached the 2^53 round-trip
+# bound (|x|*10^18 >= 2^53 for any |x| >= 9e-3) and relied on downstream
+# rounds to absorb the cross-engine conversion drift. Bucket scales per
+# power: r/products<=r^2 at (12,8) (bound 9e7), r^3 at (12,5) (observed
+# max ~3.2e9, bound 9e10), r^4 at (12,2) (observed ~4.7e12, bound 9e13).
 
 
 def _ohlcv_bars(spark: SparkSession, sf_dir: str, grain: str) -> DataFrame:
@@ -202,7 +216,7 @@ def q_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(floor(k6 * 10000.0 + 0.5) AS DOUBLE) / 10000.0
                 AS DOUBLE) AS pct_k,
            CAST(CAST(floor(CAST(
-               SUM(CAST(k6 AS DECIMAL(38,18)))
+               SUM(CAST(k6 AS DECIMAL(38,6)))
                    OVER (PARTITION BY symbol ORDER BY bar_ts
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                AS DOUBLE) / 3.0 * 10000.0 + 0.5) AS DOUBLE) / 10000.0
@@ -252,7 +266,9 @@ def q_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
             portable_round(F.col("k6"), 4).cast("double").alias("pct_k"),
             portable_round(
-                F.sum(F.col("k6").cast(_DEC18)).over(d).cast("double")
+                # k6 is already 6dp-portable-rounded, so the 6-scale cast
+                # is EXACT (k*1e6 <= 1e8 << 2^53) on both engines
+                F.sum(F.col("k6").cast("decimal(38,6)")).over(d).cast("double")
                 / F.lit(3.0),
                 4,
             )
@@ -326,19 +342,17 @@ def q_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_DUCK_RETURNS},
     mkt AS (
         SELECT bar_ts,
-               CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE)
+               {_dsum2("r", 12, 8)}
                    / COUNT(*) AS rm
         FROM rets GROUP BY bar_ts
     ),
     moments AS (
         SELECT s.symbol,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(m.rm AS DECIMAL(38,18))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(s.r AS DECIMAL(38,18))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(s.r * m.rm AS DECIMAL(38,18))) AS DOUBLE)
-                   AS sxy,
-               CAST(SUM(CAST(m.rm * m.rm AS DECIMAL(38,18))) AS DOUBLE)
-                   AS sxx
+               {_dsum2("m.rm", 12, 8)} AS sx,
+               {_dsum2("s.r", 12, 8)} AS sy,
+               {_dsum2("s.r * m.rm", 12, 8)} AS sxy,
+               {_dsum2("m.rm * m.rm", 12, 8)} AS sxx
         FROM rets s JOIN mkt m ON s.bar_ts = m.bar_ts
         GROUP BY s.symbol
     )
@@ -354,30 +368,23 @@ def q_beta_capm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CAPM beta/alpha per symbol against the equal-weight market
     return: r_m(t) = mean of available symbol returns at t (decimal sum
     / count), beta = cov(r_i, r_m)/var(r_m) via the moment formula
-    (n·Σxy − Σx·Σy)/(n·Σxx − Σx²) with every Σ accumulated in
-    DECIMAL(38,18) (per-row products computed in double first —
-    identical bits both engines), alpha = ȳ − β·x̄ with the identical
+    (n·Σxy − Σx·Σy)/(n·Σxx − Σx²) with every Σ a two-bucket split sum
+    (per-row products computed in double first — identical bits both
+    engines), alpha = ȳ − β·x̄ with the identical
     double tree. Scales: the market table is calendar-bounded (one row
     per bar) so the returns⨝market join broadcasts; moments are one
     partial+final hash-agg per symbol."""
     rets = _returns(spark, sf_dir)
     mkt = rets.groupBy("bar_ts").agg(
-        (
-            F.sum(F.col("r").cast(_DEC18)).cast("double")
-            / F.count(F.lit(1))
-        ).alias("rm")
+        (_ssum2(F.col("r"), 12, 8) / F.count(F.lit(1))).alias("rm")
     )
     joined = rets.join(F.broadcast(mkt), "bar_ts")
     m = joined.groupBy("symbol").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("rm").cast(_DEC18)).cast("double").alias("sx"),
-        F.sum(F.col("r").cast(_DEC18)).cast("double").alias("sy"),
-        F.sum((F.col("r") * F.col("rm")).cast(_DEC18))
-        .cast("double")
-        .alias("sxy"),
-        F.sum((F.col("rm") * F.col("rm")).cast(_DEC18))
-        .cast("double")
-        .alias("sxx"),
+        _ssum2(F.col("rm"), 12, 8).alias("sx"),
+        _ssum2(F.col("r"), 12, 8).alias("sy"),
+        _ssum2(F.col("r") * F.col("rm"), 12, 8).alias("sxy"),
+        _ssum2(F.col("rm") * F.col("rm"), 12, 8).alias("sxx"),
     )
     beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
@@ -398,8 +405,8 @@ def q_beta_capm(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments AS (
         SELECT symbol,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS s,
-               CAST(SUM(CAST(r * r AS DECIMAL(38,18))) AS DOUBLE) AS ss
+               {_dsum2("r", 12, 8)} AS s,
+               {_dsum2("r * r", 12, 8)} AS ss
         FROM rets GROUP BY symbol
     )
     SELECT symbol, n,
@@ -425,10 +432,8 @@ def q_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     rets = _returns(spark, sf_dir)
     m = rets.groupBy("symbol").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("r").cast(_DEC18)).cast("double").alias("s"),
-        F.sum((F.col("r") * F.col("r")).cast(_DEC18))
-        .cast("double")
-        .alias("ss"),
+        _ssum2(F.col("r"), 12, 8).alias("s"),
+        _ssum2(F.col("r") * F.col("r"), 12, 8).alias("ss"),
     )
     mean = F.col("s") / F.col("n")
     var = F.col("ss") / F.col("n") - mean * mean
@@ -458,11 +463,11 @@ def q_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments AS (
         SELECT symbol,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
-               CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy
+               {_dsum2("x", 12, 8)} AS sx,
+               {_dsum2("y", 12, 8)} AS sy,
+               {_dsum2("x * y", 12, 8)} AS sxy,
+               {_dsum2("x * x", 12, 8)} AS sxx,
+               {_dsum2("y * y", 12, 8)} AS syy
         FROM pairs GROUP BY symbol
     )
     SELECT symbol, n,
@@ -491,17 +496,11 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("x").isNotNull())
     m = pairs.groupBy("symbol").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("x").cast(_DEC18)).cast("double").alias("sx"),
-        F.sum(F.col("y").cast(_DEC18)).cast("double").alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast(_DEC18))
-        .cast("double")
-        .alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast(_DEC18))
-        .cast("double")
-        .alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast(_DEC18))
-        .cast("double")
-        .alias("syy"),
+        _ssum2(F.col("x"), 12, 8).alias("sx"),
+        _ssum2(F.col("y"), 12, 8).alias("sy"),
+        _ssum2(F.col("x") * F.col("y"), 12, 8).alias("sxy"),
+        _ssum2(F.col("x") * F.col("x"), 12, 8).alias("sxx"),
+        _ssum2(F.col("y") * F.col("y"), 12, 8).alias("syy"),
     )
     cxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     cyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
@@ -544,7 +543,7 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY bar_ts, k
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_dates,
-           CAST((CAST(floor(CAST((CAST(SUM(CAST(ic AS DECIMAL(38,18))) AS DOUBLE)
+           CAST((CAST(floor(CAST((CAST(SUM(CAST(ic AS DECIMAL(38,8))) AS DOUBLE)
                       / COUNT(*)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS mean_ic,
            CAST(COUNT(*) FILTER (WHERE ic > 0) AS BIGINT) AS n_positive
     FROM per_date
@@ -597,7 +596,10 @@ def q_rank_ic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_date.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_dates"),
         portable_round(
-            F.sum(F.col("ic").cast(_DEC18)).cast("double") / F.count(F.lit(1)),
+            # ic is already 8dp-portable-rounded and |ic| <= 1, so the
+            # 8-scale cast is EXACT (k <= 1e8 << 2^53) on both engines
+            F.sum(F.col("ic").cast("decimal(38,8)")).cast("double")
+            / F.count(F.lit(1)),
             6,
         )
         .cast("double")
@@ -613,11 +615,10 @@ def q_rank_ic(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
         SELECT symbol,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS s1,
-               CAST(SUM(CAST(r * r AS DECIMAL(38,18))) AS DOUBLE) AS s2,
-               CAST(SUM(CAST(r * r * r AS DECIMAL(38,18))) AS DOUBLE) AS s3,
-               CAST(SUM(CAST(r * r * r * r AS DECIMAL(38,18))) AS DOUBLE)
-                   AS s4
+               {_dsum2("r", 12, 8)} AS s1,
+               {_dsum2("r * r", 12, 8)} AS s2,
+               {_dsum2("r * r * r", 12, 5)} AS s3,
+               {_dsum2("r * r * r * r", 12, 2)} AS s4
         FROM rets GROUP BY symbol
     ),
     cm AS (
@@ -652,10 +653,10 @@ def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = F.col("r")
     m = rets.groupBy("symbol").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(r.cast(_DEC18)).cast("double").alias("s1"),
-        F.sum((r * r).cast(_DEC18)).cast("double").alias("s2"),
-        F.sum((r * r * r).cast(_DEC18)).cast("double").alias("s3"),
-        F.sum((r * r * r * r).cast(_DEC18)).cast("double").alias("s4"),
+        _ssum2(r, 12, 8).alias("s1"),
+        _ssum2(r * r, 12, 8).alias("s2"),
+        _ssum2(r * r * r, 12, 5).alias("s3"),
+        _ssum2(r * r * r * r, 12, 2).alias("s4"),
     )
     n = F.col("n")
     mu = F.col("s1") / n
@@ -694,8 +695,8 @@ def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT symbol,
            CAST(COUNT(*) AS BIGINT) AS n_bars,
-           CAST((CAST(floor(CAST((CAST(SUM(CAST(abs_r / volume AS DECIMAL(38,18)))
-                           AS DOUBLE) / COUNT(*) * 1e6) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE)
+           CAST((CAST(floor(CAST(({_dsum2("abs_r / volume", 12, 8)})
+                           / COUNT(*) * 1e6 AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE)
                AS amihud_x1e6
     FROM seq GROUP BY symbol ORDER BY symbol
     """,
@@ -721,9 +722,7 @@ def q_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bars"),
             portable_round(
-                F.sum((F.col("abs_r") / F.col("volume")).cast(_DEC18)).cast(
-                    "double"
-                )
+                _ssum2(F.col("abs_r") / F.col("volume"), 12, 8)
                 / F.count(F.lit(1))
                 * F.lit(1e6),
                 6,
@@ -737,7 +736,7 @@ def q_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_twap",
-    oracle="""
+    oracle=f"""
     WITH seq AS (
         SELECT event_type AS symbol, ts, value,
                lead(ts) OVER (PARTITION BY event_type
@@ -752,9 +751,8 @@ def q_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT symbol,
            CAST(COUNT(*) AS BIGINT) AS n_segments,
            CAST(SUM(dt_us) AS BIGINT) AS total_us,
-           CAST((CAST(floor(CAST((CAST(SUM(CAST(value * dt_us AS DECIMAL(38,6)))
-                           AS DOUBLE)
-                      / CAST(SUM(dt_us) AS DOUBLE)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS twap
+           CAST((CAST(floor(CAST(({_dsum2("value * dt_us", 6, 0)})
+                      / CAST(SUM(dt_us) AS DOUBLE) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS twap
     FROM seg GROUP BY symbol ORDER BY symbol
     """,
 )
@@ -784,9 +782,10 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_segments"),
             F.sum("dt_us").cast("bigint").alias("total_us"),
             portable_round(
-                F.sum((F.col("value") * F.col("dt_us")).cast(_DEC)).cast(
-                    "double"
-                )
+                # price*microsecond products reach ~5e13, so the legacy
+                # 6-scale cast breached 2^53; (6,0) keeps sub-1 products
+                # at 6dp and big ones under the integer-scale bound
+                _ssum2(F.col("value") * F.col("dt_us"), 6, 0)
                 / F.sum("dt_us").cast("double"),
                 6,
             )
@@ -979,11 +978,11 @@ def q_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
         SELECT lag,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(ra AS DECIMAL(38,18))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(rb AS DECIMAL(38,18))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(ra * rb AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
-               CAST(SUM(CAST(ra * ra AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(rb * rb AS DECIMAL(38,18))) AS DOUBLE) AS syy
+               {_dsum2("ra", 12, 8)} AS sx,
+               {_dsum2("rb", 12, 8)} AS sy,
+               {_dsum2("ra * rb", 12, 8)} AS sxy,
+               {_dsum2("ra * ra", 12, 8)} AS sxx,
+               {_dsum2("rb * rb", 12, 8)} AS syy
         FROM joined GROUP BY lag
     )
     SELECT lag, n,
@@ -1042,17 +1041,11 @@ def q_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = joined.groupBy("lag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("ra").cast(_DEC18)).cast("double").alias("sx"),
-        F.sum(F.col("rb").cast(_DEC18)).cast("double").alias("sy"),
-        F.sum((F.col("ra") * F.col("rb")).cast(_DEC18))
-        .cast("double")
-        .alias("sxy"),
-        F.sum((F.col("ra") * F.col("ra")).cast(_DEC18))
-        .cast("double")
-        .alias("sxx"),
-        F.sum((F.col("rb") * F.col("rb")).cast(_DEC18))
-        .cast("double")
-        .alias("syy"),
+        _ssum2(F.col("ra"), 12, 8).alias("sx"),
+        _ssum2(F.col("rb"), 12, 8).alias("sy"),
+        _ssum2(F.col("ra") * F.col("rb"), 12, 8).alias("sxy"),
+        _ssum2(F.col("ra") * F.col("ra"), 12, 8).alias("sxx"),
+        _ssum2(F.col("rb") * F.col("rb"), 12, 8).alias("syy"),
     )
     cxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     cyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
@@ -1138,9 +1131,8 @@ def q_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     OR (open < prev_close
                                         AND high >= prev_close))
                 AS BIGINT) AS n_gaps_filled,
-           CAST((CAST(floor(CAST((CAST(SUM(CAST(abs(open / prev_close - 1.0)
-                                    AS DECIMAL(38,18))) AS DOUBLE)
-                      / COUNT(*) * 10000) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS avg_gap_bps
+           CAST((CAST(floor(CAST(({_dsum2("abs(open / prev_close - 1.0)", 12, 8)})
+                      / COUNT(*) * 10000 AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS avg_gap_bps
     FROM seq GROUP BY symbol ORDER BY symbol
     """,
 )
@@ -1175,9 +1167,7 @@ def q_overnight_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(down, 1)).cast("bigint").alias("n_gap_down"),
             F.count(F.when(filled, 1)).cast("bigint").alias("n_gaps_filled"),
             portable_round(
-                F.sum(gap.cast(_DEC18)).cast("double")
-                / F.count(F.lit(1))
-                * F.lit(10000.0),
+                _ssum2(gap, 12, 8) / F.count(F.lit(1)) * F.lit(10000.0),
                 4,
             )
             .cast("double")
@@ -1260,9 +1250,8 @@ def q_price_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((CAST(floor(CAST((v.var95) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS var95,
            CAST(COUNT(*) FILTER (WHERE r.r <= v.var95) AS BIGINT)
                AS n_tail,
-           CAST((CAST(floor(CAST((CAST(SUM(CAST(r.r AS DECIMAL(38,18)))
-                               FILTER (WHERE r.r <= v.var95) AS DOUBLE)
-                      / COUNT(*) FILTER (WHERE r.r <= v.var95)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)
+           CAST((CAST(floor(CAST(({_dsum2("CASE WHEN r.r <= v.var95 THEN r.r END", 12, 8)})
+                      / COUNT(*) FILTER (WHERE r.r <= v.var95) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)
                 AS DOUBLE) AS cvar95
     FROM rets r JOIN var_t v ON v.symbol = r.symbol
     GROUP BY r.symbol, v.var95
@@ -1293,7 +1282,9 @@ def q_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.count(F.when(in_tail, 1)).cast("bigint").alias("n_tail"),
             portable_round(
-                F.sum(F.when(in_tail, F.col("r").cast(_DEC18))).cast("double")
+                # NULL off-tail terms contribute 0 to both split-sum
+                # buckets on both engines, matching the FILTER semantics
+                _ssum2(F.when(in_tail, F.col("r")), 12, 8)
                 / F.count(F.when(in_tail, 1)),
                 6,
             )
@@ -1403,10 +1394,10 @@ def q_drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
         SELECT symbol,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(sv AS DECIMAL(38,18))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(sv * r AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
-               CAST(SUM(CAST(sv * sv AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+               {_dsum2("sv", 12, 8)} AS sx,
+               {_dsum2("r", 12, 8)} AS sy,
+               {_dsum2("sv * r", 12, 8)} AS sxy,
+               {_dsum2("sv * sv", 12, 8)} AS sxx
         FROM seq GROUP BY symbol
     )
     SELECT symbol, n,
@@ -1436,14 +1427,10 @@ def q_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("r").isNotNull())
     m = seq.groupBy("symbol").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("sv").cast(_DEC18)).cast("double").alias("sx"),
-        F.sum(F.col("r").cast(_DEC18)).cast("double").alias("sy"),
-        F.sum((F.col("sv") * F.col("r")).cast(_DEC18))
-        .cast("double")
-        .alias("sxy"),
-        F.sum((F.col("sv") * F.col("sv")).cast(_DEC18))
-        .cast("double")
-        .alias("sxx"),
+        _ssum2(F.col("sv"), 12, 8).alias("sx"),
+        _ssum2(F.col("r"), 12, 8).alias("sy"),
+        _ssum2(F.col("sv") * F.col("r"), 12, 8).alias("sxy"),
+        _ssum2(F.col("sv") * F.col("sv"), 12, 8).alias("sxx"),
     )
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
@@ -1464,11 +1451,11 @@ def q_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigma AS (
         SELECT symbol,
                sqrt(greatest(
-                   CAST(SUM(CAST(r * r AS DECIMAL(38,18))) AS DOUBLE)
+                   {_dsum2("r * r", 12, 8)}
                        / COUNT(*)
-                   - (CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE)
+                   - ({_dsum2("r", 12, 8)}
                       / COUNT(*))
-                     * (CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE)
+                     * ({_dsum2("r", 12, 8)}
                         / COUNT(*)), 0.0)) AS sd
         FROM rets GROUP BY symbol
     ),
@@ -1488,11 +1475,10 @@ def q_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT is_jump,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST((CAST(floor(CAST((CAST(SUM(CAST(jump_sign
-                                    * (COALESCE(r1, 0) + COALESCE(r2, 0)
-                                       + COALESCE(r3, 0))
-                                AS DECIMAL(38,18))) AS DOUBLE)
-                      / COUNT(*) * 10000) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE)
+           CAST((CAST(floor(CAST(({_dsum2(
+                          "jump_sign * (COALESCE(r1, 0) + COALESCE(r2, 0)"
+                          " + COALESCE(r3, 0))", 12, 8)})
+                      / COUNT(*) * 10000 AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE)
                AS avg_signed_drift_bps
     FROM post GROUP BY is_jump ORDER BY is_jump
     """,
@@ -1511,16 +1497,9 @@ def q_event_study_jumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigma = rets.groupBy("symbol").agg(
         F.sqrt(
             F.greatest(
-                F.sum((F.col("r") * F.col("r")).cast(_DEC18)).cast("double")
-                / F.count(F.lit(1))
-                - (
-                    F.sum(F.col("r").cast(_DEC18)).cast("double")
-                    / F.count(F.lit(1))
-                )
-                * (
-                    F.sum(F.col("r").cast(_DEC18)).cast("double")
-                    / F.count(F.lit(1))
-                ),
+                _ssum2(F.col("r") * F.col("r"), 12, 8) / F.count(F.lit(1))
+                - (_ssum2(F.col("r"), 12, 8) / F.count(F.lit(1)))
+                * (_ssum2(F.col("r"), 12, 8) / F.count(F.lit(1))),
                 F.lit(0.0),
             )
         ).alias("sd")
@@ -1552,9 +1531,7 @@ def q_event_study_jumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
             portable_round(
-                F.sum(drift.cast(_DEC18)).cast("double")
-                / F.count(F.lit(1))
-                * F.lit(10000.0),
+                _ssum2(drift, 12, 8) / F.count(F.lit(1)) * F.lit(10000.0),
                 4,
             )
             .cast("double")
@@ -1577,11 +1554,11 @@ def q_event_study_jumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
         SELECT symbol,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
-               CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy
+               {_dsum2("x", 12, 8)} AS sx,
+               {_dsum2("y", 12, 8)} AS sy,
+               {_dsum2("x * y", 12, 2)} AS sxy,
+               {_dsum2("x * x", 12, 2)} AS sxx,
+               {_dsum2("y * y", 12, 2)} AS syy
         FROM pairs GROUP BY symbol
     )
     SELECT symbol, n,
@@ -1618,17 +1595,11 @@ def q_arch_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("x").isNotNull())
     m = pairs.groupBy("symbol").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("x").cast(_DEC18)).cast("double").alias("sx"),
-        F.sum(F.col("y").cast(_DEC18)).cast("double").alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast(_DEC18))
-        .cast("double")
-        .alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast(_DEC18))
-        .cast("double")
-        .alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast(_DEC18))
-        .cast("double")
-        .alias("syy"),
+        _ssum2(F.col("x"), 12, 8).alias("sx"),
+        _ssum2(F.col("y"), 12, 8).alias("sy"),
+        _ssum2(F.col("x") * F.col("y"), 12, 2).alias("sxy"),
+        _ssum2(F.col("x") * F.col("x"), 12, 2).alias("sxx"),
+        _ssum2(F.col("y") * F.col("y"), 12, 2).alias("syy"),
     )
     cxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     cyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
@@ -1656,9 +1627,9 @@ def q_arch_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
         SELECT symbol,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS s,
-               CAST(SUM(CAST(CASE WHEN r < 0 THEN r * r ELSE 0 END
-                             AS DECIMAL(38,18))) AS DOUBLE) AS ssd,
+               {_dsum2("r", 12, 8)} AS s,
+               {_dsum2("CASE WHEN r < 0 THEN r * r ELSE 0 END", 12, 8)}
+                   AS ssd,
                CAST(COUNT(*) FILTER (WHERE r < 0) AS BIGINT) AS n_down
         FROM rets GROUP BY symbol
     )
@@ -1680,14 +1651,14 @@ def q_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
     rets = _returns(spark, sf_dir)
     m = rets.groupBy("symbol").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("r").cast(_DEC18)).cast("double").alias("s"),
-        F.sum(
-            F.when(F.col("r") < 0, F.col("r") * F.col("r"))
-            .otherwise(F.lit(0.0))
-            .cast(_DEC18)
-        )
-        .cast("double")
-        .alias("ssd"),
+        _ssum2(F.col("r"), 12, 8).alias("s"),
+        _ssum2(
+            F.when(F.col("r") < 0, F.col("r") * F.col("r")).otherwise(
+                F.lit(0.0)
+            ),
+            12,
+            8,
+        ).alias("ssd"),
         F.count(F.when(F.col("r") < 0, 1)).cast("bigint").alias("n_down"),
     )
     dd = F.sqrt(F.col("ssd") / F.col("n"))
@@ -1782,9 +1753,9 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
         SELECT symbol,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+               {_dsum2("x", 12, 8)} AS sx,
+               {_dsum2("y", 12, 8)} AS sy,
+               {_dsum2("x * y", 12, 8)} AS sxy
         FROM pairs GROUP BY symbol
     )
     SELECT symbol, n,
@@ -1822,11 +1793,9 @@ def q_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("x").isNotNull())
     m = pairs.groupBy("symbol").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("x").cast(_DEC18)).cast("double").alias("sx"),
-        F.sum(F.col("y").cast(_DEC18)).cast("double").alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast(_DEC18))
-        .cast("double")
-        .alias("sxy"),
+        _ssum2(F.col("x"), 12, 8).alias("sx"),
+        _ssum2(F.col("y"), 12, 8).alias("sy"),
+        _ssum2(F.col("x") * F.col("y"), 12, 8).alias("sxy"),
     )
     cov = (F.col("sxy") / F.col("n")) - (F.col("sx") / F.col("n")) * (
         F.col("sy") / F.col("n")
@@ -1848,7 +1817,7 @@ def q_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_DUCK_RETURNS},
     mkt AS (
         SELECT bar_ts,
-               CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE)
+               {_dsum2("r", 12, 8)}
                    / COUNT(*) AS rm
         FROM rets GROUP BY bar_ts
     ),
@@ -1861,12 +1830,10 @@ def q_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     framed AS (
         SELECT symbol, bar_ts, rn,
                CAST(COUNT(*) OVER f AS BIGINT) AS k,
-               CAST(SUM(CAST(rm AS DECIMAL(38,18))) OVER f AS DOUBLE) AS sx,
-               CAST(SUM(CAST(r AS DECIMAL(38,18))) OVER f AS DOUBLE) AS sy,
-               CAST(SUM(CAST(r * rm AS DECIMAL(38,18))) OVER f AS DOUBLE)
-                   AS sxy,
-               CAST(SUM(CAST(rm * rm AS DECIMAL(38,18))) OVER f AS DOUBLE)
-                   AS sxx
+               {_wdsum2("rm", "OVER f", 12, 8)} AS sx,
+               {_wdsum2("r", "OVER f", 12, 8)} AS sy,
+               {_wdsum2("r * rm", "OVER f", 12, 8)} AS sxy,
+               {_wdsum2("rm * rm", "OVER f", 12, 8)} AS sxx
         FROM j
         WINDOW f AS (PARTITION BY symbol ORDER BY rn
                      ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
@@ -1891,10 +1858,7 @@ def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed by symbol."""
     rets = _returns(spark, sf_dir)
     mkt = rets.groupBy("bar_ts").agg(
-        (
-            F.sum(F.col("r").cast(_DEC18)).cast("double")
-            / F.count(F.lit(1))
-        ).alias("rm")
+        (_ssum2(F.col("r"), 12, 8) / F.count(F.lit(1))).alias("rm")
     )
     j = rets.join(F.broadcast(mkt), "bar_ts")
     w = Window.partitionBy("symbol").orderBy("bar_ts")
@@ -1907,16 +1871,10 @@ def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bar_ts",
         "rn",
         F.count(F.lit(1)).over(f).cast("bigint").alias("k"),
-        F.sum(F.col("rm").cast(_DEC18)).over(f).cast("double").alias("sx"),
-        F.sum(F.col("r").cast(_DEC18)).over(f).cast("double").alias("sy"),
-        F.sum((F.col("r") * F.col("rm")).cast(_DEC18))
-        .over(f)
-        .cast("double")
-        .alias("sxy"),
-        F.sum((F.col("rm") * F.col("rm")).cast(_DEC18))
-        .over(f)
-        .cast("double")
-        .alias("sxx"),
+        _wssum2(F.col("rm"), f, 12, 8).alias("sx"),
+        _wssum2(F.col("r"), f, 12, 8).alias("sy"),
+        _wssum2(F.col("r") * F.col("rm"), f, 12, 8).alias("sxy"),
+        _wssum2(F.col("rm") * F.col("rm"), f, 12, 8).alias("sxx"),
     ).filter(F.col("rn") >= 100)
     den = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
     num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
@@ -1982,8 +1940,10 @@ def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = ranked.select(
         "symbol", "ar", F.min("ar").over(wmin).alias("x_min")
     )
+    # 12dp-pre-rounded log ratios cast at their OWN scale (matching the
+    # oracle's DECIMAL(38,12)): k = term*1e12 <= ~4.5e13 << 2^53, exact
     term = portable_round(F.log(F.col("ar") / F.col("x_min")), 12).cast(
-        "decimal(38,18)"
+        "decimal(38,12)"
     )
     m = topk.groupBy("symbol").agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
@@ -2090,11 +2050,11 @@ def q_market_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
         SELECT symbol, lag,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
-               CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy
+               {_dsum2("x", 12, 8)} AS sx,
+               {_dsum2("y", 12, 8)} AS sy,
+               {_dsum2("x * y", 12, 8)} AS sxy,
+               {_dsum2("x * x", 12, 8)} AS sxx,
+               {_dsum2("y * y", 12, 8)} AS syy
         FROM pairs GROUP BY symbol, lag
     )
     SELECT symbol, CAST(lag AS BIGINT) AS lag, n,
@@ -2151,17 +2111,11 @@ def q_acf_correlogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = pairs.groupBy("symbol", "lag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("x").cast(_DEC18)).cast("double").alias("sx"),
-        F.sum(F.col("y").cast(_DEC18)).cast("double").alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast(_DEC18))
-        .cast("double")
-        .alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast(_DEC18))
-        .cast("double")
-        .alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast(_DEC18))
-        .cast("double")
-        .alias("syy"),
+        _ssum2(F.col("x"), 12, 8).alias("sx"),
+        _ssum2(F.col("y"), 12, 8).alias("sy"),
+        _ssum2(F.col("x") * F.col("y"), 12, 8).alias("sxy"),
+        _ssum2(F.col("x") * F.col("x"), 12, 8).alias("sxx"),
+        _ssum2(F.col("y") * F.col("y"), 12, 8).alias("syy"),
     )
     cxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     cyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
@@ -2195,33 +2149,23 @@ def q_acf_correlogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT m1.symbol, m1.rho AS rho1, m2.rho AS rho2, m1.n
         FROM (
             SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
-                   (CAST(floor(CAST(((COUNT(*) * CAST(SUM(CAST(x * y AS DECIMAL(38,18)))
-                                          AS DOUBLE)
-                          - CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
-                            * CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE))
-                         / (sqrt(COUNT(*) * CAST(SUM(CAST(x * x
-                                 AS DECIMAL(38,18))) AS DOUBLE)
-                                 - pow(CAST(SUM(CAST(x AS DECIMAL(38,18)))
-                                            AS DOUBLE), 2))
-                            * sqrt(COUNT(*) * CAST(SUM(CAST(y * y
-                                   AS DECIMAL(38,18))) AS DOUBLE)
-                                   - pow(CAST(SUM(CAST(y AS DECIMAL(38,18)))
-                                              AS DOUBLE), 2)))) AS DOUBLE) * 10000000000.0 + 0.5) AS DOUBLE) / 10000000000.0) AS rho
+                   (CAST(floor(CAST(((COUNT(*) * {_dsum2("x * y", 12, 8)}
+                          - {_dsum2("x", 12, 8)}
+                            * {_dsum2("y", 12, 8)})
+                         / (sqrt(COUNT(*) * {_dsum2("x * x", 12, 8)}
+                                 - pow({_dsum2("x", 12, 8)}, 2))
+                            * sqrt(COUNT(*) * {_dsum2("y * y", 12, 8)}
+                                   - pow({_dsum2("y", 12, 8)}, 2)))) AS DOUBLE) * 10000000000.0 + 0.5) AS DOUBLE) / 10000000000.0) AS rho
             FROM p1 GROUP BY symbol) m1
         JOIN (
             SELECT symbol,
-                   (CAST(floor(CAST(((COUNT(*) * CAST(SUM(CAST(x * y AS DECIMAL(38,18)))
-                                          AS DOUBLE)
-                          - CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
-                            * CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE))
-                         / (sqrt(COUNT(*) * CAST(SUM(CAST(x * x
-                                 AS DECIMAL(38,18))) AS DOUBLE)
-                                 - pow(CAST(SUM(CAST(x AS DECIMAL(38,18)))
-                                            AS DOUBLE), 2))
-                            * sqrt(COUNT(*) * CAST(SUM(CAST(y * y
-                                   AS DECIMAL(38,18))) AS DOUBLE)
-                                   - pow(CAST(SUM(CAST(y AS DECIMAL(38,18)))
-                                              AS DOUBLE), 2)))) AS DOUBLE) * 10000000000.0 + 0.5) AS DOUBLE) / 10000000000.0) AS rho
+                   (CAST(floor(CAST(((COUNT(*) * {_dsum2("x * y", 12, 8)}
+                          - {_dsum2("x", 12, 8)}
+                            * {_dsum2("y", 12, 8)})
+                         / (sqrt(COUNT(*) * {_dsum2("x * x", 12, 8)}
+                                 - pow({_dsum2("x", 12, 8)}, 2))
+                            * sqrt(COUNT(*) * {_dsum2("y * y", 12, 8)}
+                                   - pow({_dsum2("y", 12, 8)}, 2)))) AS DOUBLE) * 10000000000.0 + 0.5) AS DOUBLE) / 10000000000.0) AS rho
             FROM p2 GROUP BY symbol) m2
           ON m2.symbol = m1.symbol
     )
@@ -2254,17 +2198,11 @@ def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).filter(F.col("x").isNotNull())
         m = pairs.groupBy("symbol").agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum(F.col("x").cast(_DEC18)).cast("double").alias("sx"),
-            F.sum(F.col("y").cast(_DEC18)).cast("double").alias("sy"),
-            F.sum((F.col("x") * F.col("y")).cast(_DEC18))
-            .cast("double")
-            .alias("sxy"),
-            F.sum((F.col("x") * F.col("x")).cast(_DEC18))
-            .cast("double")
-            .alias("sxx"),
-            F.sum((F.col("y") * F.col("y")).cast(_DEC18))
-            .cast("double")
-            .alias("syy"),
+            _ssum2(F.col("x"), 12, 8).alias("sx"),
+            _ssum2(F.col("y"), 12, 8).alias("sy"),
+            _ssum2(F.col("x") * F.col("y"), 12, 8).alias("sxy"),
+            _ssum2(F.col("x") * F.col("x"), 12, 8).alias("sxx"),
+            _ssum2(F.col("y") * F.col("y"), 12, 8).alias("syy"),
         )
         num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
         den = F.sqrt(

@@ -82,6 +82,60 @@ def _dsum2(expr: str, fine: int = 12, coarse: int = 8) -> str:
     return f"(CAST(SUM({small}) AS DOUBLE) + CAST(SUM({big}) AS DOUBLE))"
 
 
+def _wssum2(col, window, fine: int = 12, coarse: int = 8):
+    """Windowed :func:`_ssum2`: the same two-bucket split sum as a frame
+    aggregate. Both bucket sums run in the SAME window pass (identical
+    window spec), so the extra bucket costs no additional sort."""
+    from pyspark.sql import Column
+
+    if isinstance(col, str):
+        col = F.col(col)
+    small = (
+        F.sum(
+            F.when(
+                F.abs(col) < 1.0,
+                portable_round(col, fine).cast(f"decimal(38,{fine})"),
+            ).otherwise(F.lit(0).cast(f"decimal(38,{fine})"))
+        )
+        .over(window)
+        .cast("double")
+    )
+    big = (
+        F.sum(
+            F.when(
+                F.abs(col) >= 1.0,
+                portable_round(col, coarse).cast(f"decimal(38,{coarse})"),
+            ).otherwise(F.lit(0).cast(f"decimal(38,{coarse})"))
+        )
+        .over(window)
+        .cast("double")
+    )
+    return small + big
+
+
+def _wdsum2(expr: str, over: str, fine: int = 12, coarse: int = 8) -> str:
+    """DuckDB twin of :func:`_wssum2`; ``over`` is the full ``OVER ...``
+    clause text (e.g. ``"OVER f"``)."""
+    from stockmarketdata_dwb_etl_spark.functions.exact import (
+        sql_portable_round,
+    )
+
+    small = (
+        f"CASE WHEN abs({expr}) < 1.0 THEN"
+        f" CAST({sql_portable_round(expr, fine)} AS DECIMAL(38,{fine}))"
+        f" ELSE CAST(0 AS DECIMAL(38,{fine})) END"
+    )
+    big = (
+        f"CASE WHEN abs({expr}) >= 1.0 THEN"
+        f" CAST({sql_portable_round(expr, coarse)} AS DECIMAL(38,{coarse}))"
+        f" ELSE CAST(0 AS DECIMAL(38,{coarse})) END"
+    )
+    return (
+        f"(CAST(SUM({small}) {over} AS DOUBLE)"
+        f" + CAST(SUM({big}) {over} AS DOUBLE))"
+    )
+
+
 @query(
     "q_chi_square",
     oracle=f"""

@@ -23,10 +23,22 @@ from pyspark.sql.window import Window
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.operators.cache import bounded_persist
+from stockmarketdata_dwb_etl_spark.queries.stats_q import (
+    _dsum2,
+    _ssum2,
+    _wdsum2,
+    _wssum2,
+)
 from stockmarketdata_dwb_etl_spark.queries.timeseries import _DUCK_ORD, _spark_ord
 from stockmarketdata_dwb_etl_spark.registry import query
 
-_DEC18 = "decimal(38,18)"
+# Cross-row double sums route through the two-bucket split sum
+# (stats_q._ssum2/_dsum2, 2^53 rule in tests/test_split_sum.py). Hourly
+# LOG returns are bounded by ln(close ratios) (|r| <= ~11 at the fixture
+# price range) and log prices by ln(560) ~ 6.4, but daily session
+# returns close/open-1 can spike like the simple-return family, so
+# every moment sum uses (12,8): sub-1 terms keep 12dp, spikes round at
+# 8dp under the 9e7 bound.
 
 _DUCK_LOGRETS = f"""
     cbars AS (
@@ -87,7 +99,7 @@ def _logrets(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_DUCK_LOGRETS},
     nr AS (
         SELECT symbol, bar_ts, r,
-               CAST(sum(CAST(r AS DECIMAL(38,18))) OVER w4 AS DOUBLE) AS rq,
+               {_wdsum2("r", "OVER w4", 12, 8)} AS rq,
                row_number() OVER (PARTITION BY symbol ORDER BY bar_ts) AS rn
         FROM lr
         WINDOW w4 AS (PARTITION BY symbol ORDER BY bar_ts
@@ -96,15 +108,15 @@ def _logrets(spark: SparkSession, sf_dir: str) -> DataFrame:
     m1 AS (
         SELECT symbol,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS s,
-               CAST(SUM(CAST(r * r AS DECIMAL(38,18))) AS DOUBLE) AS ss
+               {_dsum2("r", 12, 8)} AS s,
+               {_dsum2("r * r", 12, 8)} AS ss
         FROM nr GROUP BY 1
     ),
     m4 AS (
         SELECT symbol,
                CAST(COUNT(*) AS BIGINT) AS nq,
-               CAST(SUM(CAST(rq AS DECIMAL(38,18))) AS DOUBLE) AS sq,
-               CAST(SUM(CAST(rq * rq AS DECIMAL(38,18))) AS DOUBLE) AS ssq
+               {_dsum2("rq", 12, 8)} AS sq,
+               {_dsum2("rq * rq", 12, 8)} AS ssq
         FROM nr WHERE rn >= 4 GROUP BY 1
     ),
     vr AS (
@@ -144,27 +156,23 @@ def q_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "symbol",
             "bar_ts",
             "r",
-            F.sum(F.col("r").cast(_DEC18)).over(w4).cast("double").alias("rq"),
+            _wssum2(F.col("r"), w4, 12, 8).alias("rq"),
             F.row_number().over(wn).alias("rn"),
         ),
         "vr-nr",
     )
     m1 = nr.groupBy("symbol").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("r").cast(_DEC18)).cast("double").alias("s"),
-        F.sum((F.col("r") * F.col("r")).cast(_DEC18))
-        .cast("double")
-        .alias("ss"),
+        _ssum2(F.col("r"), 12, 8).alias("s"),
+        _ssum2(F.col("r") * F.col("r"), 12, 8).alias("ss"),
     )
     m4 = (
         nr.filter(F.col("rn") >= 4)
         .groupBy("symbol")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("nq"),
-            F.sum(F.col("rq").cast(_DEC18)).cast("double").alias("sq"),
-            F.sum((F.col("rq") * F.col("rq")).cast(_DEC18))
-            .cast("double")
-            .alias("ssq"),
+            _ssum2(F.col("rq"), 12, 8).alias("sq"),
+            _ssum2(F.col("rq") * F.col("rq"), 12, 8).alias("ssq"),
         )
     )
     j = m1.join(m4, "symbol")
@@ -296,10 +304,10 @@ def q_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
     mo AS (
         SELECT symbol_a, symbol_b,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(la AS DECIMAL(38,18))) AS DOUBLE) AS sa,
-               CAST(SUM(CAST(lb AS DECIMAL(38,18))) AS DOUBLE) AS sb,
-               CAST(SUM(CAST(la * lb AS DECIMAL(38,18))) AS DOUBLE) AS sab,
-               CAST(SUM(CAST(lb * lb AS DECIMAL(38,18))) AS DOUBLE) AS sbb
+               {_dsum2("la", 12, 8)} AS sa,
+               {_dsum2("lb", 12, 8)} AS sb,
+               {_dsum2("la * lb", 12, 8)} AS sab,
+               {_dsum2("lb * lb", 12, 8)} AS sbb
         FROM j GROUP BY 1, 2
     ),
     fit AS (
@@ -324,11 +332,9 @@ def q_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT symbol_a, symbol_b,
                CAST(MAX(beta) AS DOUBLE) AS beta,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(e * e AS DECIMAL(38,18))) AS DOUBLE) AS see,
-               CAST(SUM(CASE WHEN de IS NULL
-                        THEN CAST(0 AS DECIMAL(38,18))
-                        ELSE CAST(de * de AS DECIMAL(38,18)) END) AS DOUBLE)
-                   AS sdd
+               {_dsum2("e * e", 12, 8)} AS see,
+               {_dsum2("CASE WHEN de IS NULL THEN 0 ELSE de * de END",
+                       12, 8)} AS sdd
         FROM dres GROUP BY 1, 2
     )
     SELECT symbol_a, symbol_b, n,
@@ -366,14 +372,10 @@ def q_cointegration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mo = j.groupBy("symbol_a", "symbol_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("la").cast(_DEC18)).cast("double").alias("sa"),
-        F.sum(F.col("lb").cast(_DEC18)).cast("double").alias("sb"),
-        F.sum((F.col("la") * F.col("lb")).cast(_DEC18))
-        .cast("double")
-        .alias("sab"),
-        F.sum((F.col("lb") * F.col("lb")).cast(_DEC18))
-        .cast("double")
-        .alias("sbb"),
+        _ssum2(F.col("la"), 12, 8).alias("sa"),
+        _ssum2(F.col("lb"), 12, 8).alias("sb"),
+        _ssum2(F.col("la") * F.col("lb"), 12, 8).alias("sab"),
+        _ssum2(F.col("lb") * F.col("lb"), 12, 8).alias("sbb"),
     )
     det = F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")
     beta = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")) / det
@@ -390,20 +392,17 @@ def q_cointegration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wp = Window.partitionBy("symbol_a", "symbol_b").orderBy("bar_ts")
     dres = res.withColumn("de", F.col("e") - F.lag("e").over(wp))
-    zero = F.lit(0).cast(_DEC18)
     dw = dres.groupBy("symbol_a", "symbol_b").agg(
         F.max("beta").cast("double").alias("beta"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum((F.col("e") * F.col("e")).cast(_DEC18))
-        .cast("double")
-        .alias("see"),
-        F.sum(
-            F.when(
-                F.col("de").isNull(), zero
-            ).otherwise((F.col("de") * F.col("de")).cast(_DEC18))
-        )
-        .cast("double")
-        .alias("sdd"),
+        _ssum2(F.col("e") * F.col("e"), 12, 8).alias("see"),
+        _ssum2(
+            F.when(F.col("de").isNull(), F.lit(0.0)).otherwise(
+                F.col("de") * F.col("de")
+            ),
+            12,
+            8,
+        ).alias("sdd"),
     )
     return (
         dw.select(
@@ -573,7 +572,7 @@ def _duck_hex4(expr: str) -> str:
     ),
     means AS (
         SELECT dr.symbol, dr.b,
-               CAST(SUM(CAST(x.x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
+               {_dsum2("x.x", 12, 8)} / COUNT(*)
                    AS m
         FROM draws dr JOIN dret x ON x.symbol = dr.symbol AND x.rn = dr.idx
         GROUP BY 1, 2
@@ -586,7 +585,7 @@ def _duck_hex4(expr: str) -> str:
     ),
     pt AS (
         SELECT symbol,
-               CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
+               {_dsum2("x", 12, 8)} / COUNT(*)
                    AS mean_x,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM dret GROUP BY 1
@@ -649,21 +648,14 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["symbol", "idx"],
         )
         .groupBy("symbol", "b")
-        .agg(
-            (
-                F.sum(F.col("x").cast(_DEC18)).cast("double")
-                / F.count(F.lit(1))
-            ).alias("m")
-        )
+        .agg((_ssum2(F.col("x"), 12, 8) / F.count(F.lit(1))).alias("m"))
     )
     ci = means.groupBy("symbol").agg(
         F.percentile("m", 0.025).alias("lo"),
         F.percentile("m", 0.975).alias("hi"),
     )
     pt = dret.groupBy("symbol").agg(
-        (
-            F.sum(F.col("x").cast(_DEC18)).cast("double") / F.count(F.lit(1))
-        ).alias("mean_x"),
+        (_ssum2(F.col("x"), 12, 8) / F.count(F.lit(1))).alias("mean_x"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
     return (
@@ -693,18 +685,14 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     mo AS (
         SELECT symbol,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS s,
-               CAST(SUM(CAST(r * r AS DECIMAL(38,18))) AS DOUBLE) AS ss,
-               CAST(SUM(CASE WHEN r1 IS NULL
-                        THEN CAST(0 AS DECIMAL(38,18))
-                        ELSE CAST(r * r1 AS DECIMAL(38,18)) END) AS DOUBLE)
-                   AS s1,
+               {_dsum2("r", 12, 8)} AS s,
+               {_dsum2("r * r", 12, 8)} AS ss,
+               {_dsum2("CASE WHEN r1 IS NULL THEN 0 ELSE r * r1 END",
+                       12, 8)} AS s1,
                CAST(SUM(CASE WHEN r1 IS NULL THEN 0 ELSE 1 END) AS BIGINT)
                    AS n1,
-               CAST(SUM(CASE WHEN r2 IS NULL
-                        THEN CAST(0 AS DECIMAL(38,18))
-                        ELSE CAST(r * r2 AS DECIMAL(38,18)) END) AS DOUBLE)
-                   AS s2,
+               {_dsum2("CASE WHEN r2 IS NULL THEN 0 ELSE r * r2 END",
+                       12, 8)} AS s2,
                CAST(SUM(CASE WHEN r2 IS NULL THEN 0 ELSE 1 END) AS BIGINT)
                    AS n2
         FROM lagged GROUP BY 1
@@ -747,30 +735,27 @@ def q_newey_west(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("r", 1).over(ws).alias("r1"),
         F.lag("r", 2).over(ws).alias("r2"),
     )
-    zero = F.lit(0).cast(_DEC18)
     mo = lagged.groupBy("symbol").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("r").cast(_DEC18)).cast("double").alias("s"),
-        F.sum((F.col("r") * F.col("r")).cast(_DEC18))
-        .cast("double")
-        .alias("ss"),
-        F.sum(
-            F.when(F.col("r1").isNull(), zero).otherwise(
-                (F.col("r") * F.col("r1")).cast(_DEC18)
-            )
-        )
-        .cast("double")
-        .alias("s1"),
+        _ssum2(F.col("r"), 12, 8).alias("s"),
+        _ssum2(F.col("r") * F.col("r"), 12, 8).alias("ss"),
+        _ssum2(
+            F.when(F.col("r1").isNull(), F.lit(0.0)).otherwise(
+                F.col("r") * F.col("r1")
+            ),
+            12,
+            8,
+        ).alias("s1"),
         F.sum(F.when(F.col("r1").isNull(), 0).otherwise(1))
         .cast("bigint")
         .alias("n1"),
-        F.sum(
-            F.when(F.col("r2").isNull(), zero).otherwise(
-                (F.col("r") * F.col("r2")).cast(_DEC18)
-            )
-        )
-        .cast("double")
-        .alias("s2"),
+        _ssum2(
+            F.when(F.col("r2").isNull(), F.lit(0.0)).otherwise(
+                F.col("r") * F.col("r2")
+            ),
+            12,
+            8,
+        ).alias("s2"),
         F.sum(F.when(F.col("r2").isNull(), 0).otherwise(1))
         .cast("bigint")
         .alias("n2"),
@@ -829,8 +814,8 @@ def q_newey_west(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     season AS (
         SELECT symbol, hod,
-               (CAST(floor(CAST((CAST(SUM(CAST(r AS DECIMAL(38,18)))
-                    AS DOUBLE) / COUNT(*)) AS DOUBLE) * 1000000.0 + 0.5)
+               (CAST(floor(CAST(({_dsum2("r", 12, 8)})
+                    / COUNT(*) AS DOUBLE) * 1000000.0 + 0.5)
                     AS DOUBLE) / 1000000.0) AS s
         FROM resid GROUP BY 1, 2
     ),
@@ -841,10 +826,10 @@ def q_newey_west(spark: SparkSession, sf_dir: str) -> DataFrame:
     mo AS (
         SELECT symbol,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS sr,
-               CAST(SUM(CAST(r * r AS DECIMAL(38,18))) AS DOUBLE) AS srr,
-               CAST(SUM(CAST(e AS DECIMAL(38,18))) AS DOUBLE) AS se,
-               CAST(SUM(CAST(e * e AS DECIMAL(38,18))) AS DOUBLE) AS see
+               {_dsum2("r", 12, 8)} AS sr,
+               {_dsum2("r * r", 12, 8)} AS srr,
+               {_dsum2("e", 12, 8)} AS se,
+               {_dsum2("e * e", 12, 8)} AS see
         FROM rem GROUP BY 1
     )
     SELECT symbol, n,
@@ -907,8 +892,7 @@ def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     season = resid.groupBy("symbol", "hod").agg(
         portable_round(
-            F.sum(F.col("r").cast(_DEC18)).cast("double") / F.count(F.lit(1)),
-            6,
+            _ssum2(F.col("r"), 12, 8) / F.count(F.lit(1)), 6
         ).alias("s")
     )
     rem = resid.join(F.broadcast(season), ["symbol", "hod"]).select(
@@ -916,14 +900,10 @@ def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mo = rem.groupBy("symbol").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("r").cast(_DEC18)).cast("double").alias("sr"),
-        F.sum((F.col("r") * F.col("r")).cast(_DEC18))
-        .cast("double")
-        .alias("srr"),
-        F.sum(F.col("e").cast(_DEC18)).cast("double").alias("se"),
-        F.sum((F.col("e") * F.col("e")).cast(_DEC18))
-        .cast("double")
-        .alias("see"),
+        _ssum2(F.col("r"), 12, 8).alias("sr"),
+        _ssum2(F.col("r") * F.col("r"), 12, 8).alias("srr"),
+        _ssum2(F.col("e"), 12, 8).alias("se"),
+        _ssum2(F.col("e") * F.col("e"), 12, 8).alias("see"),
     )
     vr = F.col("srr") / F.col("n") - (F.col("sr") / F.col("n")) * (
         F.col("sr") / F.col("n")
@@ -954,7 +934,7 @@ def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_DUCK_LOGRETS},
     mkt AS (
         SELECT bar_ts,
-               CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
+               {_dsum2("r", 12, 8)} / COUNT(*)
                    AS rm
         FROM lr GROUP BY 1
     ),
@@ -968,15 +948,15 @@ def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     mo AS (
         SELECT symbol_a, symbol_b,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(ra AS DECIMAL(38,18))) AS DOUBLE) AS sa,
-               CAST(SUM(CAST(rb AS DECIMAL(38,18))) AS DOUBLE) AS sb,
-               CAST(SUM(CAST(rm AS DECIMAL(38,18))) AS DOUBLE) AS sm,
-               CAST(SUM(CAST(ra * rb AS DECIMAL(38,18))) AS DOUBLE) AS sab,
-               CAST(SUM(CAST(ra * rm AS DECIMAL(38,18))) AS DOUBLE) AS sam,
-               CAST(SUM(CAST(rb * rm AS DECIMAL(38,18))) AS DOUBLE) AS sbm,
-               CAST(SUM(CAST(ra * ra AS DECIMAL(38,18))) AS DOUBLE) AS saa,
-               CAST(SUM(CAST(rb * rb AS DECIMAL(38,18))) AS DOUBLE) AS sbb,
-               CAST(SUM(CAST(rm * rm AS DECIMAL(38,18))) AS DOUBLE) AS smm
+               {_dsum2("ra", 12, 8)} AS sa,
+               {_dsum2("rb", 12, 8)} AS sb,
+               {_dsum2("rm", 12, 8)} AS sm,
+               {_dsum2("ra * rb", 12, 8)} AS sab,
+               {_dsum2("ra * rm", 12, 8)} AS sam,
+               {_dsum2("rb * rm", 12, 8)} AS sbm,
+               {_dsum2("ra * ra", 12, 8)} AS saa,
+               {_dsum2("rb * rb", 12, 8)} AS sbb,
+               {_dsum2("rm * rm", 12, 8)} AS smm
         FROM tri GROUP BY 1, 2
     ),
     rho AS (
@@ -1014,9 +994,7 @@ def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     the symbol catalog + one moments hash-agg."""
     lr = bounded_persist(_logrets(spark, sf_dir), "pcorr-lr")
     mkt = lr.groupBy("bar_ts").agg(
-        (
-            F.sum(F.col("r").cast(_DEC18)).cast("double") / F.count(F.lit(1))
-        ).alias("rm")
+        (_ssum2(F.col("r"), 12, 8) / F.count(F.lit(1))).alias("rm")
     )
     a = lr.select(F.col("symbol").alias("symbol_a"), "bar_ts", F.col("r").alias("ra"))
     b = lr.select(F.col("symbol").alias("symbol_b"), "bar_ts", F.col("r").alias("rb"))
@@ -1027,7 +1005,7 @@ def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def dsum(col, alias):
-        return F.sum(col.cast(_DEC18)).cast("double").alias(alias)
+        return _ssum2(col, 12, 8).alias(alias)
 
     ra, rb, rmc = F.col("ra"), F.col("rb"), F.col("rm")
     mo = tri.groupBy("symbol_a", "symbol_b").agg(
@@ -1086,11 +1064,11 @@ def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     mo AS (
         SELECT symbol,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(xl AS DECIMAL(38,18))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(dx AS DECIMAL(38,18))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(xl * xl AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(xl * dx AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
-               CAST(SUM(CAST(dx * dx AS DECIMAL(38,18))) AS DOUBLE) AS syy
+               {_dsum2("xl", 12, 8)} AS sx,
+               {_dsum2("dx", 12, 8)} AS sy,
+               {_dsum2("xl * xl", 12, 8)} AS sxx,
+               {_dsum2("xl * dx", 12, 8)} AS sxy,
+               {_dsum2("dx * dx", 12, 8)} AS syy
         FROM d GROUP BY 1
     ),
     fit AS (
@@ -1135,11 +1113,11 @@ def q_adf_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     xl, dx = F.col("xl"), F.col("dx")
     mo = d.groupBy("symbol").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(xl.cast(_DEC18)).cast("double").alias("sx"),
-        F.sum(dx.cast(_DEC18)).cast("double").alias("sy"),
-        F.sum((xl * xl).cast(_DEC18)).cast("double").alias("sxx"),
-        F.sum((xl * dx).cast(_DEC18)).cast("double").alias("sxy"),
-        F.sum((dx * dx).cast(_DEC18)).cast("double").alias("syy"),
+        _ssum2(xl, 12, 8).alias("sx"),
+        _ssum2(dx, 12, 8).alias("sy"),
+        _ssum2(xl * xl, 12, 8).alias("sxx"),
+        _ssum2(xl * dx, 12, 8).alias("sxy"),
+        _ssum2(dx * dx, 12, 8).alias("syy"),
     )
     n = F.col("n")
     cxx = F.col("sxx") - F.col("sx") * F.col("sx") / n
@@ -1174,7 +1152,7 @@ def q_adf_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_DUCK_LOGRETS},
     mu AS (
         SELECT symbol,
-               CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
+               {_dsum2("r", 12, 8)} / COUNT(*)
                    AS mu
         FROM lr GROUP BY 1
     ),
@@ -1217,13 +1195,13 @@ def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     the symbol partition."""
     lr = _logrets(spark, sf_dir)
     mu = lr.groupBy("symbol").agg(
-        (
-            F.sum(F.col("r").cast(_DEC18)).cast("double") / F.count(F.lit(1))
-        ).alias("mu")
+        (_ssum2(F.col("r"), 12, 8) / F.count(F.lit(1))).alias("mu")
     )
+    # 12dp-pre-rounded summands cast at their OWN scale (matching the
+    # oracle's DECIMAL(38,12)): |term| <= ~22 -> k <= 2.2e13 << 2^53
     term = portable_round(
         F.col("r") - F.col("mu") - F.lit(0.0001), 12
-    ).cast(_DEC18)
+    ).cast("decimal(38,12)")
     wc = (
         Window.partitionBy("symbol")
         .orderBy("bar_ts")

@@ -113,11 +113,16 @@ def sql_term_sum(expr: str, ndigits: int = 12) -> str:
 def fold_term_sum(arr: Column, ndigits: int = 12) -> Column:
     """Spark twin of :func:`sql_term_sum` for in-array folds (zip_with /
     transform products): round each element, fold in exact DECIMAL,
-    emit DOUBLE. The explicit cast on the lambda result keeps the
-    accumulator type closed under decimal addition (same-precision
-    decimal addition widens past 38 otherwise); the scale matches the
-    rounding digits for the exact-conversion property above."""
-    dec = f"decimal(38,{ndigits})"
+    emit DOUBLE. Precision 28 (NOT 38) is load-bearing: (28,n)+(28,n)
+    promotes to (29,n), under Spark's 38 cap, so every fold step is
+    EXACT; at precision 38 the addition overflows to 39 and Spark
+    silently REDUCES the result scale to n-1, half-up-rounding every
+    step while DuckDB's list_sum stays exact (observed as a +29e-10
+    drift on q_cci's 20-element frames at scale 10). The cast back on
+    the lambda result re-closes the accumulator type; it never rounds
+    because the scale is preserved and |acc| stays far below
+    10^(28-n) for every rounded-term fold in the repo."""
+    dec = f"decimal(28,{ndigits})"
     return F.aggregate(
         arr,
         F.lit(0).cast(dec),

@@ -26,14 +26,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
+from stockmarketdata_dwb_etl_spark.functions.exact import (
+    portable_round,
+    sql_portable_round,
+)
 from stockmarketdata_dwb_etl_spark.queries.finance2 import (
     _duck_ohlcv,
     _ohlcv_bars,
 )
+from stockmarketdata_dwb_etl_spark.queries.stats_q import (
+    _dsum2,
+    _ssum2,
+    _wdsum2,
+    _wssum2,
+)
 from stockmarketdata_dwb_etl_spark.registry import query
 
-_DEC18 = "decimal(38,18)"
+# Cross-row double sums route through the two-bucket split sum
+# (stats_q, 2^53 rule in tests/test_split_sum.py): typical prices reach
+# ~560, money flow tp*volume ~3e4, and hourly simple returns spike to
+# ~1.5e3 — all past the raw DECIMAL(38,18) cast's 9e-3 bound — so every
+# unrounded sum uses (12,8); pre-rounded fold terms cast at their own
+# exact scale.
 
 # DuckDB twin of the gated hourly bar base: OHLCV bars + row_number.
 _DUCK_NBARS = f"""
@@ -191,7 +205,7 @@ def q_williams_r(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     fr AS (
         SELECT symbol, bar_ts, tp, rn,
-               CAST(sum(CAST(tp AS DECIMAL(38,18))) OVER w AS DOUBLE)
+               {_wdsum2("tp", "OVER w", 12, 8)}
                    / 20.0 AS sma,
                list(tp) OVER w AS arr
         FROM tpb
@@ -201,7 +215,8 @@ def q_williams_r(spark: SparkSession, sf_dir: str) -> DataFrame:
     md AS (
         SELECT symbol, bar_ts, tp, sma, rn,
                CAST(list_sum(list_transform(arr,
-                    x -> CAST(abs(x - sma) AS DECIMAL(38,18))))
+                    x -> CAST({sql_portable_round("abs(x - sma)", 10)}
+                              AS DECIMAL(28,10))))
                     AS DOUBLE) / 20.0 AS mad
         FROM fr
     )
@@ -234,18 +249,26 @@ def q_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bar_ts",
         "tp",
         "rn",
-        (F.sum(F.col("tp").cast(_DEC18)).over(w).cast("double") / 20.0).alias(
-            "sma"
-        ),
+        (_wssum2(F.col("tp"), w, 12, 8) / 20.0).alias("sma"),
         F.collect_list("tp").over(w).alias("arr"),
     )
+    # fold terms 10dp-pre-round then cast at their OWN scale:
+    # |x - sma| <= ~560 -> k <= 5.6e12 << 2^53, exact on both engines.
+    # Precision 28 (NOT 38) is load-bearing: (28,10)+(28,10) -> (29,10)
+    # stays under Spark's 38 cap so every fold step is EXACT, whereas
+    # (38,10)+(38,10) overflows to 39 and Spark silently REDUCES the
+    # result scale to 9, half-up-rounding each step (observed +29e-10
+    # drift over a 20-element frame vs DuckDB's exact list_sum).
     mad = (
         F.aggregate(
             F.col("arr"),
-            F.lit(0).cast(_DEC18),
-            lambda acc, x: (acc + F.abs(x - F.col("sma")).cast(_DEC18)).cast(
-                _DEC18
-            ),
+            F.lit(0).cast("decimal(28,10)"),
+            lambda acc, x: (
+                acc
+                + portable_round(F.abs(x - F.col("sma")), 10).cast(
+                    "decimal(28,10)"
+                )
+            ).cast("decimal(28,10)"),
         ).cast("double")
         / 20.0
     )
@@ -285,14 +308,14 @@ def q_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sums AS (
         SELECT symbol, bar_ts, rn,
-               CAST(sum(CASE WHEN ptp IS NOT NULL AND tp > ptp
-                        THEN CAST(tp * volume AS DECIMAL(38,18))
-                        ELSE CAST(0 AS DECIMAL(38,18)) END) OVER w
-                    AS DOUBLE) AS pos_mf,
-               CAST(sum(CASE WHEN ptp IS NOT NULL AND tp < ptp
-                        THEN CAST(tp * volume AS DECIMAL(38,18))
-                        ELSE CAST(0 AS DECIMAL(38,18)) END) OVER w
-                    AS DOUBLE) AS neg_mf
+               {_wdsum2(
+                   "CASE WHEN ptp IS NOT NULL AND tp > ptp"
+                   " THEN tp * volume ELSE 0 END", "OVER w", 12, 8)}
+                   AS pos_mf,
+               {_wdsum2(
+                   "CASE WHEN ptp IS NOT NULL AND tp < ptp"
+                   " THEN tp * volume ELSE 0 END", "OVER w", 12, 8)}
+                   AS neg_mf
         FROM fl
         WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts
                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
@@ -323,26 +346,26 @@ def q_mfi(spark: SparkSession, sf_dir: str) -> DataFrame:
     lw = Window.partitionBy("symbol").orderBy("bar_ts")
     fl = tpb.withColumn("ptp", F.lag("tp").over(lw))
     w = _rows_window(14)
-    zero = F.lit(0).cast(_DEC18)
-    mf = (F.col("tp") * F.col("volume")).cast(_DEC18)
+    zero = F.lit(0.0)
+    mf = F.col("tp") * F.col("volume")
     sums = fl.select(
         "symbol",
         "bar_ts",
         "rn",
-        F.sum(
+        _wssum2(
             F.when(F.col("ptp").isNotNull() & (F.col("tp") > F.col("ptp")), mf)
-            .otherwise(zero)
-        )
-        .over(w)
-        .cast("double")
-        .alias("pos_mf"),
-        F.sum(
+            .otherwise(zero),
+            w,
+            12,
+            8,
+        ).alias("pos_mf"),
+        _wssum2(
             F.when(F.col("ptp").isNotNull() & (F.col("tp") < F.col("ptp")), mf)
-            .otherwise(zero)
-        )
-        .over(w)
-        .cast("double")
-        .alias("neg_mf"),
+            .otherwise(zero),
+            w,
+            12,
+            8,
+        ).alias("neg_mf"),
     )
     denom = F.col("pos_mf") + F.col("neg_mf")
     return (
@@ -373,7 +396,7 @@ def q_mfi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sums AS (
         SELECT symbol, bar_ts, rn,
-               CAST(sum(CAST(mfv AS DECIMAL(38,18))) OVER w AS DOUBLE)
+               {_wdsum2("mfv", "OVER w", 12, 8)}
                    AS s_mfv,
                CAST(sum(volume) OVER w AS BIGINT) AS s_vol
         FROM mfv
@@ -410,7 +433,7 @@ def q_cmf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol",
         "bar_ts",
         "rn",
-        F.sum(F.col("mfv").cast(_DEC18)).over(w).cast("double").alias("s_mfv"),
+        _wssum2(F.col("mfv"), w, 12, 8).alias("s_mfv"),
         F.sum("volume").over(w).cast("bigint").alias("s_vol"),
     )
     return (
@@ -604,9 +627,9 @@ def q_pivot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ch AS (
         SELECT symbol, bar_ts, close, rn,
-               CAST(sum(CAST(tp AS DECIMAL(38,18))) OVER w20 AS DOUBLE)
+               {_wdsum2("tp", "OVER w20", 12, 8)}
                    / 20.0 AS center,
-               CAST(sum(CAST(rng AS DECIMAL(38,18))) OVER w10 AS DOUBLE)
+               {_wdsum2("rng", "OVER w10", 12, 8)}
                    / 10.0 AS band
         FROM tpb
         WINDOW w20 AS (PARTITION BY symbol ORDER BY bar_ts
@@ -643,14 +666,8 @@ def q_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bar_ts",
         "close",
         "rn",
-        (
-            F.sum(F.col("tp").cast(_DEC18)).over(_rows_window(20)).cast("double")
-            / 20.0
-        ).alias("center"),
-        (
-            F.sum(F.col("rng").cast(_DEC18)).over(_rows_window(10)).cast("double")
-            / 10.0
-        ).alias("band"),
+        (_wssum2(F.col("tp"), _rows_window(20), 12, 8) / 20.0).alias("center"),
+        (_wssum2(F.col("rng"), _rows_window(10), 12, 8) / 10.0).alias("band"),
     )
     return (
         ch.filter(F.col("rn") >= 20)
@@ -1015,7 +1032,7 @@ def q_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUCK_RETS_MKT = """
+_DUCK_RETS_MKT = f"""
     cbars AS (
         SELECT event_type AS symbol,
                date_trunc('hour', ts) AS bar_ts,
@@ -1032,7 +1049,7 @@ _DUCK_RETS_MKT = """
     ),
     mkt AS (
         SELECT bar_ts,
-               CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE)
+               {_dsum2("r", 12, 8)}
                    / COUNT(*) AS rm
         FROM rets GROUP BY bar_ts
     )
@@ -1058,9 +1075,7 @@ def _rets_mkt(spark: SparkSession, sf_dir: str):
         (F.col("close") / F.lag("close").over(w) - F.lit(1.0)).alias("r"),
     ).filter(F.col("r").isNotNull())
     mkt = rets.groupBy("bar_ts").agg(
-        (
-            F.sum(F.col("r").cast(_DEC18)).cast("double") / F.count(F.lit(1))
-        ).alias("rm")
+        (_ssum2(F.col("r"), 12, 8) / F.count(F.lit(1))).alias("rm")
     )
     return rets, mkt
 
@@ -1076,10 +1091,10 @@ def _rets_mkt(spark: SparkSession, sf_dir: str):
     mo AS (
         SELECT symbol,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS sr,
-               CAST(SUM(CAST(rm AS DECIMAL(38,18))) AS DOUBLE) AS sm,
-               CAST(SUM(CAST(r * rm AS DECIMAL(38,18))) AS DOUBLE) AS srm,
-               CAST(SUM(CAST(rm * rm AS DECIMAL(38,18))) AS DOUBLE) AS smm
+               {_dsum2("r", 12, 8)} AS sr,
+               {_dsum2("rm", 12, 8)} AS sm,
+               {_dsum2("r * rm", 12, 8)} AS srm,
+               {_dsum2("rm * rm", 12, 8)} AS smm
         FROM j GROUP BY 1
     ),
     b AS (
@@ -1108,14 +1123,10 @@ def q_treynor(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = rets.join(F.broadcast(mkt), "bar_ts").select("symbol", "r", "rm")
     mo = j.groupBy("symbol").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("r").cast(_DEC18)).cast("double").alias("sr"),
-        F.sum(F.col("rm").cast(_DEC18)).cast("double").alias("sm"),
-        F.sum((F.col("r") * F.col("rm")).cast(_DEC18))
-        .cast("double")
-        .alias("srm"),
-        F.sum((F.col("rm") * F.col("rm")).cast(_DEC18))
-        .cast("double")
-        .alias("smm"),
+        _ssum2(F.col("r"), 12, 8).alias("sr"),
+        _ssum2(F.col("rm"), 12, 8).alias("sm"),
+        _ssum2(F.col("r") * F.col("rm"), 12, 8).alias("srm"),
+        _ssum2(F.col("rm") * F.col("rm"), 12, 8).alias("smm"),
     )
     mvar = F.col("n") * F.col("smm") - F.col("sm") * F.col("sm")
     beta = (F.col("n") * F.col("srm") - F.col("sr") * F.col("sm")) / mvar
@@ -1146,17 +1157,15 @@ def q_treynor(spark: SparkSession, sf_dir: str) -> DataFrame:
     mo AS (
         SELECT symbol,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS sr,
-               CAST(SUM(CAST(r * r AS DECIMAL(38,18))) AS DOUBLE) AS srr,
+               {_dsum2("r", 12, 8)} AS sr,
+               {_dsum2("r * r", 12, 8)} AS srr,
                CAST(SUM(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_up,
-               CAST(SUM(CASE WHEN r > 0 THEN CAST(r AS DECIMAL(38,18))
-                        ELSE CAST(0 AS DECIMAL(38,18)) END) AS DOUBLE)
+               {_dsum2("CASE WHEN r > 0 THEN r ELSE 0 END", 12, 8)}
                    AS s_win,
                CAST(SUM(CASE WHEN r < 0 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_dn,
-               CAST(SUM(CASE WHEN r < 0 THEN CAST(-r AS DECIMAL(38,18))
-                        ELSE CAST(0 AS DECIMAL(38,18)) END) AS DOUBLE)
+               {_dsum2("CASE WHEN r < 0 THEN -r ELSE 0 END", 12, 8)}
                    AS s_loss
         FROM rets GROUP BY symbol
     )
@@ -1185,27 +1194,23 @@ def q_kelly_criterion(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-sided histories emit NULL. Scale: one returns window + one
     moments hash-agg (O(1) group state)."""
     rets, _ = _rets_mkt(spark, sf_dir)
-    zero = F.lit(0).cast(_DEC18)
+    zero = F.lit(0.0)
     mo = rets.groupBy("symbol").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("r").cast(_DEC18)).cast("double").alias("sr"),
-        F.sum((F.col("r") * F.col("r")).cast(_DEC18))
-        .cast("double")
-        .alias("srr"),
+        _ssum2(F.col("r"), 12, 8).alias("sr"),
+        _ssum2(F.col("r") * F.col("r"), 12, 8).alias("srr"),
         F.sum(F.when(F.col("r") > 0, 1).otherwise(0))
         .cast("bigint")
         .alias("n_up"),
-        F.sum(F.when(F.col("r") > 0, F.col("r").cast(_DEC18)).otherwise(zero))
-        .cast("double")
-        .alias("s_win"),
+        _ssum2(
+            F.when(F.col("r") > 0, F.col("r")).otherwise(zero), 12, 8
+        ).alias("s_win"),
         F.sum(F.when(F.col("r") < 0, 1).otherwise(0))
         .cast("bigint")
         .alias("n_dn"),
-        F.sum(
-            F.when(F.col("r") < 0, (-F.col("r")).cast(_DEC18)).otherwise(zero)
-        )
-        .cast("double")
-        .alias("s_loss"),
+        _ssum2(
+            F.when(F.col("r") < 0, -F.col("r")).otherwise(zero), 12, 8
+        ).alias("s_loss"),
     )
     mu = F.col("sr") / F.col("n")
     var = F.col("srr") / F.col("n") - mu * mu

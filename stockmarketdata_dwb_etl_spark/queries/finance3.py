@@ -23,10 +23,21 @@ from pyspark.sql.window import Window
 
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
+from stockmarketdata_dwb_etl_spark.queries.stats_q import (
+    _dsum2,
+    _ssum2,
+    _wdsum2,
+    _wssum2,
+)
 from stockmarketdata_dwb_etl_spark.queries.timeseries import _DUCK_ORD, _spark_ord
 from stockmarketdata_dwb_etl_spark.registry import query
 
-_DEC18 = "decimal(38,18)"
+# Cross-row double sums route through the two-bucket split sum
+# (stats_q, 2^53 rule in tests/test_split_sum.py): hourly simple
+# returns spike to |r| ~1.5e3, active returns to ~3e3, and percentage
+# drawdowns to 100, so raw DECIMAL(38,18) casts breached the 2^53
+# round-trip bound; every unrounded sum here uses (12,8) and
+# pre-rounded summands cast at their own exact scale.
 
 _DUCK_BARS = f"""
     bars AS (
@@ -77,20 +88,22 @@ def _market(rets: DataFrame) -> DataFrame:
     """Equal-weight market return per bar (decimal sum / count) — the
     same benchmark construction as q_beta_capm."""
     return rets.groupBy("bar_ts").agg(
-        (F.sum(F.col("r").cast(_DEC18)).cast("double") / F.count(F.lit(1))).alias(
-            "rm"
-        )
+        (_ssum2(F.col("r"), 12, 8) / F.count(F.lit(1))).alias("rm")
     )
 
 
-_DUCK_MKT = """
+_DUCK_MKT = f"""
     mkt AS (
         SELECT bar_ts,
-               CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE)
+               {_dsum2("r", 12, 8)}
                    / COUNT(*) AS rm
         FROM rets GROUP BY bar_ts
     )
 """
+
+
+# shared fragment for q_ulcer_index: the squared-drawdown split sum
+DD_SUM = _dsum2("dd_pct * dd_pct", 12, 8)
 
 
 @query(
@@ -109,17 +122,16 @@ _DUCK_MKT = """
            CAST((CAST(floor(CAST((min(dd_pct)) AS DOUBLE) * 1000000.0 + 0.5)
                  AS DOUBLE) / 1000000.0) AS DOUBLE) AS max_dd_pct,
            CAST((CAST(floor(CAST((sqrt(
-                    CAST(SUM(CAST(dd_pct * dd_pct AS DECIMAL(38,18))) AS DOUBLE)
+                    ({DD_SUM})
                     / COUNT(*))) AS DOUBLE) * 1000000.0 + 0.5)
                  AS DOUBLE) / 1000000.0) AS DOUBLE) AS ulcer,
            CAST(CASE WHEN sqrt(
-                    CAST(SUM(CAST(dd_pct * dd_pct AS DECIMAL(38,18))) AS DOUBLE)
+                    ({DD_SUM})
                     / COUNT(*)) = 0 THEN NULL
                 ELSE (CAST(floor(CAST((
                     (arg_max(close, bar_ts) / arg_min(close, bar_ts) - 1.0)
                     * 100.0
-                    / sqrt(CAST(SUM(CAST(dd_pct * dd_pct AS DECIMAL(38,18)))
-                           AS DOUBLE) / COUNT(*))) AS DOUBLE)
+                    / sqrt(({DD_SUM}) / COUNT(*))) AS DOUBLE)
                     * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) END AS DOUBLE)
                AS martin_ratio
     FROM dd GROUP BY symbol ORDER BY symbol
@@ -154,9 +166,7 @@ def q_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = dd.groupBy("symbol").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_bars"),
         F.min("dd_pct").alias("__mindd"),
-        F.sum((F.col("dd_pct") * F.col("dd_pct")).cast(_DEC18))
-        .cast("double")
-        .alias("__ssdd"),
+        _ssum2(F.col("dd_pct") * F.col("dd_pct"), 12, 8).alias("__ssdd"),
         F.max_by("close", F.col("bar_ts")).alias("__last"),
         F.min_by("close", F.col("bar_ts")).alias("__first"),
     )
@@ -186,8 +196,8 @@ def q_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments AS (
         SELECT symbol,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(ra AS DECIMAL(38,18))) AS DOUBLE) AS s,
-               CAST(SUM(CAST(ra * ra AS DECIMAL(38,18))) AS DOUBLE) AS ss
+               {_dsum2("ra", 12, 8)} AS s,
+               {_dsum2("ra * ra", 12, 8)} AS ss
         FROM act GROUP BY symbol
     )
     SELECT symbol, n,
@@ -219,10 +229,8 @@ def q_information_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = act.groupBy("symbol").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("ra").cast(_DEC18)).cast("double").alias("s"),
-        F.sum((F.col("ra") * F.col("ra")).cast(_DEC18))
-        .cast("double")
-        .alias("ss"),
+        _ssum2(F.col("ra"), 12, 8).alias("s"),
+        _ssum2(F.col("ra") * F.col("ra"), 12, 8).alias("ss"),
     )
     mean = F.col("s") / F.col("n")
     var = F.col("ss") / F.col("n") - mean * mean
@@ -252,14 +260,10 @@ def q_information_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT symbol,
                CAST(SUM(CASE WHEN rm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
                CAST(SUM(CASE WHEN rm < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
-               CAST(SUM(CASE WHEN rm > 0
-                    THEN CAST(r AS DECIMAL(38,18)) END) AS DOUBLE) AS sr_up,
-               CAST(SUM(CASE WHEN rm > 0
-                    THEN CAST(rm AS DECIMAL(38,18)) END) AS DOUBLE) AS sm_up,
-               CAST(SUM(CASE WHEN rm < 0
-                    THEN CAST(r AS DECIMAL(38,18)) END) AS DOUBLE) AS sr_dn,
-               CAST(SUM(CASE WHEN rm < 0
-                    THEN CAST(rm AS DECIMAL(38,18)) END) AS DOUBLE) AS sm_dn
+               {_dsum2("CASE WHEN rm > 0 THEN r END", 12, 8)} AS sr_up,
+               {_dsum2("CASE WHEN rm > 0 THEN rm END", 12, 8)} AS sm_up,
+               {_dsum2("CASE WHEN rm < 0 THEN r END", 12, 8)} AS sr_dn,
+               {_dsum2("CASE WHEN rm < 0 THEN rm END", 12, 8)} AS sm_dn
         FROM j GROUP BY symbol
     )
     SELECT symbol, n_up, n_down,
@@ -289,10 +293,10 @@ def q_updown_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = j.groupBy("symbol").agg(
         F.sum(F.when(up, 1).otherwise(0)).cast("bigint").alias("n_up"),
         F.sum(F.when(dn, 1).otherwise(0)).cast("bigint").alias("n_down"),
-        F.sum(F.when(up, F.col("r").cast(_DEC18))).cast("double").alias("sr_up"),
-        F.sum(F.when(up, F.col("rm").cast(_DEC18))).cast("double").alias("sm_up"),
-        F.sum(F.when(dn, F.col("r").cast(_DEC18))).cast("double").alias("sr_dn"),
-        F.sum(F.when(dn, F.col("rm").cast(_DEC18))).cast("double").alias("sm_dn"),
+        _ssum2(F.when(up, F.col("r")), 12, 8).alias("sr_up"),
+        _ssum2(F.when(up, F.col("rm")), 12, 8).alias("sm_up"),
+        _ssum2(F.when(dn, F.col("r")), 12, 8).alias("sr_dn"),
+        _ssum2(F.when(dn, F.col("rm")), 12, 8).alias("sm_dn"),
     )
     upcap = (F.col("sr_up") / F.col("n_up")) / (F.col("sm_up") / F.col("n_up"))
     dncap = (F.col("sr_dn") / F.col("n_down")) / (
@@ -479,20 +483,20 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY s.symbol, sc.scale,
                    CAST(floor((s.rn - 1) * 1.0 / sc.scale) AS BIGINT)
                    ORDER BY s.rn) AS j,
-               CAST(SUM(CAST(s.r AS DECIMAL(38,18))) OVER (
+               {_wdsum2("s.r", '''OVER (
                    PARTITION BY s.symbol, sc.scale,
                    CAST(floor((s.rn - 1) * 1.0 / sc.scale) AS BIGINT)
                    ORDER BY s.rn
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS DOUBLE) AS cum
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''',
+                   12, 8)} AS cum
         FROM seq s CROSS JOIN (
             SELECT unnest([16, 32, 64]) AS scale) sc
     ),
     bstats AS (
         SELECT symbol, scale, blk,
                CAST(COUNT(*) AS BIGINT) AS nb,
-               CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS s,
-               CAST(SUM(CAST(r * r AS DECIMAL(38,18))) AS DOUBLE) AS ss
+               {_dsum2("r", 12, 8)} AS s,
+               {_dsum2("r * r", 12, 8)} AS ss
         FROM blocks GROUP BY 1, 2, 3
     ),
     dev AS (
@@ -514,21 +518,17 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_rs AS (
         SELECT symbol, scale,
                CAST(COUNT(*) AS BIGINT) AS n_blocks,
-               CAST(SUM(CAST(rng / sd AS DECIMAL(38,18))) AS DOUBLE)
+               {_dsum2("rng / sd", 12, 8)}
                    / COUNT(*) AS avg_rs
         FROM rs WHERE sd > 0 GROUP BY symbol, scale
     ),
     pts AS (
         SELECT symbol,
                CAST(COUNT(*) AS BIGINT) AS k,
-               CAST(SUM(CAST(ln(scale * 1.0) AS DECIMAL(38,18)))
-                   AS DOUBLE) AS sx,
-               CAST(SUM(CAST(ln(avg_rs) AS DECIMAL(38,18)))
-                   AS DOUBLE) AS sy,
-               CAST(SUM(CAST(ln(scale * 1.0) * ln(avg_rs) AS DECIMAL(38,18)))
-                   AS DOUBLE) AS sxy,
-               CAST(SUM(CAST(ln(scale * 1.0) * ln(scale * 1.0)
-                   AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+               {_dsum2("ln(scale * 1.0)", 12, 8)} AS sx,
+               {_dsum2("ln(avg_rs)", 12, 8)} AS sy,
+               {_dsum2("ln(scale * 1.0) * ln(avg_rs)", 12, 8)} AS sxy,
+               {_dsum2("ln(scale * 1.0) * ln(scale * 1.0)", 12, 8)} AS sxx
         FROM mean_rs GROUP BY symbol
     )
     SELECT symbol, k AS n_scales,
@@ -567,16 +567,18 @@ def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "scale",
             "blk",
             F.row_number().over(wb).alias("j"),
-            F.sum(F.col("r").cast(_DEC18))
-            .over(wb.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .cast("double")
-            .alias("cum"),
+            _wssum2(
+                F.col("r"),
+                wb.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+                12,
+                8,
+            ).alias("cum"),
         )
     )
     bstats = blocks.groupBy("symbol", "scale", "blk").agg(
         F.count(F.lit(1)).cast("bigint").alias("nb"),
-        F.sum(F.col("r").cast(_DEC18)).cast("double").alias("s"),
-        F.sum((F.col("r") * F.col("r")).cast(_DEC18)).cast("double").alias("ss"),
+        _ssum2(F.col("r"), 12, 8).alias("s"),
+        _ssum2(F.col("r") * F.col("r"), 12, 8).alias("ss"),
     )
     dev = blocks.join(
         bstats.filter(F.col("nb") == F.col("scale")),
@@ -608,7 +610,7 @@ def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
             (
-                F.sum((F.col("rng") / F.col("sd")).cast(_DEC18)).cast("double")
+                _ssum2(F.col("rng") / F.col("sd"), 12, 8)
                 / F.count(F.lit(1))
             ).alias("avg_rs"),
         )
@@ -617,10 +619,10 @@ def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     ly = F.log(F.col("avg_rs"))
     pts = mean_rs.groupBy("symbol").agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
-        F.sum(lx.cast(_DEC18)).cast("double").alias("sx"),
-        F.sum(ly.cast(_DEC18)).cast("double").alias("sy"),
-        F.sum((lx * ly).cast(_DEC18)).cast("double").alias("sxy"),
-        F.sum((lx * lx).cast(_DEC18)).cast("double").alias("sxx"),
+        _ssum2(lx, 12, 8).alias("sx"),
+        _ssum2(ly, 12, 8).alias("sy"),
+        _ssum2(lx * ly, 12, 8).alias("sxy"),
+        _ssum2(lx * lx, 12, 8).alias("sxx"),
     )
     slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
@@ -953,7 +955,9 @@ def q_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ent = cnts.groupBy("symbol").agg(
         F.max("total").alias("n_windows"),
         F.count(F.lit(1)).cast("bigint").alias("n_patterns"),
-        F.sum(portable_round(-p * F.log(p), 12).cast(_DEC18))
+        # 12dp-pre-rounded entropy terms cast at their OWN scale
+        # (matching the oracle's DECIMAL(38,12)): |term| < 1 -> exact
+        F.sum(portable_round(-p * F.log(p), 12).cast("decimal(38,12)"))
         .cast("double")
         .alias("h"),
     )
@@ -1055,10 +1059,10 @@ def q_calmar(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(*) AS BIGINT) AS n_rets,
                CAST(COUNT(*) FILTER (WHERE r > 0) AS BIGINT) AS n_up,
                CAST(COUNT(*) FILTER (WHERE r < 0) AS BIGINT) AS n_down,
-               CAST(SUM(CAST(CASE WHEN r > 0 THEN r ELSE 0 END
-                    AS DECIMAL(38,18))) AS DOUBLE) AS gains,
-               CAST(SUM(CAST(CASE WHEN r < 0 THEN -r ELSE 0 END
-                    AS DECIMAL(38,18))) AS DOUBLE) AS losses
+               {_dsum2("CASE WHEN r > 0 THEN r ELSE 0 END", 12, 8)}
+                   AS gains,
+               {_dsum2("CASE WHEN r < 0 THEN -r ELSE 0 END", 12, 8)}
+                   AS losses
         FROM rets GROUP BY symbol
     )
     SELECT symbol, n_rets, n_up, n_down,
@@ -1083,16 +1087,12 @@ def q_omega_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rets"),
         F.count(F.when(F.col("r") > 0, 1)).cast("bigint").alias("n_up"),
         F.count(F.when(F.col("r") < 0, 1)).cast("bigint").alias("n_down"),
-        F.sum(
-            F.when(F.col("r") > 0, F.col("r")).otherwise(F.lit(0.0)).cast(_DEC18)
-        )
-        .cast("double")
-        .alias("gains"),
-        F.sum(
-            F.when(F.col("r") < 0, -F.col("r")).otherwise(F.lit(0.0)).cast(_DEC18)
-        )
-        .cast("double")
-        .alias("losses"),
+        _ssum2(
+            F.when(F.col("r") > 0, F.col("r")).otherwise(F.lit(0.0)), 12, 8
+        ).alias("gains"),
+        _ssum2(
+            F.when(F.col("r") < 0, -F.col("r")).otherwise(F.lit(0.0)), 12, 8
+        ).alias("losses"),
     )
     return agg.select(
         "symbol",

@@ -24,6 +24,7 @@ from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.operators.cache import bounded_persist
 from stockmarketdata_dwb_etl_spark.operators.rank import global_prefix_sum
 from stockmarketdata_dwb_etl_spark.queries.graph import _GRAPH_SQL, _graph
+from stockmarketdata_dwb_etl_spark.queries.stats_q import _dsum2, _ssum2
 from stockmarketdata_dwb_etl_spark.queries.timeseries import _DUCK_ORD, _spark_ord
 from stockmarketdata_dwb_etl_spark.registry import query
 
@@ -56,16 +57,12 @@ def _pr(expr: str, n: int) -> str:
     m AS (
         SELECT symbol,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(abs(y - yhat) AS DECIMAL(38,18))) AS DOUBLE)
-                   AS sae,
-               CAST(SUM(CAST((y - yhat) * (y - yhat) AS DECIMAL(38,18)))
-                    AS DOUBLE) AS sse,
-               CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy,
-               CAST(SUM(CASE WHEN y <> 0
-                        THEN CAST(abs((y - yhat) / y) AS DECIMAL(38,18))
-                        ELSE CAST(0 AS DECIMAL(38,18)) END) AS DOUBLE)
-                   AS sape,
+               {_dsum2("abs(y - yhat)", 12, 8)} AS sae,
+               {_dsum2("(y - yhat) * (y - yhat)", 12, 8)} AS sse,
+               {_dsum2("y", 12, 8)} AS sy,
+               {_dsum2("y * y", 12, 8)} AS syy,
+               {_dsum2("CASE WHEN y <> 0 THEN abs((y - yhat) / y)"
+                       " ELSE 0 END", 12, 8)} AS sape,
                CAST(SUM(CASE WHEN y <> 0 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_ape
         FROM p GROUP BY 1
@@ -103,21 +100,19 @@ def q_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("yhat").isNotNull())
     )
     e = F.col("y") - F.col("yhat")
-    zero = F.lit(0).cast(_DEC18)
     m = p.groupBy("symbol").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.abs(e).cast(_DEC18)).cast("double").alias("sae"),
-        F.sum((e * e).cast(_DEC18)).cast("double").alias("sse"),
-        F.sum(F.col("y").cast(_DEC18)).cast("double").alias("sy"),
-        F.sum((F.col("y") * F.col("y")).cast(_DEC18))
-        .cast("double")
-        .alias("syy"),
-        F.sum(
-            F.when(F.col("y") != 0, F.abs(e / F.col("y")).cast(_DEC18))
-            .otherwise(zero)
-        )
-        .cast("double")
-        .alias("sape"),
+        _ssum2(F.abs(e), 12, 8).alias("sae"),
+        _ssum2(e * e, 12, 8).alias("sse"),
+        _ssum2(F.col("y"), 12, 8).alias("sy"),
+        _ssum2(F.col("y") * F.col("y"), 12, 8).alias("syy"),
+        _ssum2(
+            F.when(F.col("y") != 0, F.abs(e / F.col("y"))).otherwise(
+                F.lit(0.0)
+            ),
+            12,
+            8,
+        ).alias("sape"),
         F.sum(F.when(F.col("y") != 0, 1).otherwise(0))
         .cast("bigint")
         .alias("n_ape"),
@@ -617,10 +612,8 @@ def q_flesch_reading(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
         SELECT symbol,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST((y - seasonal) * (y - seasonal)
-                    AS DECIMAL(38,18))) AS DOUBLE) AS sse_s,
-               CAST(SUM(CAST((y - naive) * (y - naive)
-                    AS DECIMAL(38,18))) AS DOUBLE) AS sse_n
+               {_dsum2("(y - seasonal) * (y - seasonal)", 12, 8)} AS sse_s,
+               {_dsum2("(y - naive) * (y - naive)", 12, 8)} AS sse_n
         FROM p GROUP BY 1
     )
     SELECT symbol, n,
@@ -661,8 +654,8 @@ def q_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     en = F.col("y") - F.col("naive")
     m = p.groupBy("symbol").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum((es * es).cast(_DEC18)).cast("double").alias("sse_s"),
-        F.sum((en * en).cast(_DEC18)).cast("double").alias("sse_n"),
+        _ssum2(es * es, 12, 8).alias("sse_s"),
+        _ssum2(en * en, 12, 8).alias("sse_n"),
     )
     rmse_s = F.sqrt(F.col("sse_s") / F.col("n"))
     rmse_n = F.sqrt(F.col("sse_n") / F.col("n"))
@@ -732,7 +725,9 @@ def q_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = edges.select(F.col("p"), F.col("s").alias("supp_a"))
     b = edges.select(F.col("p"), F.col("s").alias("supp_b"))
-    term = portable_round(F.lit(1.0) / F.col("pd"), 12).cast(_DEC18)
+    # 12dp-pre-rounded terms <= 1 cast at their OWN scale, matching the
+    # oracle's DECIMAL(38,12): k <= 1e12 << 2^53, exact on both engines
+    term = portable_round(F.lit(1.0) / F.col("pd"), 12).cast("decimal(38,12)")
     pairs = (
         a.join(b, "p")
         .filter(F.col("supp_a") < F.col("supp_b"))
@@ -924,7 +919,7 @@ def q_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_pr(
                "CAST(SUM(CAST("
                + _pr("-(y * ln(p) + (1 - y) * ln(1.0 - p))", 12)
-               + " AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)", 6)}
+               + " AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)", 6)}
                AS log_loss
     FROM t
     """,
@@ -946,7 +941,9 @@ def q_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         portable_round(
-            F.sum(portable_round(F.col("loss"), 12).cast(_DEC18)).cast("double")
+            F.sum(
+                portable_round(F.col("loss"), 12).cast("decimal(38,12)")
+            ).cast("double")
             / F.count(F.lit(1)),
             6,
         )
@@ -985,8 +982,8 @@ def q_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats AS (
         SELECT w,
                CAST(COUNT(*) AS BIGINT) AS k,
-               CAST(SUM(CAST(freq AS DECIMAL(38,18))) AS DOUBLE) AS sf,
-               CAST(SUM(CAST(freq * freq AS DECIMAL(38,18))) AS DOUBLE) AS sff
+               {_dsum2("freq", 12, 8)} AS sf,
+               {_dsum2("freq * freq", 12, 8)} AS sff
         FROM f GROUP BY w
     ),
     z AS (
@@ -1059,10 +1056,8 @@ def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = f.groupBy("w").agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
-        F.sum(F.col("freq").cast(_DEC18)).cast("double").alias("sf"),
-        F.sum((F.col("freq") * F.col("freq")).cast(_DEC18))
-        .cast("double")
-        .alias("sff"),
+        _ssum2(F.col("freq"), 12, 8).alias("sf"),
+        _ssum2(F.col("freq") * F.col("freq"), 12, 8).alias("sff"),
     )
     mean = F.col("sf") / F.col("k")
     var = F.col("sff") / F.col("k") - mean * mean
@@ -1075,7 +1070,11 @@ def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = z.select(F.col("source").alias("source_a"), "w", F.col("z").alias("za"))
     b = z.select(F.col("source").alias("source_b"), "w", F.col("z").alias("zb"))
-    term = portable_round(F.abs(F.col("za") - F.col("zb")), 12).cast(_DEC18)
+    # 12dp-pre-rounded z-gaps cast at their OWN scale, matching the
+    # oracle's DECIMAL(38,12): |term| <= ~10 -> exact on both engines
+    term = portable_round(F.abs(F.col("za") - F.col("zb")), 12).cast(
+        "decimal(38,12)"
+    )
     pairs = (
         a.join(b, "w")
         .filter(F.col("source_a") < F.col("source_b"))
@@ -1439,7 +1438,7 @@ def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_lm_cross_split",
-    oracle="""
+    oracle=f"""
     WITH b AS (
         SELECT *,
                (strpos('0123456789abcdef',
@@ -1495,8 +1494,8 @@ def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
            CAST(SUM(oov) AS BIGINT) AS n_unseen,
-           CAST((CAST(floor(CAST((CAST(SUM(CAST(ll AS DECIMAL(38,18)))
-                AS DOUBLE) / COUNT(*)) AS DOUBLE) * 1000000.0 + 0.5)
+           CAST((CAST(floor(CAST(({_dsum2("ll", 12, 8)})
+                / COUNT(*) AS DOUBLE) * 1000000.0 + 0.5)
                 AS DOUBLE) / 1000000.0) AS DOUBLE) AS mean_ll
     FROM scored GROUP BY lang ORDER BY lang
     """,
@@ -1575,8 +1574,7 @@ def q_lm_cross_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
             F.sum("oov").cast("bigint").alias("n_unseen"),
             portable_round(
-                F.sum(F.col("ll").cast(_DEC18)).cast("double")
-                / F.count(F.lit(1)),
+                _ssum2(F.col("ll"), 12, 8) / F.count(F.lit(1)),
                 6,
             )
             .cast("double")

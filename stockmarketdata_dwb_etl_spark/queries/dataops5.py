@@ -18,9 +18,10 @@ from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.text import tokenize, word_shingles
 from stockmarketdata_dwb_etl_spark.queries.dataops11 import _dsum, _ssum
+from stockmarketdata_dwb_etl_spark.queries.stats_q import _dsum2, _ssum2
 from stockmarketdata_dwb_etl_spark.registry import query
 
-_DEC18 = "decimal(38,18)"
+
 
 
 @query(
@@ -362,7 +363,7 @@ def q_one_hot_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PI_DEC = "decimal(38,18)"
+
 
 
 def _pi_iteration_sql(vprev: str, tag: str) -> str:
@@ -371,20 +372,18 @@ def _pi_iteration_sql(vprev: str, tag: str) -> str:
     return f"""
     s{tag} AS (
         SELECT e.vec_id,
-               (CAST(floor(CAST((CAST(SUM(CAST(e.val * v.comp AS DECIMAL(38,18)))
-                          AS DOUBLE)) AS DOUBLE) * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0) AS s
+               (CAST(floor(CAST(({_dsum("e.val * v.comp", 12)}) AS DOUBLE) * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0) AS s
         FROM ex e JOIN {vprev} v ON v.idx = e.idx
         GROUP BY e.vec_id
     ),
     w{tag} AS (
         SELECT e.idx,
-               (CAST(floor(CAST((CAST(SUM(CAST(e.val * s.s AS DECIMAL(38,18)))
-                          AS DOUBLE)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS w
+               (CAST(floor(CAST(({_dsum("e.val * s.s", 12)}) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS w
         FROM ex e JOIN s{tag} s ON s.vec_id = e.vec_id
         GROUP BY e.idx
     ),
     n{tag} AS (
-        SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE))
+        SELECT sqrt({_dsum2("w * w", 12, 6)})
                  AS nrm
         FROM w{tag}
     ),
@@ -456,9 +455,7 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("vec_id")
             .agg(
                 portable_round(
-                    F.sum((F.col("val") * F.col("comp")).cast(_PI_DEC)).cast(
-                        "double"
-                    ),
+                    _ssum(F.col("val") * F.col("comp"), 12),
                     12,
                 ).alias("s")
             )
@@ -468,9 +465,7 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("idx")
             .agg(
                 portable_round(
-                    F.sum((F.col("val") * F.col("s")).cast(_PI_DEC)).cast(
-                        "double"
-                    ),
+                    _ssum(F.col("val") * F.col("s"), 12),
                     6,
                 ).alias("w")
             )
@@ -482,9 +477,7 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         # same cut global_row_number makes)
         w = w.localCheckpoint(eager=True)
         nrm_df = w.agg(
-            F.sqrt(
-                F.sum((F.col("w") * F.col("w")).cast(_PI_DEC)).cast("double")
-            ).alias("nrm")
+            F.sqrt(_ssum2(F.col("w") * F.col("w"), 12, 6)).alias("nrm")
         )
         v = w.crossJoin(F.broadcast(nrm_df)).select(
             "idx", portable_round(F.col("w") / F.col("nrm"), 12).alias("comp")
@@ -803,7 +796,7 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) FILTER (WHERE nrm < 1e-12) AS BIGINT) AS n_zero,
            CAST((CAST(floor(CAST((MIN(nrm)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS min_norm,
            CAST((CAST(floor(CAST((MAX(nrm)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS max_norm,
-           CAST((CAST(floor(CAST((CAST(SUM(CAST(ROUND(nrm, 6) AS DECIMAL(38,18)))
+           CAST((CAST(floor(CAST((CAST(SUM(CAST(ROUND(nrm, 6) AS DECIMAL(38,6)))
                            AS DOUBLE) / COUNT(*)) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0) AS DOUBLE) AS avg_norm
     FROM norms
     """,
@@ -838,7 +831,9 @@ def q_embed_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable_round(F.min("nrm"), 4).cast("double").alias("min_norm"),
         portable_round(F.max("nrm"), 4).cast("double").alias("max_norm"),
         portable_round(
-            F.sum(portable_round(F.col("nrm"), 6).cast("decimal(38,18)")).cast(
+            # 6dp-pre-rounded norms cast at their OWN scale: exact on
+            # both engines (k <= ~1e10 << 2^53)
+            F.sum(portable_round(F.col("nrm"), 6).cast("decimal(38,6)")).cast(
                 "double"
             )
             / F.count(F.lit(1)),
@@ -1507,7 +1502,7 @@ def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_gram_matrix",
-    oracle="""
+    oracle=f"""
     WITH ex AS (
         SELECT vec_id, u.idx, u.val
         FROM embeddings,
@@ -1515,9 +1510,7 @@ def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                              UNNEST(embedding) AS val) u
     )
     SELECT a.idx AS i, b.idx AS j,
-           CAST((CAST(floor(CAST((CAST(SUM(CAST(
-                    CAST(a.val AS DOUBLE) * CAST(b.val AS DOUBLE)
-                AS DECIMAL(38,18))) AS DOUBLE)) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS gram
+           CAST((CAST(floor(CAST(({_dsum("CAST(a.val AS DOUBLE) * CAST(b.val AS DOUBLE)", 12)}) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS gram
     FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.idx <= b.idx
     GROUP BY a.idx, b.idx
     ORDER BY i, j
@@ -1560,9 +1553,9 @@ def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         triples.groupBy("i", "j")
         .agg(
-            portable_round(
-                F.sum(F.col("p").cast("decimal(38,18)")).cast("double"), 6
-            )
+            # component products are < 1 (|f32 comp| < 0.6), so the
+            # single-bucket 12dp rounded sum is exact on both engines
+            portable_round(_ssum(F.col("p"), 12), 6)
             .cast("double")
             .alias("gram")
         )

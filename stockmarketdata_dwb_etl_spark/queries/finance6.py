@@ -42,7 +42,6 @@ from stockmarketdata_dwb_etl_spark.functions.exact import (
 from stockmarketdata_dwb_etl_spark.queries.timeseries import _DUCK_ORD, _spark_ord
 from stockmarketdata_dwb_etl_spark.registry import query
 
-_DEC18 = "decimal(38,18)"
 
 _BARS_SQL = f"""
     bars AS (
@@ -119,7 +118,7 @@ def q_chande_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
     close-to-close moves — RSI's symmetric cousin (bounded ±100, zero
     centered), emitted only where the 7-move frame is full. Per-move
     gains/losses are single-subtraction doubles rounded to 12dp and
-    summed as DECIMAL(38,18); flat frames (Σgain+Σloss = 0) yield NULL
+    summed in exact DECIMAL at the rounding scale; flat frames (Σgain+Σloss = 0) yield NULL
     via nullif rather than a 0/0. Scale: one tick->bar shuffle, then a
     bar-grained window per symbol."""
     bars = _hourly_bars(spark, sf_dir)
@@ -134,10 +133,10 @@ def q_chande_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "symbol",
             "bar_ts",
             portable_round(F.greatest(diff, F.lit(0.0)), 12)
-            .cast(_DEC18)
+            .cast("decimal(38,12)")
             .alias("gain"),
             portable_round(F.greatest(-diff, F.lit(0.0)), 12)
-            .cast(_DEC18)
+            .cast("decimal(38,12)")
             .alias("loss"),
         )
     )
@@ -221,7 +220,7 @@ def q_vortex(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossing-based trend-change signal. True range uses the standard
     3-way greatest (range, gap-up, gap-down vs prior close). Per-bar
     vortex movements and TR are single-op double chains rounded to 12dp
-    and summed as DECIMAL(38,18); one double division per ratio; full
+    and summed in exact DECIMAL at the rounding scale; one double division per ratio; full
     7-bar frames only. Scale: identical posture to q_chande_momentum —
     one tick->bar shuffle then catalog-sized windows."""
     bars = _hourly_bars(spark, sf_dir)
@@ -238,10 +237,10 @@ def q_vortex(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol",
         "bar_ts",
         portable_round(F.abs(F.col("high") - F.col("pl")), 12)
-        .cast(_DEC18)
+        .cast("decimal(38,12)")
         .alias("vmp"),
         portable_round(F.abs(F.col("low") - F.col("ph")), 12)
-        .cast(_DEC18)
+        .cast("decimal(38,12)")
         .alias("vmm"),
         portable_round(
             F.greatest(
@@ -251,7 +250,7 @@ def q_vortex(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             12,
         )
-        .cast(_DEC18)
+        .cast("decimal(38,12)")
         .alias("tr"),
     )
     w7 = Window.partitionBy("symbol").orderBy("bar_ts").rowsBetween(-6, 0)
@@ -336,7 +335,7 @@ def q_yang_zhang_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     Complements q_volatility_gk (GK assumes zero drift and no gaps).
     Each symbol's first bar is dropped (overnight needs a prior close)
     so all three components share one n. Per-bar log terms are
-    identical double trees rounded to 12dp, summed as DECIMAL(38,18);
+    identical double trees rounded to 12dp, summed in exact DECIMAL at the rounding scale;
     the two sample variances use the Σx²−(Σx)²/n form with ONE
     decimal→double cast per sum so both engines' float paths match
     bit-for-bit before the 6dp presentation round. Scale: tick->bar
@@ -359,11 +358,11 @@ def q_yang_zhang_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = lagged.select(
         "symbol",
-        portable_round(o, 12).cast(_DEC18).alias("o1"),
-        portable_round(o * o, 12).cast(_DEC18).alias("o2"),
-        portable_round(c, 12).cast(_DEC18).alias("c1"),
-        portable_round(c * c, 12).cast(_DEC18).alias("c2"),
-        portable_round(rs, 12).cast(_DEC18).alias("rs"),
+        portable_round(o, 12).cast("decimal(38,12)").alias("o1"),
+        portable_round(o * o, 12).cast("decimal(38,12)").alias("o2"),
+        portable_round(c, 12).cast("decimal(38,12)").alias("c1"),
+        portable_round(c * c, 12).cast("decimal(38,12)").alias("c2"),
+        portable_round(rs, 12).cast("decimal(38,12)").alias("rs"),
     )
     n = F.count(F.lit(1))
     v = (
@@ -599,12 +598,12 @@ def q_adx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     terms AS (
         SELECT symbol,
-               CAST({sql_portable_round("e * e", 12)}
-                   AS DECIMAL(38,12)) AS e2,
+               CAST({sql_portable_round("e * e", 8)}
+                   AS DECIMAL(38,8)) AS e2,
                CAST({sql_portable_round(
                    "(e - lag(e) OVER (PARTITION BY symbol ORDER BY rn))"
                    " * (e - lag(e) OVER (PARTITION BY symbol ORDER BY rn))",
-                   12)} AS DECIMAL(38,12)) AS d2
+                   8)} AS DECIMAL(38,8)) AS d2
         FROM res
     )
     SELECT t.symbol, ab.n AS n_bars,
@@ -631,8 +630,9 @@ def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOTH engines evaluate the identical double tree (mixed
     BIGINT×DECIMAL trees quantize differently per engine); residuals
     are then bit-identical cross-engine. Residual difference-squares
-    are 12dp-rounded DECIMAL sums (bound: |e|² < 9.2e6, i.e. prices to
-    ~3e4). Scale: tick->bar
+    are 8dp-rounded DECIMAL sums (2^53 rule: e² reaches ~1.6e5 at the
+    fixture price range, so k = e²·10^8 ≤ ~1.6e13 round-trips exactly
+    on both engines where the old 12dp round did not). Scale: tick->bar
     hash-agg, a per-symbol moment agg, a broadcast fit join-back, one
     lag window — the bar table is persisted once (it feeds the moment
     and residual branches)."""
@@ -649,9 +649,9 @@ def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum("rn").cast("bigint").alias("sx"),
             F.sum(F.col("rn") * F.col("rn")).cast("bigint").alias("sxx"),
-            F.sum(portable_round(F.col("close"), 12).cast(_DEC18)).alias("sy"),
+            F.sum(portable_round(F.col("close"), 12).cast("decimal(38,12)")).alias("sy"),
             F.sum(
-                portable_round(F.col("close") * F.col("rn"), 6).cast(_DEC18)
+                portable_round(F.col("close") * F.col("rn"), 6).cast("decimal(38,6)")
             ).alias("sxy"),
         )
         .filter(
@@ -688,8 +688,8 @@ def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol",
         "n",
         "b",
-        portable_round(F.col("e") * F.col("e"), 12).cast(_DEC18).alias("e2"),
-        portable_round(d * d, 12).cast(_DEC18).alias("d2"),
+        portable_round(F.col("e") * F.col("e"), 8).cast("decimal(38,8)").alias("e2"),
+        portable_round(d * d, 8).cast("decimal(38,8)").alias("d2"),
     )
     return (
         terms.groupBy("symbol", "n", "b")

@@ -878,7 +878,7 @@ def q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_cells"),
         F.countDistinct("prev_type").cast("bigint").alias("n_states"),
         F.sum(
-            portable_round(-p_joint * F.log(p_cond), 12).cast("decimal(38,18)")
+            portable_round(-p_joint * F.log(p_cond), 12).cast("decimal(38,12)")
         )
         .cast("double")
         .alias("h"),

@@ -659,7 +659,7 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t AS tenure_months, n_t AS n_at_risk, d_t AS n_churned,
            CAST(CASE WHEN SUM(zero_f) OVER w > 0 THEN 0.0
-                ELSE (CAST(floor(CAST((exp(CAST(SUM(CAST(lf AS DECIMAL(38,18))) OVER w
+                ELSE (CAST(floor(CAST((exp(CAST(SUM(CAST(lf AS DECIMAL(38,12))) OVER w
                                     AS DOUBLE))) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) END AS DOUBLE)
                AS survival
     FROM fac
@@ -729,7 +729,7 @@ def q_survival_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(
             portable_round(
                 F.exp(
-                    F.sum(F.col("lf").cast("decimal(38,18)"))
+                    F.sum(F.col("lf").cast("decimal(38,12)"))
                     .over(w_fwd)
                     .cast("double")
                 ),
@@ -854,7 +854,7 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
            CAST((CAST(floor(CAST((sqrt(CAST(SUM(CAST(ROUND((ma - mb) * (ma - mb), 12)
-                                         AS DECIMAL(38,18))) AS DOUBLE))) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS centroid_shift_l2,
+                                         AS DECIMAL(38,12))) AS DOUBLE))) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS centroid_shift_l2,
            CAST((CAST(floor(CAST((MAX(abs(ma - mb))) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE) AS max_dim_shift
     FROM means
     """,
@@ -892,7 +892,7 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_dims"),
         portable_round(
             F.sqrt(
-                F.sum(portable_round(d * d, 12).cast("decimal(38,18)")).cast("double")
+                F.sum(portable_round(d * d, 12).cast("decimal(38,12)")).cast("double")
             ),
             6,
         )

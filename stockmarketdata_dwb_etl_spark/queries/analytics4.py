@@ -29,7 +29,6 @@ from stockmarketdata_dwb_etl_spark.queries.timeseries import (
 )
 from stockmarketdata_dwb_etl_spark.registry import query
 
-_DEC18 = "decimal(38,18)"
 
 
 @query(
@@ -173,7 +172,7 @@ def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.2) / (F.col("n_touch") - 2))
     )
     credit = touches.select(
-        "channel", portable_round(weight, 8).cast(_DEC18).alias("w")
+        "channel", portable_round(weight, 8).cast("decimal(38,8)").alias("w")
     )
     # __c stays DECIMAL through the grand-total window sum (a double
     # window SUM is accumulation-order dependent; DECIMAL Σ is exact) —
@@ -347,7 +346,7 @@ def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_bars"),
             portable_round(
                 F.sum(
-                    portable_round(F.col("r"), 12).cast(_DEC18)
+                    portable_round(F.col("r"), 12).cast("decimal(38,12)")
                 ).cast("double")
                 / F.count(F.lit(1)),
                 8,

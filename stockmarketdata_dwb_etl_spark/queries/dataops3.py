@@ -1145,7 +1145,7 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("ml").cast("double") * F.col("mc"))
         ),
         12,
-    ).cast("decimal(38,18)")
+    ).cast("decimal(38,12)")
     mi = joined.agg(F.sum(mi_term).alias("mi_sum"))
 
     def entropy(marg, col):
@@ -1153,7 +1153,7 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             -(F.col(col).cast("double") / F.col("nn"))
             * F.log(F.col(col).cast("double") / F.col("nn")),
             12,
-        ).cast("decimal(38,18)")
+        ).cast("decimal(38,12)")
         return marg.crossJoin(F.broadcast(tot)).agg(F.sum(term).alias("h"))
 
     hl = entropy(ml, "ml").withColumnRenamed("h", "hl")

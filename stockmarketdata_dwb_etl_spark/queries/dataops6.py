@@ -33,9 +33,12 @@ from stockmarketdata_dwb_etl_spark.operators.rank import (
     global_prefix_sum,
     global_row_number,
 )
+from stockmarketdata_dwb_etl_spark.queries.stats_q import _dsum2, _ssum2
 from stockmarketdata_dwb_etl_spark.registry import query
 
-_DEC18_T = "decimal(38,18)"
+# pre-rounded 12dp terms cast at their OWN scale (mirrors the oracle
+# DECIMAL(38,12); exact while |term| < ~9e3 per the 2^53 rule)
+_DEC12_T = "decimal(38,12)"
 
 _DUCK_TOKS = """
     toks AS (
@@ -513,7 +516,7 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 portable_round(F.lit(1.0) / F.log2(F.col("rank") + 1), 12),
             )
             .otherwise(F.lit(0.0))
-            .cast(_DEC18_T)
+            .cast(_DEC12_T)
         )
         .cast("double")
         .alias("dcg"),
@@ -533,7 +536,7 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 portable_round(
                     F.lit(1.0) / F.log2(F.col("i") + 1), 12
-                ).cast(_DEC18_T)
+                ).cast(_DEC12_T)
             )
             .cast("double")
             .alias("idcg")
@@ -937,7 +940,7 @@ def q_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             portable_round(
                 (F.col("p") - F.col("y")) * (F.col("p") - F.col("y")), 12
-            ).cast(_DEC18_T)
+            ).cast(_DEC12_T)
         )
         .cast("double")
         .alias("sq_sum"),
@@ -1122,7 +1125,7 @@ def q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_quantile_normalize",
-    oracle="""
+    oracle=f"""
     WITH vals AS (
         SELECT event_type AS symbol, event_id, value FROM events
     ),
@@ -1157,7 +1160,7 @@ def q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(norm_v) AS norm_min,
            MAX(norm_v) AS norm_max,
            CAST((CAST(floor(CAST((
-               CAST(SUM(CAST(norm_v AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
+               ({_dsum2("norm_v", 12, 8)}) / COUNT(*)
              ) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS DOUBLE)
                AS norm_mean
     FROM mapped GROUP BY symbol ORDER BY symbol
@@ -1215,8 +1218,7 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("pv").alias("norm_min"),
             F.max("pv").alias("norm_max"),
             (
-                F.sum(F.col("pv").cast(_DEC18_T)).cast("double")
-                / F.count(F.lit(1))
+                _ssum2(F.col("pv"), 12, 8) / F.count(F.lit(1))
             ).alias("__mean"),
         )
         .select(
@@ -1298,7 +1300,7 @@ def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     predecessor — no single-reducer stage, all 10 pairs priced in one
     pass. Determinism: F_t = integer-cum / integer-total (exact inputs,
     one IEEE division), each pair term rounded to 12dp and summed as
-    DECIMAL(38,18) (the Σ-of-rounded-terms policy), final 6dp round."""
+    exact DECIMAL (the Σ-of-rounded-terms policy), final 6dp round."""
     ev = load_table(spark, sf_dir, "events").select(
         "value", "event_id", "event_type"
     )
@@ -1359,7 +1361,7 @@ def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 portable_round(
                     F.abs(F.col(f"f_{a}") - F.col(f"f_{b}")) * F.col("gap"),
                     12,
-                ).cast(_DEC18_T)
+                ).cast(_DEC12_T)
             ).alias(f"w1_{a}_{b}")
             for a, b in _W1_PAIRS
         ]

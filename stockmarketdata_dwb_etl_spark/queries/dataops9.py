@@ -165,7 +165,7 @@ def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").cast("bigint").alias("max_chars"),
             portable_round(
                 F.sum(
-                    portable_round(F.col("lex_div"), 8).cast("decimal(38,18)")
+                    portable_round(F.col("lex_div"), 8).cast("decimal(38,8)")
                 ).cast("double")
                 / F.count(F.lit(1)),
                 6,

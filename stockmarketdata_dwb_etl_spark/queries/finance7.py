@@ -31,7 +31,6 @@ from stockmarketdata_dwb_etl_spark.queries.finance2 import (
 )
 from stockmarketdata_dwb_etl_spark.registry import query
 
-_DEC18 = "decimal(38,18)"
 
 # 1/(4·ln 2) as a LITERAL on both engines — engine-computed ln(2) would
 # route through two different libms (Java Math vs DuckDB), a 1-ulp
@@ -76,7 +75,7 @@ def q_parkinson_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = _ohlcv_bars(spark, sf_dir, "day").filter(F.col("low") > 0)
     lhl = F.log(F.col("high") / F.col("low"))
     terms = bars.select(
-        "symbol", portable_round(lhl * lhl, 10).cast(_DEC18).alias("hl2")
+        "symbol", portable_round(lhl * lhl, 10).cast("decimal(38,10)").alias("hl2")
     )
     agg = terms.groupBy("symbol").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
@@ -167,16 +166,15 @@ def q_ultimate_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bar_ts",
         "rn",
         portable_round(
-            F.col("close") - F.least(F.col("low"), F.col("prev_c")), 8
-        )
-        .cast(_DEC18)
+            F.col("close") - F.least(F.col("low"), F.col("prev_c")), 8)
+        .cast("decimal(38,8)")
         .alias("bp"),
         portable_round(
             F.greatest(F.col("high"), F.col("prev_c"))
             - F.least(F.col("low"), F.col("prev_c")),
             8,
         )
-        .cast(_DEC18)
+        .cast("decimal(38,8)")
         .alias("tr"),
     )
     def frame(n: int):
@@ -261,9 +259,8 @@ def q_force_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bar_ts",
         F.row_number().over(w).alias("rn"),
         portable_round(
-            (F.col("close") - F.lag("close").over(w)) * F.col("volume"), 6
-        )
-        .cast(_DEC18)
+            (F.col("close") - F.lag("close").over(w)) * F.col("volume"), 6)
+        .cast("decimal(38,6)")
         .alias("fi"),
     )
     f13 = Window.partitionBy("symbol").orderBy("bar_ts").rowsBetween(-12, 0)
@@ -328,7 +325,7 @@ def q_chaikin_ad(spark: SparkSession, sf_dir: str) -> DataFrame:
     mf = bars.select(
         "symbol",
         "bar_ts",
-        portable_round(mfm * F.col("volume"), 8).cast(_DEC18).alias("mfv"),
+        portable_round(mfm * F.col("volume"), 8).cast("decimal(38,8)").alias("mfv"),
     )
     run = (
         Window.partitionBy("symbol")
@@ -389,7 +386,7 @@ def q_dpo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.lag("close", 11).over(w).alias("displaced"),
         (
-            F.sum(portable_round(F.col("close"), 8).cast(_DEC18))
+            F.sum(portable_round(F.col("close"), 8).cast("decimal(38,8)"))
             .over(f20)
             .cast("double")
             / F.lit(20.0)

@@ -29,7 +29,6 @@ from stockmarketdata_dwb_etl_spark.queries.finance2 import (
 )
 from stockmarketdata_dwb_etl_spark.registry import query
 
-_DEC18 = "decimal(38,18)"
 
 
 @query(
@@ -160,7 +159,7 @@ def q_kst(spark: SparkSession, sf_dir: str) -> DataFrame:
         return portable_round(
             F.lit(100.0) * (F.col("close") / F.lag("close", n).over(w) - 1.0),
             8,
-        ).cast(_DEC18)
+        ).cast("decimal(38,8)")
 
     seq = bars.select(
         "symbol",
@@ -236,7 +235,7 @@ def q_elder_ray(spark: SparkSession, sf_dir: str) -> DataFrame:
         "low",
         F.row_number().over(w).alias("rn"),
         (
-            F.sum(portable_round(F.col("close"), 8).cast(_DEC18))
+            F.sum(portable_round(F.col("close"), 8).cast("decimal(38,8)"))
             .over(f13)
             .cast("double")
             / F.lit(13.0)
@@ -323,8 +322,7 @@ def q_nvi_pvi(spark: SparkSession, sf_dir: str) -> DataFrame:
     def term(cond):
         return (
             portable_round(
-                F.when(cond & ok, lr).otherwise(F.lit(0.0)), 12
-            ).cast(_DEC18)
+                F.when(cond & ok, lr).otherwise(F.lit(0.0)), 12).cast("decimal(38,12)")
         )
 
     terms = base.select(
@@ -508,7 +506,7 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     rets = _returns(spark, sf_dir)
     mom = rets.groupBy("symbol").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(portable_round(F.col("r"), 12).cast(_DEC18))
+        F.sum(portable_round(F.col("r"), 12).cast("decimal(38,12)"))
         .cast("double")
         .alias("sr"),
     )
@@ -519,7 +517,7 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("r") - F.col("sr") / F.col("n")).alias("e"),
     )
     sse = e.groupBy("symbol", "n").agg(
-        F.sum(portable_round(F.col("e") * F.col("e"), 6).cast(_DEC18))
+        F.sum(portable_round(F.col("e") * F.col("e"), 6).cast("decimal(38,6)"))
         .cast("double")
         .alias("sse")
     )
@@ -554,7 +552,7 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("symbol", "lag")
         .agg(
             F.sum(
-                portable_round(F.col("x") * F.col("y"), 6).cast(_DEC18)
+                portable_round(F.col("x") * F.col("y"), 6).cast("decimal(38,6)")
             )
             .cast("double")
             .alias("cross")
@@ -646,7 +644,7 @@ def q_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
     rets = _returns(spark, sf_dir)
     mom = rets.groupBy("symbol").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(portable_round(F.col("r"), 12).cast(_DEC18))
+        F.sum(portable_round(F.col("r"), 12).cast("decimal(38,12)"))
         .cast("double")
         .alias("sr"),
     )
@@ -666,11 +664,11 @@ def q_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit = lagged.groupBy("symbol", "n").agg(
         (
             F.sum(
-                portable_round(F.col("x") * F.col("y"), 6).cast(_DEC18)
+                portable_round(F.col("x") * F.col("y"), 6).cast("decimal(38,6)")
             ).cast("double")
             / F.nullif(
                 F.sum(
-                    portable_round(F.col("x") * F.col("x"), 6).cast(_DEC18)
+                    portable_round(F.col("x") * F.col("x"), 6).cast("decimal(38,6)")
                 ).cast("double"),
                 F.lit(0.0),
             )
@@ -784,7 +782,7 @@ def q_supertrend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("low") - F.lag("close").over(w)),
         ),
         8,
-    ).cast(_DEC18)
+    ).cast("decimal(38,8)")
     tr = bars.select(
         "symbol",
         "bar_ts",

@@ -574,8 +574,10 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = edges.select(F.col("p"), F.col("s").alias("supp_a"))
     b = edges.select(F.col("p"), F.col("s").alias("supp_b"))
+    # 12dp-pre-rounded terms <= 1.45 cast at their OWN scale, matching
+    # the oracle's DECIMAL(38,12): exact on both engines
     term = portable_round(F.lit(1.0) / F.log(F.col("pd")), 12).cast(
-        "decimal(38,18)"
+        "decimal(38,12)"
     )
     pairs = (
         a.join(b, "p")

@@ -25,7 +25,6 @@ from stockmarketdata_dwb_etl_spark.queries.dataops11 import _dsum, _ssum
 from stockmarketdata_dwb_etl_spark.registry import query
 
 _DEC = "decimal(38,6)"
-_DEC18 = "decimal(38,18)"
 
 
 def _ssum2(col, fine: int = 12, coarse: int = 8):

@@ -19,7 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
+from stockmarketdata_dwb_etl_spark.functions.exact import (
+    portable_round,
+    sql_portable_round,
+)
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.queries.dataops11 import _dsum, _ssum
 from stockmarketdata_dwb_etl_spark.queries.stats_q import _dsum2, _ssum2
@@ -707,8 +710,10 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     segs AS (
         SELECT symbol, seg,
-               SUM(CAST(close AS DECIMAL(38,18))) AS ssum,
-               SUM(CAST(close * close AS DECIMAL(38,18))) AS ssq,
+               SUM(CAST({sql_portable_round("close", 12)}
+                   AS DECIMAL(38,12))) AS ssum,
+               SUM(CAST({sql_portable_round("close * close", 8)}
+                   AS DECIMAL(38,8))) AS ssq,
                CAST(COUNT(*) AS BIGINT) AS cnt
         FROM pos GROUP BY symbol, seg
     ),
@@ -779,10 +784,17 @@ def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("__num div m").alias("seg"),
     )
     segs = pos.groupBy("symbol", "seg").agg(
-        F.sum(F.col("close").cast("decimal(38,18)")).alias("ssum"),
-        F.sum((F.col("close") * F.col("close")).cast("decimal(38,18)")).alias(
-            "ssq"
-        ),
+        # round-then-cast at the rounding scale (2^53 rule): close^2
+        # reaches ~3.1e5, so the raw 18-scale cast was engine-asymmetric.
+        # Sums STAY decimal so the cross-segment window sums keep exact.
+        F.sum(
+            portable_round(F.col("close"), 12).cast("decimal(38,12)")
+        ).alias("ssum"),
+        F.sum(
+            portable_round(F.col("close") * F.col("close"), 8).cast(
+                "decimal(38,8)"
+            )
+        ).alias("ssq"),
         F.count(F.lit(1)).cast("bigint").alias("cnt"),
     )
     sw = Window.partitionBy("symbol")

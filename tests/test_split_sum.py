@@ -63,3 +63,74 @@ def test_split_sum_precision_keeps_small_terms(spark):
     df = spark.createDataFrame([(v,) for v in tiny], ["x"])
     got = df.agg(_ssum2("x", 12, 8).alias("s")).collect()[0]["s"]
     assert got == pytest.approx(1e-6, rel=1e-6)
+
+
+def test_fold_term_sum_exact_at_precision_28(spark):
+    """Regression for the decimal fold overflow-rounding trap: Spark
+    promotes decimal(38,n)+decimal(38,n) to precision 39, over the cap,
+    and silently REDUCES the result scale to n-1 — half-up-rounding
+    every fold step (observed +29e-10 over a 20-element frame on q_cci
+    before functions/exact.py::fold_term_sum moved to precision 28,
+    whose (29,n) additions stay exact)."""
+    import math
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from stockmarketdata_dwb_etl_spark.functions.exact import fold_term_sum
+
+    # magnitudes chosen so a scale-(n-1) per-step round visibly drifts
+    vals = [36.21466666683333, 27.48800000016665, 22.874666666833328,
+            14.234666666833327, 14.128000000166672, 13.678000000166662,
+            9.771333333499996, 5.194666666833342, 4.0846666668333285,
+            2.86800000016666, 2.7780000001666565, 1.4113333334999822,
+            0.5080000001666463, 0.1913333334999976, 1.8586666664999996,
+            3.208666666499994, 6.045333333166667, 9.825333333166668,
+            55.378666666500024, 79.10866666650001]
+    expected = float(
+        sum(Decimal(math.floor(v * 1e10 + 0.5)) for v in vals)
+        / Decimal(10**10)
+    )
+    df = spark.createDataFrame([(vals,)], ["arr"])
+    got = df.select(
+        fold_term_sum(F.col("arr"), 10).alias("s")
+    ).collect()[0]["s"]
+    assert got == expected, (got, expected)
+
+
+def test_windowed_split_sum_cross_engine_identical(spark, wide_range_values):
+    """_wssum2/_wdsum2 (the frame-aggregate twins) must agree
+    bit-for-bit over a running frame, same contract as the group
+    form."""
+    import duckdb as _duck
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from stockmarketdata_dwb_etl_spark.queries.stats_q import (
+        _wdsum2,
+        _wssum2,
+    )
+
+    rows = [(i, v) for i, v in enumerate(wide_range_values)]
+    df = spark.createDataFrame(rows, ["i", "x"])
+    w = Window.orderBy("i").rowsBetween(-13, 0)
+    got = {
+        r["i"]: r["s"]
+        for r in df.select("i", _wssum2("x", w, 12, 8).alias("s")).collect()
+    }
+
+    con = _duck.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, {v!r})" for i, v in rows)
+        + ") AS v(i, x)"
+    )
+    over = ("OVER (ORDER BY i ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)")
+    duck = dict(
+        con.execute(
+            f"SELECT i, {_wdsum2('x', over, 12, 8)} FROM t ORDER BY i"
+        ).fetchall()
+    )
+    con.close()
+    assert got == duck

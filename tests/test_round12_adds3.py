@@ -1,0 +1,76 @@
+"""Semantic tests for the round-12 batch-8 operators (dataops26):
+Katz convergence bounds, preferential-attachment candidate semantics,
+Breusch-Pagan statistic geometry, Mood's median exactness."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _run(spark, name):
+    from stockmarketdata_dwb_etl_spark.registry import QUERIES, load_all
+
+    load_all()
+    return QUERIES[name](spark, SF_DIR).collect()
+
+
+def test_katz_bounded_by_fixed_point(spark):
+    rows = _run(spark, "q_katz_centrality")
+    assert len(rows) == 25  # brand catalog
+    for r in rows:
+        # beta=1 floor: every node keeps at least its own injection
+        assert r["katz"] >= 1.0
+    ks = [r["katz"] for r in rows]
+    assert ks == sorted(ks, reverse=True)
+    # the row-stochastic forward conserves total mass, so the MEAN
+    # converges to beta/(1-alpha) = 2 strictly from below (hubs may
+    # individually exceed 2; the average cannot)
+    assert sum(ks) / len(ks) < 2.0
+    assert sum(ks) / len(ks) > 1.5
+
+
+def test_pref_attachment_candidates_are_nonedges(spark):
+    from pyspark.sql import functions as F
+
+    from stockmarketdata_dwb_etl_spark.queries.graph import _graph
+    from stockmarketdata_dwb_etl_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["q_pref_attachment"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    edges, _, _ = _graph(spark, SF_DIR)
+    thr = edges.agg(
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY w)").alias("t")
+    ).collect()[0]["t"]
+    strong = {
+        (r["src"], r["dst"])
+        for r in edges.filter(F.col("w") >= thr).collect()
+    }
+    scores = [r["pa_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert (r["node_a"], r["node_b"]) not in strong
+        assert r["pa_score"] >= 1
+
+
+def test_breusch_pagan_geometry(spark):
+    rows = _run(spark, "q_breusch_pagan")
+    assert len(rows) == 5
+    for r in rows:
+        if r["lm_stat"] is not None:
+            assert 0.0 <= r["r2_aux"] <= 1.0
+            # LM = n * R^2 within rounding
+            assert r["lm_stat"] == pytest.approx(
+                r["n"] * r["r2_aux"], abs=r["n"] * 1e-6 + 1e-4
+            )
+
+
+def test_moods_median_exact_counts(spark):
+    rows = _run(spark, "q_moods_median")
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_groups"] == 5
+    assert r["dof"] == 4
+    assert r["chi2"] >= 0.0

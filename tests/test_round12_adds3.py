@@ -74,3 +74,42 @@ def test_moods_median_exact_counts(spark):
     assert r["n_groups"] == 5
     assert r["dof"] == 4
     assert r["chi2"] >= 0.0
+
+
+def test_rdd_sharp_limits_consistent(spark):
+    rows = _run(spark, "q_rdd_sharp")
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_left"] > 0 and r["n_right"] > 0
+    assert r["rdd_effect"] == pytest.approx(
+        r["limit_right"] - r["limit_left"], abs=2e-4
+    )
+
+
+def test_iv_wald_ratio_identity(spark):
+    rows = _run(spark, "q_iv_wald")
+    r = rows[0]
+    assert -1.0 <= r["first_stage"] <= 1.0
+    if r["late_wald"] is not None:
+        assert r["late_wald"] == pytest.approx(
+            r["reduced_form"] / r["first_stage"],
+            rel=1e-2,
+            abs=5e-4 / abs(r["first_stage"]),
+        )
+
+
+def test_cochran_armitage_groups(spark):
+    r = _run(spark, "q_cochran_armitage")[0]
+    assert r["n_groups"] == 5  # the five order priorities
+    assert r["z_trend"] is not None
+
+
+def test_turning_points_bounds(spark):
+    rows = _run(spark, "q_turning_points")
+    assert len(rows) == 5
+    for r in rows:
+        # at most one turn per interior point
+        assert 0 <= r["t"] <= r["n"] - 2
+        assert r["expected_t"] == pytest.approx(
+            2.0 * (r["n"] - 2) / 3.0, abs=1e-3
+        )

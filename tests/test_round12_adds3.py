@@ -113,3 +113,49 @@ def test_turning_points_bounds(spark):
         assert r["expected_t"] == pytest.approx(
             2.0 * (r["n"] - 2) / 3.0, abs=1e-3
         )
+
+
+def test_closeness_harmonic_bounds(spark):
+    rows = _run(spark, "q_closeness_centrality")
+    assert len(rows) >= 2
+    for r in rows:
+        # harmonic sum over k reached nodes is at most n_reached (all
+        # at distance 1) and at least n_reached/4 (all at max depth)
+        assert r["n_reached"] / 4.0 - 1e-9 <= r["harmonic"] <= r["n_reached"] + 1e-9
+    hs = [r["harmonic"] for r in rows]
+    assert hs == sorted(hs, reverse=True)
+
+
+def test_pareto_front_is_nondominated(spark):
+    rows = _run(spark, "q_pareto_front")
+    assert len(rows) > 0
+    # dominance is by STRICTLY shorter documents, so every member must
+    # beat the best ttr among all strictly shorter members (same-length
+    # ties can coexist on the front)
+    best_shorter = {}
+    cur_len, cur_best = None, -1.0
+    run_max = -1.0
+    for r in rows:  # rows arrive length-ascending
+        if r["n_tokens"] != cur_len:
+            run_max = max(run_max, cur_best)
+            cur_len, cur_best = r["n_tokens"], -1.0
+        assert r["ttr"] > run_max
+        cur_best = max(cur_best, r["ttr"])
+
+
+def test_balanced_sample_quota(spark):
+    rows = _run(spark, "q_balanced_sample")
+    assert len(rows) == 10
+    for r in rows:
+        assert 1 <= r["n_sampled"] <= 40
+        assert r["min_chars"] <= r["max_chars"]
+    # strata are length-ordered: envelopes must be non-decreasing
+    maxes = [r["max_chars"] for r in sorted(rows, key=lambda r: r["stratum"])]
+    mins = [r["min_chars"] for r in sorted(rows, key=lambda r: r["stratum"])]
+    assert mins == sorted(mins)
+
+
+def test_kendall_w_bounds(spark):
+    r = _run(spark, "q_kendall_w")[0]
+    assert r["n_rankers"] == 3
+    assert 0.0 <= r["kendall_w"] <= 1.0

@@ -159,3 +159,41 @@ def test_kendall_w_bounds(spark):
     r = _run(spark, "q_kendall_w")[0]
     assert r["n_rankers"] == 3
     assert 0.0 <= r["kendall_w"] <= 1.0
+
+
+def test_nelson_aalen_monotone(spark):
+    rows = _run(spark, "q_nelson_aalen")
+    assert len(rows) > 1
+    hz = [r["cum_hazard"] for r in rows]  # rows arrive tenure-ascending
+    assert hz == sorted(hz)
+    for r in rows:
+        assert r["n_events"] <= r["n_at_risk"]
+    # the final at-risk set is the last tenure's own events
+    assert rows[-1]["n_at_risk"] == rows[-1]["n_events"]
+
+
+def test_atkinson_between_zero_and_one(spark):
+    r = _run(spark, "q_atkinson_index")[0]
+    assert 0.0 <= r["atkinson_e1"] < 1.0
+    # AM-GM: geometric mean never exceeds arithmetic mean
+    assert r["geomean_v"] <= r["mean_v"]
+
+
+def test_theil_decomposition_identity(spark):
+    r = _run(spark, "q_theil_index")[0]
+    assert r["theil_total"] >= 0.0
+    assert r["theil_between"] >= -1e-9
+    assert r["theil_within"] >= 0.0
+    # T = T_between + T_within exactly (both computed from the same sums)
+    assert r["theil_total"] == pytest.approx(
+        r["theil_between"] + r["theil_within"], abs=5e-6
+    )
+
+
+def test_ansari_bradley_score_range(spark):
+    r = _run(spark, "q_ansari_bradley")[0]
+    n, m, ab = r["n_total"], r["n_group1"], r["ab_stat"]
+    assert 0 < m < n
+    # each score is between 1 and ceil(n/2)
+    assert m <= ab <= m * ((n + 1) // 2)
+    assert r["z_approx"] is not None

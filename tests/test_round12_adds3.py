@@ -197,3 +197,43 @@ def test_ansari_bradley_score_range(spark):
     # each score is between 1 and ceil(n/2)
     assert m <= ab <= m * ((n + 1) // 2)
     assert r["z_approx"] is not None
+
+
+def test_theta_forecast_linear_in_h(spark):
+    rows = _run(spark, "q_theta_forecast")
+    assert len(rows) == 30  # 5 symbols x 6 horizons
+    from collections import defaultdict
+
+    by_sym = defaultdict(list)
+    for r in rows:
+        by_sym[r["symbol"]].append((r["h"], r["forecast"]))
+    for sym, pts in by_sym.items():
+        pts.sort()
+        # theta forecasts are affine in h: second differences vanish
+        diffs = [b2 - b1 for (_, b1), (_, b2) in zip(pts, pts[1:])]
+        for d1, d2 in zip(diffs, diffs[1:]):
+            assert d2 == pytest.approx(d1, abs=3e-4)
+
+
+def test_page_trend_bounds(spark):
+    r = _run(spark, "q_page_trend")[0]
+    k, m, l = r["n_treatments"], r["n_blocks"], r["page_l"]
+    assert k == 7 and m == 5
+    # L is bounded by the perfectly anti-ordered and ordered rank sums
+    lo = m * sum(j * (k + 1 - j) for j in range(1, k + 1))
+    hi = m * sum(j * j for j in range(1, k + 1))
+    assert lo <= l <= hi
+
+
+def test_capture_recapture_consistency(spark):
+    r = _run(spark, "q_capture_recapture")[0]
+    assert r["n_overlap"] <= min(r["n1"], r["n2"])
+    assert r["n_true"] <= r["n1"] + r["n2"]
+    # Chapman's estimator is bounded below by the larger sample
+    assert r["chapman_est"] >= max(r["n1"], r["n2"]) - 1
+
+
+def test_chao1_lower_bounded_by_observed(spark):
+    r = _run(spark, "q_chao1_richness")[0]
+    assert r["chao1_est"] >= r["vocab_observed"]
+    assert r["n_singletons"] + 2 * r["n_doubletons"] <= r["n_tokens"]

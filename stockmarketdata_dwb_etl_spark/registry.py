@@ -110,6 +110,22 @@ PRIORITY = (
     "q_geometric_median",
     "q_spectral_power", "q_histogram_bins", "q_group_sequential",
     "q_chow_test",
+    # batches 7-12 (registry 540 -> 564), all both-scale validated at
+    # birth; stage behind the earlier leftovers for the r13 tranche.
+    # Birth sf0.01 driver_sim wall (spark+oracle, warm-ish session):
+    # most 1-3 s; heavier: q_katz_centrality ~8.6 s,
+    # q_closeness_centrality ~3.4 s, q_theta_forecast ~6.8 s cold.
+    "q_corwin_schultz", "q_vpin", "q_prob_sharpe", "q_burke_ratio",
+    "q_katz_centrality", "q_pref_attachment", "q_breusch_pagan",
+    "q_moods_median",
+    "q_rdd_sharp", "q_iv_wald", "q_cochran_armitage",
+    "q_turning_points",
+    "q_closeness_centrality", "q_pareto_front", "q_balanced_sample",
+    "q_kendall_w",
+    "q_nelson_aalen", "q_atkinson_index", "q_theil_index",
+    "q_ansari_bradley",
+    "q_theta_forecast", "q_page_trend", "q_capture_recapture",
+    "q_chao1_richness",
 )
 
 

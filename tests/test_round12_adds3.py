@@ -237,3 +237,42 @@ def test_chao1_lower_bounded_by_observed(spark):
     r = _run(spark, "q_chao1_richness")[0]
     assert r["chao1_est"] >= r["vocab_observed"]
     assert r["n_singletons"] + 2 * r["n_doubletons"] <= r["n_tokens"]
+
+
+def test_gerber_bounds(spark):
+    rows = _run(spark, "q_gerber_statistic")
+    assert len(rows) == 10  # 5 choose 2 symbol pairs
+    for r in rows:
+        if r["gerber"] is not None:
+            assert -1.0 <= r["gerber"] <= 1.0
+        assert r["n_conc"] >= 0 and r["n_disc"] >= 0
+
+
+def test_cornish_fisher_tail_adjustment(spark):
+    rows = _run(spark, "q_cornish_fisher")
+    assert len(rows) == 5
+    for r in rows:
+        # the CF expansion is non-monotone under extreme kurtosis (the
+        # fixture's near-zero-close return spikes), so the sign of
+        # z_cf is data; pin finiteness and the Gaussian anchor instead
+        assert r["z_cf"] is not None and abs(r["z_cf"]) < 100.0
+        assert r["var95_gaussian"] is not None
+        assert r["var95_cornish_fisher"] is not None
+
+
+def test_cdar_dominates_dar(spark):
+    rows = _run(spark, "q_cdar")
+    assert len(rows) == 5
+    for r in rows:
+        # the tail mean is at least the tail threshold
+        assert r["cdar90"] >= r["dar90"] - 1e-9
+        assert 0.0 <= r["dar90"] <= 1.0
+        assert r["n_tail"] >= 1
+
+
+def test_simpson_effective_sources(spark):
+    r = _run(spark, "q_simpson_diversity")[0]
+    assert 0.0 < r["simpson_lambda"] <= 1.0
+    # the UNBIASED lambda (n(n-1) form) can put 1/lambda slightly above
+    # the raw source count for a near-uniform mix — allow that slack
+    assert 1.0 <= r["effective_sources"] <= r["n_sources"] * 1.1

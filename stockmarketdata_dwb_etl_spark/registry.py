@@ -126,6 +126,8 @@ PRIORITY = (
     "q_ansari_bradley",
     "q_theta_forecast", "q_page_trend", "q_capture_recapture",
     "q_chao1_richness",
+    "q_gerber_statistic", "q_cornish_fisher", "q_cdar",
+    "q_simpson_diversity",
 )
 
 

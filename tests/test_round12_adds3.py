@@ -276,3 +276,32 @@ def test_simpson_effective_sources(spark):
     # the UNBIASED lambda (n(n-1) form) can put 1/lambda slightly above
     # the raw source count for a near-uniform mix — allow that slack
     assert 1.0 <= r["effective_sources"] <= r["n_sources"] * 1.1
+
+
+def test_dunn_posthoc_antisymmetric_rank_means(spark):
+    rows = _run(spark, "q_dunn_posthoc")
+    assert len(rows) == 10
+    for r in rows:
+        assert r["z_dunn"] is not None
+        assert r["n_a"] > 0 and r["n_b"] > 0
+
+
+def test_cramer_von_mises_nonneg(spark):
+    r = _run(spark, "q_cramer_von_mises")[0]
+    # T >= -1/(6(m+n)) + o(1): tiny negative possible; pin loose floor
+    assert r["cvm_t"] > -0.01
+    assert r["u_stat"] >= 0
+
+
+def test_storey_pi0_bounds(spark):
+    r = _run(spark, "q_storey_pi0")[0]
+    assert 0.0 <= r["pi0_hat"] <= 1.0
+    assert r["n_flat_tail"] <= r["m"]
+
+
+def test_by_rejects_at_most_bh(spark):
+    r = _run(spark, "q_by_fdr")[0]
+    # the BY threshold is strictly tighter than BH for m >= 2
+    assert r["n_rejected_by"] <= r["n_rejected_bh"]
+    assert r["harmonic_m"] >= 1.0
+    assert r["m"] >= 100  # 5 symbols x ~24 hours

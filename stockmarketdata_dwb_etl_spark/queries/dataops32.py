@@ -165,16 +165,25 @@ def q_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
                    AS m,
                CAST(SUM(CASE WHEN s = 1
-                        THEN (r - i) * (r - i) ELSE 0 END) AS BIGINT)
-                   AS ux,
+                        THEN CAST(r - i AS DECIMAL(19,0))
+                             * CAST(r - i AS DECIMAL(19,0))
+                        ELSE CAST(0 AS DECIMAL(19,0))
+                             * CAST(0 AS DECIMAL(19,0)) END)
+                    AS DOUBLE) AS ux,
                CAST(SUM(CASE WHEN s = 0
-                        THEN (r - i) * (r - i) ELSE 0 END) AS BIGINT)
-                   AS uy
+                        THEN CAST(r - i AS DECIMAL(19,0))
+                             * CAST(r - i AS DECIMAL(19,0))
+                        ELSE CAST(0 AS DECIMAL(19,0))
+                             * CAST(0 AS DECIMAL(19,0)) END)
+                    AS DOUBLE) AS uy
         FROM ranked
     )
     SELECT n, m,
-           CAST(n * ux + m * uy AS BIGINT) AS u_stat,
-           CAST((CAST(floor(CAST((CAST(n * ux + m * uy AS DOUBLE)
+           CAST((CAST(floor(CAST((CAST(n AS DOUBLE) * ux
+                + CAST(m AS DOUBLE) * uy) AS DOUBLE) * 1.0 + 0.5)
+                AS DOUBLE) / 1.0) AS DOUBLE) AS u_stat,
+           CAST((CAST(floor(CAST(((CAST(n AS DOUBLE) * ux
+                  + CAST(m AS DOUBLE) * uy)
                 / (CAST(n AS DOUBLE) * m * (n + m))
                 - (4.0 * CAST(n AS DOUBLE) * m - 1.0)
                   / (6.0 * (n + m))) AS DOUBLE) * 1000000.0 + 0.5)
@@ -209,7 +218,13 @@ def q_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("i"),
     )
-    d2 = (F.col("r") - F.col("i")) * (F.col("r") - F.col("i"))
+    # (r-i)^2 accumulates in exact DECIMAL(38,0) — a plain BIGINT sum
+    # (and the n*ux combination) overflows int64 once N reaches ~1e6
+    # rows (caught by the x10 scale probe); DECIMAL stays exact to 1e38
+    # and converts to double deterministically on both engines
+    dd = (F.col("r") - F.col("i")).cast("decimal(19,0)")
+    d2 = dd * dd
+    zero = F.lit(0).cast("decimal(19,0)") * F.lit(0).cast("decimal(19,0)")
     g = ranked.agg(
         F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
         .cast("bigint")
@@ -217,22 +232,22 @@ def q_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("s") == 0, 1).otherwise(0))
         .cast("bigint")
         .alias("m"),
-        F.sum(F.when(F.col("s") == 1, d2).otherwise(0))
-        .cast("bigint")
+        F.sum(F.when(F.col("s") == 1, d2).otherwise(zero))
+        .cast("double")
         .alias("ux"),
-        F.sum(F.when(F.col("s") == 0, d2).otherwise(0))
-        .cast("bigint")
+        F.sum(F.when(F.col("s") == 0, d2).otherwise(zero))
+        .cast("double")
         .alias("uy"),
     )
     n, m = F.col("n"), F.col("m")
-    u = n * F.col("ux") + m * F.col("uy")
-    t = u.cast("double") / (n.cast("double") * m * (n + m)) - (
+    u = n.cast("double") * F.col("ux") + m.cast("double") * F.col("uy")
+    t = u / (n.cast("double") * m * (n + m)) - (
         F.lit(4.0) * n.cast("double") * m - F.lit(1.0)
     ) / (F.lit(6.0) * (n + m))
     return g.select(
         "n",
         "m",
-        u.cast("bigint").alias("u_stat"),
+        portable_round(u, 0).cast("double").alias("u_stat"),
         portable_round(t, 6).cast("double").alias("cvm_t"),
     )
 

@@ -128,6 +128,7 @@ PRIORITY = (
     "q_chao1_richness",
     "q_gerber_statistic", "q_cornish_fisher", "q_cdar",
     "q_simpson_diversity",
+    "q_dunn_posthoc", "q_cramer_von_mises", "q_storey_pi0", "q_by_fdr",
 )
 
 

@@ -305,3 +305,34 @@ def test_by_rejects_at_most_bh(spark):
     assert r["n_rejected_by"] <= r["n_rejected_bh"]
     assert r["harmonic_m"] >= 1.0
     assert r["m"] >= 100  # 5 symbols x ~24 hours
+
+
+def test_cliff_delta_bounds(spark):
+    r = _run(spark, "q_cliff_delta")[0]
+    assert -1.0 <= r["cliff_delta"] <= 1.0
+    assert 0 <= r["u_mann_whitney"] <= r["n1"] * r["n0"]
+
+
+def test_tost_directional_consistency(spark):
+    r = _run(spark, "q_tost_equivalence")[0]
+    # the lower z always exceeds the upper z by 2*margin/se > 0
+    assert r["z_lower"] > r["z_upper"]
+    if r["equivalent_at_5pct"]:
+        assert abs(r["mean_diff"]) < 2000.0
+
+
+def test_jonckheere_moments(spark):
+    r = _run(spark, "q_jonckheere")[0]
+    # J is a count of cross-group concordant pairs: 0 <= J <= N^2/2
+    assert 0 <= r["jstat"] <= r["n"] * r["n"] / 2
+    assert r["mean_j"] > 0
+    assert r["z_approx"] is not None
+
+
+def test_amivest_positive(spark):
+    rows = _run(spark, "q_amivest_liquidity")
+    assert len(rows) == 5
+    for r in rows:
+        if r["amivest"] is not None:
+            assert r["amivest"] > 0.0
+        assert r["total_volume"] >= r["n_bars"]

@@ -129,6 +129,8 @@ PRIORITY = (
     "q_gerber_statistic", "q_cornish_fisher", "q_cdar",
     "q_simpson_diversity",
     "q_dunn_posthoc", "q_cramer_von_mises", "q_storey_pi0", "q_by_fdr",
+    "q_cliff_delta", "q_tost_equivalence", "q_jonckheere",
+    "q_amivest_liquidity",
 )
 
 

@@ -36,9 +36,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: Registry iteration order for a budget-capped driver: the driver
 #: evaluates the FIRST ~50 registry entries each round, so the front of
 #: the dict must be the queries with the LEAST driver evidence. After
-#: r01-r11 the cumulative record is 472 sampled (472 green, 0 red) and
-#: 40 never-sampled; PRIORITY lists those 40 plus the eight round-12
-#: additions (dataops19) — the complete remaining tranche.
+#: r01-r11 the cumulative record is 472 sampled (472 green, 0 red).
+#: The r12 front-50 covers the 40 never-sampled leftovers + 10 of the
+#: round-12 additions; positions 51+ stage the remaining round-12
+#: additions (batches 3-15, all both-scale validated at birth) as the
+#: r13 tranche queue — order the r13 front cheapest-first from them.
 #:
 #: Budget rule (measured round 7, re-applied every round since): a FRESH
 #: 50-query driver session costs ~1.5x the warm per-query sums

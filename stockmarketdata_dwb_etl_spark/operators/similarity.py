@@ -250,7 +250,17 @@ def probe_pool_candidates(
     standard LSH recall/cost dial (raise n_bands to trade shuffle
     volume for recall)."""
     if pool.count() <= brute_force_limit:
-        return probes.join(pool, F.col(probe_id) != F.col(pool_id))
+        from stockmarketdata_dwb_etl_spark.functions.vectors import (
+            spread_rows,
+        )
+
+        # the nested-loop join parallelizes over the STREAMED (pool)
+        # side's partitions; a sub-limit pool read from a small parquet
+        # fixture arrives in 1-2 splits and would pin the |probes|
+        # distance folds per pool row to 1-2 cores (measured 12.7 s →
+        # ~1 s for q_label_noise_knn at sf0.1/local[32]). No-op when
+        # the scan already has ≥ parallelism splits.
+        return probes.join(spread_rows(pool), F.col(probe_id) != F.col(pool_id))
 
     planes = hyperplanes(n_planes=n_planes, seed=seed)
     bits = n_planes // n_bands

@@ -611,23 +611,25 @@ def q_label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_pool_candidates,
     )
     emb = load_table(spark, sf_dir, "embeddings")
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    # norms are per-VECTOR, so fold them once per side BEFORE the
+    # candidate join instead of once per (probe, pool) pair — same
+    # fold over the same array bits, 2/3 less per-pair array work
+    # (the join's per-pair cost drops to the dot product alone)
     pool = emb.select(
         F.col("vec_id").alias("iq"),
         F.col("label").alias("lq"),
         F.col("embedding").cast("array<double>").alias("vq"),
-    )
+    ).withColumn("nq", fold(F.zip_with("vq", "vq", lambda x, y: x * y)))
     probes = emb.filter(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("ip"),
         F.col("label").alias("lp"),
         F.col("embedding").cast("array<double>").alias("vp"),
-    )
-    fold = lambda arr: F.aggregate(  # noqa: E731
-        arr, F.lit(0.0), lambda acc, x: acc + x
-    )
+    ).withColumn("np_", fold(F.zip_with("vp", "vp", lambda x, y: x * y)))
     dot = fold(F.zip_with("vp", "vq", lambda x, y: x * y))
-    np_ = fold(F.zip_with("vp", "vp", lambda x, y: x * y))
-    nq = fold(F.zip_with("vq", "vq", lambda x, y: x * y))
-    denom = F.sqrt(np_) * F.sqrt(nq)
+    denom = F.sqrt(F.col("np_")) * F.sqrt(F.col("nq"))
     sims = probe_pool_candidates(probes, pool).select(
         "ip",
         "lp",

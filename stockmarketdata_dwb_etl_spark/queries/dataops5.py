@@ -1528,7 +1528,12 @@ def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     with q_power_iteration (which extracts the dominant eigenvector),
     this is the distributed linear-algebra kit a 100 TB embedding
     corpus needs: reducer state is bounded by d², never by rows."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    from stockmarketdata_dwb_etl_spark.functions.vectors import spread_rows
+
+    # the d(d+1)/2-per-row fan is CPU-bound: spread a split-starved
+    # small scan across the session's cores first (no-op at scale where
+    # input splits provide the parallelism — see vectors.spread_rows)
+    emb = spread_rows(load_table(spark, sf_dir, "embeddings"))
     v = F.transform("embedding", lambda x: x.cast("double"))
     triples = emb.select(
         F.explode(

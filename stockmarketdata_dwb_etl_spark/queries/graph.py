@@ -78,8 +78,13 @@ def _graph(spark: SparkSession, sf_dir: str):
         "graph-edges",
     )
     wdeg = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wdeg"))
-    nodes = (
-        sets.select(F.explode("bs").alias("node")).distinct()
+    # node list is catalog-sized and every iterative consumer (pagerank,
+    # PPR, Katz, HITS) joins it once per superstep — persist it so the
+    # explode+distinct over the basket table runs once per query, not
+    # once per superstep
+    nodes = bounded_persist(
+        sets.select(F.explode("bs").alias("node")).distinct(),
+        "graph-nodes",
     )
     return edges, wdeg, nodes
 

@@ -232,9 +232,14 @@ def lsh_candidate_pairs(
         )
 
     pair = F.explode(F.flatten(F.transform("ms", _pairs_of))).alias("p")
+    # keep the shingle-set sizes on the pair: |A∪B| = n_a + n_b − |A∩B|,
+    # so the verify stage can skip the array_union entirely (two extra
+    # bigints through the distinct vs an O(|A|+|B|) hash-set union per
+    # surviving pair). n_a/n_b are functions of the ids, so the distinct
+    # cardinality is unchanged.
     return (
         buckets.select(pair)
-        .select("p.id_a", "p.id_b")
+        .select("p.id_a", "p.id_b", "p.n_a", "p.n_b")
         .distinct()
     )
 
@@ -311,43 +316,59 @@ def lsh_cross_candidate_pairs(
             lambda p: F.struct(
                 F.least(c["id"], p["id"]).alias("id_a"),
                 F.greatest(c["id"], p["id"]).alias("id_b"),
-                c["n"].alias("n_c"),
-                p["n"].alias("n_p"),
+                F.when(c["id"] <= p["id"], c["n"]).otherwise(p["n"]).alias("n_a"),
+                F.when(c["id"] <= p["id"], p["n"]).otherwise(c["n"]).alias("n_b"),
             ),
         )
         if rlit is None:
             return cands
         return F.filter(
             cands,
-            lambda q: F.least(q["n_c"], q["n_p"]).cast("double")
-            >= rlit * F.greatest(q["n_c"], q["n_p"]),
+            lambda q: F.least(q["n_a"], q["n_b"]).cast("double")
+            >= rlit * F.greatest(q["n_a"], q["n_b"]),
         )
 
     pair = F.explode(F.flatten(F.transform("corpus_ms", _cross_pairs_of))).alias(
         "p"
     )
-    return buckets.select(pair).select("p.id_a", "p.id_b").distinct()
+    # sizes ride along for the union-free verify (see lsh_candidate_pairs)
+    return (
+        buckets.select(pair)
+        .select("p.id_a", "p.id_b", "p.n_a", "p.n_b")
+        .distinct()
+    )
 
 
 def verify_jaccard(
     shingled: DataFrame, cands: DataFrame, threshold: float
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs against the shingle
-    table: (id_a, id_b, jaccard ≥ threshold)."""
+    table: (id_a, id_b, jaccard ≥ threshold).
+
+    When the candidate table carries the shingle-set sizes (n_a, n_b —
+    both LSH candidate generators do), |A∪B| is recovered as
+    n_a + n_b − |A∩B|: the shingle arrays are distinct by construction,
+    so the identity is exact and the per-pair array_union (an
+    O(|A|+|B|) hash set build per candidate) disappears — only the
+    intersection is computed. Size-less candidate tables keep the
+    original two-sided set expression."""
     sa = shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    if {"n_a", "n_b"}.issubset(set(cands.columns)):
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        jac = portable_round(
+            inter / (F.col("n_a") + F.col("n_b") - inter), 4
+        )
+    else:
+        jac = portable_round(
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+            4,
+        )
     verified = (
         cands.join(sa, "id_a")
         .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            portable_round(
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b")),
-                4,
-            ).alias("jaccard"),
-        )
+        .select("id_a", "id_b", jac.alias("jaccard"))
     )
     return verified.filter(F.col("jaccard") >= threshold)
 

@@ -300,27 +300,46 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("x"),
         F.lag("value").over(lagw).alias("y"),
     ).filter(F.col("y").isNotNull())
-    seq = pairs.withColumn(
-        "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("event_id"))
-    )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("rn")
-        .rowsBetween(-19, 0)
+    # prefix-sum form of the 20-row sliding frame: a ROWS BETWEEN -19
+    # AND CURRENT decimal SUM makes Spark re-add the 20-term frame for
+    # EVERY row; the running (unbounded-preceding) sum is O(1)/row and
+    # the frame sum is recovered exactly as S(i) − S(i−20) — lossless
+    # because the accumulation is exact DECIMAL, so the 5 window sums
+    # drop from 20 BigDecimal adds/row each to one add + one subtract.
+    # Both window layers share (event_type, event_id) ordering, so the
+    # second needs no extra sort.
+    w_ord = Window.partitionBy("event_type").orderBy("event_id")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+
+    def csum(col: F.Column, alias: str) -> F.Column:
+        return F.sum(col.cast(_DEC)).over(w_cum).alias(alias)
+
+    cums = pairs.select(
+        "event_type",
+        "event_id",
+        F.row_number().over(w_ord).alias("rn"),
+        csum(F.col("x"), "cx"),
+        csum(F.col("y"), "cy"),
+        csum(F.col("x") * F.col("y"), "cxy"),
+        csum(F.col("x") * F.col("x"), "cxx"),
+        csum(F.col("y") * F.col("y"), "cyy"),
     )
 
-    def dsum(col: F.Column, alias: str) -> F.Column:
-        return F.sum(col.cast(_DEC)).over(w).cast("double").alias(alias)
+    def frame(c: str, alias: str) -> F.Column:
+        prev = F.coalesce(
+            F.lag(c, 20).over(w_ord), F.lit(0).cast(_DEC)
+        )
+        return (F.col(c) - prev).cast("double").alias(alias)
 
-    sums = seq.select(
+    sums = cums.select(
         "event_type",
         "event_id",
         "rn",
-        dsum(F.col("x"), "sx"),
-        dsum(F.col("y"), "sy"),
-        dsum(F.col("x") * F.col("y"), "sxy"),
-        dsum(F.col("x") * F.col("x"), "sxx"),
-        dsum(F.col("y") * F.col("y"), "syy"),
+        frame("cx", "sx"),
+        frame("cy", "sy"),
+        frame("cxy", "sxy"),
+        frame("cxx", "sxx"),
+        frame("cyy", "syy"),
     ).filter(F.col("rn") >= 20)
     n = F.lit(20)
     var_term = (n * F.col("sxx") - F.col("sx") * F.col("sx")) * (

@@ -358,46 +358,55 @@ def q_agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Band join where BOTH sides are large — the case q_join_range's
-    broadcast-nested-loop shape cannot serve. The interval predicate
-    ``|p2.p_size - p1.p_size| <= 1`` is rewritten as a partitioned
-    EQUI-join: each probe row is replicated into the (band-width-sized)
-    bins it can match — offsets {-1, 0, +1} — then hash-joined on the bin
-    key with a residual filter (here only the self-pair exclusion; a
-    real-valued band keeps the exact BETWEEN as residual). Every matching
-    pair lands in exactly one bin, so results ≡ the naive theta join the
-    oracle runs.
+    broadcast-nested-loop shape cannot serve. The general 100 TB rewrite
+    replicates each probe row into the band-width-sized bins it can
+    match (offsets {-1, 0, +1}) and hash-joins on the bin key — but
+    when the band aggregate is per-bin DECOMPOSABLE (count/exact-sum
+    here), the pair table never needs to exist at all: aggregate each
+    exact size once, explode the bin-domain-sized size table into the
+    neighborhoods it serves, and give every probe its band total with
+    one broadcast join, subtracting its own contribution for the
+    self-pair exclusion (exact DECIMAL, so the subtraction is lossless
+    and the result is bit-identical to the oracle's naive theta join —
+    a probe whose band holds only itself produces no group in the
+    inner join, hence the n ≥ 1 filter).
 
-    Scale: constant ×3 replication buys a shuffle hash join on the bin
-    key — no nested loop, no broadcast, no cartesian; this is the
-    standard 100 TB interval-join rewrite (bin width = band width keeps
-    the residual selectivity ≥ 1/3). Low-cardinality bin domains (50
-    distinct sizes here) are skew-prone at extreme scale — compose with
-    operators/skew.py::salted_join when one bin dominates."""
-    from stockmarketdata_dwb_etl_spark.functions.exact import exact_sum, sql_exact_sum  # noqa: F401
+    Scale: the former pair-producing form shuffled O(band × rows) rows
+    (24M at sf0.1, 13.1 s steady); this one shuffles the per-size
+    partial aggregate (≤ |size domain| rows per map task) and
+    broadcasts the 50-row neighborhood table — guide §2.3
+    "aggregate before you shuffle" taken to its limit. The replicate-
+    into-bins pair join remains THE shape for non-decomposable band
+    consumers (nearest-row semantics, per-pair residuals)."""
+    from stockmarketdata_dwb_etl_spark.functions.exact import sql_exact_sum  # noqa: F401
 
     part = load_table(spark, sf_dir, "part")
-    p1 = part.select(
-        F.col("p_partkey").alias("p1_partkey"), F.col("p_size").alias("p1_size")
-    ).withColumn(
-        "off", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
-    ).withColumn("bin", F.col("p1_size") + F.col("off"))
-    p2 = part.select("p_partkey", "p_size", "p_retailprice")
-    joined = p1.join(
-        p2,
-        (F.col("bin") == F.col("p_size"))
-        & (F.col("p_partkey") != F.col("p1_partkey")),
-        "inner",
+    dec = F.col("p_retailprice").cast("decimal(38,6)")
+    sizes = part.groupBy("p_size").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(dec).alias("s"),
+    )
+    nb = (
+        sizes.withColumn(
+            "bin",
+            F.explode(
+                F.array(
+                    F.col("p_size") - 1, F.col("p_size"), F.col("p_size") + 1
+                )
+            ),
+        )
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("n_all"), F.sum("s").alias("s_all"))
     )
     return (
-        joined.groupBy("p1_partkey")
-        .agg(
-            F.count(F.lit(1)).alias("n_neighbors"),
-            exact_sum(F.col("p_retailprice"), "sum_neighbor_price"),
-        )
+        part.join(F.broadcast(nb), F.col("p_size") == F.col("bin"))
+        .filter(F.col("n_all") >= 2)
         .select(
-            F.col("p1_partkey").alias("p_partkey"),
-            "n_neighbors",
-            "sum_neighbor_price",
+            "p_partkey",
+            (F.col("n_all") - 1).alias("n_neighbors"),
+            F.round(F.col("s_all") - dec, 4)
+            .cast("double")
+            .alias("sum_neighbor_price"),
         )
     )
 

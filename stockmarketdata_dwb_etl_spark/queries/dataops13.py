@@ -148,9 +148,12 @@ def q_er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(matched).select(
         F.col("id").alias("rid"), F.col("cluster_rep").alias("rep")
     )
+    # cluster-member table is matched-record-sized and feeds THREE
+    # branches (name pick, segment mode, balance agg) — cut its lineage
+    # once so each branch doesn't re-run the comp⋈records join
     members = comp.join(recs, "rid").select(
         "rep", "rid", "name", "segment", "bal"
-    )
+    ).localCheckpoint(eager=True)
     w_name = Window.partitionBy("rep").orderBy(
         F.length("name").desc(), "name", "rid"
     )

@@ -98,6 +98,8 @@ PROBES = (
     "q_markov_attribution",     # one user-keyed journey shuffle + variants x states value iteration (round 12)
     "q_price_elasticity",       # broadcast part join + brand-keyed moment agg over lineitem (round 12)
     "q_stump_split",            # distributed global rank + 19-threshold broadcast grid over customer (round 12; customer base-size -> fixed-cost flatness)
+    "q_join_range_binned",      # per-size partial agg + bin-domain broadcast (r12-opt rewrite of the pair-producing band join)
+    "q_rolling_corr",           # prefix-sum sliding frames over events (r12-opt rewrite of the 20-row re-added frames)
 )
 
 

@@ -410,9 +410,13 @@ def q_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("value", _spark_ord()).alias("close"),
         )
     )
+    # (symbol, day)-sized state; cut its lineage once — every GESD
+    # round's branch (and each round's anti-join survivor set) otherwise
+    # re-runs the events aggregation, an O(rounds²) recompute inside the
+    # single final union action
     keep = bars.filter(F.col("open") != 0).select(
         "symbol", "day", (F.col("close") / F.col("open") - 1.0).alias("x")
-    )
+    ).localCheckpoint(eager=True)
     outs = []
     for rnd in range(1, _ESD_ROUNDS + 1):
         # x = close/open - 1 can reach ~1e4 on this events table, so
@@ -468,7 +472,10 @@ def q_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             rm,
             (keep["symbol"] == rm["rm_sym"]) & (keep["day"] == rm["rm_day"]),
             "left_anti",
-        )
+            # lazy cut per survivor set: round k's moments, argmax AND
+            # round k+1's state all read this once-materialized table
+            # inside the final action instead of replaying rounds 1..k
+        ).localCheckpoint(eager=False)
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)

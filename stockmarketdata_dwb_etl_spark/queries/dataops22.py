@@ -221,63 +221,110 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
     wsrc = Window.partitionBy("src")
-    # materialize the transition table ONCE: it is channels²-sized, but
-    # its lineage is the full journey extraction (events scan + three
-    # windows) — without the cut, every one of the _MKV_ITERS superstep
-    # checkpoints AND the pv seed re-run that extraction (measured
-    # 10.4 s → ~1 s steady at sf0.1/local[32]; the same lineage-cut
-    # discipline as the per-superstep checkpoints below)
     probs = edges.select(
         "src",
         "dst",
         (F.col("n").cast("double") / F.sum("n").over(wsrc)).alias("p"),
-    ).localCheckpoint(eager=True)
-    variants = spark.createDataFrame(
-        [("__none",)] + [(c,) for c in _CHANNELS], "variant string"
     )
-    # joint value iteration: vector over (variant, state), tiny tables
-    pv = (
-        probs.select("src")
-        .distinct()
-        .crossJoin(F.broadcast(variants))
-        .select("variant", F.col("src").alias("s"), F.lit(0.0).alias("p_abs"))
+    # The value-iteration state AND the transition table are both
+    # catalog-bounded (≤ |variants|·|states| and channels² rows), so the
+    # whole 12-step joint iteration runs as ONE nested in-plan
+    # expression over a single collected-in-plan model row (the
+    # broadcast-centroid posture: the model is dimension-sized, never
+    # data-sized). The former shape — one shuffle + checkpoint per
+    # superstep — paid 12 sequential job barriers that dominated the
+    # query at any scale where channels stay catalog-bounded (measured
+    # 10.4 s steady; the journey extraction itself is ~1 s). Each level
+    # let-binds the previous vector via the 1-element-array transform
+    # trick (minhash_signatures discipline) so the expression tree stays
+    # LINEAR in the iteration count, and every per-term round/DECIMAL
+    # cast matches the superstep form exactly: terms round at 14dp into
+    # DECIMAL(38,14), exact order-independent sum, 12dp re-round per
+    # level — bit-identical to the oracle's CTE chain.
+    model = probs.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("src", "dst", "p"))).alias(
+            "edges"
+        ),
+        F.sort_array(F.collect_set("src")).alias("states"),
+    )
+    vlit = F.lit(["__none"] + list(_CHANNELS))
+
+    def _cell(prev_b, v, vi, s):
+        """round12(Σ round14(c) as DECIMAL(38,14)) over s's out-edges
+        under removal variant v — the (variant, src) superstep cell."""
+
+        def term(e):
+            pos = F.array_position(F.col("states"), e["dst"]).cast("int")
+            prev_val = F.when(
+                pos > 0, F.element_at(F.element_at(prev_b, vi + 1), pos)
+            ).otherwise(F.lit(0.0))
+            c = (
+                F.when(e["dst"] == _CONV, e["p"])
+                .when(e["dst"] == "__loss", F.lit(0.0))
+                .when(e["dst"] == v, F.lit(0.0))
+                .otherwise(e["p"] * F.coalesce(prev_val, F.lit(0.0)))
+            )
+            # the 14dp portable round's scaled numerator: an EXACT
+            # integer in a BIGINT (|c| <= 1 so k <= 1e14; <= channels^2
+            # terms keep the sum far under 2^53), so the fold is exact
+            # integer arithmetic and the single final division is
+            # IEEE-correctly-rounded — the same nearest double the
+            # superstep form's DECIMAL(38,14) -> double cast produced
+            return F.floor(c * F.lit(1e14) + F.lit(0.5))
+
+        ksum = F.aggregate(
+            F.filter(F.col("edges"), lambda e: (e["src"] == s) & (s != v)),
+            F.lit(0).cast("bigint"),
+            lambda acc, e: acc + term(e),
+        )
+        return portable_round(ksum.cast("double") / F.lit(1e14), 12)
+
+    def _step(prev):
+        return F.element_at(
+            F.transform(
+                F.array(prev),
+                lambda prev_b: F.transform(
+                    vlit,
+                    lambda v, vi: F.transform(
+                        F.col("states"), lambda s: _cell(prev_b, v, vi, s)
+                    ),
+                ),
+            ),
+            1,
+        )
+
+    pv_vec = F.transform(
+        vlit, lambda v: F.transform(F.col("states"), lambda s: F.lit(0.0))
     )
     for _ in range(_MKV_ITERS):
-        contrib = (
-            probs.crossJoin(F.broadcast(variants))
-            .filter(F.col("src") != F.col("variant"))
-            .join(
-                pv.select(
-                    F.col("variant").alias("variant2"),
-                    F.col("s").alias("dst2"),
-                    F.col("p_abs"),
+        pv_vec = _step(pv_vec)
+
+    start_pos = F.array_position(F.col("states"), "__start").cast("int")
+    start_rows = F.element_at(
+        F.transform(
+            F.array(pv_vec),
+            lambda pvb: F.transform(
+                vlit,
+                lambda v, vi: F.struct(
+                    v.alias("variant"),
+                    F.element_at(
+                        F.element_at(pvb, vi + 1), start_pos
+                    ).alias("p_abs"),
                 ),
-                (F.col("variant") == F.col("variant2"))
-                & (F.col("dst") == F.col("dst2")),
-                "left",
-            )
-            .select(
-                "variant",
-                F.col("src").alias("s"),
-                F.when(F.col("dst") == _CONV, F.col("p"))
-                .when(F.col("dst") == "__loss", F.lit(0.0))
-                .when(F.col("dst") == F.col("variant"), F.lit(0.0))
-                .otherwise(F.col("p") * F.coalesce(F.col("p_abs"), F.lit(0.0)))
-                .alias("c"),
-            )
-        )
-        pv = (
-            contrib.groupBy("variant", "s")
-            .agg(portable_round(_ssum(F.col("c"), 14), 12).alias("p_abs"))
-            # vector is ≤|variants|·|states| rows; the checkpoint keeps
-            # the 12-superstep lineage flat (and loop-auditable).
-            # LAZY (eager=False): an eager cut here runs one tiny job
-            # per superstep — 12 sequential job submissions dominated
-            # the query (measured ~8.4 s steady); lazy cuts materialize
-            # every level inside the ONE final action while still
-            # truncating lineage for every downstream reference
-            .localCheckpoint(eager=False)
-        )
+            ),
+        ),
+        1,
+    )
+    # degenerate-input parity: the superstep form emits no __start rows
+    # when the state never occurs (empty journey table) — filter, then
+    # cut the 5-row result so the three output branches (base broadcast,
+    # share total, final select) don't re-run the journey + iteration
+    pv = (
+        model.filter(F.array_contains(F.col("states"), "__start"))
+        .select(F.explode(start_rows).alias("r"))
+        .select("r.variant", F.lit("__start").alias("s"), "r.p_abs")
+        .localCheckpoint(eager=True)
+    )
     start = pv.filter(F.col("s") == "__start")
     base = start.filter(F.col("variant") == "__none").select(
         F.col("p_abs").alias("p0")

@@ -40,6 +40,7 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from stockmarketdata_dwb_etl_spark.operators.cache import clear_slots
     from stockmarketdata_dwb_etl_spark.registry import QUERIES, load_all
     from stockmarketdata_dwb_etl_spark.session import get_spark
 
@@ -47,6 +48,13 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     def run(name: str) -> float:
+        # Cold-slot discipline (r12 verdict #1): bounded_persist's
+        # sameSemantics reuse would hand repeat N the intermediate repeat
+        # N-1 persisted (e.g. the dedup shingle table), so steady() would
+        # time a run that skips rebuilding it. Clearing the slots BEFORE
+        # the timer starts makes every timed run compute from the parquet
+        # inputs alone; the unpersist itself stays outside the timing.
+        clear_slots()
         t0 = time.time()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.time() - t0

@@ -45,8 +45,16 @@ def spread_rows(df):
     (d² pair products, array folds) to 1-2 cores — measured 12.6 s →
     1.4 s for the effective-rank pair aggregation at sf0.1/local[32].
     At 100 TB the scan's own splits already provide the parallelism, so
-    the branch inserts NO exchange there (decided at plan-build time
-    from the actual scan layout, not a constant tuned to either mode)."""
+    the branch inserts NO exchange there (decided at plan-build time,
+    not a constant tuned to either mode).
+
+    Probe semantics: ``df.rdd.getNumPartitions()`` reads the PRE-AQE
+    physical partition count — for a leaf parquet scan that is the real
+    split count; for a post-shuffle input it reads the configured
+    shuffle-partition count (== defaultParallelism in this repo's
+    session), so the branch correctly no-ops there too. The ``.rdd``
+    probe costs one extra driver-side planning pass per query build —
+    microseconds against the stage it protects; never a job."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

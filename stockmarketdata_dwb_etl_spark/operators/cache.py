@@ -26,6 +26,20 @@ from pyspark.sql import DataFrame
 _LIVE: dict[str, DataFrame] = {}
 
 
+def clear_slots() -> None:
+    """Unpersist every live slot. A benchmark that repeats a query to
+    reach steady state must call this between repeats: ``bounded_persist``'s
+    sameSemantics reuse would otherwise hand repeat N the slot persisted by
+    repeat N-1, so the timed run skips rebuilding the intermediate — the
+    measured time would exclude work every cold execution pays."""
+    for slot in list(_LIVE):
+        try:
+            _LIVE[slot].unpersist()
+        except Exception:  # noqa: BLE001 — session may be gone
+            pass
+        del _LIVE[slot]
+
+
 def bounded_persist(df: DataFrame, slot: str) -> DataFrame:
     """Persist ``df`` in ``slot``, unpersisting the slot's previous DF.
 

@@ -249,7 +249,13 @@ def probe_pool_candidates(
     ~1-(1-(1-θ/π)^(planes/bands))^bands ≈ 0.74 at the defaults, the
     standard LSH recall/cost dial (raise n_bands to trade shuffle
     volume for recall)."""
-    if pool.count() <= brute_force_limit:
+    # The strategy DECISION must not itself scan the pool (r12 verdict:
+    # a bare pool.count() is a full action over a 100 TB pool per query
+    # call). Only "is the pool over the limit?" matters, so count a
+    # LIMIT-bounded prefix: CollectLimit short-circuits after
+    # brute_force_limit+1 rows, reading partitions incrementally — the
+    # decision job's cost is bounded by the limit, never by |pool|.
+    if pool.limit(brute_force_limit + 1).count() <= brute_force_limit:
         from stockmarketdata_dwb_etl_spark.functions.vectors import (
             spread_rows,
         )

@@ -307,7 +307,11 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # because the accumulation is exact DECIMAL, so the 5 window sums
     # drop from 20 BigDecimal adds/row each to one add + one subtract.
     # Both window layers share (event_type, event_id) ordering, so the
-    # second needs no extra sort.
+    # second needs no extra sort. Magnitude bound: the running sum is
+    # unbounded where the old frame form summed 20 rows, but DECIMAL(38,6)
+    # holds |Σ| < 1e32 — event values are O(1e3), so overflow (a silent
+    # NULL under non-ANSI) needs ~1e29 rows per event_type; an ANSI run
+    # would surface it loudly long before the bound tightens.
     w_ord = Window.partitionBy("event_type").orderBy("event_id")
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
 

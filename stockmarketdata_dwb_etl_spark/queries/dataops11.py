@@ -84,6 +84,54 @@ def _dsum(expr: str, n: int = 8) -> str:
     )
 
 
+_SSUM_SPLIT = 1_000_000  # 10^6 — hi/lo split point of the scaled term
+
+
+def _ssum_hilo(col: Column, n: int = 12) -> tuple[Column, Column]:
+    """Two-long-bucket form of :func:`_ssum` for HOT aggregations (the
+    d²-fan pair sums): the n-dp-scaled term k = floor(x·10ⁿ + 0.5) — the
+    exact integer the DECIMAL(38,n) path accumulates — splits into
+    hi = (k − k mod 10⁶)/10⁶ and lo = k mod 10⁶, each summed as a plain
+    BIGINT. The per-row cost drops from one BigDecimal construction +
+    BigDecimal add (a non-compact Decimal agg buffer) to two primitive
+    long adds inside whole-stage codegen; :func:`_ssum_fin` reassembles
+    the exact value once per GROUP.
+
+    Equivalence: Σk = 10⁶·Σhi + Σlo exactly (pmod keeps lo ∈ [0, 10⁶)
+    for either sign, so the split is lossless integer arithmetic), and
+    the finisher rebuilds Σk/10ⁿ in exact DECIMAL before one double
+    cast — the identical rational value, hence the identical double,
+    as the DECIMAL(38,n) sum.
+
+    Overflow bound (document per site): BIGINT sums wrap silently under
+    non-ANSI, so both buckets need |Σ| < 2^63 ≈ 9.2e18. With |x| < 1
+    and n = 12 each bucket term is < 10⁶, which holds to ~9.2e12 rows
+    PER GROUP — two orders beyond a 100 TB embedding corpus; wider
+    terms need the bound rechecked. Requires n ≥ 6."""
+    k = F.floor(col.cast("double") * F.lit(float(10**n)) + F.lit(0.5))
+    lo = F.pmod(k, F.lit(_SSUM_SPLIT))
+    # (k − lo) is an exact multiple of 10⁶ and < 2^53, so the double
+    # division is exact and the bigint cast lossless
+    hi = ((k - lo) / F.lit(float(_SSUM_SPLIT))).cast("bigint")
+    return F.sum(hi), F.sum(lo)
+
+
+def _ssum_fin(hi_sum: Column, lo_sum: Column, n: int = 12) -> Column:
+    """Finisher for :func:`_ssum_hilo`: Σhi/10ⁿ⁻⁶ + Σlo/10ⁿ in exact
+    DECIMAL, one double cast. Both divisions are exact: the dividends
+    are bigints cast to DECIMAL(20,0) and the result scales (8 and
+    n+2 ≥ n) cover every fractional digit the quotients can have, so no
+    HALF_UP rounding ever fires; the final addition is exact at scale
+    max and precision ≤ 35 < 38. Runs once per group — d²-bounded."""
+    hi_dec = hi_sum.cast("decimal(20,0)") / F.lit(10 ** (n - 6)).cast(
+        f"decimal({n - 5},0)"
+    )
+    lo_dec = lo_sum.cast("decimal(20,0)") / F.lit(10**n).cast(
+        f"decimal({n + 1},0)"
+    )
+    return (hi_dec + lo_dec).cast("double")
+
+
 # ---------------------------------------------------------------------------
 # Fellegi–Sunter record linkage over a synthesized dirty-twin corpus
 # ---------------------------------------------------------------------------

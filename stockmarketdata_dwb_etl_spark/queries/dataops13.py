@@ -149,11 +149,18 @@ def q_er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("rid"), F.col("cluster_rep").alias("rep")
     )
     # cluster-member table is matched-record-sized and feeds THREE
-    # branches (name pick, segment mode, balance agg) — cut its lineage
-    # once so each branch doesn't re-run the comp⋈records join
-    members = comp.join(recs, "rid").select(
-        "rep", "rid", "name", "segment", "bal"
-    ).localCheckpoint(eager=True)
+    # branches (name pick, segment mode, balance agg) — materialize it
+    # once so each branch doesn't re-run the comp⋈records join. A
+    # bounded_persist slot (not localCheckpoint): the table is DATA-sized,
+    # and a persisted block keeps its lineage, so an executor loss at
+    # scale recomputes the partition instead of failing the job —
+    # localCheckpoint stays reserved for catalog-sized iterative states.
+    from stockmarketdata_dwb_etl_spark.operators.cache import bounded_persist
+
+    members = bounded_persist(
+        comp.join(recs, "rid").select("rep", "rid", "name", "segment", "bal"),
+        "er-golden-members",
+    )
     w_name = Window.partitionBy("rep").orderBy(
         F.length("name").desc(), "name", "rid"
     )

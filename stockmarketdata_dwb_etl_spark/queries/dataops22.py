@@ -179,44 +179,53 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stockmarketdata_dwb_etl_spark.queries.timeseries import _spark_ord
 
     ev = load_table(spark, sf_dir, "events")
-    wu = Window.partitionBy("user_id")
+    # Journey extraction in ONE window pass (r12 verdict: the former
+    # form stacked three windows — an unordered conv-key min, an asc
+    # lag, and a DESC row_number for the loss edge — costing one sort
+    # per distinct ordering over the full events table). All three
+    # quantities share the (user_id, ord_key) ascending sort:
+    #   - lag BEFORE the truncation filter is sound because the kept
+    #     rows are a per-user PREFIX (ord_key ≤ first-conversion key),
+    #     so every kept row's predecessor is itself kept — the lag over
+    #     the full sequence equals the lag over the filtered one, and
+    #     the first row's NULL still coalesces to __start;
+    #   - the loss edge fires only for conversion-less users, whose
+    #     last kept row is the global max ord_key — row_number DESC
+    #     becomes an unbounded-frame MAX over the same asc sort.
+    # One Exchange + one Sort; hop and loss edges leave the window as a
+    # conditional 1-or-2-element array, so no union re-reads the table.
     ord_key = _spark_ord()
-    seq = ev.select(
-        "user_id",
+    w_ord = Window.partitionBy("user_id").orderBy("ord_key")
+    w_full = w_ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ann = ev.select(
+        "user_id", "event_type", ord_key.alias("ord_key")
+    ).select(
         "event_type",
-        ord_key.alias("ord_key"),
-        F.min(
-            F.when(F.col("event_type") == _CONV, ord_key)
-        )
-        .over(wu)
+        "ord_key",
+        F.coalesce(F.lag("event_type").over(w_ord), F.lit("__start")).alias(
+            "src"
+        ),
+        F.min(F.when(F.col("event_type") == _CONV, F.col("ord_key")))
+        .over(w_full)
         .alias("conv_key"),
+        F.max("ord_key").over(w_full).alias("max_key"),
     )
-    pre = seq.filter(
+    kept = ann.filter(
         F.col("conv_key").isNull() | (F.col("ord_key") <= F.col("conv_key"))
-    ).select("user_id", "event_type", "ord_key")
-    hops = pre.select(
-        F.coalesce(
-            F.lag("event_type").over(
-                Window.partitionBy("user_id").orderBy("ord_key")
-            ),
-            F.lit("__start"),
-        ).alias("src"),
-        F.col("event_type").alias("dst"),
     )
-    lasts = (
-        pre.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("user_id").orderBy(F.col("ord_key").desc())
-            ),
-        )
-        .filter((F.col("rn") == 1) & (F.col("event_type") != _CONV))
-        .select(
-            F.col("event_type").alias("src"), F.lit("__loss").alias("dst")
-        )
+    hop = F.struct(F.col("src"), F.col("event_type").alias("dst"))
+    loss = F.struct(
+        F.col("event_type").alias("src"), F.lit("__loss").alias("dst")
     )
+    pair_arr = F.when(
+        F.col("conv_key").isNull() & (F.col("ord_key") == F.col("max_key")),
+        F.array(hop, loss),
+    ).otherwise(F.array(hop))
     edges = (
-        hops.unionByName(lasts)
+        kept.select(F.explode(pair_arr).alias("e"))
+        .select("e.src", "e.dst")
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
@@ -279,25 +288,30 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return portable_round(ksum.cast("double") / F.lit(1e14), 12)
 
-    def _step(prev):
-        return F.element_at(
-            F.transform(
-                F.array(prev),
-                lambda prev_b: F.transform(
-                    vlit,
-                    lambda v, vi: F.transform(
-                        F.col("states"), lambda s: _cell(prev_b, v, vi, s)
-                    ),
-                ),
-            ),
-            1,
-        )
-
-    pv_vec = F.transform(
+    # The value-iteration update is LEVEL-INDEPENDENT (the same cell
+    # formula every superstep), so the {_MKV_ITERS} levels run as one
+    # in-plan FOLD over a dummy level sequence instead of {_MKV_ITERS}
+    # textually unrolled nested copies: the accumulator IS the previous
+    # vector (a lambda variable — let-bound by construction, so each
+    # level still evaluates once), and the expression tree is ONE level
+    # deep instead of twelve. Measured on the unrolled form: 3.5 s of
+    # the query's 3.9 s steady was driver-side Catalyst
+    # analysis/optimization/codegen of the 12× tree, not execution —
+    # the fold removes that without touching the arithmetic (identical
+    # per-level expression ⇒ identical doubles).
+    pv0 = F.transform(
         vlit, lambda v: F.transform(F.col("states"), lambda s: F.lit(0.0))
     )
-    for _ in range(_MKV_ITERS):
-        pv_vec = _step(pv_vec)
+    pv_vec = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_MKV_ITERS)),
+        pv0,
+        lambda acc, _lvl: F.transform(
+            vlit,
+            lambda v, vi: F.transform(
+                F.col("states"), lambda s: _cell(acc, v, vi, s)
+            ),
+        ),
+    )
 
     start_pos = F.array_position(F.col("states"), "__start").cast("int")
     start_rows = F.element_at(

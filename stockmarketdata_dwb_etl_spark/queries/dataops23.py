@@ -547,7 +547,16 @@ def q_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c")
         )
 
-    c = to_vec(cent0).localCheckpoint(eager=True)
+    # Lazy superstep chaining (r12 verdict: 5 sequential Weiszfeld
+    # barriers at ~0.75 s/barrier): each level's 64-value centroid is a
+    # BROADCAST subtree of the next level's plan instead of an eagerly
+    # checkpointed intermediate, so the whole iteration plans as ONE
+    # action — the broadcast builds still sequence (level k+1's weights
+    # need level k's centroid; that dependency is Weiszfeld itself) but
+    # the per-superstep driver round-trip / job barrier disappears. The
+    # ev subtree repeats once per level in the plan and ReuseExchange
+    # collapses the repeated scan+spread exchange.
+    c = to_vec(cent0)
     cent = cent0
     for _ in range(_GM_ITERS):
         d2 = F.aggregate(
@@ -587,7 +596,7 @@ def q_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                 portable_round(F.col("swv") / F.col("swt"), 10).alias("mu"),
             )
         )
-        c = to_vec(cent).localCheckpoint(eager=True)
+        c = to_vec(cent)
     m0 = cent0.select(
         F.col("idx").alias("dim"), F.col("mu").alias("mean_mu")
     )

@@ -17,7 +17,7 @@ from pyspark.sql.window import Window
 from stockmarketdata_dwb_etl_spark.functions.exact import portable_round
 from stockmarketdata_dwb_etl_spark.catalog import load_table
 from stockmarketdata_dwb_etl_spark.functions.text import tokenize, word_shingles
-from stockmarketdata_dwb_etl_spark.queries.dataops11 import _dsum, _ssum
+from stockmarketdata_dwb_etl_spark.queries.dataops11 import _dsum, _ssum, _ssum_fin, _ssum_hilo
 from stockmarketdata_dwb_etl_spark.queries.stats_q import _dsum2, _ssum2
 from stockmarketdata_dwb_etl_spark.registry import query
 
@@ -1555,14 +1555,21 @@ def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("t")
     ).select("t.i", "t.j", "t.p")
+    # component products are < 1 (|f32 comp| < 0.6), so the 12dp scaled
+    # term fits the two-long-bucket sum (r13: the DECIMAL(38,12) agg was
+    # 2.2× the plain-long agg cost on this d²·n-row stage; _ssum_hilo is
+    # bit-identical — same exact rational, one double cast per group —
+    # and its 9.2e12-rows-per-group overflow bound dwarfs any corpus)
+    hi, lo = _ssum_hilo(F.col("p"), 12)
     return (
         triples.groupBy("i", "j")
-        .agg(
-            # component products are < 1 (|f32 comp| < 0.6), so the
-            # single-bucket 12dp rounded sum is exact on both engines
-            portable_round(_ssum(F.col("p"), 12), 6)
+        .agg(hi.alias("sh"), lo.alias("sl"))
+        .select(
+            "i",
+            "j",
+            portable_round(_ssum_fin(F.col("sh"), F.col("sl"), 12), 6)
             .cast("double")
-            .alias("gram")
+            .alias("gram"),
         )
         .orderBy("i", "j")
     )

@@ -404,7 +404,13 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_partkey",
             (F.col("n_all") - 1).alias("n_neighbors"),
-            F.round(F.col("s_all") - dec, 4)
+            # coalesce: a NULL own-price row must subtract 0 (the pair
+            # join sums neighbors' non-null prices regardless of the
+            # probe's own value); p_retailprice is NOT NULL under TPC-H,
+            # so this is identity on the declared fixture
+            F.round(
+                F.col("s_all") - F.coalesce(dec, F.lit(0).cast("decimal(38,6)")), 4
+            )
             .cast("double")
             .alias("sum_neighbor_price"),
         )

@@ -601,7 +601,11 @@ def simhash_near_dups(
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """(id, cluster_rep) per vertex: min-label propagation to fixpoint —
     the transitive-closure step that turns near-dup PAIRS into dedup
@@ -620,7 +624,30 @@ def connected_components(
     )
     from stockmarketdata_dwb_etl_spark.operators.cache import bounded_persist
 
-    und = bounded_persist(und.distinct(), "cc-undirected-edges")
+    # ``assume_distinct``: min-label propagation is IDEMPOTENT over
+    # duplicate edges (the min over repeated neighbors is unchanged), so
+    # the dedup exists only to bound the hop joins' fanout on
+    # duplicate-heavy inputs. A caller whose pair table is distinct by
+    # construction (every LSH verify emits distinct ordered pairs; the
+    # union of both directions of an id_a < id_b table cannot collide)
+    # skips a full shuffle+dedup of the edge set — guide §2.4's "distinct
+    # on data that is already unique".
+    if not assume_distinct:
+        und = und.distinct()
+    und_p = bounded_persist(und, "cc-undirected-edges")
+    # Logical lineage cut for the loop (r13): the persisted edge table's
+    # LOGICAL plan still carries the full upstream tree (for
+    # q_dedup_keep_canonical, the entire minhash pipeline), and every
+    # hop/convergence Dataset re-runs the analyzer+optimizer over it —
+    # measured ~1.5-2 s of pure driver time per round at sf0.1 while the
+    # convergence count job itself took 0.15 s. One lazy localCheckpoint
+    # view compiles that tree ONCE; every loop plan then reads a
+    # LogicalRDD leaf. The bounded_persist stays the storage/recompute
+    # layer underneath (the cut materializes through the warm
+    # InMemoryRelation), and the edge table is matched-pairs-sized, so
+    # the checkpoint's extra copy is bounded by the near-dup pair count,
+    # never by the corpus.
+    und = und_p.localCheckpoint(eager=False)
     # lazy init checkpoint: the first round's changed-count is the
     # materializing action, so initialization costs no job of its own
     labels = (
@@ -660,5 +687,5 @@ def connected_components(
         labels = stepped.select("id", "label")
         if changed == 0:
             break
-    und.unpersist()
+    und_p.unpersist()
     return labels.select("id", F.col("label").alias("cluster_rep"))

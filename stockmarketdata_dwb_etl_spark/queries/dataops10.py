@@ -541,7 +541,8 @@ def q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 2_000_000).alias("dst"),
         )
     )
-    comp = connected_components(edges).select(
+    # synthetic chain edges: one row per generator doc, ids disjoint
+    comp = connected_components(edges, assume_distinct=True).select(
         F.col("id").alias("doc_id"), "cluster_rep"
     )
     allv = (

@@ -145,7 +145,8 @@ def q_er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(agree >= 2)
         .select(F.col("a.rid").alias("src"), F.col("b.rid").alias("dst"))
     )
-    comp = connected_components(matched).select(
+    # matched pairs are distinct: one row per (rid_a < rid_b) self-join hit
+    comp = connected_components(matched, assume_distinct=True).select(
         F.col("id").alias("rid"), F.col("cluster_rep").alias("rep")
     )
     # cluster-member table is matched-record-sized and feeds THREE

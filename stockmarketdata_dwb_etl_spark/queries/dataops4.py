@@ -208,7 +208,9 @@ def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = _docs_with_near_dups(spark, sf_dir)
     pairs = minhash_near_dups(aug)
     comp = connected_components(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        # verified LSH pairs are distinct (id_a < id_b) by construction
+        assume_distinct=True,
     ).select(F.col("id").alias("doc_id"), F.col("cluster_rep").alias("rep"))
     labeled = (
         aug.select("doc_id", "source", F.length("text").alias("len"))
